@@ -1,0 +1,81 @@
+"""Table IO for the driver testdata and engine staging.
+
+The reference's IR between stages is schemaless CSV on GCS re-parsed with
+hand-maintained dtype dicts (reference ``dw3_merge_inc.py:33-83``,
+``gcp_getbucket.py:7-18``). Here staging is Parquet (schema-carrying,
+columnar, splittable) and readers are one-liners; explicit StructType
+schemas exist only for schemaless formats (CSV/JSON ingest — see
+``core.schemas``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table. Parquet → columnar scan with predicate
+    pushdown and column pruning for free.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's Parquet
+    reader rejects; read it as int64 nanos (legacy conf) and truncate to
+    microseconds — the same nanos→micros truncation DuckDB applies, so
+    oracle comparisons agree exactly.
+    """
+    from pyspark.sql import functions as F
+
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register testdata tables as temp views so operators can be written
+    in either DataFrame or SQL form against the same names DuckDB uses."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Staging writer (reference S4 ``gcp_postbucket.py:7-25`` equivalent).
+
+    Partitioned Parquet so downstream reads get partition pruning — the
+    reference's single-CSV overwrite has no equivalent capability.
+    """
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV kept only as an export-shaped sink (BI handoff), never staging."""
+    w = (df.coalesce(1) if single_file else df).write.mode("overwrite")
+    w.option("header", True).csv(path)

@@ -1,0 +1,129 @@
+"""Text-analysis column expressions for large-scale training-data pipelines.
+
+Everything here is a pure Column expression (JVM-side, codegen'd) — no
+Python UDFs. Each primitive has an exact ANSI-SQL twin used by the DuckDB
+oracles in ``queries.py``; determinism across engines is part of the
+contract, so hashing is md5-based (stable everywhere) rather than
+engine-native hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+HASH_MOD = 1_000_000_007
+
+
+def tokens(col: Column) -> Column:
+    """Lowercased alnum tokens; empty strings filtered (split artifacts).
+
+    DuckDB twin: ``list_filter(string_split_regex(lower(x),'[^a-z0-9]+'), t -> t <> '')``
+    """
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def h32(col: Column) -> Column:
+    """Deterministic unsigned-32-bit hash: first 8 hex chars of md5.
+
+    DuckDB twin: ``('0x' || substr(md5(x),1,8))::BIGINT``
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """n-word shingles (distinct), the unit for MinHash/Jaccard dedup.
+
+    Built with `transform` over an index `sequence` — stays JVM-side.
+    """
+    # concat_ws over sliding windows: shingle(i) = toks[i] .. toks[i+n-1]
+    def shingle_at(i: Column) -> Column:
+        cols = [F.element_at(toks, i + j + 1) for j in range(n)]
+        return F.concat_ws(" ", *cols)
+
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(F.sequence(F.lit(0), F.size(toks) - n), shingle_at),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """K independent min-hashes: ``min over shingles of h32(j ‖ ':' ‖ s)``.
+
+    Array-valued column, no explode — at 100 TB this is a narrow map-only
+    transform; the only shuffle in MinHash-LSH dedup is the band bucket join.
+    """
+    def hasher(j: int):
+        # closure factory: PySpark inspects lambda arity, so default-arg
+        # tricks (lambda s, j=j) would be read as binary (value, index)
+        def h(s):
+            return h32(F.concat(F.lit(f"{j}:"), s))
+
+        return h
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, hasher(j))).alias(f"mh{j}") for j in range(k)]
+    )
+
+
+def simhash32(toks: Column) -> Column:
+    """32-bit SimHash over distinct tokens: bit b is set iff
+    ``sum over tokens of (token_hash bit b ? +1 : -1) > 0``."""
+    td = F.array_distinct(toks)
+    hashes = F.transform(td, h32)
+
+    def voter(b: int):
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+
+        return merge
+
+    bit_terms = []
+    for b in range(32):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), voter(b))
+        bit_terms.append(F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Set Jaccard over two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter).cast("double")
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Polynomial rolling hash of the normalized text:
+    ``fold(chars, 0, (acc,c) -> (acc*31 + ascii(c)) % 1e9+7)``.
+
+    DuckDB twin uses ``list_reduce(list_prepend(0, ...))`` for the same
+    init-0 left fold.
+    """
+    chars = F.filter(F.split(col, ""), lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % HASH_MOD,
+    )
+
+
+# Marker-word lists for the heuristic language-ID (deterministic; the
+# oracle mirrors them). Order = tie-break priority.
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "and", "of", "to", "in", "is", "a"]),
+    ("es", ["el", "la", "de", "que", "y", "en", "los"]),
+    ("fr", ["le", "la", "de", "et", "les", "des", "un"]),
+    ("de", ["der", "die", "und", "das", "von", "mit", "ein"]),
+    ("zh", ["de5", "shi4", "le5"]),  # romanized placeholders
+]
+
+
+def marker_score(toks: Column, markers: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*[F.lit(m) for m in markers])))

@@ -1,0 +1,56 @@
+"""Join operators (reference §2.4 JN1–JN14).
+
+Every dimension join in the reference is a pandas hash-merge against a
+table of O(10²–10³) rows; here those become **broadcast hash joins**
+(explicit ``F.broadcast`` hint — no shuffle of the fact side, which is
+the property that survives a 100 TB fact table). The incremental-merge
+anti-join (JN5) is the delete-insert upsert; at scale it becomes a
+Delta/Iceberg ``MERGE`` but the anti-join form is storage-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def broadcast_left_join(fact: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
+    """JN1/JN8–JN13 shape: fact × small dim. The broadcast hint keeps the
+    fact side shuffle-free regardless of AQE statistics."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def anti_join_merge(archive: DataFrame, increment: DataFrame, keys: list[str]) -> DataFrame:
+    """JN5 (``dw3_merge_inc.py:114-116``): delete-insert upsert.
+
+    Archive rows whose key appears in the increment are dropped
+    (`left_anti`), then the increment is appended. Column alignment is by
+    name (`unionByName`), not position.
+
+    Scale note: the anti-join shuffles both sides on ``keys`` unless the
+    increment is small enough to broadcast — it usually is (a 61-day
+    window vs an ever-growing archive), so we hint it.
+    """
+    survivors = archive.join(F.broadcast(increment.select(*keys).distinct()), keys, "left_anti")
+    return survivors.unionByName(increment)
+
+
+def dedup_keep_first(df: DataFrame, keys: list[str], order_by: list) -> DataFrame:
+    """P10/W4: deterministic keep-first dedup.
+
+    pandas ``drop_duplicates(subset=keys)`` keeps the first row in current
+    order — order that Spark does not guarantee — so the rebuild always
+    pins an explicit tie-break (``row_number`` over ``order_by``).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """EXISTS — not present in the reference (it only has anti via
+    ``~isin``) but part of a complete relational surface."""
+    return left.join(right, on, "left_semi")

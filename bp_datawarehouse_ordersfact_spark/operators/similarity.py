@@ -1,0 +1,170 @@
+"""Similarity operators: fuzzy title matching (reference §2.12 F1/F2) and
+embedding similarity search (ANN) for training-data pipelines.
+
+F1 (TF-IDF cosine) is implemented with pure DataFrame ops using the
+sklearn formula the reference depends on (``idf = ln((1+n)/(1+df)) + 1``
+with L2 normalization — ``dw4_book_dim.py:166-192``); Spark ML's ``IDF``
+uses ``log((n+1)/(df+1))`` which shifts scores around the 0.7 threshold,
+so parity requires the manual form.
+
+F2 (fuzz.ratio ≥ 95) becomes native ``levenshtein`` arithmetic:
+``100·(len_a+len_b−lev)/(len_a+len_b)`` — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+
+from ..functions import text as Tx
+from ..functions import vectors as V
+
+
+def levenshtein_ratio(a: Column, b: Column) -> Column:
+    """difflib-compatible ratio for short strings (reference F2,
+    ``dw4_book_dim.py:291-293``)."""
+    total = F.length(a) + F.length(b)
+    return 100.0 * (total - F.levenshtein(a, b)) / total
+
+
+def fuzzy_ratio_join(
+    master: DataFrame, master_col: str, cand: DataFrame, cand_col: str, threshold: float = 95.0
+) -> DataFrame:
+    """JN7+F2: cross join small master × candidates, keep ratio ≥ threshold.
+
+    Fine at dim scale (10²×10³ — the broadcast cross join is cheap); at
+    data scale block first (e.g. on length bands or first-token) so the
+    product never materializes.
+    """
+    j = F.broadcast(master).crossJoin(cand)
+    ratio = levenshtein_ratio(F.lower(F.col(master_col)), F.lower(F.col(cand_col)))
+    return j.withColumn("match_ratio", rnd(ratio, 6)).filter(
+        F.col("match_ratio") >= threshold
+    )
+
+
+def tfidf_weights(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Sklearn-parity TF-IDF as a dataflow: explode tokens → term counts →
+    document frequency → ``idf = ln((1+N)/(1+df)) + 1`` → L2-normalize.
+
+    Returns (id, token, weight). All shuffles are on the token/doc keys;
+    the doc-frequency side is tiny (vocabulary) and broadcast back.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(Tx.tokens(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.count()
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_.select(
+        "token",
+        (F.log((1.0 + F.lit(float(n_docs))) / (1.0 + F.col("df"))) + 1.0).alias("idf"),
+    )
+    w = tf.join(F.broadcast(idf), "token").select(
+        id_col, "token", (F.col("tf") * F.col("idf")).alias("w")
+    )
+    norms = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    return w.join(norms, id_col).select(
+        id_col, "token", (F.col("w") / F.col("nrm")).alias("weight")
+    )
+
+
+def tfidf_cosine_match(
+    master: DataFrame,
+    master_id: str,
+    master_text: str,
+    cand: DataFrame,
+    cand_id: str,
+    cand_text: str,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """F1 (``dw4_book_dim.py:166-192``): fit on the union of both title
+    pools (sklearn fit semantics), score all pairs sharing ≥1 token via a
+    token-key join (sparse dot product — never an all-pairs cross join),
+    keep cosine ≥ threshold.
+    """
+    m = master.select(F.col(master_id).alias("m_id"), F.col(master_text).alias("m_text"))
+    c = cand.select(F.col(cand_id).alias("c_id"), F.col(cand_text).alias("c_text"))
+    # sklearn-parity: the IDF is fit on the union of both title pools
+    # (reference fits TfidfVectorizer on master+source, dw4_book_dim.py:170-172)
+    union_docs = m.select(F.col("m_id").cast("string").alias("uid"), F.col("m_text").alias("txt")).unionByName(
+        c.select(F.concat(F.lit("c_"), F.col("c_id").cast("string")).alias("uid"), F.col("c_text").alias("txt"))
+    )
+    uw = tfidf_weights(union_docs, "uid", "txt")
+    mw = uw.filter(~F.col("uid").startswith("c_")).select(
+        F.col("uid").alias("m_id"), "token", F.col("weight").alias("w_m")
+    )
+    cw = uw.filter(F.col("uid").startswith("c_")).select(
+        F.expr("substring(uid, 3)").alias("c_id"), "token", F.col("weight").alias("w_c")
+    )
+    scores = (
+        mw.join(cw, "token")
+        .groupBy("m_id", "c_id")
+        .agg(rnd(F.sum(F.col("w_m") * F.col("w_c")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return scores
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    candidates: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query set against all
+    candidates, rank per query. Exact; cost = |Q|×|C| dot products, all
+    JVM-side fold arithmetic. The right baseline when |Q| is small."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = candidates.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", rnd(V.cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "cosine", "rnk")
+    )
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    candidates: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Bucketed ANN: sign-pattern LSH bucket (axis-aligned hyperplanes on
+    the first ``n_bits`` dims) → candidates share the query's bucket →
+    exact cosine within bucket. The scale path: the bucket equi-join
+    replaces the cross join, cutting compared pairs by ~2^n_bits."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        V.sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    c = candidates.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        V.sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", rnd(V.cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "cosine", "rnk")
+    )

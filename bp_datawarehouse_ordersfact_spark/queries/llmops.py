@@ -1,0 +1,442 @@
+"""Training-data pipeline operators over `documents` / `embeddings`:
+deduplication (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
+search (brute-force + LSH-bucketed ANN), text analysis (language-ID,
+quality scoring, token counting, fingerprinting), and multimodal binary
+plumbing.
+
+Every hash is md5-derived so the DuckDB oracle reproduces it exactly
+(engine-native hashes differ); every float is pre-rounded on both sides.
+The DuckDB twins of the Spark primitives live next to each query.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.io import load_table
+from ..functions.rounding import rnd
+from ..functions import text as Tx
+from ..functions import vectors as V
+from ..operators import dedup as D
+from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# DuckDB twins of the shared text primitives (functions/text.py)
+SQL_TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
+SQL_H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+SQL_SHINGLES = (
+    "list_distinct(CASE WHEN len({t}) >= 3 THEN "
+    "list_transform(range(len({t}) - 2), i -> {t}[i+1] || ' ' || {t}[i+2] || ' ' || {t}[i+3]) "
+    "ELSE [array_to_string({t}, ' ')] END)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text) — one shuffle on a uniform
+    key; the optimal distributed dedup plan at any scale."""
+    return D.exact_dedup(_docs(spark, sf_dir), "text", "doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS t FROM documents),
+    sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='t')} AS shingles FROM toks),
+    mh AS (SELECT doc_id, shingles,
+                  list_transform(range(16), k ->
+                    list_min(list_transform(shingles,
+                      s -> {SQL_H32.format(x="CAST(k AS VARCHAR) || ':' || s")}))) AS sig
+           FROM sh),
+    banded AS (SELECT doc_id, b,
+                      md5(CAST(sig[b*4+1] AS VARCHAR) || ',' || CAST(sig[b*4+2] AS VARCHAR)
+                          || ',' || CAST(sig[b*4+3] AS VARCHAR) || ',' || CAST(sig[b*4+4] AS VARCHAR)) AS bh
+               FROM mh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+    scored AS (SELECT id_a, id_b,
+                      round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                            / (len(a.shingles) + len(b.shingles)
+                               - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+               FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id)
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands×4 rows) near-dup pairs, Jaccard-verified.
+    The 100 TB dedup path: signatures are map-only; candidates come from
+    a band-bucket equi-join, never an all-pairs product."""
+    return D.minhash_lsh_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", k=16, bands=4, threshold=0.5
+    )
+
+
+def _simhash_oracle() -> str:
+    """Programmatically build the 32-bit SimHash oracle (one vote CASE per
+    bit — the SQL twin of functions.text.simhash32)."""
+    vote = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(hs, "
+        "h -> CASE WHEN (h >> {b}) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), "
+        "(a, x) -> a + x)"
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN {vote.format(b=b)} > 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(32)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, list_distinct({SQL_TOKS.format(c='text')}) AS td FROM documents),
+    hs_t AS (SELECT doc_id, list_transform(td, t -> {SQL_H32.format(x='t')}) AS hs FROM toks),
+    fp AS (SELECT doc_id, ({fp_terms}) AS fp FROM hs_t),
+    banded AS (SELECT doc_id, fp, b, (fp >> (8 * b)) & 255 AS bv
+               FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                             x.fp AS fp_a, y.fp AS fp_b
+             FROM banded x JOIN banded y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+    SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs with hamming ≤ 3. Blocking by
+    8-bit bands (pigeonhole: ≤3 flipped bits ⇒ ≥1 of 4 bands identical)
+    keeps candidate generation an equi-join."""
+    return D.simhash_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {SQL_TOKS.format(c='text')} AS t FROM documents),
+    sh AS (SELECT doc_id, source, {SQL_SHINGLES.format(t='t')} AS shingles FROM toks)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / (len(a.shingles) + len(b.shingles)
+                      - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.3
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs, blocked by `source` so the pair space
+    stays bounded (the quadratic verifier; standalone only when blocked,
+    else behind MinHash-LSH)."""
+    out = D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", threshold=0.3, block_col="source"
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of functions.vectors.dot: identical left-fold in double.
+SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(len({a})), i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE))), "
+    "(acc, v) -> acc + v)"
+)
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS c_id, embedding AS cv FROM embeddings),
+    scored AS (SELECT q_id, c_id,
+                      round({SQL_DOT.format(a='qv', b='cv')}
+                            / (sqrt({SQL_DOT.format(a='qv', b='qv')})
+                               * sqrt({SQL_DOT.format(a='cv', b='cv')})), 6) AS cosine
+               FROM q CROSS JOIN c WHERE q_id <> c_id)
+    SELECT q_id, c_id, cosine,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rnk
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) <= 5
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast cross join
+    + per-query window rank. Exact baseline for the LSH variant."""
+    e = _emb(spark, sf_dir)
+    return cosine_topk_bruteforce(e.filter(F.col("vec_id") < 10), e, k=5)
+
+
+@register(
+    "ann_cosine_lsh",
+    f"""
+    WITH b AS (SELECT vec_id, embedding,
+                      (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+                      + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+                      + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
+                      + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
+                      + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
+                      + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
+                      + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS qv, bucket FROM b WHERE vec_id < 50),
+    c AS (SELECT vec_id AS c_id, embedding AS cv, bucket FROM b),
+    scored AS (SELECT q_id, c_id,
+                      round({SQL_DOT.format(a='qv', b='cv')}
+                            / (sqrt({SQL_DOT.format(a='qv', b='qv')})
+                               * sqrt({SQL_DOT.format(a='cv', b='cv')})), 6) AS cosine
+               FROM q JOIN c USING (bucket) WHERE q_id <> c_id)
+    SELECT q_id, c_id, cosine,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rnk
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) <= 5
+    """,
+)
+def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (sign-pattern bucket on the first 8 dims): the
+    bucket equi-join replaces the cross join — the scale path where
+    brute force would compare |Q|×|C| pairs."""
+    e = _emb(spark, sf_dir)
+    return cosine_topk_lsh(e.filter(F.col("vec_id") < 50), e, k=5, n_bits=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_MARKER_SQL = {
+    lang: "(" + " OR ".join(f"x = '{m}'" for m in markers) + ")"
+    for lang, markers in Tx.LANG_MARKERS
+}
+
+
+def _langid_oracle() -> str:
+    scores = ",\n           ".join(
+        f"len(list_filter(t, x -> {_MARKER_SQL[lang]})) AS s_{lang}"
+        for lang, _ in Tx.LANG_MARKERS
+    )
+    langs = [lang for lang, _ in Tx.LANG_MARKERS]
+    pick = "CASE "
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"] + [f"s_{lang} >= s_{other}" for other in langs[i + 1 :]]
+        # earlier langs win ties only if strictly not beaten by a later one:
+        prior = [f"s_{lang} >= s_{p}" for p in langs[:i]]
+        pick += f"WHEN {' AND '.join(conds + prior)} THEN '{lang}' "
+    pick += "ELSE 'und' END"
+    return f"""
+    WITH toks AS (SELECT doc_id, lang AS label, {SQL_TOKS.format(c='text')} AS t FROM documents),
+    scored AS (SELECT doc_id, label,
+           {scores}
+    FROM toks)
+    SELECT doc_id, label, {pick} AS pred_lang FROM scored
+    """
+
+
+@register("text_langid", _langid_oracle())
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: per-language marker-token counts, argmax
+    with fixed priority tie-break. Pure column expressions (no UDF)."""
+    d = _docs(spark, sf_dir)
+    toks = Tx.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("label"),
+        *[
+            Tx.marker_score(toks, markers).cast("long").alias(f"s_{lang}")
+            for lang, markers in Tx.LANG_MARKERS
+        ],
+    )
+    langs = [lang for lang, _ in Tx.LANG_MARKERS]
+    pred = None
+    for i, lang in enumerate(langs):
+        cond = F.col(f"s_{lang}") > 0
+        for other in langs[i + 1 :]:
+            cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{other}"))
+        for p in langs[:i]:
+            cond = cond & (F.col(f"s_{lang}") >= F.col(f"s_{p}"))
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit("und"))
+    return scored.select("doc_id", "label", pred.alias("pred_lang"))
+
+
+_EN_STOP_SQL = _MARKER_SQL["en"]
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH toks AS (SELECT doc_id, n_chars, {SQL_TOKS.format(c='text')} AS t FROM documents)
+    SELECT doc_id,
+           n_chars,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS ttr,
+           round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(t, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)
+                 / len(t), 6) AS mean_token_len,
+           round(CAST(len(list_filter(t, x -> {_EN_STOP_SQL})) AS DOUBLE) / len(t), 6)
+             AS stopword_ratio,
+           round(0.4 * (CAST(len(list_distinct(t)) AS DOUBLE) / len(t))
+                 + 0.4 * (1.0 - CAST(len(list_filter(t, x -> {_EN_STOP_SQL})) AS DOUBLE) / len(t))
+                 + 0.2 * least(1.0, len(t) / 100.0), 6) AS quality_score
+    FROM toks WHERE len(t) > 0
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: type-token ratio, mean token length, stopword
+    ratio, length prior — combined into one score. All JVM-side array ops."""
+    d = _docs(spark, sf_dir)
+    t = Tx.tokens(F.col("text"))
+    n_tokens = F.size(t).cast("long")
+    n_distinct = F.size(F.array_distinct(t)).cast("long")
+    ttr = n_distinct.cast("double") / n_tokens
+    tok_chars = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    )
+    mean_len = tok_chars.cast("double") / n_tokens
+    stop_ratio = (
+        Tx.marker_score(t, dict(Tx.LANG_MARKERS)["en"]).cast("double") / n_tokens
+    )
+    quality = (
+        0.4 * ttr + 0.4 * (1.0 - stop_ratio) + 0.2 * F.least(F.lit(1.0), n_tokens / 100.0)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            n_tokens.alias("n_tokens"),
+            n_distinct.alias("n_distinct"),
+            rnd(ttr, 6).alias("ttr"),
+            rnd(mean_len, 6).alias("mean_token_len"),
+            rnd(stop_ratio, 6).alias("stopword_ratio"),
+            rnd(quality, 6).alias("quality_score"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+@register(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT)
+             AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+             AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace split + a BPE-ish regex segmentation
+    (letter runs / digit runs / single punctuation)."""
+    d = _docs(spark, sf_dir)
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")).cast("long")
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+        )
+    ).cast("long")
+    return d.select("doc_id", ws.alias("ws_tokens"), bpe.alias("bpe_ish_tokens"))
+
+
+@register(
+    "text_fingerprint",
+    r"""
+    WITH norm AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+                  FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(length(s)), i -> CAST(ascii(s[i+1]) AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+    FROM norm
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial fingerprint of whitespace-normalized text
+    (init-0 left fold, mod 1e9+7) — a content fingerprint that is cheap,
+    order-sensitive, and reproducible in ANSI SQL."""
+    d = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return d.select("doc_id", Tx.rolling_fingerprint(norm).alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: opaque binary payloads + typed metadata
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS lead_byte
+    FROM documents
+    """,
+)
+def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: text encoded to an opaque `binary` payload
+    column (standing in for image/audio bytes), metadata extracted with an
+    Arrow-batched mapInPandas — the real decode (PIL/ffmpeg) is stubbed
+    (libs not in this container) but schema, batching, and partitioning
+    are the production shape."""
+    d = _docs(spark, sf_dir).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+    def extract(batches):
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "magic_hex": payloads.map(lambda b: bytes(b)[:4].hex()),
+                    "lead_byte": payloads.map(lambda b: bytes(b)[0]).astype("int64"),
+                }
+            )
+
+    return d.mapInPandas(
+        extract, schema="doc_id long, n_bytes long, magic_hex string, lead_byte long"
+    )
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """Placeholder for the real image decode (PIL not in container).
+
+    Production implementation: mapInPandas over (doc_id, payload) →
+    decode → resize → feature vector; the plumbing above is identical.
+    """
+    raise NotImplementedError("image decode requires PIL/libvips — not in this container")

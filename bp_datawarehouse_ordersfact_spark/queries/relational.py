@@ -1,0 +1,846 @@
+"""Relational operator queries (SURVEY.md §2.3–§2.13) over the TPC-H-ish
+testdata, each with a DuckDB oracle.
+
+Each query exercises one operator family from the reference's inventory,
+re-expressed Spark-first; docstrings cite the reference sites the shape
+derives from.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core.io import load_table
+from ..functions.rounding import rnd
+from ..functions.cleaning import normalize_title, percent_to_fraction
+from ..functions.conditional import case_chain
+from ..operators.aggregates import null_audit
+from ..operators.joins import anti_join_merge, broadcast_left_join, dedup_keep_first
+from ..operators.similarity import fuzzy_ratio_join, tfidf_cosine_match
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing/royalty summary (A6 rollup + C16–C19 measure gating,
+# dw5_order_royalty_fact.py:497-530,657-744 re-shaped onto lineitem)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 6)                                        AS avg_qty,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship rollup: the A6-shaped multi-measure aggregation with
+    derived measures (net price, charge) computed inline — Catalyst does
+    map-side partial aggregation; the scan reads only the 7 referenced
+    columns and pushes the date filter into the Parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            rnd(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            rnd(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P-family: projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "select_rename",
+    """
+    SELECT o_orderkey AS order_id,
+           o_orderstatus AS status,
+           round(o_totalprice, 2) AS total_amount,
+           round(o_totalprice * 0.9, 2) AS discounted_total
+    FROM orders
+    """,
+)
+def q_select_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 (dict-driven select+rename, dw2_wc_increment.py:484-536) →
+    `select` with aliases; column pruning reaches the scan."""
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        rnd(F.col("o_totalprice"), 2).alias("total_amount"),
+        rnd(F.col("o_totalprice") * 0.9, 2).alias("discounted_total"),
+    )
+
+
+@register(
+    "membership_filter",
+    """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F') AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def q_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 (`OrderStatus ∈ {...}` dw2_wc_increment.py:481) → `isin`,
+    pushed to the Parquet scan as an IN filter."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "threshold_filter",
+    """
+    SELECT p_partkey, p_name, round(p_retailprice, 2) AS retail_price
+    FROM part WHERE p_retailprice >= 910.0 AND p_size < 20
+    """,
+)
+def q_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 (score-threshold filters dw4_book_dim.py:191-192)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_retailprice") >= 910.0) & (F.col("p_size") < 20))
+        .select("p_partkey", "p_name", rnd("p_retailprice", 2).alias("retail_price"))
+    )
+
+
+@register(
+    "distinct_rows",
+    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 (`drop_duplicates()` dw3_merge_inc.py:86-126) → `distinct`;
+    partial (map-side) dedup before the shuffle."""
+    return _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@register(
+    "dedup_keep_first",
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, round(l_extendedprice,2) AS price
+    FROM lineitem
+    QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                               ORDER BY l_linenumber, l_partkey, price) = 1
+    """,
+)
+def q_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/W4: pandas keep-first is order-dependent; the rebuild pins an
+    explicit row_number tie-break — and the tie-break must be a TOTAL
+    order ((orderkey, linenumber) is not unique in this data), or the
+    kept row is nondeterministic across engines/runs."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", rnd("l_extendedprice", 2).alias("price")
+    )
+    return dedup_keep_first(
+        li, ["l_orderkey"], [F.asc("l_linenumber"), F.asc("l_partkey"), F.asc("price")]
+    )
+
+
+@register(
+    "percent_rate_normalization",
+    """
+    SELECT p_partkey,
+           round(CASE WHEN CAST(replace(rate_str, '%', '') AS DOUBLE) > 1.0
+                      THEN CAST(replace(rate_str, '%', '') AS DOUBLE) / 100.0
+                      ELSE CAST(replace(rate_str, '%', '') AS DOUBLE) END, 6) AS rate
+    FROM (SELECT p_partkey,
+                 CASE WHEN p_partkey % 3 = 0 THEN CAST(p_size AS VARCHAR) || '%'
+                      WHEN p_partkey % 3 = 1 THEN CAST(p_size AS VARCHAR)
+                      ELSE CAST(p_size / 100.0 AS VARCHAR) END AS rate_str
+          FROM part)
+    """,
+)
+def q_percent_rate_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8+T11+C11 (dw4_book_dim.py:248-264): royalty-rate strings arrive
+    as '15%', '15', or '0.15' — strip %, cast, normalize >1 to fraction."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 3 == 0, F.concat(F.col("p_size").cast("string"), F.lit("%")))
+        .when(F.col("p_partkey") % 3 == 1, F.col("p_size").cast("string"))
+        .otherwise((F.col("p_size") / 100.0).cast("string"))
+        .alias("rate_str"),
+    )
+    return p.select("p_partkey", rnd(percent_to_fraction(F.col("rate_str")), 6).alias("rate"))
+
+
+# ---------------------------------------------------------------------------
+# JN-family: joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "broadcast_dim_join",
+    """
+    SELECT p.p_brand, s.s_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY p.p_brand, s.s_name
+    """,
+)
+def q_broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JN1/JN8–13: fact × small dims with explicit broadcast hints — the
+    fact side never shuffles for the joins (only for the final rollup)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j = broadcast_left_join(li, p, li.l_partkey == p.p_partkey)
+    j = broadcast_left_join(j, s, j.l_suppkey == s.s_suppkey)
+    return j.groupBy("p_brand", "s_name").agg(
+        rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "composite_key_join",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, round(l.l_extendedprice, 2) AS price,
+           round(coalesce(d.coupon_value, 0.0), 2) AS coupon_value
+    FROM lineitem l
+    LEFT JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice * l_discount AS coupon_value
+               FROM lineitem WHERE l_discount > 0.05) d
+      ON l.l_orderkey = d.l_orderkey AND l.l_linenumber = d.l_linenumber
+    """,
+)
+def q_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JN2/JN3 (composite (OrderID, ItemOrderSeq) joins,
+    dw2_wc_increment.py:453-454): multi-column equi-join keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = li.filter(F.col("l_discount") > 0.05).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("coupon_value"),
+    )
+    return (
+        li.join(disc, ["l_orderkey", "l_linenumber"], "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            rnd("l_extendedprice", 2).alias("price"),
+            rnd(F.coalesce("coupon_value", F.lit(0.0)), 2).alias("coupon_value"),
+        )
+    )
+
+
+@register(
+    "incremental_merge",
+    """
+    WITH archive AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-06-01'),
+         increment AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'),
+         merged AS (
+           SELECT * FROM archive WHERE o_orderkey NOT IN (SELECT o_orderkey FROM increment)
+           UNION ALL SELECT * FROM increment)
+    SELECT o_orderstatus, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def q_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JN5/U2 (dw3_merge_inc.py:114-125): delete-insert incremental merge
+    as broadcast anti-join + unionByName; at scale this is a Delta/Iceberg
+    MERGE keyed the same way."""
+    o = _t(spark, sf_dir, "orders")
+    archive = o.filter(F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp"))
+    increment = o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+    merged = anti_join_merge(archive, increment, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        rnd(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "semi_anti_join",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_customers_no_urgent
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: anti-join (the reference only has `~isin`,
+    dw3_merge_inc.py:114) expressed as a real left_anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers_no_urgent"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# W-family: window computations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_order_totals",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(sum(l_quantity) OVER (PARTITION BY l_orderkey), 2) AS order_total_qty,
+           round(sum(l_extendedprice) OVER (PARTITION BY l_orderkey), 2) AS order_subtotal,
+           round(l_extendedprice / sum(l_extendedprice) OVER (PARTITION BY l_orderkey), 6)
+             AS line_share
+    FROM lineitem
+    """,
+)
+def q_window_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 (A1+JN4 groupby-then-join-back, dw2_wc_increment.py:457-479;
+    shipping allocation dw5_order_royalty_fact.py:365): one window shuffle
+    replaces aggregate + join."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(F.sum("l_quantity").over(w), 2).alias("order_total_qty"),
+        rnd(F.sum("l_extendedprice").over(w), 2).alias("order_subtotal"),
+        rnd(F.col("l_extendedprice") / F.sum("l_extendedprice").over(w), 6).alias(
+            "line_share"
+        ),
+    )
+
+
+@register(
+    "parent_allocation",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(parent_price, 2) AS parent_price,
+           round(CASE WHEN l_linenumber = 1 THEN 0.0 ELSE 0.3 * parent_price END, 2)
+             AS allocated_revenue
+    FROM (SELECT l_orderkey, l_linenumber,
+                 max(CASE WHEN l_linenumber = 1 THEN l_extendedprice END)
+                   OVER (PARTITION BY l_orderkey) AS parent_price
+          FROM lineitem)
+    """,
+)
+def q_parent_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JN14→W3 + C14 (bundle-parent self-join dw5_order_royalty_fact.py:377-389
+    and share allocation :393-410): the parent row's value is broadcast to
+    component rows with a conditional window max — no dedup + self-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    parent = F.max(F.when(F.col("l_linenumber") == 1, F.col("l_extendedprice"))).over(w)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rnd(parent, 2).alias("parent_price"),
+        rnd(
+            F.when(F.col("l_linenumber") == 1, F.lit(0.0)).otherwise(0.3 * parent), 2
+        ).alias("allocated_revenue"),
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via gaps-and-islands (lag + running sum) — the
+    batch dual of streaming session windows; no reference equivalent
+    (§2.14: the reference has no streaming/session semantics at all)."""
+    e = _t(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w_order)))
+            <= 1800 * 1_000_000,
+            0,
+        )
+        .otherwise(1)
+        .alias("new_session"),
+    )
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        rnd(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C-family: CASE/WHEN expressions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "case_categorize",
+    """
+    SELECT CASE WHEN contains(lower(p_type), 'brass')  THEN 'Brass'
+                WHEN contains(lower(p_type), 'copper') THEN 'Copper'
+                WHEN contains(lower(p_type), 'steel')  THEN 'Steel'
+                WHEN contains(lower(p_type), 'tin')    THEN 'Tin'
+                ELSE 'Check' END AS category,
+           count(*) AS n_parts,
+           round(sum(p_retailprice), 2) AS total_price
+    FROM part GROUP BY 1
+    """,
+)
+def q_case_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 (13-branch product categorizer with 'Check' default bucket,
+    dw2_wc_increment.py:88-109): first-match-wins chained `when`."""
+    p = _t(spark, sf_dir, "part")
+    lc = F.lower(F.col("p_type"))
+    cat = case_chain(
+        [
+            (lc.contains("brass"), F.lit("Brass")),
+            (lc.contains("copper"), F.lit("Copper")),
+            (lc.contains("steel"), F.lit("Steel")),
+            (lc.contains("tin"), F.lit("Tin")),
+        ],
+        F.lit("Check"),
+    )
+    return p.groupBy(cat.alias("category")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        rnd(F.sum("p_retailprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "conditional_measures",
+    """
+    SELECT o.o_orderpriority,
+           round(sum(CASE WHEN l.l_returnflag = 'R' THEN l.l_extendedprice ELSE 0.0 END), 2)
+             AS returned_revenue,
+           round(sum(CASE WHEN l.l_returnflag <> 'R'
+                          THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END), 2)
+             AS qualified_revenue,
+           round(sum(CASE WHEN l.l_returnflag <> 'R'
+                          THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END) * 0.15, 2)
+             AS royalty_paid
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_conditional_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15–C19 (wholesale carve-outs, qualified-revenue gates, royalty =
+    qualified × rate; dw5_order_royalty_fact.py:412-428,691-718)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+    returned = F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0)
+    qualified = F.when(
+        F.col("l_returnflag") != "R",
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+    ).otherwise(0.0)
+    return j.groupBy("o_orderpriority").agg(
+        rnd(F.sum(returned), 2).alias("returned_revenue"),
+        rnd(F.sum(qualified), 2).alias("qualified_revenue"),
+        rnd(F.sum(qualified) * 0.15, 2).alias("royalty_paid"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T-family: string functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "string_cleanup",
+    """
+    SELECT p_partkey,
+           trim(regexp_replace(regexp_replace(regexp_replace(lower(p_name),
+                '[^a-z0-9\\s]', '', 'g'),
+                '\\s+\\b(the|and)\\b\\s+', ' ', 'g'),
+                '\\s+', ' ', 'g')) AS clean_name,
+           split_part(p_type, ' ', 1) AS type_first_word,
+           p_brand || '#' || CAST(p_size AS VARCHAR) AS brand_size_key
+    FROM part
+    """,
+)
+def q_string_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1–T8 (title canonicalization dw4_book_dim.py:104-163; split
+    dw3_merge_inc.py:143; concat keys dw3_merge_inc.py:110-112) — all
+    native expressions, zero Python row functions."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        normalize_title(F.col("p_name")).alias("clean_name"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_first_word"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
+            "brand_size_key"
+        ),
+    )
+
+
+@register(
+    "date_functions",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           monthname(o_orderdate) || CAST(year(o_orderdate) AS VARCHAR) AS mkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS payment_date,
+           CAST(strptime(CAST(year(o_orderdate) AS VARCHAR) || monthname(o_orderdate),
+                         '%Y%B') AS DATE) AS mkey_parsed
+    FROM orders
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1–D5 (timestamp parse/truncate, MKEY month-name keys
+    dw3_merge_inc.py:110-112, +3-month SCB payment lag
+    dw5_order_royalty_fact.py:741, month-name round-trip :733)."""
+    o = _t(spark, sf_dir, "orders")
+    year_s = F.year("o_orderdate").cast("string")
+    mname = F.date_format("o_orderdate", "MMMM")
+    return o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        F.concat(mname, year_s).alias("mkey"),
+        F.add_months(F.col("o_orderdate"), 3).alias("payment_date"),
+        F.to_date(F.to_timestamp(F.concat(year_s, mname), "yyyyMMMM")).alias("mkey_parsed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U-family + A-family: set ops and aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_by_name",
+    """
+    WITH hi AS (SELECT o_orderkey, 'high' AS tier, o_totalprice FROM orders
+                WHERE o_totalprice >= 200000),
+         lo AS (SELECT 'low' AS tier, o_totalprice, o_orderkey FROM orders
+                WHERE o_totalprice < 50000)
+    SELECT tier, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM (SELECT o_orderkey, tier, o_totalprice FROM hi
+          UNION ALL SELECT o_orderkey, tier, o_totalprice FROM lo)
+    GROUP BY tier
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 (the reference aligns concat inputs via identical select-lists,
+    dw5_order_royalty_fact.py:548-649; `unionByName` makes alignment
+    structural — different column orders union correctly)."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") >= 200000).select(
+        "o_orderkey", F.lit("high").alias("tier"), "o_totalprice"
+    )
+    lo = o.filter(F.col("o_totalprice") < 50000).select(
+        F.lit("low").alias("tier"), "o_totalprice", "o_orderkey"
+    )
+    return (
+        hi.unionByName(lo)
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"), rnd(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "multikey_rollup",
+    """
+    SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+           CAST(quarter(o.o_orderdate) AS INT) AS order_quarter,
+           l.l_returnflag, l.l_linestatus, p.p_brand, o.o_orderpriority,
+           round(sum(l.l_quantity), 2) AS sum_qty,
+           round(sum(l.l_extendedprice), 2) AS sum_price,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS sum_net,
+           round(sum(l.l_extendedprice * l.l_discount), 2) AS sum_discount,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+)
+def q_multikey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4–A6 (12/13-key multi-measure rollups,
+    dw5_order_royalty_fact.py:170-186,497-530)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    )
+    return j.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.quarter("o_orderdate").cast("int").alias("order_quarter"),
+        "l_returnflag",
+        "l_linestatus",
+        "p_brand",
+        "o_orderpriority",
+    ).agg(
+        rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        rnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_net"),
+        rnd(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("sum_discount"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "count_distinct_per_group",
+    """
+    SELECT l_orderkey,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_count_distinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (`nunique` per order, dw2_wc_increment.py:457-465)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            rnd(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "null_audit",
+    """
+    SELECT count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS o_orderkey,
+           count(CASE WHEN status IS NULL THEN 1 END) AS status,
+           count(CASE WHEN priority IS NULL THEN 1 END) AS priority
+    FROM (SELECT o_orderkey,
+                 nullif(o_orderstatus, 'O') AS status,
+                 nullif(o_orderpriority, '1-URGENT') AS priority
+          FROM orders)
+    """,
+)
+def q_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (null-count audit dw5_order_royalty_fact.py:723,1225) — one
+    map-combinable pass over all columns."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status"),
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("priority"),
+    )
+    return null_audit(o)
+
+
+@register(
+    "grouping_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets — absent from the reference (§2.5: 'no grouping
+    sets/cube/rollup') but part of a complete aggregation surface."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(rnd(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "pivot_status",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0.0 END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0.0 END), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — absent from the reference; expressed as conditional
+    aggregation so the oracle is plain ANSI SQL."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_O"),
+        rnd(F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0)), 2).alias("qty_F"),
+    )
+
+
+@register(
+    "top_k",
+    """
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2 (multi-key sort; the reference has no limit — §2.10). The
+    tie-break on o_orderkey makes top-k deterministic; Spark plans this
+    as TakeOrderedAndProject (no global sort materialization)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", rnd("o_totalprice", 2).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-family: null handling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "null_fill_sentinels",
+    """
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'Missing - ' || c_name) AS segment_filled,
+           coalesce(CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END, 0.0)
+             AS acctbal_filled,
+           CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 'Error - Missing'
+                ELSE 'OK' END AS audit_flag
+    FROM customer
+    """,
+)
+def q_null_fill_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1/N2 (sentinel fills and derived fallbacks like
+    'Missing - '+Title, dw5_order_royalty_fact.py:431-483,164-165)."""
+    c = _t(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    bal = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(rnd("c_acctbal", 2))
+    return c.select(
+        "c_custkey",
+        F.coalesce(seg, F.concat(F.lit("Missing - "), F.col("c_name"))).alias("segment_filled"),
+        F.coalesce(bal, F.lit(0.0)).alias("acctbal_filled"),
+        F.when(seg.isNull(), F.lit("Error - Missing")).otherwise(F.lit("OK")).alias("audit_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F-family: fuzzy similarity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "levenshtein_ratio_join",
+    """
+    SELECT type_a, type_b, match_ratio FROM (
+      SELECT a.p_type AS type_a, b.p_type AS type_b,
+             round(100.0 * (length(a.p_type) + length(b.p_type)
+                            - levenshtein(lower(a.p_type), lower(b.p_type)))
+                   / (length(a.p_type) + length(b.p_type)), 6) AS match_ratio
+      FROM (SELECT DISTINCT p_type FROM part) a
+      JOIN (SELECT DISTINCT p_type FROM part) b ON a.p_type < b.p_type)
+    WHERE match_ratio >= 50.0
+    """,
+)
+def q_levenshtein_ratio_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/JN7 (fuzz.ratio ≥ threshold over a cross join,
+    dw4_book_dim.py:278-293) as native levenshtein arithmetic — the
+    rowwise Python `fuzz.ratio` apply becomes a codegen'd expression."""
+    types = _t(spark, sf_dir, "part").select("p_type").distinct()
+    a = types.withColumnRenamed("p_type", "type_a")
+    b = types.withColumnRenamed("p_type", "type_b")
+    j = fuzzy_ratio_join(a, "type_a", b, "type_b", threshold=50.0)
+    return j.filter(F.col("type_a") < F.col("type_b")).select("type_a", "type_b", "match_ratio")
+
+
+@register(
+    "tfidf_title_match",
+    """
+    WITH m AS (SELECT DISTINCT p_type AS txt FROM part),
+         c AS (SELECT DISTINCT p_name AS txt FROM part),
+         docs AS (SELECT txt AS uid, txt FROM m
+                  UNION ALL SELECT 'c_' || txt, txt FROM c),
+         toks AS (SELECT uid, unnest(list_filter(string_split_regex(lower(txt), '[^a-z0-9]+'),
+                                                 t -> t <> '')) AS token
+                  FROM docs),
+         tf AS (SELECT uid, token, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),
+         nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM docs),
+         dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+         idf AS (SELECT token, ln((1 + (SELECT n FROM nd)) / (1 + df)) + 1 AS idf FROM dfreq),
+         w AS (SELECT uid, tf.token, tf * idf AS w FROM tf JOIN idf USING (token)),
+         nrm AS (SELECT uid, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+         wn AS (SELECT w.uid, token, w / nrm AS weight FROM w JOIN nrm USING (uid))
+    SELECT a.uid AS m_id, substr(b.uid, 3) AS c_id,
+           round(sum(a.weight * b.weight), 6) AS cosine
+    FROM wn a JOIN wn b USING (token)
+    WHERE NOT starts_with(a.uid, 'c_') AND starts_with(b.uid, 'c_')
+    GROUP BY 1, 2
+    HAVING round(sum(a.weight * b.weight), 6) >= 0.5
+    """,
+)
+def q_tfidf_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/JN6 (TF-IDF cosine title match ≥ threshold,
+    dw4_book_dim.py:166-192) with the sklearn IDF formula
+    (ln((1+n)/(1+df))+1, L2-normalized). Scored via a sparse token-key
+    join — no all-pairs cross join, unlike the reference."""
+    p = _t(spark, sf_dir, "part")
+    master = p.select(F.col("p_type").alias("m_text")).distinct().withColumn(
+        "m_id", F.col("m_text")
+    )
+    cand = p.select(F.col("p_name").alias("c_text")).distinct().withColumn(
+        "c_id", F.col("c_text")
+    )
+    return tfidf_cosine_match(master, "m_id", "m_text", cand, "c_id", "c_text", threshold=0.5)
