@@ -1,0 +1,86 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes through a `noop` write so the full plan runs (a bare
+count() would let Catalyst prune the projections away) without paying
+driver-side collect costs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bp_datawarehouse_ordersfact_spark.core.session import get_spark
+from bp_datawarehouse_ordersfact_spark.queries import all_queries
+
+# Representative of every operator family, excluding the deliberately
+# quadratic small-scale verifiers (ngram all-pairs, brute-force ANN):
+HEADLINE = [
+    "pricing_summary",
+    "select_rename",
+    "broadcast_dim_join",
+    "composite_key_join",
+    "multikey_rollup",
+    "window_order_totals",
+    "parent_allocation",
+    "incremental_merge",
+    "count_distinct_per_group",
+    "dedup_keep_first",
+    "sessionize_events",
+    "case_categorize",
+    "date_functions",
+    "string_cleanup",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_lsh",
+    "text_quality",
+    "text_fingerprint",
+    "tfidf_title_match",
+    "stream_tumbling_agg",
+]
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = all_queries()
+
+    # JVM/codegen warmup on a tiny query so q1 isn't charged for it
+    run_query(qs["pricing_summary"](spark, sf_dir).limit(1))
+
+    timings: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run_query(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_total0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -50,23 +50,36 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
+def h32b(col: Column) -> Column:
+    """Second independent 32-bit hash: hex chars 9-16 of the same md5.
+
+    DuckDB twin: ``('0x' || substr(md5(x),9,8))::BIGINT``
+    """
+    return F.conv(F.substring(F.md5(col), 9, 8), 16, 10).cast("long")
+
+
 def minhash_signature(shingles: Column, k: int = 16) -> Column:
-    """K independent min-hashes: ``min over shingles of h32(j ‖ ':' ‖ s)``.
+    """K min-hashes via universal hashing: one md5 per shingle yields
+    (a, b); hash family j is ``(a + j*b) mod 2^32``. One expensive hash
+    per shingle instead of K, and the whole signature is ONE fold so
+    Catalyst cannot re-inline the md5 work per hash family.
 
     Array-valued column, no explode — at 100 TB this is a narrow map-only
     transform; the only shuffle in MinHash-LSH dedup is the band bucket join.
     """
-    def hasher(j: int):
-        # closure factory: PySpark inspects lambda arity, so default-arg
-        # tricks (lambda s, j=j) would be read as binary (value, index)
-        def h(s):
-            return h32(F.concat(F.lit(f"{j}:"), s))
-
-        return h
-
-    return F.array(
-        *[F.array_min(F.transform(shingles, hasher(j))).alias(f"mh{j}") for j in range(k)]
+    mod = F.lit(2**32).cast("long")
+    # materialize (a, b) per shingle once, within one expression tree
+    pre = F.transform(
+        shingles, lambda s: F.struct(h32(s).alias("a"), h32b(s).alias("b"))
     )
+
+    def merge(acc, x):
+        return F.transform(
+            acc, lambda m, j: F.least(m, (x["a"] + j.cast("long") * x["b"]) % mod)
+        )
+
+    init = F.array_repeat(F.lit(2**33).cast("long"), k)
+    return F.aggregate(pre, init, merge)
 
 
 def simhash32(toks: Column) -> Column:
@@ -75,22 +88,30 @@ def simhash32(toks: Column) -> Column:
     td = F.array_distinct(toks)
     hashes = F.transform(td, h32)
 
-    def voter(b: int):
-        def merge(acc, h):
-            return acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
+    # ONE fold over the hash array maintaining all 32 bit-counters — 32
+    # separate per-bit aggregates would each re-inline (and recompute)
+    # the md5 transform above.
+    def merge(acc, h):
+        # explicit 32-wide array: F.shiftright needs a literal bit count
+        return F.array(
+            *[
+                acc[b]
+                + F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1).cast("long"),
+                ).otherwise(F.lit(-1).cast("long"))
+                for b in range(32)
+            ]
+        )
 
-        return merge
-
-    bit_terms = []
-    for b in range(32):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), voter(b))
-        bit_terms.append(F.when(vote > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out + t
-    return out
+    votes = F.aggregate(
+        hashes, F.array_repeat(F.lit(0).cast("long"), 32), merge
+    )
+    powers = F.array(*[F.lit(2**b).cast("long") for b in range(32)])
+    signed = F.zip_with(
+        votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -59,9 +59,13 @@ def minhash_lsh_pairs(
     band join and the two shingle lookups; all are on uniform hash keys.
     """
     rows_per_band = k // bands
-    sig = with_shingles(df, text_col, id_col, shingle_n).withColumn(
-        "sig", Tx.minhash_signature(F.col("shingles"), k)
-    )
+    # Materialization boundaries matter here: without them Catalyst
+    # inlines the shingle/signature expressions into every downstream
+    # reference (both sides of the band self-join, plus the two
+    # verification joins), recomputing millions of md5 folds. Locally a
+    # cache() is the boundary; at 100 TB this is a staged signature table.
+    sh_base = with_shingles(df, text_col, id_col, shingle_n).cache()
+    sig = sh_base.withColumn("sig", Tx.minhash_signature(F.col("shingles"), k))
     banded = sig.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -83,7 +87,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bh")
+    ).select("doc", "bb.band", "bb.bh").cache()
 
     cand = (
         banded.alias("x")
@@ -97,7 +101,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = sig.select(F.col(id_col), "shingles")
+    sh = sh_base.select(F.col(id_col), "shingles")
     verified = (
         cand.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
@@ -117,10 +121,12 @@ def simhash_pairs(
     exactly on at least one of 4 8-bit bands (pigeonhole) — so candidates
     come from 4 band equi-joins, never an all-pairs product.
     """
+    # cache = materialization boundary: the 32-fold SimHash expression
+    # would otherwise be recomputed on both sides of the self-join
     fp = df.select(
         F.col(id_col).alias("doc"),
         Tx.simhash32(Tx.tokens(F.col(text_col))).alias("fp"),
-    )
+    ).cache()
     banded = fp.select(
         "doc",
         "fp",
@@ -179,6 +185,7 @@ def ngram_jaccard_pairs(
     sh = with_shingles(df, text_col, id_col, shingle_n)
     if block_col is not None:
         sh = sh.join(df.select(id_col, block_col), id_col)
+    sh = sh.cache()  # referenced by both sides of the pair join
     a = sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"})
     b = sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"})
     cond = F.col("id_a") < F.col("id_b")

@@ -80,8 +80,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='t')} AS shingles FROM toks),
     mh AS (SELECT doc_id, shingles,
                   list_transform(range(16), k ->
-                    list_min(list_transform(shingles,
-                      s -> {SQL_H32.format(x="CAST(k AS VARCHAR) || ':' || s")}))) AS sig
+                    list_min(list_transform(shingles, s ->
+                      (((('0x' || substr(md5(s), 1, 8))::BIGINT)
+                        + k * (('0x' || substr(md5(s), 9, 8))::BIGINT)) % 4294967296)
+                    ))) AS sig
            FROM sh),
     banded AS (SELECT doc_id, b,
                       md5(CAST(sig[b*4+1] AS VARCHAR) || ',' || CAST(sig[b*4+2] AS VARCHAR)
