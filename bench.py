@@ -45,6 +45,14 @@ HEADLINE = [
     "text_fingerprint",
     "tfidf_title_match",
     "stream_tumbling_agg",
+    "explode_line_items",
+    "json_props_extract",
+    "split_royalty_union",
+    "fact_royalty",
+    "dedup_embedding_cosine",
+    "multimodal_feature_extract",
+    "stream_sliding_agg",
+    "stream_dedup",
 ]
 
 

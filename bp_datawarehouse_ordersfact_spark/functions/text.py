@@ -20,8 +20,18 @@ def tokens(col: Column) -> Column:
     """Lowercased alnum tokens; empty strings filtered (split artifacts).
 
     DuckDB twin: ``list_filter(string_split_regex(lower(x),'[^a-z0-9]+'), t -> t <> '')``
+
+    Implemented as strip-then-split rather than split-then-`F.filter`:
+    higher-order functions evaluate their lambdas interpreted (outside
+    whole-stage codegen) — the filter form costs ~5× more on the same
+    data. Stripping leading/trailing separators first means the split can
+    never produce empty tokens, except for the all-separator string, which
+    maps to the empty array explicitly.
     """
-    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda t: t != "")
+    stripped = F.regexp_replace(F.lower(col), "^[^a-z0-9]+|[^a-z0-9]+$", "")
+    return F.when(stripped == "", F.array().cast("array<string>")).otherwise(
+        F.split(stripped, TOKEN_SPLIT_RE)
+    )
 
 
 def h32(col: Column) -> Column:

@@ -17,12 +17,13 @@ Four tiers, all shuffle-minimal by construction:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.rounding import rnd
 
 from ..functions import text as Tx
+from ..functions import vectors as V
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -38,6 +39,53 @@ def with_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     return df.select(
         F.col(id_col),
         Tx.word_shingles(Tx.tokens(F.col(text_col)), n).alias("shingles"),
+    )
+
+
+def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows — same shingle multiset as
+    ``functions.text.word_shingles`` (pre-distinct) but built with
+    posexplode + window leads so every operator stays in whole-stage
+    codegen (the transform/element_at array form evaluates interpreted,
+    ~10× slower). NOT deduplicated: min-hashing is duplicate-insensitive
+    and Jaccard-set consumers dedup via ``collect_set``.
+
+    Semantics mirrored exactly: full n-grams only; documents with fewer
+    than n tokens contribute one shingle of all their tokens joined;
+    zero-token documents contribute the empty-string shingle (the
+    ``posexplode_outer`` null row — no repair join needed).
+
+    One shuffle, on the doc id (the window), which is uniform — the
+    100 TB shape.
+    """
+    # raw split keeps boundary empties; the row-level filter that drops
+    # them is codegen'd (an array-lambda F.filter is not), and one regex
+    # pass beats the strip-then-split double pass
+    raw = df.select(
+        F.col(id_col),
+        F.posexplode_outer(F.split(F.lower(F.col(text_col)), Tx.TOKEN_SPLIT_RE)).alias(
+            "pos", "tok"
+        ),
+    ).filter(F.col("tok").isNull() | (F.col("tok") != ""))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    wn = Window.partitionBy(id_col)
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    return (
+        raw.select(
+            F.col(id_col),
+            F.row_number().over(w).alias("rn"),
+            F.count("tok").over(wn).alias("n_toks"),
+            F.col("tok"),
+            # concat_ws skips the null leads, so the rn==1 row of a short
+            # doc is exactly "all tokens joined" (and "" for empty docs)
+            F.concat_ws(" ", *leads).alias("shingle"),
+        )
+        .filter(
+            F.col("tok").isNull()
+            | (F.col("rn") + (n - 1) <= F.col("n_toks"))
+            | ((F.col("n_toks") < n) & (F.col("rn") == 1))
+        )
+        .select(id_col, "shingle")
     )
 
 
@@ -60,14 +108,33 @@ def minhash_lsh_pairs(
     """
     rows_per_band = k // bands
     # Materialization boundaries matter here: without them Catalyst
-    # inlines the shingle/signature expressions into every downstream
-    # reference (both sides of the band self-join, plus the two
-    # verification joins), recomputing millions of md5 folds. Locally a
-    # cache() is the boundary; at 100 TB this is a staged signature table.
-    sh_base = with_shingles(df, text_col, id_col, shingle_n).cache()
-    sig = sh_base.withColumn("sig", Tx.minhash_signature(F.col("shingles"), k))
-    banded = sig.select(
+    # inlines the shingle computation into every downstream reference
+    # (signature build plus the two verification joins), recomputing the
+    # window/distinct work. Locally a cache() is the boundary; at 100 TB
+    # this is a staged signature table.
+    rows = shingle_rows(df, text_col, id_col, shingle_n).cache()
+    # Signature via hash columns → groupBy-min: every operator stays
+    # inside whole-stage codegen (the higher-order-function form in
+    # functions.text.minhash_signature evaluates its lambdas interpreted,
+    # ~k array allocations per shingle — 10-20× slower on the same
+    # data). The shuffle is (id, a, b) rows — 24 bytes each — partially
+    # min-combined map-side before the exchange.
+    hashed = rows.select(
         F.col(id_col).alias("doc"),
+        Tx.h32(F.col("shingle")).alias("ha"),
+        Tx.h32b(F.col("shingle")).alias("hb"),
+    )
+    mod = F.lit(2**32).cast("long")
+    sig = hashed.groupBy("doc").agg(
+        *[
+            F.min((F.col("ha") + F.lit(j).cast("long") * F.col("hb")) % mod).alias(
+                f"mh{j}"
+            )
+            for j in range(k)
+        ]
+    )
+    banded = sig.select(
+        "doc",
         F.explode(
             F.array(
                 *[
@@ -77,7 +144,7 @@ def minhash_lsh_pairs(
                             F.concat_ws(
                                 ",",
                                 *[
-                                    F.col("sig")[b * rows_per_band + r].cast("string")
+                                    F.col(f"mh{b * rows_per_band + r}").cast("string")
                                     for r in range(rows_per_band)
                                 ],
                             )
@@ -101,7 +168,9 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = sh_base.select(F.col(id_col), "shingles")
+    # shingle sets for exact verification, rebuilt from the cached rows
+    # (collect_set dedups; intersect is order-insensitive)
+    sh = rows.groupBy(id_col).agg(F.collect_set("shingle").alias("shingles"))
     verified = (
         cand.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
@@ -121,12 +190,33 @@ def simhash_pairs(
     exactly on at least one of 4 8-bit bands (pigeonhole) — so candidates
     come from 4 band equi-joins, never an all-pairs product.
     """
-    # cache = materialization boundary: the 32-fold SimHash expression
-    # would otherwise be recomputed on both sides of the self-join
-    fp = df.select(
+    # Fingerprint via explode → groupBy bit-vote sums (whole-stage
+    # codegen; the higher-order fold in functions.text.simhash32 runs
+    # interpreted — see minhash_lsh_pairs note). Zero-token docs drop out
+    # of the explode, so they're restored with the fold's fp=0 (all votes
+    # 0 → no bits set). cache = materialization boundary: the fingerprint
+    # would otherwise be recomputed on both sides of the self-join.
+    toks = df.select(
         F.col(id_col).alias("doc"),
-        Tx.simhash32(Tx.tokens(F.col(text_col))).alias("fp"),
-    ).cache()
+        F.explode_outer(F.array_distinct(Tx.tokens(F.col(text_col)))).alias("t"),
+    ).select("doc", Tx.h32(F.col("t")).alias("h"))
+    votes = toks.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").isNull(), 0)
+                .when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(32)
+        ]
+    )
+    fp_expr = None
+    for b in range(32):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp_expr = term if fp_expr is None else fp_expr + term
+    fp = votes.select("doc", fp_expr.alias("fp")).cache()
     banded = fp.select(
         "doc",
         "fp",
@@ -169,6 +259,41 @@ def simhash_pairs(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.999,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b): sign-pattern LSH bucket
+    self-join + exact cosine on candidates only.
+
+    Near-identical vectors have identical sign patterns, so every true
+    near-dup pair shares a bucket; the equi-join on the bucket key replaces
+    the all-pairs product (~2^n_bits reduction). At 100 TB: bucket → one
+    shuffle on a small uniform key; cosine verification only on candidates.
+    """
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        V.sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    ).cache()  # both sides of the self-join
+    return (
+        b.alias("x")
+        .join(
+            b.alias("y"),
+            (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            rnd(V.cosine(F.col("x.v"), F.col("y.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -182,7 +307,11 @@ def ngram_jaccard_pairs(
     The quadratic baseline — correct at any threshold, O(n²) pairs. Use
     blocked (``block_col``) or behind MinHash-LSH at scale.
     """
-    sh = with_shingles(df, text_col, id_col, shingle_n)
+    sh = (
+        shingle_rows(df, text_col, id_col, shingle_n)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("shingles"))
+    )
     if block_col is not None:
         sh = sh.join(df.select(id_col, block_col), id_col)
     sh = sh.cache()  # referenced by both sides of the pair join

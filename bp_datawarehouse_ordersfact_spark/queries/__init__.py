@@ -15,12 +15,14 @@ Conventions enforced across every pair (see SURVEY.md §5.2):
 from __future__ import annotations
 
 from ..functions.rounding import sql_rewrite_rounds
-from . import llmops, relational, streaming
+from . import llmops, pipeline, relational, streaming
+
+_MODULES = (relational, pipeline, llmops, streaming)
 
 
 def all_queries():
     out = {}
-    for mod in (relational, llmops, streaming):
+    for mod in _MODULES:
         out.update(mod.QUERIES)
     return out
 
@@ -29,6 +31,6 @@ def all_oracles():
     # every round() in oracle SQL is rewritten to the portable
     # floor(x*10^n+0.5)/10^n form the Spark side uses (see functions.rounding)
     out = {}
-    for mod in (relational, llmops, streaming):
+    for mod in _MODULES:
         out.update({k: sql_rewrite_rounds(v) for k, v in mod.ORACLES.items()})
     return out

@@ -166,16 +166,61 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# ---------------------------------------------------------------------------
-# Similarity search (ANN)
-# ---------------------------------------------------------------------------
-
 # DuckDB twin of functions.vectors.dot: identical left-fold in double.
 SQL_DOT = (
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
     "list_transform(range(len({a})), i -> CAST({a}[i+1] AS DOUBLE) * CAST({b}[i+1] AS DOUBLE))), "
     "(acc, v) -> acc + v)"
 )
+
+
+def _emb_dup_bucket_sql(v: str, n_bits: int = 8) -> str:
+    return " + ".join(
+        f"(CASE WHEN {v}[{i + 1}] >= 0 THEN {2**i} ELSE 0 END)" for i in range(n_bits)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dup AS (SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 2.0) AS v
+            FROM base WHERE vec_id % 5 = 0),
+    pool AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+    b AS (SELECT vec_id, v, {_emb_dup_bucket_sql('v')} AS bucket FROM pool)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             round({SQL_DOT.format(a='x.v', b='y.v')}
+                   / (sqrt({SQL_DOT.format(a='x.v', b='x.v')})
+                      * sqrt({SQL_DOT.format(a='y.v', b='y.v')})), 6) AS cosine
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+    WHERE cosine >= 0.999
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection. The testdata has no natural
+    near-dups (max pairwise cosine < 0.8), so the query derives a
+    known-duplicate set first — every 5th vector rescaled ×2 (cosine
+    exactly 1.0 with its original) — then detects exactly those pairs via
+    the sign-LSH bucket self-join + cosine ≥ 0.999 (operators.dedup.
+    embedding_near_dup_pairs). Scaling is by a power of two so float
+    arithmetic is exact and both engines agree bit-for-bit."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    pool = e.unionByName(dup)
+    return D.embedding_near_dup_pairs(
+        pool, "embedding", "vec_id", threshold=0.999, n_bits=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
 
 
 @register(
@@ -433,6 +478,63 @@ def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         extract, schema="doc_id long, n_bytes long, magic_hex string, lead_byte long"
     )
+
+
+@register(
+    "multimodal_feature_extract",
+    """
+    WITH b AS (SELECT doc_id, hex(encode(text)) AS h,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n
+               FROM documents)
+    SELECT doc_id, n AS n_bytes,
+           ('0x' || substr(h, 1, 2))::BIGINT AS f0,
+           ('0x' || substr(h, 2 * (n // 4) + 1, 2))::BIGINT AS f1,
+           ('0x' || substr(h, 2 * (n // 2) + 1, 2))::BIGINT AS f2,
+           ('0x' || substr(h, 2 * ((3 * n) // 4) + 1, 2))::BIGINT AS f3,
+           round(CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(n), i -> ('0x' || substr(h, 2*i+1, 2))::BIGINT)),
+                     (a, x) -> a + x) AS DOUBLE) / n, 6) AS mean_byte
+    FROM b WHERE n > 0
+    """,
+)
+def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract/frame-sample plumbing: opaque
+    binary payloads through an Arrow-batched mapInPandas that 'decodes'
+    each blob into a fixed-size feature row — byte length, 4 sampled
+    'frames' (bytes at 0, n/4, n/2, 3n/4), mean byte value. The decode here
+    is a deterministic fake (real image/audio libs aren't in the
+    container — see decode_image_stub); the schema, batch shape, and
+    partitioning are exactly what a PIL/ffmpeg decode would use, and the
+    DuckDB oracle verifies the whole path byte-for-byte."""
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            bs = pdf["payload"].map(bytes)
+            n = bs.map(len)
+            mask = n > 0
+            bs, n, ids = bs[mask], n[mask], pdf["doc_id"][mask]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_bytes": n.astype("int64"),
+                    "f0": bs.map(lambda b: b[0]).astype("int64"),
+                    "f1": [b[ln // 4] for b, ln in zip(bs, n)],
+                    "f2": [b[ln // 2] for b, ln in zip(bs, n)],
+                    "f3": [b[(3 * ln) // 4] for b, ln in zip(bs, n)],
+                    "mean_byte": [sum(b) / ln for b, ln in zip(bs, n)],
+                }
+            )
+
+    out = d.mapInPandas(
+        extract,
+        schema="doc_id long, n_bytes long, f0 long, f1 long, f2 long, f3 long, "
+        "mean_byte double",
+    )
+    return out.withColumn("mean_byte", rnd(F.col("mean_byte"), 6))
 
 
 def decode_image_stub(payload: bytes) -> dict:

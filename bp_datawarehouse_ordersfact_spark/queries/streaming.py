@@ -5,7 +5,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..streaming.jobs import run_tumbling_agg_availablenow
+from ..streaming.jobs import (
+    run_sliding_agg_availablenow,
+    run_stateful_user_stats_availablenow,
+    run_stream_dedup_availablenow,
+    run_tumbling_agg_availablenow,
+)
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -27,3 +32,46 @@ ORACLES["stream_tumbling_agg"] = """
     FROM events
     GROUP BY 1, 2
 """
+
+
+def q_stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h windows every 30min with a 2h watermark. The batch
+    oracle expands each event into its two containing windows (epoch-grid
+    arithmetic identical to Spark's window assignment)."""
+    return run_sliding_agg_availablenow(spark, f"{sf_dir}/events.parquet")
+
+
+QUERIES["stream_sliding_agg"] = q_stream_sliding_agg
+ORACLES["stream_sliding_agg"] = """
+    SELECT CAST(to_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) - k) * 1800)
+                AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+    GROUP BY 1, 2
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once source (stream unioned with itself) collapsed to
+    exactly-once by streaming dropDuplicates on event_id; the oracle is the
+    single-copy batch rollup — replays must not change the answer."""
+    return run_stream_dedup_availablenow(spark, f"{sf_dir}/events.parquet")
+
+
+QUERIES["stream_dedup"] = q_stream_dedup
+ORACLES["stream_dedup"] = """
+    SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1
+"""
+
+
+def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState per-user running stats — custom stateful
+    operator; rows-only check (emission cadence is batching-dependent,
+    the defining property of arbitrary-state streaming ops)."""
+    return run_stateful_user_stats_availablenow(spark, f"{sf_dir}/events.parquet")
+
+
+QUERIES["stream_stateful_user_stats"] = q_stream_stateful_user_stats

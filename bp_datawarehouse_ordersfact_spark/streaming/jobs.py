@@ -19,6 +19,154 @@ from pyspark.sql import functions as F
 from ..functions.rounding import rnd
 
 
+def _stream_source(spark: SparkSession, events_path: str) -> DataFrame:
+    """File-stream source over the events table (nanos→micros truncation
+    as in core.io.load_table; symlink dir because the streaming file
+    source requires a directory — in production this IS a directory or a
+    Kafka topic)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_path).schema
+    stage_dir = os.path.join(
+        tempfile.gettempdir(), f"stream_src_{abs(hash(events_path)) % 10**8}"
+    )
+    os.makedirs(stage_dir, exist_ok=True)
+    link = os.path.join(stage_dir, os.path.basename(events_path))
+    if not os.path.exists(link):
+        os.symlink(events_path, link)
+    src = spark.readStream.schema(schema).parquet(stage_dir)
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src
+
+
+def _run_to_memory_sink(stream: DataFrame, mode: str = "complete") -> DataFrame:
+    spark = stream.sparkSession
+    sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def run_sliding_agg_availablenow(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows (each event lands in window/slide
+    overlapping windows). State per open window is bounded by the
+    watermark; on an unbounded stream this runs with finite memory."""
+    src = _stream_source(spark, events_path)
+    stream = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_memory_sink(stream)
+
+
+def run_stream_dedup_availablenow(spark: SparkSession, events_path: str) -> DataFrame:
+    """Exactly-once from at-least-once: the source is read TWICE and
+    unioned (simulating redelivery), then streaming ``dropDuplicates`` on
+    the event key collapses replays before the aggregation. This is the
+    streaming twin of the reference's delete-insert reconciliation
+    (dw3_merge_inc.py:114-125): dedup state instead of archive anti-join."""
+    doubled = _stream_source(spark, events_path).unionByName(
+        _stream_source(spark, events_path)
+    )
+    stream = (
+        doubled.withWatermark("ts", "2 hours")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return _run_to_memory_sink(stream)
+
+
+def run_stateful_user_stats_availablenow(
+    spark: SparkSession, events_path: str
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (count, sum, max) maintained in explicit GroupState —
+    the applyInPandasWithState path Spark offers for operators its
+    built-in aggregations can't express (the state here could be any
+    python structure: a sketch, a model, a session object). Emits the
+    updated stats each batch; rows-only correctness check (emission
+    cadence depends on batching, which is the nature of the operator)."""
+    import pandas as pd  # noqa: F401 (used in the worker closure)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src = _stream_source(spark, events_path)
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("mx", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "max_value": [mx],
+            }
+        )
+
+    stream = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory_sink(stream, mode="update")
+
+
 def run_tumbling_agg_availablenow(
     spark: SparkSession,
     events_path: str,

@@ -1,0 +1,255 @@
+"""Unit tests for the operator/function library on tiny in-memory frames.
+
+The DuckDB parity harness (tests/parity.py, mirrored by the driver) is the
+primary correctness gate; these tests pin the semantic contracts the
+parity data can't easily probe — threshold boundaries, tie-breaks,
+edge-case inputs (SURVEY.md §5.2 items 2–3).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("unit")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+# ---------------------------------------------------------------------------
+# joins / dedup discipline
+# ---------------------------------------------------------------------------
+
+
+def test_anti_join_merge_replaces_whole_keys(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.joins import anti_join_merge
+
+    archive = spark.createDataFrame(
+        [Row(k=1, v="old1"), Row(k=2, v="old2"), Row(k=3, v="old3")]
+    )
+    inc = spark.createDataFrame([Row(k=2, v="new2"), Row(k=4, v="new4")])
+    out = {r.k: r.v for r in anti_join_merge(archive, inc, ["k"]).collect()}
+    # increment rows replace archive rows with the same key (delete-insert)
+    assert out == {1: "old1", 2: "new2", 3: "old3", 4: "new4"}
+
+
+def test_dedup_keep_first_uses_explicit_tiebreak(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.joins import dedup_keep_first
+
+    df = spark.createDataFrame(
+        [Row(k="a", ts=3, v="late"), Row(k="a", ts=1, v="first"), Row(k="b", ts=2, v="only")]
+    )
+    out = {r.k: r.v for r in dedup_keep_first(df, ["k"], [F.asc("ts")]).collect()}
+    assert out == {"a": "first", "b": "only"}
+
+
+# ---------------------------------------------------------------------------
+# similarity thresholds (SURVEY §5.2 item 3: near-threshold pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_levenshtein_ratio_exact_and_near(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.similarity import levenshtein_ratio
+
+    df = spark.createDataFrame(
+        [
+            Row(a="night vale", b="night vale"),   # identical → 100
+            Row(a="night vale", b="night vales"),  # 1 edit / 21 chars → ~95.24
+            Row(a="night vale", b="day vale"),     # far
+        ]
+    )
+    rows = df.select(levenshtein_ratio(F.col("a"), F.col("b")).alias("r")).collect()
+    assert rows[0].r == 100.0
+    assert 95.0 <= rows[1].r < 96.0  # straddles the reference's ≥95 gate
+    assert rows[2].r < 95.0
+
+
+def test_fuzzy_ratio_join_threshold(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.similarity import fuzzy_ratio_join
+
+    master = spark.createDataFrame([Row(m="the art of taking the l")])
+    cand = spark.createDataFrame(
+        [Row(c="the art of taking the l"), Row(c="the art of taking the w"),
+         Row(c="completely different title")]
+    )
+    out = fuzzy_ratio_join(master, "m", cand, "c", threshold=95.0).collect()
+    matched = {r.c for r in out}
+    assert "the art of taking the l" in matched
+    assert "completely different title" not in matched
+
+
+def test_tfidf_cosine_match_sklearn_formula(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.similarity import tfidf_cosine_match
+
+    master = spark.createDataFrame([Row(id=1, t="madness vase gibson"), Row(id=2, t="cottonmouth kings")])
+    cand = spark.createDataFrame(
+        [Row(id=10, t="madness vase gibson"), Row(id=11, t="unrelated words here")]
+    )
+    out = tfidf_cosine_match(master, "id", "t", cand, "id", "t", threshold=0.7).collect()
+    pairs = {(r.m_id, r.c_id): r.cosine for r in out}
+    assert ("1", "10") in pairs
+    assert pairs[("1", "10")] == pytest.approx(1.0, abs=1e-6)  # identical titles
+    assert all(c == "10" for (_, c) in pairs)  # the unrelated title never matches
+
+
+# ---------------------------------------------------------------------------
+# text / hashing primitives
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_signature_shape_and_determinism(spark):
+    from bp_datawarehouse_ordersfact_spark.functions import text as Tx
+
+    df = spark.createDataFrame([Row(s="the quick brown fox jumps over the lazy dog")])
+    sig = df.select(
+        Tx.minhash_signature(Tx.word_shingles(Tx.tokens(F.col("s")), 3), 16).alias("sig")
+    )
+    a = sig.collect()[0].sig
+    b = sig.collect()[0].sig
+    assert len(a) == 16
+    assert a == b  # deterministic
+    assert all(0 <= x < 2**32 for x in a)
+
+
+def test_minhash_similar_docs_share_signature_entries(spark):
+    from bp_datawarehouse_ordersfact_spark.functions import text as Tx
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, s="the quick brown fox jumps over the lazy dog today"),
+            Row(id=2, s="the quick brown fox jumps over the lazy dog tonight"),
+            Row(id=3, s="completely different content with no shared shingles at all"),
+        ]
+    )
+    sigs = {
+        r.id: r.sig
+        for r in df.select(
+            "id",
+            Tx.minhash_signature(Tx.word_shingles(Tx.tokens(F.col("s")), 3), 16).alias(
+                "sig"
+            ),
+        ).collect()
+    }
+    overlap_12 = sum(1 for x, y in zip(sigs[1], sigs[2]) if x == y)
+    overlap_13 = sum(1 for x, y in zip(sigs[1], sigs[3]) if x == y)
+    assert overlap_12 > overlap_13  # near-dups agree on more hash slots
+
+
+def test_jaccard_known_value(spark):
+    from bp_datawarehouse_ordersfact_spark.functions import text as Tx
+
+    df = spark.createDataFrame([Row(a=["x", "y", "z"], b=["y", "z", "w"])])
+    v = df.select(Tx.jaccard(F.col("a"), F.col("b")).alias("j")).collect()[0].j
+    assert v == pytest.approx(2 / 4)
+
+
+def test_simhash_close_texts_low_hamming(spark):
+    from bp_datawarehouse_ordersfact_spark.functions import text as Tx
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, s="spark engine for large scale data processing pipelines"),
+            Row(id=2, s="spark engine for large scale data processing pipeline"),
+        ]
+    )
+    fps = {
+        r.id: r.fp
+        for r in df.select("id", Tx.simhash32(Tx.tokens(F.col("s"))).alias("fp")).collect()
+    }
+    hamming = bin(fps[1] ^ fps[2]).count("1")
+    assert hamming <= 8  # one-word change flips few bits
+
+
+# ---------------------------------------------------------------------------
+# cleaning / conditional expressions
+# ---------------------------------------------------------------------------
+
+
+def test_percent_to_fraction_variants(spark):
+    from bp_datawarehouse_ordersfact_spark.functions.cleaning import percent_to_fraction
+
+    df = spark.createDataFrame([Row(r="15%"), Row(r="15"), Row(r="0.15")])
+    vals = [r.v for r in df.select(percent_to_fraction(F.col("r")).alias("v")).collect()]
+    assert vals == pytest.approx([0.15, 0.15, 0.15])
+
+
+def test_case_chain_default_bucket(spark):
+    from bp_datawarehouse_ordersfact_spark.functions.conditional import case_chain
+
+    df = spark.createDataFrame([Row(x="book thing"), Row(x="mystery")])
+    expr = case_chain(
+        [(F.col("x").contains("book"), F.lit("Book"))], default=F.lit("Check")
+    )
+    vals = [r.c for r in df.select(expr.alias("c")).collect()]
+    assert vals == ["Book", "Check"]
+
+
+# ---------------------------------------------------------------------------
+# vectors
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_and_sign_bucket(spark):
+    from bp_datawarehouse_ordersfact_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [Row(a=[1.0, 0.0, 2.0], b=[2.0, 0.0, 4.0]), Row(a=[1.0, 0.0, 0.0], b=[0.0, 1.0, 0.0])]
+    )
+    rows = df.select(
+        V.cosine(F.col("a"), F.col("b")).alias("c"),
+        V.sign_bucket(F.col("a"), 3).alias("ba"),
+        V.sign_bucket(F.col("b"), 3).alias("bb"),
+    ).collect()
+    assert rows[0].c == pytest.approx(1.0)   # parallel vectors
+    assert rows[0].ba == rows[0].bb          # same signs → same LSH bucket
+    assert rows[1].c == pytest.approx(0.0)   # orthogonal
+
+
+def test_embedding_near_dup_pairs_finds_scaled_copy(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import embedding_near_dup_pairs
+
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[0.5, -0.25, 1.0, 0.125]),
+            Row(vec_id=2, embedding=[1.0, -0.5, 2.0, 0.25]),   # 2× of vec 1
+            Row(vec_id=3, embedding=[-1.0, 2.0, -0.5, 3.0]),   # different direction
+        ]
+    )
+    pairs = embedding_near_dup_pairs(df, "embedding", "vec_id", 0.999, n_bits=4).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].cosine == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# rounding contract (Spark↔DuckDB portability)
+# ---------------------------------------------------------------------------
+
+
+def test_rnd_matches_duckdb_rewritten_round(spark):
+    """The contract is Spark rnd == DuckDB round-after-rewrite (the driver
+    hash-compares exactly these two), including on boundary doubles where
+    the engines' native round() implementations disagree."""
+    import duckdb
+
+    from bp_datawarehouse_ordersfact_spark.functions.rounding import rnd, sql_rewrite_rounds
+
+    xs = [2.675, 1.005, -0.5, 105127.335, 0.125, 3.14159]
+    df = spark.createDataFrame([Row(x=x) for x in xs])
+    spark_vals = [
+        r.v for r in df.orderBy("x").select(rnd(F.col("x"), 2).alias("v")).collect()
+    ]
+    sql = sql_rewrite_rounds(
+        "SELECT round(x, 2) AS v FROM (SELECT unnest(?) AS x) ORDER BY x"
+    )
+    duck_vals = [r[0] for r in duckdb.execute(sql, [sorted(xs)]).fetchall()]
+    assert spark_vals == duck_vals
