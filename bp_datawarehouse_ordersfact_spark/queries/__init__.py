@@ -15,9 +15,9 @@ Conventions enforced across every pair (see SURVEY.md §5.2):
 from __future__ import annotations
 
 from ..functions.rounding import sql_rewrite_rounds
-from . import llmops, pipeline, relational, streaming
+from . import domain_e2e, llmops, pipeline, relational, streaming
 
-_MODULES = (relational, pipeline, llmops, streaming)
+_MODULES = (relational, pipeline, llmops, streaming, domain_e2e)
 
 
 def all_queries():

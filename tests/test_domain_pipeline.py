@@ -1,0 +1,209 @@
+"""End-to-end domain pipeline test (SURVEY.md §5.2 item 2): synthetic
+WC/SCB/master fixtures through ingest → merge → dims → facts, asserting
+the FACT_Royalty business invariants the reference's logic encodes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from bp_datawarehouse_ordersfact_spark.domain import dims, facts, fixtures, ingest, merge
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("domain")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def pipe(spark):
+    """Run the whole pipeline once; stages under test share the result."""
+    raw = fixtures.wc_orders_raw(spark)
+    pdim = fixtures.product_dim(spark)
+    wc = ingest.normalize_orders(raw, pdim).cache()
+
+    scb = fixtures.scb_monthly(spark)
+    titles = merge.wc_book_titles(wc).select("Title", "BookType").unionByName(
+        merge.scb_book_titles(scb).select("Title", "BookType")
+    ).dropDuplicates(["Title", "BookType"])
+
+    bdim = dims.book_dim(fixtures.books_master(spark), titles).cache()
+    bundles = dims.bundle_dim(fixtures.bundle_master(spark), wc).cache()
+    mdim = dims.merch_dim(wc)
+
+    wc5 = facts.enrich_wc_lines(wc, bdim, bundles, mdim).cache()
+    fr = facts.fact_royalty(wc5, scb, bdim).cache()
+    return {"wc": wc, "book_dim": bdim, "bundle_dim": bundles, "wc5": wc5, "fr": fr,
+            "scb": scb}
+
+
+# --- ingest ----------------------------------------------------------------
+
+
+def test_ingest_explodes_and_filters(pipe):
+    wc = pipe["wc"]
+    # cancelled order 104 filtered; empty order 105 has no items; 101×3 + 102 + 103
+    assert wc.count() == 5
+    seqs = {
+        (r.OrderNumber, r.ItemOrderSeq) for r in wc.select("OrderNumber", "ItemOrderSeq").collect()
+    }
+    assert ("101", 1) in seqs and ("101", 3) in seqs
+
+
+def test_ingest_flags_and_windows(pipe):
+    rows = {(r.OrderNumber, r.ItemID): r for r in pipe["wc"].collect()}
+    assert rows[("101", "1002")].GiftWrap == "Yes"
+    assert rows[("102", "1004")].CustomerRole == "Wholesale Customer"
+    assert rows[("103", "1005")].CustomerRole == "Administrator"
+    # W1 window totals: order 101 has 3 items, 3 distinct products
+    assert rows[("101", "1001")].TotalItems == 3
+    assert rows[("101", "1001")].TotalProducts == 3
+    # empty-string money coerced to 0 (order 102 shipping_total = '')
+    assert rows[("102", "1004")].OrderShippingAmount == 0.0
+    # C4/C5 bundle structure
+    assert rows[("101", "1001")].BundleID == "1001"
+    assert rows[("101", "1002")].BundledBy == "1001"
+    assert rows[("101", "1003")].BundledBy == "1001"
+
+
+def test_incremental_merge_replaces_whole_orders(spark, pipe):
+    wc = pipe["wc"]
+    archive = wc
+    increment = wc.filter(F.col("OrderNumber") == "101").withColumn(
+        "Quantity", F.col("Quantity") + 100
+    )
+    merged = merge.merge_wc_increment(archive, increment)
+    assert merged.count() == wc.count()  # same keys, replaced rows
+    q = merged.filter(F.col("OrderNumber") == "101").agg(F.min("Quantity")).collect()[0][0]
+    assert q > 100  # increment rows won
+
+
+# --- dims ------------------------------------------------------------------
+
+
+def test_book_dim_matches_and_normalizes_rates(pipe):
+    bd = {r.Source_Title: r for r in pipe["book_dim"].collect()}
+    assert bd["Night Sky Poems"].True_Title == "Night Sky Poems"
+    # C11: '15%' (Print) → 0.15 for the Print row
+    print_row = [r for r in pipe["book_dim"].collect()
+                 if r.Source_Title == "Night Sky Poems" and r.BookType == "Print"]
+    assert print_row and print_row[0].Royalty_Rate_All == pytest.approx(0.15)
+    # near-miss master 'Midnight Sea Stories' never matches at 0.7
+    assert all(r.True_Title != "Midnight Sea Stories" for r in pipe["book_dim"].collect())
+
+
+def test_book_dim_isbn_placeholder(pipe):
+    # River Songs has no eBook_ISBN; the SCB 'e' branch would get the
+    # NA- placeholder. Print row carries the real ISBN.
+    rows = [r for r in pipe["book_dim"].collect() if r.True_Title == "River Songs"]
+    assert rows
+    for r in rows:
+        if r.BookType == "Print":
+            assert r.ISBN_All == "978-2"
+
+
+def test_bundle_dim_best_match_kept(pipe):
+    rows = pipe["bundle_dim"].collect()
+    assert len(rows) == 1  # one source bundle, despite the 96.77 near-sibling
+    r = rows[0]
+    assert r.Master_Product == "Night Sky Bundle"  # exact (100) beats 96.77
+    # C11 shares: '60'/'40' → 0.6/0.4
+    assert r.Revenue_Share_Book == pytest.approx(0.6)
+    assert r.Revenue_Share_NonBook == pytest.approx(0.4)
+
+
+# --- facts: the business invariants ---------------------------------------
+
+
+def test_bundle_allocation_sums_to_parent(pipe):
+    wc5 = pipe["wc5"]
+    rows = {r.ItemID: r for r in wc5.filter(F.col("OrderNumber") == "101").collect()}
+    parent_total = rows["1001"].OrderLineTotal
+    # C14: parent allocates 0 to itself; components get share × parent
+    assert rows["1001"].Bundle_Allocated_Total == 0.0
+    assert rows["1002"].Bundle_Allocated_Total == pytest.approx(0.6 * parent_total)
+    assert rows["1003"].Bundle_Allocated_Total == pytest.approx(0.4 * parent_total)
+    alloc_sum = sum(
+        r.Bundle_Allocated_Total for r in rows.values() if r.ItemID != "1001"
+    )
+    assert alloc_sum <= parent_total + 1e-9
+
+
+def test_wholesale_contributes_zero_qualified_revenue(pipe):
+    fr = pipe["fr"]
+    # order 102 is entirely wholesale Night Sky Poems: its WC retail
+    # revenue nets out (C15/C17)
+    row = fr.filter(
+        (F.col("Data_Source") == "WC") & (F.col("True_Title_2") == "Night Sky Poems")
+    ).collect()
+    assert row
+    for r in row:
+        assert r.Revenue_Retail == pytest.approx(
+            r.Revenue_Product_Net - r.Revenue_Wholesale
+        )
+    ws = [r for r in row if r.Quantity_Wholesale > 0]
+    assert ws and all(r.Revenue_Wholesale > 0 for r in ws)
+
+
+def test_royalty_paid_identity(pipe):
+    # C19: Royalty_Paid == Royalty_Qualified_Revenue × Royalty_Rate_All, everywhere
+    bad = pipe["fr"].filter(
+        F.abs(
+            F.col("Royalty_Paid")
+            - F.col("Royalty_Qualified_Revenue") * F.col("Royalty_Rate_All")
+        )
+        > 1e-9
+    )
+    assert bad.count() == 0
+
+
+def test_zero_rate_qualifies_nothing(pipe):
+    # C18 gate: rate 0 ⇒ qualified quantity and revenue are 0
+    bad = pipe["fr"].filter(
+        (F.col("Royalty_Rate_All") == 0)
+        & ((F.col("Royalty_Qualified_Revenue") != 0) | (F.col("Royalty_Qualified_Quantity") != 0))
+    )
+    assert bad.count() == 0
+
+
+def test_scb_branches_and_payment_shift(pipe):
+    fr = pipe["fr"]
+    sales = fr.filter(F.col("Data_Source") == "SCB Sales").collect()
+    rets = fr.filter(F.col("Data_Source") == "SCB Returns").collect()
+    assert sales and rets
+    # D4/C21: March 2025 sales attributed to month 6 (+3); returns stay at 3
+    ns = [r for r in sales if r.True_Title_2 == "Night Sky Poems"]
+    assert ns and all(r.Fact_Month == 6 for r in ns)
+    nr = [r for r in rets if r.True_Title_2 == "Night Sky Poems"]
+    assert nr and all(r.Fact_Month == 3 for r in nr)
+    # unmatched SCB title got the 'Missing - ' fallback (N2)
+    assert any(r.True_Title_2 == "Missing - UNKNOWN CHAPBOOK" for r in sales)
+
+
+def test_split_royalties_double_rows_halve_money(pipe):
+    report = facts.royalty_summary_report(pipe["fr"])
+    out = facts.split_royalties(report)
+    base = {(r.Combined_Quarter, r.Royalty_Author_Name): r for r in report.collect()}
+    split_rows = [
+        r for r in out.collect() if r.Royalty_Author_Name in ("Bard, B.", "Cole, C.")
+    ]
+    # River Songs is the co-author book: each quarter row doubled, halved
+    assert split_rows
+    by_q = {}
+    for r in split_rows:
+        by_q.setdefault(r.Combined_Quarter, []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) == 2
+        orig = base[(q, "Bard, B. & Cole, C.")]
+        for r in rows:
+            assert r.Royalty_Paid == pytest.approx(orig.Royalty_Paid / 2)
