@@ -79,3 +79,23 @@ def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """CSV kept only as an export-shaped sink (BI handoff), never staging."""
     w = (df.coalesce(1) if single_file else df).write.mode("overwrite")
     w.option("header", True).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed staging table: co-locates rows by join key at WRITE time
+    so repeated joins/aggregations on ``bucket_cols`` skip the exchange
+    entirely (the biggest single lever for a fact table joined on the
+    same key every run — e.g. lineitem ⋈ orders on orderkey at 100 TB).
+
+    Requires a metastore-backed ``saveAsTable`` (local Derby in tests;
+    Hive/Glue/Unity in production)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)

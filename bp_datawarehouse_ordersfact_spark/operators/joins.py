@@ -54,3 +54,33 @@ def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """EXISTS — not present in the reference (it only has anti via
     ``~isin``) but part of a complete relational surface."""
     return left.join(right, on, "left_semi")
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    salt_n: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: hot keys on the big side are spread over
+    ``salt_n`` salted partitions; the other side is replicated ×salt_n so
+    every salted row still finds its match.
+
+    AQE's skew-join split handles most skew at runtime; explicit salting
+    is for the pathological cases AQE can't split (one key ≫ everything,
+    aggregates downstream of the join). The big side gets a random-free
+    DETERMINISTIC salt (hash of a unique column set would do; here
+    monotonic row bucketing via ``spark_partition_id`` is enough because
+    any spread works and determinism keeps reruns identical).
+    """
+    salted = skewed.withColumn(
+        "__salt", F.pmod(F.hash(F.spark_partition_id(), F.col(key)), F.lit(salt_n))
+    )
+    replicated = other.crossJoin(
+        F.broadcast(
+            other.sparkSession.range(salt_n).select(F.col("id").cast("int").alias("__salt"))
+        )
+    )
+    out = salted.join(replicated, [key, "__salt"], how)
+    return out.drop("__salt")

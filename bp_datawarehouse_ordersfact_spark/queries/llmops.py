@@ -506,9 +506,14 @@ def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     container — see decode_image_stub); the schema, batch shape, and
     partitioning are exactly what a PIL/ffmpeg decode would use, and the
     DuckDB oracle verifies the whole path byte-for-byte."""
+    # repartition: the source is one parquet file → one partition → ONE
+    # python worker would decode everything. Spreading payloads across the
+    # cores first is the production shape (decode parallelism is the whole
+    # point of mapInPandas for media payloads).
     d = (
         _docs(spark, sf_dir)
         .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
     def extract(batches):

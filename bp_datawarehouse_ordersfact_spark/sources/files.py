@@ -1,0 +1,67 @@
+"""Schema'd file sources/sinks (reference S3/S4: GCS CSV read with dtype
+dicts ``gcp_getbucket.py:7-18``, single-blob CSV overwrite
+``gcp_postbucket.py:7-25``; S5/S6: BigQuery SELECT */truncate-load).
+
+The rebuild stages everything as Parquet (``core.io``); CSV/JSON remain
+as ingest/export formats with EXPLICIT StructType schemas — never
+inferSchema, which costs a full extra pass over the data and guesses
+types the reference pins by hand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    null_value: str = "",
+) -> DataFrame:
+    """S3: schema'd CSV read. ``nullValue=''`` reproduces the reference's
+    empty-string→null handling at the scan instead of per-column
+    coercions (``dw2_wc_increment.py:426-443``)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("nullValue", null_value)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType, multiline: bool = False
+) -> DataFrame:
+    """Nested JSON ingest with an explicit schema (the J1 flatten becomes
+    unnecessary — arrays/structs survive to be posexploded downstream)."""
+    return (
+        spark.read.schema(schema).option("multiLine", multiline).json(path)
+    )
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S4/S6 sink: partitioned, format-pluggable overwrite (the
+    reference's WRITE_TRUNCATE semantics). Partitioning gives downstream
+    reads partition pruning — the reference's single CSV blob has no
+    equivalent."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.format(fmt).save(path)
+
+
+def export_single_csv(df: DataFrame, path: str) -> None:
+    """The reference's one-blob CSV export shape (``gcp_postbucket.py``):
+    coalesce(1) is correct ONLY for export-sized results — never for
+    staging (it serializes the whole write through one task)."""
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)

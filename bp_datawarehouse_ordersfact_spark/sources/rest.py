@@ -1,0 +1,83 @@
+"""Paginated REST ingestion (reference S1/S2: WooCommerce /products and
+/orders pulls, ``dw2_wc_increment.py:37-69,122-189``).
+
+Two shapes, chosen by catalog size:
+
+- ``fetch_pages_driver``: the reference's shape — a driver-side page loop
+  building one DataFrame. Right when the source is small (the reference
+  pulls O(10²-10³) records per run).
+- ``fetch_pages_distributed``: the 100 TB shape — page numbers become a
+  DataFrame, ``mapInPandas`` fetches pages inside executors (parallel,
+  Arrow-batched, no driver bottleneck, and the result lands already
+  partitioned).
+
+Both take the page-fetch function as an argument: in production it wraps
+``requests`` with auth; tests inject a deterministic fake (this container
+has no network — the transport is the ONLY stubbed piece; pagination,
+windowing, schema and partitioning are the real implementation).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# A fetcher takes (page, per_page, window_start, window_end) and returns
+# the page's records as a list of JSON-serializable dicts.
+Fetcher = Callable[[int, int, str | None, str | None], list[dict]]
+
+
+def fetch_pages_driver(
+    spark: SparkSession,
+    fetcher: Fetcher,
+    schema: T.StructType,
+    n_pages: int,
+    per_page: int = 100,
+    window_start: str | None = None,
+    window_end: str | None = None,
+) -> DataFrame:
+    """S1/S2 driver-side loop (reference accumulates page dicts then
+    builds one frame — ``dw2_wc_increment.py:161-189``). The date window
+    is the incremental re-pull (61 days in the reference,
+    ``dw2_wc_increment.py:125,132-141``)."""
+    rows: list[dict] = []
+    for page in range(1, n_pages + 1):
+        rows.extend(fetcher(page, per_page, window_start, window_end))
+    return spark.createDataFrame(rows, schema)
+
+
+def fetch_pages_distributed(
+    spark: SparkSession,
+    fetcher: Fetcher,
+    schema: T.StructType,
+    n_pages: int,
+    per_page: int = 100,
+    window_start: str | None = None,
+    window_end: str | None = None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Scale shape: ``spark.range(pages) → repartition → mapInPandas``
+    fetcher. Each executor task pulls its page range; records are parsed
+    against the explicit schema via ``from_json`` (JVM-side), so the
+    Python worker only moves raw strings."""
+    import pandas as pd
+
+    par = parallelism or spark.sparkContext.defaultParallelism
+    pages = spark.range(1, n_pages + 1).toDF("page").repartition(par)
+
+    def pull(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            payloads = []
+            for page in pdf["page"]:
+                for rec in fetcher(int(page), per_page, window_start, window_end):
+                    payloads.append(json.dumps(rec))
+            yield pd.DataFrame({"raw": payloads})
+
+    raw = pages.mapInPandas(pull, schema="raw string")
+    return raw.select(
+        F.from_json("raw", schema).alias("rec")
+    ).select("rec.*")

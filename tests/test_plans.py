@@ -1,0 +1,109 @@
+"""Physical-plan assertions: the shape of the plan IS the product at
+100 TB. These tests pin the properties that make queries scale —
+filter/column pushdown into the Parquet scan, broadcast joins for dims,
+no cartesian products, whole-stage codegen coverage — so a refactor that
+silently regresses the plan fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+
+from bp_datawarehouse_ordersfact_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("plans")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # AQE off HERE ONLY: executedPlan stays inspectable pre-execution
+        # (with AQE the final plan — codegen spans included — exists only
+        # after the job runs). Production sessions keep AQE on.
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def plan_of(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushes_filter_and_prunes_columns(spark):
+    p = plan_of(spark, "pricing_summary")
+    # the shipdate predicate reaches the Parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # only the 7 referenced columns are read (column pruning)
+    assert "l_comment" not in p
+    rs = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert rs and "l_returnflag" in rs[0] and "l_orderkey" not in rs[0]
+
+
+def test_membership_filter_pushed_as_in(spark):
+    p = plan_of(spark, "membership_filter")
+    assert "PushedFilters" in p and "In(o_orderstatus" in p
+
+
+def test_broadcast_dim_join_broadcasts_both_dims(spark):
+    p = plan_of(spark, "broadcast_dim_join")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_fact_royalty_broadcasts_part_and_no_cartesian(spark):
+    p = plan_of(spark, "fact_royalty")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # the returns branch pushes l_returnflag='R' into its scan
+    assert "EqualTo(l_returnflag,R)" in p
+
+
+def test_window_order_totals_single_shuffle(spark):
+    p = plan_of(spark, "window_order_totals")
+    # one window over one exchange — no aggregate+join-back round trip
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Join" not in p
+
+
+def test_incremental_merge_uses_broadcast_anti_join(spark):
+    p = plan_of(spark, "incremental_merge")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_semi_anti_join_no_shuffle_of_fact(spark):
+    p = plan_of(spark, "semi_anti_join")
+    assert "LeftAnti" in p
+
+
+def test_dedup_queries_never_cross_join(spark):
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine"):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_tfidf_match_is_token_join_not_cross_join(spark):
+    p = plan_of(spark, "tfidf_title_match")
+    assert "CartesianProduct" not in p
+
+
+def test_whole_stage_codegen_present_in_hot_paths(spark):
+    # codegen'd operators carry a '*(n)' stage prefix in the plan string
+    for name in ("pricing_summary", "multikey_rollup", "fact_royalty"):
+        p = plan_of(spark, name)
+        assert "*(" in p, name
+        # the aggregate itself (the hot operator) is inside a codegen span
+        assert any(
+            "HashAggregate" in ln and ln.lstrip().startswith(("*(", "+- *("))
+            for ln in p.splitlines()
+        ), name

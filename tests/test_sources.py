@@ -1,0 +1,85 @@
+"""Source connector tests: pagination/windowing with an injected fake
+transport (no network in the container — the transport is the only fake;
+schema, parallelization, and parsing are the real paths)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+from bp_datawarehouse_ordersfact_spark.sources import files, rest
+
+
+@pytest.fixture(scope="session")
+def spark(tmp_path_factory):
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("sources")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField("total", T.StringType()),
+    ]
+)
+
+
+def make_fake_fetcher():
+    # a closure (not a module-level function) so cloudpickle serializes it
+    # BY VALUE into the executors — the test module isn't importable there
+    def fake_fetcher(page: int, per_page: int, ws, we) -> list[dict]:
+        # deterministic 3-page API, 'total' as API-typical money string
+        if page > 3:
+            return []
+        return [
+            {"id": (page - 1) * per_page + i, "page": page, "total": f"{i}.00"}
+            for i in range(per_page)
+        ]
+
+    return fake_fetcher
+
+
+def test_driver_and_distributed_fetch_agree(spark):
+    drv = rest.fetch_pages_driver(spark, make_fake_fetcher(), SCHEMA, n_pages=3, per_page=10)
+    dist = rest.fetch_pages_distributed(
+        spark, make_fake_fetcher(), SCHEMA, n_pages=3, per_page=10, parallelism=4
+    )
+    assert drv.count() == dist.count() == 30
+    assert sorted(r.id for r in drv.collect()) == sorted(r.id for r in dist.collect())
+    assert drv.schema == dist.schema
+
+
+def test_distributed_fetch_is_partitioned(spark):
+    dist = rest.fetch_pages_distributed(
+        spark, make_fake_fetcher(), SCHEMA, n_pages=3, per_page=10, parallelism=4
+    )
+    assert dist.rdd.getNumPartitions() >= 2  # pages spread across workers
+
+
+def test_csv_roundtrip_with_schema_and_nulls(spark, tmp_path):
+    path = str(tmp_path / "csv_out")
+    (tmp_path / "in").mkdir()
+    src = tmp_path / "in" / "data.csv"
+    src.write_text("id,name,amount\n1,alpha,3.50\n2,,\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    df = files.read_csv(spark, str(src), schema)
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].amount == 3.5
+    assert rows[2].name is None and rows[2].amount is None  # '' → null at the scan
+    files.write_table(df, path)
+    assert spark.read.parquet(path).count() == 2
