@@ -53,6 +53,7 @@ HEADLINE = [
     "multimodal_feature_extract",
     "stream_sliding_agg",
     "stream_dedup",
+    "stream_session_agg",
 ]
 
 

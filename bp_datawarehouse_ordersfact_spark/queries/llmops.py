@@ -315,16 +315,23 @@ def _langid_oracle() -> str:
 @register("text_langid", _langid_oracle())
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID: per-language marker-token counts, argmax
-    with fixed priority tie-break. Pure column expressions (no UDF)."""
+    with fixed priority tie-break. Explode + one groupBy computing all
+    marker counts (codegen) instead of per-language array-filter lambdas
+    (interpreted); zero-token docs rejoin with all-zero scores → 'und'."""
     d = _docs(spark, sf_dir)
-    toks = Tx.tokens(F.col("text"))
-    scored = d.select(
-        "doc_id",
-        F.col("lang").alias("label"),
+    toks = d.select("doc_id", F.explode(Tx.tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("doc_id").agg(
         *[
-            Tx.marker_score(toks, markers).cast("long").alias(f"s_{lang}")
+            F.sum(F.when(F.col("tok").isin(*markers), 1).otherwise(0))
+            .cast("long")
+            .alias(f"s_{lang}")
             for lang, markers in Tx.LANG_MARKERS
-        ],
+        ]
+    )
+    scored = (
+        d.select("doc_id", F.col("lang").alias("label"))
+        .join(counts, "doc_id", "left")
+        .na.fill(0)
     )
     langs = [lang for lang, _ in Tx.LANG_MARKERS]
     pred = None
@@ -364,34 +371,36 @@ _EN_STOP_SQL = _MARKER_SQL["en"]
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: type-token ratio, mean token length, stopword
-    ratio, length prior — combined into one score. All JVM-side array ops."""
+    ratio, length prior — combined into one score. Explode + groupBy
+    (whole-stage codegen) instead of array higher-order folds (which
+    evaluate interpreted); zero-token docs drop out of the explode —
+    exactly the ``n_tokens > 0`` filter."""
     d = _docs(spark, sf_dir)
-    t = Tx.tokens(F.col("text"))
-    n_tokens = F.size(t).cast("long")
-    n_distinct = F.size(F.array_distinct(t)).cast("long")
-    ttr = n_distinct.cast("double") / n_tokens
-    tok_chars = F.aggregate(
-        t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+    en = dict(Tx.LANG_MARKERS)["en"]
+    toks = d.select("doc_id", "n_chars", F.explode(Tx.tokens(F.col("text"))).alias("tok"))
+    agg = toks.groupBy("doc_id").agg(
+        F.first("n_chars").alias("n_chars"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.sum(F.length("tok").cast("long")).alias("tok_chars"),
+        F.sum(F.when(F.col("tok").isin(*en), 1).otherwise(0)).alias("n_stop"),
     )
-    mean_len = tok_chars.cast("double") / n_tokens
-    stop_ratio = (
-        Tx.marker_score(t, dict(Tx.LANG_MARKERS)["en"]).cast("double") / n_tokens
-    )
+    n_tokens = F.col("n_tokens")
+    ttr = F.col("n_distinct").cast("double") / n_tokens
+    mean_len = F.col("tok_chars").cast("double") / n_tokens
+    stop_ratio = F.col("n_stop").cast("double") / n_tokens
     quality = (
         0.4 * ttr + 0.4 * (1.0 - stop_ratio) + 0.2 * F.least(F.lit(1.0), n_tokens / 100.0)
     )
-    return (
-        d.select(
-            "doc_id",
-            "n_chars",
-            n_tokens.alias("n_tokens"),
-            n_distinct.alias("n_distinct"),
-            rnd(ttr, 6).alias("ttr"),
-            rnd(mean_len, 6).alias("mean_token_len"),
-            rnd(stop_ratio, 6).alias("stopword_ratio"),
-            rnd(quality, 6).alias("quality_score"),
-        )
-        .filter(F.col("n_tokens") > 0)
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_distinct",
+        rnd(ttr, 6).alias("ttr"),
+        rnd(mean_len, 6).alias("mean_token_len"),
+        rnd(stop_ratio, 6).alias("stopword_ratio"),
+        rnd(quality, 6).alias("quality_score"),
     )
 
 
@@ -517,20 +526,28 @@ def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def extract(batches):
+        import numpy as np
+
         for pdf in batches:
             bs = pdf["payload"].map(bytes)
             n = bs.map(len)
             mask = n > 0
             bs, n, ids = bs[mask], n[mask], pdf["doc_id"][mask]
+            # numpy views over the raw buffers: the per-byte work (mean)
+            # runs at C speed — a pure-Python sum(b) here costs more than
+            # the whole Spark plan around it
+            views = [np.frombuffer(b, dtype=np.uint8) for b in bs]
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
                     "n_bytes": n.astype("int64"),
-                    "f0": bs.map(lambda b: b[0]).astype("int64"),
-                    "f1": [b[ln // 4] for b, ln in zip(bs, n)],
-                    "f2": [b[ln // 2] for b, ln in zip(bs, n)],
-                    "f3": [b[(3 * ln) // 4] for b, ln in zip(bs, n)],
-                    "mean_byte": [sum(b) / ln for b, ln in zip(bs, n)],
+                    "f0": np.array([v[0] for v in views], dtype="int64"),
+                    "f1": np.array([v[len(v) // 4] for v in views], dtype="int64"),
+                    "f2": np.array([v[len(v) // 2] for v in views], dtype="int64"),
+                    "f3": np.array(
+                        [v[(3 * len(v)) // 4] for v in views], dtype="int64"
+                    ),
+                    "mean_byte": np.array([v.mean() for v in views], dtype="float64"),
                 }
             )
 

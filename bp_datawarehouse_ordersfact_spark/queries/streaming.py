@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.jobs import (
+    run_session_agg_availablenow,
     run_sliding_agg_availablenow,
     run_stateful_user_stats_availablenow,
     run_stream_dedup_availablenow,
@@ -64,6 +65,32 @@ QUERIES["stream_dedup"] = q_stream_dedup
 ORACLES["stream_dedup"] = """
     SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
     FROM events GROUP BY 1
+"""
+
+
+def q_stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min inactivity gap) per user; the
+    oracle is batch gaps-and-islands sessionization — same sessions, same
+    aggregates (no exact-30-min gaps exist in the data, so the boundary
+    convention can't diverge)."""
+    return run_session_agg_availablenow(spark, f"{sf_dir}/events.parquet")
+
+
+QUERIES["stream_session_agg"] = q_stream_session_agg
+ORACLES["stream_session_agg"] = """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
+      FROM events),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged)
+    SELECT min(ts) AS session_start, user_id,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM sess GROUP BY user_id, sid
 """
 
 

@@ -82,14 +82,17 @@ def run_sliding_agg_availablenow(
 
 
 def run_stream_dedup_availablenow(spark: SparkSession, events_path: str) -> DataFrame:
-    """Exactly-once from at-least-once: the source is read TWICE and
-    unioned (simulating redelivery), then streaming ``dropDuplicates`` on
-    the event key collapses replays before the aggregation. This is the
-    streaming twin of the reference's delete-insert reconciliation
-    (dw3_merge_inc.py:114-125): dedup state instead of archive anti-join."""
-    doubled = _stream_source(spark, events_path).unionByName(
-        _stream_source(spark, events_path)
-    )
+    """Exactly-once from at-least-once: every record is delivered twice
+    (explode-duplicated in the source projection — one scan, same
+    redelivery semantics as reading the stream twice), then streaming
+    ``dropDuplicates`` on the event key collapses replays before the
+    aggregation. This is the streaming twin of the reference's
+    delete-insert reconciliation (dw3_merge_inc.py:114-125): dedup state
+    instead of archive anti-join."""
+    src = _stream_source(spark, events_path)
+    doubled = src.select(
+        "*", F.explode(F.array(F.lit(1), F.lit(2))).alias("__copy")
+    ).drop("__copy")
     stream = (
         doubled.withWatermark("ts", "2 hours")
         .dropDuplicates(["event_id"])
@@ -97,6 +100,36 @@ def run_stream_dedup_availablenow(spark: SparkSession, events_path: str) -> Data
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             rnd(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    return _run_to_memory_sink(stream)
+
+
+def run_session_agg_availablenow(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows: per-user sessions close after ``gap`` of
+    inactivity — the native streaming form of the batch gaps-and-islands
+    sessionization (queries.relational.q_sessionize_events). State is one
+    open session per user, merged as events arrive, evicted past the
+    watermark — this is the operator the reference could never express
+    with its re-pull batch model."""
+    src = _stream_source(spark, events_path)
+    stream = (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "total_value",
         )
     )
     return _run_to_memory_sink(stream)
