@@ -287,6 +287,80 @@ def fact_royalty(wc5: DataFrame, scb: DataFrame, book_dim: DataFrame) -> DataFra
     )
 
 
+def fact_order(wc5: DataFrame, scb: DataFrame, book_dim: DataFrame) -> DataFrame:
+    """FACT_Order (dw5:890-1294): the ORDER-grain twin of FACT_Royalty —
+    keeps order/customer/shipping keys the royalty grain rolls away (A9's
+    24-key rollup), reuses the SAME scb grains and the SAME shared
+    measure block, then drops the royalty-internal columns (P2's 21-column
+    drop, dw5:1247-1268)."""
+    wc_grain = (
+        wc5.groupBy(
+            F.year("OrderDate").alias("Fact_Year"),
+            F.month("OrderDate").alias("Fact_Month"),
+            "OrderNumber",
+            "ItemOrderSeq",
+            "CustomerRole",
+            "ShippingCity",
+            "ShippingState",
+            "True_Title_2",
+            F.coalesce("Royalty_Author_Name", F.lit("No Record")).alias(
+                "Royalty_Author_Name"
+            ),
+            "Category_Merge",
+            F.coalesce("ISBN_All", F.col("Category_Merge")).alias("ISBN_All"),
+            F.coalesce("Royalty_Rate_All", F.lit(0.0)).alias("Royalty_Rate_All"),
+        )
+        .agg(
+            F.sum("Quantity").alias("Quantity_Shipped"),
+            F.sum("Wholesale_Quantity").alias("Quantity_Wholesale"),
+            F.sum(F.lit(0)).alias("Quantity_Returned"),
+            F.sum("OrderLineTotal").alias("Revenue_Product_Net"),
+            F.sum("Wholesale_Revenue").alias("Revenue_Wholesale"),
+            F.sum(F.lit(0.0)).alias("Revenue_Returns"),
+            F.sum("GiftWrap_Revenue").alias("Revenue_GiftWrap"),
+            F.sum("Shipping_Per_Item").alias("Revenue_Shipping"),
+            F.sum("Bundle_Allocated_Total").alias("Revenue_Bundle_Allocated"),
+        )
+        .withColumn("Data_Source", F.lit("WC"))
+    )
+    scb_grain = scb_grains(scb, book_dim).withColumns(
+        {
+            "OrderNumber": F.lit("SCB"),
+            "ItemOrderSeq": F.lit(0),
+            "CustomerRole": F.lit("Distributor"),
+            "ShippingCity": F.lit(None).cast("string"),
+            "ShippingState": F.lit(None).cast("string"),
+        }
+    )
+    fo = derived_measures(wc_grain.unionByName(scb_grain))
+    # P2: the order fact publishes operational revenue, not royalty internals
+    return fo.drop(
+        "Royalty_Qualified_Quantity", "Royalty_Qualified_Revenue", "Royalty_Paid"
+    )
+
+
+def printable_report(fr: DataFrame) -> DataFrame:
+    """A8 (dw5:777-794): the per-title printable rollup under each
+    author, ordered for rendering (O1 presentation sort, dw5:794)."""
+    return (
+        fr.groupBy(
+            "Combined_Quarter",
+            "Royalty_Author_Name",
+            "True_Title_2",
+            "Category_Merge",
+            "Royalty_Rate_All",
+        )
+        .agg(
+            F.sum("Quantity_Shipped").alias("Quantity_Shipped"),
+            F.sum("Quantity_Returned").alias("Quantity_Returned"),
+            F.sum("Revenue_Retail").alias("Revenue_Retail"),
+            F.sum("Royalty_Qualified_Revenue").alias("Royalty_Qualified_Revenue"),
+            F.sum("Royalty_Paid").alias("Royalty_Paid"),
+        )
+        .orderBy("Royalty_Author_Name", "Combined_Quarter", "True_Title_2")
+    )
+
+
 def royalty_summary_report(fr: DataFrame) -> DataFrame:
     """A7 (dw5:750-760): per (quarter, author) rollup."""
     return fr.groupBy("Combined_Quarter", "Royalty_Author_Name").agg(

@@ -56,11 +56,14 @@ def tfidf_weights(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col), F.explode(Tx.tokens(F.col(text_col))).alias("token")
     )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = docs.count()
+    # N as a broadcast single-row join, NOT docs.count(): an eager count
+    # would run a separate job every time the operator is composed — the
+    # plan stays fully lazy this way
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_.select(
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
         "token",
-        (F.log((1.0 + F.lit(float(n_docs))) / (1.0 + F.col("df"))) + 1.0).alias("idf"),
+        (F.log((1.0 + F.col("__n")) / (1.0 + F.col("df"))) + 1.0).alias("idf"),
     )
     w = tf.join(F.broadcast(idf), "token").select(
         id_col, "token", (F.col("tf") * F.col("idf")).alias("w")

@@ -190,6 +190,35 @@ def test_scb_branches_and_payment_shift(pipe):
     assert any(r.True_Title_2 == "Missing - UNKNOWN CHAPBOOK" for r in sales)
 
 
+def test_fact_order_grain_and_no_royalty_internals(pipe):
+    fo = facts.fact_order(pipe["wc5"], pipe["scb"], pipe["book_dim"])
+    cols = set(fo.columns)
+    # P2: royalty internals dropped from the order fact
+    assert not {"Royalty_Paid", "Royalty_Qualified_Revenue"} & cols
+    # order grain preserved: each WC (order, line) appears exactly once
+    wc_rows = fo.filter(F.col("Data_Source") == "WC")
+    keys = wc_rows.select("OrderNumber", "ItemOrderSeq").collect()
+    assert len(keys) == len(set((r[0], r[1]) for r in keys))
+    assert len(keys) == pipe["wc5"].count()
+    # revenue reconciles with the royalty grain per source
+    fr_tot = (
+        pipe["fr"].groupBy("Data_Source").agg(F.sum("Revenue_Product_Net").alias("r"))
+    )
+    fo_tot = fo.groupBy("Data_Source").agg(F.sum("Revenue_Product_Net").alias("r"))
+    a = {r.Data_Source: r.r for r in fr_tot.collect()}
+    b = {r.Data_Source: r.r for r in fo_tot.collect()}
+    for k in a:
+        assert a[k] == pytest.approx(b[k])
+
+
+def test_printable_report_rolls_up_royalty(pipe):
+    rep = facts.printable_report(pipe["fr"])
+    # the per-title report must conserve total royalty paid
+    total_rep = rep.agg(F.sum("Royalty_Paid")).collect()[0][0]
+    total_fr = pipe["fr"].agg(F.sum("Royalty_Paid")).collect()[0][0]
+    assert total_rep == pytest.approx(total_fr)
+
+
 def test_split_royalties_double_rows_halve_money(pipe):
     report = facts.royalty_summary_report(pipe["fr"])
     out = facts.split_royalties(report)

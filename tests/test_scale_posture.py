@@ -50,9 +50,40 @@ def test_salted_join_left_rows_preserved(spark):
     assert out.count() == 3  # exactly one replicated match per left row
 
 
+def test_partitioned_staging_prunes_partitions(spark, tmp_path):
+    """Staging partitioned by a filter column ⇒ the scan lists only the
+    matching directories (PartitionFilters), never touching other years'
+    files — the reference's single CSV blob re-reads everything always."""
+    from bp_datawarehouse_ordersfact_spark.core.io import write_parquet
+
+    df = spark.range(0, 1000).select(
+        F.col("id"), (2020 + F.col("id") % 5).alias("year"), (F.col("id") * 2).alias("v")
+    )
+    path = str(tmp_path / "staged")
+    write_parquet(df, path, partition_by=["year"])
+    rd = spark.read.parquet(path).filter(F.col("year") == 2022)
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2022" in plan
+    assert rd.count() == 200
+
+
 def test_bucketed_join_has_no_exchange(spark):
     """Two tables bucketed on the join key ⇒ the join plan contains NO
     shuffle exchange — the co-location was paid once at write time."""
+    import shutil
+
+    # In a shared pytest JVM, getOrCreate reuses the FIRST session, so the
+    # fixture's warehouse.dir may not apply — drop tables and clear any
+    # leftover managed-table directories from previous runs explicitly.
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("li_bucketed", "o_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    # runtime-set the plan-shape configs too (session reuse may have
+    # ignored the fixture's builder configs)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
     li = spark.range(0, 1000).select(
         F.col("id").alias("orderkey"), (F.col("id") % 7).alias("qty")
     )
