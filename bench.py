@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_lsh",
+    "ann_cosine_ivf",
     "text_quality",
     "text_fingerprint",
     "tfidf_title_match",

@@ -234,7 +234,11 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("doc", "fp", "bb.band", "bb.bv")
-    cand = (
+    # hamming filter BEFORE the dedup of band-duplicate pairs: bit_count
+    # is a cheap row expression, and filtering first shrinks the distinct
+    # shuffle by up to the band count (a ≤3-bit pair can match in all 4
+    # bands)
+    return (
         banded.alias("x")
         .join(
             banded.alias("y"),
@@ -245,17 +249,10 @@ def simhash_pairs(
         .select(
             F.col("x.doc").alias("id_a"),
             F.col("y.doc").alias("id_b"),
-            F.col("x.fp").alias("fp_a"),
-            F.col("y.fp").alias("fp_b"),
-        )
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            F.bit_count(F.col("x.fp").bitwiseXOR(F.col("y.fp"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

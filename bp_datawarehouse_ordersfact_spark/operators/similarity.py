@@ -137,6 +137,55 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_ivf(
+    queries: DataFrame,
+    candidates: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: candidates are partitioned into cells around
+    centroids; a query probes only its ``n_probe`` closest cells. The
+    centroid set here is deterministic (the first ``n_cells`` candidate
+    vectors) standing in for a k-means fit — the index/assign/probe/search
+    mechanics, which are the scale-relevant part, are identical: build is
+    one broadcast-argmax pass, search touches ~n_probe/n_cells of the
+    data instead of all of it.
+    """
+    cents = candidates.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent_vec")
+    )
+
+    def assign(df: DataFrame, id_out: str, vec_out: str, top: int) -> DataFrame:
+        scored = (
+            df.select(F.col(id_col).alias(id_out), F.col(vec_col).alias(vec_out))
+            .crossJoin(F.broadcast(cents))
+            .withColumn("cell_cos", rnd(V.cosine(F.col(vec_out), F.col("cent_vec")), 6))
+        )
+        w = Window.partitionBy(id_out).orderBy(F.desc("cell_cos"), F.asc("cell_id"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= top)
+            .select(id_out, vec_out, "cell_id")
+        )
+
+    index = assign(candidates, "c_id", "c_vec", 1)          # each vector in ONE cell
+    probes = assign(queries, "q_id", "q_vec", n_probe)      # query probes n_probe cells
+    scored = (
+        probes.join(index, "cell_id")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", rnd(V.cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "cosine", "rnk")
+    )
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     candidates: DataFrame,

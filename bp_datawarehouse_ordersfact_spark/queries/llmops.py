@@ -21,7 +21,11 @@ from ..functions.rounding import rnd
 from ..functions import text as Tx
 from ..functions import vectors as V
 from ..operators import dedup as D
-from ..operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    cosine_topk_lsh,
+)
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -278,6 +282,54 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force would compare |Q|×|C| pairs."""
     e = _emb(spark, sf_dir)
     return cosine_topk_lsh(e.filter(F.col("vec_id") < 50), e, k=5, n_bits=8)
+
+
+@register(
+    "ann_cosine_ivf",
+    f"""
+    WITH cents AS (SELECT vec_id AS cell_id, embedding AS cent_vec
+                   FROM embeddings WHERE vec_id < 16),
+    cand_scored AS (
+      SELECT e.vec_id AS c_id, e.embedding AS c_vec, c.cell_id,
+             round({SQL_DOT.format(a='e.embedding', b='c.cent_vec')}
+                   / (sqrt({SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({SQL_DOT.format(a='c.cent_vec', b='c.cent_vec')})), 6)
+               AS cell_cos
+      FROM embeddings e CROSS JOIN cents c),
+    index_ AS (SELECT c_id, c_vec, cell_id FROM cand_scored
+               QUALIFY row_number() OVER (PARTITION BY c_id
+                                          ORDER BY cell_cos DESC, cell_id) = 1),
+    q_scored AS (
+      SELECT e.vec_id AS q_id, e.embedding AS q_vec, c.cell_id,
+             round({SQL_DOT.format(a='e.embedding', b='c.cent_vec')}
+                   / (sqrt({SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({SQL_DOT.format(a='c.cent_vec', b='c.cent_vec')})), 6)
+               AS cell_cos
+      FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 50),
+    probes AS (SELECT q_id, q_vec, cell_id FROM q_scored
+               QUALIFY row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cell_cos DESC, cell_id) <= 2),
+    scored AS (
+      SELECT p.q_id, i.c_id,
+             round({SQL_DOT.format(a='p.q_vec', b='i.c_vec')}
+                   / (sqrt({SQL_DOT.format(a='p.q_vec', b='p.q_vec')})
+                      * sqrt({SQL_DOT.format(a='i.c_vec', b='i.c_vec')})), 6) AS cosine
+      FROM probes p JOIN index_ i USING (cell_id) WHERE p.q_id <> i.c_id)
+    SELECT q_id, c_id, cosine,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT)
+             AS rnk
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) <= 5
+    """,
+)
+def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (16 cells, 2 probes): the inverted-file alternative
+    to sign-LSH bucketing — search cost drops to ~n_probe/n_cells of the
+    corpus, and the cell assignment is one broadcast-argmax pass."""
+    e = _emb(spark, sf_dir)
+    return cosine_topk_ivf(
+        e.filter(F.col("vec_id") < 50), e, k=5, n_cells=16, n_probe=2
+    )
 
 
 # ---------------------------------------------------------------------------
