@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.cleaning import normalize_title, percent_to_fraction
+from ..functions.cleaning import clean_for_match, percent_to_fraction
 from ..operators.similarity import fuzzy_ratio_join, tfidf_cosine_match
 
 
@@ -27,8 +27,8 @@ def book_dim(
     # the titles themselves are the match ids — deterministic across plan
     # re-evaluation (unlike monotonically_increasing_id) and unique after
     # the staging dedup (merge.wc_book_titles / scb_book_titles)
-    m = books_master.select("*", normalize_title(F.col("Book_Title")).alias("_clean_master"))
-    t = titles.select("*", normalize_title(F.col("Title")).alias("_clean_title"))
+    m = books_master.select("*", clean_for_match(F.col("Book_Title")).alias("_clean_master"))
+    t = titles.select("*", clean_for_match(F.col("Title")).alias("_clean_title"))
 
     matches = tfidf_cosine_match(
         m.select("Book_Title", "_clean_master"),

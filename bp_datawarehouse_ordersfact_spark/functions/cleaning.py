@@ -12,7 +12,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Table-driven literal replace chain (reference T2: smart quotes, HTML
-# entities, mojibake — ``dw2_wc_increment.py:81-86``, ``dw3_merge_inc.py:160-169``).
+# entities, mojibake, typo fixes — ``dw2_wc_increment.py:81-86``,
+# ``dw3_merge_inc.py:160-169,202-211``, ``dw4_book_dim.py:248-251``).
 DEFAULT_LITERAL_REPLACEMENTS: list[tuple[str, str]] = [
     ("‘", "'"),
     ("’", "'"),
@@ -22,6 +23,28 @@ DEFAULT_LITERAL_REPLACEMENTS: list[tuple[str, str]] = [
     ("&#x2122;", ""),
     ("#038;", ""),
     ("<BR>&nbsp;<BR>", " "),
+    # mojibake repairs (double-encoded UTF-8 artifacts the source feeds
+    # carry — dw3_merge_inc.py:160-169)
+    ("├│", "ó"),
+    ("ΓÇ£", '"'),
+    ("ΓÇ¥", '"'),
+    ("Γäó", ""),
+    ("â„¢", ""),
+    # source-data typo fix (dw3_merge_inc.py:202-211)
+    ("COTTONMOUTN", "COTTONMOUTH"),
+]
+
+# T3 noise phrases stripped before similarity matching
+# (``dw4_book_dim.py:111-140``): edition/availability markers that would
+# otherwise dominate the token overlap.
+NOISE_PHRASES = ["pre-order", "out of print", "digital only", "paperback", "hardcover"]
+
+# T9 canonicalization map (``dw4_book_dim.py:143-159``): known alternate
+# titles mapped to the master form ahead of the fuzzy match. A join
+# against a mapping table would scale better; at dictionary size a
+# when-chain keeps it in the same projection.
+TITLE_CANONICALIZATIONS: list[tuple[str, str]] = [
+    ("madness vase", "madness vase gibson"),
 ]
 
 
@@ -42,6 +65,36 @@ def normalize_title(col: Column) -> Column:
     out = F.regexp_replace(out, r"\s+\b(the|and)\b\s+", " ")
     out = F.regexp_replace(out, r"\s+", " ")
     return F.trim(out)
+
+
+def strip_noise_phrases(col: Column, phrases: list[str] | None = None) -> Column:
+    """T3 (``dw4_book_dim.py:111-140``): remove edition/availability
+    phrases (case-insensitive) before similarity matching."""
+    out = col
+    for p in phrases or NOISE_PHRASES:
+        out = F.regexp_replace(out, r"(?i)" + p.replace("-", r"\-"), "")
+    return out
+
+
+def canonicalize_title(col: Column, mapping: list[tuple[str, str]] | None = None) -> Column:
+    """T9 (``dw4_book_dim.py:143-159``): substitute known alternate title
+    forms with the master form (substring substitution, the reference's
+    dict/regex style — applied to the already-normalized string). Guarded
+    so an already-canonical string is not re-expanded."""
+    out = col
+    for alt, canon in mapping or TITLE_CANONICALIZATIONS:
+        out = F.when(out.contains(canon), out).otherwise(
+            F.replace(out, F.lit(alt), F.lit(canon))
+        )
+    return out
+
+
+def clean_for_match(col: Column) -> Column:
+    """The full F3 pre-match chain (``dw4_book_dim.py:104-163``): literal
+    repairs → noise-phrase removal → normalize → canonicalize."""
+    return canonicalize_title(
+        normalize_title(strip_noise_phrases(replace_literals(col)))
+    )
 
 
 def strip_numeric_suffix(col: Column) -> Column:

@@ -183,6 +183,22 @@ def test_percent_to_fraction_variants(spark):
     assert vals == pytest.approx([0.15, 0.15, 0.15])
 
 
+def test_clean_for_match_full_chain(spark):
+    from bp_datawarehouse_ordersfact_spark.functions.cleaning import clean_for_match
+
+    df = spark.createDataFrame(
+        [
+            Row(t="The Madness Vase (Paperback)"),     # noise + stopword + T9 canon
+            Row(t="COTTONMOUTN KINGS"),                 # typo repair (T2)
+            Row(t="Night ΓÇ£SkyΓÇ¥ Poemsâ„¢ Pre-Order"),  # mojibake + noise
+        ]
+    )
+    vals = [r.c for r in df.select(clean_for_match(F.col("t")).alias("c")).collect()]
+    assert vals[0] == "the madness vase gibson"
+    assert vals[1] == "cottonmouth kings"
+    assert vals[2] == "night sky poems"
+
+
 def test_case_chain_default_bucket(spark):
     from bp_datawarehouse_ordersfact_spark.functions.conditional import case_chain
 
