@@ -52,6 +52,7 @@ HEADLINE = [
     "fact_royalty",
     "dedup_embedding_cosine",
     "multimodal_feature_extract",
+    "grouped_ewma",
     "stream_sliding_agg",
     "stream_dedup",
     "stream_session_agg",

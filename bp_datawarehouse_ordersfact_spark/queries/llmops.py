@@ -502,6 +502,62 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Grouped-map UDF surface (applyInPandas)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouped_ewma",
+    """
+    WITH ordered AS (
+      SELECT user_id,
+             list(value ORDER BY ts, event_id) AS vs,
+             list(event_id ORDER BY ts, event_id) AS ids
+      FROM events GROUP BY user_id),
+    folded AS (
+      SELECT user_id, ids,
+             list_reduce(
+               list_transform(vs, v -> [v]),
+               (acc, x) -> list_append(acc, 0.3 * x[1] + 0.7 * acc[len(acc)])
+             ) AS ew
+      FROM ordered)
+    SELECT user_id,
+           unnest(ids) AS event_id,
+           round(unnest(ew), 6) AS ewma
+    FROM folded
+    """,
+)
+def q_grouped_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (α=0.3, recursive
+    ``s_t = α·x_t + (1−α)·s_{t−1}``) — a genuinely sequential per-group
+    computation, the applyInPandas (grouped-map) use case: each group
+    lands in one Arrow batch, pandas runs the recursion at C speed, groups
+    parallelize across executors. The DuckDB oracle reproduces the exact
+    fold; ordering is pinned by (ts, event_id) so both engines recurse in
+    the same sequence."""
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        vals = pdf["value"].to_numpy()
+        out = np.empty(len(vals))
+        s = 0.0
+        for i, x in enumerate(vals):
+            s = x if i == 0 else 0.3 * x + 0.7 * s
+            out[i] = s
+        return pd.DataFrame(
+            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ewma": out}
+        )
+
+    out = ev.groupBy("user_id").applyInPandas(
+        ewma, schema="user_id long, event_id long, ewma double"
+    )
+    return out.withColumn("ewma", rnd(F.col("ewma"), 6))
+
+
+# ---------------------------------------------------------------------------
 # Multimodal: opaque binary payloads + typed metadata
 # ---------------------------------------------------------------------------
 

@@ -105,6 +105,50 @@ def run_stream_dedup_availablenow(spark: SparkSession, events_path: str) -> Data
     return _run_to_memory_sink(stream)
 
 
+def run_incremental_merge_stream(
+    spark: SparkSession,
+    increments_path: str,
+    archive_dir: str,
+    keys: list[str],
+) -> None:
+    """Streaming delete-insert upsert: every micro-batch whole-key-merges
+    into a Parquet archive via ``foreachBatch`` — the streaming form of
+    the reference's 61-day re-pull reconciliation (dw3_merge_inc.py:
+    114-125; SURVEY §2.14). Each batch runs the same JN5 anti-join+union
+    used in batch mode; on Delta/Iceberg staging the body becomes one
+    ``MERGE INTO`` keyed identically (no rewrite-the-world step).
+
+    Parquet cannot be read and overwritten in one job, so the merge lands
+    in a swap directory first — exactly the atomicity gap table formats
+    exist to close, kept explicit here.
+    """
+    import shutil
+
+    from ..operators.joins import anti_join_merge
+
+    src = _stream_source(spark, increments_path)
+
+    def upsert(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if os.path.isdir(archive_dir):
+            merged = anti_join_merge(s.read.parquet(archive_dir), batch_df, keys)
+        else:
+            merged = batch_df
+        tmp = archive_dir + ".swap"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(archive_dir):
+            shutil.rmtree(archive_dir)
+        os.rename(tmp, archive_dir)
+
+    q = (
+        src.writeStream.foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", archive_dir + ".checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_session_agg_availablenow(
     spark: SparkSession,
     events_path: str,
