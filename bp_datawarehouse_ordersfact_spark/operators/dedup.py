@@ -256,6 +256,49 @@ def simhash_pairs(
     )
 
 
+def minhash_lsh_pairs_ml(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hash_tables: int = 4,
+    threshold: float = 0.5,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """Spark ML variant of MinHash-LSH dedup: HashingTF(binary) →
+    MinHashLSH → approxSimilarityJoin. Same plan shape as the hand-rolled
+    pipeline (map-side signatures, band-bucket join), with MLlib owning
+    the hash family.
+
+    The hand-rolled ``minhash_lsh_pairs`` remains the oracle-checked
+    default (its md5 hashes reproduce in any engine); this one is the
+    library path when cross-engine determinism isn't required. Note
+    approxSimilarityJoin returns JACCARD DISTANCE — filtered here to
+    ``1 - threshold`` and re-emitted as similarity.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = with_shingles(df, text_col, id_col)
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", binary=True, numFeatures=num_features
+    )
+    feats = tf.transform(sh).filter(F.size("shingles") > 0)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, 1.0 - threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col(f"datasetA.{id_col}") < F.col(f"datasetB.{id_col}"))
+        .select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            rnd(1.0 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -170,6 +170,35 @@ def test_simhash_close_texts_low_hamming(spark):
     assert hamming <= 8  # one-word change flips few bits
 
 
+def test_minhash_ml_variant_finds_near_dups(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import minhash_lsh_pairs_ml
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog tonight"),
+            Row(doc_id=3, text="entirely different content with no shared phrases at all"),
+        ]
+    )
+    pairs = minhash_lsh_pairs_ml(df, "text", "doc_id", threshold=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard >= 0.5
+
+
+def test_build_date_dim_fiscal_quarters(spark):
+    from bp_datawarehouse_ordersfact_spark.domain.datedim import build_date_dim
+
+    dd = build_date_dim(spark, "2025-01-01", "2025-12-31")
+    assert dd.count() == 365
+    rows = {str(r.date): r for r in dd.collect()}
+    mar = rows["2025-03-15"]
+    assert mar.monthyear == "March2025"
+    assert mar.WC_Quarter == "2025Q1"
+    assert mar.SCB_Sales_Qtr == "2025Q2"   # one-quarter payment lag
+    dec = rows["2025-12-01"]
+    assert dec.SCB_Sales_Qtr == "2026Q1"   # lag crosses the year boundary
+
+
 # ---------------------------------------------------------------------------
 # cleaning / conditional expressions
 # ---------------------------------------------------------------------------
