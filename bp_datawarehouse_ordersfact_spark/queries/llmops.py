@@ -52,10 +52,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB twins of the shared text primitives (functions/text.py)
 SQL_TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
 SQL_H32 = "(('0x' || substr(md5({x}), 1, 8))::BIGINT)"
+# zero-token docs: coalesce keeps the Spark semantics (the single ''
+# shingle — empty docs are near-dups of each other); bare
+# array_to_string([]) is NULL in DuckDB and list_distinct would drop it
 SQL_SHINGLES = (
     "list_distinct(CASE WHEN len({t}) >= 3 THEN "
     "list_transform(range(len({t}) - 2), i -> {t}[i+1] || ' ' || {t}[i+2] || ' ' || {t}[i+3]) "
-    "ELSE [array_to_string({t}, ' ')] END)"
+    "ELSE [coalesce(array_to_string({t}, ' '), '')] END)"
 )
 
 

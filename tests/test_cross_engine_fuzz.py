@@ -1,0 +1,138 @@
+"""Cross-engine fuzz: the Spark primitives and their DuckDB oracle twins
+must agree on arbitrary inputs, not just the checked-in testdata (the
+driver can regenerate testdata; these contracts are what keep the parity
+gate green when it does).
+
+Deterministic seeds — failures reproduce.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import string
+
+import duckdb
+import pytest
+from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
+
+from bp_datawarehouse_ordersfact_spark.functions import text as Tx
+from bp_datawarehouse_ordersfact_spark.functions.rounding import rnd, sql_rewrite_rounds
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("fuzz")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def test_rounding_portable_on_random_doubles(spark):
+    rng = random.Random(42)
+    xs = [rng.uniform(-1e6, 1e6) for _ in range(5000)]
+    xs += [rng.uniform(-1, 1) for _ in range(5000)]
+    # adversarial boundary values: k.xx5 shapes at several magnitudes
+    xs += [round(rng.uniform(-1000, 1000), 3) for _ in range(5000)]
+
+    df = spark.createDataFrame([Row(i=i, x=x) for i, x in enumerate(xs)])
+    got = {
+        r.i: (r.r2, r.r6)
+        for r in df.select(
+            "i", rnd(F.col("x"), 2).alias("r2"), rnd(F.col("x"), 6).alias("r6")
+        ).collect()
+    }
+    sql = sql_rewrite_rounds(
+        "SELECT i, round(x, 2) AS r2, round(x, 6) AS r6 "
+        "FROM (SELECT unnest(range(len(?))) AS i, unnest(?) AS x)"
+    )
+    duck = {r[0]: (r[1], r[2]) for r in duckdb.execute(sql, [xs, xs]).fetchall()}
+    mismatches = [i for i in got if got[i] != duck[i]]
+    assert not mismatches, f"{len(mismatches)} rounding divergences, e.g. i={mismatches[:3]}"
+
+
+def _random_text(rng: random.Random) -> str:
+    alphabet = (
+        string.ascii_letters + string.digits + "     .,;:!?'\"-_()[]&%$#@/\\\n\t"
+        + "éüñßÆ漢字"
+    )
+    return "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+
+
+def test_tokens_match_duckdb_on_random_strings(spark):
+    rng = random.Random(7)
+    texts = [_random_text(rng) for _ in range(400)] + ["", "   ", "...", "a", "Ωμ"]
+    df = spark.createDataFrame([Row(i=i, t=t) for i, t in enumerate(texts)])
+    got = {r.i: r.toks for r in df.select("i", Tx.tokens(F.col("t")).alias("toks")).collect()}
+    from bp_datawarehouse_ordersfact_spark.queries.llmops import SQL_TOKS
+
+    duck = {
+        r[0]: r[1]
+        for r in duckdb.execute(
+            f"SELECT i, {SQL_TOKS.format(c='t')} AS toks "
+            "FROM (SELECT unnest(range(len(?))) AS i, unnest(?) AS t)",
+            [texts, texts],
+        ).fetchall()
+    }
+    mismatches = [(i, got[i], duck[i]) for i in got if got[i] != duck[i]]
+    assert not mismatches, f"{len(mismatches)} token divergences, e.g. {mismatches[:2]}"
+
+
+def test_h32_and_shingles_match_duckdb(spark):
+    rng = random.Random(13)
+    texts = [
+        " ".join(
+            "".join(rng.choice(string.ascii_lowercase) for _ in range(rng.randint(1, 8)))
+            for _ in range(rng.randint(0, 12))
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([Row(i=i, t=t) for i, t in enumerate(texts)])
+    got = {
+        r.i: (sorted(r.sh), r.h)
+        for r in df.select(
+            "i",
+            F.array_sort(Tx.word_shingles(Tx.tokens(F.col("t")), 3)).alias("sh"),
+            Tx.h32(F.col("t")).alias("h"),
+        ).collect()
+    }
+    from bp_datawarehouse_ordersfact_spark.queries.llmops import SQL_H32, SQL_SHINGLES, SQL_TOKS
+
+    duck = {
+        r[0]: (sorted(r[1]), r[2])
+        for r in duckdb.execute(
+            f"""SELECT i,
+                       {SQL_SHINGLES.format(t=SQL_TOKS.format(c='t'))} AS sh,
+                       {SQL_H32.format(x='t')} AS h
+                FROM (SELECT unnest(range(len(?))) AS i, unnest(?) AS t)""",
+            [texts, texts],
+        ).fetchall()
+    }
+    mismatches = [(i, got[i], duck[i]) for i in got if got[i] != duck[i]]
+    assert not mismatches, f"{len(mismatches)} divergences, e.g. {mismatches[:2]}"
+
+
+def test_jaccard_properties(spark):
+    rng = random.Random(99)
+    rows = []
+    for i in range(200):
+        a = list({rng.randint(0, 30) for _ in range(rng.randint(1, 15))})
+        b = list({rng.randint(0, 30) for _ in range(rng.randint(1, 15))})
+        rows.append(Row(i=i, a=[str(x) for x in a], b=[str(x) for x in b]))
+    df = spark.createDataFrame(rows)
+    out = df.select(
+        "i",
+        Tx.jaccard(F.col("a"), F.col("b")).alias("jab"),
+        Tx.jaccard(F.col("b"), F.col("a")).alias("jba"),
+        Tx.jaccard(F.col("a"), F.col("a")).alias("jaa"),
+    ).collect()
+    for r in out:
+        assert 0.0 <= r.jab <= 1.0
+        assert r.jab == pytest.approx(r.jba)  # symmetric
+        assert r.jaa == pytest.approx(1.0)    # reflexive
