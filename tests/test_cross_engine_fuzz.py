@@ -118,6 +118,92 @@ def test_h32_and_shingles_match_duckdb(spark):
     assert not mismatches, f"{len(mismatches)} divergences, e.g. {mismatches[:2]}"
 
 
+def test_dot_and_cosine_match_duckdb(spark):
+    from bp_datawarehouse_ordersfact_spark.functions import vectors as V
+    from bp_datawarehouse_ordersfact_spark.queries.llmops import SQL_DOT
+
+    rng = random.Random(21)
+    vecs_a = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(300)]
+    vecs_b = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(300)]
+    df = spark.createDataFrame(
+        [Row(i=i, a=a, b=b) for i, (a, b) in enumerate(zip(vecs_a, vecs_b))]
+    )
+    got = {
+        r.i: r.d
+        for r in df.select(
+            "i", rnd(V.dot(F.col("a"), F.col("b")), 6).alias("d")
+        ).collect()
+    }
+    sql = sql_rewrite_rounds(
+        f"""SELECT i, round({SQL_DOT.format(a='a', b='b')}, 6) AS d
+            FROM (SELECT unnest(range(len(?))) AS i,
+                         unnest(?) AS a, unnest(?) AS b)"""
+    )
+    duck = {r[0]: r[1] for r in duckdb.execute(sql, [vecs_a, vecs_a, vecs_b]).fetchall()}
+    assert got == duck
+
+
+def test_rolling_fingerprint_matches_duckdb(spark):
+    rng = random.Random(31)
+    # include non-ASCII: both engines must agree on the per-char codepoint
+    texts = [_random_text(rng) for _ in range(300)] + ["", "é", "漢字 abc"]
+    norm = [t.lower() for t in texts]
+    df = spark.createDataFrame([Row(i=i, t=t) for i, t in enumerate(norm)])
+    got = {
+        r.i: r.fp
+        for r in df.select("i", Tx.rolling_fingerprint(F.col("t")).alias("fp")).collect()
+    }
+    duck = {
+        r[0]: r[1]
+        for r in duckdb.execute(
+            """SELECT i, list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(range(length(t)), j -> CAST(ascii(t[j+1]) AS BIGINT))),
+                     (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+               FROM (SELECT unnest(range(len(?))) AS i, unnest(?) AS t)""",
+            [norm, norm],
+        ).fetchall()
+    }
+    mismatches = [(i, got[i], duck[i]) for i in got if got[i] != duck[i]]
+    assert not mismatches, f"{len(mismatches)} fingerprint divergences, e.g. {mismatches[:3]}"
+
+
+def test_levenshtein_matches_duckdb_on_ascii(spark):
+    """Agreement holds on ASCII ONLY: DuckDB's levenshtein counts BYTES
+    while Spark's counts codepoints, so any non-ASCII input diverges
+    (fuzz-discovered). The levenshtein oracle queries therefore only run
+    on ASCII columns; the second assertion pins the divergence so a
+    DuckDB behavior change is flagged here."""
+    rng = random.Random(55)
+    words = [
+        "".join(rng.choice(string.ascii_lowercase + "  -") for _ in range(rng.randint(0, 20)))
+        for _ in range(400)
+    ]
+    pairs = [(words[i], words[(i * 7 + 3) % len(words)]) for i in range(len(words))]
+    df = spark.createDataFrame([Row(i=i, a=a, b=b) for i, (a, b) in enumerate(pairs)])
+    got = {
+        r.i: r.d
+        for r in df.select("i", F.levenshtein(F.col("a"), F.col("b")).alias("d")).collect()
+    }
+    duck = {
+        r[0]: r[1]
+        for r in duckdb.execute(
+            """SELECT i, levenshtein(a, b) AS d
+               FROM (SELECT unnest(range(len(?))) AS i, unnest(?) AS a, unnest(?) AS b)""",
+            [[a for a, _ in pairs], [a for a, _ in pairs], [b for _, b in pairs]],
+        ).fetchall()
+    }
+    mismatches = [(i, pairs[i], got[i], duck[i]) for i in got if got[i] != duck[i]]
+    assert not mismatches, f"{len(mismatches)} levenshtein divergences, e.g. {mismatches[:3]}"
+
+    # pin the known unicode divergence: é is 2 bytes -> DuckDB says 2, Spark 1
+    duck_uni = duckdb.execute("SELECT levenshtein('e', 'é')").fetchone()[0]
+    spark_uni = (
+        spark.range(1).select(F.levenshtein(F.lit("e"), F.lit("é")).alias("d")).collect()[0].d
+    )
+    assert spark_uni == 1
+    assert duck_uni == 2, "DuckDB levenshtein became codepoint-based — oracle scope can widen"
+
+
 def test_jaccard_properties(spark):
     rng = random.Random(99)
     rows = []
