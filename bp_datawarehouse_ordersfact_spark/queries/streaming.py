@@ -80,6 +80,8 @@ QUERIES["stream_session_agg"] = q_stream_session_agg
 ORACLES["stream_session_agg"] = """
     WITH flagged AS (
       SELECT user_id, ts, value,
+             -- INCLUSIVE <=: verified empirically — Spark merges an event
+             -- landing exactly at last_event + gap into the same session
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                        <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_s
       FROM events),

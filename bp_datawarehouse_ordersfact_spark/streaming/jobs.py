@@ -95,7 +95,11 @@ def run_stream_dedup_availablenow(spark: SparkSession, events_path: str) -> Data
     ).drop("__copy")
     stream = (
         doubled.withWatermark("ts", "2 hours")
-        .dropDuplicates(["event_id"])
+        # full-row dedup: replayed deliveries are byte-identical, so this
+        # collapses exactly them — and stays deterministic even if the
+        # source legitimately carried two different rows with one key
+        # (key-only dedup would keep an arbitrary one)
+        .dropDuplicates()
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
