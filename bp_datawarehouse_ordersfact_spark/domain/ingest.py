@@ -34,6 +34,47 @@ def meta_value(item, key: str):
     return F.try_element_at(hits, F.lit(1))["value"]
 
 
+def build_product_dim(products: DataFrame) -> DataFrame:
+    """C1 product categorizer (the reference's 13-branch ``np.select``
+    over ``categories_0_name``/``shipping_class``/name-contains,
+    ``dw2_wc_increment.py:88-109``): first-match-wins chained ``when``
+    with the 'Check' triage default. Input columns:
+    (product_id, product_name, category_name, shipping_class).
+
+    In Spark the nested categories array would arrive as
+    ``ArrayType(Struct)`` — ``categories_0_name`` is
+    ``element_at(categories, 1).name``; this takes the already-projected
+    column to stay source-agnostic.
+    """
+    cat, ship = F.col("category_name"), F.col("shipping_class")
+    name = F.trim(F.col("product_name"))
+    product_category = (
+        # Books
+        F.when(cat == "Books", "Book")
+        .when(cat == "Forthcoming Books", "Book")
+        .when(cat == "Out of Print", "Book")
+        .when(cat == "Audiobooks", "Book")
+        .when(cat == "E-Books", "Book")
+        .when(ship == "books", "Book")
+        # Bundles
+        .when(cat == "Bundles", "Bundles")
+        .when(name.contains("Bundle"), "Bundles")
+        .when(ship == "bundles", "Bundles")
+        # Merch
+        .when(cat == "Merch", "Merch")
+        .when(cat == "Featured", "Merch")
+        .when(ship == "clothing", "Merch")
+        # Other
+        .when(cat == "Workshop", "Workshop")
+        .otherwise("Check")  # triage bucket for unclassified products
+    )
+    return products.select(
+        F.col("product_id"),
+        name.alias("product_name"),
+        product_category.alias("category"),
+    )
+
+
 def normalize_orders(raw: DataFrame, product_dim: DataFrame) -> DataFrame:
     """Nested orders → one row per line item with coupon/refund columns,
     category, flags, and per-order totals. Mirrors the dw2 dataflow

@@ -88,6 +88,25 @@ def test_incremental_merge_replaces_whole_orders(spark, pipe):
     assert q > 100  # increment rows won
 
 
+def test_product_categorizer_c1(spark):
+    products = spark.createDataFrame(
+        [
+            (1, "Night Sky Poems", "Books", None),
+            (2, "Old Chapbook", "Out of Print", None),
+            (3, "Heavy Tome", None, "books"),            # shipping-class fallback
+            (4, "Night Sky Bundle", None, None),          # name-contains rule
+            (5, "Tour Tee", "Featured", None),
+            (6, "Writing Workshop", "Workshop", None),
+            (7, "Mystery Item", None, None),              # → triage bucket
+            (8, "Combo by Name", "Books", "bundles"),     # first match wins → Book
+        ],
+        "product_id long, product_name string, category_name string, shipping_class string",
+    )
+    out = {r.product_id: r.category for r in ingest.build_product_dim(products).collect()}
+    assert out == {1: "Book", 2: "Book", 3: "Book", 4: "Bundles",
+                   5: "Merch", 6: "Workshop", 7: "Check", 8: "Book"}
+
+
 # --- dims ------------------------------------------------------------------
 
 
