@@ -361,6 +361,49 @@ def q_fact_royalty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S1/S2: paginated REST ingestion (distributed fetcher)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rest_ingest_distributed",
+    """
+    SELECT CAST((page - 1) * 20 + i AS BIGINT) AS id,
+           CAST(page AS INT) AS page,
+           round(CAST(i AS DOUBLE) + CAST(page AS DOUBLE) / 100.0, 2) AS amount
+    FROM (SELECT unnest(range(1, 6)) AS page) CROSS JOIN
+         (SELECT unnest(range(20)) AS i)
+    """,
+)
+def q_rest_ingest_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2 (paginated windowed REST pulls, the reference's driver-side
+    page loop): the distributed shape — page numbers fan out over
+    executors, each task fetches its pages, records parse JVM-side
+    against the explicit schema. The transport here is the deterministic
+    fake (no network in the container); pagination, parallelization,
+    parsing, and money-string coercion are the production path."""
+    from pyspark.sql import types as T
+
+    from ..sources.rest import fetch_pages_distributed
+
+    def fake_fetch(page: int, per_page: int, ws, we) -> list[dict]:
+        return [
+            {"id": (page - 1) * per_page + i, "page": page, "amount": f"{i + page / 100.0:.2f}"}
+            for i in range(per_page)
+        ]
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("page", T.IntegerType()),
+            T.StructField("amount", T.StringType()),
+        ]
+    )
+    df = fetch_pages_distributed(spark, fake_fetch, schema, n_pages=5, per_page=20)
+    return df.select("id", "page", rnd(F.col("amount").cast("double"), 2).alias("amount"))
+
+
+# ---------------------------------------------------------------------------
 # Date dimension generation (D5): sequence + explode
 # ---------------------------------------------------------------------------
 
