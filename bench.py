@@ -53,6 +53,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "multimodal_feature_extract",
     "grouped_ewma",
+    "text_pii_scrub",
+    "corpus_filter_pipeline",
     "stream_sliding_agg",
     "stream_dedup",
     "stream_session_agg",

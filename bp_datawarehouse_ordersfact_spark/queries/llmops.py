@@ -504,6 +504,109 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", Tx.rolling_fingerprint(norm).alias("fingerprint"))
 
 
+_EMAIL_RE = r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9\-\s]{7,}[0-9]"
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text,
+               '{_EMAIL_RE.replace("'", "''")}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE.replace("'", "''")}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phones
+    FROM documents
+    """,
+)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails, phone-number shapes) — the standard
+    pre-training scrub, as two codegen'd regexp_replace passes plus
+    per-doc match counts for the audit trail."""
+    d = _docs(spark, sf_dir)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))).cast("long").alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0))).cast("long").alias(
+            "n_phones"
+        ),
+    )
+
+
+@register(
+    "corpus_filter_pipeline",
+    f"""
+    WITH toks AS (SELECT doc_id, lang, {SQL_TOKS.format(c='text')} AS t,
+                         md5(text) AS content_hash
+                  FROM documents),
+    scored AS (
+      SELECT doc_id, lang, content_hash,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             round(CAST(len(list_distinct(t)) AS DOUBLE) / greatest(len(t), 1), 6) AS ttr,
+             CAST(row_number() OVER (PARTITION BY md5(array_to_string(t, ' ')), content_hash
+                                     ORDER BY doc_id) AS BIGINT) AS copy_rank
+      FROM toks),
+    flagged AS (
+      SELECT doc_id, lang, n_tokens, ttr,
+             CASE WHEN copy_rank > 1 THEN 'duplicate'
+                  WHEN n_tokens < 5 THEN 'too_short'
+                  WHEN ttr < 0.3 THEN 'low_diversity'
+                  ELSE 'keep' END AS verdict
+      FROM scored)
+    SELECT verdict, lang,
+           count(*) AS n_docs,
+           round(avg(n_tokens), 6) AS avg_tokens
+    FROM flagged GROUP BY verdict, lang
+    """,
+)
+def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pass: exact-dedup (keep-first
+    by content hash), length floor, lexical-diversity floor — each doc
+    gets ONE verdict with first-match precedence, reported as a per-
+    (verdict, lang) audit rollup. One pipeline, three SURVEY families
+    (dedup, text quality, conditional gating) — the shape a 100 TB corpus
+    filter actually runs as: narrow per-doc scoring, one window for the
+    dedup rank, one rollup."""
+    d = _docs(spark, sf_dir)
+    toks = Tx.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("content_hash"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        rnd(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("ttr"),
+        F.md5(F.concat_ws(" ", toks)).alias("tok_hash"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("tok_hash", "content_hash").orderBy("doc_id")
+    flagged = scored.withColumn("copy_rank", F.row_number().over(w).cast("long")).select(
+        "lang",
+        "n_tokens",
+        F.when(F.col("copy_rank") > 1, "duplicate")
+        .when(F.col("n_tokens") < 5, "too_short")
+        .when(F.col("ttr") < 0.3, "low_diversity")
+        .otherwise("keep")
+        .alias("verdict"),
+    )
+    return flagged.groupBy("verdict", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        rnd(F.avg("n_tokens"), 6).alias("avg_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grouped-map UDF surface (applyInPandas)
 # ---------------------------------------------------------------------------
