@@ -691,6 +691,31 @@ def q_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_stats",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (absent from the reference;
+    table stakes for an analytics engine). `percentile` is the exact
+    linear-interpolation form both engines define identically — at 100 TB
+    the one-pass sketch (`percentile_approx`) replaces it, trading the
+    per-group sort for bounded error; the exact form here is what the
+    oracle can verify."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        rnd(F.percentile("value", 0.5), 6).alias("p50"),
+        rnd(F.percentile("value", 0.9), 6).alias("p90"),
+        rnd(F.percentile("value", 0.99), 6).alias("p99"),
+    )
+
+
+@register(
     "grouping_rollup",
     """
     SELECT l_returnflag, l_linestatus,
