@@ -29,6 +29,7 @@ HEADLINE = [
     "composite_key_join",
     "multikey_rollup",
     "window_order_totals",
+    "rolling_window_avg",
     "parent_allocation",
     "incremental_merge",
     "count_distinct_per_group",

@@ -691,6 +691,71 @@ def q_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_window_avg",
+    """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),
+                 6) AS rolling_avg_1h,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+                               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_in_window
+    FROM events
+    """,
+)
+def q_rolling_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frames (absent from the reference — §2.6 notes
+    no frame specs exist there): per-user trailing 1-hour average. The
+    frame is event-time range-based, not row-count-based, so it is
+    batching-independent — the same frame a streaming job would maintain
+    as state."""
+    ev = _t(spark, sf_dir, "events")
+    # MICROSECOND range key: flooring ts to seconds would shift frame
+    # membership at sub-second boundaries vs the oracle's exact interval
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        rnd(F.avg("value").over(w), 6).alias("rolling_avg_1h"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
+
+
+@register(
+    "event_interarrival",
+    """
+    SELECT user_id, event_id,
+           (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id)))
+             // 1000000 AS gap_seconds,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+             AS value_delta
+    FROM events
+    """,
+)
+def q_event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag offsets (absent from the reference): per-user event
+    inter-arrival gap and value delta, with a (ts, event_id) total order
+    so the previous-row choice is deterministic. The gap is the MICROS
+    difference floor-divided to seconds — flooring each timestamp first
+    (`cast long`) disagrees with the true difference on sub-second
+    fractions."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros_gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.floor(micros_gap / 1_000_000).alias("gap_seconds"),
+        rnd(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+    )
+
+
+@register(
     "quantile_stats",
     """
     SELECT event_type,
