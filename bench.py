@@ -30,6 +30,8 @@ HEADLINE = [
     "multikey_rollup",
     "window_order_totals",
     "rolling_window_avg",
+    "asof_join",
+    "range_join_attribution",
     "parent_allocation",
     "incremental_merge",
     "count_distinct_per_group",

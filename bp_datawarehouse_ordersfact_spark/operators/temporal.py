@@ -1,0 +1,110 @@
+"""Temporal join operators: as-of join and interval (range) join.
+
+The reference has no time-ordered joins at all — its only temporal logic
+is calendar attribute lookup via Date_Dim equi-joins
+(dw5_order_royalty_fact.py:126,293) and the +3-month payment-lag shift
+(dw5_order_royalty_fact.py:741). These operators are the "beyond the
+reference" temporal capabilities a training-data / event pipeline needs.
+
+Scale notes
+-----------
+`asof_join` uses the union-then-window formulation: tag both sides, union,
+and carry the most recent right-side payload forward with
+``last(..., ignorenulls=True)`` over a (key, time)-ordered window. That is
+ONE shuffle on the join key — no join operator at all — and never
+materializes the quadratic (left × right-history) pair space a naive
+range-join formulation would. At 100 TB the window state per key is a
+single row of carried payload, so it streams.
+
+`interval_join_agg`-shaped queries (equi key + time-range residual) should
+keep the equi key in the join condition so Spark plans a hash/sort-merge
+join on the key and applies the range as a cheap residual filter; only a
+pure range predicate (no equi key) needs bucketized binning.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Right-side rows must sort BEFORE left-side rows at equal timestamps so
+# the as-of match is inclusive (ts_right <= ts_left), matching DuckDB's
+# `ASOF JOIN ... ON l.ts >= r.ts` semantics.
+_RIGHT_TAG = 0
+_LEFT_TAG = 1
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    payload_prefix: str = "r_",
+    right_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Left as-of join: for every left row, attach the payload of the
+    most recent right row with ``right[right_ts] <= left[left_ts]`` and
+    equal `by` keys; NULL payload when no such row exists.
+
+    If the right side can hold several rows per (by, right_ts), pass
+    `right_tiebreak` (right column names, ascending; the LAST row wins
+    since the window carries ``last(...)``) so the match is deterministic
+    — this replaces a separate keep-first dedup pass (P10 discipline,
+    SURVEY §2.3) at zero extra shuffles: the tie-break folds into the
+    carry-window's sort order.
+
+    Returns all left columns plus ``{prefix}{ts}`` and
+    ``{prefix}{payload}`` columns.
+    """
+    by = list(by)
+    p_ts = f"{payload_prefix}{right_ts}"
+    p_cols = {c: f"{payload_prefix}{c}" for c in payload_cols}
+
+    left_tagged = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(_LEFT_TAG).alias("__tag"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(p_ts),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(a)
+            for c, a in p_cols.items()
+        ],
+    )
+    left_only = [c for c in left.columns if c not in by and c != left_ts]
+    right_tagged = right.select(
+        *[F.col(c) for c in by],
+        F.col(right_ts).alias(left_ts),
+        F.lit(_RIGHT_TAG).alias("__tag"),
+        F.col(right_ts).alias(p_ts),
+        *[F.col(c).alias(a) for c, a in p_cols.items()],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_only],
+    )
+
+    tiebreak_aliases = []
+    for c in right_tiebreak:
+        if c in p_cols:
+            tiebreak_aliases.append(p_cols[c])
+        elif c == right_ts:
+            tiebreak_aliases.append(p_ts)
+        else:
+            raise ValueError(
+                f"right_tiebreak column {c!r} must be in payload_cols or be the ts"
+            )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(left_ts), F.col("__tag"), *[F.col(a) for a in tiebreak_aliases])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = left_tagged.unionByName(right_tagged).select(
+        *[F.col(c) for c in left.columns],
+        F.col("__tag"),
+        F.last(p_ts, ignorenulls=True).over(w).alias(p_ts),
+        *[
+            F.last(a, ignorenulls=True).over(w).alias(a)
+            for a in p_cols.values()
+        ],
+    )
+    return carried.filter(F.col("__tag") == _LEFT_TAG).drop("__tag")

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core.io import load_table
@@ -21,6 +21,7 @@ from ..functions.rounding import rnd
 from ..functions import text as Tx
 from ..functions import vectors as V
 from ..operators import dedup as D
+from ..operators.graph import connected_components
 from ..operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
@@ -780,3 +781,56 @@ def decode_image_stub(payload: bytes) -> dict:
     decode → resize → feature vector; the plumbing above is identical.
     """
     raise NotImplementedError("image decode requires PIL/libvips — not in this container")
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: candidate pairs → connected components → groups
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_cc",
+    f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, source, {SQL_TOKS.format(c='text')} AS t FROM documents),
+    sh AS (SELECT doc_id, source, {SQL_SHINGLES.format(t='t')} AS shingles FROM toks),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / (len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.3),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+    SELECT doc_id, component,
+           count(*) OVER (PARTITION BY component) AS component_size
+    FROM comp
+    """,
+)
+def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS, not just pairs: the dedup_ngram_jaccard candidate
+    pairs closed transitively via iterative min-label propagation
+    (operators/graph.connected_components — Pregel-style, one shuffle per
+    round, rounds bounded by cluster diameter), so a "keep one doc per
+    cluster" policy can be applied. component = min doc_id in the
+    cluster; isolated docs are their own singleton. The oracle computes
+    the same closure with a recursive CTE."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.3, block_col="source"
+    )
+    comp = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    w = Window.partitionBy("component")
+    return comp.select(
+        "doc_id", "component", F.count(F.lit(1)).over(w).alias("component_size")
+    )

@@ -17,6 +17,7 @@ from ..functions.cleaning import normalize_title, percent_to_fraction
 from ..functions.conditional import case_chain
 from ..operators.aggregates import null_audit
 from ..operators.joins import anti_join_merge, broadcast_left_join, dedup_keep_first
+from ..operators.temporal import asof_join
 from ..operators.similarity import fuzzy_ratio_join, tfidf_cosine_match
 
 QUERIES: dict = {}
@@ -934,3 +935,114 @@ def q_tfidf_title_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_id", F.col("c_text")
     )
     return tfidf_cosine_match(master, "m_id", "m_text", cand, "c_id", "c_text", threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (beyond the reference — §2.4 notes no theta/range/as-of
+# joins exist there; a training-data/event pipeline needs both)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join",
+    """
+    WITH p AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view')
+    SELECT v.user_id, v.event_id,
+           p.event_id AS purchase_event_id,
+           round(p.value, 6) AS purchase_value,
+           (epoch_us(v.ts) - epoch_us(p.ts)) // 1000000 AS staleness_seconds
+    FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left as-of join: each 'view' event picks up the user's most recent
+    prior-or-simultaneous 'purchase' (operators/temporal.asof_join).
+    Implemented as tagged-union + carry-forward window — ONE shuffle on
+    user_id, no join operator, no quadratic pair space — the plan that
+    survives 100 TB. Several purchases at the same (user_id, ts) resolve
+    to the max event_id via the carry-window tie-break (last row wins),
+    matching the oracle's QUALIFY keep — no separate dedup pass, no
+    second shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    v = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    out = asof_join(
+        v, p, by=["user_id"], left_ts="ts", right_ts="ts",
+        payload_cols=["event_id", "value"], payload_prefix="p_",
+        right_tiebreak=["event_id"],
+    )
+    gap_micros = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("p_ts"))
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("p_event_id").alias("purchase_event_id"),
+        rnd(F.col("p_value"), 6).alias("purchase_value"),
+        F.floor(gap_micros / 1_000_000).alias("staleness_seconds"),
+    )
+
+
+@register(
+    "range_join_attribution",
+    """
+    SELECT o.o_orderkey,
+           count(e.event_id) AS n_events,
+           round(coalesce(sum(e.value), 0.0), 6) AS sum_value
+    FROM orders o LEFT JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: per-order count/sum of the customer's
+    events inside the 7 days after the order date. The equi key
+    (user = custkey) stays in the join condition so Spark plans a
+    hash/sort-merge join partitioned on the key and applies the time
+    range as a residual filter — the scalable shape; only a pure range
+    predicate with no equi key would need bucketized time binning."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    cond = (
+        (e["user_id"] == o["o_custkey"])
+        & (e["ts"] >= o["o_orderdate"])
+        & (e["ts"] < o["o_orderdate"] + F.expr("INTERVAL 7 DAYS"))
+    )
+    return (
+        o.join(e, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            rnd(F.coalesce(F.sum("value"), F.lit(0.0)), 6).alias("sum_value"),
+        )
+    )
+
+
+@register("sketch_approx_stats")
+def q_sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates (rows-only: HLL/KLL internals are
+    engine-specific, so no cross-engine hash oracle exists): per
+    event_type, HyperLogLog++ distinct users and a one-pass approximate
+    median next to their exact counterparts, with the realized relative
+    error. At 100 TB the sketches are the only viable plan — they fold
+    map-side into fixed-size state with no per-group sort or distinct
+    shuffle — and this query demonstrates their error stays within the
+    configured rsd/accuracy bounds against the exact values."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        rnd(F.percentile("value", 0.5), 6).alias("p50_exact"),
+        rnd(F.percentile_approx("value", 0.5, 10000), 6).alias("p50_approx"),
+    )
+    rel_err = F.abs(F.col("n_users_approx") - F.col("n_users_exact")) / F.col(
+        "n_users_exact"
+    )
+    return agg.withColumn("distinct_rel_err", rnd(rel_err, 6))

@@ -298,3 +298,63 @@ def test_rnd_matches_duckdb_rewritten_round(spark):
     )
     duck_vals = [r[0] for r in duckdb.execute(sql, [sorted(xs)]).fetchall()]
     assert spark_vals == duck_vals
+
+
+# ---------------------------------------------------------------------------
+# temporal: as-of join
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_inclusive_and_null_when_no_prior(spark):
+    import datetime as dt
+
+    from bp_datawarehouse_ordersfact_spark.operators.temporal import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=T(2024, 1, 1, 10, 0), lid=1),   # before any right row
+            Row(k=1, ts=T(2024, 1, 1, 12, 0), lid=2),   # exactly at right ts
+            Row(k=1, ts=T(2024, 1, 1, 13, 0), lid=3),   # after first right row
+            Row(k=2, ts=T(2024, 1, 1, 12, 0), lid=4),   # key with no right rows
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            # two rows at the same (k, rts): tie-break on rid, LAST wins
+            Row(k=1, rts=T(2024, 1, 1, 12, 0), rid=1, payload=99.0),
+            Row(k=1, rts=T(2024, 1, 1, 12, 0), rid=2, payload=10.0),
+            Row(k=1, rts=T(2024, 1, 1, 12, 30), rid=3, payload=20.0),
+        ]
+    )
+    out = {
+        r.lid: r.r_payload
+        for r in asof_join(
+            left, right, by=["k"], left_ts="ts", right_ts="rts",
+            payload_cols=["rid", "payload"], right_tiebreak=["rid"],
+        ).collect()
+    }
+    assert out[1] is None            # no prior right row
+    assert out[2] == 10.0            # equal ts matches (inclusive), max rid wins
+    assert out[3] == 20.0            # most recent prior, not first
+    assert out[4] is None            # key absent on right side
+
+
+# ---------------------------------------------------------------------------
+# graph: connected components
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_isolates(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.graph import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([Row(id=i) for i in range(7)])
+    # chain 0-1-2-3 (diameter > 1 forces multiple propagation rounds),
+    # pair 4-5 given one-sided (must be symmetrized), 6 isolated
+    edges = spark.createDataFrame(
+        [Row(src=0, dst=1), Row(src=1, dst=2), Row(src=2, dst=3), Row(src=5, dst=4)]
+    )
+    out = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}

@@ -107,3 +107,20 @@ def test_whole_stage_codegen_present_in_hot_paths(spark):
             "HashAggregate" in ln and ln.lstrip().startswith(("*(", "+- *("))
             for ln in p.splitlines()
         ), name
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    # the union+carry-window as-of: exactly one exchange (hash on the
+    # by-key), zero join operators, event_type filters pushed to the scan
+    p = plan_of(spark, "asof_join")
+    assert p.count("Exchange") == 1
+    assert "Join" not in p
+    assert "EqualTo(event_type,view)" in p and "EqualTo(event_type,purchase)" in p
+
+
+def test_range_join_attribution_keeps_equi_key(spark):
+    # equi key in the join condition -> hash join with the time range as
+    # a residual filter; never a cartesian/BroadcastNestedLoop plan
+    p = plan_of(spark, "range_join_attribution")
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
