@@ -453,3 +453,51 @@ def q_date_dim_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "kafka_wire_roundtrip",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 6) AS sum_value,
+           max(event_id) AS max_offset
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka ingestion path without a broker (sources/kafka_shaped.py):
+    events encoded to the Kafka wire schema (key/value binary JSON,
+    keyed-producer pmod partition placement, event_id as the per-key
+    monotone offset), then decoded back with an explicit-schema
+    `from_json` — all JVM-side, inside codegen. The oracle aggregates
+    the original table directly, so a hash match proves the
+    encode→decode round trip is lossless for every typed column and the
+    offset metadata survives the trip."""
+    from pyspark.sql import types as T
+
+    from ..sources.kafka_shaped import parse_kafka_wire, to_kafka_wire
+
+    ev = _t(spark, sf_dir, "events")
+    wire = to_kafka_wire(
+        ev, key_col="user_id", ts_col="ts", topic="events", offset_col="event_id"
+    )
+    value_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    decoded = parse_kafka_wire(wire, value_schema)
+    return decoded.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        rnd(F.sum("value"), 6).alias("sum_value"),
+        F.max("offset").alias("max_offset"),
+    )

@@ -1,0 +1,143 @@
+"""Hypothesis property tests: randomized cross-checks of the composite
+operators against trivially-correct pure-Python references. Example
+counts are small (each example runs Spark jobs) but the generators cover
+the structural edge cases enumeration misses — duplicate timestamps,
+self-contradictory edge directions, disconnected nodes, empty sides.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row, SparkSession
+
+PROP = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("property")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+# ---------------------------------------------------------------------------
+# connected_components == union-find
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    n=st.integers(min_value=1, max_value=24),
+    edges=st.lists(
+        st.tuples(st.integers(0, 23), st.integers(0, 23)), max_size=40
+    ),
+)
+def test_connected_components_matches_union_find(spark, n, edges):
+    from bp_datawarehouse_ordersfact_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a < n and b < n]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n)}
+    # canonicalize: component id = min member id
+    comp_min: dict[int, int] = {}
+    for i in range(n):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    expected = {i: comp_min[find(i)] for i in range(n)}
+
+    nodes_df = spark.createDataFrame([Row(id=i) for i in range(n)])
+    if edges:
+        edges_df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    else:
+        edges_df = spark.createDataFrame([], "src int, dst int")
+    got = {
+        r.id: r.component
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# asof_join == brute-force most-recent-prior scan
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), max_size=25
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from bp_datawarehouse_ordersfact_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda m: base + dt.timedelta(minutes=m)
+    left_rows = [
+        Row(k=k, ts=t(m), lid=i) for i, (k, m) in enumerate(left)
+    ]
+    right_rows = [
+        Row(k=k, rts=t(m), rid=i, payload=float(i)) for i, (k, m) in enumerate(right)
+    ]
+
+    def expect(k, ts):
+        cands = [r for r in right_rows if r.k == k and r.rts <= ts]
+        if not cands:
+            return None
+        # most recent; ties -> max rid (the declared tie-break)
+        best = max(cands, key=lambda r: (r.rts, r.rid))
+        return best.payload
+
+    expected = {r.lid: expect(r.k, r.ts) for r in left_rows}
+
+    left_df = spark.createDataFrame(left_rows)
+    if right_rows:
+        right_df = spark.createDataFrame(right_rows)
+    else:
+        right_df = spark.createDataFrame(
+            [], "k int, rts timestamp, rid int, payload double"
+        )
+    got = {
+        r.lid: r.r_payload
+        for r in asof_join(
+            left_df,
+            right_df,
+            by=["k"],
+            left_ts="ts",
+            right_ts="rts",
+            payload_cols=["rid", "payload"],
+            right_tiebreak=["rid"],
+        ).collect()
+    }
+    assert got == expected

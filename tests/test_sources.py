@@ -83,3 +83,40 @@ def test_csv_roundtrip_with_schema_and_nulls(spark, tmp_path):
     assert rows[2].name is None and rows[2].amount is None  # '' → null at the scan
     files.write_table(df, path)
     assert spark.read.parquet(path).count() == 2
+
+
+def test_kafka_wire_roundtrip_and_quarantine(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from bp_datawarehouse_ordersfact_spark.sources.kafka_shaped import (
+        KAFKA_WIRE_SCHEMA,
+        parse_kafka_wire,
+        to_kafka_wire,
+    )
+
+    df = spark.createDataFrame(
+        [Row(k=1, seq=10, txt="a", x=1.5), Row(k=2, seq=20, txt="b", x=-2.25)]
+    )
+    wire = to_kafka_wire(df, key_col="k", ts_col="seq", topic="t", offset_col="seq")
+    assert [f.name for f in wire.schema.fields] == [
+        f.name for f in KAFKA_WIRE_SCHEMA.fields
+    ]
+    # inject one corrupt payload alongside the real records
+    corrupt = wire.limit(1).withColumn(
+        "value", F.lit(b"{not json").cast("binary")
+    ).withColumn("offset", F.lit(999).cast("long"))
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("txt", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    out = parse_kafka_wire(wire.unionByName(corrupt), schema)
+    rows = {r.k: r for r in out.collect()}
+    # corrupt record quarantined, typed values round-tripped exactly
+    assert set(rows) == {1, 2} and len(rows) == 2
+    assert rows[1].x == 1.5 and rows[2].x == -2.25
+    assert rows[1].offset == 10 and rows[2].txt == "b"
