@@ -26,6 +26,17 @@ from ..functions import text as Tx
 from ..functions import vectors as V
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """cache + eager fill. A lazily-cached frame referenced by BOTH sides
+    of a self-join gets computed twice concurrently on first action (the
+    join branches race before either fills the cache) — at sf0.1 that
+    race alone tripled simhash/minhash wall time. One count() up front
+    fills the cache once; every branch then reads InMemoryTableScan."""
+    df = df.cache()
+    df.count()
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep the smallest id per identical text (md5 bucket)."""
     return (
@@ -112,7 +123,7 @@ def minhash_lsh_pairs(
     # (signature build plus the two verification joins), recomputing the
     # window/distinct work. Locally a cache() is the boundary; at 100 TB
     # this is a staged signature table.
-    rows = shingle_rows(df, text_col, id_col, shingle_n).cache()
+    rows = _materialize(shingle_rows(df, text_col, id_col, shingle_n))
     # Signature via hash columns → groupBy-min: every operator stays
     # inside whole-stage codegen (the higher-order-function form in
     # functions.text.minhash_signature evaluates its lambdas interpreted,
@@ -154,7 +165,8 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bh").cache()
+    ).select("doc", "bb.band", "bb.bh")
+    banded = _materialize(banded)
 
     cand = (
         banded.alias("x")
@@ -184,60 +196,96 @@ def minhash_lsh_pairs(
 def simhash_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance.
+    """Near-dup pairs by SimHash hamming distance over a 64-bit
+    fingerprint (two independent 32-bit halves — md5 hex 1-8 and 9-16 —
+    so every value stays inside DuckDB's signed BIGINT for the oracle).
 
-    Blocking: a pair within hamming ≤ 3 of a 32-bit fingerprint must agree
-    exactly on at least one of 4 8-bit bands (pigeonhole) — so candidates
-    come from 4 band equi-joins, never an all-pairs product.
+    Blocking: a pair within hamming ≤ 3 of the 64-bit fingerprint must
+    agree exactly on at least one of 4 16-bit bands (pigeonhole) — so
+    candidates come from 4 band equi-joins, never an all-pairs product.
+    The 16-bit band space (65,536 buckets/band) is what keeps candidate
+    fan-out sane: the previous 32-bit/8-bit-band form produced 1.5M
+    hamming-≤3 "pairs" from 5,000 docs — a 32-bit simhash saturates at
+    corpus sizes where doc vocabularies overlap, and 256 buckets/band
+    made the band join quadratic-ish. At 64 bits the same corpus yields
+    a small, meaningful near-dup set and the band join stays sparse.
     """
     # Fingerprint via explode → groupBy bit-vote sums (whole-stage
-    # codegen; the higher-order fold in functions.text.simhash32 runs
-    # interpreted — see minhash_lsh_pairs note). Zero-token docs drop out
-    # of the explode, so they're restored with the fold's fp=0 (all votes
-    # 0 → no bits set). cache = materialization boundary: the fingerprint
-    # would otherwise be recomputed on both sides of the self-join.
+    # codegen; higher-order folds run interpreted — see minhash_lsh_pairs
+    # note). One md5 per token feeds both halves. Zero-token docs drop
+    # out of the explode but explode_outer keeps the doc with h NULL →
+    # all votes 0 → fp=0 for both halves. cache = materialization
+    # boundary: the fingerprint would otherwise be recomputed on both
+    # sides of the self-join.
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode_outer(F.array_distinct(Tx.tokens(F.col(text_col)))).alias("t"),
-    ).select("doc", Tx.h32(F.col("t")).alias("h"))
-    votes = toks.groupBy("doc").agg(
-        *[
-            F.sum(
-                F.when(F.col("h").isNull(), 0)
-                .when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v{b}")
-            for b in range(32)
-        ]
-    )
-    fp_expr = None
-    for b in range(32):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp_expr = term if fp_expr is None else fp_expr + term
-    fp = votes.select("doc", fp_expr.alias("fp")).cache()
-    banded = fp.select(
+    ).select(
         "doc",
-        "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("fp"), 8 * b)
-                        .bitwiseAND(F.lit(255))
-                        .alias("bv"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "fp", "bb.band", "bb.bv")
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+
+    # Bit votes as NARROW ROWS, not a 64-wide aggregate: explode each
+    # token into (doc, b, bit) via a sequence(0,63) — every expression
+    # stays tiny, so whole-stage codegen compiles in milliseconds (the
+    # 64-column sum(CASE…) aggregate generated so much Java that janino
+    # compilation alone dominated first-run latency: 8.2s vs 4.3s total
+    # at sf0.1). Map-side partial aggregation combines the bit rows to
+    # ≤64 per doc per partition before the shuffle, so the row explosion
+    # never crosses the wire — the same state size as the wide-agg form.
+    # `sum(±1) > 0 ⟺ 2*ones > n`; empty docs (h NULL → bit NULL) give
+    # n=0 → every vote predicate NULL → fp=0, as in the vote form.
+    bit_rows = toks.select(
+        "doc", "h1", "h2", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b")
+    ).select(
+        "doc",
+        "b",
+        F.expr(
+            "CAST((CASE WHEN b < 32 THEN h1 >> b ELSE h2 >> (b - 32) END) & 1 AS INT)"
+        ).alias("bit"),
+    )
+    votes = bit_rows.groupBy("doc", "b").agg(
+        F.sum("bit").alias("ones"), F.count("bit").alias("n")
+    )
+    vote_set = 2 * F.col("ones") > F.col("n")
+    fp = _materialize(
+        votes.groupBy("doc").agg(
+            F.sum(
+                F.when(
+                    (F.col("b") < 32) & vote_set,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), b)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("fp1"),
+            F.sum(
+                F.when(
+                    (F.col("b") >= 32) & vote_set,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), b - 32)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("fp2"),
+        )
+    )
+    # 4 bands of 16 bits: 0-1 from fp1, 2-3 from fp2
+    band_structs = [
+        F.struct(
+            F.lit(2 * half + i).alias("band"),
+            F.shiftright(F.col(f"fp{half + 1}"), 16 * i)
+            .bitwiseAND(F.lit(65535))
+            .alias("bv"),
+        )
+        for half in range(2)
+        for i in range(2)
+    ]
+    banded = fp.select(
+        "doc", "fp1", "fp2", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc", "fp1", "fp2", "bb.band", "bb.bv")
     # hamming filter BEFORE the dedup of band-duplicate pairs: bit_count
     # is a cheap row expression, and filtering first shrinks the distinct
     # shuffle by up to the band count (a ≤3-bit pair can match in all 4
     # bands)
+    hamming = F.bit_count(
+        F.col("x.fp1").bitwiseXOR(F.col("y.fp1"))
+    ) + F.bit_count(F.col("x.fp2").bitwiseXOR(F.col("y.fp2")))
     return (
         banded.alias("x")
         .join(
@@ -249,7 +297,7 @@ def simhash_pairs(
         .select(
             F.col("x.doc").alias("id_a"),
             F.col("y.doc").alias("id_b"),
-            F.bit_count(F.col("x.fp").bitwiseXOR(F.col("y.fp"))).alias("hamming"),
+            hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
@@ -354,7 +402,7 @@ def ngram_jaccard_pairs(
     )
     if block_col is not None:
         sh = sh.join(df.select(id_col, block_col), id_col)
-    sh = sh.cache()  # referenced by both sides of the pair join
+    sh = _materialize(sh)  # referenced by both sides of the pair join
     a = sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"})
     b = sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"})
     cond = F.col("id_a") < F.col("id_b")

@@ -42,12 +42,28 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _fan_out(df: DataFrame, key: str) -> DataFrame:
+    """Ingest fan-out after a single-blob scan. The testdata tables are
+    one-row-group parquet files — an indivisible split, so every map-side
+    operator downstream runs on ONE core no matter the session
+    parallelism (tokenizing sf0.1 documents: 2.5s serial vs 0.6s fanned
+    out). Hash-repartitioning by the id right after the scan costs one
+    tiny shuffle (the corpus text is ~MBs here) and every downstream
+    per-doc groupBy/window REUSES the partitioning — no second exchange.
+    At 100 TB the source is many files/row-groups and the scan
+    parallelizes natively; this fan-out mirrors the same single-blob
+    ingest problem the reference has with its one-CSV GCS stage files
+    (gcp_getbucket.py:7-18)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, key)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+    return _fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings")
+    return _fan_out(load_table(spark, sf_dir, "embeddings"), "vec_id")
 
 
 # DuckDB twins of the shared text primitives (functions/text.py)
@@ -117,36 +133,49 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
-    """Programmatically build the 32-bit SimHash oracle (one vote CASE per
-    bit — the SQL twin of functions.text.simhash32)."""
+    """Programmatically build the 64-bit (two 32-bit halves) SimHash
+    oracle — one vote CASE per bit, the SQL twin of
+    operators.dedup.simhash_pairs. Halves stay in signed BIGINT range so
+    DuckDB needs no HUGEINT."""
     vote = (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(hs, "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform({hs}, "
         "h -> CASE WHEN (h >> {b}) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), "
         "(a, x) -> a + x)"
     )
-    fp_terms = " + ".join(
-        f"(CASE WHEN {vote.format(b=b)} > 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for b in range(32)
-    )
+
+    def fp_terms(hs: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {vote.format(hs=hs, b=b)} > 0 THEN CAST({2**b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for b in range(32)
+        )
+
+    h1 = "('0x' || substr(md5(t), 1, 8))::BIGINT"
+    h2 = "('0x' || substr(md5(t), 9, 8))::BIGINT"
     return f"""
     WITH toks AS (SELECT doc_id, list_distinct({SQL_TOKS.format(c='text')}) AS td FROM documents),
-    hs_t AS (SELECT doc_id, list_transform(td, t -> {SQL_H32.format(x='t')}) AS hs FROM toks),
-    fp AS (SELECT doc_id, ({fp_terms}) AS fp FROM hs_t),
-    banded AS (SELECT doc_id, fp, b, (fp >> (8 * b)) & 255 AS bv
-               FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)),
+    hs_t AS (SELECT doc_id, list_transform(td, t -> {h1}) AS hs1,
+                     list_transform(td, t -> {h2}) AS hs2 FROM toks),
+    fp AS (SELECT doc_id, ({fp_terms('hs1')}) AS fp1, ({fp_terms('hs2')}) AS fp2 FROM hs_t),
+    banded AS (SELECT doc_id, fp1, fp2, 2 * half + i AS b,
+                      (CASE WHEN half = 0 THEN fp1 ELSE fp2 END >> (16 * i)) & 65535 AS bv
+               FROM fp CROSS JOIN (SELECT unnest([0, 1]) AS half)
+                       CROSS JOIN (SELECT unnest([0, 1]) AS i)),
     cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
-                             x.fp AS fp_a, y.fp AS fp_b
+                             x.fp1 AS fp1_a, x.fp2 AS fp2_a, y.fp1 AS fp1_b, y.fp2 AS fp2_b
              FROM banded x JOIN banded y ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
-    SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
-    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+    SELECT id_a, id_b,
+           bit_count(xor(fp1_a, fp1_b)) + bit_count(xor(fp2_a, fp2_b)) AS hamming
+    FROM cand WHERE bit_count(xor(fp1_a, fp1_b)) + bit_count(xor(fp2_a, fp2_b)) <= 3
     """
 
 
 @register("dedup_simhash", _simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit) near-dup pairs with hamming ≤ 3. Blocking by
-    8-bit bands (pigeonhole: ≤3 flipped bits ⇒ ≥1 of 4 bands identical)
-    keeps candidate generation an equi-join."""
+    """SimHash(64-bit, two md5-derived 32-bit halves) near-dup pairs
+    with hamming ≤ 3. Blocking by 16-bit bands (pigeonhole: ≤3 flipped
+    bits ⇒ ≥1 of 4 bands identical) keeps candidate generation an
+    equi-join with 65,536 buckets per band — the 32-bit/8-bit-band form
+    saturated (1.5M false pairs at 5k docs)."""
     return D.simhash_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)
 
 

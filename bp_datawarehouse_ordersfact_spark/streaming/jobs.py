@@ -39,17 +39,37 @@ def _stream_source(spark: SparkSession, events_path: str) -> DataFrame:
     return src
 
 
+# State partition count for these jobs. A stateful streaming operator
+# pays per-partition state-store overhead (provider init, commit, and a
+# checkpoint delta file per partition per micro-batch) — the right number
+# tracks STATE SIZE, not core count. These jobs hold KBs of state; at 32
+# session partitions the store overhead alone tripled wall time (12.1s →
+# 3.1s at sf0.1), and under a default-config session (200 partitions)
+# it's far worse. A production job with large state raises this — it is
+# baked into the checkpoint at first start.
+STREAM_STATE_PARTITIONS = 8
+
+
 def _run_to_memory_sink(stream: DataFrame, mode: str = "complete") -> DataFrame:
     spark = stream.sparkSession
     sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the conf is read when the query STARTS, so scoping it around
+    # start() pins the state partitioning without touching the session's
+    # batch setting
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(STREAM_STATE_PARTITIONS))
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, old)
     return spark.table(sink)
 
 
@@ -291,13 +311,4 @@ def run_tumbling_agg_availablenow(
             F.col("total_value"),
         )
     )
-    sink = f"stream_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink)
+    return _run_to_memory_sink(stream, mode="complete")
