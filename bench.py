@@ -32,6 +32,9 @@ HEADLINE = [
     "rolling_window_avg",
     "asof_join",
     "range_join_attribution",
+    "shipping_priority",
+    "regional_supplier_volume",
+    "kafka_wire_roundtrip",
     "parent_allocation",
     "incremental_merge",
     "count_distinct_per_group",

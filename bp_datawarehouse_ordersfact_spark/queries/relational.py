@@ -1046,3 +1046,97 @@ def q_sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users_exact"
     )
     return agg.withColumn("distinct_rel_err", rnd(rel_err, 6))
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytics (TPC-H Q3/Q5 shapes — beyond the reference, which
+# never joins more than one fact to broadcast-sized dims at a time)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers ⋈ date-filtered orders
+    ⋈ lineitem, revenue top-10. Both filters push into their scans;
+    customer and the filtered orders side broadcast; the only shuffle is
+    the final rollup. The ORDER BY ... LIMIT is a TakeOrderedAndProject —
+    no global sort materializes."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(
+            F.broadcast(o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", F.col("o_orderdate").alias("order_date"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "regional_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: fact ⋈ supplier ⋈ nation ⋈ region with a region
+    filter, revenue per nation. The three dim joins chain as broadcast
+    hash joins — the fact side never shuffles; the region filter prunes
+    through the snowflake before the fact join (Catalyst pushes it into
+    the broadcast build sides)."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = _t(spark, sf_dir, "supplier")
+    na = _t(spark, sf_dir, "nation")
+    re = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = su.join(
+        F.broadcast(na.join(F.broadcast(re), na["n_regionkey"] == re["r_regionkey"])),
+        su["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    return (
+        li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        .groupBy("n_name")
+        .agg(
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(F.col("n_name").alias("nation"), "revenue", "n_lines")
+    )

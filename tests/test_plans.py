@@ -124,3 +124,12 @@ def test_range_join_attribution_keeps_equi_key(spark):
     p = plan_of(spark, "range_join_attribution")
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_regional_supplier_volume_fact_never_shuffles_for_joins(spark):
+    # Q5 snowflake: all three dim joins broadcast; the fact side's only
+    # exchange is the final rollup's
+    p = plan_of(spark, "regional_supplier_volume")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") == 3
+    assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in p
