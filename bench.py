@@ -60,6 +60,8 @@ HEADLINE = [
     "multimodal_feature_extract",
     "grouped_ewma",
     "text_pii_scrub",
+    "text_chunking",
+    "sequence_packing",
     "corpus_filter_pipeline",
     "stream_sliding_agg",
     "stream_dedup",

@@ -863,3 +863,120 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         "doc_id", "component", F.count(F.lit(1)).over(w).alias("component_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus shaping: chunking, sampling, packing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_chunking",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS t FROM documents),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    chunks AS (
+      SELECT doc_id, n, i AS chunk_idx,
+             array_slice(t, i * 40 + 1, i * 40 + 50) AS chunk
+      FROM sized CROSS JOIN (SELECT unnest(range(0, 1000)) AS i)
+      WHERE i <= (greatest(n - 50, 0) + 39) // 40)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(chunk) AS INT) AS chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+)
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50-token windows, stride 40 —
+    10-token overlap), the unit-of-work split every LLM training/RAG
+    pipeline needs. Chunk count is integer arithmetic on the token count
+    (no data-dependent loop); each chunk is an `F.slice` of the token
+    array, identified by a hash so the output stays narrow. All
+    row-local (explode of a computed range) — embarrassingly parallel at
+    any scale."""
+    d = _docs(spark, sf_dir)
+    t = Tx.tokens(F.col("text"))
+    sized = d.select("doc_id", t.alias("t"), F.size(t).alias("n")).filter(
+        F.col("n") > 0
+    )
+    n_chunks = (F.greatest(F.col("n") - 50, F.lit(0)) + 39) / 40  # int div below
+    chunks = sized.select(
+        "doc_id",
+        "n",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.floor(n_chunks).cast("int"))
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.slice(F.col("t"), F.col("chunk_idx") * 40 + 1, 50).alias("chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("chunk").cast("int").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+    )
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT doc_id, source
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 5 = 0
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample keyed on a hash of the id — the
+    reproducible train/eval split for a corpus pipeline. Unlike
+    `df.sample()` (seeded per-partition RNG — resplitting changes
+    membership), a hash rule is stable under repartitioning, appends,
+    and engine changes, which is what makes held-out sets auditable.
+    Row-local filter; pushes nothing but costs nothing."""
+    d = _docs(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return d.filter(bucket % 5 == 0).select("doc_id", "source")
+
+
+@register(
+    "sequence_packing",
+    r"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, source, n_tokens,
+           CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) // 2000 AS BIGINT) AS bin_id
+    FROM sized
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to ~2000-token training bins per
+    source by running token count (bin = cumulative-before ÷ budget) —
+    the one-pass, shuffle-once approximation of greedy bin packing that
+    scales (exact packing is inherently sequential). Deterministic via
+    the (source, doc_id) total order."""
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != "")
+    ).cast("long")
+    sized = d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return sized.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(cum_before / 2000).alias("bin_id"),
+    )
