@@ -97,10 +97,31 @@ ORACLES["stream_session_agg"] = """
 
 
 def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandasWithState per-user running stats — custom stateful
-    operator; rows-only check (emission cadence is batching-dependent,
-    the defining property of arbitrary-state streaming ops)."""
-    return run_stateful_user_stats_availablenow(spark, f"{sf_dir}/events.parquet")
+    """applyInPandasWithState per-user running stats — the custom
+    stateful operator path. Under availableNow with a single source file
+    the run is exactly one micro-batch, so each user emits one final
+    row and the output equals the batch per-user aggregate — which makes
+    the run fully oracle-checkable (emission CADENCE is the only
+    batching-dependent property, and a one-batch run has none)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.rounding import rnd
+
+    out = run_stateful_user_stats_availablenow(spark, f"{sf_dir}/events.parquet")
+    return out.select(
+        "user_id",
+        "n_events",
+        rnd(F.col("total_value"), 2).alias("total_value"),
+        rnd(F.col("max_value"), 2).alias("max_value"),
+    )
 
 
 QUERIES["stream_stateful_user_stats"] = q_stream_stateful_user_stats
+ORACLES["stream_stateful_user_stats"] = """
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(max(value), 2) AS max_value
+    FROM events
+    GROUP BY user_id
+"""
