@@ -97,3 +97,18 @@ def test_bucketed_join_has_no_exchange(spark):
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan  # bucketing removed the shuffle
     assert j.count() == 200
+
+
+def test_ingest_fan_out_partitioning_is_reused(spark):
+    """The _fan_out hash-repartition after a single-blob scan must be the
+    ONLY exchange for a downstream per-doc aggregate: HashPartitioning on
+    doc_id satisfies ClusteredDistribution([doc_id, ...]) so groupBys and
+    windows keyed on the doc reuse it instead of shuffling again."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    from bp_datawarehouse_ordersfact_spark.queries.llmops import _docs
+
+    d = _docs(spark, "/root/testdata/sf0.001")
+    assert d.rdd.getNumPartitions() > 1  # the scan alone is 1 indivisible split
+    agg = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # fan-out only; the agg reuses it
