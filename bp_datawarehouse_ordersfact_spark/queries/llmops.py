@@ -980,3 +980,75 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(cum_before / 2000).alias("bin_id"),
     )
+
+
+@register(
+    "ann_recall_at_k",
+    f"""
+    WITH q50 AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+    bf_scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             round({SQL_DOT.format(a='q.embedding', b='c.embedding')}
+                   / (sqrt({SQL_DOT.format(a='q.embedding', b='q.embedding')})
+                      * sqrt({SQL_DOT.format(a='c.embedding', b='c.embedding')})), 6) AS cosine
+      FROM q50 q CROSS JOIN embeddings c WHERE q.vec_id <> c.vec_id),
+    bf AS (SELECT q_id, c_id FROM bf_scored
+           QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) <= 5),
+    cents AS (SELECT vec_id AS cell_id, embedding AS cent_vec
+              FROM embeddings WHERE vec_id < 16),
+    cand_scored AS (
+      SELECT e.vec_id AS c_id, e.embedding AS c_vec, c.cell_id,
+             round({SQL_DOT.format(a='e.embedding', b='c.cent_vec')}
+                   / (sqrt({SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({SQL_DOT.format(a='c.cent_vec', b='c.cent_vec')})), 6)
+               AS cell_cos
+      FROM embeddings e CROSS JOIN cents c),
+    index_ AS (SELECT c_id, c_vec, cell_id FROM cand_scored
+               QUALIFY row_number() OVER (PARTITION BY c_id
+                                          ORDER BY cell_cos DESC, cell_id) = 1),
+    q_scored AS (
+      SELECT e.vec_id AS q_id, e.embedding AS q_vec, c.cell_id,
+             round({SQL_DOT.format(a='e.embedding', b='c.cent_vec')}
+                   / (sqrt({SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                      * sqrt({SQL_DOT.format(a='c.cent_vec', b='c.cent_vec')})), 6)
+               AS cell_cos
+      FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 50),
+    probes AS (SELECT q_id, q_vec, cell_id FROM q_scored
+               QUALIFY row_number() OVER (PARTITION BY q_id
+                                          ORDER BY cell_cos DESC, cell_id) <= 2),
+    ivf_scored AS (
+      SELECT p.q_id, i.c_id,
+             round({SQL_DOT.format(a='p.q_vec', b='i.c_vec')}
+                   / (sqrt({SQL_DOT.format(a='p.q_vec', b='p.q_vec')})
+                      * sqrt({SQL_DOT.format(a='i.c_vec', b='i.c_vec')})), 6) AS cosine
+      FROM probes p JOIN index_ i USING (cell_id) WHERE p.q_id <> i.c_id),
+    ivf AS (SELECT q_id, c_id FROM ivf_scored
+            QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) <= 5)
+    SELECT b.q_id,
+           sum(CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+           round(sum(CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6) AS recall
+    FROM bf b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
+    GROUP BY b.q_id
+    """,
+)
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality self-validation: recall@5 of the IVF index against the
+    exact brute-force top-5, per query — the metric that decides n_cells/
+    n_probe tuning in production. Both rankings share the deterministic
+    (cosine DESC, id) tie-break, so the top-5 SETS are exact in both
+    engines and recall is hash-checkable, not just approximate."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 50)
+    bf = cosine_topk_bruteforce(q, e, k=5).select("q_id", "c_id")
+    ivf = cosine_topk_ivf(q, e, k=5, n_cells=16, n_probe=2).select(
+        "q_id", F.col("c_id").alias("ivf_c_id")
+    )
+    joined = bf.join(
+        ivf,
+        (bf["q_id"] == ivf["q_id"]) & (bf["c_id"] == ivf["ivf_c_id"]),
+        "left",
+    ).select(bf["q_id"], "c_id", "ivf_c_id")
+    hits = F.sum(F.when(F.col("ivf_c_id").isNotNull(), 1).otherwise(0))
+    return joined.groupBy("q_id").agg(
+        hits.alias("n_hits"), rnd(hits / 5.0, 6).alias("recall")
+    )
