@@ -1191,3 +1191,67 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
         rnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
     )
+
+
+@register(
+    "top_k_per_group",
+    """
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (each customer's 3 largest orders): rank window +
+    filter. Spark pushes the rank limit into the sort per partition
+    (WindowGroupLimit) — no group ever materializes fully sorted, which
+    is what makes per-group top-k viable when one group holds millions
+    of rows."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            rnd("o_totalprice", 2).alias("total"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "window_rank_functions",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function family (absent from the reference — §2.6
+    notes no ranking exists there): rank, dense_rank, ntile, percent_rank
+    and cume_dist over one shared window spec — one shuffle + one sort
+    serves all five."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
+        rnd(F.cume_dist().over(w), 6).alias("cdist"),
+    )
