@@ -63,6 +63,7 @@ HEADLINE = [
     "text_chunking",
     "sequence_packing",
     "corpus_filter_pipeline",
+    "corpus_prep_pipeline",
     "stream_sliding_agg",
     "stream_dedup",
     "stream_session_agg",

@@ -1052,3 +1052,88 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("q_id").agg(
         hits.alias("n_hits"), rnd(hits / 5.0, 6).alias("recall")
     )
+
+
+@register(
+    "corpus_prep_pipeline",
+    f"""
+    WITH gated AS (
+      SELECT doc_id, source, text FROM documents WHERE n_chars >= 100),
+    kept AS (
+      SELECT doc_id, source, text FROM gated
+      QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+    toks AS (SELECT doc_id, source, {SQL_TOKS.format(c='text')} AS t FROM kept),
+    sized AS (SELECT doc_id, source, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    chunks AS (
+      SELECT doc_id, source, i AS chunk_idx,
+             len(array_slice(t, i * 40 + 1, i * 40 + 50)) AS chunk_tokens
+      FROM sized CROSS JOIN (SELECT unnest(range(0, 1000)) AS i)
+      WHERE i <= (greatest(n - 50, 0) + 39) // 40),
+    packed AS (
+      SELECT source, chunk_tokens,
+             (sum(chunk_tokens) OVER (PARTITION BY source ORDER BY doc_id, chunk_idx
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - chunk_tokens) // 500 AS bin_id
+      FROM chunks)
+    SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
+           count(*) AS n_chunks,
+           CAST(sum(chunk_tokens) AS BIGINT) AS total_tokens
+    FROM packed
+    GROUP BY source, bin_id
+    """,
+)
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep flow end-to-end: quality gate
+    (length) → exact dedup (deterministic keep-first per content hash) →
+    sliding-window chunking → token-budget packing → per-bin stats. One
+    declarative plan: Catalyst fuses the gate into the scan, the dedup
+    and the pack are the only wide operations, and every stage reuses
+    the ingest fan-out partitioning where it can — the same pipeline a
+    100 TB corpus run would submit as a single job."""
+    d = _docs(spark, sf_dir).filter(F.col("n_chars") >= 100)
+    kept = (
+        d.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    t = Tx.tokens(F.col("text"))
+    sized = kept.select(
+        "doc_id", "source", t.alias("t"), F.size(t).alias("n")
+    ).filter(F.col("n") > 0)
+    n_chunks = (F.greatest(F.col("n") - 50, F.lit(0)) + 39) / 40
+    chunks = sized.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), F.floor(n_chunks).cast("int"))).alias(
+            "chunk_idx"
+        ),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        F.size(F.slice(F.col("t"), F.col("chunk_idx") * 40 + 1, 50)).alias(
+            "chunk_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = chunks.select(
+        "source",
+        "chunk_tokens",
+        F.floor((F.sum("chunk_tokens").over(w) - F.col("chunk_tokens")) / 500).alias(
+            "bin_id"
+        ),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_tokens").cast("long").alias("total_tokens"),
+    )
