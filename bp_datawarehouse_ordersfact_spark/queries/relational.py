@@ -1255,3 +1255,32 @@ def q_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.percent_rank().over(w), 6).alias("pct_rank"),
         rnd(F.cume_dist().over(w), 6).alias("cdist"),
     )
+
+
+@register(
+    "set_intersect_except",
+    """
+    WITH o_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+    f_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT o_custkey, 'both' AS membership FROM (
+      SELECT o_custkey FROM o_cust INTERSECT SELECT o_custkey FROM f_cust)
+    UNION ALL
+    SELECT o_custkey, 'open_only' AS membership FROM (
+      SELECT o_custkey FROM o_cust EXCEPT SELECT o_custkey FROM f_cust)
+    """,
+)
+def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 (the reference has union and anti only — §2.11): INTERSECT and
+    EXCEPT as first-class set ops. Both plan as aggregate+join on the
+    deduped key sets — no full-row comparison, and the distincts combine
+    map-side."""
+    o = _t(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    done_c = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    both = open_c.intersect(done_c).select(
+        "o_custkey", F.lit("both").alias("membership")
+    )
+    only_open = open_c.exceptAll(done_c).select(
+        "o_custkey", F.lit("open_only").alias("membership")
+    )
+    return both.unionByName(only_open)
