@@ -390,13 +390,13 @@ def q_parent_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     """
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
       FROM events),
     sessions AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged)
     SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value
