@@ -26,15 +26,41 @@ from ..functions import text as Tx
 from ..functions import vectors as V
 
 
-def _materialize(df: DataFrame) -> DataFrame:
-    """cache + eager fill. A lazily-cached frame referenced by BOTH sides
-    of a self-join gets computed twice concurrently on first action (the
-    join branches race before either fills the cache) — at sf0.1 that
-    race alone tripled simhash/minhash wall time. One count() up front
-    fills the cache once; every branch then reads InMemoryTableScan."""
-    df = df.cache()
-    df.count()
-    return df
+class _CacheScope:
+    """Tracks cache+eager-fill intermediates and frees them when the
+    (small) final result is materialized.
+
+    Why cache at all: a lazily-cached frame referenced by BOTH sides of a
+    self-join gets computed twice concurrently on first action (the join
+    branches race before either fills the cache) — at sf0.1 that race
+    alone tripled simhash/minhash wall time. One count() up front fills
+    the cache once; every branch then reads InMemoryTableScan.
+
+    Why free eagerly: leaving the shingle/band/fingerprint caches pinned
+    for the session's lifetime compounds across a query suite — the r02
+    bench ran late queries on top of every earlier dedup's leaked blocks
+    (stream_session_agg 8.9×, ann_cosine_lsh 4.9× regressions); at 100 TB
+    that leak is an executor OOM, not a slowdown. ``finish`` runs the full
+    computation into a lineage-truncating ``localCheckpoint`` (pair
+    results are tiny — at cluster scale this is the staged output table),
+    then unpersists every intermediate before returning."""
+
+    def __init__(self) -> None:
+        self._frames: list[DataFrame] = []
+
+    def materialize(self, df: DataFrame) -> DataFrame:
+        df = df.cache()
+        df.count()
+        self._frames.append(df)
+        return df
+
+    def finish(self, result: DataFrame) -> DataFrame:
+        try:
+            return result.localCheckpoint(eager=True)
+        finally:
+            for f in self._frames:
+                f.unpersist()
+            self._frames.clear()
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -123,7 +149,8 @@ def minhash_lsh_pairs(
     # (signature build plus the two verification joins), recomputing the
     # window/distinct work. Locally a cache() is the boundary; at 100 TB
     # this is a staged signature table.
-    rows = _materialize(shingle_rows(df, text_col, id_col, shingle_n))
+    scope = _CacheScope()
+    rows = scope.materialize(shingle_rows(df, text_col, id_col, shingle_n))
     # Signature via hash columns → groupBy-min: every operator stays
     # inside whole-stage codegen (the higher-order-function form in
     # functions.text.minhash_signature evaluates its lambdas interpreted,
@@ -166,7 +193,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bh")
-    banded = _materialize(banded)
+    banded = scope.materialize(banded)
 
     cand = (
         banded.alias("x")
@@ -190,7 +217,7 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified
+    return scope.finish(verified)
 
 
 def simhash_pairs(
@@ -217,6 +244,7 @@ def simhash_pairs(
     # all votes 0 → fp=0 for both halves. cache = materialization
     # boundary: the fingerprint would otherwise be recomputed on both
     # sides of the self-join.
+    scope = _CacheScope()
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode_outer(F.array_distinct(Tx.tokens(F.col(text_col)))).alias("t"),
@@ -249,7 +277,7 @@ def simhash_pairs(
         F.sum("bit").alias("ones"), F.count("bit").alias("n")
     )
     vote_set = 2 * F.col("ones") > F.col("n")
-    fp = _materialize(
+    fp = scope.materialize(
         votes.groupBy("doc").agg(
             F.sum(
                 F.when(
@@ -286,7 +314,7 @@ def simhash_pairs(
     hamming = F.bit_count(
         F.col("x.fp1").bitwiseXOR(F.col("y.fp1"))
     ) + F.bit_count(F.col("x.fp2").bitwiseXOR(F.col("y.fp2")))
-    return (
+    pairs = (
         banded.alias("x")
         .join(
             banded.alias("y"),
@@ -302,6 +330,7 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return scope.finish(pairs)
 
 
 def minhash_lsh_pairs_ml(
@@ -362,12 +391,15 @@ def embedding_near_dup_pairs(
     the all-pairs product (~2^n_bits reduction). At 100 TB: bucket → one
     shuffle on a small uniform key; cosine verification only on candidates.
     """
-    b = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        V.sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
-    ).cache()  # both sides of the self-join
-    return (
+    scope = _CacheScope()
+    b = scope.materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            V.sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+        )
+    )  # both sides of the self-join
+    pairs = (
         b.alias("x")
         .join(
             b.alias("y"),
@@ -380,6 +412,7 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    return scope.finish(pairs)
 
 
 def ngram_jaccard_pairs(
@@ -395,6 +428,7 @@ def ngram_jaccard_pairs(
     The quadratic baseline — correct at any threshold, O(n²) pairs. Use
     blocked (``block_col``) or behind MinHash-LSH at scale.
     """
+    scope = _CacheScope()
     sh = (
         shingle_rows(df, text_col, id_col, shingle_n)
         .groupBy(id_col)
@@ -402,7 +436,7 @@ def ngram_jaccard_pairs(
     )
     if block_col is not None:
         sh = sh.join(df.select(id_col, block_col), id_col)
-    sh = _materialize(sh)  # referenced by both sides of the pair join
+    sh = scope.materialize(sh)  # referenced by both sides of the pair join
     a = sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"})
     b = sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"})
     cond = F.col("id_a") < F.col("id_b")
@@ -412,8 +446,9 @@ def ngram_jaccard_pairs(
         joined = a.join(b, (F.col("blk_a") == F.col("blk_b")) & cond)
     else:
         joined = a.crossJoin(b).filter(cond)
-    return (
+    pairs = (
         joined.withColumn("jaccard", rnd(Tx.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return scope.finish(pairs)

@@ -396,8 +396,12 @@ def q_parent_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sessions AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             -- CAST: DuckDB's windowed sum over INT is HUGEINT (int128),
+             -- which round-trips through Arrow as a wider type and breaks
+             -- the driver's type-aware value hash even when values match.
+             -- BIGINT matches Spark's sum() output (registry convention).
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id, count(*) AS n_events, round(sum(value), 2) AS session_value
     FROM sessions GROUP BY user_id, session_id
