@@ -1029,27 +1029,53 @@ def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sketch_approx_stats")
+@register(
+    "sketch_approx_stats",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id)            AS n_users_exact,
+           round(quantile_cont(value, 0.5), 6) AS p50_exact,
+           TRUE                                AS distinct_within_rsd,
+           TRUE                                AS p50_within_err
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q_sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch aggregates (rows-only: HLL/KLL internals are
-    engine-specific, so no cross-engine hash oracle exists): per
-    event_type, HyperLogLog++ distinct users and a one-pass approximate
-    median next to their exact counterparts, with the realized relative
-    error. At 100 TB the sketches are the only viable plan — they fold
-    map-side into fixed-size state with no per-group sort or distinct
-    shuffle — and this query demonstrates their error stays within the
-    configured rsd/accuracy bounds against the exact values."""
+    """Sketch aggregates, self-validated (pattern: ``ann_recall_at_k``):
+    per event_type, HyperLogLog++ distinct users and a one-pass
+    approximate median are computed NEXT TO their exact counterparts, and
+    the output carries the exact values plus booleans asserting the
+    sketch error stayed inside the configured bounds (5×rsd for HLL++;
+    2% relative for percentile_approx at accuracy 10000, which returns a
+    real data value while the exact median interpolates, so the gap is
+    one adjacent-order-statistic step near the median). The sketch
+    internals are
+    engine-specific and can't hash-match DuckDB, but the booleans CAN:
+    the oracle computes the exact side and asserts TRUE, so a sketch
+    drifting out of bound flips the value hash red. At 100 TB the
+    sketches are the only viable plan — they fold map-side into
+    fixed-size state with no per-group sort or distinct shuffle."""
     ev = _t(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users_exact"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
-        rnd(F.percentile("value", 0.5), 6).alias("p50_exact"),
-        rnd(F.percentile_approx("value", 0.5, 10000), 6).alias("p50_approx"),
+        F.percentile("value", 0.5).alias("p50_exact_raw"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
     )
-    rel_err = F.abs(F.col("n_users_approx") - F.col("n_users_exact")) / F.col(
-        "n_users_exact"
+    distinct_rel_err = F.abs(
+        F.col("n_users_approx") - F.col("n_users_exact")
+    ) / F.col("n_users_exact")
+    p50_rel_err = F.abs(F.col("p50_approx") - F.col("p50_exact_raw")) / F.abs(
+        F.col("p50_exact_raw")
     )
-    return agg.withColumn("distinct_rel_err", rnd(rel_err, 6))
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        rnd(F.col("p50_exact_raw"), 6).alias("p50_exact"),
+        (distinct_rel_err <= F.lit(0.10)).alias("distinct_within_rsd"),
+        (p50_rel_err <= F.lit(0.02)).alias("p50_within_err"),
+    )
 
 
 # ---------------------------------------------------------------------------
