@@ -774,24 +774,29 @@ def q_multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             bs = pdf["payload"].map(bytes)
-            n = bs.map(len)
+            n = bs.map(len).to_numpy(dtype="int64")
             mask = n > 0
-            bs, n, ids = bs[mask], n[mask], pdf["doc_id"][mask]
-            # numpy views over the raw buffers: the per-byte work (mean)
-            # runs at C speed — a pure-Python sum(b) here costs more than
-            # the whole Spark plan around it
-            views = [np.frombuffer(b, dtype=np.uint8) for b in bs]
+            if not mask.any():
+                continue
+            ids = pdf["doc_id"].to_numpy()[mask]
+            blobs = [b for b, keep in zip(bs, mask) if keep]
+            n = n[mask]
+            # one concatenated buffer per Arrow batch, then strictly
+            # vectorized passes: no per-row Python. reduceat must widen to
+            # int64 — accumulating in the uint8 view would overflow.
+            buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            offs = np.zeros(len(n), dtype="int64")
+            np.cumsum(n[:-1], out=offs[1:])
+            sums = np.add.reduceat(buf, offs, dtype=np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "n_bytes": n.astype("int64"),
-                    "f0": np.array([v[0] for v in views], dtype="int64"),
-                    "f1": np.array([v[len(v) // 4] for v in views], dtype="int64"),
-                    "f2": np.array([v[len(v) // 2] for v in views], dtype="int64"),
-                    "f3": np.array(
-                        [v[(3 * len(v)) // 4] for v in views], dtype="int64"
-                    ),
-                    "mean_byte": np.array([v.mean() for v in views], dtype="float64"),
+                    "n_bytes": n,
+                    "f0": buf[offs].astype("int64"),
+                    "f1": buf[offs + n // 4].astype("int64"),
+                    "f2": buf[offs + n // 2].astype("int64"),
+                    "f3": buf[offs + (3 * n) // 4].astype("int64"),
+                    "mean_byte": sums / n,
                 }
             )
 
