@@ -17,6 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from bp_datawarehouse_ordersfact_spark.core.persist import release_results
 from bp_datawarehouse_ordersfact_spark.core.session import get_spark
 from bp_datawarehouse_ordersfact_spark.queries import all_queries
 
@@ -48,7 +49,9 @@ HEADLINE = [
     "dedup_simhash",
     "ann_cosine_lsh",
     "ann_cosine_ivf",
+    "text_langid",
     "text_quality",
+    "text_token_count",
     "text_fingerprint",
     "tfidf_title_match",
     "stream_tumbling_agg",
@@ -57,7 +60,9 @@ HEADLINE = [
     "split_royalty_union",
     "fact_royalty",
     "dedup_embedding_cosine",
+    "multimodal_binary_meta",
     "multimodal_feature_extract",
+    "sample_stratified",
     "grouped_ewma",
     "text_pii_scrub",
     "text_chunking",
@@ -89,6 +94,13 @@ def main() -> None:
         t0 = time.perf_counter()
         run_query(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # isolation between measurements: drop SQL caches and the pinned
+        # localCheckpoint blocks of eager operators so no query is timed
+        # on top of an earlier query's leaked block-manager state (the
+        # r2/r3 suites showed late-suite queries regressing 2-9× from
+        # exactly this). Cleanup cost lands in the total, not the query.
+        spark.catalog.clearCache()
+        release_results(spark)
     total = round(time.perf_counter() - t_total0, 3)
 
     print(

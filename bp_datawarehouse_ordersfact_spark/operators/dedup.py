@@ -20,6 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..core.persist import (
+    register_result_ids,
+    release_results,  # noqa: F401 — re-exported; callers free result blocks here
+    tracked_local_checkpoint,
+)
 from ..functions.rounding import rnd
 
 from ..functions import text as Tx
@@ -28,7 +33,9 @@ from ..functions import vectors as V
 
 class _CacheScope:
     """Tracks cache+eager-fill intermediates and frees them when the
-    (small) final result is materialized.
+    (small) final result is materialized. Use as a context manager so
+    the exception path (e.g. an analysis error in a transform built
+    between ``materialize`` and ``finish``) also unpersists.
 
     Why cache at all: a lazily-cached frame referenced by BOTH sides of a
     self-join gets computed twice concurrently on first action (the join
@@ -43,10 +50,26 @@ class _CacheScope:
     that leak is an executor OOM, not a slowdown. ``finish`` runs the full
     computation into a lineage-truncating ``localCheckpoint`` (pair
     results are tiny — at cluster scale this is the staged output table),
-    then unpersists every intermediate before returning."""
+    then unpersists every intermediate before returning.
+
+    The checkpointed RESULT's blocks stay pinned until the caller is done
+    with the frame; their RDD ids are registered so ``release_results``
+    can free them (``DataFrame.unpersist`` cannot — the blocks belong to
+    an internal RDD the SQL cache manager never sees)."""
 
     def __init__(self) -> None:
         self._frames: list[DataFrame] = []
+
+    def __enter__(self) -> "_CacheScope":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        # no-op after a normal finish(); frees intermediates on the
+        # exception path so the pre-finish leak can't recur
+        for f in self._frames:
+            f.unpersist()
+        self._frames.clear()
+        return False
 
     def materialize(self, df: DataFrame) -> DataFrame:
         df = df.cache()
@@ -56,11 +79,33 @@ class _CacheScope:
 
     def finish(self, result: DataFrame) -> DataFrame:
         try:
-            return result.localCheckpoint(eager=True)
+            ck, new_ids = tracked_local_checkpoint(result, eager=True)
+            register_result_ids(new_ids)
+            return ck
         finally:
             for f in self._frames:
                 f.unpersist()
             self._frames.clear()
+
+
+class _LazyScope:
+    """No-op scope for ``eager=False``: the operator returns its plain
+    lazy plan — no caches, no checkpoint — so downstream filters/limits a
+    caller composes can still prune work and the caller owns persistence.
+    The tradeoff: frames referenced by both sides of the self-joins get
+    recomputed per branch unless the caller caches them first."""
+
+    def __enter__(self) -> "_LazyScope":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> bool:
+        return False
+
+    def materialize(self, df: DataFrame) -> DataFrame:
+        return df
+
+    def finish(self, result: DataFrame) -> DataFrame:
+        return result
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -134,6 +179,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) via MinHash-LSH banding + exact
     Jaccard verification of candidates only.
@@ -142,6 +188,16 @@ def minhash_lsh_pairs(
     → self equi-join on (band, band_hash) → distinct pairs → join back
     shingles → filter jaccard ≥ threshold. The only shuffles are the
     band join and the two shingle lookups; all are on uniform hash keys.
+
+    ``eager=True`` (default) EXECUTES the operator now: intermediates are
+    cached, the result is localCheckpoint-ed (lineage-truncated; free its
+    blocks later via ``release_results``) and the caches freed before
+    returning — the right call when the pair set is the next action
+    anyway. Pass ``eager=False`` for a pure lazy plan (composable, caller
+    owns persistence; see ``_LazyScope`` for the tradeoff). On clusters
+    with executor loss / dynamic allocation, prefer ``eager=False`` plus
+    a caller-side write to a staged table: localCheckpoint blocks are not
+    replicated and die with their executor.
     """
     rows_per_band = k // bands
     # Materialization boundaries matter here: without them Catalyst
@@ -149,79 +205,83 @@ def minhash_lsh_pairs(
     # (signature build plus the two verification joins), recomputing the
     # window/distinct work. Locally a cache() is the boundary; at 100 TB
     # this is a staged signature table.
-    scope = _CacheScope()
-    rows = scope.materialize(shingle_rows(df, text_col, id_col, shingle_n))
-    # Signature via hash columns → groupBy-min: every operator stays
-    # inside whole-stage codegen (the higher-order-function form in
-    # functions.text.minhash_signature evaluates its lambdas interpreted,
-    # ~k array allocations per shingle — 10-20× slower on the same
-    # data). The shuffle is (id, a, b) rows — 24 bytes each — partially
-    # min-combined map-side before the exchange.
-    hashed = rows.select(
-        F.col(id_col).alias("doc"),
-        Tx.h32(F.col("shingle")).alias("ha"),
-        Tx.h32b(F.col("shingle")).alias("hb"),
-    )
-    mod = F.lit(2**32).cast("long")
-    sig = hashed.groupBy("doc").agg(
-        *[
-            F.min((F.col("ha") + F.lit(j).cast("long") * F.col("hb")) % mod).alias(
-                f"mh{j}"
-            )
-            for j in range(k)
-        ]
-    )
-    banded = sig.select(
-        "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"mh{b * rows_per_band + r}").cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc", "bb.band", "bb.bh")
-    banded = scope.materialize(banded)
-
-    cand = (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bh") == F.col("y.bh"))
-            & (F.col("x.doc") < F.col("y.doc")),
+    with (_CacheScope() if eager else _LazyScope()) as scope:
+        rows = scope.materialize(shingle_rows(df, text_col, id_col, shingle_n))
+        # Signature via hash columns → groupBy-min: every operator stays
+        # inside whole-stage codegen (the higher-order-function form in
+        # functions.text.minhash_signature evaluates its lambdas interpreted,
+        # ~k array allocations per shingle — 10-20× slower on the same
+        # data). The shuffle is (id, a, b) rows — 24 bytes each — partially
+        # min-combined map-side before the exchange.
+        hashed = rows.select(
+            F.col(id_col).alias("doc"),
+            Tx.h32(F.col("shingle")).alias("ha"),
+            Tx.h32b(F.col("shingle")).alias("hb"),
         )
-        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
-        .distinct()
-    )
+        mod = F.lit(2**32).cast("long")
+        sig = hashed.groupBy("doc").agg(
+            *[
+                F.min((F.col("ha") + F.lit(j).cast("long") * F.col("hb")) % mod).alias(
+                    f"mh{j}"
+                )
+                for j in range(k)
+            ]
+        )
+        banded = sig.select(
+            "doc",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.col(f"mh{b * rows_per_band + r}").cast("string")
+                                        for r in range(rows_per_band)
+                                    ],
+                                )
+                            ).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc", "bb.band", "bb.bh")
+        banded = scope.materialize(banded)
 
-    # shingle sets for exact verification, rebuilt from the cached rows
-    # (collect_set dedups; intersect is order-insensitive)
-    sh = rows.groupBy(id_col).agg(F.collect_set("shingle").alias("shingles"))
-    verified = (
-        cand.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
-        .withColumn("jaccard", rnd(Tx.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return scope.finish(verified)
+        cand = (
+            banded.alias("x")
+            .join(
+                banded.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bh") == F.col("y.bh"))
+                & (F.col("x.doc") < F.col("y.doc")),
+            )
+            .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+            .distinct()
+        )
+
+        # shingle sets for exact verification, rebuilt from the cached rows
+        # (collect_set dedups; intersect is order-insensitive)
+        sh = rows.groupBy(id_col).agg(F.collect_set("shingle").alias("shingles"))
+        verified = (
+            cand.join(sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a")
+            .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
+            .withColumn("jaccard", rnd(Tx.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        return scope.finish(verified)
 
 
 def simhash_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    eager: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance over a 64-bit
     fingerprint (two independent 32-bit halves — md5 hex 1-8 and 9-16 —
@@ -236,6 +296,9 @@ def simhash_pairs(
     corpus sizes where doc vocabularies overlap, and 256 buckets/band
     made the band join quadratic-ish. At 64 bits the same corpus yields
     a small, meaningful near-dup set and the band join stays sparse.
+
+    ``eager``: executes now and checkpoints the result — semantics and
+    cluster caveats as in ``minhash_lsh_pairs``.
     """
     # Fingerprint via explode → groupBy bit-vote sums (whole-stage
     # codegen; higher-order folds run interpreted — see minhash_lsh_pairs
@@ -244,93 +307,93 @@ def simhash_pairs(
     # all votes 0 → fp=0 for both halves. cache = materialization
     # boundary: the fingerprint would otherwise be recomputed on both
     # sides of the self-join.
-    scope = _CacheScope()
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode_outer(F.array_distinct(Tx.tokens(F.col(text_col)))).alias("t"),
-    ).select(
-        "doc",
-        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long").alias("h2"),
-    )
+    with (_CacheScope() if eager else _LazyScope()) as scope:
+        toks = df.select(
+            F.col(id_col).alias("doc"),
+            F.explode_outer(F.array_distinct(Tx.tokens(F.col(text_col)))).alias("t"),
+        ).select(
+            "doc",
+            F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long").alias("h2"),
+        )
 
-    # Bit votes as NARROW ROWS, not a 64-wide aggregate: explode each
-    # token into (doc, b, bit) via a sequence(0,63) — every expression
-    # stays tiny, so whole-stage codegen compiles in milliseconds (the
-    # 64-column sum(CASE…) aggregate generated so much Java that janino
-    # compilation alone dominated first-run latency: 8.2s vs 4.3s total
-    # at sf0.1). Map-side partial aggregation combines the bit rows to
-    # ≤64 per doc per partition before the shuffle, so the row explosion
-    # never crosses the wire — the same state size as the wide-agg form.
-    # `sum(±1) > 0 ⟺ 2*ones > n`; empty docs (h NULL → bit NULL) give
-    # n=0 → every vote predicate NULL → fp=0, as in the vote form.
-    bit_rows = toks.select(
-        "doc", "h1", "h2", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b")
-    ).select(
-        "doc",
-        "b",
-        F.expr(
-            "CAST((CASE WHEN b < 32 THEN h1 >> b ELSE h2 >> (b - 32) END) & 1 AS INT)"
-        ).alias("bit"),
-    )
-    votes = bit_rows.groupBy("doc", "b").agg(
-        F.sum("bit").alias("ones"), F.count("bit").alias("n")
-    )
-    vote_set = 2 * F.col("ones") > F.col("n")
-    fp = scope.materialize(
-        votes.groupBy("doc").agg(
-            F.sum(
-                F.when(
-                    (F.col("b") < 32) & vote_set,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), b)"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("fp1"),
-            F.sum(
-                F.when(
-                    (F.col("b") >= 32) & vote_set,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), b - 32)"),
-                ).otherwise(F.lit(0).cast("long"))
-            ).alias("fp2"),
+        # Bit votes as NARROW ROWS, not a 64-wide aggregate: explode each
+        # token into (doc, b, bit) via a sequence(0,63) — every expression
+        # stays tiny, so whole-stage codegen compiles in milliseconds (the
+        # 64-column sum(CASE…) aggregate generated so much Java that janino
+        # compilation alone dominated first-run latency: 8.2s vs 4.3s total
+        # at sf0.1). Map-side partial aggregation combines the bit rows to
+        # ≤64 per doc per partition before the shuffle, so the row explosion
+        # never crosses the wire — the same state size as the wide-agg form.
+        # `sum(±1) > 0 ⟺ 2*ones > n`; empty docs (h NULL → bit NULL) give
+        # n=0 → every vote predicate NULL → fp=0, as in the vote form.
+        bit_rows = toks.select(
+            "doc", "h1", "h2", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b")
+        ).select(
+            "doc",
+            "b",
+            F.expr(
+                "CAST((CASE WHEN b < 32 THEN h1 >> b ELSE h2 >> (b - 32) END) & 1 AS INT)"
+            ).alias("bit"),
         )
-    )
-    # 4 bands of 16 bits: 0-1 from fp1, 2-3 from fp2
-    band_structs = [
-        F.struct(
-            F.lit(2 * half + i).alias("band"),
-            F.shiftright(F.col(f"fp{half + 1}"), 16 * i)
-            .bitwiseAND(F.lit(65535))
-            .alias("bv"),
+        votes = bit_rows.groupBy("doc", "b").agg(
+            F.sum("bit").alias("ones"), F.count("bit").alias("n")
         )
-        for half in range(2)
-        for i in range(2)
-    ]
-    banded = fp.select(
-        "doc", "fp1", "fp2", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc", "fp1", "fp2", "bb.band", "bb.bv")
-    # hamming filter BEFORE the dedup of band-duplicate pairs: bit_count
-    # is a cheap row expression, and filtering first shrinks the distinct
-    # shuffle by up to the band count (a ≤3-bit pair can match in all 4
-    # bands)
-    hamming = F.bit_count(
-        F.col("x.fp1").bitwiseXOR(F.col("y.fp1"))
-    ) + F.bit_count(F.col("x.fp2").bitwiseXOR(F.col("y.fp2")))
-    pairs = (
-        banded.alias("x")
-        .join(
-            banded.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bv") == F.col("y.bv"))
-            & (F.col("x.doc") < F.col("y.doc")),
+        vote_set = 2 * F.col("ones") > F.col("n")
+        fp = scope.materialize(
+            votes.groupBy("doc").agg(
+                F.sum(
+                    F.when(
+                        (F.col("b") < 32) & vote_set,
+                        F.expr("shiftleft(CAST(1 AS BIGINT), b)"),
+                    ).otherwise(F.lit(0).cast("long"))
+                ).alias("fp1"),
+                F.sum(
+                    F.when(
+                        (F.col("b") >= 32) & vote_set,
+                        F.expr("shiftleft(CAST(1 AS BIGINT), b - 32)"),
+                    ).otherwise(F.lit(0).cast("long"))
+                ).alias("fp2"),
+            )
         )
-        .select(
-            F.col("x.doc").alias("id_a"),
-            F.col("y.doc").alias("id_b"),
-            hamming.alias("hamming"),
+        # 4 bands of 16 bits: 0-1 from fp1, 2-3 from fp2
+        band_structs = [
+            F.struct(
+                F.lit(2 * half + i).alias("band"),
+                F.shiftright(F.col(f"fp{half + 1}"), 16 * i)
+                .bitwiseAND(F.lit(65535))
+                .alias("bv"),
+            )
+            for half in range(2)
+            for i in range(2)
+        ]
+        banded = fp.select(
+            "doc", "fp1", "fp2", F.explode(F.array(*band_structs)).alias("bb")
+        ).select("doc", "fp1", "fp2", "bb.band", "bb.bv")
+        # hamming filter BEFORE the dedup of band-duplicate pairs: bit_count
+        # is a cheap row expression, and filtering first shrinks the distinct
+        # shuffle by up to the band count (a ≤3-bit pair can match in all 4
+        # bands)
+        hamming = F.bit_count(
+            F.col("x.fp1").bitwiseXOR(F.col("y.fp1"))
+        ) + F.bit_count(F.col("x.fp2").bitwiseXOR(F.col("y.fp2")))
+        pairs = (
+            banded.alias("x")
+            .join(
+                banded.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bv") == F.col("y.bv"))
+                & (F.col("x.doc") < F.col("y.doc")),
+            )
+            .select(
+                F.col("x.doc").alias("id_a"),
+                F.col("y.doc").alias("id_b"),
+                hamming.alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
-    return scope.finish(pairs)
+        return scope.finish(pairs)
 
 
 def minhash_lsh_pairs_ml(
@@ -382,6 +445,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.999,
     n_bits: int = 8,
+    eager: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b): sign-pattern LSH bucket
     self-join + exact cosine on candidates only.
@@ -390,29 +454,32 @@ def embedding_near_dup_pairs(
     near-dup pair shares a bucket; the equi-join on the bucket key replaces
     the all-pairs product (~2^n_bits reduction). At 100 TB: bucket → one
     shuffle on a small uniform key; cosine verification only on candidates.
+
+    ``eager``: executes now and checkpoints the result — semantics and
+    cluster caveats as in ``minhash_lsh_pairs``.
     """
-    scope = _CacheScope()
-    b = scope.materialize(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("v"),
-            V.sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+    with (_CacheScope() if eager else _LazyScope()) as scope:
+        b = scope.materialize(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                V.sign_bucket(F.col(vec_col), n_bits).alias("bucket"),
+            )
+        )  # both sides of the self-join
+        pairs = (
+            b.alias("x")
+            .join(
+                b.alias("y"),
+                (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(
+                F.col("x.id").alias("id_a"),
+                F.col("y.id").alias("id_b"),
+                rnd(V.cosine(F.col("x.v"), F.col("y.v")), 6).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
         )
-    )  # both sides of the self-join
-    pairs = (
-        b.alias("x")
-        .join(
-            b.alias("y"),
-            (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            rnd(V.cosine(F.col("x.v"), F.col("y.v")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
-    return scope.finish(pairs)
+        return scope.finish(pairs)
 
 
 def ngram_jaccard_pairs(
@@ -422,33 +489,38 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     block_col: str | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Exact all-pairs n-gram Jaccard (optionally blocked by a column).
 
     The quadratic baseline — correct at any threshold, O(n²) pairs. Use
-    blocked (``block_col``) or behind MinHash-LSH at scale.
+    blocked (``block_col``) or behind MinHash-LSH at scale. Without
+    ``block_col`` the pair set itself can be O(n²) at low thresholds —
+    with ``eager=True`` those rows are checkpointed, so prefer
+    ``eager=False`` (lazy; semantics as in ``minhash_lsh_pairs``) when
+    composing a downstream filter/limit that would prune them.
     """
-    scope = _CacheScope()
-    sh = (
-        shingle_rows(df, text_col, id_col, shingle_n)
-        .groupBy(id_col)
-        .agg(F.collect_set("shingle").alias("shingles"))
-    )
-    if block_col is not None:
-        sh = sh.join(df.select(id_col, block_col), id_col)
-    sh = scope.materialize(sh)  # referenced by both sides of the pair join
-    a = sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"})
-    b = sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"})
-    cond = F.col("id_a") < F.col("id_b")
-    if block_col is not None:
-        a = a.withColumnRenamed(block_col, "blk_a")
-        b = b.withColumnRenamed(block_col, "blk_b")
-        joined = a.join(b, (F.col("blk_a") == F.col("blk_b")) & cond)
-    else:
-        joined = a.crossJoin(b).filter(cond)
-    pairs = (
-        joined.withColumn("jaccard", rnd(Tx.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return scope.finish(pairs)
+    with (_CacheScope() if eager else _LazyScope()) as scope:
+        sh = (
+            shingle_rows(df, text_col, id_col, shingle_n)
+            .groupBy(id_col)
+            .agg(F.collect_set("shingle").alias("shingles"))
+        )
+        if block_col is not None:
+            sh = sh.join(df.select(id_col, block_col), id_col)
+        sh = scope.materialize(sh)  # referenced by both sides of the pair join
+        a = sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"})
+        b = sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"})
+        cond = F.col("id_a") < F.col("id_b")
+        if block_col is not None:
+            a = a.withColumnRenamed(block_col, "blk_a")
+            b = b.withColumnRenamed(block_col, "blk_b")
+            joined = a.join(b, (F.col("blk_a") == F.col("blk_b")) & cond)
+        else:
+            joined = a.crossJoin(b).filter(cond)
+        pairs = (
+            joined.withColumn("jaccard", rnd(Tx.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+        return scope.finish(pairs)

@@ -27,6 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..core.persist import (
+    register_result_ids,
+    tracked_local_checkpoint,
+    unpersist_rdd_ids,
+)
+
 
 def connected_components(
     nodes: DataFrame,
@@ -49,26 +55,38 @@ def connected_components(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     )
 
-    labels = nodes.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("component")
-    ).localCheckpoint()
+    sc = nodes.sparkSession.sparkContext
+    # lazy checkpoint: the convergence aggregate below is the action that
+    # materializes the blocks, so each iteration is ONE job (materialize
+    # + sum fused), not a checkpoint job followed by an agg job
+    labels, label_ids = tracked_local_checkpoint(
+        nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component")),
+        eager=False,
+    )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
 
     for _ in range(max_iter):
         neighbor_msgs = sym.join(
             labels, sym["src"] == labels["id"], "inner"
         ).select(F.col("dst").alias("id"), F.col("component"))
-        new_labels = (
+        new_labels, new_ids = tracked_local_checkpoint(
             labels.select("id", "component")
             .unionByName(neighbor_msgs)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+            .agg(F.min("component").alias("component")),
+            eager=False,
         )
         new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
-        labels = new_labels
+        # the previous iteration's blocks fed new_labels, which is now
+        # materialized — free them instead of pinning one label set per
+        # iteration for the session lifetime
+        unpersist_rdd_ids(sc, label_ids)
+        labels, label_ids = new_labels, new_ids
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
 
+    # the surviving label set is the RESULT; its blocks are freed by
+    # core.persist.release_results once the caller has consumed it
+    register_result_ids(label_ids)
     return labels.select(F.col("id").alias(id_col), "component")
