@@ -87,6 +87,13 @@ def main() -> None:
 
     # JVM/codegen warmup on a tiny query so q1 isn't charged for it
     run_query(qs["pricing_summary"](spark, sf_dir).limit(1))
+    # Python-worker warmup: fork the Arrow workers for every core now so
+    # the suite's first mapInPandas query isn't charged the one-time
+    # worker startup (~6s across 32 workers)
+    run_query(
+        spark.range(64, numPartitions=spark.sparkContext.defaultParallelism)
+        .mapInPandas(lambda it: it, "id long")
+    )
 
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
