@@ -667,24 +667,30 @@ def q_grouped_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user exponentially weighted moving average (α=0.3, recursive
     ``s_t = α·x_t + (1−α)·s_{t−1}``) — a genuinely sequential per-group
     computation, the applyInPandas (grouped-map) use case: each group
-    lands in one Arrow batch, pandas runs the recursion at C speed, groups
-    parallelize across executors. The DuckDB oracle reproduces the exact
-    fold; ordering is pinned by (ts, event_id) so both engines recurse in
-    the same sequence."""
-    import numpy as np
+    lands in one Arrow batch, pandas ``ewm(adjust=False)`` runs the
+    recursion at C speed, groups parallelize across executors. The DuckDB
+    oracle reproduces the exact fold; ordering is pinned by
+    (ts, event_id) so both engines recurse in the same sequence.
 
+    Skew posture: applyInPandas delivers EACH GROUP WHOLE to one task —
+    a dominant key becomes one straggler batch that must fit in that
+    executor's memory (pinned by
+    tests/test_scale_posture.py::test_grouped_ewma_dominant_key_single_batch).
+    When a single group outgrows a batch, the chunked-state alternative
+    is applyInPandasWithState over fixed-size chunks ordered by (ts,
+    event_id), carrying the running EWMA value as the state between
+    chunks — same recursion, bounded memory."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        vals = pdf["value"].to_numpy()
-        out = np.empty(len(vals))
-        s = 0.0
-        for i, x in enumerate(vals):
-            s = x if i == 0 else 0.3 * x + 0.7 * s
-            out[i] = s
         return pd.DataFrame(
-            {"user_id": pdf["user_id"], "event_id": pdf["event_id"], "ewma": out}
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                # adjust=False is exactly s_0 = x_0; s_t = α·x_t + (1−α)·s_{t−1}
+                "ewma": pdf["value"].ewm(alpha=0.3, adjust=False).mean(),
+            }
         )
 
     out = ev.groupBy("user_id").applyInPandas(

@@ -112,3 +112,50 @@ def test_ingest_fan_out_partitioning_is_reused(spark):
     agg = d.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # fan-out only; the agg reuses it
+
+
+def test_grouped_ewma_dominant_key_single_batch(spark):
+    """applyInPandas delivers each group WHOLE to one invocation — the
+    skew posture of the grouped-EWMA operator. One key owning 90% of the
+    rows arrives as a single Arrow batch (state never splits, so the
+    recursion is correct), at the cost of one straggler task whose group
+    must fit in executor memory; past that, chunk with
+    applyInPandasWithState (see queries/llmops.q_grouped_ewma)."""
+    import pandas as pd
+
+    rows = [Row(user_id=1, event_id=i, v=float(i % 13)) for i in range(900)] + [
+        Row(user_id=2 + i, event_id=1000 + i, v=float(i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows).repartition(4, "event_id")
+
+    def probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        # rows_in_batch == group size proves the whole group reached one call
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].iloc[:1],
+                "rows_in_batch": [len(pdf)],
+                "ewma_last": [
+                    pdf.sort_values("event_id")["v"]
+                    .ewm(alpha=0.3, adjust=False)
+                    .mean()
+                    .iloc[-1]
+                ],
+            }
+        )
+
+    got = {
+        r["user_id"]: r
+        for r in df.groupBy("user_id")
+        .applyInPandas(probe, "user_id long, rows_in_batch long, ewma_last double")
+        .collect()
+    }
+    assert got[1]["rows_in_batch"] == 900  # dominant group: one whole batch
+    assert all(got[u]["rows_in_batch"] == 1 for u in got if u != 1)
+    # recursion over the dominant group matches a local single-pass fold
+    expect = (
+        pd.Series([float(i % 13) for i in range(900)])
+        .ewm(alpha=0.3, adjust=False)
+        .mean()
+        .iloc[-1]
+    )
+    assert abs(got[1]["ewma_last"] - expect) < 1e-9
