@@ -53,6 +53,9 @@ HEADLINE = [
     "text_quality",
     "text_token_count",
     "text_fingerprint",
+    "text_repetition",
+    "text_unigram_logprob",
+    "decontaminate_ngram_overlap",
     "tfidf_title_match",
     "stream_tumbling_agg",
     "explode_line_items",

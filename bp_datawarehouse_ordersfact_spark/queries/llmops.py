@@ -637,6 +637,154 @@ def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS t FROM documents),
+    big AS (SELECT doc_id,
+                   unnest(list_transform(range(len(t) - 1),
+                                         i -> t[i+1] || ' ' || t[i+2])) AS g
+            FROM toks WHERE len(t) >= 2),
+    cnt AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY doc_id, g)
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_2grams,
+           round(CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c), 6)
+             AS dup_2gram_frac,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_2gram_frac,
+           (CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / sum(c)) > 0.2
+             AS repetitive
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition family,
+    Rae et al. 2021 §A1.1): fraction of 2-gram occurrences that belong to
+    a duplicated 2-gram, and the share of the single most frequent
+    2-gram — the standard 'loops/boilerplate' pre-training filter.
+
+    Scale shape: bigrams via posexplode + one window lead (codegen), then
+    count per (doc, gram) and roll up per doc. Every stage is keyed by
+    doc_id, so all of it reuses the ingest fan-out partitioning — ZERO
+    exchanges after the fan-out, at any corpus size."""
+    d = _docs(spark, sf_dir)
+    raw = d.select("doc_id", F.posexplode(Tx.tokens(F.col("text"))).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        raw.select(
+            "doc_id",
+            F.concat_ws(" ", F.col("tok"), F.lead("tok", 1).over(w)).alias("g"),
+            F.lead("tok", 1).over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())  # full bigrams only (len(t) >= 2)
+        .drop("nxt")
+    )
+    cnt = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+    return cnt.groupBy("doc_id").agg(
+        total.cast("long").alias("n_2grams"),
+        rnd(dup.cast("double") / total, 6).alias("dup_2gram_frac"),
+        rnd(F.max("c").cast("double") / total, 6).alias("top_2gram_frac"),
+        (dup.cast("double") / total > 0.2).alias("repetitive"),
+    )
+
+
+# 5-gram rows shared by the decontamination query and its oracle
+SQL_5GRAMS = (
+    "list_distinct(list_transform(range(len({t}) - 4), "
+    "i -> {t}[i+1] || ' ' || {t}[i+2] || ' ' || {t}[i+3] || ' ' || {t}[i+4] || ' ' || {t}[i+5]))"
+)
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS t FROM documents),
+    grams AS (SELECT doc_id, unnest({SQL_5GRAMS.format(t='t')}) AS g
+              FROM toks WHERE len(t) >= 5),
+    hold AS (SELECT doc_id AS hid, g FROM grams WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+    SELECT t.doc_id,
+           CAST(count(DISTINCT t.g) AS BIGINT) AS n_hit_grams,
+           CAST(count(DISTINCT h.hid) AS BIGINT) AS n_holdout_docs
+    FROM train t JOIN hold h ON t.g = h.g
+    GROUP BY t.doc_id
+    """,
+)
+def q_decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-gram with a holdout/benchmark set (here the deterministic
+    doc_id % 97 == 0 slice stands in for the eval suite) — the standard
+    n-gram-overlap contamination check (GPT-3 appendix C / PaLM-style).
+
+    Scale shape: the benchmark side is always tiny relative to the
+    corpus, so its distinct 5-grams BROADCAST; the corpus side stays
+    shuffle-free — a map-side hash probe per gram, then a per-doc rollup
+    that reuses the ingest fan-out partitioning."""
+    d = _docs(spark, sf_dir)
+    raw = d.select("doc_id", F.posexplode(Tx.tokens(F.col("text"))).alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, 5)]
+    grams = (
+        raw.select(
+            "doc_id",
+            F.concat_ws(" ", *leads).alias("g"),
+            leads[-1].alias("last"),
+        )
+        .filter(F.col("last").isNotNull())  # full 5-grams only
+        .select("doc_id", "g")
+        .distinct()
+    )
+    hold = grams.filter(F.col("doc_id") % 97 == 0).withColumnRenamed("doc_id", "hid")
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(F.broadcast(hold), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_hit_grams"),
+            F.countDistinct("hid").alias("n_holdout_docs"),
+        )
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({SQL_TOKS.format(c='text')}) AS tok
+                  FROM documents),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT sum(c) AS n FROM freq)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(CAST(c AS DOUBLE) / n)), 6) AS mean_logprob
+    FROM toks JOIN freq USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score: mean log-probability of a document's
+    tokens under the corpus's own unigram distribution — the cheap stand-
+    in for a KenLM perplexity filter (CCNet-style): documents of rare
+    garbage tokens score low, fluent in-distribution text scores high.
+
+    Scale shape: the unigram table is vocabulary-sized (millions of rows
+    at worst — broadcastable), so the per-token probability lookup is a
+    broadcast hash join against the exploded corpus: no shuffle of the
+    token stream; the only wide ops are the vocab count and the per-doc
+    rollup, which reuses the fan-out partitioning."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(Tx.tokens(F.col("text"))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    lp = toks.join(F.broadcast(freq), "tok").join(F.broadcast(total))
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        rnd(F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 6).alias(
+            "mean_logprob"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grouped-map UDF surface (applyInPandas)
 # ---------------------------------------------------------------------------
