@@ -75,6 +75,8 @@ HEADLINE = [
     "stream_sliding_agg",
     "stream_dedup",
     "stream_session_agg",
+    "stream_stream_join",
+    "ann_ivf_kmeans_refine",
 ]
 
 

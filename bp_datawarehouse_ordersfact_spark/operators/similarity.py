@@ -220,3 +220,59 @@ def cosine_topk_lsh(
         .filter(F.col("rnk") <= k)
         .select("q_id", "c_id", "cosine", "rnk")
     )
+
+
+def kmeans_lloyd_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_cells: int = 8,
+    n_iter: int = 2,
+) -> DataFrame:
+    """Lloyd iterations for IVF centroid training: assign every vector to
+    its nearest centroid (cosine, deterministic (score DESC, cell ASC)
+    tie-break), recompute each centroid as the per-dimension mean of its
+    members, repeat. Seeded with the first ``n_cells`` vectors by id —
+    k-means++ would sharpen the seed but needs sequential sampling; the
+    deterministic seed keeps the whole fit oracle-reproducible.
+
+    Returns (cell_id, n_members, centroid) after ``n_iter`` refinements —
+    the training step behind ``cosine_topk_ivf``'s index. Cells that lose
+    all members drop out (both engines drop them identically — GROUP BY
+    emits no row); centroids are rounded to 6dp each iteration so the
+    next assignment reads identical inputs in any engine.
+
+    Scale shape per iteration: centroids are k×dim floats — always
+    broadcastable — so assignment is a map-side argmax over the corpus
+    (no shuffle of the vectors); the recompute is one shuffle of narrow
+    (cell, dim, value) rows with map-side partial means. This is the
+    standard distributed k-means plan at any corpus size.
+    """
+    e = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    cents = e.filter(F.col("vid") < n_cells).select(
+        F.col("vid").alias("cell_id"), F.col("v").alias("cent")
+    )
+
+    assigned = None
+    for _ in range(n_iter):
+        scored = e.crossJoin(F.broadcast(cents)).withColumn(
+            "cell_cos", rnd(V.cosine(F.col("v"), F.col("cent")), 6)
+        )
+        w = Window.partitionBy("vid").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
+        assigned = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("vid", "v", "cell_id")
+        )
+        dims = assigned.select("cell_id", F.posexplode("v").alias("pos", "val"))
+        means = dims.groupBy("cell_id", "pos").agg(rnd(F.avg("val"), 6).alias("m"))
+        cents = means.groupBy("cell_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cent")
+        )
+
+    counts = assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return cents.join(counts, "cell_id").select("cell_id", "n_members", "cent")

@@ -42,16 +42,17 @@ _WINDOW_FIRST = (
     "domain_fact_royalty", "domain_split_royalty_report",
     # new in round 4 — never checked, by definition
     "text_repetition", "decontaminate_ngram_overlap", "text_unigram_logprob",
-    # 20 representative previously-green picks across the operator families
-    # (string_cleanup/date_functions/union_by_name rotate out: three rounds
-    # green, pytest-pinned, and their function families appear inside the
-    # retained pipeline queries)
+    "ann_ivf_kmeans_refine", "stream_stream_join",
+    # 18 representative previously-green picks across the operator families
+    # (string_cleanup/date_functions/union_by_name/pivot_status/
+    # top_k_per_group rotate out: three rounds green, pytest-pinned, and
+    # their families appear inside the retained pipeline queries)
     "pricing_summary", "dedup_keep_first",
     "broadcast_dim_join", "incremental_merge", "levenshtein_ratio_join",
     "tfidf_title_match", "asof_join", "skew_salted_join",
     "window_order_totals", "parent_allocation", "sessionize_events",
-    "top_k_per_group", "case_categorize",
-    "multikey_rollup", "pivot_status", "explode_line_items", "fact_royalty",
+    "case_categorize",
+    "multikey_rollup", "explode_line_items", "fact_royalty",
     "rest_ingest_distributed", "kafka_wire_roundtrip", "sketch_approx_stats",
 )
 

@@ -785,6 +785,57 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_kmeans_round(e: str, cents: str, out_a: str, out_c: str) -> str:
+    """One unrolled Lloyd round of the DuckDB oracle: assign (QUALIFY
+    argmax over rounded cosine, cell ASC tie-break) then per-dimension
+    rounded means relisted in order."""
+    cos = (
+        f"round({SQL_DOT.format(a='e.v', b='c.centroid')}"
+        f" / (sqrt({SQL_DOT.format(a='e.v', b='e.v')})"
+        f" * sqrt({SQL_DOT.format(a='c.centroid', b='c.centroid')})), 6)"
+    )
+    return f"""
+    {out_a} AS (
+      SELECT e.vid, c.cell_id FROM {e} e CROSS JOIN {cents} c
+      QUALIFY row_number() OVER (PARTITION BY e.vid
+                                 ORDER BY {cos} DESC, c.cell_id) = 1),
+    {out_a}m AS (
+      SELECT a.cell_id, d.pos, round(avg(CAST(e.v[d.pos + 1] AS DOUBLE)), 6) AS m
+      FROM {out_a} a JOIN {e} e USING (vid)
+      CROSS JOIN (SELECT unnest(range(64)) AS pos) d
+      GROUP BY a.cell_id, d.pos),
+    {out_c} AS (SELECT cell_id, list(m ORDER BY pos) AS centroid
+                FROM {out_a}m GROUP BY cell_id)"""
+
+
+@register(
+    "ann_ivf_kmeans_refine",
+    f"""
+    WITH e AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+    c0 AS (SELECT vid AS cell_id, v AS centroid FROM e WHERE vid < 8),
+    {_sql_kmeans_round('e', 'c0', 'a1', 'c1')},
+    {_sql_kmeans_round('e', 'c1', 'a2', 'c2')}
+    SELECT c2.cell_id, cnt.n_members, c2.centroid
+    FROM c2 JOIN (SELECT cell_id, count(*) AS n_members
+                  FROM a2 GROUP BY cell_id) cnt USING (cell_id)
+    """,
+)
+def q_ann_ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF centroid TRAINING (two Lloyd iterations over the embedding
+    corpus) — the step ``cosine_topk_ivf``'s deterministic seed stood in
+    for. Assignment is a broadcast argmax (no shuffle of the vectors);
+    the recompute is one narrow (cell, dim, value) shuffle with map-side
+    partial means — the standard distributed k-means plan. Centroids are
+    rounded each round so the fit is bit-reproducible in the oracle
+    (which unrolls the same two rounds over the 64-dim testdata
+    vectors)."""
+    from ..operators.similarity import kmeans_lloyd_centroids
+
+    e = _emb(spark, sf_dir)
+    out = kmeans_lloyd_centroids(e, "embedding", "vec_id", n_cells=8, n_iter=2)
+    return out.select("cell_id", "n_members", F.col("cent").alias("centroid"))
+
+
 # ---------------------------------------------------------------------------
 # Grouped-map UDF surface (applyInPandas)
 # ---------------------------------------------------------------------------

@@ -125,3 +125,32 @@ ORACLES["stream_stateful_user_stats"] = """
     FROM events
     GROUP BY user_id
 """
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase ← same-user clicks within
+    the previous hour). Watermarks on both sides + the bounded interval
+    condition give finite join state on unbounded streams; availableNow
+    over the static source makes the output equal the batch interval
+    join, so the oracle hash-checks every attribution pair."""
+    from ..streaming.jobs import run_stream_stream_join_availablenow
+
+    return run_stream_stream_join_availablenow(spark, f"{sf_dir}/events.parquet")
+
+
+QUERIES["stream_stream_join"] = q_stream_stream_join
+ORACLES["stream_stream_join"] = """
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.ts AS purchase_ts,
+           c.ts AS click_ts,
+           round(p.value, 2) AS purchase_value
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+      AND c.event_type = 'click'
+"""

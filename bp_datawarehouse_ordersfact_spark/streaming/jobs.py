@@ -312,3 +312,55 @@ def run_tumbling_agg_availablenow(
         )
     )
     return _run_to_memory_sink(stream, mode="complete")
+
+
+def run_stream_stream_join_availablenow(
+    spark: SparkSession,
+    events_path: str,
+    max_lag: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same user's
+    clicks from the preceding ``max_lag`` — the attribution join
+    (which click led to this purchase) as two live streams.
+
+    Both sides carry watermarks and the join condition bounds click_ts to
+    a window around purchase_ts, so Spark can size the join state and
+    evict rows older than watermark + lag — the property that lets this
+    run forever on unbounded streams. With availableNow over a static
+    source every row is present in the single micro-batch, so the output
+    equals the batch interval join and the oracle can hash-check it.
+    """
+    clicks = (
+        _stream_source(spark, events_path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        _stream_source(spark, events_path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            rnd(F.col("value"), 2).alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            user_id = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {max_lag}
+            """
+        ),
+    ).select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts",
+             "purchase_value")
+    return _run_to_memory_sink(joined, mode="append")
