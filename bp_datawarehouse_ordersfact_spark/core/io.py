@@ -30,14 +30,35 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to session-TZ TIMESTAMP.
+
+    Parquet files written without ``isAdjustedToUTC`` read back as
+    TIMESTAMP_NTZ under Spark 4, a type many chrono functions
+    (``unix_micros``, watermarks on some builds) reject. Engine sessions
+    pin ``spark.sql.session.timeZone=UTC`` (core.session), so this cast
+    reinterprets the naive values as the same UTC instants DuckDB assumes
+    when it runs ``epoch()`` on a naive TIMESTAMP — oracle parity holds.
+    """
+    from pyspark.sql import functions as F
+
+    ntz = [f.name for f in df.schema.fields if f.dataType.typeName() == "timestamp_ntz"]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. Parquet → columnar scan with predicate
     pushdown and column pruning for free.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's Parquet
-    reader rejects; read it as int64 nanos (legacy conf) and truncate to
-    microseconds — the same nanos→micros truncation DuckDB applies, so
-    oracle comparisons agree exactly.
+    Timestamp physical-type drift across generator versions is absorbed
+    here so queries always see TIMESTAMP (UTC session):
+    - TIMESTAMP(NANOS) (rejected by Spark's reader) → int64 nanos via the
+      legacy conf, truncated to micros — the same truncation DuckDB
+      applies;
+    - naive TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ) → cast, see
+      ``normalize_ntz``.
     """
     from pyspark.sql import functions as F
 
@@ -46,8 +67,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return normalize_ntz(df)
+    return normalize_ntz(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_tables(

@@ -16,6 +16,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..core.io import normalize_ntz
 from ..functions.rounding import rnd
 
 
@@ -36,7 +37,7 @@ def _stream_source(spark: SparkSession, events_path: str) -> DataFrame:
     src = spark.readStream.schema(schema).parquet(stage_dir)
     if dict(src.dtypes).get("ts") == "bigint":
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return src
+    return normalize_ntz(src)
 
 
 # State partition count for these jobs. A stateful streaming operator
@@ -297,6 +298,7 @@ def run_tumbling_agg_availablenow(
     if dict(src.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) parquet read as int64 nanos → truncate to micros
         src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    src = normalize_ntz(src)
     stream = (
         src.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
