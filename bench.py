@@ -77,6 +77,8 @@ HEADLINE = [
     "stream_session_agg",
     "stream_stream_join",
     "ann_ivf_kmeans_refine",
+    "events_gap_fill",
+    "data_quality_audit",
 ]
 
 

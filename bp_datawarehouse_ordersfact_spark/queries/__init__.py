@@ -43,16 +43,20 @@ _WINDOW_FIRST = (
     # new in round 4 — never checked, by definition
     "text_repetition", "decontaminate_ngram_overlap", "text_unigram_logprob",
     "ann_ivf_kmeans_refine", "stream_stream_join",
-    # 18 representative previously-green picks across the operator families
+    "events_gap_fill", "data_quality_audit",
+    # 16 representative previously-green picks across the operator families
     # (string_cleanup/date_functions/union_by_name/pivot_status/
     # top_k_per_group rotate out: three rounds green, pytest-pinned, and
     # their families appear inside the retained pipeline queries)
+    # (broadcast_dim_join and multikey_rollup rotate out for the two new
+    # round-4 queries above: their families stay covered inside the window
+    # by fact_royalty's broadcast dims and pricing_summary's rollup)
     "pricing_summary", "dedup_keep_first",
-    "broadcast_dim_join", "incremental_merge", "levenshtein_ratio_join",
+    "incremental_merge", "levenshtein_ratio_join",
     "tfidf_title_match", "asof_join", "skew_salted_join",
     "window_order_totals", "parent_allocation", "sessionize_events",
     "case_categorize",
-    "multikey_rollup", "explode_line_items", "fact_royalty",
+    "explode_line_items", "fact_royalty",
     "rest_ingest_distributed", "kafka_wire_roundtrip", "sketch_approx_stats",
 )
 

@@ -1314,3 +1314,161 @@ def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", F.lit("open_only").alias("membership")
     )
     return both.unionByName(only_open)
+
+
+@register(
+    "events_gap_fill",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             round(sum(value), 2) AS day_value, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM spans
+    )
+    SELECT g.user_id, g.day,
+           coalesce(d.n_events, 0) AS n_events,
+           CASE WHEN d.day_value IS NULL THEN 0 ELSE 1 END AS is_observed,
+           last_value(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: regularize each user's event
+    stream onto a daily grid (their own min..max span) and carry the last
+    observed daily total across gap days — the resample/ffill step every
+    metrics backfill and feature-store pipeline needs and the reference's
+    batch model never had.
+
+    Scale shape: the grid is GENERATED per key with ``sequence``+``explode``
+    (rows appear already partitioned by the groupBy key — no crossJoin
+    against a calendar table), the daily rollup is one shuffle, the grid
+    join is key-aligned, and the forward fill is a single running
+    ``last(ignorenulls)`` window per key. Grid size is bounded by
+    keys × span-days, independent of event volume."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        rnd(F.sum("value"), 2).alias("day_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.when(F.col("day_value").isNull(), 0).otherwise(1).alias("is_observed"),
+        F.last("day_value", ignorenulls=True).over(w_fill).alias("filled_value"),
+    )
+
+
+@register(
+    "data_quality_audit",
+    """
+    SELECT 'orders_dup_orderkey' AS check_name,
+           count(*) - count(DISTINCT o_orderkey) AS violations,
+           count(*) AS checked_rows
+    FROM orders
+    UNION ALL
+    SELECT 'orders_null_orderdate', count(*) FILTER (WHERE o_orderdate IS NULL),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_totalprice', count(*) FILTER (WHERE o_totalprice <= 0),
+           count(*)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_qty_out_of_range',
+           count(*) FILTER (WHERE l_quantity <= 0 OR l_quantity > 50), count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1), count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)),
+           count(*)
+    FROM lineitem
+    ORDER BY check_name
+    """,
+)
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (Deequ-shaped; extends the
+    reference's ad-hoc null probe, dw5_order_royalty_fact.py A12 family):
+    uniqueness, completeness, range, and referential-integrity checks as
+    one result table of (check_name, violations, checked_rows).
+
+    Scale shape: all per-table checks for a table collapse into ONE
+    conditional-aggregation pass (count FILTER semantics via
+    count(when(...))) — adding a check adds a column to an existing scan,
+    not a job. The referential check is a broadcast-friendly left-anti
+    aggregate, the only join in the audit."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+
+    def cnt(cond):
+        return F.count(F.when(cond, 1)).cast("bigint")
+
+    n_o = F.count(F.lit(1)).cast("bigint")
+    o_checks = o.agg(
+        (n_o - F.countDistinct("o_orderkey")).cast("bigint").alias("orders_dup_orderkey"),
+        cnt(F.col("o_orderdate").isNull()).alias("orders_null_orderdate"),
+        cnt(F.col("o_totalprice") <= 0).alias("orders_nonpositive_totalprice"),
+        n_o.alias("__checked"),
+    )
+    li_checks = li.agg(
+        cnt((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 50)).alias(
+            "lineitem_qty_out_of_range"
+        ),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias(
+            "lineitem_discount_out_of_range"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("__checked"),
+    )
+    orphans = (
+        li.join(o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+        .select(
+            F.lit("lineitem_orphan_orderkey").alias("check_name"),
+            "violations",
+        )
+    )
+
+    def unpivot(df, checks):
+        return df.unpivot(
+            ["__checked"], checks, "check_name", "violations"
+        ).select("check_name", "violations", F.col("__checked").alias("checked_rows"))
+
+    li_total = li.agg(F.count(F.lit(1)).cast("bigint").alias("checked_rows"))
+    return (
+        unpivot(o_checks, ["orders_dup_orderkey", "orders_null_orderdate",
+                           "orders_nonpositive_totalprice"])
+        .unionByName(
+            unpivot(li_checks, ["lineitem_qty_out_of_range",
+                                "lineitem_discount_out_of_range"])
+        )
+        .unionByName(orphans.crossJoin(li_total))
+        .orderBy("check_name")
+    )
