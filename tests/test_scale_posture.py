@@ -159,3 +159,40 @@ def test_grouped_ewma_dominant_key_single_batch(spark):
         .iloc[-1]
     )
     assert abs(got[1]["ewma_last"] - expect) < 1e-9
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level filtering: when a selective dim-side filter feeds
+    a shuffle join, Catalyst injects a bloom-filter aggregate on the dim
+    keys and applies `might_contain` on the fact side BEFORE the shuffle —
+    at 100 TB this drops most fact rows at the scan instead of shuffling
+    them. Pin that the conf-gated rewrite actually fires on our join shape
+    (thresholds lowered because local testdata is tiny; a real cluster
+    keeps the defaults)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
