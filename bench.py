@@ -79,6 +79,7 @@ HEADLINE = [
     "ann_ivf_kmeans_refine",
     "events_gap_fill",
     "data_quality_audit",
+    "scd2_dim_update",
 ]
 
 

@@ -1,0 +1,84 @@
+"""Slowly-changing-dimension maintenance.
+
+The reference maintains every dimension by truncate-load (SCD Type 1 —
+``gcp_savebigquery.py:6-38`` overwrite; history is destroyed on every
+run). A complete warehouse engine also needs Type 2: effective-dated row
+versioning, where an attribute change CLOSES the open row and INSERTS a
+new one, preserving point-in-time joinability.
+
+Scale shape: ONE full-outer join between the open rows and the change
+set (equi-join on the business key — changes are usually small, so the
+join broadcasts), then each joined row emits its 1–2 output versions as
+an array exploded in the same stage. No branch of the merge re-reads
+either input, so the dimension is scanned once regardless of how many
+change cases apply. On Delta/Iceberg staging the same logic is the
+classic two-action ``MERGE`` (update-close + insert); this operator is
+the storage-agnostic form with identical semantics.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    key: str,
+    attrs: list[str],
+    eff_date,
+) -> DataFrame:
+    """Apply a change set to an SCD2 dimension.
+
+    ``dim`` carries ``key``, ``attrs``, ``valid_from``, ``valid_to``
+    (null while open) and ``is_current`` (1/0). ``changes`` carries
+    ``key`` + ``attrs`` with the new values effective at ``eff_date``.
+
+    Per business key:
+    - attrs unchanged (null-safe) → open row passes through;
+    - attrs differ → open row closes (``valid_to = eff_date``), a new
+      open version is inserted;
+    - key only in ``changes`` → brand-new open row;
+    - key only in ``dim`` → untouched. Closed history always passes
+      through unmodified.
+    """
+    eff = F.lit(eff_date).cast("date")
+    history = dim.filter(F.col("is_current") == 0)
+    open_rows = dim.filter(F.col("is_current") == 1)
+
+    o = open_rows.alias("o")
+    c = changes.alias("c")
+    joined = o.join(c, F.col(f"o.{key}") == F.col(f"c.{key}"), "full_outer")
+
+    differs = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"o.{a}").eqNullSafe(F.col(f"c.{a}")) for a in attrs],
+    )
+    in_dim = F.col(f"o.{key}").isNotNull()
+    in_chg = F.col(f"c.{key}").isNotNull()
+
+    def version(src: str, valid_from, valid_to, is_current) -> F.Column:
+        return F.struct(
+            F.coalesce(F.col(f"o.{key}"), F.col(f"c.{key}")).alias(key),
+            *[F.col(f"{src}.{a}").alias(a) for a in attrs],
+            valid_from.cast("date").alias("valid_from"),
+            valid_to.cast("date").alias("valid_to"),
+            F.lit(is_current).alias("is_current"),
+        )
+
+    kept = version("o", F.col("o.valid_from"), F.col("o.valid_to"), 1)
+    closed = version("o", F.col("o.valid_from"), eff, 0)
+    opened = version("c", eff, F.lit(None), 1)
+
+    versions = (
+        F.when(in_dim & in_chg & differs, F.array(closed, opened))
+        .when(in_dim, F.array(kept))
+        .otherwise(F.array(opened))
+    )
+    merged = joined.select(F.explode(versions).alias("v")).select("v.*")
+    return history.select(
+        key, *attrs, "valid_from", "valid_to", "is_current"
+    ).unionByName(merged)

@@ -1472,3 +1472,89 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans.crossJoin(li_total))
         .orderBy("check_name")
     )
+
+
+@register(
+    "scd2_dim_update",
+    """
+    WITH dim AS (
+      SELECT c_custkey AS cust_key, c_mktsegment AS segment,
+             round(c_acctbal, 2) AS acctbal,
+             DATE '1994-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+             1 AS is_current
+      FROM customer
+    ), chg AS (
+      SELECT c_custkey AS cust_key,
+             CASE WHEN c_custkey % 9 = 0 THEN 'MOVED' ELSE c_mktsegment END AS segment,
+             round(c_acctbal * 1.1, 2) AS acctbal
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, round(c_acctbal, 2)
+      FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 3 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEWSEG', 100.00
+      FROM customer WHERE c_custkey % 7 = 0
+    ), j AS (
+      SELECT d.cust_key AS d_key, d.segment AS d_seg, d.acctbal AS d_bal, d.valid_from,
+             c.cust_key AS c_key, c.segment AS c_seg, c.acctbal AS c_bal
+      FROM dim d FULL OUTER JOIN chg c ON d.cust_key = c.cust_key
+    )
+    SELECT d_key AS cust_key, d_seg AS segment, d_bal AS acctbal, valid_from,
+           DATE '1996-06-01' AS valid_to, 0 AS is_current
+    FROM j WHERE d_key IS NOT NULL AND c_key IS NOT NULL
+             AND (d_seg IS DISTINCT FROM c_seg OR d_bal IS DISTINCT FROM c_bal)
+    UNION ALL
+    SELECT coalesce(d_key, c_key), c_seg, c_bal, DATE '1996-06-01',
+           CAST(NULL AS DATE), 1
+    FROM j WHERE c_key IS NOT NULL AND (d_key IS NULL
+             OR d_seg IS DISTINCT FROM c_seg OR d_bal IS DISTINCT FROM c_bal)
+    UNION ALL
+    SELECT d_key, d_seg, d_bal, valid_from, CAST(NULL AS DATE), 1
+    FROM j WHERE d_key IS NOT NULL AND (c_key IS NULL
+             OR (d_seg IS NOT DISTINCT FROM c_seg AND d_bal IS NOT DISTINCT FROM c_bal))
+    """,
+)
+def q_scd2_dim_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension maintenance (the capability the reference's
+    truncate-load SCD1 destroys — ``gcp_savebigquery.py:6-38`` overwrites
+    history every run): apply an effective-dated change set to a
+    versioned customer dimension via ``operators.scd.scd2_apply``.
+
+    The change set is derived deterministically from the customer table
+    itself so every merge case is exercised: attribute updates
+    (``%3 == 0``, with a segment move at ``%9 == 0``), no-op redeliveries
+    (``%5``), and brand-new keys (``%7`` shifted). The operator is one
+    full-outer join + one explode of per-row version arrays — the
+    dimension is scanned once no matter how many change cases apply."""
+    from ..operators.scd import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_mktsegment").alias("segment"),
+        rnd(F.col("c_acctbal"), 2).alias("acctbal"),
+        F.lit("1994-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(1).alias("is_current"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("cust_key"),
+        F.when(F.col("c_custkey") % 9 == 0, "MOVED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+        rnd(F.col("c_acctbal") * 1.1, 2).alias("acctbal"),
+    )
+    noops = cust.filter(
+        (F.col("c_custkey") % 5 == 0) & (F.col("c_custkey") % 3 != 0)
+    ).select(
+        F.col("c_custkey").alias("cust_key"),
+        F.col("c_mktsegment").alias("segment"),
+        rnd(F.col("c_acctbal"), 2).alias("acctbal"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("cust_key"),
+        F.lit("NEWSEG").alias("segment"),
+        F.lit(100.00).alias("acctbal"),
+    )
+    changes = updates.unionByName(noops).unionByName(inserts)
+    return scd2_apply(dim, changes, "cust_key", ["segment", "acctbal"], "1996-06-01")

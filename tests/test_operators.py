@@ -358,3 +358,53 @@ def test_connected_components_chain_and_isolates(spark):
     )
     out = {r.id: r.component for r in connected_components(nodes, edges).collect()}
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6}
+
+
+def test_scd2_apply_all_merge_cases(spark):
+    """One operator call covering: closed history passthrough, attribute
+    change (close + new version), null-safe no-op, dim-only key, and
+    brand-new key."""
+    import datetime
+
+    from bp_datawarehouse_ordersfact_spark.operators.scd import scd2_apply
+
+    d = datetime.date
+    dim = spark.createDataFrame(
+        [
+            # closed history row: must pass through untouched
+            Row(k=1, seg="A", bal=None, valid_from=d(1990, 1, 1),
+                valid_to=d(1994, 1, 1), is_current=0),
+            Row(k=1, seg="B", bal=10.0, valid_from=d(1994, 1, 1),
+                valid_to=None, is_current=1),          # will change
+            Row(k=2, seg="C", bal=None, valid_from=d(1994, 1, 1),
+                valid_to=None, is_current=1),          # null attr, no-op
+            Row(k=3, seg="D", bal=30.0, valid_from=d(1994, 1, 1),
+                valid_to=None, is_current=1),          # not in changes
+        ],
+        "k long, seg string, bal double, valid_from date, valid_to date, is_current int",
+    )
+    changes = spark.createDataFrame(
+        [
+            Row(k=1, seg="B2", bal=10.0),   # changed attribute
+            Row(k=2, seg="C", bal=None),    # identical incl. null → no-op
+            Row(k=9, seg="N", bal=90.0),    # new key
+        ],
+        "k long, seg string, bal double",
+    )
+    out = scd2_apply(dim, changes, "k", ["seg", "bal"], "1996-06-01")
+    rows = {
+        (r.k, r.seg, r.is_current): (r.valid_from, r.valid_to)
+        for r in out.collect()
+    }
+    assert len(rows) == 6
+    # history passthrough
+    assert rows[(1, "A", 0)] == (d(1990, 1, 1), d(1994, 1, 1))
+    # change: old version closed at eff date, new version open from eff
+    assert rows[(1, "B", 0)] == (d(1994, 1, 1), d(1996, 6, 1))
+    assert rows[(1, "B2", 1)] == (d(1996, 6, 1), None)
+    # null-safe no-op keeps the original valid_from
+    assert rows[(2, "C", 1)] == (d(1994, 1, 1), None)
+    # untouched key passes through open
+    assert rows[(3, "D", 1)] == (d(1994, 1, 1), None)
+    # new key opens at eff date
+    assert rows[(9, "N", 1)] == (d(1996, 6, 1), None)
