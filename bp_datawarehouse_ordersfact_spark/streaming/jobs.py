@@ -366,3 +366,81 @@ def run_stream_stream_join_availablenow(
     ).select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts",
              "purchase_value")
     return _run_to_memory_sink(joined, mode="append")
+
+
+def transform_with_state_available() -> bool:
+    """Spark 4's ``transformWithStateInPandas`` drives its state-server
+    protocol over protobuf; without ``google.protobuf`` in the Python
+    environment the driver worker cannot initialize. Feature-gate (same
+    pattern as the Delta MERGE test and the Kafka connector fallback)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def run_type_histogram_transform_with_state(
+    spark: SparkSession, events_path: str
+) -> DataFrame:
+    """Per-user event-type histogram via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-state API (typed ValueState/ListState/MapState +
+    timers, RocksDB-backed). MapState keyed by event type is the shape
+    the older ``applyInPandasWithState`` tuple-state cannot express
+    without serializing the whole dict every batch: here each event
+    type's counter is an independent state key, so a micro-batch touches
+    only the types it saw.
+
+    Requires ``google.protobuf`` (see ``transform_with_state_available``)
+    and the RocksDB state-store provider, scoped around start like the
+    shuffle-partition conf."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TypeHistogram(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState("counts", "etype string", "n bigint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            for pdf in rows:
+                for etype, c in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self._counts.getValue((etype,))
+                        if self._counts.containsKey((etype,))
+                        else (0,)
+                    )
+                    self._counts.updateValue((etype,), (int(prev[0]) + int(c),))
+            pairs = [(key[0], et[0], int(n[0])) for et, n in self._counts.iterator()]
+            yield pd.DataFrame(
+                {
+                    "user_id": [p[0] for p in pairs],
+                    "event_type": [p[1] for p in pairs],
+                    "n_events": [p[2] for p in pairs],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = _stream_source(spark, events_path)
+    stream = src.groupBy("user_id").transformWithStateInPandas(
+        TypeHistogram(),
+        outputStructType="user_id bigint, event_type string, n_events bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, rocksdb)
+    try:
+        return _run_to_memory_sink(stream, mode="update")
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)

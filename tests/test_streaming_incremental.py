@@ -48,3 +48,26 @@ def test_stream_merge_replaces_stale_archive_rows(spark, tmp_path):
     truth = {r.event_id: r.value for r in events.collect()}
     for r in merged.collect():
         assert r.value == pytest.approx(truth[r.event_id])
+
+
+def test_transform_with_state_histogram_matches_batch(spark):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API) per-user
+    event-type histogram equals the batch groupBy on a bounded source.
+    Skips where google.protobuf is absent (the state-server protocol
+    dependency) — the job body is still the production shape."""
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import (
+        run_type_histogram_transform_with_state,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        pytest.skip("google.protobuf not installed in this environment")
+
+    events = "/root/testdata/sf0.001/events.parquet"
+    got = run_type_histogram_transform_with_state(spark, events)
+    expected = (
+        spark.read.parquet(events)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
