@@ -80,6 +80,7 @@ HEADLINE = [
     "events_gap_fill",
     "data_quality_audit",
     "scd2_dim_update",
+    "leakage_safe_split",
 ]
 
 

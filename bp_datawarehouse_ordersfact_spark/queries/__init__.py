@@ -44,6 +44,7 @@ _WINDOW_FIRST = (
     "text_repetition", "decontaminate_ngram_overlap", "text_unigram_logprob",
     "ann_ivf_kmeans_refine", "stream_stream_join",
     "events_gap_fill", "data_quality_audit", "scd2_dim_update",
+    "leakage_safe_split",
     # 16 representative previously-green picks across the operator families
     # (string_cleanup/date_functions/union_by_name/pivot_status/
     # top_k_per_group rotate out: three rounds green, pytest-pinned, and
@@ -54,9 +55,11 @@ _WINDOW_FIRST = (
     "pricing_summary", "dedup_keep_first",
     "incremental_merge", "levenshtein_ratio_join",
     "tfidf_title_match", "asof_join", "skew_salted_join",
-    # (case_categorize also rotates out for scd2_dim_update: the CASE
-    # family stays covered by fact_royalty's C16-C22 measure arms)
-    "window_order_totals", "parent_allocation", "sessionize_events",
+    # (case_categorize and window_order_totals also rotate out for
+    # scd2_dim_update and leakage_safe_split: the CASE family stays
+    # covered by fact_royalty's C16-C22 measure arms, the window family
+    # by parent_allocation / sessionize_events / events_gap_fill)
+    "parent_allocation", "sessionize_events",
     "explode_line_items", "fact_royalty",
     "rest_ingest_distributed", "kafka_wire_roundtrip", "sketch_approx_stats",
 )

@@ -1347,3 +1347,83 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("chunk_tokens").cast("long").alias("total_tokens"),
     )
+
+
+@register(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS t FROM documents),
+    sh AS (SELECT doc_id, {SQL_SHINGLES.format(t='t')} AS shingles FROM toks),
+    mh AS (SELECT doc_id, shingles,
+                  list_transform(range(16), k ->
+                    list_min(list_transform(shingles, s ->
+                      (((('0x' || substr(md5(s), 1, 8))::BIGINT)
+                        + k * (('0x' || substr(md5(s), 9, 8))::BIGINT)) % 4294967296)
+                    ))) AS sig
+           FROM sh),
+    banded AS (SELECT doc_id, b,
+                      md5(CAST(sig[b*4+1] AS VARCHAR) || ',' || CAST(sig[b*4+2] AS VARCHAR)
+                          || ',' || CAST(sig[b*4+3] AS VARCHAR) || ',' || CAST(sig[b*4+4] AS VARCHAR)) AS bh
+               FROM mh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)),
+    cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+             FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+    pairs AS (SELECT id_a, id_b FROM (
+        SELECT id_a, id_b,
+               round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                     / (len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+        FROM cand JOIN sh a ON cand.id_a = a.doc_id JOIN sh b ON cand.id_b = b.doc_id)
+      WHERE jaccard >= 0.5),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+    bucketed AS (
+      SELECT doc_id, component,
+             ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 4))::BIGINT % 10
+               AS bucket
+      FROM comp)
+    SELECT doc_id, component,
+           CASE WHEN bucket <= 7 THEN 'train'
+                WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bucketed
+    """,
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split membership is hashed
+    from each document's near-dup CLUSTER id, not its own id, so a
+    document and all its near-duplicates always land in the same split —
+    the property a per-doc hash split (``sample_stratified``) cannot give
+    and the one that actually prevents eval contamination.
+
+    Composition of two existing scale-safe pieces: MinHash-LSH candidate
+    pairs (band-bucket equi-join — never all-pairs, unlike the
+    ngram-Jaccard verifier ``dedup_cluster_cc`` uses at small scale)
+    closed into components (Pregel-style min-label propagation), then
+    the same portable md5-prefix bucket rule used by
+    ``sample_stratified`` applied to the component label. 80/10/10 by
+    bucket."""
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", k=16, bands=4, threshold=0.5
+    ).select("id_a", "id_b")
+    comp = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("component").cast("string")), 1, 4), 16, 10
+    ).cast("long") % 10
+    return comp.select(
+        "doc_id",
+        "component",
+        F.when(bucket <= 7, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
