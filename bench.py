@@ -81,6 +81,8 @@ HEADLINE = [
     "data_quality_audit",
     "scd2_dim_update",
     "leakage_safe_split",
+    "cdc_apply",
+    "cube_summary",
 ]
 
 

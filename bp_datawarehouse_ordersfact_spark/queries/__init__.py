@@ -44,7 +44,7 @@ _WINDOW_FIRST = (
     "text_repetition", "decontaminate_ngram_overlap", "text_unigram_logprob",
     "ann_ivf_kmeans_refine", "stream_stream_join",
     "events_gap_fill", "data_quality_audit", "scd2_dim_update",
-    "leakage_safe_split",
+    "leakage_safe_split", "cdc_apply", "cube_summary",
     # 16 representative previously-green picks across the operator families
     # (string_cleanup/date_functions/union_by_name/pivot_status/
     # top_k_per_group rotate out: three rounds green, pytest-pinned, and
@@ -52,14 +52,15 @@ _WINDOW_FIRST = (
     # (broadcast_dim_join and multikey_rollup rotate out for the two new
     # round-4 queries above: their families stay covered inside the window
     # by fact_royalty's broadcast dims and pricing_summary's rollup)
-    "pricing_summary", "dedup_keep_first",
+    "pricing_summary",
     "incremental_merge", "levenshtein_ratio_join",
     "tfidf_title_match", "asof_join", "skew_salted_join",
-    # (case_categorize and window_order_totals also rotate out for
-    # scd2_dim_update and leakage_safe_split: the CASE family stays
-    # covered by fact_royalty's C16-C22 measure arms, the window family
-    # by parent_allocation / sessionize_events / events_gap_fill)
-    "parent_allocation", "sessionize_events",
+    # (case_categorize, window_order_totals, sessionize_events and
+    # dedup_keep_first also rotate out for the round-4 queries above:
+    # CASE stays covered by fact_royalty's C16-C22 arms, windows by
+    # parent_allocation / events_gap_fill / cdc_apply, sessionization by
+    # stream_session_agg, keep-first dedup by the five dedup entries)
+    "parent_allocation",
     "explode_line_items", "fact_royalty",
     "rest_ingest_distributed", "kafka_wire_roundtrip", "sketch_approx_stats",
 )

@@ -1558,3 +1558,101 @@ def q_scd2_dim_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = updates.unionByName(noops).unionByName(inserts)
     return scd2_apply(dim, changes, "cust_key", ["segment", "acctbal"], "1996-06-01")
+
+
+@register(
+    "cdc_apply",
+    """
+    WITH changes AS (
+      SELECT o_orderkey AS order_key, 1 AS seq, 'I' AS op,
+             round(o_totalprice, 2) AS total_price
+      FROM orders WHERE o_orderkey % 4 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'U', round(o_totalprice * 1.05, 2)
+      FROM orders WHERE o_orderkey % 8 = 0
+      UNION ALL
+      SELECT o_orderkey, 3, 'D', CAST(NULL AS DOUBLE)
+      FROM orders WHERE o_orderkey % 16 = 0
+    ), latest AS (
+      SELECT order_key, seq, op, total_price,
+             row_number() OVER (PARTITION BY order_key ORDER BY seq DESC) AS rn
+      FROM changes
+    )
+    SELECT order_key, CAST(seq AS INT) AS last_seq, total_price
+    FROM latest WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log application (Debezium-shaped): collapse an
+    insert/update/delete change stream to current state — latest change
+    per key wins, keys whose latest op is a delete disappear. Extends the
+    upsert-only ``incremental_merge`` (reference ``dw3_merge_inc.py``
+    delete-insert has no tombstone concept) to the full op vocabulary a
+    CDC source emits.
+
+    Scale shape: ONE shuffle on the key for the latest-wins window
+    (Spark plans rn=1 as WindowGroupLimit — a per-partition top-1, not a
+    full sort+filter); the change branches union before the shuffle so
+    the log is read once per branch with the key filters pushed to the
+    scans. On Delta/Iceberg the same collapse feeds ``MERGE WHEN MATCHED
+    [AND op='D'] THEN DELETE``.
+
+    The change set is derived deterministically from ``orders`` (%4
+    inserts, %8 updates, %16 deletes) so all three ops and the
+    override/tombstone orderings are exercised."""
+    o = _t(spark, sf_dir, "orders")
+    ins = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        rnd(F.col("o_totalprice"), 2).alias("total_price"),
+    )
+    upd = o.filter(F.col("o_orderkey") % 8 == 0).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+        rnd(F.col("o_totalprice") * 1.05, 2).alias("total_price"),
+    )
+    dele = o.filter(F.col("o_orderkey") % 16 == 0).select(
+        F.col("o_orderkey").alias("order_key"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("total_price"),
+    )
+    changes = ins.unionByName(upd).unionByName(dele)
+    w = Window.partitionBy("order_key").orderBy(F.col("seq").desc())
+    return (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "order_key",
+            F.col("seq").cast("int").alias("last_seq"),
+            "total_price",
+        )
+    )
+
+
+@register(
+    "cube_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+           round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with an explicit grouping id —
+    all four grouping sets in one Expand+aggregate pass (no reference
+    equivalent; completes the §2.5 rollup/cube surface next to
+    ``grouping_rollup``). The Expand multiplies rows 4× BEFORE the
+    shuffle but the partial aggregate collapses them map-side, so the
+    exchange still carries only group keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("int")
+        .alias("gid"),
+        rnd(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
