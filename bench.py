@@ -83,6 +83,7 @@ HEADLINE = [
     "leakage_safe_split",
     "cdc_apply",
     "cube_summary",
+    "embedding_classifier_score",
 ]
 
 

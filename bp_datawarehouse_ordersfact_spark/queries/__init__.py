@@ -45,6 +45,7 @@ _WINDOW_FIRST = (
     "ann_ivf_kmeans_refine", "stream_stream_join",
     "events_gap_fill", "data_quality_audit", "scd2_dim_update",
     "leakage_safe_split", "cdc_apply", "cube_summary",
+    "embedding_classifier_score",
     # 16 representative previously-green picks across the operator families
     # (string_cleanup/date_functions/union_by_name/pivot_status/
     # top_k_per_group rotate out: three rounds green, pytest-pinned, and
@@ -52,8 +53,12 @@ _WINDOW_FIRST = (
     # (broadcast_dim_join and multikey_rollup rotate out for the two new
     # round-4 queries above: their families stay covered inside the window
     # by fact_royalty's broadcast dims and pricing_summary's rollup)
+    # (levenshtein_ratio_join rotates out for embedding_classifier_score:
+    # fuzzy similarity stays covered by tfidf_title_match, and the
+    # levenshtein byte/codepoint contract is pinned by
+    # tests/test_cross_engine_fuzz.py)
     "pricing_summary",
-    "incremental_merge", "levenshtein_ratio_join",
+    "incremental_merge",
     "tfidf_title_match", "asof_join", "skew_salted_join",
     # (case_categorize, window_order_totals, sessionize_events and
     # dedup_keep_first also rotate out for the round-4 queries above:

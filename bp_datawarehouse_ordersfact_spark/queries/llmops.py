@@ -1427,3 +1427,50 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "embedding_classifier_score",
+    """
+    WITH scored AS (
+      SELECT vec_id, label,
+             1.0 / (1.0 + exp(-(list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(range(64), j -> ((j * 37 % 13) - 6) / 10.0)
+             ) + 0.1))) AS raw_score
+      FROM embeddings)
+    SELECT vec_id, label,
+           round(raw_score, 6) AS score,
+           CASE WHEN raw_score >= 0.5 THEN 1 ELSE 0 END AS pred
+    FROM scored
+    """,
+)
+def q_embedding_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference over the corpus: a logistic classifier
+    scored against every embedding — the 'apply a trained filter model to
+    100 TB of candidates' step of a training-data pipeline (quality
+    gates, toxicity filters, domain routers all have this shape).
+
+    The hot path is a vectorized Arrow ``pandas_udf``: each batch stacks
+    to an (n, 64) matrix and scores with ONE BLAS matrix-vector product —
+    the shape row-at-a-time UDFs are ~100x slower at. Weights are a
+    deterministic closed form (j*37 % 13 ramp) so the DuckDB oracle can
+    regenerate them; a real model would arrive as a broadcast numpy
+    array, same plan. Accumulation is float64 on both engines."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def score_udf(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64)
+        w = ((np.arange(m.shape[1]) * 37 % 13) - 6) / 10.0
+        logit = m @ w + 0.1
+        return pd.Series(1.0 / (1.0 + np.exp(-logit)))
+
+    e = _emb(spark, sf_dir)
+    raw = e.select("vec_id", "label", score_udf("embedding").alias("raw_score"))
+    return raw.select(
+        "vec_id",
+        "label",
+        rnd(F.col("raw_score"), 6).alias("score"),
+        F.when(F.col("raw_score") >= 0.5, 1).otherwise(0).alias("pred"),
+    )
