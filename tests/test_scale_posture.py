@@ -196,3 +196,35 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_coalesces_shuffle_partitions(spark):
+    """Production sessions run with AQE on and a fixed shuffle-partition
+    count sized for the large case; AQE is what shrinks that to the data
+    actually flowing (tiny shuffles → few partitions, no 200-task
+    overhead). Pin that coalescing actually happens on a small aggregate
+    so a session-factory regression (AQE off, advisory size broken)
+    fails here instead of as cluster-wide task-scheduling overhead."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.shuffle.partitions": "64",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = (
+            spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        df.collect()  # AQE final plan exists only after execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead coalesced" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
