@@ -84,6 +84,7 @@ HEADLINE = [
     "cdc_apply",
     "cube_summary",
     "embedding_classifier_score",
+    "sketch_hll_merge",
 ]
 
 

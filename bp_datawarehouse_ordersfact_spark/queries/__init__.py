@@ -45,7 +45,7 @@ _WINDOW_FIRST = (
     "ann_ivf_kmeans_refine", "stream_stream_join",
     "events_gap_fill", "data_quality_audit", "scd2_dim_update",
     "leakage_safe_split", "cdc_apply", "cube_summary",
-    "embedding_classifier_score",
+    "embedding_classifier_score", "sketch_hll_merge",
     # 16 representative previously-green picks across the operator families
     # (string_cleanup/date_functions/union_by_name/pivot_status/
     # top_k_per_group rotate out: three rounds green, pytest-pinned, and
@@ -57,8 +57,10 @@ _WINDOW_FIRST = (
     # fuzzy similarity stays covered by tfidf_title_match, and the
     # levenshtein byte/codepoint contract is pinned by
     # tests/test_cross_engine_fuzz.py)
+    # (incremental_merge rotates out for sketch_hll_merge: upsert/merge
+    # stays covered in-window by cdc_apply and by the Delta MERGE
+    # equivalence test)
     "pricing_summary",
-    "incremental_merge",
     "tfidf_title_match", "asof_join", "skew_salted_join",
     # (case_categorize, window_order_totals, sessionize_events and
     # dedup_keep_first also rotate out for the round-4 queries above:

@@ -1656,3 +1656,52 @@ def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.sum("l_extendedprice"), 2).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "sketch_hll_merge",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+           TRUE AS within_err
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__ALL__', count(DISTINCT user_id), TRUE FROM events
+    """,
+)
+def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    ``hll_sketch_agg``): one sketch per event type, then the global
+    distinct-user estimate comes from ``hll_union_agg`` over those
+    per-type sketch OBJECTS — the events are never rescanned. That
+    mergeability is the property that matters at 100 TB: per-partition /
+    per-day sketches persist as bytes and roll up to any grouping later,
+    which ``approx_count_distinct`` (estimate-only output,
+    ``sketch_approx_stats``) cannot do. Self-validated like
+    sketch_approx_stats: exact counts hash-check against the oracle and
+    booleans pin the estimate error inside 5%."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"),
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+    )
+    per_rows = per.select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        ).alias("within_err"),
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).crossJoin(ev.agg(F.countDistinct("user_id").alias("exact_distinct")))
+    all_row = merged.select(
+        F.lit("__ALL__").alias("event_type"),
+        "exact_distinct",
+        (
+            F.abs(F.col("est") - F.col("exact_distinct")) / F.col("exact_distinct")
+            <= 0.05
+        ).alias("within_err"),
+    )
+    return per_rows.unionByName(all_row)
