@@ -65,3 +65,40 @@ def export_single_csv(df: DataFrame, path: str) -> None:
     coalesce(1) is correct ONLY for export-sized results — never for
     staging (it serializes the whole write through one task)."""
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML ingest via Spark 4's built-in XML source (no external package
+    since 4.0). ``rowTag`` selects the repeating element; pass an
+    explicit schema for the same no-inference discipline as
+    ``read_csv`` (schema inference costs a full extra pass). Distributed
+    like any file scan — one task per split, nested elements arrive as
+    structs/arrays for downstream posexplode."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Raw-media ingest via the ``binaryFile`` source: each file becomes
+    one row of (path, modificationTime, length, content binary) — the
+    scan-side half of the multimodal pipeline (decode/feature-extract
+    then run as Arrow ``mapInPandas`` over ``content``, see
+    queries.llmops multimodal ops). Spark parallelizes by file, so at
+    100 TB the unit of work is a media object, not a byte range —
+    partition counts follow file counts and small-file explosions are
+    the scaling hazard to manage upstream (object-store compaction)."""
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

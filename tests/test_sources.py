@@ -120,3 +120,37 @@ def test_kafka_wire_roundtrip_and_quarantine(spark):
     assert set(rows) == {1, 2} and len(rows) == 2
     assert rows[1].x == 1.5 and rows[2].x == -2.25
     assert rows[1].offset == 10 and rows[2].txt == "b"
+
+
+def test_read_xml_builtin_source(spark, tmp_path):
+    from bp_datawarehouse_ordersfact_spark.sources.files import read_xml
+
+    p = tmp_path / "orders.xml"
+    p.write_text(
+        "<orders>"
+        "<order><id>1</id><status>open</status><total>10.5</total></order>"
+        "<order><id>2</id><status>done</status><total>3.25</total></order>"
+        "</orders>"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("total", T.DoubleType()),
+        ]
+    )
+    rows = {r.id: r for r in read_xml(spark, str(tmp_path), "order", schema).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].status == "open" and rows[2].total == 3.25
+
+
+def test_read_binary_dir_globs_and_loads_bytes(spark, tmp_path):
+    from bp_datawarehouse_ordersfact_spark.sources.files import read_binary_dir
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02")
+    (tmp_path / "b.bin").write_bytes(b"payload")
+    (tmp_path / "skip.txt").write_text("not binary payload")
+    df = read_binary_dir(spark, str(tmp_path), glob="*.bin")
+    rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
+    assert rows == {"a.bin": b"\x00\x01\x02", "b.bin": b"payload"}
+    assert df.schema["length"].dataType.typeName() == "long"
