@@ -141,3 +141,58 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         ).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# scd2_apply == pure-Python merge
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    dim_keys=st.lists(st.integers(0, 9), unique=True, max_size=8),
+    chg=st.lists(
+        st.tuples(st.integers(0, 11), st.sampled_from(["A", "B", "C", None])),
+        max_size=10,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_scd2_apply_matches_pure_python(spark, dim_keys, chg):
+    """Random open dimensions + change sets (overlapping, new, and
+    null-attribute keys) against a dict-based reference merge. Invariants
+    checked implicitly: per key at most one open row, history rows
+    survive verbatim, close/open dates line up with the effective date."""
+    from bp_datawarehouse_ordersfact_spark.operators.scd import scd2_apply
+
+    eff = dt.date(1996, 6, 1)
+    d0 = dt.date(1994, 1, 1)
+    dim_rows = [
+        Row(k=k, seg=["A", "B", None][k % 3], valid_from=d0, valid_to=None,
+            is_current=1)
+        for k in dim_keys
+    ]
+    chg_rows = [Row(k=k, seg=seg) for k, seg in chg]
+
+    # pure-python latest state merge
+    expected = []
+    dim_by_key = {r.k: r for r in dim_rows}
+    chg_by_key = {r.k: r for r in chg_rows}
+    for k, o in dim_by_key.items():
+        c = chg_by_key.get(k)
+        if c is None or c.seg == o.seg:
+            expected.append((k, o.seg, d0, None, 1))
+        else:
+            expected.append((k, o.seg, d0, eff, 0))
+            expected.append((k, c.seg, eff, None, 1))
+    for k, c in chg_by_key.items():
+        if k not in dim_by_key:
+            expected.append((k, c.seg, eff, None, 1))
+
+    schema_dim = "k long, seg string, valid_from date, valid_to date, is_current int"
+    dim = spark.createDataFrame(dim_rows, schema_dim)
+    changes = spark.createDataFrame(chg_rows, "k long, seg string")
+    out = scd2_apply(dim, changes, "k", ["seg"], "1996-06-01")
+    key = lambda t: tuple((v is None, str(v)) for v in t)  # noqa: E731
+    got = sorted(((r.k, r.seg, r.valid_from, r.valid_to, r.is_current)
+                  for r in out.collect()), key=key)
+    assert got == sorted(expected, key=key)
