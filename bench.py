@@ -85,6 +85,8 @@ HEADLINE = [
     "cube_summary",
     "embedding_classifier_score",
     "sketch_hll_merge",
+    "funnel_analysis",
+    "retention_cohorts",
 ]
 
 

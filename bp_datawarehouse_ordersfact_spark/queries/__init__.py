@@ -46,6 +46,7 @@ _WINDOW_FIRST = (
     "events_gap_fill", "data_quality_audit", "scd2_dim_update",
     "leakage_safe_split", "cdc_apply", "cube_summary",
     "embedding_classifier_score", "sketch_hll_merge",
+    "funnel_analysis", "retention_cohorts",
     # 16 representative previously-green picks across the operator families
     # (string_cleanup/date_functions/union_by_name/pivot_status/
     # top_k_per_group rotate out: three rounds green, pytest-pinned, and
@@ -57,11 +58,14 @@ _WINDOW_FIRST = (
     # fuzzy similarity stays covered by tfidf_title_match, and the
     # levenshtein byte/codepoint contract is pinned by
     # tests/test_cross_engine_fuzz.py)
-    # (incremental_merge rotates out for sketch_hll_merge: upsert/merge
-    # stays covered in-window by cdc_apply and by the Delta MERGE
-    # equivalence test)
+    # (incremental_merge, asof_join and skew_salted_join rotate out for
+    # sketch_hll_merge / funnel_analysis / retention_cohorts: merge stays
+    # covered in-window by cdc_apply plus the Delta MERGE equivalence
+    # test; as-of and salted-join shapes are pinned by
+    # tests/test_plans.py and tests/test_property.py. With these swaps
+    # every registry query has a driver CORRECTNESS row after round 4.)
     "pricing_summary",
-    "tfidf_title_match", "asof_join", "skew_salted_join",
+    "tfidf_title_match",
     # (case_categorize, window_order_totals, sessionize_events and
     # dedup_keep_first also rotate out for the round-4 queries above:
     # CASE stays covered by fact_royalty's C16-C22 arms, windows by

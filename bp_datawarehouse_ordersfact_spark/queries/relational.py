@@ -1705,3 +1705,103 @@ def q_sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_err"),
     )
     return per_rows.unionByName(all_row)
+
+
+@register(
+    "funnel_analysis",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t1 FROM events e
+          JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 'view' AS stage, count(*) AS n_users FROM v
+    UNION ALL SELECT 'view>click', count(*) FROM c
+    UNION ALL SELECT 'view>click>purchase', count(*) FROM p
+    """,
+)
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users who viewed, then clicked AFTER the
+    first view, then purchased AFTER that click — order-sensitive
+    conversion, not mere event co-occurrence (no reference equivalent;
+    the canonical events-table workload next to sessionization).
+
+    Scale shape: each stage is a pre-aggregated (user_id, min_ts) frame —
+    shrinking to ≤1 row per user BEFORE its join, so the event table is
+    scanned once per stage with the event_type filter pushed down, and
+    the stage joins carry only user-level rows (broadcast-able once the
+    funnel narrows)."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+
+    def stage(df, name):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage(v, "view")
+        .unionByName(stage(c, "view>click"))
+        .unionByName(stage(p, "view>click>purchase"))
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH first_day AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT f.cohort_day, datediff('day', f.cohort_day, a.d) AS day_offset,
+           count(*) AS n_users
+    FROM first_day f JOIN activity a ON f.user_id = a.user_id
+    WHERE datediff('day', f.cohort_day, a.d) BETWEEN 0 AND 7
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on each
+    subsequent active day (offset 0-7) — the D1/D7 retention matrix every
+    events product computes (no reference equivalent).
+
+    Scale shape: both sides pre-aggregate to user-day grain before the
+    join (first_day is one row per user, activity is distinct user-days),
+    the join shuffles on user_id only, and the final rollup carries just
+    (cohort_day, offset) keys. The events table is scanned twice but
+    never joined at event grain."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    activity = ev.distinct()
+    offset = F.datediff(F.col("d"), F.col("cohort_day"))
+    return (
+        activity.join(first_day, "user_id")
+        .filter((offset >= 0) & (offset <= 7))
+        .groupBy("cohort_day", offset.cast("int").alias("day_offset"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
