@@ -71,3 +71,77 @@ def test_transform_with_state_histogram_matches_batch(spark):
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_availablenow_checkpoint_processes_only_new_files(spark, tmp_path):
+    """The property that makes availableNow runs INCREMENTAL: a second
+    run against the same checkpoint dir processes only files that
+    appeared since the first run — the streaming replacement for the
+    reference's re-pull-everything window."""
+    src_dir, out_dir, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    spark.range(0, 10).selectExpr("id", "id * 2 AS v").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src_dir)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out_dir).count() == 10
+
+    # second batch of files lands; same checkpoint → only the delta flows
+    spark.range(100, 105).selectExpr("id", "id * 2 AS v").coalesce(1).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run_once()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 15  # 10 original + exactly the 5 new, no re-processing
+    assert out.filter("id >= 100").count() == 5
+
+
+def test_normalize_ntz_preserves_utc_instants(spark):
+    """TIMESTAMP_NTZ columns become session-TZ TIMESTAMP with the naive
+    wall-clock reinterpreted as UTC (sessions pin UTC) — the exact
+    instants DuckDB assumes for naive parquet timestamps, which is what
+    keeps oracle parity across the driver generator's type drift."""
+    from bp_datawarehouse_ordersfact_spark.core.io import normalize_ntz
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        df = spark.sql(
+            "SELECT TIMESTAMP_NTZ '2024-03-01 12:30:45.123456' AS ts, 1 AS k"
+        )
+        assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+        out = normalize_ntz(df)
+        assert dict(out.dtypes) == {"ts": "timestamp", "k": "int"}
+        micros = out.selectExpr("unix_micros(ts) AS m").first().m
+        # 2024-03-01T12:30:45.123456Z as epoch micros
+        import datetime as dt
+
+        expected = int(
+            dt.datetime(
+                2024, 3, 1, 12, 30, 45, 123456, tzinfo=dt.timezone.utc
+            ).timestamp()
+            * 1_000_000
+        )
+        assert micros == expected
+        # no NTZ columns → identity (same plan object, no rewrite)
+        plain = df.select("k")
+        assert normalize_ntz(plain) is plain
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
