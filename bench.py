@@ -87,6 +87,7 @@ HEADLINE = [
     "sketch_hll_merge",
     "funnel_analysis",
     "retention_cohorts",
+    "rollup_incremental_refresh",
 ]
 
 

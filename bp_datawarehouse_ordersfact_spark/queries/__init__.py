@@ -46,7 +46,7 @@ _WINDOW_FIRST = (
     "events_gap_fill", "data_quality_audit", "scd2_dim_update",
     "leakage_safe_split", "cdc_apply", "cube_summary",
     "embedding_classifier_score", "sketch_hll_merge",
-    "funnel_analysis", "retention_cohorts",
+    "funnel_analysis", "retention_cohorts", "rollup_incremental_refresh",
     # 16 representative previously-green picks across the operator families
     # (string_cleanup/date_functions/union_by_name/pivot_status/
     # top_k_per_group rotate out: three rounds green, pytest-pinned, and
@@ -64,14 +64,16 @@ _WINDOW_FIRST = (
     # test; as-of and salted-join shapes are pinned by
     # tests/test_plans.py and tests/test_property.py. With these swaps
     # every registry query has a driver CORRECTNESS row after round 4.)
+    # (parent_allocation rotates out for rollup_incremental_refresh: the
+    # conditional-window family stays covered by cdc_apply's
+    # WindowGroupLimit and events_gap_fill's running fill)
     "pricing_summary",
     "tfidf_title_match",
     # (case_categorize, window_order_totals, sessionize_events and
     # dedup_keep_first also rotate out for the round-4 queries above:
     # CASE stays covered by fact_royalty's C16-C22 arms, windows by
-    # parent_allocation / events_gap_fill / cdc_apply, sessionization by
-    # stream_session_agg, keep-first dedup by the five dedup entries)
-    "parent_allocation",
+    # events_gap_fill / cdc_apply, sessionization by stream_session_agg,
+    # keep-first dedup by the five dedup entries)
     "explode_line_items", "fact_royalty",
     "rest_ingest_distributed", "kafka_wire_roundtrip", "sketch_approx_stats",
 )

@@ -1805,3 +1805,56 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", offset.cast("int").alias("day_offset"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
     )
+
+
+@register(
+    "rollup_incremental_refresh",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year, o_orderpriority,
+           round(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders,
+           round(sum(o_totalprice) / count(*), 6) AS avg_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup refresh: the archive's partial
+    aggregates MERGE with the increment's partial aggregates instead of
+    recomputing from raw rows — the algebraic-aggregate property
+    (sum/count compose; avg derives at read) that keeps a 100 TB rollup
+    fresh for the cost of the day's delta. The oracle IS the full
+    recompute over all rows, so the hash check proves merge ≡ recompute
+    exactly. The reference rebuilds every rollup from scratch each run
+    (truncate-load, SURVEY §3.3).
+
+    Scale shape: each side shrinks to rollup grain before the union, the
+    merge shuffles only grouped keys, and non-decomposable measures
+    never appear in the stored state (avg is derived; distincts would
+    store HLL sketches — see sketch_hll_merge)."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "o_orderpriority",
+        ).agg(
+            F.sum("o_totalprice").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    archive = partial(o.filter(F.col("o_orderdate") < cutoff))
+    increment = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        archive.unionByName(increment)
+        .groupBy("order_year", "o_orderpriority")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+    )
+    return merged.select(
+        "order_year",
+        "o_orderpriority",
+        rnd(F.col("s"), 2).alias("revenue"),
+        F.col("n").cast("bigint").alias("n_orders"),
+        rnd(F.col("s") / F.col("n"), 6).alias("avg_price"),
+    )
