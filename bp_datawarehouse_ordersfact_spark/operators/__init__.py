@@ -1,3 +1,23 @@
-from . import aggregates, dedup, explode, joins, similarity, windows
+from . import (
+    aggregates,
+    dedup,
+    explode,
+    graph,
+    joins,
+    scd,
+    similarity,
+    temporal,
+    windows,
+)
 
-__all__ = ["aggregates", "dedup", "explode", "joins", "similarity", "windows"]
+__all__ = [
+    "aggregates",
+    "dedup",
+    "explode",
+    "graph",
+    "joins",
+    "scd",
+    "similarity",
+    "temporal",
+    "windows",
+]
