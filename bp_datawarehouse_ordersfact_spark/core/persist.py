@@ -53,15 +53,20 @@ def tracked_local_checkpoint(
 ) -> tuple[DataFrame, set[int]]:
     """``df.localCheckpoint()`` plus the ids of the RDDs it pinned.
 
-    With ``eager=False`` the blocks materialize on the frame's first
-    action instead of here (one job instead of two when the caller's
-    next step is itself an action); the returned ids are already
-    registered either way.
+    The ids are registered here, so a later ``release_results(spark)``
+    frees the blocks even if the caller discards the returned set. With
+    ``eager=False`` the blocks materialize on the frame's first action
+    instead of here (one job instead of two when the caller's next step
+    is itself an action) — note the id diff is taken at checkpoint TIME,
+    which covers both modes (the RDD is pinned immediately; only the
+    block fill is deferred).
     """
     sc = df.sparkSession.sparkContext
     before = persistent_rdd_ids(sc)
     ck = df.localCheckpoint(eager=eager)
-    return ck, persistent_rdd_ids(sc) - before
+    new_ids = persistent_rdd_ids(sc) - before
+    register_result_ids(new_ids)
+    return ck, new_ids
 
 
 def unpersist_rdd_ids(sc, ids: set[int], blocking: bool = False) -> int:

@@ -21,7 +21,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..core.persist import (
-    register_result_ids,
     release_results,  # noqa: F401 — re-exported; callers free result blocks here
     tracked_local_checkpoint,
 )
@@ -79,8 +78,9 @@ class _CacheScope:
 
     def finish(self, result: DataFrame) -> DataFrame:
         try:
-            ck, new_ids = tracked_local_checkpoint(result, eager=True)
-            register_result_ids(new_ids)
+            # tracked_local_checkpoint registers the result's RDD ids for
+            # a later release_results
+            ck, _ = tracked_local_checkpoint(result, eager=True)
             return ck
         finally:
             for f in self._frames:

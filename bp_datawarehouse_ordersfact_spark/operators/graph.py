@@ -28,7 +28,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..core.persist import (
-    register_result_ids,
     tracked_local_checkpoint,
     unpersist_rdd_ids,
 )
@@ -86,7 +85,7 @@ def connected_components(
             break
         prev_sum = new_sum
 
-    # the surviving label set is the RESULT; its blocks are freed by
-    # core.persist.release_results once the caller has consumed it
-    register_result_ids(label_ids)
+    # the surviving label set is the RESULT; its blocks (registered by
+    # tracked_local_checkpoint) are freed by core.persist.release_results
+    # once the caller has consumed it
     return labels.select(F.col("id").alias(id_col), "component")

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,10 +44,23 @@ def scd2_apply(
     - key only in ``changes`` → brand-new open row;
     - key only in ``dim`` → untouched. Closed history always passes
       through unmodified.
+
+    ``changes`` must carry ONE winning value per key (a CDC feed with
+    several updates per key in one batch should be collapsed latest-wins
+    first — see ``queries.relational.q_cdc_apply``). Duplicate keys here
+    would otherwise fan out the join into several open versions, so they
+    are collapsed defensively to one row per key (deterministic: min by
+    attrs) before the merge.
     """
     eff = F.lit(eff_date).cast("date")
     history = dim.filter(F.col("is_current") == 0)
     open_rows = dim.filter(F.col("is_current") == 1)
+    w_one = Window.partitionBy(key).orderBy(*[F.col(a).asc_nulls_first() for a in attrs])
+    changes = (
+        changes.withColumn("__rn", F.row_number().over(w_one))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
     o = open_rows.alias("o")
     c = changes.alias("c")

@@ -232,9 +232,11 @@ def kmeans_lloyd_centroids(
     """Lloyd iterations for IVF centroid training: assign every vector to
     its nearest centroid (cosine, deterministic (score DESC, cell ASC)
     tie-break), recompute each centroid as the per-dimension mean of its
-    members, repeat. Seeded with the first ``n_cells`` vectors by id —
-    k-means++ would sharpen the seed but needs sequential sampling; the
-    deterministic seed keeps the whole fit oracle-reproducible.
+    members, repeat. Seeded with the ``n_cells`` smallest-id vectors
+    (works for ANY id domain, dense or not; each seed's cell_id is its
+    vector id) — k-means++ would sharpen the seed but needs sequential
+    sampling; the deterministic seed keeps the whole fit
+    oracle-reproducible.
 
     Returns (cell_id, n_members, centroid) after ``n_iter`` refinements —
     the training step behind ``cosine_topk_ivf``'s index. Cells that lose
@@ -248,9 +250,13 @@ def kmeans_lloyd_centroids(
     (cell, dim, value) rows with map-side partial means. This is the
     standard distributed k-means plan at any corpus size.
     """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     e = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    cents = e.filter(F.col("vid") < n_cells).select(
-        F.col("vid").alias("cell_id"), F.col("v").alias("cent")
+    cents = (
+        e.orderBy("vid")
+        .limit(n_cells)
+        .select(F.col("vid").alias("cell_id"), F.col("v").alias("cent"))
     )
 
     assigned = None

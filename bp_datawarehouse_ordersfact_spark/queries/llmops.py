@@ -812,7 +812,7 @@ def _sql_kmeans_round(e: str, cents: str, out_a: str, out_c: str) -> str:
     "ann_ivf_kmeans_refine",
     f"""
     WITH e AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
-    c0 AS (SELECT vid AS cell_id, v AS centroid FROM e WHERE vid < 8),
+    c0 AS (SELECT vid AS cell_id, v AS centroid FROM e ORDER BY vid LIMIT 8),
     {_sql_kmeans_round('e', 'c0', 'a1', 'c1')},
     {_sql_kmeans_round('e', 'c1', 'a2', 'c2')}
     SELECT c2.cell_id, cnt.n_members, c2.centroid

@@ -408,3 +408,25 @@ def test_scd2_apply_all_merge_cases(spark):
     assert rows[(3, "D", 1)] == (d(1994, 1, 1), None)
     # new key opens at eff date
     assert rows[(9, "N", 1)] == (d(1996, 6, 1), None)
+
+
+def test_kmeans_centroids_work_with_non_dense_ids(spark):
+    """Seeding takes the n_cells smallest-id vectors — id domains that
+    don't start at 0 (or aren't dense) must still seed correctly, and
+    n_iter < 1 is a contract violation, not a crash site."""
+    from bp_datawarehouse_ordersfact_spark.operators.similarity import (
+        kmeans_lloyd_centroids,
+    )
+
+    rows = [
+        Row(vec_id=1000 + i, embedding=[float(i % 3), float((i + 1) % 3), 1.0])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd_centroids(df, "embedding", "vec_id", n_cells=3, n_iter=1)
+    got = {r.cell_id: r.n_members for r in out.collect()}
+    assert sum(got.values()) == 12          # every vector assigned exactly once
+    assert set(got) <= {1000, 1001, 1002}   # seeds are the smallest ids
+
+    with pytest.raises(ValueError):
+        kmeans_lloyd_centroids(df, "embedding", "vec_id", n_cells=3, n_iter=0)

@@ -154,14 +154,15 @@ def test_asof_join_matches_bruteforce(spark, left, right):
     chg=st.lists(
         st.tuples(st.integers(0, 11), st.sampled_from(["A", "B", "C", None])),
         max_size=10,
-        unique_by=lambda t: t[0],
     ),
 )
 def test_scd2_apply_matches_pure_python(spark, dim_keys, chg):
-    """Random open dimensions + change sets (overlapping, new, and
-    null-attribute keys) against a dict-based reference merge. Invariants
-    checked implicitly: per key at most one open row, history rows
-    survive verbatim, close/open dates line up with the effective date."""
+    """Random open dimensions + change sets (overlapping, new,
+    null-attribute, and DUPLICATE keys — the operator collapses dupes
+    deterministically to min-by-attrs, nulls first) against a dict-based
+    reference merge. Invariants checked implicitly: per key at most one
+    open row, history rows survive verbatim, close/open dates line up
+    with the effective date."""
     from bp_datawarehouse_ordersfact_spark.operators.scd import scd2_apply
 
     eff = dt.date(1996, 6, 1)
@@ -173,10 +174,18 @@ def test_scd2_apply_matches_pure_python(spark, dim_keys, chg):
     ]
     chg_rows = [Row(k=k, seg=seg) for k, seg in chg]
 
-    # pure-python latest state merge
+    # pure-python latest state merge; duplicate change keys collapse to
+    # min by attrs with nulls first, mirroring the operator's contract
     expected = []
     dim_by_key = {r.k: r for r in dim_rows}
-    chg_by_key = {r.k: r for r in chg_rows}
+    chg_by_key = {}
+    for r in chg_rows:
+        cur = chg_by_key.get(r.k)
+        if cur is None or (r.seg is not None, r.seg or "") < (
+            cur.seg is not None,
+            cur.seg or "",
+        ):
+            chg_by_key[r.k] = r
     for k, o in dim_by_key.items():
         c = chg_by_key.get(k)
         if c is None or c.seg == o.seg:
