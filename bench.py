@@ -88,6 +88,7 @@ HEADLINE = [
     "funnel_analysis",
     "retention_cohorts",
     "rollup_incremental_refresh",
+    "corpus_mix_resample",
 ]
 
 

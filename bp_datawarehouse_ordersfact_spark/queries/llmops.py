@@ -1474,3 +1474,70 @@ def q_embedding_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         rnd(F.col("raw_score"), 6).alias("score"),
         F.when(F.col("raw_score") >= 0.5, 1).otherwise(0).alias("pred"),
     )
+
+
+@register(
+    "corpus_mix_resample",
+    """
+    WITH w AS (
+      SELECT source, count(*) AS n,
+             CAST((CAST(regexp_extract(source, '(\\d+)$', 1) AS INT) % 4 + 1)
+                  AS DOUBLE) AS wt
+      FROM documents GROUP BY source
+    ), rated AS (
+      SELECT source, n,
+             (wt / sum(wt) OVER ()) / (CAST(n AS DOUBLE) / sum(n) OVER ())
+               AS ratio
+      FROM w
+    ), thresholds AS (
+      SELECT source,
+             CAST(floor(ratio / max(ratio) OVER () * 1000000) AS BIGINT)
+               AS keep_ppm
+      FROM rated
+    )
+    SELECT d.doc_id, d.source, t.keep_ppm
+    FROM documents d JOIN thresholds t ON d.source = t.source
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 1000000 < t.keep_ppm
+    """,
+)
+def q_corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: down-sample each source so the kept corpus matches
+    TARGET mixture weights — the data-mixing step every pretraining
+    pipeline runs (up-weight books, down-weight boilerplate web). Target
+    weights here derive from the source name (suffix % 4 + 1) so the
+    query is self-contained; production passes a weights table.
+
+    The acceptance rule is the same portable md5-ppm hash used by
+    ``sample_stratified`` — membership is stable under repartitioning and
+    appends, so reruns keep identical documents. Rates normalize so the
+    most-underrepresented source keeps 100% (no upsampling). Scale
+    shape: the rate table is per-source (tiny, broadcast); the corpus
+    pays one map-side hash filter — no shuffle of the documents at all."""
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    wt = (
+        F.regexp_extract("source", r"(\d+)$", 1).cast("int") % 4 + 1
+    ).cast("double")
+    per_src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).withColumn(
+        "wt", wt
+    )
+    w_all = Window.partitionBy()
+    rated = per_src.select(
+        "source",
+        (
+            (F.col("wt") / F.sum("wt").over(w_all))
+            / (F.col("n").cast("double") / F.sum("n").over(w_all))
+        ).alias("ratio"),
+    )
+    thresholds = rated.select(
+        "source",
+        F.floor(F.col("ratio") / F.max("ratio").over(w_all) * 1000000)
+        .cast("bigint")
+        .alias("keep_ppm"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 1000000
+    return d.join(F.broadcast(thresholds), "source").filter(
+        bucket < F.col("keep_ppm")
+    ).select("doc_id", "source", "keep_ppm")
