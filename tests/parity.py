@@ -2,7 +2,13 @@
 entry on Spark and its oracle_sql() twin on DuckDB, compare row count,
 column names, and order-insensitive values (floats rounded).
 
-Usage: python tests/parity.py [sf_dir] [query ...]
+Usage: python tests/parity.py [--vanilla] [--window] [sf_dir] [query ...]
+
+``--vanilla`` builds the session the way the DRIVER does (bare
+``SparkSession.builder.master("local[8]")`` — none of the factory confs)
+so session-dependent bugs (timezone, ANSI, shuffle sizing) surface here
+first. ``--window`` restricts to the first 50 registry entries — the
+exact slice the driver's correctness gate checks.
 """
 
 from __future__ import annotations
@@ -53,14 +59,24 @@ def compare_query(spark, con, name, fn, sql, sf_dir) -> tuple[bool, str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    window = "--window" in args
+    args = [a for a in args if a not in ("--vanilla", "--window")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
-    from bp_datawarehouse_ordersfact_spark.core.session import get_spark
 
-    spark = get_spark("parity")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from bp_datawarehouse_ordersfact_spark.core.session import get_spark
+
+        spark = get_spark("parity")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
@@ -68,6 +84,8 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if window:
+        qs = dict(list(qs.items())[:50])
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
