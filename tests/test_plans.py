@@ -133,3 +133,46 @@ def test_regional_supplier_volume_fact_never_shuffles_for_joins(spark):
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert p.count("BroadcastHashJoin") == 3
     assert "PushedFilters: [IsNotNull(r_name), EqualTo(r_name,ASIA)" in p
+
+
+def test_cdc_apply_partial_window_group_limit(spark):
+    # latest-wins rn=1 must plan as WindowGroupLimit with a PARTIAL pass
+    # before the single key exchange (map-side per-key top-1 pruning)
+    p = plan_of(spark, "cdc_apply")
+    assert p.count("Exchange") == 1
+    assert p.count("WindowGroupLimit") == 2  # Partial + Final
+    assert "Join" not in p
+
+
+def test_scd2_single_full_outer_join_one_dim_scan_per_branch(spark):
+    # the SCD2 merge is ONE full-outer join; every merge case comes from
+    # the version-array explode, never from re-joining the dimension
+    p = plan_of(spark, "scd2_dim_update")
+    assert p.count("SortMergeJoin") == 1 and "FullOuter" in p
+    assert p.count("Generate explode") == 1
+
+
+def test_events_gap_fill_two_exchanges_local_fill_sort(spark):
+    # span agg + daily rollup are the only exchanges; the fill window
+    # reuses the span aggregate's user_id partitioning (local sort only)
+    p = plan_of(spark, "events_gap_fill")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "BroadcastHashJoin" in p
+    assert "Window" in p
+
+
+def test_funnel_stages_preaggregate_before_join(spark):
+    # each stage joins USER-level aggregates, never raw event x event:
+    # every join keeps a HashAggregate beneath it, and the event_type
+    # filters reach the scans
+    p = plan_of(spark, "funnel_analysis")
+    assert "EqualTo(event_type,view)" in p
+    assert "EqualTo(event_type,purchase)" in p
+    assert "HashAggregate" in p and "CartesianProduct" not in p
+
+
+def test_corpus_mix_filter_is_broadcast_no_corpus_shuffle(spark):
+    # the per-source threshold table broadcasts; the corpus side must
+    # not shuffle for the join
+    p = plan_of(spark, "corpus_mix_resample")
+    assert "BroadcastHashJoin" in p
