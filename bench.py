@@ -21,8 +21,12 @@ from bp_datawarehouse_ordersfact_spark.core.persist import release_results
 from bp_datawarehouse_ordersfact_spark.core.session import get_spark
 from bp_datawarehouse_ordersfact_spark.queries import all_queries
 
-# Representative of every operator family, excluding the deliberately
-# quadratic small-scale verifiers (ngram all-pairs, brute-force ANN):
+# Every registry query except (a) the deliberately quadratic
+# small-scale verifiers (ngram all-pairs, brute-force ANN, and their
+# consumers dedup_cluster_cc / ann_recall_at_k) and (b) the domain e2e
+# runs, which execute on fixed-size fixtures and ignore sf_dir — they
+# measure plan depth, not data scaling, and are timed by the
+# correctness gate and tests/test_domain_pipeline.py instead:
 HEADLINE = [
     "pricing_summary",
     "select_rename",
@@ -89,6 +93,29 @@ HEADLINE = [
     "retention_cohorts",
     "rollup_incremental_refresh",
     "corpus_mix_resample",
+    "membership_filter",
+    "threshold_filter",
+    "distinct_rows",
+    "percent_rate_normalization",
+    "semi_anti_join",
+    "conditional_measures",
+    "union_by_name",
+    "null_audit",
+    "event_interarrival",
+    "quantile_stats",
+    "grouping_rollup",
+    "pivot_status",
+    "top_k",
+    "null_fill_sentinels",
+    "levenshtein_ratio_join",
+    "skew_salted_join",
+    "top_k_per_group",
+    "window_rank_functions",
+    "set_intersect_except",
+    "date_dim_generate",
+    "sketch_approx_stats",
+    "rest_ingest_distributed",
+    "stream_stateful_user_stats",
 ]
 
 
