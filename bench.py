@@ -116,6 +116,8 @@ HEADLINE = [
     "sketch_approx_stats",
     "rest_ingest_distributed",
     "stream_stateful_user_stats",
+    "variant_props_extract",
+    "listagg_per_group",
 ]
 
 

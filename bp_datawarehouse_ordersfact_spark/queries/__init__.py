@@ -24,10 +24,10 @@ _MODULES = (relational, pipeline, llmops, streaming, domain_e2e)
 # 27 queries (the llmops tail, all streaming jobs, the domain e2e runs)
 # never produced a CORRECTNESS row despite passing the identical local
 # gate (tests/parity.py). Round 4's window fixes that: the 27 backlog
-# queries first, then the 17 queries ADDED in round 4, then 6
-# representative previously-green picks — 50 exactly. The other 44 all
+# queries first, then the 19 queries ADDED in round 4, then 4
+# representative previously-green picks — 50 exactly. The other 46 all
 # carry CORRECTNESS rows from rounds 1-3 and stay pinned by pytest, so
-# after round 4 EVERY registry query (94) has been driver-checked at
+# after round 4 EVERY registry query (96) has been driver-checked at
 # least once. Each rotation below names where the rotated-out family
 # stays covered; round 5 should rotate the r1-r3-only queries back in.
 _WINDOW_FIRST = (
@@ -48,7 +48,7 @@ _WINDOW_FIRST = (
     "leakage_safe_split", "cdc_apply", "cube_summary",
     "embedding_classifier_score", "sketch_hll_merge",
     "funnel_analysis", "retention_cohorts", "rollup_incremental_refresh",
-    "corpus_mix_resample",
+    "corpus_mix_resample", "variant_props_extract", "listagg_per_group",
     # 6 representative previously-green picks (explode J3-J5 runs inside
     # fact_royalty's domain ingest chain). Families of the 44 queries
     # left outside the window stay covered inside it: broadcast dims +
@@ -59,8 +59,9 @@ _WINDOW_FIRST = (
     # stream_session_agg, keep-first dedup by the five dedup entries;
     # as-of/salted-join shapes are pinned by tests/test_plans.py and
     # tests/test_property.py, levenshtein by test_cross_engine_fuzz.py.
-    "pricing_summary",
-    "tfidf_title_match",
+    # (pricing_summary and tfidf_title_match rotate out last: the driver
+    # smoke-checks entry() — which IS pricing_summary — every round, and
+    # tfidf is pinned by operator tests + three green rounds)
     "fact_royalty",
     "rest_ingest_distributed", "kafka_wire_roundtrip", "sketch_approx_stats",
 )

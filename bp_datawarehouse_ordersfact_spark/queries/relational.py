@@ -1858,3 +1858,59 @@ def q_rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_orders"),
         rnd(F.col("s") / F.col("n"), 6).alias("avg_price"),
     )
+
+
+@register(
+    "variant_props_extract",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INT)
+                              > 50) AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VARIANT type: ``parse_json``
+    once into a binary-encoded variant, then ``variant_get`` path reads —
+    the schema-on-read modernization of ``json_props_extract``'s
+    ``from_json`` (no StructType to maintain; unknown fields survive; at
+    100 TB the variant parses once per row instead of once per extracted
+    path like string-based ``get_json_object``)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).cast("bigint").alias("n_high"),
+        )
+    )
+
+
+@register(
+    "listagg_per_group",
+    """
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+             AS statuses,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_listagg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (``LISTAGG ... WITHIN GROUP``, new in
+    Spark 4) — deterministic because of the explicit WITHIN GROUP order;
+    an unordered collect would hash-differ run to run. Completes the
+    aggregation surface next to the rollup/sketch entries."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "listagg(DISTINCT l_linestatus, ',') WITHIN GROUP (ORDER BY l_linestatus)"
+        ).alias("statuses"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
