@@ -176,3 +176,20 @@ def test_corpus_mix_filter_is_broadcast_no_corpus_shuffle(spark):
     # not shuffle for the join
     p = plan_of(spark, "corpus_mix_resample")
     assert "BroadcastHashJoin" in p
+
+
+def test_variant_extract_single_exchange_codegen(spark):
+    # parse_json/variant_get stay JVM-side: one exchange for the rollup,
+    # no joins, whole-stage codegen on the aggregate
+    p = plan_of(spark, "variant_props_extract")
+    assert p.count("Exchange") == 1 and "Join" not in p
+    assert "*(" in p
+
+
+def test_rollup_refresh_merges_without_join(spark):
+    # archive/increment partials merge through union + one keyed
+    # aggregate — a merge expressed as a join would shuffle twice as much
+    p = plan_of(spark, "rollup_incremental_refresh")
+    assert "Join" not in p
+    assert p.count("Exchange") <= 2
+    assert "Union" in p
