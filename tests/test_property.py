@@ -205,3 +205,40 @@ def test_scd2_apply_matches_pure_python(spark, dim_keys, chg):
     got = sorted(((r.k, r.seg, r.valid_from, r.valid_to, r.is_current)
                   for r in out.collect()), key=key)
     assert got == sorted(expected, key=key)
+
+
+# ---------------------------------------------------------------------------
+# portable md5 bucket rule == hashlib reference
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(ids=st.lists(st.integers(-(2**62), 2**62), max_size=12, unique=True))
+def test_md5_ppm_bucket_matches_hashlib(spark, ids):
+    """The md5-prefix bucket rule (sample_stratified, leakage_safe_split,
+    corpus_mix_resample membership) must match a pure-Python hashlib
+    reference for any long id — this IS the cross-engine portability
+    contract the DuckDB oracles rely on."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    if not ids:
+        return
+    df = spark.createDataFrame([Row(i=i) for i in ids], "i long")
+    got = {
+        r.i: r.b
+        for r in df.select(
+            "i",
+            (
+                F.conv(F.substring(F.md5(F.col("i").cast("string")), 1, 8), 16, 10)
+                .cast("long")
+                % 1000000
+            ).alias("b"),
+        ).collect()
+    }
+    expected = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1000000
+        for i in ids
+    }
+    assert got == expected
