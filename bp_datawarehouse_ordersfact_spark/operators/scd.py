@@ -30,6 +30,7 @@ def scd2_apply(
     key: str,
     attrs: list[str],
     eff_date,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Apply a change set to an SCD2 dimension.
 
@@ -48,19 +49,34 @@ def scd2_apply(
     ``changes`` must carry ONE winning value per key (a CDC feed with
     several updates per key in one batch should be collapsed latest-wins
     first — see ``queries.relational.q_cdc_apply``). Duplicate keys here
-    would otherwise fan out the join into several open versions, so they
-    are collapsed defensively to one row per key (deterministic: min by
-    attrs) before the merge.
+    would otherwise fan out the join into several open versions, so the
+    batch is collapsed defensively to one row per key before the merge:
+    latest-wins by ``order_col`` when the caller names the CDC ordering
+    column, else deterministically (min by attrs) — an *arbitrary*
+    winner, acceptable only because a correctly-prepared batch has no
+    duplicates for it to choose between.
     """
+    if not attrs:
+        raise ValueError(
+            "scd2_apply needs at least one tracked attribute in `attrs` — "
+            "with none there is no change to detect and no row to version"
+        )
     eff = F.lit(eff_date).cast("date")
     history = dim.filter(F.col("is_current") == 0)
     open_rows = dim.filter(F.col("is_current") == 1)
-    w_one = Window.partitionBy(key).orderBy(*[F.col(a).asc_nulls_first() for a in attrs])
+    if order_col is not None:
+        w_one = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    else:
+        w_one = Window.partitionBy(key).orderBy(
+            *[F.col(a).asc_nulls_first() for a in attrs]
+        )
     changes = (
         changes.withColumn("__rn", F.row_number().over(w_one))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    if order_col is not None:
+        changes = changes.drop(order_col)
 
     o = open_rows.alias("o")
     c = changes.alias("c")

@@ -20,50 +20,49 @@ from . import domain_e2e, llmops, pipeline, relational, streaming
 _MODULES = (relational, pipeline, llmops, streaming, domain_e2e)
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# registration order. Rounds 1-3 registered relational+pipeline first, so
-# 27 queries (the llmops tail, all streaming jobs, the domain e2e runs)
-# never produced a CORRECTNESS row despite passing the identical local
-# gate (tests/parity.py). Round 4's window fixes that: the 27 backlog
-# queries first, then the 19 queries ADDED in round 4, then 4
-# representative previously-green picks — 50 exactly. The other 46 all
-# carry CORRECTNESS rows from rounds 1-3 and stay pinned by pytest, so
-# after round 4 EVERY registry query (96) has been driver-checked at
-# least once. Each rotation below names where the rotated-out family
-# stays covered; round 5 should rotate the r1-r3-only queries back in.
+# registration order. Round 4's window gave the 27 never-checked backlog
+# queries + the 19 round-4 additions + 4 representative picks their first
+# driver rows, so after r4 every registry query has been checked at least
+# once. Round-5 window (this tuple): the 2 queries whose r4 rows were red
+# (ann_recall_at_k HUGEINT-cast fix, ann_ivf_kmeans_refine scalar-reshape
+# fix — must re-check), the 2 domain e2e queries (first HASH check ever:
+# they gained real VALUES oracles this round), any round-5 ADDITIONS
+# (never checked — inserted right after, displacing tail picks), then the
+# 46 queries whose newest driver row is round 3 — all equally stale, all
+# rotated back in, honoring the "no query's newest row older than 2
+# rounds" invariant (tests/test_window_rotation.py enforces it). The r4
+# window's 46 other queries (all green r4 rows) rotate out; their
+# families stay covered by pytest pins (tests/test_plans.py,
+# test_scale_posture.py, operator tests) until round 6 rotates them back.
+# pricing_summary and tfidf_title_match sit LAST: the driver smoke-checks
+# entry() — which IS pricing_summary — every round, and tfidf is pinned
+# by operator tests, so they are the safest displacements if round-5
+# additions need window slots.
 _WINDOW_FIRST = (
-    # never driver-checked through round 3 (llmops 20 + streaming 5 + domain 2)
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "ann_cosine_topk",
-    "ann_cosine_lsh", "ann_cosine_ivf", "text_langid", "text_quality",
-    "text_token_count", "text_fingerprint", "text_pii_scrub",
-    "corpus_filter_pipeline", "grouped_ewma", "multimodal_binary_meta",
-    "multimodal_feature_extract", "dedup_cluster_cc", "text_chunking",
-    "sample_stratified", "sequence_packing", "ann_recall_at_k",
-    "corpus_prep_pipeline", "stream_tumbling_agg", "stream_sliding_agg",
-    "stream_dedup", "stream_session_agg", "stream_stateful_user_stats",
+    # red in r4, fixed this round — re-check first
+    "ann_recall_at_k", "ann_ivf_kmeans_refine",
+    # first-ever hash check (VALUES oracles added this round)
     "domain_fact_royalty", "domain_split_royalty_report",
-    # the 16 queries added in round 4 — never checked, by definition
-    "text_repetition", "decontaminate_ngram_overlap", "text_unigram_logprob",
-    "ann_ivf_kmeans_refine", "stream_stream_join",
-    "events_gap_fill", "data_quality_audit", "scd2_dim_update",
-    "leakage_safe_split", "cdc_apply", "cube_summary",
-    "embedding_classifier_score", "sketch_hll_merge",
-    "funnel_analysis", "retention_cohorts", "rollup_incremental_refresh",
-    "corpus_mix_resample", "variant_props_extract", "listagg_per_group",
-    # 6 representative previously-green picks (explode J3-J5 runs inside
-    # fact_royalty's domain ingest chain). Families of the 44 queries
-    # left outside the window stay covered inside it: broadcast dims +
-    # CASE arms by fact_royalty, rollups by pricing_summary +
-    # rollup_incremental_refresh, fuzzy similarity by tfidf_title_match,
-    # merge/upsert by cdc_apply (plus the Delta MERGE equivalence test),
-    # windows by events_gap_fill/cdc_apply, sessionization by
-    # stream_session_agg, keep-first dedup by the five dedup entries;
-    # as-of/salted-join shapes are pinned by tests/test_plans.py and
-    # tests/test_property.py, levenshtein by test_cross_engine_fuzz.py.
-    # (pricing_summary and tfidf_title_match rotate out last: the driver
-    # smoke-checks entry() — which IS pricing_summary — every round, and
-    # tfidf is pinned by operator tests + three green rounds)
-    "fact_royalty",
-    "rest_ingest_distributed", "kafka_wire_roundtrip", "sketch_approx_stats",
+    # round-5 additions — never checked, displace the two safest tail
+    # picks (pricing_summary: the driver smoke-checks entry() every
+    # round; tfidf_title_match: pinned by operator tests + 4 green rounds)
+    "interval_coalesce", "correlated_exists_rewrite",
+    # newest driver row is round 3 for all 46 below (equally stale)
+    "select_rename", "membership_filter", "threshold_filter",
+    "distinct_rows", "dedup_keep_first", "percent_rate_normalization",
+    "broadcast_dim_join", "composite_key_join", "incremental_merge",
+    "semi_anti_join", "window_order_totals", "parent_allocation",
+    "sessionize_events", "case_categorize", "conditional_measures",
+    "string_cleanup", "date_functions", "union_by_name",
+    "multikey_rollup", "count_distinct_per_group", "null_audit",
+    "rolling_window_avg", "event_interarrival", "quantile_stats",
+    "grouping_rollup", "pivot_status", "top_k", "null_fill_sentinels",
+    "levenshtein_ratio_join", "asof_join", "range_join_attribution",
+    "shipping_priority", "regional_supplier_volume", "skew_salted_join",
+    "top_k_per_group", "window_rank_functions", "set_intersect_except",
+    "explode_line_items", "json_props_extract", "split_royalty_union",
+    "date_dim_generate", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash",
 )
 
 

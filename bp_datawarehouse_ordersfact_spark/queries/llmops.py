@@ -815,9 +815,9 @@ def _sql_kmeans_round(e: str, cents: str, out_a: str, out_c: str) -> str:
     c0 AS (SELECT vid AS cell_id, v AS centroid FROM e ORDER BY vid LIMIT 8),
     {_sql_kmeans_round('e', 'c0', 'a1', 'c1')},
     {_sql_kmeans_round('e', 'c1', 'a2', 'c2')}
-    SELECT c2.cell_id, cnt.n_members, c2.centroid
-    FROM c2 JOIN (SELECT cell_id, count(*) AS n_members
-                  FROM a2 GROUP BY cell_id) cnt USING (cell_id)
+    SELECT m.cell_id, cnt.n_members, CAST(m.pos AS BIGINT) AS pos, m.m AS val
+    FROM a2m m JOIN (SELECT cell_id, count(*) AS n_members
+                     FROM a2 GROUP BY cell_id) cnt USING (cell_id)
     """,
 )
 def q_ann_ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -828,12 +828,17 @@ def q_ann_ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial means — the standard distributed k-means plan. Centroids are
     rounded each round so the fit is bit-reproducible in the oracle
     (which unrolls the same two rounds over the 64-dim testdata
-    vectors)."""
+    vectors). Output is exploded to scalar (cell_id, n_members, pos, val)
+    rows — the driver's pandas canonicalization can't sort array-typed
+    columns (r4 `unhashable type: 'list'`), and exploded rows are the
+    cross-engine-stable projection of the same centroids."""
     from ..operators.similarity import kmeans_lloyd_centroids
 
     e = _emb(spark, sf_dir)
     out = kmeans_lloyd_centroids(e, "embedding", "vec_id", n_cells=8, n_iter=2)
-    return out.select("cell_id", "n_members", F.col("cent").alias("centroid"))
+    return out.select(
+        "cell_id", "n_members", F.posexplode("cent").alias("pos", "val")
+    ).select("cell_id", "n_members", F.col("pos").cast("long").alias("pos"), "val")
 
 
 # ---------------------------------------------------------------------------
@@ -1235,7 +1240,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf AS (SELECT q_id, c_id FROM ivf_scored
             QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) <= 5)
     SELECT b.q_id,
-           sum(CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+           CAST(sum(CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
            round(sum(CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END) / 5.0, 6) AS recall
     FROM bf b LEFT JOIN ivf i ON b.q_id = i.q_id AND b.c_id = i.c_id
     GROUP BY b.q_id

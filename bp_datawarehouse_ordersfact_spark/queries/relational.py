@@ -1914,3 +1914,137 @@ def q_listagg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("statuses"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: gaps-and-islands interval coalescing + correlated EXISTS rewrite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_coalesce",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts, ts + INTERVAL 30 MINUTE AS te
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, ts, te,
+             CASE WHEN ts <= max(te) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 0 ELSE 1 END AS new_island
+      FROM e),
+    islands AS (
+      SELECT user_id, ts, te,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged)
+    SELECT user_id, CAST(island AS BIGINT) AS island_id,
+           min(ts) AS interval_start, max(te) AS interval_end,
+           count(*) AS n_events
+    FROM islands
+    GROUP BY user_id, island
+    """,
+)
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing: each event opens a 30-minute
+    activity interval; overlapping/touching intervals per user merge into
+    one. Distinct from ``sessionize_events`` (gap between CONSECUTIVE
+    events) — here an early long interval can swallow later starts, so
+    the island test compares against the running MAX of interval ends,
+    not the previous row's end. The classic warehouse plan: one running-
+    max window, one running-sum window, one rollup.
+
+    Scale shape: ONE shuffle on user_id; both windows and the final
+    (user_id, island) aggregation reuse that partitioning (island is a
+    per-user refinement, so no second exchange); map-side partial aggs
+    apply. Skewed users degrade only their own partition's sort.
+    Tie-break (ts, event_id) makes the running max deterministic even
+    with duplicate timestamps."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("te")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(F.col("ts") <= F.max("te").over(w), F.lit(0)).otherwise(F.lit(1)),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_cum))
+    return (
+        islands.groupBy("user_id", F.col("island").cast("bigint").alias("island_id"))
+        .agg(
+            F.min("ts").alias("interval_start"),
+            F.max("te").alias("interval_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "correlated_exists_rewrite",
+    """
+    SELECT s.s_name,
+           count(*) AS n_sole_returns
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def q_correlated_exists_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS (TPC-H Q21 shape on the columns the
+    testdata has): suppliers whose returned item was the ONLY return in a
+    multi-supplier order. Spark-first rewrite: EXISTS -> left-semi join,
+    NOT EXISTS -> left-anti join — the plans Catalyst itself would
+    produce for the subqueries, stated explicitly so both joins share the
+    l_orderkey shuffle key (co-partitioned back to back, no third
+    exchange for the pair). The supplier dim joins broadcast; the rollup
+    on s_name is a final small shuffle.
+
+    The oracle keeps the declarative EXISTS form — proving the join
+    rewrite IS the subquery semantics, per-row multiplicity included
+    (semi/anti never duplicate l1 rows)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    others = li.select("l_orderkey", "l_suppkey").alias("l2")
+    other_returns = l1.select("l_orderkey", "l_suppkey").alias("l3")
+    sole = (
+        l1.join(
+            others,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .alias("l1")
+        .join(
+            other_returns,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_sole_returns"))
+    )

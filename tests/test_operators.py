@@ -410,6 +410,43 @@ def test_scd2_apply_all_merge_cases(spark):
     assert rows[(9, "N", 1)] == (d(1996, 6, 1), None)
 
 
+def test_scd2_apply_empty_attrs_raises(spark):
+    """No tracked attributes is a contract violation (ADVICE r4): fail
+    loudly instead of a TypeError from the empty reduce."""
+    import pytest as _pytest
+
+    from bp_datawarehouse_ordersfact_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [], "k long, valid_from date, valid_to date, is_current int"
+    )
+    with _pytest.raises(ValueError, match="at least one tracked attribute"):
+        scd2_apply(dim, dim, "k", [], "1996-06-01")
+
+
+def test_scd2_apply_order_col_collapses_latest_wins(spark):
+    """An uncollapsed CDC batch with several updates per key must apply
+    the LATEST version when the caller names the ordering column — not an
+    arbitrary min-by-attrs winner (ADVICE r4)."""
+    import datetime
+
+    from bp_datawarehouse_ordersfact_spark.operators.scd import scd2_apply
+
+    d = datetime.date
+    dim = spark.createDataFrame(
+        [Row(k=1, seg="A", valid_from=d(1994, 1, 1), valid_to=None, is_current=1)],
+        "k long, seg string, valid_from date, valid_to date, is_current int",
+    )
+    changes = spark.createDataFrame(
+        [Row(k=1, seg="B", ver=1), Row(k=1, seg="Z", ver=2)],
+        "k long, seg string, ver int",
+    )
+    out = scd2_apply(dim, changes, "k", ["seg"], "1996-06-01", order_col="ver")
+    open_segs = [r.seg for r in out.filter("is_current = 1").collect()]
+    assert open_segs == ["Z"]  # ver=2 wins; min-by-attrs would pick "B"
+    assert "ver" not in out.columns
+
+
 def test_kmeans_centroids_work_with_non_dense_ids(spark):
     """Seeding takes the n_cells smallest-id vectors — id domains that
     don't start at 0 (or aren't dense) must still seed correctly, and

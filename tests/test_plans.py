@@ -193,3 +193,21 @@ def test_rollup_refresh_merges_without_join(spark):
     assert "Join" not in p
     assert p.count("Exchange") <= 2
     assert "Union" in p
+
+
+def test_interval_coalesce_single_exchange_windows_reuse_partitioning(spark):
+    """Gaps-and-islands: ONE shuffle on user_id; both windows and the
+    (user_id, island) rollup reuse it — island refines user_id, so no
+    second exchange may appear."""
+    p = plan_of(spark, "interval_coalesce")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Window") == 2
+    assert "CartesianProduct" not in p
+
+
+def test_correlated_exists_rewrite_semi_anti_no_cartesian(spark):
+    """EXISTS -> left-semi, NOT EXISTS -> left-anti; supplier dim
+    broadcasts; never a cartesian/BNLJ."""
+    p = plan_of(spark, "correlated_exists_rewrite")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
