@@ -222,21 +222,60 @@ def cosine_topk_lsh(
     )
 
 
+def _farthest_point_seeds(e: DataFrame, n_cells: int) -> DataFrame:
+    """Deterministic k-means++-flavored seeding: farthest-point (k-center
+    greedy). Start from the smallest-id vector; each round add the vector
+    with the LOWEST max-cosine to the chosen seeds (i.e. farthest from
+    all of them), tie-broken by id — no RNG, so the fit stays
+    oracle-reproducible, unlike classic k-means++'s probability sampling.
+
+    Scale shape per round: seeds are k×dim floats (broadcast), so scoring
+    is a map-side pass over the corpus and the winner is a TakeOrdered
+    limit-1 — k corpus scans total, each shuffle-free. The k 1-row
+    collects mirror the convergence probes in ``operators/graph.py``."""
+    spark = e.sparkSession
+    seed_schema = e.select(
+        F.col("vid").alias("cell_id"), F.col("v").alias("cent")
+    ).schema
+    first = e.orderBy("vid").limit(1).collect()[0]
+    seeds = [(first["vid"], first["v"])]
+    for _ in range(n_cells - 1):
+        sdf = spark.createDataFrame(seeds, seed_schema)
+        nxt = (
+            e.crossJoin(F.broadcast(sdf))
+            .withColumn("cos", rnd(V.cosine(F.col("v"), F.col("cent")), 6))
+            .groupBy("vid")
+            .agg(F.max("cos").alias("nearest"), F.first("v").alias("v"))
+            .orderBy(F.asc("nearest"), F.asc("vid"))
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append((nxt["vid"], nxt["v"]))
+    return spark.createDataFrame(seeds, seed_schema)
+
+
 def kmeans_lloyd_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_cells: int = 8,
     n_iter: int = 2,
+    seed: str = "min_id",
 ) -> DataFrame:
     """Lloyd iterations for IVF centroid training: assign every vector to
     its nearest centroid (cosine, deterministic (score DESC, cell ASC)
     tie-break), recompute each centroid as the per-dimension mean of its
-    members, repeat. Seeded with the ``n_cells`` smallest-id vectors
-    (works for ANY id domain, dense or not; each seed's cell_id is its
-    vector id) — k-means++ would sharpen the seed but needs sequential
-    sampling; the deterministic seed keeps the whole fit
-    oracle-reproducible.
+    members, repeat. ``seed`` picks the initialization, both
+    deterministic (the whole fit stays oracle-reproducible):
+
+    - ``"min_id"`` (default): the ``n_cells`` smallest-id vectors (works
+      for ANY id domain, dense or not; each seed's cell_id is its vector
+      id). One pass, no extra scans — the oracle-unrolled default.
+    - ``"farthest"``: greedy farthest-point (the deterministic k-means++
+      stand-in — spreads seeds across the data instead of sampling by
+      D² probability, so no RNG). Costs ``n_cells`` extra broadcast
+      map-passes over the corpus; worth it when the id order correlates
+      with content and min-id seeds would collide in one region.
 
     Returns (cell_id, n_members, centroid) after ``n_iter`` refinements —
     the training step behind ``cosine_topk_ivf``'s index. Cells that lose
@@ -252,12 +291,17 @@ def kmeans_lloyd_centroids(
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if seed not in ("min_id", "farthest"):
+        raise ValueError(f"seed must be 'min_id' or 'farthest', got {seed!r}")
     e = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    cents = (
-        e.orderBy("vid")
-        .limit(n_cells)
-        .select(F.col("vid").alias("cell_id"), F.col("v").alias("cent"))
-    )
+    if seed == "farthest":
+        cents = _farthest_point_seeds(e, n_cells)
+    else:
+        cents = (
+            e.orderBy("vid")
+            .limit(n_cells)
+            .select(F.col("vid").alias("cell_id"), F.col("v").alias("cent"))
+        )
 
     assigned = None
     for _ in range(n_iter):

@@ -108,3 +108,56 @@ def asof_join(
         ],
     )
     return carried.filter(F.col("__tag") == _LEFT_TAG).drop("__tag")
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Gaps-and-islands interval coalescing: merge every overlapping or
+    touching ``[start, end]`` interval per ``key_col`` into one island.
+
+    An interval joins the current island when its start is <= the
+    running MAX of all previous interval ends (not just the previous
+    row's end — an early long interval can swallow several later
+    starts). ``tiebreak_col`` makes the island numbering deterministic
+    under duplicate starts.
+
+    Returns (key, island_id, interval_start, interval_end, n_intervals).
+
+    Scale shape: ONE shuffle on the key; the running-max window, the
+    running-sum window, and the (key, island) rollup all reuse that
+    partitioning (island refines the key), so the physical plan carries
+    exactly one Exchange — pinned by tests/test_plans.py. Skewed keys
+    degrade only their own partition's sort.
+    """
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(start_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(key_col)
+        .orderBy(start_col, tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = df.withColumn(
+        "__new_island",
+        F.when(
+            F.col(start_col) <= F.max(end_col).over(w_prev), F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn("__island", F.sum("__new_island").over(w_cum))
+    return (
+        islands.groupBy(
+            F.col(key_col), F.col("__island").cast("bigint").alias("island_id")
+        )
+        .agg(
+            F.min(start_col).alias("interval_start"),
+            F.max(end_col).alias("interval_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )

@@ -1962,32 +1962,15 @@ def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply. Skewed users degrade only their own partition's sort.
     Tie-break (ts, event_id) makes the running max deterministic even
     with duplicate timestamps."""
+    from ..operators.temporal import coalesce_intervals
+
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("te")
+        "user_id", "event_id", "ts",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("te"),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = ev.withColumn(
-        "new_island",
-        F.when(F.col("ts") <= F.max("te").over(w), F.lit(0)).otherwise(F.lit(1)),
-    )
-    w_cum = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    islands = flagged.withColumn("island", F.sum("new_island").over(w_cum))
-    return (
-        islands.groupBy("user_id", F.col("island").cast("bigint").alias("island_id"))
-        .agg(
-            F.min("ts").alias("interval_start"),
-            F.max("te").alias("interval_end"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-    )
+    return coalesce_intervals(
+        ev, "user_id", "ts", "te", tiebreak_col="event_id"
+    ).withColumnRenamed("n_intervals", "n_events")
 
 
 @register(

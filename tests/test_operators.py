@@ -467,3 +467,33 @@ def test_kmeans_centroids_work_with_non_dense_ids(spark):
 
     with pytest.raises(ValueError):
         kmeans_lloyd_centroids(df, "embedding", "vec_id", n_cells=3, n_iter=0)
+
+
+def test_kmeans_farthest_point_seeding_spreads_clusters(spark):
+    """Deterministic farthest-point seeding must pick one seed per
+    well-separated direction, where min-id seeding would take all seeds
+    from the first cluster. Same Lloyd loop afterwards; no RNG."""
+    from bp_datawarehouse_ordersfact_spark.operators.similarity import (
+        kmeans_lloyd_centroids,
+    )
+
+    rows = (
+        [Row(vec_id=i, embedding=[1.0, 0.01 * i]) for i in range(4)]
+        + [Row(vec_id=10 + i, embedding=[0.01 * i, 1.0]) for i in range(4)]
+        + [Row(vec_id=20, embedding=[-1.0, 0.05])]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    naive = kmeans_lloyd_centroids(df, n_cells=3, n_iter=1, seed="min_id")
+    spread = kmeans_lloyd_centroids(df, n_cells=3, n_iter=1, seed="farthest")
+    # min-id seeds 0,1,2 all sit in the +x cluster; farthest-point must
+    # seed each of the three directions exactly once (ids 0, 20, 1x)
+    spread_ids = sorted(r.cell_id for r in spread.collect())
+    assert spread_ids[0] == 0 and spread_ids[-1] == 20
+    assert 10 <= spread_ids[1] <= 13
+    # the spread fit covers every vector with a same-direction centroid:
+    # total membership equals the corpus in both, but farthest keeps 3
+    # populated cells where naive collapses the +x trio into one winner
+    assert sum(r.n_members for r in spread.collect()) == 9
+    with __import__("pytest").raises(ValueError, match="seed must be"):
+        kmeans_lloyd_centroids(df, n_cells=3, n_iter=1, seed="random")

@@ -242,3 +242,55 @@ def test_md5_ppm_bucket_matches_hashlib(spark, ids):
         for i in ids
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# coalesce_intervals == pure-Python sweep-line merge
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(0, 2),      # key
+            st.integers(0, 40),     # start
+            st.integers(0, 15),     # duration
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_coalesce_intervals_matches_sweepline(spark, items):
+    """Random interval sets (duplicate starts, zero-length, containment,
+    touching endpoints) must merge exactly like the obvious sequential
+    sweep: sort by (start, id), extend the island while start <= running
+    max end, else open a new one."""
+    from bp_datawarehouse_ordersfact_spark.operators.temporal import (
+        coalesce_intervals,
+    )
+
+    rows = [
+        Row(k=k, iid=i, s=s, e=s + d) for i, (k, s, d) in enumerate(items)
+    ]
+    df = spark.createDataFrame(rows, "k long, iid long, s long, e long")
+    got = {
+        (r.k, r.interval_start, r.interval_end): r.n_intervals
+        for r in coalesce_intervals(df, "k", "s", "e", "iid").collect()
+    }
+
+    expect = {}
+    by_key = {}
+    for r in sorted(rows, key=lambda r: (r.k, r.s, r.iid)):
+        islands = by_key.setdefault(r.k, [])
+        # island test vs the RUNNING max end, matching the operator
+        if islands and r.s <= max(e for _, e, _ in islands[-1][2]):
+            cs, ce, members = islands[-1]
+            islands[-1] = (min(cs, r.s), max(ce, r.e), members + [(r.s, r.e, r.iid)])
+        else:
+            islands.append((r.s, r.e, [(r.s, r.e, r.iid)]))
+    for k, islands in by_key.items():
+        for cs, ce, members in islands:
+            expect[(k, cs, ce)] = len(members)
+
+    assert got == expect

@@ -154,3 +154,50 @@ def test_read_binary_dir_globs_and_loads_bytes(spark, tmp_path):
     rows = {r.path.rsplit("/", 1)[-1]: bytes(r.content) for r in df.collect()}
     assert rows == {"a.bin": b"\x00\x01\x02", "b.bin": b"payload"}
     assert df.schema["length"].dataType.typeName() == "long"
+
+
+def test_orc_and_partitioned_parquet_roundtrip(spark, tmp_path):
+    """The format-pluggable sink writes ORC (built-in columnar alternate
+    to Parquet) and partitioned Parquet; partition columns prune at the
+    read side (directory-level pruning shows as a PartitionFilter)."""
+    df = spark.createDataFrame(
+        [(1, "a", 2024), (2, "b", 2024), (3, "c", 2025)], "id long, v string, yr int"
+    )
+    orc_path = str(tmp_path / "orc_out")
+    files.write_table(df, orc_path, fmt="orc")
+    back = spark.read.orc(orc_path)
+    assert {(r.id, r.v, r.yr) for r in back.collect()} == {
+        (1, "a", 2024), (2, "b", 2024), (3, "c", 2025)
+    }
+
+    part_path = str(tmp_path / "part_out")
+    files.write_table(df, part_path, partition_by=["yr"])
+    pruned = spark.read.parquet(part_path).filter("yr = 2025")
+    assert pruned.count() == 1
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(yr" in plan
+
+
+def test_jsonl_read_with_explicit_schema(spark, tmp_path):
+    """JSON Lines (one object per line — the training-corpus interchange
+    format) reads through read_json with an explicit schema; nested
+    arrays survive to be exploded downstream, and corrupt lines yield
+    null fields instead of failing the scan (PERMISSIVE)."""
+    src = tmp_path / "docs.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "alpha", "tags": ["x", "y"]}\n'
+        '{"doc_id": 2, "text": "beta", "tags": []}\n'
+        "not json at all\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+    df = files.read_json(spark, str(src), schema)
+    rows = sorted(df.collect(), key=lambda r: (r.doc_id is None, r.doc_id))
+    assert (rows[0].doc_id, rows[0].tags) == (1, ["x", "y"])
+    assert rows[1].tags == []
+    assert rows[2].doc_id is None  # corrupt line quarantined as nulls
