@@ -881,9 +881,11 @@ def q_grouped_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor's memory (pinned by
     tests/test_scale_posture.py::test_grouped_ewma_dominant_key_single_batch).
     When a single group outgrows a batch, the chunked-state alternative
-    is applyInPandasWithState over fixed-size chunks ordered by (ts,
-    event_id), carrying the running EWMA value as the state between
-    chunks — same recursion, bounded memory."""
+    is ``streaming.jobs.run_chunked_ewma_availablenow``: time-ordered
+    chunks via applyInPandasWithState carrying ONE float of state per
+    user between chunks — bit-identical to this whole-series fold
+    (pinned by tests/test_streaming_incremental.py) with O(active keys)
+    memory instead of O(largest group)."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:

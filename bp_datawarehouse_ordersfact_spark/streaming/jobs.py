@@ -444,3 +444,85 @@ def run_type_histogram_transform_with_state(
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def run_chunked_ewma_availablenow(
+    spark: SparkSession,
+    events_dir: str,
+    alpha: float = 0.3,
+    files_per_trigger: int = 1,
+) -> DataFrame:
+    """Chunked per-user EWMA with the running value carried in GroupState
+    — the bounded-memory alternative to ``grouped_ewma``'s whole-group
+    ``applyInPandas`` documented there (queries/llmops.py): when one
+    user's series outgrows a single Arrow batch, process it in
+    time-ordered chunks (here: micro-batches of ``files_per_trigger``
+    files) and carry only the last smoothed value between chunks.
+
+    Within a chunk the recursion is still vectorized: seeding pandas
+    ``ewm(adjust=False)`` with the carried value as a synthetic first
+    row continues ``s_t = α·x_t + (1−α)·s_{t−1}`` exactly, so the
+    chunked result is bit-identical to the whole-series fold (pinned by
+    tests/test_streaming_incremental.py against pandas over the full
+    series). Contract: chunk files are time-ordered per key — the
+    production shape for time-partitioned log ingestion.
+
+    State is ONE float per user regardless of series length — the whole
+    point: memory is O(active keys), not O(events)."""
+    import pandas as pd  # noqa: F401 (worker closure)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = spark.read.parquet(events_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(events_dir)
+    )
+    src = normalize_ntz(src)
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_ewma", DoubleType())])
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        vals = rows["value"].to_numpy(dtype="float64")
+        if state.exists:
+            (prev,) = state.get
+            seeded = np.concatenate(([prev], vals))
+            ew = (
+                pd.Series(seeded).ewm(alpha=alpha, adjust=False).mean().to_numpy()[1:]
+            )
+        else:
+            ew = rows["value"].ewm(alpha=alpha, adjust=False).mean().to_numpy()
+        state.update((float(ew[-1]),))
+        yield pd.DataFrame(
+            {
+                "user_id": rows["user_id"].to_numpy(dtype="int64"),
+                "event_id": rows["event_id"].to_numpy(dtype="int64"),
+                "ewma": ew,
+            }
+        )
+
+    stream = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory_sink(stream, mode="append")

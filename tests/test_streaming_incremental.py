@@ -145,3 +145,52 @@ def test_normalize_ntz_preserves_utc_instants(spark):
         assert normalize_ntz(plain) is plain
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_chunked_ewma_state_carry_matches_whole_series(spark, tmp_path):
+    """Three time-ordered chunk files stream as three micro-batches; the
+    per-user EWMA state carried between them must make the concatenated
+    output bit-identical to pandas ewm over each user's WHOLE series —
+    the bounded-memory contract documented in queries/llmops.py."""
+    import pandas as pd
+
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import (
+        run_chunked_ewma_availablenow,
+    )
+
+    rng = __import__("random").Random(7)
+    rows = [
+        (u, 100 * i + u, float(1000 + i), rng.uniform(-5, 5))
+        for u in range(3)
+        for i in range(30)
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_id", "ts_i", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts_i"], unit="s")
+    pdf = pdf.drop(columns=["ts_i"])
+
+    events_dir = tmp_path / "chunks"
+    events_dir.mkdir()
+    # three chunk files, time-ordered: events 0-9, 10-19, 20-29 per user
+    for c in range(3):
+        chunk = pdf[(pdf["event_id"] // 100 >= 10 * c) & (pdf["event_id"] // 100 < 10 * (c + 1))]
+        sdf = spark.createDataFrame(chunk[["user_id", "event_id", "ts", "value"]])
+        sdf.coalesce(1).write.parquet(str(events_dir / f"chunk_{c}"))
+    # flatten: the file stream wants files in one dir
+    import glob
+    import shutil
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    for c in range(3):
+        for i, f in enumerate(sorted(glob.glob(str(events_dir / f"chunk_{c}" / "*.parquet")))):
+            shutil.copy(f, flat / f"{c:02d}_{i}.parquet")
+
+    out = run_chunked_ewma_availablenow(spark, str(flat), alpha=0.3)
+    got = {(r.user_id, r.event_id): r.ewma for r in out.collect()}
+    assert len(got) == 90
+
+    for u in range(3):
+        series = pdf[pdf["user_id"] == u].sort_values(["ts", "event_id"])
+        expect = series["value"].ewm(alpha=0.3, adjust=False).mean().to_numpy()
+        for (_, eid), e in zip(series[["user_id", "event_id"]].itertuples(index=False), expect):
+            assert got[(u, eid)] == pytest.approx(e, rel=0, abs=0.0), (u, eid)
