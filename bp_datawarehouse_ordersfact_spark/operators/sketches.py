@@ -1,0 +1,100 @@
+"""Mergeable sketch operators beyond HLL (SURVEY §2.5 sketch family).
+
+``sketch_hll_merge`` covers mergeable distinct counts. These operators
+cover the other two sketch algebras Spark 4 ships natively (Apache
+DataSketches under the hood), both with the property that matters at
+100 TB: per-partition / per-day sketch OBJECTS persist as bytes and
+compose later without rescanning the events —
+
+- **Theta sketches**: distinct-count SET ALGEBRA. ``theta_union`` /
+  ``theta_intersection`` / ``theta_difference`` over sketch objects
+  answer "users who did A but never B" style audience questions as
+  byte-sized merges, where the exact form needs a distinct + anti-join
+  over the full event log every time.
+- **KLL sketches**: MERGEABLE quantiles. ``percentile_approx`` returns
+  only the estimate, so yesterday's result cannot combine with today's;
+  ``kll_sketch_merge_double`` composes per-group sketches into any
+  rollup's quantiles.
+
+Registered as driver queries in round 6 (the round-5 correctness window
+is rotation-locked; see queries/__init__.py). Estimator error is pinned
+by tests/test_operators.py against exact computations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def theta_audience_algebra(
+    df: DataFrame,
+    key_col: str,
+    cond_a: Column,
+    cond_b: Column,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Distinct-``key_col`` estimates for audiences A, B, A∩B and A∖B
+    from TWO theta sketches built in one scan.
+
+    Returns one row: (est_a, est_b, est_intersect, est_a_minus_b), all
+    doubles. The exact twin needs ``count(DISTINCT ...)`` plus an
+    anti-join; here the event log is scanned ONCE, the set algebra runs
+    on kilobyte sketch objects — and those objects could equally come
+    from per-day staged bytes, which is the 100 TB operating mode."""
+    sketches = df.agg(
+        F.theta_sketch_agg(F.when(cond_a, F.col(key_col)), F.lit(lg_k)).alias("sk_a"),
+        F.theta_sketch_agg(F.when(cond_b, F.col(key_col)), F.lit(lg_k)).alias("sk_b"),
+    )
+    return sketches.select(
+        F.theta_sketch_estimate(F.col("sk_a")).alias("est_a"),
+        F.theta_sketch_estimate(F.col("sk_b")).alias("est_b"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+        ).alias("est_intersect"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk_a"), F.col("sk_b"))
+        ).alias("est_a_minus_b"),
+    )
+
+
+def kll_grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: list[float],
+    k: int = 2048,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-group KLL quantile sketches plus their MERGED global rollup.
+
+    Returns ``(per_group, merged)``:
+    - ``per_group``: (group, q_<p> for each p) from each group's sketch;
+    - ``merged``: one row of global quantiles computed by merging the
+      per-group sketch OBJECTS — the groups are never rescanned, which
+      is what ``percentile_approx`` (estimate-only output) cannot do.
+
+    At 100 TB the per-group frame is the staged artifact: write the
+    sketch bytes once per partition/day, answer any later quantile
+    question (any grouping, any probability) from the bytes alone."""
+    per_sk = df.groupBy(group_col).agg(
+        F.kll_sketch_agg_double(value_col, F.lit(k)).alias("sk")
+    )
+    qcols = [
+        F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(p)).alias(
+            f"q_{str(p).replace('.', '_')}"
+        )
+        for p in quantiles
+    ]
+    per_group = per_sk.select(F.col(group_col), *qcols)
+    # kll_sketch_merge_double is a two-sketch scalar merge (no agg form);
+    # fold the per-group sketch list — it is GROUP-cardinality (one
+    # kilobyte blob per group), not row-cardinality, so the collect_list
+    # is small by construction
+    merged = per_sk.agg(F.collect_list("sk").alias("sks")).select(
+        F.aggregate(
+            F.expr("slice(sks, 2, size(sks) - 1)"),
+            F.element_at(F.col("sks"), 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("sk")
+    ).select(*qcols)
+    return per_group, merged

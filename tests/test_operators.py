@@ -497,3 +497,59 @@ def test_kmeans_farthest_point_seeding_spreads_clusters(spark):
     assert sum(r.n_members for r in spread.collect()) == 9
     with __import__("pytest").raises(ValueError, match="seed must be"):
         kmeans_lloyd_centroids(df, n_cells=3, n_iter=1, seed="random")
+
+
+def test_theta_audience_algebra_matches_exact_sets(spark):
+    """Theta set algebra on sketch objects must land within sketch error
+    of the exact set sizes (small domains are exact in theta sketches —
+    below 2^lg_k entries nothing is sampled)."""
+    from bp_datawarehouse_ordersfact_spark.operators.sketches import (
+        theta_audience_algebra,
+    )
+
+    # users 0-99 did 'view'; users 50-149 did 'click' → |A|=100, |B|=100,
+    # |A∩B|=50, |A∖B|=50
+    rows = [Row(user_id=u, event_type="view") for u in range(100)] + [
+        Row(user_id=u, event_type="click") for u in range(50, 150)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = theta_audience_algebra(
+        df,
+        "user_id",
+        F.col("event_type") == "view",
+        F.col("event_type") == "click",
+    ).collect()[0]
+    assert out.est_a == 100.0
+    assert out.est_b == 100.0
+    assert out.est_intersect == 50.0
+    assert out.est_a_minus_b == 50.0
+
+
+def test_kll_merged_quantiles_match_full_scan(spark):
+    """Merging per-group KLL sketch objects must reproduce the quantiles
+    of a single full-scan sketch — the mergeability contract — and both
+    must sit near the exact quantiles."""
+    from bp_datawarehouse_ordersfact_spark.operators.sketches import (
+        kll_grouped_quantiles,
+    )
+
+    rng = __import__("random").Random(11)
+    rows = [Row(g=i % 4, v=rng.gauss(100.0 * (i % 4), 10.0)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    per_group, merged = kll_grouped_quantiles(df, "g", "v", [0.5, 0.9])
+    m = merged.collect()[0]
+
+    import numpy as np
+
+    vals = np.array([r.v for r in rows])
+    # KLL guarantees RANK error, not value error (a quantile landing in
+    # a density gap between clusters can move far in value at tiny rank
+    # cost) — so assert the empirical CDF at the returned value
+    for p, got in ((0.5, m.q_0_5), (0.9, m.q_0_9)):
+        rank = float((vals <= got).mean())
+        assert abs(rank - p) < 0.02, (p, got, rank)
+
+    # per-group medians sit near their own cluster centers
+    per = {r.g: r.q_0_5 for r in per_group.collect()}
+    for g in range(4):
+        assert abs(per[g] - 100.0 * g) < 5.0
