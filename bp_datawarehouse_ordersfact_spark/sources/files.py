@@ -102,3 +102,37 @@ def read_binary_dir(
     if glob is not None:
         r = r.option("pathGlobFilter", glob)
     return r.load(path)
+
+
+def compact_write(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Small-files-aware Parquet write: repartition to
+    ``ceil(rows / target_rows_per_file)`` output tasks and cap each file
+    with ``maxRecordsPerFile``. Returns the task count.
+
+    The small-file explosion is the classic downstream killer of
+    streaming/incremental sinks (every micro-batch or task leaves a
+    shard; a later 100 TB scan then pays per-file open/footer costs and
+    loses row-group statistics locality). This is the explicit
+    compaction pass run as table maintenance — the pre-count is an
+    extra scan by design, acceptable for a maintenance job and exact
+    where AQE's estimates are not. On Delta/Iceberg this job is
+    ``OPTIMIZE`` / ``rewrite_data_files``."""
+    import math
+
+    n = df.count()
+    k = max(1, math.ceil(n / target_rows_per_file))
+    w = (
+        df.repartition(k)
+        .write.mode(mode)
+        .option("maxRecordsPerFile", target_rows_per_file)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    return k

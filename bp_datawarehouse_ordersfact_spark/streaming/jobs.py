@@ -526,3 +526,67 @@ def run_chunked_ewma_availablenow(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory_sink(stream, mode="append")
+
+
+def run_cdc_scd2_stream(
+    spark: SparkSession,
+    changes_dir: str,
+    dim_dir: str,
+    key: str,
+    attrs: list[str],
+    eff_date_col: str,
+    order_col: str,
+    files_per_trigger: int = 1,
+) -> None:
+    """Streaming CDC feed maintaining an SCD TYPE-2 dimension: every
+    micro-batch of change rows applies through ``operators.scd.
+    scd2_apply`` (latest-wins per key via ``order_col``) against the
+    Parquet-staged dimension, closing changed versions at the batch's
+    effective date and opening new ones — the streaming composition of
+    the repo's CDC collapse (cdc_apply) and SCD2 merge that a live
+    warehouse runs continuously.
+
+    The batch's effective date is ``max(eff_date_col)`` of the batch —
+    deterministic for a time-partitioned feed, where each chunk's dates
+    fall strictly after the previous chunk's (the same ordering contract
+    as ``run_chunked_ewma_availablenow``). Parquet swap-directory
+    atomicity as in ``run_incremental_merge_stream``; on Delta/Iceberg
+    the body becomes the classic two-action ``MERGE``.
+    """
+    import shutil
+
+    from ..operators.scd import scd2_apply
+
+    schema = spark.read.parquet(changes_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(changes_dir)
+    )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        eff = batch_df.agg(F.max(eff_date_col)).collect()[0][0]
+        dim = s.read.parquet(dim_dir)
+        out = scd2_apply(
+            dim,
+            batch_df.drop(eff_date_col),
+            key,
+            attrs,
+            eff,
+            order_col=order_col,
+        )
+        tmp = dim_dir + ".swap"
+        out.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(dim_dir)
+        os.rename(tmp, dim_dir)
+
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", dim_dir + ".checkpoint")
+        .start()
+    )
+    q.awaitTermination()

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bp_datawarehouse_ordersfact_spark.sources import files, rest
@@ -201,3 +202,20 @@ def test_jsonl_read_with_explicit_schema(spark, tmp_path):
     assert (rows[0].doc_id, rows[0].tags) == (1, ["x", "y"])
     assert rows[1].tags == []
     assert rows[2].doc_id is None  # corrupt line quarantined as nulls
+
+
+def test_compact_write_bounds_file_count(spark, tmp_path):
+    """6,400 rows scattered across 64 input partitions must land in
+    ceil(6400/2000)=4 files, each within the per-file record cap, with
+    the data intact."""
+    import glob
+
+    df = spark.range(6400, numPartitions=64).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "compacted")
+    k = files.compact_write(df, out, target_rows_per_file=2000)
+    assert k == 4
+    parts = glob.glob(out + "/part-*.parquet")
+    assert len(parts) == 4
+    back = spark.read.parquet(out)
+    assert back.count() == 6400
+    assert back.agg(F.sum("v")).collect()[0][0] == 2 * 6400 * 6399 // 2

@@ -194,3 +194,71 @@ def test_chunked_ewma_state_carry_matches_whole_series(spark, tmp_path):
         expect = series["value"].ewm(alpha=0.3, adjust=False).mean().to_numpy()
         for (_, eid), e in zip(series[["user_id", "event_id"]].itertuples(index=False), expect):
             assert got[(u, eid)] == pytest.approx(e, rel=0, abs=0.0), (u, eid)
+
+
+def test_cdc_scd2_stream_equals_sequential_batch_applies(spark, tmp_path):
+    """Three time-ordered CDC chunk files streamed through
+    run_cdc_scd2_stream must leave the Parquet dimension exactly equal to
+    applying scd2_apply sequentially in batch — version history included,
+    with latest-wins inside each chunk via the order column."""
+    import datetime
+
+    from bp_datawarehouse_ordersfact_spark.operators.scd import scd2_apply
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import run_cdc_scd2_stream
+
+    d = datetime.date
+    dim0 = spark.createDataFrame(
+        [
+            (1, "A", d(2020, 1, 1), None, 1),
+            (2, "B", d(2020, 1, 1), None, 1),
+        ],
+        "k long, seg string, valid_from date, valid_to date, is_current int",
+    )
+    dim_dir = str(tmp_path / "dim")
+    dim0.write.parquet(dim_dir)
+
+    # chunk 1: k=1 changes twice (ver 2 wins), k=3 is new  @ 2021-01-01
+    # chunk 2: k=2 changes                                  @ 2022-01-01
+    # chunk 3: k=1 changes again                            @ 2023-01-01
+    chunks = [
+        [(1, "A1", d(2021, 1, 1), 1), (1, "A2", d(2021, 1, 1), 2),
+         (3, "C", d(2021, 1, 1), 1)],
+        [(2, "B2", d(2022, 1, 1), 1)],
+        [(1, "A3", d(2023, 1, 1), 1)],
+    ]
+    changes_dir = tmp_path / "changes"
+    changes_dir.mkdir()
+    import glob
+    import shutil
+
+    for i, rows in enumerate(chunks):
+        cdf = spark.createDataFrame(rows, "k long, seg string, eff date, ver int")
+        stage = tmp_path / f"c{i}"
+        cdf.coalesce(1).write.parquet(str(stage))
+        for j, f in enumerate(sorted(glob.glob(str(stage / "*.parquet")))):
+            shutil.copy(f, changes_dir / f"{i:02d}_{j}.parquet")
+
+    run_cdc_scd2_stream(
+        spark, str(changes_dir), dim_dir, "k", ["seg"],
+        eff_date_col="eff", order_col="ver",
+    )
+    got = {
+        (r.k, r.seg, r.is_current, r.valid_from, r.valid_to)
+        for r in spark.read.parquet(dim_dir).collect()
+    }
+
+    expect_dim = dim0
+    for rows in chunks:
+        cdf = spark.createDataFrame(rows, "k long, seg string, eff date, ver int")
+        eff = max(r[2] for r in rows)
+        expect_dim = scd2_apply(
+            expect_dim, cdf.drop("eff"), "k", ["seg"], eff, order_col="ver"
+        )
+    expect = {
+        (r.k, r.seg, r.is_current, r.valid_from, r.valid_to)
+        for r in expect_dim.collect()
+    }
+    assert got == expect
+    # sanity: k=1 carries its full version chain A -> A2 -> A3
+    k1 = sorted((s, c) for (k, s, c, _, _) in got if k == 1)
+    assert k1 == [("A", 0), ("A2", 0), ("A3", 1)]
