@@ -9,7 +9,16 @@ Conventions enforced across every pair (see SURVEY.md §5.2):
 - every computed column is aliased identically in Spark and SQL;
 - float aggregates are pre-rounded on BOTH sides (2dp money, 6dp ratios)
   so parallel-summation order can't flip the driver's value hash;
-- counts are cast to bigint on the Spark side (DuckDB count() is BIGINT).
+- counts are cast to bigint on the Spark side (DuckDB count() is BIGINT);
+- EVERY integer oracle aggregate (sum/sum(CASE…) included, not just
+  count) is CAST AS BIGINT — DuckDB integer sums return HUGEINT, which
+  pandas materializes as float64 and the driver's dtype-sensitive hash
+  rejects (r2 sessionize_events, r4 ann_recall_at_k);
+- output columns are SCALAR only — array/struct columns crash the
+  driver's pandas sort_values canonicalization (r4 ann_ivf_kmeans_refine;
+  explode to rows or serialize to a string instead).
+Both hazards are gated without Spark by tests/test_oracle_conventions.py
+and cross-engine by the driver-faithful tests/parity.py.
 """
 
 from __future__ import annotations

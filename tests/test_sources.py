@@ -219,3 +219,52 @@ def test_compact_write_bounds_file_count(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 6400
     assert back.agg(F.sum("v")).collect()[0][0] == 2 * 6400 * 6399 // 2
+
+
+def test_write_sorted_by_range_produces_skippable_files(spark, tmp_path):
+    """Range-sorted output files must carry near-disjoint narrow min/max
+    key ranges in their Parquet footers — the property that lets a
+    filtered 100 TB scan skip whole files. An unsorted write of the same
+    shuffled data has every file spanning ~the full key range."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = (
+        spark.range(10_000)
+        .withColumn("k", (F.col("id") * 7919) % 10_000)  # shuffled key
+        .withColumn("v", F.col("id") * 2)
+        .repartition(8)
+    )
+
+    def file_ranges(path):
+        out = []
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = [md.schema.column(i).name for i in range(md.num_columns)].index("k")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            out.append((min(mins), max(maxs)))
+        return sorted(out)
+
+    sorted_path = str(tmp_path / "sorted")
+    files.write_sorted_by_range(df, sorted_path, ["k"], n_files=4)
+    plain_path = str(tmp_path / "plain")
+    df.write.parquet(plain_path)
+
+    ranges = file_ranges(sorted_path)
+    assert len(ranges) == 4
+    # near-disjoint: each range covers ~1/4 of the domain, and
+    # consecutive files do not overlap (range partitioner boundaries)
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2
+        assert hi1 - lo1 < 5000  # narrow vs the 10k domain
+    # the unsorted layout is unskippable: every file spans ~everything
+    for lo, hi in file_ranges(plain_path):
+        assert hi - lo > 8000
+
+    back = spark.read.parquet(sorted_path)
+    assert back.count() == 10_000
