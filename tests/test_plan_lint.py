@@ -1,0 +1,87 @@
+"""Bulk plan lint over the ENTIRE registry.
+
+tests/test_plans.py pins specific plan shapes for flagship queries; this
+lint sweeps ALL 98 registry queries for the one property that must hold
+everywhere: no unbounded join — no CartesianProduct, and no
+BroadcastNestedLoopJoin except where one side is a bounded
+scalar/seed/centroid frame the plan deliberately replicates. A refactor
+that silently turns an equi-join into a cross product fails here even
+for queries without a dedicated plan pin.
+
+Broadcast cross joins against PROVABLY TINY frames (a 1-row aggregate, a
+k-row centroid/seed table, a bounded holdout) are the legitimate pattern
+and are allowlisted BY QUERY with the reason recorded; the labeled
+quadratic verifiers (ngram all-pairs and their consumers) are excluded
+the same way bench.py excludes them.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+
+from bp_datawarehouse_ordersfact_spark.queries import all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# query -> reason a BroadcastNestedLoopJoin / broadcast cross join is
+# legitimately bounded there
+BOUNDED_CROSS_OK = {
+    "tfidf_title_match": "1-row corpus-size frame joined for IDF",
+    "levenshtein_ratio_join": "broadcast master side, threshold filter",
+    "dedup_ngram_jaccard": "labeled quadratic verifier (excluded from bench)",
+    "ann_cosine_topk": "labeled exact brute-force baseline",
+    "ann_recall_at_k": "consumes the exact brute-force baseline",
+    "ann_cosine_ivf": "k-row centroid frame broadcast for assignment",
+    "ann_cosine_lsh": "bounded sign-bucket frame",
+    "ann_ivf_kmeans_refine": "k-row centroid frame broadcast per Lloyd round",
+    "dedup_cluster_cc": "consumes LSH pairs; convergence probe aggregates",
+    "leakage_safe_split": "consumes LSH pairs + CC",
+    "text_unigram_logprob": "1-row total-count frame",
+    "decontaminate_ngram_overlap": "bounded holdout broadcast",
+    "sketch_approx_stats": "1-row exact-side frames for self-validation",
+    "sketch_hll_merge": "1-row merged-sketch frame",
+    "corpus_mix_resample": "per-source ppm threshold frame (|sources| rows)",
+    "split_royalty_union": "1-row frames in the royalty branches",
+    "skew_salted_join": "dim replicated x salt_n (bounded) by operators/joins.salted_join",
+    "fact_royalty": "1-row scalar frames",
+    "rollup_incremental_refresh": "1-row scalar frames",
+    "data_quality_audit": "1-row per-check aggregate frames",
+    "date_dim_generate": "bounded generated calendar",
+    "dedup_embedding_cosine": "bounded sign-bucket frame",
+    "domain_fact_royalty": "fixture-bound scalar frames",
+    "domain_split_royalty_report": "fixture-bound scalar frames",
+}
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("plan-lint")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def test_no_unbounded_joins_anywhere(spark):
+    offenders = []
+    for name, fn in all_queries().items():
+        try:
+            plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # a query that cannot even plan is its own bug
+            offenders.append((name, f"planning failed: {type(ex).__name__}: {ex}"))
+            continue
+        if "CartesianProduct" in plan and name not in BOUNDED_CROSS_OK:
+            offenders.append((name, "CartesianProduct"))
+        elif "BroadcastNestedLoopJoin" in plan and name not in BOUNDED_CROSS_OK:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, (
+        "unbounded joins outside the bounded-cross allowlist: "
+        f"{offenders} — if the cross side is provably bounded, add the "
+        "query to BOUNDED_CROSS_OK with the reason"
+    )
