@@ -268,3 +268,31 @@ def test_write_sorted_by_range_produces_skippable_files(spark, tmp_path):
 
     back = spark.read.parquet(sorted_path)
     assert back.count() == 10_000
+
+
+def test_bigquery_gate_raises_actionable_error_without_connector(spark):
+    """S5/S6: without the connector jar the functions must fail with the
+    actionable ConnectorUnavailable (classpath + auth instructions), not
+    raw Py4J noise — and argument validation still runs first where it
+    can. (On a cluster WITH spark-bigquery-with-dependencies these same
+    calls execute; this mirrors the Delta gate in test_merge_delta.py.)"""
+    from bp_datawarehouse_ordersfact_spark.sources import bigquery as bq
+
+    has_connector = True
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "com.google.cloud.spark.bigquery.BigQueryRelationProvider"
+        )
+    except Exception:
+        has_connector = False
+    if has_connector:
+        pytest.skip("connector present — gate not exercised")
+
+    with pytest.raises(bq.ConnectorUnavailable, match="spark-bigquery"):
+        bq.read_bigquery(spark, "proj.ds.table", columns=["a"])
+    df = spark.range(3)
+    with pytest.raises(bq.ConnectorUnavailable):
+        bq.write_bigquery_truncate(df, "proj.ds.table")
+    with pytest.raises(ValueError, match="temporary_gcs_bucket"):
+        # validation errors must surface even before the classpath probe
+        bq.write_bigquery_truncate(df, "proj.ds.table", write_method="indirect")
