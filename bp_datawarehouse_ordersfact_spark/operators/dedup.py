@@ -524,3 +524,98 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
         return scope.finish(pairs)
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_shingle_df: int = 5,
+    eager: bool = True,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs by n-gram containment:
+    ``containment(A→B) = |A∩B| / |A|`` over distinct shingle sets.
+
+    Catches what Jaccard-based MinHash-LSH structurally cannot: a short
+    document embedded inside a much longer one has containment ≈ 1 but
+    Jaccard ≈ |A|/|B| ≈ 0, so its minhash signatures almost never band
+    together — yet it is exactly the quote/boilerplate/excerpt
+    duplication a training corpus needs to find.
+
+    Candidate generation is therefore NOT minhash banding but a
+    rare-shingle inverted index: only shingles whose document frequency
+    is ≤ ``max_shingle_df`` generate candidates (two docs sharing any
+    rare shingle pair up). Ubiquitous shingles — the quadratic hazard —
+    never join; a contained doc almost surely shares a rare shingle with
+    its container (a doc ALL of whose shingles are corpus-common is
+    boilerplate by definition and better handled by the repetition
+    filter). Verification then computes exact containment both
+    directions on the candidate pairs only.
+
+    Returns (id_a, id_b, containment_a_in_b, containment_b_in_a,
+    jaccard) for pairs with max-direction containment ≥ ``threshold``,
+    a < b.
+
+    Scale shape: shingle fan-out (one shuffle), a document-frequency
+    aggregate reusing the shingle key, the rare-shingle self equi-join
+    (bounded: ≤ max_shingle_df²/2 pairs per rare shingle), and two
+    shingle-set lookups — the same join skeleton as ``minhash_lsh_pairs``
+    with the band index swapped for the rare-shingle index.
+    """
+    with (_CacheScope() if eager else _LazyScope()) as scope:
+        rows = scope.materialize(
+            shingle_rows(df, text_col, id_col, shingle_n).distinct()
+        )
+        freq = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+        rare = rows.join(
+            freq.filter(F.col("dfreq") <= max_shingle_df).select("shingle"),
+            "shingle",
+        )
+        cand = (
+            rare.alias("x")
+            .join(
+                rare.alias("y"),
+                (F.col("x.shingle") == F.col("y.shingle"))
+                & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+            )
+            .select(
+                F.col(f"x.{id_col}").alias("id_a"),
+                F.col(f"y.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        sh = rows.groupBy(id_col).agg(F.collect_set("shingle").alias("shingles"))
+        verified = (
+            cand.join(
+                sh.withColumnsRenamed({id_col: "id_a", "shingles": "sh_a"}), "id_a"
+            )
+            .join(sh.withColumnsRenamed({id_col: "id_b", "shingles": "sh_b"}), "id_b")
+            .withColumn(
+                "n_inter", F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+            )
+            .withColumn(
+                "containment_a_in_b",
+                rnd(F.col("n_inter") / F.size("sh_a"), 6),
+            )
+            .withColumn(
+                "containment_b_in_a",
+                rnd(F.col("n_inter") / F.size("sh_b"), 6),
+            )
+            .withColumn(
+                "jaccard",
+                rnd(
+                    F.col("n_inter")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                    6,
+                ),
+            )
+            .filter(
+                F.greatest("containment_a_in_b", "containment_b_in_a") >= threshold
+            )
+            .select(
+                "id_a", "id_b", "containment_a_in_b", "containment_b_in_a", "jaccard"
+            )
+        )
+        return scope.finish(verified)

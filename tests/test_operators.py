@@ -553,3 +553,36 @@ def test_kll_merged_quantiles_match_full_scan(spark):
     per = {r.g: r.q_0_5 for r in per_group.collect()}
     for g in range(4):
         assert abs(per[g] - 100.0 * g) < 5.0
+
+
+def test_containment_catches_doc_inside_doc_that_jaccard_misses(spark):
+    """A short doc embedded verbatim in a long one: containment(A→B)=1.0
+    while Jaccard is small — MinHash-LSH (Jaccard bands) would almost
+    never pair them; the rare-shingle containment operator must."""
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import (
+        containment_pairs,
+        minhash_lsh_pairs,
+    )
+
+    short = "the federated quorum protocol elects a coordinator node deterministically"
+    filler = " ".join(f"background sentence number {i} about unrelated telemetry" for i in range(30))
+    rows = [
+        Row(doc_id=1, text=short),
+        Row(doc_id=2, text=short + " " + filler),      # contains doc 1
+        Row(doc_id=3, text="entirely different content with no shared phrases whatsoever"),
+    ]
+    df = spark.createDataFrame(rows)
+
+    out = {
+        (r.id_a, r.id_b): r
+        for r in containment_pairs(df, "text", "doc_id", threshold=0.8).collect()
+    }
+    assert set(out) == {(1, 2)}
+    pair = out[(1, 2)]
+    assert pair.containment_a_in_b == 1.0       # every A-shingle is in B
+    assert pair.containment_b_in_a < 0.35       # B is much bigger
+    assert pair.jaccard < 0.35                  # the Jaccard blind spot
+
+    # and the Jaccard path indeed misses it at its usual threshold
+    mh = minhash_lsh_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in mh] == []
