@@ -1,0 +1,114 @@
+"""Multimodal binary operators: frame sampling and resize plumbing.
+
+Media columns are opaque ``binary`` payloads with typed metadata
+(queries/llmops.py multimodal queries cover metadata + feature
+extraction). These operators add the remaining two shapes a training
+pipeline needs — video-style FRAME SAMPLING (1 payload → N frame rows)
+and per-frame RESIZE — with the Spark side fully real (Arrow batch
+iteration, explode-to-rows schema, fan-out partitioning) and only the
+codec faked:
+
+- real containers (mp4/webm) and image codecs need ffmpeg/PIL, which
+  are not in this container; ``decode_container_stub`` /
+  ``decode_image_stub`` raise ``NotImplementedError`` where the real
+  call would go;
+- the DETERMINISTIC FAKE codec treats a payload as concatenated
+  fixed-size raw frames and resize as stride subsampling — byte-exact,
+  testable, and shaped identically to the real thing (swap the two
+  marked functions to go live).
+
+Scale notes: one payload fans out to many frame rows, so the output is
+frame-grain — repartition by id BEFORE heavy per-frame work if the scan
+produced few partitions (testdata parquet is one row group per file;
+see queries/llmops._fan_out). Frames inherit the payload's partition, so
+per-video aggregations need no extra shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def decode_container_stub(payload: bytes) -> list[bytes]:
+    """Where the real demuxer goes (PyAV/ffmpeg): payload → frame list."""
+    raise NotImplementedError("real container demux needs ffmpeg/PyAV — not in container")
+
+
+def _fake_demux(payload: bytes, frame_bytes: int) -> list[bytes]:
+    """Deterministic fake codec: payload = concatenated fixed-size raw
+    frames; a trailing partial frame is dropped (as a real demuxer drops
+    a truncated last packet)."""
+    buf = bytes(payload)
+    n = len(buf) // frame_bytes
+    return [buf[i * frame_bytes : (i + 1) * frame_bytes] for i in range(n)]
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    frame_bytes: int = 64,
+    every_k: int = 2,
+) -> DataFrame:
+    """Explode each binary payload into every ``every_k``-th frame:
+    (id, frame_idx, frame binary) rows via Arrow-batched ``mapInPandas``.
+
+    ``frame_idx`` is the index IN THE ORIGINAL stream (0, k, 2k, …), so
+    downstream temporal features know the true timestamps of what they
+    kept — the standard sparse-sampling contract for video training
+    data."""
+    if every_k < 1 or frame_bytes < 1:
+        raise ValueError("every_k and frame_bytes must be >= 1")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                # swap _fake_demux for decode_container_stub to go live
+                all_frames = _fake_demux(b, frame_bytes)
+                for j in range(0, len(all_frames), every_k):
+                    ids.append(i)
+                    idxs.append(j)
+                    frames.append(all_frames[j])
+            yield pd.DataFrame(
+                {id_col: pd.array(ids, dtype="int64"), "frame_idx": pd.array(idxs, dtype="int64"), "frame": frames}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=f"{id_col} long, frame_idx long, frame binary"
+    )
+
+
+def resize_frames(
+    df: DataFrame,
+    frame_col: str,
+    id_col: str,
+    stride: int = 4,
+) -> DataFrame:
+    """Per-frame resize: every frame byte-array downsampled by
+    ``stride`` (the fake stand-in for a real bilinear resize — swap the
+    marked line for PIL/cv2). Output keeps (id, frame_idx) so the
+    sampled+resized stream stays joinable to its source; the numpy
+    slicing is vectorized per frame, no per-byte Python."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            # real impl: PIL.Image.frombytes(...).resize(...) per frame
+            resized = [
+                bytes(np.frombuffer(bytes(b), dtype=np.uint8)[::stride].tobytes())
+                for b in pdf[frame_col]
+            ]
+            out = pdf[[id_col, "frame_idx"]].copy()
+            out["frame_small"] = resized
+            yield out
+
+    return df.mapInPandas(
+        gen, schema=f"{id_col} long, frame_idx long, frame_small binary"
+    )

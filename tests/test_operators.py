@@ -586,3 +586,42 @@ def test_containment_catches_doc_inside_doc_that_jaccard_misses(spark):
     # and the Jaccard path indeed misses it at its usual threshold
     mh = minhash_lsh_pairs(df, "text", "doc_id", threshold=0.5).collect()
     assert [(p.id_a, p.id_b) for p in mh] == []
+
+
+def test_sample_frames_and_resize_plumbing(spark):
+    """Multimodal fan-out: a payload of 10 fixed-size frames sampled
+    every 2nd frame yields rows 0,2,4,6,8 with byte-exact frame slices;
+    a trailing partial frame drops; resize downsamples each frame by
+    stride, joinable back via (id, frame_idx)."""
+    from bp_datawarehouse_ordersfact_spark.operators.multimodal import (
+        resize_frames,
+        sample_frames,
+    )
+
+    frame_bytes = 8
+    payload = bytes(range(10 * frame_bytes)) + b"\xff" * 3  # + partial tail
+    df = spark.createDataFrame(
+        [Row(vid=1, payload=bytearray(payload)), Row(vid=2, payload=bytearray(b""))],
+        "vid long, payload binary",
+    )
+    frames = sample_frames(df, "payload", "vid", frame_bytes=frame_bytes, every_k=2)
+    rows = {(r.vid, r.frame_idx): bytes(r.frame) for r in frames.collect()}
+    assert sorted(i for (v, i) in rows if v == 1) == [0, 2, 4, 6, 8]
+    assert not any(v == 2 for (v, _) in rows)  # empty payload → no frames
+    assert rows[(1, 2)] == bytes(range(2 * frame_bytes, 3 * frame_bytes))
+
+    small = resize_frames(frames, "frame", "vid", stride=4)
+    srows = {(r.vid, r.frame_idx): bytes(r.frame_small) for r in small.collect()}
+    assert srows[(1, 2)] == bytes(range(2 * frame_bytes, 3 * frame_bytes))[::4]
+    assert len(srows) == len(rows)
+
+    import pytest as _pytest
+
+    from bp_datawarehouse_ordersfact_spark.operators.multimodal import (
+        decode_container_stub,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        decode_container_stub(b"...")
+    with _pytest.raises(ValueError):
+        sample_frames(df, "payload", "vid", every_k=0)
