@@ -294,3 +294,71 @@ def test_coalesce_intervals_matches_sweepline(spark, items):
             expect[(k, cs, ce)] = len(members)
 
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# containment_pairs == brute-force containment (restricted to its
+# documented candidate rule: pairs sharing >= 1 rare shingle)
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12).map(
+            lambda toks: " ".join(toks)
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_containment_pairs_matches_bruteforce(spark, docs):
+    """Exactness: the operator must emit EXACTLY the brute-force
+    containment pairs among candidates sharing at least one rare shingle
+    (its documented recall rule), with exact containment/jaccard values
+    — and never a false positive, since verification is exact."""
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import containment_pairs
+
+    n, max_df, thr = 3, 3, 0.6
+
+    def shingles(text):
+        # zero-token docs have NO shingles (the token filter drops empty
+        # strings, so the doc never reaches the shingle index) — matching
+        # operators/dedup.shingle_rows and the jaccard family's parity
+        toks = [t for t in text.split() if t]
+        if not toks:
+            return set()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in enumerate(docs)}
+    from collections import Counter
+
+    dfreq = Counter(s for ss in sets.values() for s in ss)
+    rare = {s for s, c in dfreq.items() if c <= max_df}
+
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            inter = sets[a] & sets[b]
+            if not (inter & rare):
+                continue  # no rare shared shingle -> not a candidate
+            ca = len(inter) / len(sets[a])
+            cb = len(inter) / len(sets[b])
+            if max(ca, cb) >= thr:
+                expect[(a, b)] = (round(ca, 4), round(cb, 4))
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): (round(r.containment_a_in_b, 4), round(r.containment_b_in_a, 4))
+        for r in containment_pairs(
+            df, "text", "doc_id", threshold=thr, shingle_n=n, max_shingle_df=max_df
+        ).collect()
+    }
+    assert got == expect
