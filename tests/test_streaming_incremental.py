@@ -262,3 +262,75 @@ def test_cdc_scd2_stream_equals_sequential_batch_applies(spark, tmp_path):
     # sanity: k=1 carries its full version chain A -> A2 -> A3
     k1 = sorted((s, c) for (k, s, c, _, _) in got if k == 1)
     assert k1 == [("A", 0), ("A2", 0), ("A3", 1)]
+
+
+def test_watermark_drops_late_event_in_append_mode(spark, tmp_path):
+    """Append-mode windowed aggregation with a 1-hour watermark: batch 1
+    advances event time to 14:00; the watermark (13:00) takes effect at
+    the END of that batch, so the 10:00 window finalizes and emits during
+    batch 2 — and a late 10:15 event arriving in batch 3 must be DROPPED,
+    leaving no second/updated row for the finalized window. (The one-batch
+    propagation lag is real Spark semantics: a late row landing in the
+    batch immediately after its window's data, before finalization, still
+    merges — so the contract to pin is "dropped once finalized", driven
+    here with real late data instead of asserted from the plan.)"""
+    import glob
+    import shutil
+    import uuid
+
+    import pandas as pd
+
+    chunks_dir = tmp_path / "wm_chunks"
+    chunks_dir.mkdir()
+
+    def write_chunk(i, rows):
+        pdf = pd.DataFrame(rows, columns=["ts", "k", "v"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        sdf = spark.createDataFrame(pdf)
+        stage = tmp_path / f"wm_{i}"
+        sdf.coalesce(1).write.parquet(str(stage))
+        for j, f in enumerate(sorted(glob.glob(str(stage / "*.parquet")))):
+            shutil.copy(f, chunks_dir / f"{i:02d}_{j}.parquet")
+
+    write_chunk(0, [
+        ("2024-01-01 10:05:00", "a", 1.0),
+        ("2024-01-01 10:20:00", "a", 2.0),
+        ("2024-01-01 14:00:00", "a", 5.0),   # advances watermark to 13:00
+    ])
+    write_chunk(1, [
+        ("2024-01-01 14:30:00", "a", 7.0),    # watermark now in effect;
+    ])                                        # 10:00 window finalizes here
+    write_chunk(2, [
+        ("2024-01-01 10:15:00", "a", 100.0),  # LATE: window already final
+        ("2024-01-01 15:00:00", "a", 9.0),    # on time
+    ])
+
+    schema = spark.read.parquet(str(chunks_dir)).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(chunks_dir))
+    )
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
+        .select(F.col("w.start").alias("ws"), "k", "n", "total")
+    )
+    sink = f"wm_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table(sink).collect()
+    by_window = {}
+    for r in rows:
+        by_window.setdefault(str(r.ws), []).append((r.n, r.total))
+
+    # the 10:00 window emitted exactly once, from batch-1 data only —
+    # the late 10:15/v=100 event left no trace
+    assert by_window["2024-01-01 10:00:00"] == [(2, 3.0)]
