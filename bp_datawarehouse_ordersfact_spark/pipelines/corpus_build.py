@@ -1,0 +1,177 @@
+"""Staged end-to-end training-corpus build.
+
+``corpus_prep_pipeline`` (queries/llmops.py) proves the gate→dedup→
+chunk→pack flow composes into ONE declarative plan. This module is the
+PRODUCTION shape of the same flow: each stage materializes to Parquet
+under ``out_dir`` so a 100 TB run is restartable per stage, inspectable
+between stages, and each stage's shuffle graph stays small enough for
+AQE to plan well; a manifest records per-stage row counts so corpus
+yield (what fraction survived each filter) is first-class.
+
+Stages (all built from the repo's operators — nothing new semantically):
+
+1. ``01_gated``      — quality gate: length + stopword-ratio heuristics.
+2. ``02_deduped``    — exact dedup (md5 keep-first), then MinHash-LSH
+                       near-dup clusters closed via connected components,
+                       keeping the smallest doc_id per cluster.
+3. ``03_decontam``   — drop docs sharing any 5-gram with the holdout
+                       (broadcast holdout, one hash join).
+4. ``04_mixed``      — per-source mix resample to target ppm weights
+                       (deterministic md5 bucket, zero shuffles).
+5. ``05_chunks``     — sliding-window token chunks, token-budget packed
+                       into bins, written COMPACTED (sources.files.
+                       compact_write) — the artifact a tokenizer reads.
+
+Each stage reads the previous stage's Parquet, so reruns of a later
+stage never recompute earlier ones — the restartability that a single
+fused plan cannot give at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as Tx
+from ..operators.dedup import exact_dedup, minhash_lsh_pairs
+from ..operators.graph import connected_components
+from ..sources.files import compact_write
+
+
+def _stage(df: DataFrame, out_dir: str, name: str) -> DataFrame:
+    path = os.path.join(out_dir, name)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def build_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    holdout: DataFrame | None = None,
+    min_chars: int = 100,
+    mix_ppm: dict[str, int] | None = None,
+    near_dup_threshold: float = 0.5,
+    chunk_tokens: int = 50,
+    chunk_stride: int = 40,
+    pack_budget: int = 500,
+    rows_per_file: int = 1_000_000,
+) -> dict:
+    """Run the five stages over ``docs`` (doc_id, source, text, n_chars);
+    ``holdout`` carries a ``text`` column of benchmark documents whose
+    5-grams must not leak into training data. Returns the manifest:
+    per-stage paths and row counts."""
+    manifest: dict = {"out_dir": out_dir, "stages": {}}
+
+    def record(name: str, df: DataFrame) -> DataFrame:
+        staged = _stage(df, out_dir, name)
+        manifest["stages"][name] = {
+            "path": os.path.join(out_dir, name),
+            "rows": staged.count(),
+        }
+        return staged
+
+    # 1 — quality gate (cheap, codegen-only; runs first so every later
+    # stage sees less data)
+    toks = Tx.tokens(F.col("text"))
+    gated = record(
+        "01_gated",
+        docs.filter(
+            (F.col("n_chars") >= min_chars) & (F.size(toks) > 0)
+        ),
+    )
+
+    # 2 — exact dedup, then near-dup clusters keep-one
+    keep_exact = exact_dedup(gated, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    exact_kept = gated.join(keep_exact, "doc_id")
+    pairs = minhash_lsh_pairs(
+        exact_kept, "text", "doc_id", threshold=near_dup_threshold, eager=False
+    )
+    comps = connected_components(
+        exact_kept.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    )
+    keep_nd = comps.groupBy("component").agg(F.min("id").alias("doc_id"))
+    deduped = record(
+        "02_deduped", exact_kept.join(keep_nd.select("doc_id"), "doc_id")
+    )
+
+    # 3 — decontamination against the holdout's 5-grams (holdout is
+    # benchmark-sized → broadcast; one semi-join, corpus never reshuffles)
+    if holdout is not None:
+        grams5 = lambda c: Tx.word_shingles(Tx.tokens(c), 5)  # noqa: E731
+        hold_grams = (
+            holdout.select(F.explode(grams5(F.col("text"))).alias("gram"))
+            .distinct()
+        )
+        doc_grams = deduped.select(
+            "doc_id", F.explode(grams5(F.col("text"))).alias("gram")
+        )
+        contaminated = (
+            doc_grams.join(F.broadcast(hold_grams), "gram")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = deduped.join(contaminated, "doc_id", "left_anti")
+    else:
+        clean = deduped
+    clean = record("03_decontam", clean)
+
+    # 4 — source mix resample (deterministic md5 ppm bucket, map-side)
+    if mix_ppm:
+        ppm = F.create_map(
+            *[F.lit(x) for kv in mix_ppm.items() for x in kv]
+        )[F.col("source")]
+        bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
+            "long"
+        ) % 1_000_000
+        mixed = clean.filter(bucket < F.coalesce(ppm, F.lit(1_000_000)))
+    else:
+        mixed = clean
+    mixed = record("04_mixed", mixed)
+
+    # 5 — chunk + pack + compacted write
+    t = mixed.select("doc_id", "source", Tx.tokens(F.col("text")).alias("t"))
+    sized = t.withColumn("n", F.size("t")).filter(F.col("n") > 0)
+    n_chunks = F.floor(
+        (F.greatest(F.col("n") - chunk_tokens, F.lit(0)) + chunk_stride - 1)
+        / chunk_stride
+    ) + 1
+    chunks = sized.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "t",
+    ).select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        F.slice(
+            F.col("t"), F.col("chunk_idx") * chunk_stride + 1, chunk_tokens
+        ).alias("chunk"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id", "chunk_idx")
+    packed = chunks.withColumn("chunk_tokens", F.size("chunk")).withColumn(
+        "bin_id",
+        F.floor(
+            (
+                F.sum("chunk_tokens").over(w) - F.col("chunk_tokens")
+            )
+            / pack_budget
+        ).cast("long"),
+    )
+    final_path = os.path.join(out_dir, "05_chunks")
+    n_files = compact_write(
+        packed, final_path, target_rows_per_file=rows_per_file
+    )
+    final = spark.read.parquet(final_path)
+    manifest["stages"]["05_chunks"] = {
+        "path": final_path,
+        "rows": final.count(),
+        "files": n_files,
+    }
+    return manifest

