@@ -47,6 +47,22 @@ _MODULES = (relational, pipeline, llmops, streaming, domain_e2e)
 # entry() — which IS pricing_summary — every round, and tfidf is pinned
 # by operator tests, so they are the safest displacements if round-5
 # additions need window slots.
+#
+# ROUND-6 ROTATION (mechanical; do this first): window = the 2 staged
+# sketch queries (add `sketches_r6` to _MODULES, names first in this
+# tuple: sketch_theta_set_algebra, sketch_kll_quantile_merge — already
+# driver-verified by tests/test_sketches_r6.py) + the 46 queries whose
+# newest row is then round 4 (exactly the r4-window list minus the 4
+# re-checked here: everything from dedup_ngram_jaccard through
+# listagg_per_group in the r4 tuple, plus fact_royalty,
+# rest_ingest_distributed, kafka_wire_roundtrip, sketch_approx_stats)
+# + pricing_summary and tfidf_title_match — NOT optional: their newest
+# row is round 3 (displaced from this window), so round 6 is their
+# staleness deadline. That fills all 50 slots: no other round-6
+# additions are possible beyond the 2 sketch queries. Registry lands at
+# 100 — the cap the 50-wide window sustains under the 2-round staleness
+# invariant; after r6, rotation alternates the two 50-query halves
+# (tests/test_window_rotation.py fails loudly if any of this is botched).
 _WINDOW_FIRST = (
     # red in r4, fixed this round — re-check first
     "ann_recall_at_k", "ann_ivf_kmeans_refine",
