@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as Tx
@@ -40,10 +40,17 @@ from ..operators.graph import connected_components
 from ..sources.files import compact_write
 
 
-def _stage(df: DataFrame, out_dir: str, name: str) -> DataFrame:
+def _stage(df: DataFrame, out_dir: str, name: str) -> tuple[DataFrame, int]:
+    """Write a stage and return (reloaded frame, row count). The count
+    comes from an observed metric collected DURING the write action —
+    one scan per stage, not write-then-count (at 100 TB the saved second
+    pass per stage is the difference between 5 and 10 full reads)."""
     path = os.path.join(out_dir, name)
-    df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    obs = Observation(name)
+    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return df.sparkSession.read.parquet(path), int(obs.get["rows"])
 
 
 def build_corpus(
@@ -66,10 +73,10 @@ def build_corpus(
     manifest: dict = {"out_dir": out_dir, "stages": {}}
 
     def record(name: str, df: DataFrame) -> DataFrame:
-        staged = _stage(df, out_dir, name)
+        staged, rows = _stage(df, out_dir, name)
         manifest["stages"][name] = {
             "path": os.path.join(out_dir, name),
-            "rows": staged.count(),
+            "rows": rows,
         }
         return staged
 
