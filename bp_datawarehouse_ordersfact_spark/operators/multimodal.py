@@ -87,6 +87,7 @@ def resize_frames(
     frame_col: str,
     id_col: str,
     stride: int = 4,
+    idx_col: str = "frame_idx",
 ) -> DataFrame:
     """Per-frame resize: every frame byte-array downsampled by
     ``stride`` (the fake stand-in for a real bilinear resize — swap the
@@ -105,10 +106,10 @@ def resize_frames(
                 bytes(np.frombuffer(bytes(b), dtype=np.uint8)[::stride].tobytes())
                 for b in pdf[frame_col]
             ]
-            out = pdf[[id_col, "frame_idx"]].copy()
+            out = pdf[[id_col, idx_col]].copy()
             out["frame_small"] = resized
             yield out
 
     return df.mapInPandas(
-        gen, schema=f"{id_col} long, frame_idx long, frame_small binary"
+        gen, schema=f"{id_col} long, {idx_col} long, frame_small binary"
     )

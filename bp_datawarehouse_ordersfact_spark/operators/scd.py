@@ -61,6 +61,12 @@ def scd2_apply(
             "scd2_apply needs at least one tracked attribute in `attrs` — "
             "with none there is no change to detect and no row to version"
         )
+    if order_col is not None and order_col in attrs:
+        raise ValueError(
+            f"order_col {order_col!r} cannot also be a tracked attribute: "
+            "the CDC ordering column is dropped after the latest-wins "
+            "collapse and would leave the merge referencing a missing column"
+        )
     eff = F.lit(eff_date).cast("date")
     history = dim.filter(F.col("is_current") == 0)
     open_rows = dim.filter(F.col("is_current") == 1)

@@ -229,10 +229,17 @@ def _farthest_point_seeds(e: DataFrame, n_cells: int) -> DataFrame:
     all of them), tie-broken by id — no RNG, so the fit stays
     oracle-reproducible, unlike classic k-means++'s probability sampling.
 
-    Scale shape per round: seeds are k×dim floats (broadcast), so scoring
-    is a map-side pass over the corpus and the winner is a TakeOrdered
-    limit-1 — k corpus scans total, each shuffle-free. The k 1-row
-    collects mirror the convergence probes in ``operators/graph.py``."""
+    Scale shape per round: the chosen seeds are embedded as LITERAL
+    arrays, so each row's nearest-seed score is ``greatest`` over k
+    codegen cosine expressions — a genuinely map-side pass with no
+    exchange; the winner is a TakeOrdered limit-1. k corpus scans
+    total, zero shuffles. The k 1-row collects mirror the convergence
+    probes in ``operators/graph.py``.
+
+    Stops early (returning fewer seeds) once every remaining vector is
+    already a seed or its duplicate (nearest cosine rounds to 1.0) —
+    the same graceful degradation as min_id seeding when n_cells
+    exceeds the number of distinct directions."""
     spark = e.sparkSession
     seed_schema = e.select(
         F.col("vid").alias("cell_id"), F.col("v").alias("cent")
@@ -240,16 +247,30 @@ def _farthest_point_seeds(e: DataFrame, n_cells: int) -> DataFrame:
     first = e.orderBy("vid").limit(1).collect()[0]
     seeds = [(first["vid"], first["v"])]
     for _ in range(n_cells - 1):
-        sdf = spark.createDataFrame(seeds, seed_schema)
+        nearest = F.greatest(
+            *[
+                rnd(
+                    V.cosine(
+                        F.col("v"), F.array(*[F.lit(float(x)) for x in vec])
+                    ),
+                    6,
+                )
+                for _, vec in seeds
+            ]
+        ) if len(seeds) > 1 else rnd(
+            V.cosine(
+                F.col("v"), F.array(*[F.lit(float(x)) for x in seeds[0][1]])
+            ),
+            6,
+        )
         nxt = (
-            e.crossJoin(F.broadcast(sdf))
-            .withColumn("cos", rnd(V.cosine(F.col("v"), F.col("cent")), 6))
-            .groupBy("vid")
-            .agg(F.max("cos").alias("nearest"), F.first("v").alias("v"))
+            e.withColumn("nearest", nearest)
             .orderBy(F.asc("nearest"), F.asc("vid"))
             .limit(1)
             .collect()[0]
         )
+        if nxt["nearest"] >= 1.0:
+            break  # corpus exhausted: everything duplicates a seed
         seeds.append((nxt["vid"], nxt["v"]))
     return spark.createDataFrame(seeds, seed_schema)
 

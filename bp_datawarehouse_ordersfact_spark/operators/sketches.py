@@ -90,10 +90,13 @@ def kll_grouped_quantiles(
     # fold the per-group sketch list — it is GROUP-cardinality (one
     # kilobyte blob per group), not row-cardinality, so the collect_list
     # is small by construction
+    # empty-input guard: greatest(...,0) keeps slice legal and
+    # try_element_at yields a NULL seed (→ one all-NULL quantile row)
+    # instead of an ANSI out-of-bounds crash when no groups exist
     merged = per_sk.agg(F.collect_list("sk").alias("sks")).select(
         F.aggregate(
-            F.expr("slice(sks, 2, size(sks) - 1)"),
-            F.element_at(F.col("sks"), 1),
+            F.expr("slice(sks, 2, greatest(size(sks) - 1, 0))"),
+            F.try_element_at(F.col("sks"), F.lit(1)),
             lambda acc, x: F.kll_sketch_merge_double(acc, x),
         ).alias("sk")
     ).select(*qcols)

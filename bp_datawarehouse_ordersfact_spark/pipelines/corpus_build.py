@@ -128,14 +128,16 @@ def build_corpus(
         clean = deduped
     clean = record("03_decontam", clean)
 
-    # 4 — source mix resample (deterministic md5 ppm bucket, map-side)
+    # 4 — source mix resample (deterministic md5 ppm bucket, map-side).
+    # Uses the repo's canonical 8-hex-char h32 rule (functions/text.py,
+    # fuzz-pinned vs hashlib in tests/test_property.py) — a shorter
+    # prefix would both bias the modulo (16^6 is not a multiple of 1e6)
+    # and diverge from corpus_mix_resample/sample_stratified membership.
     if mix_ppm:
         ppm = F.create_map(
             *[F.lit(x) for kv in mix_ppm.items() for x in kv]
         )[F.col("source")]
-        bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast(
-            "long"
-        ) % 1_000_000
+        bucket = Tx.h32(F.col("doc_id").cast("string")) % 1_000_000
         mixed = clean.filter(bucket < F.coalesce(ppm, F.lit(1_000_000)))
     else:
         mixed = clean
@@ -171,14 +173,29 @@ def build_corpus(
             / pack_budget
         ).cast("long"),
     )
+    # the chunk+pack plan (two windows + explode) is the heaviest in the
+    # pipeline — run it exactly ONCE: stage it with an observed count,
+    # then compact FROM the staged parquet (a cheap columnar rescan, not
+    # a recompute) with the known row count, and drop the raw staging
+    import shutil
+
+    raw_path = os.path.join(out_dir, "05_chunks_raw")
+    obs = Observation("05_chunks")
+    packed.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).parquet(raw_path)
+    n_rows = int(obs.get["rows"])
     final_path = os.path.join(out_dir, "05_chunks")
     n_files = compact_write(
-        packed, final_path, target_rows_per_file=rows_per_file
+        spark.read.parquet(raw_path),
+        final_path,
+        target_rows_per_file=rows_per_file,
+        n_rows=n_rows,
     )
-    final = spark.read.parquet(final_path)
+    shutil.rmtree(raw_path)
     manifest["stages"]["05_chunks"] = {
         "path": final_path,
-        "rows": final.count(),
+        "rows": n_rows,
         "files": n_files,
     }
     return manifest

@@ -35,18 +35,18 @@ _MODULES = (relational, pipeline, llmops, streaming, domain_e2e)
 # once. Round-5 window (this tuple): the 2 queries whose r4 rows were red
 # (ann_recall_at_k HUGEINT-cast fix, ann_ivf_kmeans_refine scalar-reshape
 # fix — must re-check), the 2 domain e2e queries (first HASH check ever:
-# they gained real VALUES oracles this round), any round-5 ADDITIONS
-# (never checked — inserted right after, displacing tail picks), then the
-# 46 queries whose newest driver row is round 3 — all equally stale, all
-# rotated back in, honoring the "no query's newest row older than 2
-# rounds" invariant (tests/test_window_rotation.py enforces it). The r4
-# window's 46 other queries (all green r4 rows) rotate out; their
-# families stay covered by pytest pins (tests/test_plans.py,
-# test_scale_posture.py, operator tests) until round 6 rotates them back.
-# pricing_summary and tfidf_title_match sit LAST: the driver smoke-checks
-# entry() — which IS pricing_summary — every round, and tfidf is pinned
-# by operator tests, so they are the safest displacements if round-5
-# additions need window slots.
+# they gained real VALUES oracles this round), the 2 round-5 ADDITIONS
+# (never checked), then 44 of the 46 queries whose newest driver row is
+# round 3, honoring the "no query's newest row older than 2 rounds"
+# invariant (tests/test_window_rotation.py enforces it). The other 2
+# r3-row queries — pricing_summary and tfidf_title_match — were the
+# displacements for the round-5 additions and are NOT in this window:
+# the driver smoke-checks entry() (which IS pricing_summary) every
+# round and tfidf is pinned by operator tests, but their staleness
+# deadline is round 6 (see the rotation plan below). The r4 window's 46
+# other queries (all green r4 rows) rotate out; their families stay
+# covered by pytest pins (tests/test_plans.py, test_scale_posture.py,
+# operator tests) until round 6 rotates them back.
 #
 # ROUND-6 ROTATION (mechanical; do this first): window = the 2 staged
 # sketch queries (add `sketches_r6` to _MODULES, names first in this
@@ -68,11 +68,10 @@ _WINDOW_FIRST = (
     "ann_recall_at_k", "ann_ivf_kmeans_refine",
     # first-ever hash check (VALUES oracles added this round)
     "domain_fact_royalty", "domain_split_royalty_report",
-    # round-5 additions — never checked, displace the two safest tail
-    # picks (pricing_summary: the driver smoke-checks entry() every
-    # round; tfidf_title_match: pinned by operator tests + 4 green rounds)
+    # round-5 additions — never checked (displaced pricing_summary and
+    # tfidf_title_match, see above)
     "interval_coalesce", "correlated_exists_rewrite",
-    # newest driver row is round 3 for all 46 below (equally stale)
+    # newest driver row is round 3 for the 44 below (equally stale)
     "select_rename", "membership_filter", "threshold_filter",
     "distinct_rows", "dedup_keep_first", "percent_rate_normalization",
     "broadcast_dim_join", "composite_key_join", "incremental_merge",

@@ -110,6 +110,7 @@ def compact_write(
     target_rows_per_file: int = 1_000_000,
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
+    n_rows: int | None = None,
 ) -> int:
     """Small-files-aware Parquet write: repartition to
     ``ceil(rows / target_rows_per_file)`` output tasks and cap each file
@@ -122,10 +123,12 @@ def compact_write(
     compaction pass run as table maintenance — the pre-count is an
     extra scan by design, acceptable for a maintenance job and exact
     where AQE's estimates are not. On Delta/Iceberg this job is
-    ``OPTIMIZE`` / ``rewrite_data_files``."""
+    ``OPTIMIZE`` / ``rewrite_data_files``. Pass ``n_rows`` when the
+    caller already knows the count (e.g. from an observed metric on the
+    producing write) to skip the pre-count scan entirely."""
     import math
 
-    n = df.count()
+    n = df.count() if n_rows is None else n_rows
     k = max(1, math.ceil(n / target_rows_per_file))
     w = (
         df.repartition(k)

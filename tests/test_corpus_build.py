@@ -36,7 +36,6 @@ def test_staged_corpus_build_manifest_and_semantics(spark, tmp_path):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     # make the dedup stage bite: append an exact duplicate and a holdout
     # contaminated doc with known ids beyond the testdata id range
-    base = docs.limit(0)
     sample = docs.orderBy("doc_id").limit(1).collect()[0]
     extra = spark.createDataFrame(
         [

@@ -625,3 +625,45 @@ def test_sample_frames_and_resize_plumbing(spark):
         decode_container_stub(b"...")
     with _pytest.raises(ValueError):
         sample_frames(df, "payload", "vid", every_k=0)
+
+
+def test_scd2_order_col_must_not_be_tracked_attr(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [], "k long, ver int, valid_from date, valid_to date, is_current int"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot also be a tracked attribute"):
+        scd2_apply(dim, dim, "k", ["ver"], "2021-01-01", order_col="ver")
+
+
+def test_kll_quantiles_empty_input_yields_null_row_not_crash(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.sketches import (
+        kll_grouped_quantiles,
+    )
+
+    empty = spark.createDataFrame([], "g int, v double")
+    per_group, merged = kll_grouped_quantiles(empty, "g", "v", [0.5])
+    assert per_group.count() == 0
+    row = merged.collect()[0]
+    assert row.q_0_5 is None  # graceful NULL, not an ANSI slice crash
+
+
+def test_kmeans_farthest_seeding_caps_at_corpus_size(spark):
+    """n_cells beyond the number of distinct directions must stop early
+    with unique seeds — never duplicate cell_ids."""
+    from bp_datawarehouse_ordersfact_spark.operators.similarity import (
+        _farthest_point_seeds,
+    )
+
+    df = spark.createDataFrame(
+        [Row(vid=0, v=[1.0, 0.0]), Row(vid=1, v=[0.0, 1.0]),
+         Row(vid=5, v=[1.0, 0.0])],  # duplicate direction of vid 0
+        "vid long, v array<double>",
+    )
+    seeds = _farthest_point_seeds(df, n_cells=5).collect()
+    ids = [r.cell_id for r in seeds]
+    assert len(ids) == len(set(ids))  # unique
+    assert set(ids) == {0, 1}  # the two distinct directions, then stop
