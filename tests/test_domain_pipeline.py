@@ -255,3 +255,52 @@ def test_split_royalties_double_rows_halve_money(pipe):
         orig = base[(q, "Bard, B. & Cole, C.")]
         for r in rows:
             assert r.Royalty_Paid == pytest.approx(orig.Royalty_Paid / 2)
+
+
+def test_orchestrated_warehouse_run_matches_fused_pipeline(spark, tmp_path):
+    """run_warehouse stages dw2→dw5 through real Parquet boundaries; its
+    fact_royalty artifact must equal the fused single-plan registry run
+    row for row, and the manifest must cover every warehouse artifact
+    with consistent counts."""
+    from bp_datawarehouse_ordersfact_spark.domain import orchestrator
+    from bp_datawarehouse_ordersfact_spark.queries.domain_e2e import (
+        q_domain_fact_royalty,
+    )
+
+    manifest = orchestrator.run_warehouse(
+        spark, orchestrator.fixture_sources(spark), str(tmp_path / "wh")
+    )
+    arts = manifest["artifacts"]
+    assert set(arts) == {
+        "staging/wc_lines",
+        "dimension_tables/book_dim",
+        "fact_tables/fact_royalty",
+        "fact_tables/fact_order",
+        "reporting_tables/royalty_summary",
+        "reporting_tables/split_royalty",
+        "reporting_tables/printable",
+    }
+    for name, a in arts.items():
+        assert a["rows"] > 0, name
+        assert spark.read.parquet(a["path"]).count() == a["rows"], name
+
+    staged_fr = spark.read.parquet(arts["fact_tables/fact_royalty"]["path"])
+    fused_fr = q_domain_fact_royalty(spark, None)
+    # identical rows (order-insensitive; measures rounded as the fused
+    # query rounds its driver-facing output)
+    key_cols = sorted(staged_fr.columns)
+
+    def canon(df):
+        from pyspark.sql import functions as FF
+
+        rounded = df.select(
+            *[
+                FF.round(FF.col(c), 6).alias(c)
+                if dict(df.dtypes)[c] == "double"
+                else FF.col(c)
+                for c in key_cols
+            ]
+        )
+        return {tuple(str(v) for v in r) for r in rounded.collect()}
+
+    assert canon(staged_fr) == canon(fused_fr)
