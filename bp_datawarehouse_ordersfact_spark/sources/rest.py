@@ -81,3 +81,53 @@ def fetch_pages_distributed(
     return raw.select(
         F.from_json("raw", schema).alias("rec")
     ).select("rec.*")
+
+
+def with_retries(
+    fetcher: Fetcher,
+    max_attempts: int = 5,
+    base_delay_s: float = 0.5,
+    max_delay_s: float = 30.0,
+    retryable: Callable[[Exception], bool] = lambda _: True,
+    sleep: Callable[[float], None] | None = None,
+) -> Fetcher:
+    """Wrap a page fetcher with exponential-backoff retries — the
+    resilience layer a production pull needs against 429/5xx/transient
+    network failures (the reference has none: one failed page kills the
+    whole ``dw2`` run).
+
+    Transport-agnostic like everything in this module: ``retryable``
+    classifies exceptions (e.g. retry 429/503, fail fast on 401), and an
+    exception carrying a ``retry_after_s`` attribute (set by the
+    transport from a ``Retry-After`` header) overrides the computed
+    backoff for that attempt. Backoff is DETERMINISTIC (pure doubling,
+    capped) — no random jitter, so distributed replays are reproducible;
+    at scale, workers are already decorrelated because each retries its
+    own page on its own failure clock.
+
+    Composes with both shapes: decorate once, pass to either
+    ``fetch_pages_driver`` or ``fetch_pages_distributed`` (the wrapper
+    is serialized to executors with the fetcher closure)."""
+    if max_attempts < 1:
+        raise ValueError("max_attempts must be >= 1")
+    if sleep is None:
+        import time
+
+        sleep = time.sleep
+
+    def wrapped(page, per_page, window_start, window_end):
+        for attempt in range(1, max_attempts + 1):
+            try:
+                return fetcher(page, per_page, window_start, window_end)
+            except Exception as ex:
+                if attempt == max_attempts or not retryable(ex):
+                    raise
+                hint = getattr(ex, "retry_after_s", None)
+                delay = (
+                    float(hint)
+                    if hint is not None
+                    else base_delay_s * (2 ** (attempt - 1))
+                )
+                sleep(min(max_delay_s, delay))
+
+    return wrapped

@@ -296,3 +296,72 @@ def test_bigquery_gate_raises_actionable_error_without_connector(spark):
     with pytest.raises(ValueError, match="temporary_gcs_bucket"):
         # validation errors must surface even before the classpath probe
         bq.write_bigquery_truncate(df, "proj.ds.table", write_method="indirect")
+
+
+def test_with_retries_backoff_classification_and_distributed(spark):
+    from bp_datawarehouse_ordersfact_spark.sources.rest import (
+        fetch_pages_distributed,
+        with_retries,
+    )
+
+    calls = {"n": 0}
+    delays: list[float] = []
+
+    class Throttled(Exception):
+        retry_after_s = 9.0
+
+    def flaky(page, per_page, ws, we):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise Throttled()          # honors the Retry-After hint
+        if calls["n"] == 2:
+            raise TimeoutError("net")  # plain exponential backoff
+        return [{"id": page * 10 + i} for i in range(2)]
+
+    f = with_retries(flaky, max_attempts=4, base_delay_s=0.5, sleep=delays.append)
+    assert f(1, 2, None, None) == [{"id": 10}, {"id": 11}]
+    assert delays == [9.0, 1.0]  # hint first, then 0.5 * 2^(2-1)
+
+    # non-retryable classification fails fast
+    def auth_fail(page, per_page, ws, we):
+        raise PermissionError("401")
+
+    g = with_retries(
+        auth_fail, max_attempts=5, sleep=delays.append,
+        retryable=lambda e: not isinstance(e, PermissionError),
+    )
+    with pytest.raises(PermissionError):
+        g(1, 2, None, None)
+
+    # exhaustion re-raises the last error
+    def always(page, per_page, ws, we):
+        raise TimeoutError("down")
+
+    h = with_retries(always, max_attempts=2, sleep=lambda _: None)
+    with pytest.raises(TimeoutError):
+        h(1, 2, None, None)
+
+    # composes through the distributed shape (wrapper ships in the
+    # mapInPandas closure; per-page flakiness is retried on executors)
+    import random as _random
+
+    state_schema = T.StructType([T.StructField("id", T.LongType())])
+
+    def per_page_flaky(page, per_page, ws, we):
+        # fail deterministically on first call per page via a sentinel
+        # file-less trick: raise for odd pages' first attempt using a
+        # per-process set (each executor worker retries locally)
+        seen = per_page_flaky.__dict__.setdefault("seen", set())
+        if page % 2 == 1 and page not in seen:
+            seen.add(page)
+            raise TimeoutError("transient")
+        return [{"id": page}]
+
+    df = fetch_pages_distributed(
+        spark,
+        with_retries(per_page_flaky, max_attempts=3, sleep=lambda _: None),
+        state_schema,
+        n_pages=6,
+        parallelism=2,
+    )
+    assert sorted(r.id for r in df.collect()) == [1, 2, 3, 4, 5, 6]
