@@ -161,3 +161,69 @@ def coalesce_intervals(
             F.count(F.lit(1)).alias("n_intervals"),
         )
     )
+
+
+def grouped_ewma_partition_carry(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-key EWMA with BOUNDED memory in plain batch mode — the third
+    execution strategy next to ``queries.llmops.q_grouped_ewma``'s
+    grouped-map (whole group in one pandas frame) and
+    ``streaming.jobs.run_chunked_ewma_availablenow``'s streaming state:
+
+    repartition by key + sortWithinPartitions puts each key's rows in
+    order inside one partition; ``mapInPandas`` then streams that
+    partition as Arrow batches IN ORDER, and a per-key carry dict inside
+    the generator closure seeds each batch's vectorized ``ewm`` with the
+    previous batch's last value (the same prepend-seed identity the
+    streaming job uses). A key larger than one Arrow batch costs one
+    float of generator state, never a whole-group pandas frame — memory
+    is O(distinct keys in flight), bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` per step.
+
+    ``id_col`` (defaults to the last order col) is emitted alongside the
+    key so results join back to source rows. Bit-identical to the
+    grouped-map fold (pinned by tests/test_operators.py with tiny Arrow
+    batches forcing mid-group splits)."""
+    import numpy as np
+    import pandas as pd
+
+    out_id = id_col or order_cols[-1]
+    src = df.select(key_col, *order_cols, value_col).repartition(
+        F.col(key_col)
+    ).sortWithinPartitions(key_col, *order_cols)
+
+    def gen(batches):
+        carry: dict = {}
+        for pdf in batches:
+            ew = np.empty(len(pdf), dtype="float64")
+            pos = 0
+            # contiguous key runs within the sorted batch
+            for key, grp in pdf.groupby(key_col, sort=False):
+                vals = grp[value_col].to_numpy(dtype="float64")
+                prev = carry.get(key)
+                if prev is None:
+                    seg = pd.Series(vals).ewm(alpha=alpha, adjust=False).mean().to_numpy()
+                else:
+                    seeded = np.concatenate(([prev], vals))
+                    seg = (
+                        pd.Series(seeded)
+                        .ewm(alpha=alpha, adjust=False)
+                        .mean()
+                        .to_numpy()[1:]
+                    )
+                carry[key] = float(seg[-1])
+                ew[pos : pos + len(seg)] = seg
+                pos += len(seg)
+            out = pdf[[key_col, out_id]].copy()
+            out["ewma"] = ew
+            yield out
+
+    return src.mapInPandas(
+        gen, schema=f"{key_col} long, {out_id} long, ewma double"
+    )

@@ -667,3 +667,43 @@ def test_kmeans_farthest_seeding_caps_at_corpus_size(spark):
     ids = [r.cell_id for r in seeds]
     assert len(ids) == len(set(ids))  # unique
     assert set(ids) == {0, 1}  # the two distinct directions, then stop
+
+
+def test_ewma_partition_carry_splits_groups_across_arrow_batches(spark):
+    """The partition-carry EWMA must be bit-identical to the whole-series
+    fold even when Arrow batches split every group mid-stream — forced
+    here with maxRecordsPerBatch=7 over 3 users x 50 ordered events."""
+    import pandas as pd
+
+    from bp_datawarehouse_ordersfact_spark.operators.temporal import (
+        grouped_ewma_partition_carry,
+    )
+
+    rng = __import__("random").Random(3)
+    rows = [
+        Row(user_id=u, event_id=1000 * u + i, value=rng.uniform(-10, 10))
+        for u in range(3)
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, value double")
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        out = grouped_ewma_partition_carry(
+            df, "user_id", ["event_id"], "value", alpha=0.3
+        )
+        got = {(r.user_id, r.event_id): r.ewma for r in out.collect()}
+    finally:
+        spark.conf.set(key, old)
+
+    assert len(got) == 150
+    for u in range(3):
+        series = pd.Series(
+            [r.value for r in sorted(rows, key=lambda r: r.event_id) if r.user_id == u]
+        )
+        expect = series.ewm(alpha=0.3, adjust=False).mean().to_numpy()
+        ids = sorted(r.event_id for r in rows if r.user_id == u)
+        for eid, e in zip(ids, expect):
+            assert got[(u, eid)] == e, (u, eid)  # bit-identical, no approx
