@@ -92,3 +92,72 @@ def test_merge_into_matches_anti_join_merge(spark, tmp_path):
 
     got = sorted(tuple(r) for r in spark.read.format("delta").load(path).collect())
     assert got == expected
+
+
+@pytest.mark.skipif(not HAS_DELTA, reason="delta-spark not installed in this container")
+def test_scd2_as_two_action_merge_matches_operator(spark, tmp_path):
+    """operators/scd.scd2_apply's docstring claims the storage-agnostic
+    logic equals the classic two-action Delta MERGE (close changed open
+    rows, then insert new versions). This pins that equivalence whenever
+    delta is present: same dim, same change set, row-identical result."""
+    import datetime
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from bp_datawarehouse_ordersfact_spark.operators.scd import scd2_apply
+
+    d = datetime.date
+    eff = d(1996, 6, 1)
+    dim = spark.createDataFrame(
+        [
+            Row(k=1, seg="A", valid_from=d(1990, 1, 1), valid_to=d(1994, 1, 1),
+                is_current=0),
+            Row(k=1, seg="B", valid_from=d(1994, 1, 1), valid_to=None, is_current=1),
+            Row(k=2, seg="C", valid_from=d(1994, 1, 1), valid_to=None, is_current=1),
+            Row(k=3, seg="D", valid_from=d(1994, 1, 1), valid_to=None, is_current=1),
+        ],
+        "k long, seg string, valid_from date, valid_to date, is_current int",
+    )
+    changes = spark.createDataFrame(
+        [Row(k=1, seg="B2"), Row(k=2, seg="C"), Row(k=9, seg="N")],
+        "k long, seg string",
+    )
+
+    expected = sorted(
+        tuple(r) for r in scd2_apply(dim, changes, "k", ["seg"], eff).collect()
+    )
+
+    path = str(tmp_path / "dim_delta")
+    dim.write.format("delta").save(path)
+    # action 1: close the open row of every key whose attrs actually differ
+    spark.sql(
+        f"""
+        MERGE INTO delta.`{{}}` t
+        USING {{chg}} c
+        ON t.k = c.k AND t.is_current = 1
+           AND NOT (t.seg <=> c.seg)
+        WHEN MATCHED THEN UPDATE SET
+          t.valid_to = DATE'1996-06-01', t.is_current = 0
+        """.format(path),
+        chg=changes,
+    )
+    # action 2: insert a new open version for changed keys and brand-new keys
+    current = spark.read.format("delta").load(path)
+    open_now = current.filter("is_current = 1").select("k", "seg")
+    to_open = (
+        changes.join(open_now, ["k", "seg"], "left_anti")
+        .select(
+            "k",
+            "seg",
+            F.lit(eff).alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(1).alias("is_current"),
+        )
+    )
+    to_open.write.format("delta").mode("append").save(path)
+
+    got = sorted(
+        tuple(r) for r in spark.read.format("delta").load(path).collect()
+    )
+    assert got == expected
