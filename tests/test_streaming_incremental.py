@@ -263,6 +263,19 @@ def test_cdc_scd2_stream_equals_sequential_batch_applies(spark, tmp_path):
     k1 = sorted((s, c) for (k, s, c, _, _) in got if k == 1)
     assert k1 == [("A", 0), ("A2", 0), ("A3", 1)]
 
+    # restart idempotence: rerunning against the SAME checkpoint sees no
+    # new files, applies nothing, and leaves the dimension byte-stable —
+    # the crash-recovery contract of the availableNow + checkpoint pair
+    run_cdc_scd2_stream(
+        spark, str(changes_dir), dim_dir, "k", ["seg"],
+        eff_date_col="eff", order_col="ver",
+    )
+    again = {
+        (r.k, r.seg, r.is_current, r.valid_from, r.valid_to)
+        for r in spark.read.parquet(dim_dir).collect()
+    }
+    assert again == expect
+
 
 def test_watermark_drops_late_event_in_append_mode(spark, tmp_path):
     """Append-mode windowed aggregation with a 1-hour watermark: batch 1
