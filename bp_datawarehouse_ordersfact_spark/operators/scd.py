@@ -117,3 +117,35 @@ def scd2_apply(
     return history.select(
         key, *attrs, "valid_from", "valid_to", "is_current"
     ).unionByName(merged)
+
+
+def scd2_point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_date_col: str,
+    how: str = "left",
+) -> DataFrame:
+    """Join each fact row to the dimension VERSION that was valid at the
+    fact's date — the query-side purpose of SCD2 maintenance: a row
+    effective in ``[valid_from, valid_to)`` (open rows have null
+    valid_to) matches facts dated inside that interval.
+
+    Plan shape: an equi-join on the business key with the interval test
+    as a residual join condition — the key join does the heavy lifting
+    (co-partitioned or broadcast if the dim is small), and the residual
+    filters the 1-to-few version fan-out per key down to exactly one
+    match per fact row (versions never overlap by construction of
+    ``scd2_apply``). No window, no sort: at 100 TB this costs the same
+    as the plain dim join plus a per-row comparison."""
+    d = dim.alias("d")
+    f = facts.alias("f")
+    cond = (
+        (F.col(f"f.{key}") == F.col(f"d.{key}"))
+        & (F.col(f"f.{fact_date_col}") >= F.col("d.valid_from"))
+        & (
+            F.col("d.valid_to").isNull()
+            | (F.col(f"f.{fact_date_col}") < F.col("d.valid_to"))
+        )
+    )
+    return f.join(d, cond, how).drop(F.col(f"d.{key}"))

@@ -707,3 +707,40 @@ def test_ewma_partition_carry_splits_groups_across_arrow_batches(spark):
         ids = sorted(r.event_id for r in rows if r.user_id == u)
         for eid, e in zip(ids, expect):
             assert got[(u, eid)] == e, (u, eid)  # bit-identical, no approx
+
+
+def test_scd2_point_in_time_join_picks_the_valid_version(spark):
+    """Facts dated across a key's version history must each join the
+    version whose [valid_from, valid_to) interval covers them; dates
+    before the first version (or unknown keys) get nulls on a left join,
+    and no fact row ever matches two versions."""
+    import datetime
+
+    from bp_datawarehouse_ordersfact_spark.operators.scd import (
+        scd2_point_in_time_join,
+    )
+
+    d = datetime.date
+    dim = spark.createDataFrame(
+        [
+            Row(k=1, seg="A", valid_from=d(1990, 1, 1), valid_to=d(1994, 1, 1),
+                is_current=0),
+            Row(k=1, seg="B", valid_from=d(1994, 1, 1), valid_to=None,
+                is_current=1),
+        ],
+        "k long, seg string, valid_from date, valid_to date, is_current int",
+    )
+    facts = spark.createDataFrame(
+        [
+            Row(fid=1, k=1, day=d(1991, 6, 1)),   # inside version A
+            Row(fid=2, k=1, day=d(1994, 1, 1)),   # boundary: B starts (closed-open)
+            Row(fid=3, k=1, day=d(2001, 1, 1)),   # open version B
+            Row(fid=4, k=1, day=d(1980, 1, 1)),   # before any version
+            Row(fid=5, k=9, day=d(2001, 1, 1)),   # unknown key
+        ],
+        "fid long, k long, day date",
+    )
+    out = scd2_point_in_time_join(facts, dim, "k", "day")
+    rows = {r.fid: r.seg for r in out.collect()}
+    assert out.count() == 5  # one output row per fact — never a version fan-out
+    assert rows == {1: "A", 2: "B", 3: "B", 4: None, 5: None}
