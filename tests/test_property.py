@@ -362,3 +362,63 @@ def test_containment_pairs_matches_bruteforce(spark, docs):
         ).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# scd2_apply + scd2_point_in_time_join == replaying the change log
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    batches=st.lists(
+        st.dictionaries(
+            st.integers(0, 3),                      # key
+            st.sampled_from(["A", "B", "C", None]),  # new attr value
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    probe_offsets=st.lists(st.integers(0, 10), min_size=1, max_size=4),
+)
+def test_scd2_history_replay_point_in_time(spark, batches, probe_offsets):
+    """Apply a random sequence of change batches at increasing effective
+    dates, then point-in-time join probe dates: every probe must see the
+    value of the LATEST batch effective on or before it (None before a
+    key's first appearance) — the round-trip contract tying maintenance
+    (scd2_apply) to querying (scd2_point_in_time_join)."""
+    import datetime
+
+    from bp_datawarehouse_ordersfact_spark.operators.scd import (
+        scd2_apply,
+        scd2_point_in_time_join,
+    )
+
+    d0 = datetime.date(2000, 1, 1)
+    dim = spark.createDataFrame(
+        [], "k long, seg string, valid_from date, valid_to date, is_current int"
+    )
+    log: list[tuple[datetime.date, dict]] = []
+    for i, batch in enumerate(batches):
+        eff = d0 + datetime.timedelta(days=30 * (i + 1))
+        chg = spark.createDataFrame(
+            [Row(k=k, seg=v) for k, v in batch.items()], "k long, seg string"
+        )
+        dim = scd2_apply(dim, chg, "k", ["seg"], eff)
+        log.append((eff, dict(batch)))
+
+    probes = [
+        Row(pid=i, k=k, day=d0 + datetime.timedelta(days=15 + 30 * off))
+        for i, (k, off) in enumerate((k, o) for k in range(4) for o in probe_offsets)
+    ]
+    facts = spark.createDataFrame(probes, "pid long, k long, day date")
+    out = {r.pid: r.seg for r in scd2_point_in_time_join(facts, dim, "k", "day").collect()}
+
+    for p in probes:
+        expect = None
+        for eff, batch in log:
+            if eff <= p.day and p.k in batch:
+                expect = batch[p.k]
+        assert out[p.pid] == expect, (p.k, str(p.day), out[p.pid], expect)
