@@ -26,9 +26,9 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Observation, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession
 
+from ..pipelines.corpus_build import _stage
 from . import dims, facts, fixtures, ingest, merge
 
 
@@ -38,7 +38,9 @@ class WarehouseSources:
     CSV, books/bundles master data from BigQuery)."""
 
     wc_orders_raw: DataFrame
-    products_raw: DataFrame
+    # None = derive the product dim from the built-in fixtures (smoke
+    # runs); production passes the raw /products pull
+    products_raw: DataFrame | None
     scb_monthly: DataFrame
     books_master: DataFrame
     bundle_master: DataFrame
@@ -57,13 +59,11 @@ def fixture_sources(spark: SparkSession) -> WarehouseSources:
 
 
 def _write(df: DataFrame, out_dir: str, name: str, manifest: dict) -> DataFrame:
-    path = os.path.join(out_dir, name)
-    obs = Observation(name)
-    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
-        "overwrite"
-    ).parquet(path)
-    manifest["artifacts"][name] = {"path": path, "rows": int(obs.get["rows"])}
-    return df.sparkSession.read.parquet(path)
+    # one observe-write-reload idiom for the whole repo: reuse the
+    # corpus pipeline's _stage instead of a second copy
+    staged, rows = _stage(df, out_dir, name)
+    manifest["artifacts"][name] = {"path": os.path.join(out_dir, name), "rows": rows}
+    return staged
 
 
 def run_warehouse(

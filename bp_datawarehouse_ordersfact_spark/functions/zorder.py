@@ -38,8 +38,16 @@ def _dilate(c: Column) -> Column:
 
 def interleave_bits(a: Column, b: Column) -> Column:
     """Morton key of two NON-NEGATIVE ints < 2^31: a's bits at even
-    positions, b's at odd. Values are masked to 31 bits so the result
-    stays positive in a signed long — the sort order a range partitioner
-    needs. (Negative or >= 2^31 inputs must be normalized first, e.g.
-    rank- or epoch-day-encoded — the standard z-order preprocessing.)"""
-    return _dilate(a).bitwiseOR(F.shiftleft(_dilate(b), 1))
+    positions, b's at odd; always positive in a signed long — the sort
+    order a range partitioner needs.
+
+    Out-of-domain inputs (negative or >= 2^31 — e.g. sentinels or
+    unnormalized epoch deltas; normalize via rank/epoch-day encoding
+    first) yield NULL rather than a silently-wrong key: a masked -1
+    would otherwise sort as the LARGEST key and scatter exactly the rows
+    the layout should cluster, with nothing surfacing the misuse. Null
+    keys sort together (nulls-first), so misuse shows up as one visible
+    clump, not destroyed locality."""
+    lim = F.lit(2**31)
+    in_domain = (a >= 0) & (a < lim) & (b >= 0) & (b < lim)
+    return F.when(in_domain, _dilate(a).bitwiseOR(F.shiftleft(_dilate(b), 1)))

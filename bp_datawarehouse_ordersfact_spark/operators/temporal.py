@@ -187,26 +187,41 @@ def grouped_ewma_partition_carry(
     ``spark.sql.execution.arrow.maxRecordsPerBatch`` per step.
 
     ``id_col`` (defaults to the last order col) is emitted alongside the
-    key so results join back to source rows. Bit-identical to the
-    grouped-map fold (pinned by tests/test_operators.py with tiny Arrow
-    batches forcing mid-group splits)."""
+    key so results join back to source rows; the output schema is
+    derived from the input types, so string keys / timestamp ids work.
+    Null keys form their own group (same as the grouped-map and
+    streaming strategies). Bit-identical to the grouped-map fold (pinned
+    by tests/test_operators.py with tiny Arrow batches forcing mid-group
+    splits)."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
     out_id = id_col or order_cols[-1]
     src = df.select(key_col, *order_cols, value_col).repartition(
         F.col(key_col)
     ).sortWithinPartitions(key_col, *order_cols)
+    out_schema = T.StructType(
+        [
+            src.schema[key_col],
+            src.schema[out_id],
+            T.StructField("ewma", T.DoubleType()),
+        ]
+    )
 
     def gen(batches):
         carry: dict = {}
         for pdf in batches:
             ew = np.empty(len(pdf), dtype="float64")
             pos = 0
-            # contiguous key runs within the sorted batch
-            for key, grp in pdf.groupby(key_col, sort=False):
+            # contiguous key runs within the sorted batch; dropna=False
+            # keeps null-key rows as their own group (Arrow surfaces a
+            # null long key as NaN — normalize so the carry dict keys it
+            # stably: NaN != NaN would otherwise reset the carry per batch)
+            for key, grp in pdf.groupby(key_col, sort=False, dropna=False):
+                k = None if pd.isna(key) else key
                 vals = grp[value_col].to_numpy(dtype="float64")
-                prev = carry.get(key)
+                prev = carry.get(k)
                 if prev is None:
                     seg = pd.Series(vals).ewm(alpha=alpha, adjust=False).mean().to_numpy()
                 else:
@@ -217,13 +232,11 @@ def grouped_ewma_partition_carry(
                         .mean()
                         .to_numpy()[1:]
                     )
-                carry[key] = float(seg[-1])
+                carry[k] = float(seg[-1])
                 ew[pos : pos + len(seg)] = seg
                 pos += len(seg)
             out = pdf[[key_col, out_id]].copy()
             out["ewma"] = ew
             yield out
 
-    return src.mapInPandas(
-        gen, schema=f"{key_col} long, {out_id} long, ewma double"
-    )
+    return src.mapInPandas(gen, schema=out_schema)

@@ -123,11 +123,12 @@ def with_retries(
                 if attempt == max_attempts or not retryable(ex):
                     raise
                 hint = getattr(ex, "retry_after_s", None)
-                delay = (
-                    float(hint)
-                    if hint is not None
-                    else base_delay_s * (2 ** (attempt - 1))
-                )
-                sleep(min(max_delay_s, delay))
+                if hint is not None:
+                    # honor the server's instruction UNCAPPED: sleeping
+                    # less than Retry-After retries into a still-closed
+                    # rate window and escalates throttling
+                    sleep(float(hint))
+                else:
+                    sleep(min(max_delay_s, base_delay_s * (2 ** (attempt - 1))))
 
     return wrapped

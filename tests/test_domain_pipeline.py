@@ -291,11 +291,16 @@ def test_orchestrated_warehouse_run_matches_fused_pipeline(spark, tmp_path):
     key_cols = sorted(staged_fr.columns)
 
     def canon(df):
+        # rnd, not F.round: both frames' doubles were produced via rnd()
+        # upstream, and re-rounding with a DIFFERENT rule would reopen
+        # the .5-boundary instability rnd() exists to close
         from pyspark.sql import functions as FF
+
+        from bp_datawarehouse_ordersfact_spark.functions.rounding import rnd
 
         rounded = df.select(
             *[
-                FF.round(FF.col(c), 6).alias(c)
+                rnd(FF.col(c), 6).alias(c)
                 if dict(df.dtypes)[c] == "double"
                 else FF.col(c)
                 for c in key_cols

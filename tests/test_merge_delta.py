@@ -133,13 +133,13 @@ def test_scd2_as_two_action_merge_matches_operator(spark, tmp_path):
     # action 1: close the open row of every key whose attrs actually differ
     spark.sql(
         f"""
-        MERGE INTO delta.`{{}}` t
+        MERGE INTO delta.`{path}` t
         USING {{chg}} c
         ON t.k = c.k AND t.is_current = 1
            AND NOT (t.seg <=> c.seg)
         WHEN MATCHED THEN UPDATE SET
           t.valid_to = DATE'1996-06-01', t.is_current = 0
-        """.format(path),
+        """,
         chg=changes,
     )
     # action 2: insert a new open version for changed keys and brand-new keys

@@ -771,3 +771,51 @@ def test_interleave_bits_matches_python_morton(spark):
     for a, b in vals:
         assert got[(a, b)] == morton(a, b), (a, b)
         assert got[(a, b)] >= 0  # signed-long-safe ordering
+
+
+def test_ewma_partition_carry_null_keys_and_string_keys(spark):
+    """Null keys must form their own carried group (not shift other
+    groups' positions or reset per batch), and the derived output schema
+    must support non-bigint keys."""
+    import pandas as pd
+
+    from bp_datawarehouse_ordersfact_spark.operators.temporal import (
+        grouped_ewma_partition_carry,
+    )
+
+    rows = (
+        [Row(user=None, event_id=i, value=float(i)) for i in range(20)]
+        + [Row(user="alice", event_id=100 + i, value=float(-i)) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "user string, event_id long, value double")
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "6")  # force both groups to span batches
+    try:
+        out = grouped_ewma_partition_carry(df, "user", ["event_id"], "value")
+        got = {(r.user, r.event_id): r.ewma for r in out.collect()}
+    finally:
+        spark.conf.set(key, old)
+    assert len(got) == 40
+    exp_null = pd.Series([float(i) for i in range(20)]).ewm(
+        alpha=0.3, adjust=False
+    ).mean().to_numpy()
+    exp_alice = pd.Series([float(-i) for i in range(20)]).ewm(
+        alpha=0.3, adjust=False
+    ).mean().to_numpy()
+    for i in range(20):
+        assert got[(None, i)] == exp_null[i], i
+        assert got[("alice", 100 + i)] == exp_alice[i], i
+
+
+def test_interleave_bits_nulls_out_of_domain_inputs(spark):
+    from bp_datawarehouse_ordersfact_spark.functions.zorder import interleave_bits
+
+    df = spark.createDataFrame(
+        [(-1, 5), (5, -1), (2**31, 0), (0, 2**31), (3, 5)], "a long, b long"
+    )
+    rows = df.select("a", "b", interleave_bits(F.col("a"), F.col("b")).alias("z")).collect()
+    by = {(r.a, r.b): r.z for r in rows}
+    assert by[(3, 5)] is not None
+    for k in [(-1, 5), (5, -1), (2**31, 0), (0, 2**31)]:
+        assert by[k] is None, k

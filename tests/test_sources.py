@@ -308,7 +308,7 @@ def test_with_retries_backoff_classification_and_distributed(spark):
     delays: list[float] = []
 
     class Throttled(Exception):
-        retry_after_s = 9.0
+        retry_after_s = 45.0  # deliberately ABOVE max_delay_s
 
     def flaky(page, per_page, ws, we):
         calls["n"] += 1
@@ -320,7 +320,9 @@ def test_with_retries_backoff_classification_and_distributed(spark):
 
     f = with_retries(flaky, max_attempts=4, base_delay_s=0.5, sleep=delays.append)
     assert f(1, 2, None, None) == [{"id": 10}, {"id": 11}]
-    assert delays == [9.0, 1.0]  # hint first, then 0.5 * 2^(2-1)
+    # the Retry-After hint is honored UNCAPPED (45 > max_delay_s=30);
+    # only computed exponential backoff is capped
+    assert delays == [45.0, 1.0]
 
     # non-retryable classification fails fast
     def auth_fail(page, per_page, ws, we):
@@ -400,12 +402,16 @@ def test_zorder_write_tightens_both_columns_footer_ranges(spark, tmp_path):
     apath = str(tmp_path / "a_only")
     files.write_sorted_by_range(df, apath, ["a"], n_files=4)
 
-    # z-order: both dimensions tighten for MOST files (a range-partition
-    # boundary that straddles a z-curve quadrant leaves that one file
-    # wide — inherent to contiguous curve chunks, and still skippable
-    # for every query landing in the tight files)
+    # z-order: both dimensions tighten ON AVERAGE. Per-file thresholds
+    # are not stable — RangePartitioner's reservoir sample depends on
+    # session RDD-id state, so boundary placement (and which single file
+    # straddles a z-curve quadrant) varies with test selection order.
+    # Worst case for 4 contiguous curve chunks is two quadrant
+    # straddlers: mean width (2*512 + 2*1024)/4 = 768; assert under 870
+    # to leave sampling slack while staying far below the ~1020
+    # unsorted/full-domain mean.
     for col in ("a", "b"):
         ws = ranges(zpath, col)
-        assert sum(1 for w in ws if w <= 640) >= len(ws) // 2 + 1, (col, ws)
+        assert sum(ws) / len(ws) <= 870, (col, ws)
     # single-key sort: the secondary column is unskippable everywhere
     assert all(w >= 900 for w in ranges(apath, "b")), ranges(apath, "b")

@@ -64,6 +64,16 @@ def test_no_query_exceeds_staleness_after_this_window_runs():
     window_has_run = window <= checked_last
 
     if window_has_run:
+        # guard against this branch becoming a permanent bypass: if the
+        # PREVIOUS round's checked set was also exactly this window, the
+        # rotation was skipped for a full round — fail loudly
+        prev_path = f"/root/repo/CORRECTNESS_r{last_round - 1:02d}.json"
+        if last_round >= 2:
+            prev_checked = set(_json.load(open(prev_path)))
+            assert prev_checked != checked_last or window != prev_checked, (
+                f"_WINDOW_FIRST unchanged across driver rounds {last_round - 1} "
+                f"and {last_round} — the rotation was skipped; rotate now"
+            )
         must = [
             name
             for name in Q.all_queries()
