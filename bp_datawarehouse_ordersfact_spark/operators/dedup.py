@@ -134,8 +134,11 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
 
     Semantics mirrored exactly: full n-grams only; documents with fewer
     than n tokens contribute one shingle of all their tokens joined;
-    zero-token documents contribute the empty-string shingle (the
-    ``posexplode_outer`` null row — no repair join needed).
+    NULL-text documents contribute the empty-string shingle (the
+    ``posexplode_outer`` null row — no repair join needed), while
+    empty/whitespace-only text yields NO rows at all (its lone ""
+    token is filtered, so the doc never reaches the shingle index —
+    the contract the containment property test pins).
 
     One shuffle, on the doc id (the window), which is uniform — the
     100 TB shape.
