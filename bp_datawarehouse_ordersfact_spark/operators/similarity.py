@@ -145,18 +145,29 @@ def cosine_topk_ivf(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: candidates are partitioned into cells around
     centroids; a query probes only its ``n_probe`` closest cells. The
-    centroid set here is deterministic (the first ``n_cells`` candidate
-    vectors) standing in for a k-means fit — the index/assign/probe/search
-    mechanics, which are the scale-relevant part, are identical: build is
-    one broadcast-argmax pass, search touches ~n_probe/n_cells of the
-    data instead of all of it.
-    """
-    cents = candidates.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent_vec")
-    )
+    default centroid set is deterministic (the first ``n_cells``
+    candidate vectors) standing in for a k-means fit — the
+    index/assign/probe/search mechanics, which are the scale-relevant
+    part, are identical: build is one broadcast-argmax pass, search
+    touches ~n_probe/n_cells of the data instead of all of it.
+
+    Pass ``centroids`` — a (cell_id, cent) frame, typically
+    ``kmeans_lloyd_centroids(...)``'s output (persisted to Parquet and
+    reloaded in production: train once, probe many) — to search a
+    TRAINED index instead of the deterministic seed; ``n_cells`` is
+    ignored then."""
+    if centroids is not None:
+        cents = centroids.select(
+            F.col("cell_id"), F.col("cent").alias("cent_vec")
+        )
+    else:
+        cents = candidates.filter(F.col(id_col) < n_cells).select(
+            F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent_vec")
+        )
 
     def assign(df: DataFrame, id_out: str, vec_out: str, top: int) -> DataFrame:
         scored = (

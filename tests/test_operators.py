@@ -819,3 +819,46 @@ def test_interleave_bits_nulls_out_of_domain_inputs(spark):
     assert by[(3, 5)] is not None
     for k in [(-1, 5), (5, -1), (2**31, 0), (0, 2**31)]:
         assert by[k] is None, k
+
+
+def test_ivf_search_with_trained_persisted_index(spark, tmp_path):
+    """Train centroids once (kmeans), persist them as Parquet, reload,
+    and search with the trained index: the production train-once/
+    probe-many flow. The trained search must return k results per query
+    with hits dominated by same-cluster neighbors."""
+    from bp_datawarehouse_ordersfact_spark.operators.similarity import (
+        cosine_topk_ivf,
+        kmeans_lloyd_centroids,
+    )
+
+    rng = __import__("random").Random(13)
+    # two clean clusters in 4-d
+    rows = [
+        Row(vec_id=i, embedding=[1.0 + rng.uniform(-0.05, 0.05),
+                                 rng.uniform(-0.05, 0.05), 0.0, 0.0])
+        for i in range(20)
+    ] + [
+        Row(vec_id=100 + i, embedding=[0.0, 0.0,
+                                       1.0 + rng.uniform(-0.05, 0.05),
+                                       rng.uniform(-0.05, 0.05)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    idx_path = str(tmp_path / "ivf_index")
+    kmeans_lloyd_centroids(df, n_cells=2, n_iter=2, seed="farthest").select(
+        "cell_id", "cent"
+    ).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    q = df.filter(F.col("vec_id").isin(0, 100))
+    out = cosine_topk_ivf(q, df, k=3, n_probe=1, centroids=index)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.q_id, []).append(r.c_id)
+    assert set(got) == {0, 100}
+    assert all(len(v) == 3 for v in got.values())
+    # with 1 probe on a trained 2-cell index, neighbors come from the
+    # query's own cluster
+    assert all(c < 100 for c in got[0])
+    assert all(c >= 100 for c in got[100])
