@@ -222,3 +222,55 @@ def test_jaccard_properties(spark):
         assert 0.0 <= r.jab <= 1.0
         assert r.jab == pytest.approx(r.jba)  # symmetric
         assert r.jaa == pytest.approx(1.0)    # reflexive
+
+
+def test_coalesce_intervals_matches_duckdb_windows(spark):
+    """The gaps-and-islands operator must agree with the equivalent
+    DuckDB window SQL on random integer intervals — pinning the
+    running-max frame and tie-break semantics cross-engine (the same
+    contract interval_coalesce's oracle relies on, fuzzed beyond the
+    events shape)."""
+    import duckdb
+
+    from bp_datawarehouse_ordersfact_spark.operators.temporal import (
+        coalesce_intervals,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (rng.randrange(3), i, (s := rng.randrange(50)), s + rng.randrange(12))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "k long, iid long, s long, e long")
+    got = sorted(
+        (r.k, r.island_id, r.interval_start, r.interval_end, r.n_intervals)
+        for r in coalesce_intervals(df, "k", "s", "e", "iid").collect()
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k BIGINT, iid BIGINT, s BIGINT, e BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+    expect = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH flagged AS (
+              SELECT k, iid, s, e,
+                     CASE WHEN s <= max(e) OVER (
+                            PARTITION BY k ORDER BY s, iid
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                          THEN 0 ELSE 1 END AS ni
+              FROM t),
+            islands AS (
+              SELECT k, s, e,
+                     sum(ni) OVER (PARTITION BY k ORDER BY s, iid
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island
+              FROM flagged)
+            SELECT k, CAST(island AS BIGINT), min(s), max(e),
+                   CAST(count(*) AS BIGINT)
+            FROM islands GROUP BY k, island
+            """
+        ).fetchall()
+    )
+    assert got == expect

@@ -415,3 +415,26 @@ def test_zorder_write_tightens_both_columns_footer_ranges(spark, tmp_path):
         assert sum(ws) / len(ws) <= 870, (col, ws)
     # single-key sort: the secondary column is unskippable everywhere
     assert all(w >= 900 for w in ranges(apath, "b")), ranges(apath, "b")
+
+
+def test_compact_write_partitioned_and_default_nfiles_range_sort(spark, tmp_path):
+    """The partition_by branch of compact_write and the n_files=None
+    branch of write_sorted_by_range (partitioner picks the count) both
+    produce correct, readable layouts."""
+    import glob
+
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(1000)], "id long, yr int, v double"
+    )
+    cpath = str(tmp_path / "compact_part")
+    k = files.compact_write(df, cpath, target_rows_per_file=600, partition_by=["yr"])
+    assert k == 2
+    back = spark.read.parquet(cpath)
+    assert back.count() == 1000
+    assert back.filter("yr = 1").count() == 500
+    assert glob.glob(cpath + "/yr=*")  # partition directories exist
+
+    spath = str(tmp_path / "sorted_auto")
+    files.write_sorted_by_range(df, spath, ["id"])  # n_files=None
+    back2 = spark.read.parquet(spath)
+    assert back2.count() == 1000
