@@ -862,3 +862,36 @@ def test_ivf_search_with_trained_persisted_index(spark, tmp_path):
     # query's own cluster
     assert all(c < 100 for c in got[0])
     assert all(c >= 100 for c in got[100])
+
+
+def test_multimodal_chain_sample_resize_aggregate(spark):
+    """The full multimodal chain composes: payloads → sampled frames →
+    resized frames → per-video feature rollup, with frame accounting
+    exact at every hop (the production pipeline shape; codecs faked,
+    plumbing real)."""
+    from bp_datawarehouse_ordersfact_spark.operators.multimodal import (
+        resize_frames,
+        sample_frames,
+    )
+
+    fb = 16
+    vids = [
+        Row(vid=v, payload=bytearray(bytes((v * 37 + i) % 256 for i in range(n * fb))))
+        for v, n in [(1, 10), (2, 5), (3, 0)]
+    ]
+    df = spark.createDataFrame(vids, "vid long, payload binary")
+    frames = sample_frames(df, "payload", "vid", frame_bytes=fb, every_k=3)
+    small = resize_frames(frames, "frame", "vid", stride=4)
+    agg = (
+        small.groupBy("vid")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.length("frame_small")).alias("total_bytes"),
+        )
+        .collect()
+    )
+    by = {r.vid: (r.n_frames, r.total_bytes) for r in agg}
+    # every 3rd of 10 frames -> indices 0,3,6,9 = 4 frames; of 5 -> 0,3 = 2
+    assert by[1] == (4, 4 * fb // 4)
+    assert by[2] == (2, 2 * fb // 4)
+    assert 3 not in by  # empty payload produces no frames anywhere
