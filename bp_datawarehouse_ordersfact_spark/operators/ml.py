@@ -1,0 +1,89 @@
+"""Distributed model TRAINING for the quality-classifier loop.
+
+``embedding_classifier_score`` (queries/llmops.py) is the inference
+half: score every embedding with a fixed weight vector. This module is
+the training half — batch gradient-descent logistic regression run AS A
+SPARK JOB, so the classifier that filters a 100 TB corpus is trained on
+the same cluster that applies it, with no single-node detour:
+
+Scale shape per epoch (the same pattern as ``kmeans_lloyd_centroids``):
+the weight vector is dim+1 floats — always broadcastable as literals —
+so the per-row margin/error is a map-side codegen expression; the
+gradient is ONE narrow (pos, err·x) shuffle with map-side partial sums;
+the updated weights come back to the driver as dim+1 numbers (the same
+1-row-collect-per-iteration discipline as the k-means fit and the
+connected-components convergence probes). Epoch count bounds the job;
+everything is deterministic — no RNG, fixed zero init — so retrains
+reproduce bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.rounding import rnd
+
+
+def logreg_train(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    n_iter: int = 20,
+    lr: float = 1.0,
+) -> list[float]:
+    """Train binary logistic regression (bias + one weight per dim) on
+    (``vec_col`` array<float/double>, ``label_col`` 0/1). Returns
+    ``[bias, w_0, ..., w_{dim-1}]``.
+
+    Full-batch gradient descent: ``w -= lr * mean((sigmoid(w.x+b) - y) * [1, x])``.
+    Deterministic (zero init, fixed epochs)."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    dim = len(df.select(vec_col).first()[0])
+    w = [0.0] * (dim + 1)  # w[0] = bias
+
+    src = df.select(
+        F.col(label_col).cast("double").alias("y"), F.col(vec_col).alias("x")
+    )
+    for _ in range(n_iter):
+        margin = F.lit(w[0])
+        for j in range(dim):
+            margin = margin + F.lit(w[j + 1]) * F.element_at("x", j + 1).cast(
+                "double"
+            )
+        err = (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))) - F.col("y")
+        # narrow (pos, err*x_pos) rows; pos 0 carries the bias gradient
+        grads = (
+            src.withColumn("err", err)
+            .select(
+                F.explode(
+                    F.concat(
+                        F.array(F.struct(F.lit(0).alias("pos"), F.col("err").alias("g"))),
+                        F.transform(
+                            F.col("x"),
+                            lambda v, i: F.struct(
+                                (i + 1).alias("pos"),
+                                (F.col("err") * v.cast("double")).alias("g"),
+                            ),
+                        ),
+                    )
+                ).alias("pg")
+            )
+            .groupBy(F.col("pg.pos"))
+            .agg(F.avg("pg.g").alias("grad"))
+            .collect()
+        )
+        for row in grads:
+            w[row["pos"]] -= lr * row["grad"]
+    return w
+
+
+def logreg_score(df: DataFrame, vec_col: str, weights: list[float]):
+    """Score rows with trained weights: probability column expression
+    (broadcast-as-literals, pure codegen — the inference twin)."""
+    margin = F.lit(weights[0])
+    for j in range(len(weights) - 1):
+        margin = margin + F.lit(weights[j + 1]) * F.element_at(
+            vec_col, j + 1
+        ).cast("double")
+    return rnd(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)

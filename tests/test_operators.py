@@ -895,3 +895,53 @@ def test_multimodal_chain_sample_resize_aggregate(spark):
     assert by[1] == (4, 4 * fb // 4)
     assert by[2] == (2, 2 * fb // 4)
     assert 3 not in by  # empty payload produces no frames anywhere
+
+
+def test_logreg_train_separable_and_matches_numpy_reference(spark):
+    """Distributed full-batch GD must produce exactly the weights a
+    numpy reference computes (deterministic: zero init, fixed epochs),
+    and classify a separable problem correctly end to end."""
+    import numpy as np
+
+    from bp_datawarehouse_ordersfact_spark.operators.ml import (
+        logreg_score,
+        logreg_train,
+    )
+
+    rng = __import__("random").Random(17)
+    # separable in 3-d: class 1 has x0 > 0.5
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[
+                (0.8 if i % 2 else 0.2) + rng.uniform(-0.1, 0.1),
+                rng.uniform(0, 1),
+                rng.uniform(0, 1),
+            ],
+            y=i % 2,
+        )
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, y int")
+    w = logreg_train(df, "embedding", "y", n_iter=15, lr=2.0)
+
+    X = np.array([r.embedding for r in rows])
+    Xb = np.hstack([np.ones((len(X), 1)), X])
+    yv = np.array([r.y for r in rows], dtype=float)
+    ref = np.zeros(4)
+    for _ in range(15):
+        p = 1.0 / (1.0 + np.exp(-(Xb @ ref)))
+        ref -= 2.0 * (Xb.T @ (p - yv)) / len(yv)
+    assert np.allclose(w, ref, rtol=0, atol=1e-9), (w, ref.tolist())
+
+    scored = df.select("y", logreg_score(df, "embedding", w).alias("p"))
+    acc = scored.filter(
+        ((F.col("p") >= 0.5) & (F.col("y") == 1))
+        | ((F.col("p") < 0.5) & (F.col("y") == 0))
+    ).count() / 200
+    assert acc >= 0.97
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_iter"):
+        logreg_train(df, "embedding", "y", n_iter=0)
