@@ -1,3 +1,6 @@
-from . import cleaning, conditional, dates, nulls, text, vectors
+from . import cleaning, conditional, dates, nulls, rounding, text, vectors, zorder
 
-__all__ = ["cleaning", "conditional", "dates", "nulls", "text", "vectors"]
+__all__ = [
+    "cleaning", "conditional", "dates", "nulls", "rounding", "text",
+    "vectors", "zorder",
+]

@@ -4,8 +4,11 @@ from . import (
     explode,
     graph,
     joins,
+    ml,
+    multimodal,
     scd,
     similarity,
+    sketches,
     temporal,
     windows,
 )
@@ -16,8 +19,11 @@ __all__ = [
     "explode",
     "graph",
     "joins",
+    "ml",
+    "multimodal",
     "scd",
     "similarity",
+    "sketches",
     "temporal",
     "windows",
 ]
