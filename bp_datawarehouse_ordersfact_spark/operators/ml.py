@@ -87,3 +87,43 @@ def logreg_score(df: DataFrame, vec_col: str, weights: list[float]):
             vec_col, j + 1
         ).cast("double")
     return rnd(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
+
+
+def logreg_train_ovr(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    classes: list[int],
+    n_iter: int = 20,
+    lr: float = 1.0,
+) -> dict[int, list[float]]:
+    """One-vs-rest multiclass: one binary fit per class (labels beyond 2
+    are the norm for quality/source/language classifiers). Each fit is
+    the same one-shuffle-per-epoch job; fits are independent, so a
+    scheduler can run them concurrently — here sequential for
+    determinism. Returns {class: weights}."""
+    out = {}
+    for cls in classes:
+        bin_df = df.withColumn(
+            "__y", (F.col(label_col) == F.lit(cls)).cast("int")
+        )
+        out[cls] = logreg_train(bin_df, vec_col, "__y", n_iter=n_iter, lr=lr)
+    return out
+
+
+def logreg_predict_ovr(
+    df: DataFrame, vec_col: str, models: dict[int, list[float]]
+):
+    """Argmax over the per-class probabilities (broadcast-literal
+    scoring columns, one codegen expression per class): returns a
+    prediction Column."""
+    scores = [(cls, logreg_score(df, vec_col, w)) for cls, w in models.items()]
+    best = F.greatest(*[s for _, s in scores])
+    pred = None
+    for cls, s in reversed(scores):
+        pred = (
+            F.when(s == best, F.lit(cls))
+            if pred is None
+            else F.when(s == best, F.lit(cls)).otherwise(pred)
+        )
+    return pred

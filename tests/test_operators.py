@@ -945,3 +945,32 @@ def test_logreg_train_separable_and_matches_numpy_reference(spark):
 
     with _pytest.raises(ValueError, match="n_iter"):
         logreg_train(df, "embedding", "y", n_iter=0)
+
+
+def test_logreg_ovr_separates_multiclass_clusters(spark):
+    """One-vs-rest over three directional clusters: argmax prediction
+    must recover the class structure far above the 1/3 baseline. (The
+    testdata embeddings' labels are deliberately NOT linearly separable
+    — verified: least-squares tops out at the majority baseline — so the
+    multiclass contract is pinned on constructed clusters instead.)"""
+    from bp_datawarehouse_ordersfact_spark.operators.ml import (
+        logreg_predict_ovr,
+        logreg_train_ovr,
+    )
+
+    rng = __import__("random").Random(29)
+
+    def vec(center):
+        return [c + rng.uniform(-0.15, 0.15) for c in center]
+
+    centers = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0], 2: [0.0, 0.0, 1.0]}
+    rows = [
+        Row(vec_id=100 * cls + i, embedding=vec(c), label=cls)
+        for cls, c in centers.items()
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    models = logreg_train_ovr(df, "embedding", "label", [0, 1, 2], n_iter=12, lr=2.0)
+    pred = logreg_predict_ovr(df, "embedding", models)
+    acc = df.withColumn("p", pred).filter(F.col("p") == F.col("label")).count() / 180
+    assert acc >= 0.95, acc
