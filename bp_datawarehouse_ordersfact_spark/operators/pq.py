@@ -1,0 +1,213 @@
+"""Product quantization (PQ) for embedding compression + ANN search.
+
+Third leg of the ANN family (``operators/similarity.py``): LSH buckets
+candidates, IVF partitions the corpus, PQ compresses the VECTORS — a
+64-dim float embedding becomes ``m`` uint8 codes (m=8 → 32× smaller), so
+a 100 TB embedding corpus fits hot in cluster memory and distance scans
+touch bytes, not floats (Jégou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011 — public literature, not the reference,
+which has no vector ops at all).
+
+Design, Spark-first:
+- **Train** = k-means per subspace, all ``m`` subspaces fit JOINTLY in
+  one DataFrame keyed by ``sub`` (one broadcast-join argmin + one narrow
+  (sub, code, pos, val) mean shuffle per Lloyd iteration — the
+  ``kmeans_lloyd_centroids`` plan with one extra key column, NOT m
+  sequential fits).
+- **Encode** = the same broadcast argmin, then one groupBy(id) to
+  re-assemble the code array. Map-side except the final per-id agg.
+- **Search (ADC)** = the query's per-(sub, code) distance table is
+  computed once on the driver (m×ksub doubles) and embedded as literal
+  maps, so scoring a row is a codegen map-lookup sum — zero joins, zero
+  shuffles; top-k is a TakeOrdered. This is the whole point of PQ at
+  scale: the scan reads only the codes column (Parquet-pruned) and never
+  touches the original vectors.
+
+Determinism mirrors the IVF trainer: min-id seeding, (distance ASC, code
+ASC) tie-breaks, 6dp centroid rounding per iteration — a re-fit is
+bit-identical and the pure-numpy twin in tests/test_pq.py reproduces it
+exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance as a sequential double-precision fold
+    (functions/vectors.py discipline — reproducible across engines)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _subvectors(df: DataFrame, vec_col: str, id_col: str, m: int) -> DataFrame:
+    """(vid, sub, sv) rows — one explode, m rows per vector."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if not first:
+        raise ValueError("cannot infer vector dim from an empty frame")
+    dim = first[0]["d"]
+    if m < 1 or dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible into m={m} subspaces")
+    d = dim // m
+    return df.select(
+        F.col(id_col).alias("vid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice(F.col(vec_col), j * d + 1, d).alias("sv"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select("vid", "x.sub", "x.sv")
+
+
+def _assign(sub: DataFrame, codebooks: DataFrame) -> DataFrame:
+    """Nearest-code assignment per (vid, sub): broadcast join + argmin
+    with the deterministic (d2 ASC, code ASC) tie-break."""
+    scored = sub.join(F.broadcast(codebooks), "sub").withColumn(
+        "d2", rnd(sq_l2(F.col("sv"), F.col("cent")), 6)
+    )
+    w = Window.partitionBy("vid", "sub").orderBy(F.asc("d2"), F.asc("code"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("vid", "sub", "sv", "code", "d2")
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Fit the m×ksub PQ codebooks. Returns (sub, code, n_members, cent).
+
+    Seeding: per subspace, the ``ksub`` smallest-id vectors' subvectors,
+    code = their id rank (works for any id domain). Codes that lose all
+    members during Lloyd refinement drop out, exactly like empty IVF
+    cells — encode/search only ever reference surviving codes.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if ksub < 1:
+        raise ValueError(f"ksub must be >= 1, got {ksub}")
+    sub = _subvectors(df, vec_col, id_col, m)
+    wseed = Window.partitionBy("sub").orderBy(F.asc("vid"))
+    cents = (
+        sub.withColumn("__r", F.row_number().over(wseed))
+        .filter(F.col("__r") <= ksub)
+        .select("sub", (F.col("__r") - 1).alias("code"), F.col("sv").alias("cent"))
+    )
+
+    assigned = None
+    for _ in range(n_iter):
+        assigned = _assign(sub, cents)
+        dims = assigned.select("sub", "code", F.posexplode("sv").alias("pos", "val"))
+        means = dims.groupBy("sub", "code", "pos").agg(rnd(F.avg("val"), 6).alias("m"))
+        cents = means.groupBy("sub", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cent")
+        )
+
+    counts = assigned.groupBy("sub", "code").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return cents.join(counts, ["sub", "code"]).select(
+        "sub", "code", "n_members", "cent"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>) — codes[j] = nearest code in subspace j.
+    One broadcast argmin + one groupBy(id) re-assembly shuffle."""
+    m = codebooks.agg(F.countDistinct("sub")).collect()[0][0]
+    sub = _subvectors(df, vec_col, id_col, m)
+    assigned = _assign(sub, codebooks.select("sub", "code", "cent"))
+    return (
+        assigned.groupBy("vid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+        .select(F.col("vid").alias(id_col), "codes")
+    )
+
+
+def pq_search_adc(
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Asymmetric-distance top-k: (id, adc_d2) for the ``k`` nearest
+    encoded vectors to ``query``, ordered (adc_d2 ASC, id ASC).
+
+    The per-(sub, code) distance table is m×ksub doubles — computed here
+    on the driver from the collected codebooks (a trained index is always
+    driver-small) and embedded as literal maps, so the scan is pure
+    codegen: map lookup per subspace, summed; top-k is a TakeOrdered
+    (no shuffle). Distances are exact w.r.t. the quantized vectors:
+    ADC(q, x) = Σ_sub ‖q_sub − cent[codes[sub]]‖², each term 6dp-rounded
+    like training distances."""
+    rows = codebooks.select("sub", "code", "cent").collect()
+    if not rows:
+        raise ValueError("empty codebooks")
+    m = 1 + max(r["sub"] for r in rows)
+    d = len(rows[0]["cent"])
+    if len(query) != m * d:
+        raise ValueError(f"query dim {len(query)} != {m}*{d}")
+    # same arithmetic as sq_l2 + rnd: sequential fold, floor-round at 6dp
+    tables: list[dict[int, float]] = [{} for _ in range(m)]
+    for r in rows:
+        qs = query[r["sub"] * d : (r["sub"] + 1) * d]
+        acc = 0.0
+        for x, y in zip(qs, r["cent"]):
+            acc += (float(x) - float(y)) * (float(x) - float(y))
+        tables[r["sub"]][r["code"]] = math.floor(acc * 1e6 + (0.5 + 1e-4)) / 1e6
+    maps = [
+        F.create_map(
+            *[F.lit(v) for code, dist in sorted(t.items()) for v in (code, dist)]
+        )
+        for t in tables
+    ]
+    dist = reduce(
+        lambda x, y: x + y,
+        [F.element_at(maps[j], F.get(F.col(codes_col), j)) for j in range(m)],
+    )
+    return (
+        codes_df.select(F.col(id_col), rnd(dist, 6).alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,212 @@
+"""Product quantization pinned against a pure-Python reference twin.
+
+The trainer promises bit-identical refits (min-id seeding, (d2 ASC, code
+ASC) tie-breaks, 6dp floor-rounding) — so the reference here replays the
+exact same arithmetic and the tests assert EQUALITY, not closeness.
+Integer-valued fixtures keep per-code means fp-exact, removing the one
+place Spark's parallel summation order could differ from a serial loop.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import SparkSession
+
+from bp_datawarehouse_ordersfact_spark.operators.pq import (
+    pq_encode,
+    pq_search_adc,
+    pq_train,
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("unit")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def _rnd6(x: float) -> float:
+    return math.floor(x * 1e6 + (0.5 + 1e-4)) / 1e6
+
+
+def _sq_l2(a, b) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (float(x) - float(y)) * (float(x) - float(y))
+    return acc
+
+
+def _ref_train(vecs: dict[int, list[float]], m: int, ksub: int, n_iter: int):
+    dim = len(next(iter(vecs.values())))
+    d = dim // m
+    subv = {
+        (vid, j): v[j * d : (j + 1) * d] for vid, v in vecs.items() for j in range(m)
+    }
+    ids = sorted(vecs)
+    cents = {
+        (j, c): list(subv[(ids[c], j)])
+        for j in range(m)
+        for c in range(min(ksub, len(ids)))
+    }
+    assign: dict[tuple[int, int], int] = {}
+    for _ in range(n_iter):
+        assign = {
+            (vid, j): min(
+                (_rnd6(_sq_l2(sv, cent)), code)
+                for (jj, code), cent in cents.items()
+                if jj == j
+            )[1]
+            for (vid, j), sv in subv.items()
+        }
+        groups: dict[tuple[int, int], list] = {}
+        for (vid, j), code in assign.items():
+            groups.setdefault((j, code), []).append(subv[(vid, j)])
+        cents = {
+            key: [
+                _rnd6(sum(sv[p] for sv in members) / len(members))
+                for p in range(d)
+            ]
+            for key, members in groups.items()
+        }
+    counts: dict[tuple[int, int], int] = {}
+    for (vid, j), code in assign.items():
+        counts[(j, code)] = counts.get((j, code), 0) + 1
+    return cents, counts, assign
+
+
+# 12 integer vectors, dim 4 → m=2 subspaces of 2; two obvious clusters
+# per subspace plus stragglers so Lloyd actually moves the centroids
+VECS = {
+    1: [0.0, 0.0, 10.0, 10.0],
+    2: [1.0, 0.0, 10.0, 11.0],
+    3: [0.0, 1.0, 11.0, 10.0],
+    4: [9.0, 9.0, 0.0, 1.0],
+    5: [10.0, 9.0, 1.0, 0.0],
+    6: [9.0, 10.0, 0.0, 0.0],
+    7: [5.0, 5.0, 5.0, 5.0],
+    8: [0.0, 0.0, 0.0, 0.0],
+    9: [10.0, 10.0, 10.0, 10.0],
+    10: [2.0, 1.0, 9.0, 9.0],
+    11: [8.0, 8.0, 2.0, 2.0],
+    12: [1.0, 2.0, 12.0, 12.0],
+}
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(vid, v) for vid, v in VECS.items()], "vec_id int, embedding array<double>"
+    ).repartition(5)
+
+
+class TestPq:
+    def test_train_matches_reference(self, spark):
+        got = {
+            (r["sub"], r["code"]): (r["n_members"], list(r["cent"]))
+            for r in pq_train(_df(spark), m=2, ksub=2, n_iter=2).collect()
+        }
+        cents, counts, _ = _ref_train(VECS, m=2, ksub=2, n_iter=2)
+        assert set(got) == set(cents)
+        for key in cents:
+            assert got[key] == (counts[key], cents[key]), key
+
+    def test_train_counts_cover_corpus(self, spark):
+        out = pq_train(_df(spark), m=2, ksub=3, n_iter=1).collect()
+        per_sub: dict[int, int] = {}
+        for r in out:
+            per_sub[r["sub"]] = per_sub.get(r["sub"], 0) + r["n_members"]
+        assert per_sub == {0: len(VECS), 1: len(VECS)}
+
+    def test_encode_matches_reference_assignment(self, spark):
+        df = _df(spark)
+        books = pq_train(df, m=2, ksub=2, n_iter=2)
+        got = {r["vec_id"]: list(r["codes"]) for r in pq_encode(df, books).collect()}
+        cents, _, _ = _ref_train(VECS, m=2, ksub=2, n_iter=2)
+        for vid, v in VECS.items():
+            want = [
+                min(
+                    (_rnd6(_sq_l2(v[j * 2 : (j + 1) * 2], cent)), code)
+                    for (jj, code), cent in cents.items()
+                    if jj == j
+                )[1]
+                for j in range(2)
+            ]
+            assert got[vid] == want, vid
+
+    def test_adc_distances_and_topk_match_reference(self, spark):
+        df = _df(spark)
+        books = pq_train(df, m=2, ksub=2, n_iter=2)
+        codes = pq_encode(df, books)
+        query = [0.5, 0.5, 9.5, 9.5]
+        out = pq_search_adc(codes, books, query, k=5).collect()
+        cents, _, _ = _ref_train(VECS, m=2, ksub=2, n_iter=2)
+        code_map = {
+            vid: [
+                min(
+                    (_rnd6(_sq_l2(v[j * 2 : (j + 1) * 2], cent)), code)
+                    for (jj, code), cent in cents.items()
+                    if jj == j
+                )[1]
+                for j in range(2)
+            ]
+            for vid, v in VECS.items()
+        }
+        want = sorted(
+            (
+                _rnd6(
+                    sum(
+                        _rnd6(_sq_l2(query[j * 2 : (j + 1) * 2], cents[(j, code_map[vid][j])]))
+                        for j in range(2)
+                    )
+                ),
+                vid,
+            )
+            for vid in VECS
+        )[:5]
+        assert [(r["adc_d2"], r["vec_id"]) for r in out] == want
+
+    def test_adc_recall_on_pseudorandom_corpus(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        n, dim = 80, 8
+        base = rng.normal(size=(n, dim)).round(3)
+        vecs = {i + 1: [float(x) for x in base[i]] for i in range(n)}
+        df = spark.createDataFrame(
+            [(vid, v) for vid, v in vecs.items()],
+            "vec_id int, embedding array<double>",
+        ).repartition(6)
+        books = pq_train(df, m=4, ksub=8, n_iter=3)
+        codes = pq_encode(df, books)
+        query = vecs[1]
+        got = {r["vec_id"] for r in pq_search_adc(codes, books, query, k=10).collect()}
+        exact = {
+            vid
+            for _, vid in sorted((_sq_l2(query, v), vid) for vid, v in vecs.items())[
+                :10
+            ]
+        }
+        # quantized distances are approximate; at 8 codes × 4 subspaces on
+        # 80 points at least half the true top-10 must survive (measured 0.7+)
+        assert len(got & exact) >= 5
+        assert 1 in got  # the query's own vector is always nearest
+
+    def test_validation(self, spark):
+        df = _df(spark)
+        with pytest.raises(ValueError):
+            pq_train(df, m=3)  # dim 4 not divisible
+        with pytest.raises(ValueError):
+            pq_train(df, m=2, n_iter=0)
+        with pytest.raises(ValueError):
+            pq_train(df, m=2, ksub=0)
+        books = pq_train(df, m=2, ksub=2, n_iter=1)
+        with pytest.raises(ValueError):
+            pq_search_adc(pq_encode(df, books), books, [1.0, 2.0], k=3)
