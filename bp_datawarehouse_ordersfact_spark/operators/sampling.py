@@ -1,0 +1,95 @@
+"""Deterministic weighted sampling without replacement (A-ES).
+
+Corpus-mix building needs more than the Bernoulli hash-mod sample the
+registry already has (``sample_stratified``'s md5-bucket rule and
+``corpus_mix_resample``'s ppm thresholds): picking a FIXED-SIZE sample
+where each document's inclusion odds follow a quality/importance weight.
+That is weighted sampling without replacement — the Efraimidis–Spirakis
+A-ES scheme (IPL 2006, public literature): draw u_i ~ U(0,1) per row,
+rank by the exponential race key ``-ln(u_i) / w_i``, keep the n
+smallest. Equivalent to sequential weighted draws without replacement,
+and embarrassingly parallel.
+
+Spark-first and deterministic:
+- u_i is md5-derived (first 13 hex chars → 52-bit uniform), the same
+  hashlib-reproducible rule the stratified sampler pins, so the sample
+  is a pure function of (row key, seed) — stable under repartitioning,
+  retries, and AQE re-plans, unlike ``rand()``.
+- the global top-n is a TakeOrdered (per-partition heap of n, driver
+  merges n·P rows) — ZERO shuffles; the per-group variant is one
+  shuffle on the group key (window row_number), the minimum possible.
+
+Rows with NULL or non-positive weight never sample (a zero-weight doc
+must have zero inclusion probability; the race key would be +inf).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_U_BITS = 52  # 13 hex chars; 2^52 is exactly representable in a double
+
+
+def deterministic_uniform(key: Column, seed: str = "0") -> Column:
+    """U(0,1) double as a pure function of (key, seed): the first 52 bits
+    of md5(key:seed), centered (+0.5) so 0 and 1 are unreachable."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", key.cast("string"), F.lit(seed))), 1, 13),
+        16,
+        10,
+    ).cast("double")
+    return (h + F.lit(0.5)) / F.lit(float(2**_U_BITS))
+
+
+def exp_race_key(weight: Column, u: Column) -> Column:
+    """A-ES race key ``-ln(u)/w`` — the i-th smallest key wins the i-th
+    draw of sequential weighted sampling without replacement."""
+    return -F.log(u) / weight.cast("double")
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    seed: str = "0",
+) -> DataFrame:
+    """The ``n`` rows winning the weighted race, original columns plus
+    ``es_key`` (ordered es_key ASC, key ASC — deterministic even under
+    duplicate keys). Fewer than ``n`` rows with positive weight → all of
+    them. Plan: map-side key computation + TakeOrdered; no shuffle."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    u = deterministic_uniform(F.col(key_col), seed)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("es_key", exp_race_key(F.col(weight_col), u))
+        .orderBy(F.asc("es_key"), F.asc(key_col))
+        .limit(n)
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    key_col: str,
+    group_cols: list[str],
+    seed: str = "0",
+) -> DataFrame:
+    """Per-group A-ES: up to ``n`` winners per distinct ``group_cols``
+    value (a weighted stratified sample with hard per-stratum caps).
+    One shuffle, on the group key; the window is rank-limit pushed
+    (WindowGroupLimit) so partial top-n happens map-side."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    u = deterministic_uniform(F.col(key_col), seed)
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("es_key"), F.asc(key_col))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("es_key", exp_race_key(F.col(weight_col), u))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

@@ -1,0 +1,134 @@
+"""Weighted sampling (A-ES) pinned against a hashlib/math reference.
+
+The md5-derived uniform makes the whole sample a pure function of
+(key, seed), so the reference recomputes the identical race keys in
+Python and the tests assert the exact winner sets — plus the statistical
+contract (higher weight → higher inclusion frequency across seeds).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import SparkSession
+
+from bp_datawarehouse_ordersfact_spark.operators.sampling import (
+    weighted_sample,
+    weighted_sample_per_group,
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("unit")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def _ref_u(key, seed: str) -> float:
+    h = int(hashlib.md5(f"{key}:{seed}".encode()).hexdigest()[:13], 16)
+    return (h + 0.5) / 2**52
+
+
+def _ref_key(key, weight: float, seed: str) -> float:
+    return -math.log(_ref_u(key, seed)) / weight
+
+
+ROWS = [
+    # (doc_id, source, weight)
+    (1, "web", 1.0),
+    (2, "web", 5.0),
+    (3, "web", 0.2),
+    (4, "web", 10.0),
+    (5, "books", 2.0),
+    (6, "books", 2.0),
+    (7, "books", 0.5),
+    (8, "code", 4.0),
+    (9, "code", None),
+    (10, "code", 0.0),
+    (11, "code", -3.0),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        ROWS, "doc_id int, source string, weight double"
+    ).repartition(4)
+
+
+def _ref_winners(n: int, seed: str, rows=ROWS):
+    eligible = [(d, s, w) for d, s, w in rows if w is not None and w > 0]
+    ranked = sorted(eligible, key=lambda r: (_ref_key(r[0], r[2], seed), r[0]))
+    return [r[0] for r in ranked[:n]]
+
+
+class TestWeightedSample:
+    def test_winners_match_reference(self, spark):
+        for seed in ("0", "7", "round5"):
+            out = weighted_sample(_df(spark), 4, "weight", "doc_id", seed=seed)
+            got = [r["doc_id"] for r in out.collect()]
+            assert got == _ref_winners(4, seed), seed
+
+    def test_race_keys_match_reference(self, spark):
+        out = weighted_sample(_df(spark), 8, "weight", "doc_id", seed="x").collect()
+        for r in out:
+            assert r["es_key"] == pytest.approx(
+                _ref_key(r["doc_id"], r["weight"], "x"), rel=1e-12
+            )
+
+    def test_excludes_null_zero_negative_weights(self, spark):
+        out = weighted_sample(_df(spark), 100, "weight", "doc_id").collect()
+        got = {r["doc_id"] for r in out}
+        assert got == {1, 2, 3, 4, 5, 6, 7, 8}  # 9/10/11 never eligible
+
+    def test_partitioning_independence(self, spark):
+        df1 = _df(spark).coalesce(1)
+        df4 = _df(spark).repartition(7, "source")
+        a = [r["doc_id"] for r in weighted_sample(df1, 5, "weight", "doc_id").collect()]
+        b = [r["doc_id"] for r in weighted_sample(df4, 5, "weight", "doc_id").collect()]
+        assert a == b
+
+    def test_inclusion_tracks_weight(self, spark):
+        # across 40 seeds, the weight-10 doc must sample far more often
+        # than the weight-0.2 doc (A-ES inclusion is monotone in weight)
+        wins = {4: 0, 3: 0}
+        for i in range(40):
+            for d in _ref_winners(3, f"s{i}"):
+                if d in wins:
+                    wins[d] += 1
+        assert wins[4] > wins[3] + 10
+        # and the Spark side agrees with the reference on a few of them
+        for i in (0, 13, 37):
+            got = [
+                r["doc_id"]
+                for r in weighted_sample(
+                    _df(spark), 3, "weight", "doc_id", seed=f"s{i}"
+                ).collect()
+            ]
+            assert got == _ref_winners(3, f"s{i}")
+
+    def test_per_group_caps_and_reference(self, spark):
+        out = weighted_sample_per_group(
+            _df(spark), 2, "weight", "doc_id", ["source"], seed="g"
+        ).collect()
+        by_src: dict[str, list[int]] = {}
+        for r in sorted(out, key=lambda r: r["es_key"]):
+            by_src.setdefault(r["source"], []).append(r["doc_id"])
+        assert all(len(v) <= 2 for v in by_src.values())
+        for src in ("web", "books", "code"):
+            rows = [r for r in ROWS if r[1] == src]
+            assert by_src[src] == _ref_winners(2, "g", rows), src
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            weighted_sample(_df(spark), 0, "weight", "doc_id")
+        with pytest.raises(ValueError):
+            weighted_sample_per_group(_df(spark), 0, "weight", "doc_id", ["source"])
