@@ -121,23 +121,26 @@ def pq_train(
         .select("sub", (F.col("__r") - 1).alias("code"), F.col("sv").alias("cent"))
     )
 
-    assigned = None
+    cents = cents.withColumn("n_members", F.lit(None).cast("long"))
     for _ in range(n_iter):
-        assigned = _assign(sub, cents)
+        assigned = _assign(sub, cents.select("sub", "code", "cent"))
         dims = assigned.select("sub", "code", F.posexplode("sv").alias("pos", "val"))
-        means = dims.groupBy("sub", "code", "pos").agg(rnd(F.avg("val"), 6).alias("m"))
+        # every member contributes every pos, so the per-(sub,code,pos)
+        # row count IS n_members — carrying it through the rebuild keeps
+        # the trainer join-free (a counts join would ride along in every
+        # downstream encode/search plan)
+        means = dims.groupBy("sub", "code", "pos").agg(
+            rnd(F.avg("val"), 6).alias("m"),
+            F.count(F.lit(1)).cast("long").alias("nm"),
+        )
         cents = means.groupBy("sub", "code").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("cent")
+            ).alias("cent"),
+            F.max("nm").alias("n_members"),
         )
 
-    counts = assigned.groupBy("sub", "code").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members")
-    )
-    return cents.join(counts, ["sub", "code"]).select(
-        "sub", "code", "n_members", "cent"
-    )
+    return cents.select("sub", "code", "n_members", "cent")
 
 
 def pq_encode(

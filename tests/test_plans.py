@@ -211,3 +211,90 @@ def test_correlated_exists_rewrite_semi_anti_no_cartesian(spark):
     p = plan_of(spark, "correlated_exists_rewrite")
     assert "LeftSemi" in p and "LeftAnti" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+# --- round-5 registry-neutral operators (bpe / pq / sampling) -------------
+# These have no driver queries (registry capped by the rotation
+# invariant), so their scale shape is pinned here instead.
+
+
+def _exec_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_weighted_sample_is_takeordered_no_shuffle(spark):
+    """Global A-ES top-n must compile to TakeOrderedAndProject (per-
+    partition heaps, driver merge) — a global Sort+Exchange would
+    shuffle the whole corpus for n rows."""
+    from bp_datawarehouse_ordersfact_spark.core.io import load_table
+    from bp_datawarehouse_ordersfact_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p = _exec_plan(weighted_sample(docs, 10, "n_chars", "doc_id"))
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+
+
+def test_weighted_sample_per_group_rank_limit_pushed(spark):
+    """Per-group A-ES: exactly one exchange (the group key) and the
+    row_number<=n filter pushed as WindowGroupLimit so partial top-n
+    happens map-side before the shuffle."""
+    from bp_datawarehouse_ordersfact_spark.core.io import load_table
+    from bp_datawarehouse_ordersfact_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p = _exec_plan(
+        weighted_sample_per_group(docs, 5, "n_chars", "doc_id", ["lang"])
+    )
+    assert "WindowGroupLimit" in p
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_pq_encode_broadcasts_codebooks(spark):
+    """PQ assignment must broadcast the (m*ksub)-row codebooks — a
+    sort-merge join would shuffle the full subvector fan-out."""
+    from bp_datawarehouse_ordersfact_spark.core.io import load_table
+    from bp_datawarehouse_ordersfact_spark.operators.pq import pq_encode, pq_train
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = pq_train(emb, m=4, ksub=4, n_iter=1)
+    p = _exec_plan(pq_encode(emb, books))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_pq_search_adc_is_joinless_takeordered(spark):
+    """ADC search embeds the distance table as literals: the scan plan
+    may contain NO join and the top-k must be a TakeOrdered."""
+    from bp_datawarehouse_ordersfact_spark.core.io import load_table
+    from bp_datawarehouse_ordersfact_spark.operators.pq import (
+        pq_encode,
+        pq_search_adc,
+        pq_train,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = pq_train(emb, m=4, ksub=4, n_iter=1)
+    # codes would be a persisted table in production — materialize so the
+    # inspected plan is the search alone, not the encode lineage
+    enc = pq_encode(emb, books)
+    codes = spark.createDataFrame(enc.collect(), enc.schema)
+    q = [0.0] * 64
+    p = _exec_plan(pq_search_adc(codes, books, q, k=5))
+    assert "Join" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_bpe_word_freqs_partial_aggregates_map_side(spark):
+    """The one corpus-scale pass of a BPE fit: token fan-out into a
+    keyed count with map-side partial aggregation and a single
+    exchange."""
+    from bp_datawarehouse_ordersfact_spark.core.io import load_table
+    from bp_datawarehouse_ordersfact_spark.operators.bpe import word_freqs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    p = _exec_plan(word_freqs(docs, "text"))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("HashAggregate") == 2  # partial + final
