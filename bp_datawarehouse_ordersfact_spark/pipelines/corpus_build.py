@@ -18,9 +18,18 @@ Stages (all built from the repo's operators — nothing new semantically):
                        (broadcast holdout, one hash join).
 4. ``04_mixed``      — per-source mix resample to target ppm weights
                        (deterministic md5 bucket, zero shuffles).
+4b. ``04b_sampled``  — OPTIONAL (``sample_n``): fixed-size weighted draw
+                       (Efraimidis–Spirakis, operators/sampling.py) when
+                       the budget is "n documents, favor weight" rather
+                       than a per-source fraction. Shuffle-free top-n.
 5. ``05_chunks``     — sliding-window token chunks, token-budget packed
                        into bins, written COMPACTED (sources.files.
                        compact_write) — the artifact a tokenizer reads.
+6. ``06_tokenizer``  — OPTIONAL (``bpe_merges``): fit a BPE merge list
+                       on the SAME corpus the chunks came from
+                       (operators/bpe.py) and persist it next to the
+                       chunks, so the tokenizer and the data it will
+                       tokenize ship together.
 
 Each stage reads the previous stage's Parquet, so reruns of a later
 stage never recompute earlier ones — the restartability that a single
@@ -35,8 +44,10 @@ from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as Tx
+from ..operators.bpe import bpe_train, merges_df, word_freqs
 from ..operators.dedup import exact_dedup, minhash_lsh_pairs
 from ..operators.graph import connected_components
+from ..operators.sampling import weighted_sample
 from ..sources.files import compact_write
 
 
@@ -61,6 +72,9 @@ def build_corpus(
     min_chars: int = 100,
     mix_ppm: dict[str, int] | None = None,
     near_dup_threshold: float = 0.5,
+    sample_n: int | None = None,
+    sample_weight: str = "n_chars",
+    bpe_merges: int | None = None,
     chunk_tokens: int = 50,
     chunk_stride: int = 40,
     pack_budget: int = 500,
@@ -143,6 +157,18 @@ def build_corpus(
         mixed = clean
     mixed = record("04_mixed", mixed)
 
+    # 4b — optional fixed-size weighted draw on top of the mix: the mix
+    # stage shapes the SOURCE proportions, this stage caps the absolute
+    # document budget, favoring high-weight docs (es_key is the audit
+    # trail of the draw; dropped before staging)
+    if sample_n is not None:
+        mixed = record(
+            "04b_sampled",
+            weighted_sample(
+                mixed, sample_n, sample_weight, "doc_id", seed="corpus"
+            ).drop("es_key"),
+        )
+
     # 5 — chunk + pack + compacted write
     t = mixed.select("doc_id", "source", Tx.tokens(F.col("text")).alias("t"))
     sized = t.withColumn("n", F.size("t")).filter(F.col("n") > 0)
@@ -198,4 +224,17 @@ def build_corpus(
         "rows": n_rows,
         "files": n_files,
     }
+
+    # 6 — optional tokenizer fit on the corpus the chunks came from, so
+    # the merge list ships with the data it will tokenize (the fit reads
+    # the STAGED parquet of the final doc set — restartable like every
+    # other stage, and never recomputes the upstream filters)
+    if bpe_merges is not None:
+        merges = bpe_train(word_freqs(mixed, "text"), n_merges=bpe_merges)
+        tok_path = os.path.join(out_dir, "06_tokenizer")
+        merges_df(spark, merges).write.mode("overwrite").parquet(tok_path)
+        manifest["stages"]["06_tokenizer"] = {
+            "path": tok_path,
+            "rows": len(merges),
+        }
     return manifest

@@ -126,3 +126,67 @@ def test_staged_corpus_build_manifest_and_semantics(spark, tmp_path):
     assert {k: v["rows"] for k, v in manifest2["stages"].items()} == {
         k: v["rows"] for k, v in st.items()
     }
+
+
+def test_optional_sample_and_tokenizer_stages(spark, tmp_path):
+    from bp_datawarehouse_ordersfact_spark.operators.bpe import (
+        _encode_word,
+        load_merges,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "corpus")
+    manifest = build_corpus(
+        spark,
+        docs,
+        out,
+        min_chars=1,
+        sample_n=20,
+        bpe_merges=12,
+    )
+    st = manifest["stages"]
+    assert list(st) == [
+        "01_gated",
+        "02_deduped",
+        "03_decontam",
+        "04_mixed",
+        "04b_sampled",
+        "05_chunks",
+        "06_tokenizer",
+    ]
+
+    sampled = spark.read.parquet(st["04b_sampled"]["path"])
+    assert st["04b_sampled"]["rows"] == sampled.count()
+    assert st["04b_sampled"]["rows"] == min(20, st["04_mixed"]["rows"])
+    # the sample is a subset of the mixed stage; audit column dropped
+    mixed_ids = {
+        r.doc_id
+        for r in spark.read.parquet(st["04_mixed"]["path"])
+        .select("doc_id")
+        .collect()
+    }
+    sampled_ids = {r.doc_id for r in sampled.select("doc_id").collect()}
+    assert sampled_ids <= mixed_ids and "es_key" not in sampled.columns
+
+    # chunks come only from sampled docs
+    chunks = spark.read.parquet(st["05_chunks"]["path"])
+    chunk_ids = {r.doc_id for r in chunks.select("doc_id").distinct().collect()}
+    assert chunk_ids <= sampled_ids
+
+    # the persisted tokenizer round-trips and is structurally valid BPE:
+    # every merge operand is a base symbol (one char or the </w> marker)
+    # or the product of an EARLIER merge
+    merges = load_merges(spark.read.parquet(st["06_tokenizer"]["path"]))
+    assert len(merges) == st["06_tokenizer"]["rows"] == 12
+    buildable = {"</w>"}
+    for a, b in merges:
+        assert len(a) == 1 or a in buildable, (a, b)
+        assert len(b) == 1 or b in buildable, (a, b)
+        buildable.add(a + b)
+    # and encoding with the fitted ranks compresses a corpus word: fewer
+    # symbols out than chars+marker in
+    ranks = {p: i for i, p in enumerate(merges)}
+    a, b = merges[0]
+    probe = (a + b).replace("</w>", "")
+    if probe:  # a word ending exactly where the first merge applies
+        assert len(_encode_word(probe, ranks)) < len(probe) + 1
