@@ -37,6 +37,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import vectors as V
 from ..functions.rounding import rnd
 
 
@@ -214,3 +215,75 @@ def pq_search_adc(
         .orderBy(F.asc("adc_d2"), F.asc(id_col))
         .limit(k)
     )
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell_id, codes) — the IVF+PQ index frame. ``centroids`` is a
+    trained coarse quantizer (``kmeans_lloyd_centroids``'s (cell_id,
+    cent) output, the repo's cosine-cell IVF convention), ``codebooks``
+    a ``pq_train`` fit. Build is one broadcast-argmax pass over the
+    corpus plus the PQ encode — no corpus self-joins.
+
+    WRITE THIS PARTITIONED BY cell_id (``.write.partitionBy("cell_id")``):
+    search filters on cell_id, so a cell-partitioned layout turns the
+    n_probe restriction into Parquet PARTITION PRUNING — a query touches
+    ~n_probe/n_cells of the files, and within them only the codes column.
+    That pairing (directory pruning × 32× column compression) is what
+    makes 100 TB of embeddings interactively searchable.
+    """
+    cents = centroids.select("cell_id", F.col("cent").alias("cent_vec"))
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cell_cos", rnd(V.cosine(F.col(vec_col), F.col("cent_vec")), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cell_cos"), F.asc("cell_id"))
+    cells = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(id_col, "cell_id")
+    )
+    return cells.join(pq_encode(df, codebooks, vec_col, id_col), id_col).select(
+        id_col, "cell_id", "codes"
+    )
+
+
+def pq_search_ivfpq(
+    index: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over an IVF+PQ index: rank the coarse cells for ``query``
+    on the driver (centroids are index-small), keep the ``n_probe``
+    best (cosine DESC, cell_id ASC — the exact assignment tie-break),
+    then ADC-rank codes within those cells only. The cell filter is a
+    literal IN-list, so on a cell-partitioned index it prunes at the
+    Parquet directory level before a single byte of codes is read."""
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    rows = centroids.select("cell_id", "cent").collect()
+    if not rows:
+        raise ValueError("empty centroids")
+
+    def _cos(c: list[float]) -> float:
+        d = n1 = n2 = 0.0
+        for x, y in zip(query, c):
+            d += float(x) * float(y)
+            n1 += float(x) * float(x)
+            n2 += float(y) * float(y)
+        return math.floor(d / math.sqrt(n1 * n2) * 1e6 + (0.5 + 1e-4)) / 1e6
+
+    ranked = sorted(((-_cos(r["cent"]), r["cell_id"]) for r in rows))
+    probe_cells = [cell for _, cell in ranked[:n_probe]]
+    within = index.filter(F.col("cell_id").isin(probe_cells))
+    return pq_search_adc(within, codebooks, query, k, id_col=id_col)

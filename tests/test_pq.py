@@ -210,3 +210,82 @@ class TestPq:
         books = pq_train(df, m=2, ksub=2, n_iter=1)
         with pytest.raises(ValueError):
             pq_search_adc(pq_encode(df, books), books, [1.0, 2.0], k=3)
+
+
+class TestIvfPq:
+    def _fit(self, spark):
+        import numpy as np
+
+        from bp_datawarehouse_ordersfact_spark.operators.similarity import (
+            kmeans_lloyd_centroids,
+        )
+
+        rng = np.random.default_rng(11)
+        n, dim = 120, 8
+        base = rng.normal(size=(n, dim)).round(3)
+        vecs = {i + 1: [float(x) for x in base[i]] for i in range(n)}
+        df = spark.createDataFrame(
+            [(vid, v) for vid, v in vecs.items()],
+            "vec_id int, embedding array<double>",
+        ).repartition(6)
+        cents = kmeans_lloyd_centroids(df, "embedding", "vec_id", n_cells=6, n_iter=2)
+        books = pq_train(df, m=4, ksub=8, n_iter=2)
+        return vecs, df, cents.select("cell_id", "cent"), books
+
+    def test_index_build_and_partition_pruned_search(self, spark, tmp_path):
+        from bp_datawarehouse_ordersfact_spark.operators.pq import (
+            build_ivfpq_index,
+            pq_search_ivfpq,
+        )
+
+        vecs, df, cents, books = self._fit(spark)
+        index = build_ivfpq_index(df, cents, books)
+        assert index.count() == len(vecs)
+        # one cell per vector, codes length m
+        row = index.limit(1).collect()[0]
+        assert len(row["codes"]) == 4
+
+        # production layout: partitioned by cell_id → search prunes dirs
+        path = str(tmp_path / "ivfpq")
+        index.write.partitionBy("cell_id").parquet(path)
+        on_disk = spark.read.parquet(path)
+        out = pq_search_ivfpq(on_disk, cents, books, vecs[1], k=10, n_probe=3)
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in p and "cell_id" in p
+        got = [r["vec_id"] for r in out.collect()]
+        assert 1 in got  # self-hit survives probing
+        # probed recall vs exact: at 3/6 cells at least a third of the
+        # true top-10 (measured well above; floor kept loose)
+        exact = {
+            vid
+            for _, vid in sorted(
+                (_sq_l2(vecs[1], v), vid) for vid, v in vecs.items()
+            )[:10]
+        }
+        assert len(set(got) & exact) >= 4
+
+    def test_full_probe_equals_plain_adc(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.pq import (
+            build_ivfpq_index,
+            pq_search_ivfpq,
+        )
+
+        vecs, df, cents, books = self._fit(spark)
+        index = build_ivfpq_index(df, cents, books)
+        n_cells = index.select("cell_id").distinct().count()
+        full = pq_search_ivfpq(index, cents, books, vecs[2], k=8, n_probe=n_cells)
+        plain = pq_search_adc(
+            pq_encode(df, books), books, vecs[2], k=8
+        )
+        assert [(r["vec_id"], r["adc_d2"]) for r in full.collect()] == [
+            (r["vec_id"], r["adc_d2"]) for r in plain.collect()
+        ]
+
+    def test_ivfpq_validation(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.pq import pq_search_ivfpq
+
+        vecs, df, cents, books = self._fit(spark)
+        with pytest.raises(ValueError):
+            pq_search_ivfpq(df, cents, books, vecs[1], n_probe=0)
+        with pytest.raises(ValueError):
+            pq_search_ivfpq(df, cents.limit(0), books, vecs[1], n_probe=1)
