@@ -101,3 +101,70 @@ def kll_grouped_quantiles(
         ).alias("sk")
     ).select(*qcols)
     return per_group, merged
+
+
+def frequent_items_mg(
+    df: DataFrame,
+    item_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Heavy hitters with deterministic error bounds via distributed
+    Misra–Gries (Misra & Gries 1982 / the "space-saving" family — public
+    literature; Spark's own ``df.stat.freqItems`` returns items only, no
+    counts, no bounds).
+
+    Returns (item, est_lo, est_hi) for every surviving candidate,
+    ordered est_lo DESC: ``est_lo <= true count <= est_hi``, and EVERY
+    item whose true count exceeds ``est_hi - est_lo`` (the total
+    decrement) is guaranteed present. Tune ``k`` upward for tighter
+    bounds: the undercount is at most n/(k+1) per partition.
+
+    Scale shape: each partition keeps a capacity-``k`` counter summary
+    (per Arrow batch: exact value_counts folded in, then one decrement
+    step truncates back to k — memory O(k + batch distinct), never
+    O(partition distinct)); the summaries are <= k rows per partition, so
+    the final exact merge aggregates k·P rows — driver-trivial at any
+    corpus size. Like any per-partition sketch, the SUMMARIES (and so
+    the exact bound values) depend on the physical partitioning; the
+    guarantees above hold under every partitioning, which is what the
+    tests pin.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict[str, int] = {}
+        dec = 0
+        for pdf in batches:
+            vc = pdf["item"].dropna().value_counts()
+            for item, c in vc.items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                d = sorted(counters.values(), reverse=True)[k]
+                counters = {i: c - d for i, c in counters.items() if c - d > 0}
+                dec += d
+        rows = [(i, c, 0) for i, c in counters.items()]
+        rows.append((None, 0, dec))
+        yield pd.DataFrame(rows, columns=["item", "cnt", "dec"])
+
+    summaries = df.select(F.col(item_col).cast("string").alias("item")).mapInPandas(
+        summarize, "item string, cnt long, dec long"
+    )
+    # candidates (<= k per partition) merge EXACTLY; the one-row global
+    # decrement total broadcasts back as the bound width
+    merged = summaries.groupBy("item").agg(
+        F.sum("cnt").cast("long").alias("est_lo"),
+        F.sum("dec").cast("long").alias("d"),
+    )
+    total_dec = merged.agg(F.sum("d").cast("long").alias("total_dec"))
+    return (
+        merged.filter(F.col("item").isNotNull())
+        .crossJoin(F.broadcast(total_dec))
+        .select(
+            "item",
+            "est_lo",
+            (F.col("est_lo") + F.col("total_dec")).alias("est_hi"),
+        )
+        .orderBy(F.desc("est_lo"), F.asc("item"))
+    )

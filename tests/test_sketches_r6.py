@@ -47,3 +47,68 @@ def test_staged_r6_query_passes_driver_comparison(spark, con, name):
     ddf = con.execute(sql).fetchdf()
     ok, msg = frames_match(sdf, ddf)
     assert ok, f"{name}: {msg}"
+
+
+class TestFrequentItemsMg:
+    """Misra-Gries heavy hitters: bounds and capture guarantees must hold
+    under EVERY physical partitioning (summaries may differ; guarantees
+    may not)."""
+
+    def _data(self):
+        # skewed: two heavy hitters over a 300-item tail
+        rows = (
+            [("h1",)] * 5000
+            + [("h2",)] * 3000
+            + [("mid",)] * 400
+            + [(f"t{i}",) for i in range(300) for _ in range(i % 7 + 1)]
+            + [(None,)] * 50
+        )
+        exact: dict[str, int] = {}
+        for (it,) in rows:
+            if it is not None:
+                exact[it] = exact.get(it, 0) + 1
+        return rows, exact
+
+    def test_bounds_and_capture_under_partitionings(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.sketches import (
+            frequent_items_mg,
+        )
+
+        rows, exact = self._data()
+        df = spark.createDataFrame(rows, "item string")
+        for parts in (1, 4, 13):
+            out = frequent_items_mg(df.repartition(parts), "item", k=16).collect()
+            got = {r["item"]: (r["est_lo"], r["est_hi"]) for r in out}
+            total_dec = out[0]["est_hi"] - out[0]["est_lo"]
+            # every reported bound brackets the exact count
+            for item, (lo, hi) in got.items():
+                assert lo <= exact[item] <= hi, (parts, item)
+            # anything heavier than the total decrement must be reported
+            for item, c in exact.items():
+                if c > total_dec:
+                    assert item in got, (parts, item)
+            # the two real hitters always surface, heaviest first
+            assert out[0]["item"] == "h1" and out[1]["item"] == "h2"
+
+    def test_exact_when_capacity_covers_domain(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.sketches import (
+            frequent_items_mg,
+        )
+
+        rows, exact = self._data()
+        df = spark.createDataFrame(rows, "item string").repartition(4)
+        out = frequent_items_mg(df, "item", k=1000).collect()
+        got = {r["item"]: r["est_lo"] for r in out}
+        assert got == exact  # no decrements ever fire -> exact counts
+        assert all(r["est_hi"] == r["est_lo"] for r in out)
+
+    def test_validation(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.sketches import (
+            frequent_items_mg,
+        )
+
+        df = spark.createDataFrame([("a",)], "item string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            frequent_items_mg(df, "item", k=0)
