@@ -289,3 +289,42 @@ class TestIvfPq:
             pq_search_ivfpq(df, cents, books, vecs[1], n_probe=0)
         with pytest.raises(ValueError):
             pq_search_ivfpq(df, cents.limit(0), books, vecs[1], n_probe=1)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@PROP
+@given(
+    vec_vals=st.lists(
+        st.lists(st.integers(-5, 5), min_size=4, max_size=4),
+        min_size=2,
+        max_size=9,
+    ),
+    ksub=st.integers(min_value=1, max_value=3),
+    n_iter=st.integers(min_value=1, max_value=2),
+)
+def test_pq_train_matches_reference_on_random_corpora(spark, vec_vals, ksub, n_iter):
+    """Integer vectors keep means fp-exact, so Spark's parallel sums and
+    the serial reference agree to the bit — equality must be exact even
+    for degenerate corpora (all-identical vectors, duplicate subvectors,
+    ksub > n)."""
+    vecs = {i + 1: [float(x) for x in v] for i, v in enumerate(vec_vals)}
+    df = spark.createDataFrame(
+        [(vid, v) for vid, v in vecs.items()], "vec_id int, embedding array<double>"
+    ).repartition(3)
+    got = {
+        (r["sub"], r["code"]): (r["n_members"], list(r["cent"]))
+        for r in pq_train(df, m=2, ksub=ksub, n_iter=n_iter).collect()
+    }
+    cents, counts, _ = _ref_train(vecs, m=2, ksub=ksub, n_iter=n_iter)
+    assert set(got) == set(cents)
+    for key in cents:
+        assert got[key] == (counts[key], cents[key]), key

@@ -422,3 +422,92 @@ def test_scd2_history_replay_point_in_time(spark, batches, probe_offsets):
             if eff <= p.day and p.k in batch:
                 expect = batch[p.k]
         assert out[p.pid] == expect, (p.k, str(p.day), out[p.pid], expect)
+
+
+# ---------------------------------------------------------------------------
+# bpe_train == pure-Python Sennrich fit (ties, short words, unicode-free)
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5), min_size=1, max_size=14
+    ),
+    n_merges=st.integers(min_value=0, max_value=6),
+)
+def test_bpe_train_matches_reference(spark, words, n_merges):
+    from bp_datawarehouse_ordersfact_spark.operators.bpe import bpe_train
+    from tests.test_bpe import _ref_train
+
+    wf: dict[str, int] = {}
+    for w in words:
+        wf[w] = wf.get(w, 0) + 1
+    df = spark.createDataFrame(list(wf.items()), "word string, freq long")
+    got = bpe_train(df.repartition(3), n_merges=n_merges)
+    assert got == _ref_train(wf, n_merges)
+
+
+@PROP
+@given(
+    word=st.text(alphabet="abcd", min_size=1, max_size=10),
+    corpus=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6), min_size=1, max_size=10
+    ),
+)
+def test_bpe_rank_greedy_encode_equals_replay(word, corpus):
+    # pure-Python equivalence (no Spark): encoding by merge-rank priority
+    # must equal replaying the merge list in fit order
+    from bp_datawarehouse_ordersfact_spark.operators.bpe import (
+        END_OF_WORD,
+        _encode_word,
+    )
+    from tests.test_bpe import _ref_merge_word, _ref_train
+
+    wf: dict[str, int] = {}
+    for w in corpus:
+        wf[w] = wf.get(w, 0) + 1
+    merges = _ref_train(wf, 8)
+    ranks = {p: i for i, p in enumerate(merges)}
+    seq = tuple(list(word) + [END_OF_WORD])
+    for a, b in merges:
+        seq = _ref_merge_word(seq, a, b)
+    assert _encode_word(word, ranks) == list(seq)
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample == hashlib/math A-ES reference
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 10**6),
+            st.one_of(
+                st.none(), st.floats(min_value=0.0, max_value=1e6, allow_nan=False)
+            ),
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda r: r[0],
+    ),
+    n=st.integers(min_value=1, max_value=6),
+    seed=st.sampled_from(["0", "p1", "p2"]),
+)
+def test_weighted_sample_matches_reference(spark, rows, n, seed):
+    from bp_datawarehouse_ordersfact_spark.operators.sampling import weighted_sample
+    from tests.test_sampling import _ref_key
+
+    df = spark.createDataFrame(rows, "doc_id long, weight double").repartition(3)
+    got = [
+        r["doc_id"]
+        for r in weighted_sample(df, n, "weight", "doc_id", seed=seed).collect()
+    ]
+    eligible = [(d, w) for d, w in rows if w is not None and w > 0]
+    want = [
+        d
+        for _, d in sorted((( _ref_key(d, w, seed), d), d) for d, w in eligible)[:n]
+    ]
+    assert got == want
