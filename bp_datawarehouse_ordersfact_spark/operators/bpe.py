@@ -263,3 +263,77 @@ def bpe_encode(
             F.col("bpe_tokens"), F.array().cast("array<string>")
         ).alias("bpe_tokens"),
     )
+
+
+def _merge_symbols(syms: list[str], a: str, b: str) -> list[str]:
+    """Leftmost-non-overlapping (a, b) -> a+b, the Python twin of
+    ``_merge_fold``."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train_local(
+    words: DataFrame,
+    n_merges: int,
+    min_freq: int = 1,
+    word_col: str = "word",
+    freq_col: str = "freq",
+) -> list[tuple[str, str]]:
+    """Same fit as ``bpe_train`` — identical merge sequence, pinned by a
+    hypothesis equality test — but the merge LOOP runs on the driver.
+
+    Division of labor for real tokenizer fits (30k+ merges): the corpus
+    pass (``word_freqs``) is the cluster's job; the resulting distinct
+    vocab is almost always driver-sized (~10M words ≈ hundreds of MB
+    even for 100 TB of text), and the merge loop on it is pure
+    bookkeeping. Running it locally with INCREMENTAL pair maintenance
+    (a pair→words inverted index; only words containing the merged pair
+    recount) costs O(touched words) per merge instead of one full Spark
+    job per merge — thousands of times faster at real merge counts. Use
+    ``bpe_train`` only when the vocab itself exceeds driver memory.
+    """
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    from collections import defaultdict
+
+    rows = words.select(word_col, freq_col).collect()
+    syms_list = [list(r[word_col]) + [END_OF_WORD] for r in rows]
+    freqs = [int(r[freq_col]) for r in rows]
+
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, syms in enumerate(syms_list):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += freqs[i]
+            pair_words[p].add(i)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        (a, b), n = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_freq:
+            break
+        merges.append((a, b))
+        for i in list(pair_words[(a, b)]):
+            f = freqs[i]
+            old = syms_list[i]
+            for p in zip(old, old[1:]):
+                pair_counts[p] -= f
+                if pair_counts[p] <= 0:
+                    del pair_counts[p]
+                pair_words[p].discard(i)
+            new = _merge_symbols(old, a, b)
+            syms_list[i] = new
+            for p in zip(new, new[1:]):
+                pair_counts[p] += f
+                pair_words[p].add(i)
+    return merges

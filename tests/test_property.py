@@ -511,3 +511,29 @@ def test_weighted_sample_matches_reference(spark, rows, n, seed):
         for _, d in sorted((( _ref_key(d, w, seed), d), d) for d, w in eligible)[:n]
     ]
     assert got == want
+
+
+@PROP
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6), min_size=1, max_size=16
+    ),
+    n_merges=st.integers(min_value=0, max_value=8),
+)
+def test_bpe_train_local_matches_distributed_and_reference(spark, words, n_merges):
+    """The driver-local fast trainer (incremental pair index) and the
+    distributed trainer must produce the identical merge sequence — and
+    both must match the naive textbook reference."""
+    from bp_datawarehouse_ordersfact_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_local,
+    )
+    from tests.test_bpe import _ref_train
+
+    wf: dict[str, int] = {}
+    for w in words:
+        wf[w] = wf.get(w, 0) + 1
+    df = spark.createDataFrame(list(wf.items()), "word string, freq long")
+    want = _ref_train(wf, n_merges)
+    assert bpe_train_local(df, n_merges=n_merges) == want
+    assert bpe_train(df.repartition(2), n_merges=n_merges) == want
