@@ -1,1 +1,6 @@
+from .ann_index import (  # noqa: F401
+    build_ann_index,
+    load_ann_index,
+    search_ann_index,
+)
 from .corpus_build import build_corpus  # noqa: F401
