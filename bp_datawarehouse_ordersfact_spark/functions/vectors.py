@@ -37,3 +37,14 @@ def sign_bucket(a: Column, n_bits: int = 8) -> Column:
     for i in range(n_bits):
         out = out + F.when(F.element_at(a, i + 1) >= 0, F.lit(2**i)).otherwise(F.lit(0))
     return out
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-norm projection (zero vectors pass through unchanged).
+    For unit vectors ``‖u − v‖² = 2 − 2·cos(u, v)``, so squared-L2
+    ranking over normalized inputs IS cosine ranking — the bridge that
+    lets an L2-metric quantizer (PQ/ADC) serve a cosine pipeline."""
+    n = norm(a)
+    return F.when(n == F.lit(0.0), a).otherwise(
+        F.transform(a, lambda x: x.cast("double") / n)
+    )

@@ -29,7 +29,8 @@ Scale shape — the word-frequency compression is the whole trick:
 Everything is deterministic: pair ties break on (count DESC, left ASC,
 right ASC); no RNG anywhere, so a re-fit reproduces the identical merge
 sequence and tests can pin it against a pure-Python reference
-(tests/test_operators.py::TestBpe).
+(tests/test_bpe.py::TestBpe; tests/test_property.py fuzzes the same
+equalities).
 """
 
 from __future__ import annotations

@@ -210,6 +210,15 @@ def pq_search_adc(
         lambda x, y: x + y,
         [F.element_at(maps[j], F.get(F.col(codes_col), j)) for j in range(m)],
     )
+    # a code absent from the codebooks means the index and codebooks are
+    # from different fits (stale artifact); element_at's NULL would sort
+    # NULLS FIRST and silently top the result — fail loudly instead
+    dist = F.coalesce(
+        dist,
+        F.raise_error(
+            F.lit("PQ codes reference a code absent from the codebooks (stale index?)")
+        ).cast("double"),
+    )
     return (
         codes_df.select(F.col(id_col), rnd(dist, 6).alias("adc_d2"))
         .orderBy(F.asc("adc_d2"), F.asc(id_col))
@@ -276,12 +285,22 @@ def pq_search_ivfpq(
         raise ValueError("empty centroids")
 
     def _cos(c: list[float]) -> float:
+        # identical arithmetic to V.cosine (dot / (sqrt(n1) * sqrt(n2)),
+        # sequential fold) so the driver ranks cells with the very
+        # expression the cluster-side assignment used; zero-norm inputs
+        # (cosine undefined, NaN on the cluster side) rank last,
+        # deterministically, instead of crashing the search
         d = n1 = n2 = 0.0
         for x, y in zip(query, c):
             d += float(x) * float(y)
             n1 += float(x) * float(x)
             n2 += float(y) * float(y)
-        return math.floor(d / math.sqrt(n1 * n2) * 1e6 + (0.5 + 1e-4)) / 1e6
+        if n1 == 0.0 or n2 == 0.0:
+            return float("-inf")
+        return (
+            math.floor(d / (math.sqrt(n1) * math.sqrt(n2)) * 1e6 + (0.5 + 1e-4))
+            / 1e6
+        )
 
     ranked = sorted(((-_cos(r["cent"]), r["cell_id"]) for r in rows))
     probe_cells = [cell for _, cell in ranked[:n_probe]]

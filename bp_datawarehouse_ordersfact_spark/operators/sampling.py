@@ -56,9 +56,13 @@ def weighted_sample(
     seed: str = "0",
 ) -> DataFrame:
     """The ``n`` rows winning the weighted race, original columns plus
-    ``es_key`` (ordered es_key ASC, key ASC — deterministic even under
-    duplicate keys). Fewer than ``n`` rows with positive weight → all of
-    them. Plan: map-side key computation + TakeOrdered; no shuffle."""
+    ``es_key``, ordered (es_key ASC, key ASC). ``key_col`` must uniquely
+    identify rows (a doc_id, not a category): duplicate keys share one
+    md5-derived u — identical race keys the tie-break cannot separate —
+    so which duplicate wins would depend on partition scan order, voiding
+    the determinism contract. Fewer than ``n`` rows with positive weight
+    → all of them. Plan: map-side key computation + TakeOrdered; no
+    shuffle."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     u = deterministic_uniform(F.col(key_col), seed)
@@ -80,6 +84,7 @@ def weighted_sample_per_group(
 ) -> DataFrame:
     """Per-group A-ES: up to ``n`` winners per distinct ``group_cols``
     value (a weighted stratified sample with hard per-stratum caps).
+    Same unique-``key_col`` contract as ``weighted_sample``.
     One shuffle, on the group key; the window is rank-limit pushed
     (WindowGroupLimit) so partial top-n happens map-side."""
     if n < 1:

@@ -19,13 +19,23 @@ ADC-rank the probed cells' codes (joinless literal-table scan), then
 optionally RERANK the shortlist against the original vectors — the
 shortlist is k-sized, so the rerank is a broadcast semi-join back to
 the full-precision table, never a second corpus scan.
+
+Metric coherence: the pipeline is cosine end to end (cosine coarse
+cells, cosine rerank), but PQ/ADC is an L2 quantizer — so the index is
+built over L2-NORMALIZED vectors and the query is normalized at search
+time. On unit vectors ‖u − v‖² = 2 − 2·cos(u, v), making the ADC
+shortlist order cosine order up to quantization error; without the
+normalization, unnormalized corpora could systematically exclude the
+true cosine top-k from the shortlist (magnitude would dominate the L2
+distances).
 """
 
 from __future__ import annotations
 
+import math
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
@@ -46,26 +56,39 @@ def build_ann_index(
     n_iter: int = 2,
     seed: str = "min_id",
 ) -> dict:
-    """Train the coarse quantizer and PQ codebooks, encode the corpus,
-    and persist all three artifacts. Returns a manifest of paths and
-    row counts. Deterministic end to end (min-id / farthest seeding,
-    fixed tie-breaks), so a rebuild reproduces the index byte-for-byte."""
+    """Train the coarse quantizer and PQ codebooks over the NORMALIZED
+    corpus (see the module docstring), encode it, and persist all three
+    artifacts. Returns a manifest of paths and row counts. Deterministic
+    end to end (min-id / farthest seeding, fixed tie-breaks), so a
+    rebuild reproduces the index byte-for-byte."""
+    unit = embeddings.select(
+        F.col(id_col), V.l2_normalize(F.col(vec_col)).alias(vec_col)
+    )
     cents = kmeans_lloyd_centroids(
-        embeddings, vec_col, id_col, n_cells=n_cells, n_iter=n_iter, seed=seed
+        unit, vec_col, id_col, n_cells=n_cells, n_iter=n_iter, seed=seed
     ).select("cell_id", "cent")
-    books = pq_train(embeddings, vec_col, id_col, m=m, ksub=ksub, n_iter=n_iter)
-    paths = {name: os.path.join(out_dir, name) for name in ("centroids", "codebooks", "index")}
+    books = pq_train(unit, vec_col, id_col, m=m, ksub=ksub, n_iter=n_iter)
+    paths = {
+        name: os.path.join(out_dir, name)
+        for name in ("centroids", "codebooks", "index")
+    }
     cents.write.mode("overwrite").parquet(paths["centroids"])
     books.write.mode("overwrite").parquet(paths["codebooks"])
     cents = spark.read.parquet(paths["centroids"])
     books = spark.read.parquet(paths["codebooks"])
-    index = build_ivfpq_index(embeddings, cents, books, vec_col, id_col)
-    index.write.mode("overwrite").partitionBy("cell_id").parquet(paths["index"])
+    index = build_ivfpq_index(unit, cents, books, vec_col, id_col)
+    # count via an observed metric on the producing write (corpus_build's
+    # _stage convention) — no second pass over the corpus-sized artifact;
+    # cents/books are kilobyte frames already in hand
+    obs = Observation("ann_index")
+    index.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).partitionBy("cell_id").parquet(paths["index"])
     return {
         "paths": paths,
-        "n_cells": spark.read.parquet(paths["centroids"]).count(),
-        "n_codes": spark.read.parquet(paths["codebooks"]).count(),
-        "n_vectors": spark.read.parquet(paths["index"]).count(),
+        "n_cells": cents.count(),
+        "n_codes": books.count(),
+        "n_vectors": int(obs.get["rows"]),
     }
 
 
@@ -94,16 +117,21 @@ def search_ann_index(
     """Top-k for ``query`` against a persisted index.
 
     Without ``rerank_with``: (vec_id, adc_d2) straight from the
-    quantized codes — cheapest, error bounded by the quantizer.
-    With ``rerank_with`` (the original embeddings table): the ADC stage
-    shortlists 4k candidates from the probed cells, then exact cosine
+    quantized codes — cheapest; over the normalized index adc_d2 tracks
+    2 − 2·cosine, approximate only through quantization. With
+    ``rerank_with`` (the original embeddings table): the ADC stage
+    shortlists 4·k candidates from the probed cells, then exact cosine
     reranks just those — the k-sized shortlist broadcasts into an
     equi-join, so full precision costs one dim-width lookup per
-    candidate, not a corpus scan. Returns (vec_id, cosine) then."""
+    candidate, not a corpus scan. Returns (vec_id, cosine) then.
+    The query is L2-normalized here to match the index (cosine itself is
+    scale-invariant, so the rerank stage is unaffected)."""
     cents, books, index = load_ann_index(spark, out_dir)
-    shortlist_k = k if rerank_with is None else max(4 * k, k)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query))
+    unit_query = [float(x) / qn for x in query] if qn > 0 else list(query)
+    shortlist_k = k if rerank_with is None else 4 * k
     shortlist = pq_search_ivfpq(
-        index, cents, books, query, k=shortlist_k, n_probe=n_probe, id_col=id_col
+        index, cents, books, unit_query, k=shortlist_k, n_probe=n_probe, id_col=id_col
     )
     if rerank_with is None:
         return shortlist

@@ -99,3 +99,43 @@ def test_rebuild_is_deterministic(spark, built, tmp_path):
     assert [(r["vec_id"], r["cell_id"], list(r["codes"])) for r in a] == [
         (r["vec_id"], r["cell_id"], list(r["codes"])) for r in b
     ]
+
+
+def test_unnormalized_magnitudes_cannot_exclude_cosine_neighbors(
+    spark, tmp_path
+):
+    """The review scenario: a vector that is a large scalar multiple of
+    the query (cosine 1.0) must still top the shortlist — the index
+    normalizes, so magnitude cannot push it out of the ADC top-k."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 8)).round(3)
+    vecs = {i + 1: [float(x) for x in base[i]] for i in range(40)}
+    query = vecs[5]
+    vecs[999] = [100.0 * x for x in query]  # huge twin of the query
+    df = spark.createDataFrame(
+        [(vid, v) for vid, v in vecs.items()], "vec_id int, embedding array<double>"
+    )
+    out = str(tmp_path / "idx")
+    build_ann_index(spark, df, out, n_cells=4, m=4, ksub=8, n_iter=2)
+    got = search_ann_index(spark, out, query, k=3, n_probe=4, rerank_with=df)
+    top = got.collect()
+    ids = [r["vec_id"] for r in top]
+    assert set(ids[:2]) == {5, 999}  # both unit-identical to the query
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_stale_codebooks_fail_loudly(spark, built):
+    from bp_datawarehouse_ordersfact_spark.operators.pq import pq_search_adc
+
+    out, emb, _ = built
+    cents, books, index = load_ann_index(spark, out)
+    # retrain with FEWER codes than the index references → any lookup of
+    # a now-missing code must raise, never rank as a NULL-distance "hit"
+    from bp_datawarehouse_ordersfact_spark.operators.pq import pq_train
+
+    stale_books = pq_train(emb, m=8, ksub=2, n_iter=1)
+    q = [0.0] * 64
+    with pytest.raises(Exception, match="absent from the codebooks"):
+        pq_search_adc(index, stale_books, q, k=5).collect()
