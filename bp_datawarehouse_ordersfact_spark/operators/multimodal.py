@@ -113,3 +113,74 @@ def resize_frames(
     return df.mapInPandas(
         gen, schema=f"{id_col} long, {idx_col} long, frame_small binary"
     )
+
+
+def audio_pcm_features(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    win: int = 256,
+    hop: int = 128,
+) -> DataFrame:
+    """Windowed audio features over raw PCM16-LE payloads: (id, win_idx,
+    n_samples, rms, zcr) per analysis window — frame_idx-style true
+    sample offsets (win_idx = start sample of the window).
+
+    Unlike the image/video path, this decode is REAL, not stubbed:
+    PCM16 is ``np.frombuffer(dtype='<i2')`` — no codec library needed —
+    and RMS / zero-crossing-rate are the standard cheap audio-quality
+    gates (silence/clipping detection) a corpus filter runs before
+    expensive transcription. Vectorized per payload with a numpy
+    stride-tricks window view; a trailing partial window is dropped (the
+    demuxer convention ``_fake_demux`` uses); an odd trailing byte is
+    ignored. 6dp-rounded floats keep results engine-stable.
+
+    Scale notes: output is window-grain (one payload → many rows) —
+    the same fan-out contract as ``sample_frames``; per-clip rollups
+    need no extra shuffle beyond a groupBy(id).
+    """
+    if win < 1 or hop < 1:
+        raise ValueError("win and hop must be >= 1")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, ns, rmss, zcrs = [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                buf = bytes(b)
+                samples = np.frombuffer(
+                    buf[: len(buf) - (len(buf) % 2)], dtype="<i2"
+                ).astype(np.float64)
+                if len(samples) < win:
+                    continue
+                n_win = (len(samples) - win) // hop + 1
+                view = np.lib.stride_tricks.sliding_window_view(samples, win)[
+                    ::hop
+                ][:n_win]
+                rms = np.sqrt((view**2).mean(axis=1))
+                zc = (np.diff(np.signbit(view), axis=1) != 0).sum(axis=1) / (
+                    win - 1
+                )
+                for w in range(n_win):
+                    ids.append(i)
+                    idxs.append(w * hop)
+                    ns.append(win)
+                    rmss.append(math.floor(rms[w] * 1e6 + (0.5 + 1e-4)) / 1e6)
+                    zcrs.append(math.floor(zc[w] * 1e6 + (0.5 + 1e-4)) / 1e6)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "win_idx": pd.array(idxs, dtype="int64"),
+                    "n_samples": pd.array(ns, dtype="int64"),
+                    "rms": pd.array(rmss, dtype="float64"),
+                    "zcr": pd.array(zcrs, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen,
+        schema=f"{id_col} long, win_idx long, n_samples long, rms double, zcr double",
+    )

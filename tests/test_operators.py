@@ -974,3 +974,56 @@ def test_logreg_ovr_separates_multiclass_clusters(spark):
     pred = logreg_predict_ovr(df, "embedding", models)
     acc = df.withColumn("p", pred).filter(F.col("p") == F.col("label")).count() / 180
     assert acc >= 0.95, acc
+
+
+def test_audio_pcm_features_match_pure_python(spark):
+    import math
+    import struct
+
+    from bp_datawarehouse_ordersfact_spark.operators.multimodal import (
+        audio_pcm_features,
+    )
+
+    def pcm(samples):
+        return struct.pack(f"<{len(samples)}h", *samples)
+
+    s1 = [int(3000 * math.sin(i / 5.0)) for i in range(40)]  # oscillating
+    s2 = [100] * 12  # constant positive: zcr 0
+    rows = [
+        (1, pcm(s1)),
+        (2, pcm(s2)),
+        (3, pcm([5, -5, 5])),  # shorter than win -> no rows
+        (4, b""),  # empty -> no rows
+        (5, pcm(s1) + b"\x7f"),  # odd trailing byte ignored
+    ]
+    df = spark.createDataFrame(rows, "vid long, payload binary").repartition(3)
+    out = audio_pcm_features(df, "payload", "vid", win=8, hop=4)
+    got = {
+        (r["vid"], r["win_idx"]): (r["rms"], r["zcr"])
+        for r in out.collect()
+    }
+
+    def ref(samples, win=8, hop=4):
+        res = {}
+        for start in range(0, len(samples) - win + 1, hop):
+            w = [float(x) for x in samples[start : start + win]]
+            rms = math.sqrt(sum(x * x for x in w) / win)
+            zc = sum(
+                1
+                for i in range(win - 1)
+                if (w[i] < 0) != (w[i + 1] < 0)
+            ) / (win - 1)
+            res[start] = (
+                math.floor(rms * 1e6 + (0.5 + 1e-4)) / 1e6,
+                math.floor(zc * 1e6 + (0.5 + 1e-4)) / 1e6,
+            )
+        return res
+
+    want = {}
+    for vid, samples in ((1, s1), (2, s2), (5, s1)):
+        for start, feats in ref(samples).items():
+            want[(vid, start)] = feats
+    assert got == want
+    assert all(vid not in (3, 4) for vid, _ in got)
+    # constant-positive signal: zero crossings exactly 0
+    assert all(z == 0.0 for (v, _), (_, z) in got.items() if v == 2)
