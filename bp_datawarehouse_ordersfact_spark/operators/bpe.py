@@ -338,3 +338,64 @@ def bpe_train_local(
                 pair_counts[p] += f
                 pair_words[p].add(i)
     return merges
+
+
+def bpe_vocab(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    word_col: str = "word",
+) -> DataFrame:
+    """(token, token_id) for the full tokenizer vocabulary: every base
+    character seen in the corpus (one distributed distinct over exploded
+    chars), the end-of-word marker, then each merge product in rank
+    order. Ids are deterministic — characters sorted ascending get
+    0..C-1, the marker C, merge products C+1.. — so vocab files
+    regenerate identically and encoded ids are stable across refits on
+    the same corpus."""
+    spark = words.sparkSession
+    chars = sorted(
+        r["c"]
+        for r in words.select(
+            F.explode(F.split(F.col(word_col), "")).alias("c")
+        )
+        .distinct()
+        .collect()
+    )
+    tokens = chars + [END_OF_WORD] + [a + b for a, b in merges]
+    seen: set[str] = set()
+    rows = []
+    for t in tokens:
+        if t not in seen:  # a merge product could collide with a raw char
+            seen.add(t)
+            rows.append((t, len(rows)))
+    return spark.createDataFrame(rows, "token string, token_id int")
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+    unk_id: int = -1,
+) -> DataFrame:
+    """(id, token_ids array<int>) — ``bpe_encode`` then token→id via a
+    broadcast vocab map (a tokenizer vocab is always driver-small).
+    Tokens outside the vocab (only possible when encoding text whose
+    characters the fitted corpus never contained) map to ``unk_id``.
+    Same plan as ``bpe_encode`` plus one map-side transform."""
+    mapping = {
+        r["token"]: r["token_id"] for r in vocab.select("token", "token_id").collect()
+    }
+    vmap = F.create_map(
+        *[F.lit(x) for t, i in sorted(mapping.items()) for x in (t, i)]
+    )
+    return bpe_encode(df, text_col, id_col, merges).select(
+        F.col(id_col),
+        F.transform(
+            F.col("bpe_tokens"),
+            lambda t: F.coalesce(
+                F.element_at(vmap, t), F.lit(unk_id)
+            ).cast("int"),
+        ).alias("token_ids"),
+    )

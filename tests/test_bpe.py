@@ -163,3 +163,53 @@ class TestBpe:
         with pytest.raises(ValueError):
             bpe_train(word_freqs(df, "body"), n_merges=-1)
         assert bpe_train(word_freqs(df, "body"), n_merges=0) == []
+
+
+class TestBpeVocab:
+    def test_vocab_ids_deterministic_and_complete(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.bpe import (
+            bpe_vocab,
+            word_freqs,
+        )
+
+        df = spark.createDataFrame(CORPUS, "doc_id int, body string")
+        wf = word_freqs(df, "body")
+        merges = _ref_train(_ref_word_freqs(CORPUS), 8)
+        v1 = {(r["token"], r["token_id"]) for r in bpe_vocab(wf, merges).collect()}
+        v2 = {(r["token"], r["token_id"]) for r in bpe_vocab(wf, merges).collect()}
+        assert v1 == v2
+        toks = {t for t, _ in v1}
+        # every base char, the marker, and every merge product present
+        chars = {c for w in _ref_word_freqs(CORPUS) for c in w}
+        assert chars <= toks and END_OF_WORD in toks
+        assert {a + b for a, b in merges} <= toks
+        # ids dense 0..n-1
+        assert sorted(i for _, i in v1) == list(range(len(v1)))
+
+    def test_encode_ids_roundtrip_and_unk(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.bpe import (
+            bpe_encode_ids,
+            bpe_vocab,
+            word_freqs,
+        )
+
+        df = spark.createDataFrame(CORPUS, "doc_id int, body string")
+        wf = word_freqs(df, "body")
+        merges = _ref_train(_ref_word_freqs(CORPUS), 8)
+        vocab = bpe_vocab(wf, merges)
+        inv = {r["token_id"]: r["token"] for r in vocab.collect()}
+        ranks = {p: i for i, p in enumerate(merges)}
+        out = {
+            r["doc_id"]: list(r["token_ids"])
+            for r in bpe_encode_ids(df, "body", "doc_id", merges, vocab).collect()
+        }
+        for doc_id, text in CORPUS:
+            want = [
+                t for w in _ref_tokenize(text or "") for t in _encode_word(w, ranks)
+            ]
+            assert [inv[i] for i in out[doc_id]] == want, doc_id
+        # unseen character -> unk id
+        alien = spark.createDataFrame([(99, "zzz 9 low")], "doc_id int, body string")
+        got = bpe_encode_ids(alien, "body", "doc_id", merges, vocab).collect()[0]
+        assert -1 in list(got["token_ids"])  # 'z'/'9' never fitted
+        assert any(i >= 0 for i in got["token_ids"])  # 'low' still encodes
