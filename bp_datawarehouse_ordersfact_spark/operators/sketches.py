@@ -168,3 +168,67 @@ def frequent_items_mg(
         )
         .orderBy(F.desc("est_lo"), F.asc("item"))
     )
+
+
+def frequent_items_mg_by_group(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group heavy hitters: ``frequent_items_mg`` keyed by
+    ``group_col`` (e.g. top URLs per source). Same bounds per group
+    (``est_lo <= true <= est_hi`` where the width is that GROUP's total
+    decrement), same capture guarantee per group.
+
+    Memory per partition is O(groups-in-partition × k) — still never
+    O(distinct items) — and the final merge is exact over <= k·P rows
+    per group. Unlike an applyInPandas grouped-map (whole group in one
+    pandas frame — unbounded at 100 TB), this never materializes a
+    group: summaries stay partition-local until the keyed aggregation.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict[str, dict[str, int]] = {}
+        decs: dict[str, int] = {}
+        for pdf in batches:
+            sub = pdf[["grp", "item"]].dropna()
+            vc = sub.groupby(["grp", "item"]).size()
+            for (g, item), c in vc.items():
+                gc = counters.setdefault(g, {})
+                gc[item] = gc.get(item, 0) + int(c)
+            for g, gc in counters.items():
+                if len(gc) > k:
+                    d = sorted(gc.values(), reverse=True)[k]
+                    counters[g] = {i: c - d for i, c in gc.items() if c - d > 0}
+                    decs[g] = decs.get(g, 0) + d
+        rows = [
+            (g, i, c, 0) for g, gc in counters.items() for i, c in gc.items()
+        ] + [(g, None, 0, d) for g, d in decs.items()]
+        yield pd.DataFrame(rows, columns=["grp", "item", "cnt", "dec"])
+
+    summaries = df.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(item_col).cast("string").alias("item"),
+    ).mapInPandas(summarize, "grp string, item string, cnt long, dec long")
+    merged = summaries.groupBy("grp", "item").agg(
+        F.sum("cnt").cast("long").alias("est_lo"),
+        F.sum("dec").cast("long").alias("d"),
+    )
+    group_dec = merged.groupBy("grp").agg(
+        F.sum("d").cast("long").alias("total_dec")
+    )
+    return (
+        merged.filter(F.col("item").isNotNull())
+        .join(F.broadcast(group_dec), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "item",
+            "est_lo",
+            (F.col("est_lo") + F.col("total_dec")).alias("est_hi"),
+        )
+        .orderBy(group_col, F.desc("est_lo"), F.asc("item"))
+    )

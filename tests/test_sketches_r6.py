@@ -112,3 +112,46 @@ class TestFrequentItemsMg:
 
         with _pytest.raises(ValueError):
             frequent_items_mg(df, "item", k=0)
+
+
+class TestFrequentItemsMgByGroup:
+    def test_per_group_bounds_and_capture(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.sketches import (
+            frequent_items_mg_by_group,
+        )
+
+        rows = (
+            [("web", "h1")] * 2000
+            + [("web", "h2")] * 900
+            + [("web", f"t{i}") for i in range(200) for _ in range(i % 5 + 1)]
+            + [("code", "c1")] * 1500
+            + [("code", f"u{i}") for i in range(150) for _ in range(i % 3 + 1)]
+            + [(None, "x")] * 20
+            + [("web", None)] * 20
+        )
+        exact: dict[tuple[str, str], int] = {}
+        for g, it in rows:
+            if g is not None and it is not None:
+                exact[(g, it)] = exact.get((g, it), 0) + 1
+        df = spark.createDataFrame(rows, "source string, item string")
+        for parts in (1, 7):
+            out = frequent_items_mg_by_group(
+                df.repartition(parts), "source", "item", k=12
+            ).collect()
+            decs = {}
+            for r in out:
+                decs.setdefault(r["source"], r["est_hi"] - r["est_lo"])
+                assert (
+                    r["est_lo"]
+                    <= exact[(r["source"], r["item"])]
+                    <= r["est_hi"]
+                ), (parts, r)
+            got = {(r["source"], r["item"]) for r in out}
+            for (g, it), c in exact.items():
+                if c > decs.get(g, 0):
+                    assert (g, it) in got, (parts, g, it)
+            # heaviest item leads each group
+            firsts = {}
+            for r in out:
+                firsts.setdefault(r["source"], r["item"])
+            assert firsts == {"web": "h1", "code": "c1"}
