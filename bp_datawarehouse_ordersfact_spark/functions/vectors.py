@@ -48,3 +48,14 @@ def l2_normalize(a: Column) -> Column:
     return F.when(n == F.lit(0.0), a).otherwise(
         F.transform(a, lambda x: x.cast("double") / n)
     )
+
+
+def cosine_nullsafe(a: Column, b: Column) -> Column:
+    """``cosine`` that yields NULL (instead of an ANSI divide-by-zero
+    error) when either side has zero norm. In a DESC ordering NULLS sort
+    last, so an argmax cell assignment over this places zero vectors in
+    the tie-break cell (smallest cell_id) deterministically."""
+    na, nb = norm(a), norm(b)
+    return F.when(
+        (na == F.lit(0.0)) | (nb == F.lit(0.0)), F.lit(None).cast("double")
+    ).otherwise(dot(a, b) / (na * nb))

@@ -250,7 +250,7 @@ def build_ivfpq_index(
     scored = (
         df.select(F.col(id_col), F.col(vec_col))
         .crossJoin(F.broadcast(cents))
-        .withColumn("cell_cos", rnd(V.cosine(F.col(vec_col), F.col("cent_vec")), 6))
+        .withColumn("cell_cos", rnd(V.cosine_nullsafe(F.col(vec_col), F.col("cent_vec")), 6))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cell_cos"), F.asc("cell_id"))
     cells = (
@@ -306,3 +306,151 @@ def pq_search_ivfpq(
     probe_cells = [cell for _, cell in ranked[:n_probe]]
     within = index.filter(F.col("cell_id").isin(probe_cells))
     return pq_search_adc(within, codebooks, query, k, id_col=id_col)
+
+
+def residual_frame(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cell_id, resid) — each vector minus its coarse centroid, the
+    input to RESIDUAL PQ (the IVFADC default in the literature: residuals
+    cluster much tighter than raw vectors, so the same ksub codes spend
+    their resolution where the data actually varies). Assignment is the
+    repo's cosine-cell argmax; the subtraction is one zip_with."""
+    cents = centroids.select("cell_id", F.col("cent").alias("cent_vec"))
+    scored = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cell_cos", rnd(V.cosine_nullsafe(F.col(vec_col), F.col("cent_vec")), 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cell_cos"), F.asc("cell_id"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            id_col,
+            "cell_id",
+            F.zip_with(
+                F.col(vec_col),
+                F.col("cent_vec"),
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("resid"),
+        )
+    )
+
+
+def build_ivfpq_residual_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """(codebooks, index) for residual IVFPQ: codebooks are a ``pq_train``
+    fit over the RESIDUALS (shared across cells, the standard IVFADC
+    layout), index is (id, cell_id, codes) — write it partitioned by
+    cell_id exactly like the non-residual variant. Same plan shapes;
+    the residual computation adds one broadcast argmax pass."""
+    res = residual_frame(df, centroids, vec_col, id_col)
+    books = pq_train(res, "resid", id_col, m=m, ksub=ksub, n_iter=n_iter)
+    codes = pq_encode(res, books, "resid", id_col)
+    index = (
+        res.select(id_col, "cell_id")
+        .join(codes, id_col)
+        .select(id_col, "cell_id", "codes")
+    )
+    return books, index
+
+
+def pq_search_ivfpq_residual(
+    index: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k over a residual IVFPQ index. Per probed cell the driver
+    builds a distance table from (query − cell centroid) against the
+    shared residual codebooks — n_probe × m × ksub doubles — and the
+    scan scores each row through a CASE on its cell_id: still joinless
+    single-Project codegen, still TakeOrdered, and on the
+    cell-partitioned layout still directory-pruned. ADC distances are
+    exact w.r.t. centroid + quantized residual."""
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    cent_rows = centroids.select("cell_id", "cent").collect()
+    if not cent_rows:
+        raise ValueError("empty centroids")
+    book_rows = codebooks.select("sub", "code", "cent").collect()
+    if not book_rows:
+        raise ValueError("empty codebooks")
+    m = 1 + max(r["sub"] for r in book_rows)
+    d = len(book_rows[0]["cent"])
+    if len(query) != m * d:
+        raise ValueError(f"query dim {len(query)} != {m}*{d}")
+
+    def _cos(c: list[float]) -> float:
+        dd = n1 = n2 = 0.0
+        for x, y in zip(query, c):
+            dd += float(x) * float(y)
+            n1 += float(x) * float(x)
+            n2 += float(y) * float(y)
+        if n1 == 0.0 or n2 == 0.0:
+            return float("-inf")
+        return (
+            math.floor(dd / (math.sqrt(n1) * math.sqrt(n2)) * 1e6 + (0.5 + 1e-4))
+            / 1e6
+        )
+
+    ranked = sorted(((-_cos(r["cent"]), r["cell_id"]) for r in cent_rows))
+    probe = dict(
+        (cell, next(c["cent"] for c in cent_rows if c["cell_id"] == cell))
+        for _, cell in ranked[:n_probe]
+    )
+
+    def _cell_dist(cent: list[float]):
+        qr = [float(x) - float(y) for x, y in zip(query, cent)]
+        tables: list[dict[int, float]] = [{} for _ in range(m)]
+        for r in book_rows:
+            qs = qr[r["sub"] * d : (r["sub"] + 1) * d]
+            acc = 0.0
+            for x, y in zip(qs, r["cent"]):
+                acc += (float(x) - float(y)) * (float(x) - float(y))
+            tables[r["sub"]][r["code"]] = (
+                math.floor(acc * 1e6 + (0.5 + 1e-4)) / 1e6
+            )
+        maps = [
+            F.create_map(
+                *[F.lit(v) for code, dist in sorted(t.items()) for v in (code, dist)]
+            )
+            for t in tables
+        ]
+        return reduce(
+            lambda x, y: x + y,
+            [F.element_at(maps[j], F.get(F.col("codes"), j)) for j in range(m)],
+        )
+
+    dist = None
+    for cell, cent in probe.items():
+        branch = F.when(F.col("cell_id") == F.lit(cell), _cell_dist(cent))
+        dist = branch if dist is None else dist.when(
+            F.col("cell_id") == F.lit(cell), _cell_dist(cent)
+        )
+    dist = F.coalesce(
+        dist,
+        F.raise_error(
+            F.lit("PQ codes reference a code absent from the codebooks (stale index?)")
+        ).cast("double"),
+    )
+    return (
+        index.filter(F.col("cell_id").isin(list(probe)))
+        .select(F.col(id_col), rnd(dist, 6).alias("adc_d2"))
+        .orderBy(F.asc("adc_d2"), F.asc(id_col))
+        .limit(k)
+    )

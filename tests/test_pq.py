@@ -328,3 +328,171 @@ def test_pq_train_matches_reference_on_random_corpora(spark, vec_vals, ksub, n_i
     assert set(got) == set(cents)
     for key in cents:
         assert got[key] == (counts[key], cents[key]), key
+
+
+class TestIvfPqResidual:
+    CENTS = {0: [1.0, 1.0, 1.0, 1.0], 1: [10.0, 10.0, -10.0, -10.0]}
+
+    def _cos_ref(self, q, c):
+        d = n1 = n2 = 0.0
+        for x, y in zip(q, c):
+            d += float(x) * float(y)
+            n1 += float(x) * float(x)
+            n2 += float(y) * float(y)
+        if n1 == 0.0 or n2 == 0.0:
+            return float("-inf")
+        return _rnd6(d / (math.sqrt(n1) * math.sqrt(n2)))
+
+    def _ref_pipeline(self, vecs, m=2, ksub=2, n_iter=2):
+        # cell assign (cosine DESC, cell ASC) -> residuals -> shared books
+        cells = {
+            vid: max(
+                ((self._cos_ref(v, c), -cid) for cid, c in self.CENTS.items())
+            )
+            for vid, v in vecs.items()
+        }
+        cell_of = {vid: -t[1] for vid, t in cells.items()}
+        resid = {
+            vid: [x - y for x, y in zip(v, self.CENTS[cell_of[vid]])]
+            for vid, v in vecs.items()
+        }
+        cents, _, _ = _ref_train(resid, m=m, ksub=ksub, n_iter=n_iter)
+        codes = {
+            vid: [
+                min(
+                    (_rnd6(_sq_l2(r[j * 2 : (j + 1) * 2], cent)), code)
+                    for (jj, code), cent in cents.items()
+                    if jj == j
+                )[1]
+                for j in range(m)
+            ]
+            for vid, r in resid.items()
+        }
+        return cell_of, resid, cents, codes
+
+    def _spark_frames(self, spark, vecs):
+        df = spark.createDataFrame(
+            [(vid, v) for vid, v in vecs.items()],
+            "vec_id int, embedding array<double>",
+        ).repartition(4)
+        cdf = spark.createDataFrame(
+            [(cid, c) for cid, c in self.CENTS.items()],
+            "cell_id int, cent array<double>",
+        )
+        return df, cdf
+
+    def test_residual_build_matches_reference(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.pq import (
+            build_ivfpq_residual_index,
+        )
+
+        df, cdf = self._spark_frames(spark, VECS)
+        books, index = build_ivfpq_residual_index(
+            df, cdf, m=2, ksub=2, n_iter=2
+        )
+        cell_of, _, cents, codes = self._ref_pipeline(VECS)
+        got_books = {
+            (r["sub"], r["code"]): list(r["cent"]) for r in books.collect()
+        }
+        assert got_books == cents
+        got_idx = {
+            r["vec_id"]: (r["cell_id"], list(r["codes"]))
+            for r in index.collect()
+        }
+        assert got_idx == {
+            vid: (cell_of[vid], codes[vid]) for vid in VECS
+        }
+
+    def test_residual_search_matches_reference(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.pq import (
+            build_ivfpq_residual_index,
+            pq_search_ivfpq_residual,
+        )
+
+        df, cdf = self._spark_frames(spark, VECS)
+        books, index = build_ivfpq_residual_index(df, cdf, m=2, ksub=2, n_iter=2)
+        query = [0.5, 1.5, 9.5, 9.5]
+        got = pq_search_ivfpq_residual(
+            index, cdf, books, query, k=5, n_probe=2
+        ).collect()
+        cell_of, _, cents, codes = self._ref_pipeline(VECS)
+        want = sorted(
+            (
+                _rnd6(
+                    sum(
+                        _rnd6(
+                            _sq_l2(
+                                [
+                                    q - c
+                                    for q, c in zip(
+                                        query[j * 2 : (j + 1) * 2],
+                                        self.CENTS[cell_of[vid]][
+                                            j * 2 : (j + 1) * 2
+                                        ],
+                                    )
+                                ],
+                                cents[(j, codes[vid][j])],
+                            )
+                        )
+                        for j in range(2)
+                    )
+                ),
+                vid,
+            )
+            for vid in VECS
+        )[:5]
+        assert [(r["adc_d2"], r["vec_id"]) for r in got] == want
+
+    def test_residual_recall_and_self_hit(self, spark):
+        import numpy as np
+
+        from bp_datawarehouse_ordersfact_spark.operators.pq import (
+            build_ivfpq_residual_index,
+            pq_search_ivfpq_residual,
+        )
+        from bp_datawarehouse_ordersfact_spark.operators.similarity import (
+            kmeans_lloyd_centroids,
+        )
+
+        rng = np.random.default_rng(23)
+        n, dim = 100, 8
+        base = rng.normal(size=(n, dim)).round(3)
+        vecs = {i + 1: [float(x) for x in base[i]] for i in range(n)}
+        df = spark.createDataFrame(
+            [(vid, v) for vid, v in vecs.items()],
+            "vec_id int, embedding array<double>",
+        ).repartition(5)
+        cents = kmeans_lloyd_centroids(df, "embedding", "vec_id", n_cells=5, n_iter=2)
+        books, index = build_ivfpq_residual_index(
+            df, cents.select("cell_id", "cent"), m=4, ksub=8, n_iter=2
+        )
+        query = vecs[7]
+        got = {
+            r["vec_id"]
+            for r in pq_search_ivfpq_residual(
+                index, cents.select("cell_id", "cent"), books, query, k=10, n_probe=5
+            ).collect()
+        }
+        exact = {
+            vid
+            for _, vid in sorted((_sq_l2(query, v), vid) for vid, v in vecs.items())[
+                :10
+            ]
+        }
+        assert 7 in got
+        assert len(got & exact) >= 5
+
+    def test_residual_validation(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.pq import (
+            build_ivfpq_residual_index,
+            pq_search_ivfpq_residual,
+        )
+
+        df, cdf = self._spark_frames(spark, VECS)
+        books, index = build_ivfpq_residual_index(df, cdf, m=2, ksub=2, n_iter=1)
+        with pytest.raises(ValueError):
+            pq_search_ivfpq_residual(index, cdf, books, [1.0] * 4, n_probe=0)
+        with pytest.raises(ValueError):
+            pq_search_ivfpq_residual(index, cdf.limit(0), books, [1.0] * 4)
+        with pytest.raises(ValueError):
+            pq_search_ivfpq_residual(index, cdf, books, [1.0] * 3)
