@@ -40,7 +40,14 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors as V
 from ..functions.rounding import rnd
-from ..operators.pq import build_ivfpq_index, pq_search_ivfpq, pq_train
+from ..operators.pq import (
+    build_ivfpq_index,
+    pq_encode,
+    pq_search_ivfpq,
+    pq_search_ivfpq_residual,
+    pq_train,
+    residual_frame,
+)
 from ..operators.similarity import kmeans_lloyd_centroids
 
 
@@ -55,28 +62,52 @@ def build_ann_index(
     ksub: int = 16,
     n_iter: int = 2,
     seed: str = "min_id",
+    residual: bool = False,
 ) -> dict:
     """Train the coarse quantizer and PQ codebooks over the NORMALIZED
-    corpus (see the module docstring), encode it, and persist all three
-    artifacts. Returns a manifest of paths and row counts. Deterministic
-    end to end (min-id / farthest seeding, fixed tie-breaks), so a
-    rebuild reproduces the index byte-for-byte."""
+    corpus (see the module docstring), encode it, and persist all the
+    artifacts — including a ``meta`` table (m, ksub, residual) that makes
+    the index SELF-DESCRIBING: ``search_ann_index`` reads it and picks
+    the matching search plan, so a serving job cannot accidentally run
+    plain ADC over a residual-encoded index. ``residual=True`` encodes
+    each vector's offset from its coarse centroid instead of the raw
+    vector (the literature's IVFADC default — residuals cluster tighter,
+    so the same ksub codes resolve finer). Returns a manifest of paths
+    and row counts. Deterministic end to end (min-id / farthest seeding,
+    fixed tie-breaks), so a rebuild reproduces the index byte-for-byte."""
     unit = embeddings.select(
         F.col(id_col), V.l2_normalize(F.col(vec_col)).alias(vec_col)
     )
     cents = kmeans_lloyd_centroids(
         unit, vec_col, id_col, n_cells=n_cells, n_iter=n_iter, seed=seed
     ).select("cell_id", "cent")
-    books = pq_train(unit, vec_col, id_col, m=m, ksub=ksub, n_iter=n_iter)
     paths = {
         name: os.path.join(out_dir, name)
-        for name in ("centroids", "codebooks", "index")
+        for name in ("centroids", "codebooks", "index", "meta")
     }
     cents.write.mode("overwrite").parquet(paths["centroids"])
-    books.write.mode("overwrite").parquet(paths["codebooks"])
     cents = spark.read.parquet(paths["centroids"])
-    books = spark.read.parquet(paths["codebooks"])
-    index = build_ivfpq_index(unit, cents, books, vec_col, id_col)
+    if residual:
+        # staged like the non-residual branch: train → write → reload →
+        # encode, so the encode plan reads the PERSISTED codebooks
+        # instead of re-running the whole training lineage
+        res = residual_frame(unit, cents, vec_col, id_col)
+        books = pq_train(res, "resid", id_col, m=m, ksub=ksub, n_iter=n_iter)
+        books.write.mode("overwrite").parquet(paths["codebooks"])
+        books = spark.read.parquet(paths["codebooks"])
+        index = (
+            res.select(id_col, "cell_id")
+            .join(pq_encode(res, books, "resid", id_col), id_col)
+            .select(id_col, "cell_id", "codes")
+        )
+    else:
+        books = pq_train(unit, vec_col, id_col, m=m, ksub=ksub, n_iter=n_iter)
+        books.write.mode("overwrite").parquet(paths["codebooks"])
+        books = spark.read.parquet(paths["codebooks"])
+        index = build_ivfpq_index(unit, cents, books, vec_col, id_col)
+    spark.createDataFrame(
+        [(m, ksub, residual)], "m int, ksub int, residual boolean"
+    ).write.mode("overwrite").parquet(paths["meta"])
     # count via an observed metric on the producing write (corpus_build's
     # _stage convention) — no second pass over the corpus-sized artifact;
     # cents/books are kilobyte frames already in hand
@@ -89,6 +120,7 @@ def build_ann_index(
         "n_cells": cents.count(),
         "n_codes": books.count(),
         "n_vectors": int(obs.get["rows"]),
+        "residual": residual,
     }
 
 
@@ -125,12 +157,16 @@ def search_ann_index(
     equi-join, so full precision costs one dim-width lookup per
     candidate, not a corpus scan. Returns (vec_id, cosine) then.
     The query is L2-normalized here to match the index (cosine itself is
-    scale-invariant, so the rerank stage is unaffected)."""
+    scale-invariant, so the rerank stage is unaffected). The encoding
+    flavor (plain vs residual) is read from the persisted ``meta`` table
+    and the matching search plan is chosen automatically."""
     cents, books, index = load_ann_index(spark, out_dir)
+    meta = spark.read.parquet(os.path.join(out_dir, "meta")).collect()[0]
     qn = math.sqrt(sum(float(x) * float(x) for x in query))
     unit_query = [float(x) / qn for x in query] if qn > 0 else list(query)
     shortlist_k = k if rerank_with is None else 4 * k
-    shortlist = pq_search_ivfpq(
+    search_fn = pq_search_ivfpq_residual if meta["residual"] else pq_search_ivfpq
+    shortlist = search_fn(
         index, cents, books, unit_query, k=shortlist_k, n_probe=n_probe, id_col=id_col
     )
     if rerank_with is None:

@@ -139,3 +139,31 @@ def test_stale_codebooks_fail_loudly(spark, built):
     q = [0.0] * 64
     with pytest.raises(Exception, match="absent from the codebooks"):
         pq_search_adc(index, stale_books, q, k=5).collect()
+
+
+def test_residual_index_lifecycle(spark, tmp_path):
+    """residual=True: meta self-describes the encoding, search picks the
+    residual plan automatically, the self-hit survives, and the rerank
+    returns exact cosine order."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = str(tmp_path / "residx")
+    manifest = build_ann_index(
+        spark, emb, out, n_cells=6, m=8, ksub=8, n_iter=2, residual=True
+    )
+    assert manifest["residual"] is True
+    assert manifest["n_vectors"] == emb.count()
+    meta = spark.read.parquet(f"{out}/meta").collect()[0]
+    assert (meta["m"], meta["ksub"], meta["residual"]) == (8, 8, True)
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    query = [float(x) for x in first["embedding"]]
+    got = search_ann_index(
+        spark, out, query, k=5, n_probe=6, rerank_with=emb
+    ).collect()
+    assert got[0]["vec_id"] == first["vec_id"]
+    assert got[0]["cosine"] == pytest.approx(1.0, abs=1e-4)
+    cos = [r["cosine"] for r in got]
+    assert cos == sorted(cos, reverse=True)
+    # partition pruning still applies on the residual layout
+    probe = search_ann_index(spark, out, query, k=5, n_probe=2)
+    p = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p and "cell_id" in p
