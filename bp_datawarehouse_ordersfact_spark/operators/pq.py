@@ -454,3 +454,79 @@ def pq_search_ivfpq_residual(
         .orderBy(F.asc("adc_d2"), F.asc(id_col))
         .limit(k)
     )
+
+
+def sq8_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-dimension [min, max] ranges for 8-bit scalar quantization —
+    the LIGHTER compression tier (4× vs PQ's 32×, but near-lossless and
+    with no codebook training): one narrow (pos, val) aggregation over
+    the corpus. Returns (pos, lo, hi), 6dp-rounded."""
+    dims = df.select(F.posexplode(F.col(vec_col)).alias("pos", "val"))
+    return dims.groupBy("pos").agg(
+        rnd(F.min("val"), 6).alias("lo"), rnd(F.max("val"), 6).alias("hi")
+    )
+
+
+def sq8_encode(
+    df: DataFrame,
+    ranges: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, q array<int>) with q[i] in 0..255: linear quantization of
+    each dimension into its trained range (values outside the range —
+    possible when encoding vectors unseen at train time — clamp).
+    The ranges are dim-count rows, embedded as LITERAL arrays, so the
+    encode is a single map-side transform: no join, no shuffle."""
+    rows = ranges.select("pos", "lo", "hi").collect()
+    if not rows:
+        raise ValueError("empty ranges")
+    lo = [0.0] * len(rows)
+    hi = [0.0] * len(rows)
+    for r in rows:
+        lo[r["pos"]], hi[r["pos"]] = float(r["lo"]), float(r["hi"])
+    lo_arr = F.array(*[F.lit(x) for x in lo])
+    hi_arr = F.array(*[F.lit(x) for x in hi])
+    idx = F.sequence(F.lit(1), F.size(F.col(vec_col)))
+    q = F.transform(
+        idx,
+        lambda i: F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (
+                        (
+                            F.element_at(F.col(vec_col), i).cast("double")
+                            - F.element_at(lo_arr, i)
+                        )
+                        / F.when(
+                            F.element_at(hi_arr, i) > F.element_at(lo_arr, i),
+                            F.element_at(hi_arr, i) - F.element_at(lo_arr, i),
+                        ).otherwise(F.lit(1.0))
+                    )
+                    * 255.0
+                    + 0.5
+                ).cast("int"),
+            ),
+        ),
+    )
+    return df.select(F.col(id_col), q.alias("q"))
+
+
+def sq8_decode_expr(q_col: Column, lo: list[float], hi: list[float]) -> Column:
+    """Dequantize an SQ8 code array back to doubles (codegen transform):
+    v[i] ≈ lo[i] + q[i]/255 * (hi[i] − lo[i])."""
+    lo_arr = F.array(*[F.lit(x) for x in lo])
+    hi_arr = F.array(*[F.lit(x) for x in hi])
+    idx = F.sequence(F.lit(1), F.size(q_col))
+    return F.transform(
+        idx,
+        lambda i: F.element_at(lo_arr, i)
+        + (F.element_at(q_col, i).cast("double") / 255.0)
+        * (F.element_at(hi_arr, i) - F.element_at(lo_arr, i)),
+    )

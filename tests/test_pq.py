@@ -496,3 +496,89 @@ class TestIvfPqResidual:
             pq_search_ivfpq_residual(index, cdf.limit(0), books, [1.0] * 4)
         with pytest.raises(ValueError):
             pq_search_ivfpq_residual(index, cdf, books, [1.0] * 3)
+
+
+class TestSq8:
+    def test_encode_matches_reference_and_roundtrip_bound(self, spark):
+        import numpy as np
+
+        from bp_datawarehouse_ordersfact_spark.operators.pq import (
+            sq8_decode_expr,
+            sq8_encode,
+            sq8_train,
+        )
+
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(60, 8)).round(3)
+        vecs = {i + 1: [float(x) for x in base[i]] for i in range(60)}
+        df = spark.createDataFrame(
+            [(vid, v) for vid, v in vecs.items()],
+            "vec_id int, embedding array<double>",
+        ).repartition(4)
+        ranges = sq8_train(df)
+        rows = ranges.collect()
+        lo = [0.0] * 8
+        hi = [0.0] * 8
+        for r in rows:
+            lo[r["pos"]], hi[r["pos"]] = r["lo"], r["hi"]
+        # trained ranges bracket the data
+        for v in vecs.values():
+            for i, x in enumerate(v):
+                assert lo[i] <= x <= hi[i]
+
+        enc = sq8_encode(df, ranges)
+        got = {r["vec_id"]: list(r["q"]) for r in enc.collect()}
+
+        def ref_q(v):
+            out = []
+            for i, x in enumerate(v):
+                span = hi[i] - lo[i] if hi[i] > lo[i] else 1.0
+                out.append(
+                    max(0, min(255, int(math.floor((x - lo[i]) / span * 255.0 + 0.5))))
+                )
+            return out
+
+        for vid, v in vecs.items():
+            assert got[vid] == ref_q(v), vid
+
+        # decode round-trip: error bounded by half a quantization step
+        dec = enc.select(
+            "vec_id", sq8_decode_expr(enc["q"], lo, hi).alias("v")
+        ).collect()
+        for r in dec:
+            orig = vecs[r["vec_id"]]
+            for i, (a, b) in enumerate(zip(orig, r["v"])):
+                step = (hi[i] - lo[i]) / 255.0 if hi[i] > lo[i] else 0.0
+                assert abs(a - b) <= step / 2 + 1e-9, (r["vec_id"], i)
+
+    def test_constant_dimension_and_clamp(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.pq import (
+            sq8_encode,
+            sq8_train,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [2.0, 1.0]), (2, [2.0, 3.0])],
+            "vec_id int, embedding array<double>",
+        )
+        ranges = sq8_train(df)
+        got = {
+            r["vec_id"]: list(r["q"]) for r in sq8_encode(df, ranges).collect()
+        }
+        assert got[1][0] == 0 and got[2][0] == 0  # constant dim -> code 0
+        # encoding OUT-OF-RANGE data (unseen at train time) clamps
+        alien = spark.createDataFrame(
+            [(3, [100.0, -100.0])], "vec_id int, embedding array<double>"
+        )
+        g3 = sq8_encode(alien, ranges).collect()[0]["q"]
+        assert list(g3) == [255, 0]
+
+    def test_empty_ranges_raise(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.pq import (
+            sq8_encode,
+            sq8_train,
+        )
+
+        df = spark.createDataFrame([], "vec_id int, embedding array<double>")
+        with pytest.raises(ValueError):
+            sq8_encode(df, sq8_train(df))
