@@ -1,4 +1,5 @@
 from .ann_index import (  # noqa: F401
+    append_to_ann_index,
     build_ann_index,
     load_ann_index,
     search_ann_index,

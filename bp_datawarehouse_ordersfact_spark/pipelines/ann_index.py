@@ -181,3 +181,42 @@ def search_ann_index(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def append_to_ann_index(
+    spark: SparkSession,
+    new_embeddings: DataFrame,
+    out_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Encode NEW vectors with the index's persisted centroids/codebooks
+    (no retrain — the quantizers are frozen, the standard serving-index
+    update) and append their (id, cell_id, codes) rows to the
+    partitioned layout. Returns the number of rows appended.
+
+    The append writes only the partitions the new batch touches; searches
+    pick the new rows up on their next directory listing. Id uniqueness
+    vs the existing index is the CALLER's contract (ids come from the
+    upstream corpus); quantization drift — new data far from the trained
+    centroids — degrades recall gracefully and is the signal to schedule
+    a rebuild, exactly as with any frozen-quantizer ANN index."""
+    cents, books, _ = load_ann_index(spark, out_dir)
+    meta = spark.read.parquet(os.path.join(out_dir, "meta")).collect()[0]
+    unit = new_embeddings.select(
+        F.col(id_col), V.l2_normalize(F.col(vec_col)).alias(vec_col)
+    )
+    if meta["residual"]:
+        res = residual_frame(unit, cents, vec_col, id_col)
+        rows = (
+            res.select(id_col, "cell_id")
+            .join(pq_encode(res, books, "resid", id_col), id_col)
+            .select(id_col, "cell_id", "codes")
+        )
+    else:
+        rows = build_ivfpq_index(unit, cents, books, vec_col, id_col)
+    obs = Observation("ann_append")
+    rows.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "append"
+    ).partitionBy("cell_id").parquet(os.path.join(out_dir, "index"))
+    return int(obs.get["rows"])

@@ -167,3 +167,33 @@ def test_residual_index_lifecycle(spark, tmp_path):
     probe = search_ann_index(spark, out, query, k=5, n_probe=2)
     p = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in p and "cell_id" in p
+
+
+def test_append_without_retrain(spark, built, tmp_path):
+    from bp_datawarehouse_ordersfact_spark.pipelines import append_to_ann_index
+
+    out, emb, manifest = built
+    # copy the index dir so the module-scoped fixture stays pristine
+    import shutil
+
+    out2 = str(tmp_path / "copy")
+    shutil.copytree(out, out2)
+    base_n = manifest["n_vectors"]
+    # new batch: exact copies of two existing vectors under fresh ids —
+    # their codes must equal the originals' (frozen quantizers)
+    two = emb.orderBy("vec_id").limit(2).collect()
+    newdf = spark.createDataFrame(
+        [(900001, list(two[0]["embedding"])), (900002, list(two[1]["embedding"]))],
+        "vec_id long, embedding array<double>",
+    )
+    n = append_to_ann_index(spark, newdf, out2)
+    assert n == 2
+    idx = spark.read.parquet(f"{out2}/index")
+    assert idx.count() == base_n + 2
+    rows = {r["vec_id"]: (r["cell_id"], list(r["codes"])) for r in idx.collect()}
+    assert rows[900001] == rows[two[0]["vec_id"]]
+    assert rows[900002] == rows[two[1]["vec_id"]]
+    # search now surfaces the appended twin next to its original
+    q = [float(x) for x in two[0]["embedding"]]
+    got = [r["vec_id"] for r in search_ann_index(spark, out2, q, k=4, n_probe=6).collect()]
+    assert two[0]["vec_id"] in got and 900001 in got
