@@ -1027,3 +1027,53 @@ def test_audio_pcm_features_match_pure_python(spark):
     assert all(vid not in (3, 4) for vid, _ in got)
     # constant-positive signal: zero crossings exactly 0
     assert all(z == 0.0 for (v, _), (_, z) in got.items() if v == 2)
+
+
+def test_pagerank_matches_power_iteration_reference(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.graph import pagerank
+
+    # hub-and-spoke with a dangling node (4) and an isolated node (5)
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edge_list = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (2, 4)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(nodes, edges, max_iter=25, tol=0.0).collect()
+    }
+
+    # pure-python power iteration, identical formula and iteration count
+    n, d = 6, 0.85
+    out = {}
+    for s, t in edge_list:
+        out.setdefault(s, []).append(t)
+    ranks = {i: 1.0 / n for i in range(6)}
+    for _ in range(25):
+        dangling = sum(r for i, r in ranks.items() if i not in out)
+        base = (1 - d) / n + d * dangling / n
+        new = {i: base for i in range(6)}
+        for s, ts in out.items():
+            for t in ts:
+                new[t] += d * ranks[s] / len(ts)
+        ranks = new
+    for i in range(6):
+        assert got[i] == pytest.approx(ranks[i], abs=2e-6), i
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+    # structural sanity: the sink hub (2) outranks everything; the
+    # isolated node gets the pure teleport floor
+    assert got[2] == max(got.values())
+    assert got[5] == min(got.values())
+
+
+def test_pagerank_converges_early_and_validates(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(1,), (2,)], "id long")
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    # symmetric 2-cycle: fixpoint is uniform, reached immediately
+    got = {r["id"]: r["rank"] for r in pagerank(nodes, edges, max_iter=50).collect()}
+    assert got[1] == pytest.approx(0.5, abs=1e-6)
+    assert got[2] == pytest.approx(0.5, abs=1e-6)
+    with pytest.raises(ValueError):
+        pagerank(nodes, edges, damping=1.0)
+    empty = spark.createDataFrame([], "id long")
+    assert pagerank(empty, edges.limit(0)).count() == 0
