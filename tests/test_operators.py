@@ -1077,3 +1077,34 @@ def test_pagerank_converges_early_and_validates(spark):
         pagerank(nodes, edges, damping=1.0)
     empty = spark.createDataFrame([], "id long")
     assert pagerank(empty, edges.limit(0)).count() == 0
+
+
+def test_profile_numeric_single_pass_stats(spark):
+    import statistics
+
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import (
+        profile_numeric,
+    )
+
+    rows = [(float(i), 10.0 * i if i % 3 else None) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "a double, b double").repartition(3)
+    out = {r["column"]: r for r in profile_numeric(df, ["a", "b"]).collect()}
+    a_vals = [r[0] for r in rows]
+    b_vals = [r[1] for r in rows if r[1] is not None]
+    assert out["a"]["n"] == 20 and out["a"]["null_frac"] == 0.0
+    assert out["b"]["n"] == len(b_vals)
+    assert out["b"]["null_frac"] == pytest.approx(
+        (20 - len(b_vals)) / 20, abs=1e-6
+    )
+    assert (out["a"]["min"], out["a"]["max"]) == (1.0, 20.0)
+    assert out["a"]["mean"] == pytest.approx(statistics.mean(a_vals), abs=1e-4)
+    assert out["a"]["std"] == pytest.approx(statistics.stdev(a_vals), abs=1e-4)
+    assert out["b"]["mean"] == pytest.approx(statistics.mean(b_vals), abs=1e-4)
+    # approx percentiles land inside the data range and are ordered
+    assert out["a"]["min"] <= out["a"]["p50"] <= out["a"]["p95"] <= out["a"]["max"]
+    # single aggregation: the plan contains exactly one pair of
+    # HashAggregate/SortAggregate stages (partial+final), no joins
+    p = profile_numeric(df, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p
+    with pytest.raises(ValueError):
+        profile_numeric(df, [])
