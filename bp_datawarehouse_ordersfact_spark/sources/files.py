@@ -10,6 +10,8 @@ types the reference pins by hand.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -168,3 +170,89 @@ def write_sorted_by_range(
         else df.repartitionByRange(*sort_cols)
     )
     parts.sortWithinPartitions(*sort_cols).write.mode(mode).parquet(path)
+
+
+def write_tar_shards(
+    df,
+    out_dir: str,
+    name_col: str,
+    payload_cols: dict[str, str],
+    shard_rows: int = 10_000,
+    prefix: str = "shard",
+):
+    """Export samples as WebDataset-style tar shards — the delivery
+    format sequential training loaders stream (tar members grouped per
+    sample: ``{key}.{ext}`` for each entry of ``payload_cols``, ext →
+    column; string columns utf-8-encoded, binary written as-is).
+
+    Runs as an Arrow-batched ``mapInPandas`` side-effect writer: each
+    partition rolls tar files of ``shard_rows`` samples named
+    ``{prefix}-{partition:05d}-{seq:04d}.tar`` (stdlib tarfile, pinned
+    zero mtime/uid/gid so identical inputs produce byte-identical
+    shards). Returns a lazy manifest frame (shard, rows, bytes) — the
+    caller's action triggers the export, and the manifest is the
+    restartability record. Shard membership follows the physical
+    partitioning: repartition/sort upstream for reproducible shard
+    contents. ``out_dir`` must be a filesystem every executor can reach
+    (local/NFS/FUSE mount; for object stores, upload the closed shard
+    in place of the local rename — the standard WebDataset recipe).
+    """
+    if shard_rows < 1:
+        raise ValueError(f"shard_rows must be >= 1, got {shard_rows}")
+    if not payload_cols:
+        raise ValueError("payload_cols must be non-empty")
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [name_col] + list(payload_cols.values())
+    exts = list(payload_cols.keys())
+
+    def gen(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seq = 0
+        tar = None
+        path = None
+        n_in_shard = 0
+        out_rows = []
+
+        def close_current():
+            nonlocal tar, n_in_shard, seq, path
+            if tar is not None:
+                tar.close()
+                out_rows.append((path, n_in_shard, os.path.getsize(path)))
+                tar, path, n_in_shard = None, None, 0
+                seq += 1
+
+        for pdf in batches:
+            for row in pdf[cols].itertuples(index=False):
+                if tar is None:
+                    path = os.path.join(
+                        out_dir, f"{prefix}-{pid:05d}-{seq:04d}.tar"
+                    )
+                    tar = tarfile.open(path, "w")
+                key = str(row[0])
+                for j, ext in enumerate(exts):
+                    val = row[j + 1]
+                    if val is None:
+                        continue
+                    data = (
+                        val.encode("utf-8") if isinstance(val, str) else bytes(val)
+                    )
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    tar.addfile(info, io.BytesIO(data))
+                n_in_shard += 1
+                if n_in_shard >= shard_rows:
+                    close_current()
+        close_current()
+        yield pd.DataFrame(out_rows, columns=["shard", "rows", "bytes"])
+
+    return df.select(cols).mapInPandas(
+        gen, schema="shard string, rows long, bytes long"
+    )

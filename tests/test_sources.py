@@ -438,3 +438,71 @@ def test_compact_write_partitioned_and_default_nfiles_range_sort(spark, tmp_path
     files.write_sorted_by_range(df, spath, ["id"])  # n_files=None
     back2 = spark.read.parquet(spath)
     assert back2.count() == 1000
+
+
+def test_write_tar_shards_webdataset_layout(spark, tmp_path):
+    import tarfile
+
+    from bp_datawarehouse_ordersfact_spark.sources.files import write_tar_shards
+
+    rows = [
+        (f"doc{i:03d}", f"text body {i}", bytes([i, i + 1, i + 2]))
+        for i in range(10)
+    ]
+    df = (
+        spark.createDataFrame(rows, "key string, body string, img binary")
+        .repartition(1)
+        .sortWithinPartitions("key")
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_tar_shards(
+        df, out, "key", {"txt": "body", "png": "img"}, shard_rows=4
+    ).collect()
+    # 10 samples at 4/shard in one partition -> 3 shards (4,4,2)
+    assert sorted(r["rows"] for r in manifest) == [2, 4, 4]
+    members = {}
+    for r in manifest:
+        with tarfile.open(r["shard"]) as t:
+            names = t.getnames()
+            # members grouped per sample, sample order preserved
+            assert names == sorted(names, key=lambda n: n.split(".")[0])
+            for m in t.getmembers():
+                assert m.mtime == 0 and m.uid == 0 and m.gid == 0
+                members[m.name] = t.extractfile(m).read()
+    assert len(members) == 20
+    for key, body, img in rows:
+        assert members[f"{key}.txt"] == body.encode()
+        assert members[f"{key}.png"] == img
+    # deterministic: identical input → byte-identical shards
+    out2 = str(tmp_path / "shards2")
+    write_tar_shards(
+        df, out2, "key", {"txt": "body", "png": "img"}, shard_rows=4
+    ).collect()
+    import pathlib
+
+    a = sorted(pathlib.Path(out).iterdir())
+    b = sorted(pathlib.Path(out2).iterdir())
+    assert [p.name for p in a] == [p.name for p in b]
+    for pa, pb in zip(a, b):
+        assert pa.read_bytes() == pb.read_bytes()
+
+
+def test_write_tar_shards_null_payload_and_validation(spark, tmp_path):
+    import tarfile
+
+    from bp_datawarehouse_ordersfact_spark.sources.files import write_tar_shards
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", None)], "key string, body string"
+    ).coalesce(1)
+    out = str(tmp_path / "s")
+    m = write_tar_shards(df, out, "key", {"txt": "body"}).collect()
+    assert m[0]["rows"] == 2  # null-payload sample still counts a row
+    with tarfile.open(m[0]["shard"]) as t:
+        assert t.getnames() == ["a.txt"]  # but contributes no member
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_tar_shards(df, out, "key", {})
+    with _pytest.raises(ValueError):
+        write_tar_shards(df, out, "key", {"txt": "body"}, shard_rows=0)
