@@ -256,3 +256,42 @@ def write_tar_shards(
     return df.select(cols).mapInPandas(
         gen, schema="shard string, rows long, bytes long"
     )
+
+
+def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
+    """Inverse of ``write_tar_shards``: (key, ext, payload binary, shard)
+    rows from a directory of tar shards. One task per shard via the
+    ``binaryFile`` source (a shard is the atomic unit of parallelism in
+    the WebDataset model — loaders stream shards, not samples), untarred
+    in-memory with stdlib tarfile. Reassemble per-sample records with
+    ``groupBy(key).pivot(ext)`` or a map_from_entries aggregation."""
+
+    def gen(batches):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            keys, exts, payloads, shards = [], [], [], []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as t:
+                    for m in t.getmembers():
+                        if not m.isfile():
+                            continue
+                        key, _, ext = m.name.rpartition(".")
+                        keys.append(key)
+                        exts.append(ext)
+                        payloads.append(t.extractfile(m).read())
+                        shards.append(p)
+            yield pd.DataFrame(
+                {"key": keys, "ext": exts, "payload": payloads, "shard": shards}
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(gen, schema="key string, ext string, payload binary, shard string")
+    )

@@ -506,3 +506,27 @@ def test_write_tar_shards_null_payload_and_validation(spark, tmp_path):
         write_tar_shards(df, out, "key", {})
     with _pytest.raises(ValueError):
         write_tar_shards(df, out, "key", {"txt": "body"}, shard_rows=0)
+
+
+def test_tar_shard_roundtrip(spark, tmp_path):
+    from bp_datawarehouse_ordersfact_spark.sources.files import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+
+    rows = [(f"k{i}", f"body-{i}", bytes([i])) for i in range(7)]
+    df = (
+        spark.createDataFrame(rows, "key string, body string, img binary")
+        .repartition(2, "key")
+        .sortWithinPartitions("key")
+    )
+    out = str(tmp_path / "rt")
+    write_tar_shards(df, out, "key", {"txt": "body", "png": "img"}, shard_rows=3).collect()
+    back = read_tar_shards(spark, out)
+    got = {
+        (r["key"], r["ext"]): bytes(r["payload"]) for r in back.collect()
+    }
+    assert len(got) == 14
+    for key, body, img in rows:
+        assert got[(key, "txt")] == body.encode()
+        assert got[(key, "png")] == img
