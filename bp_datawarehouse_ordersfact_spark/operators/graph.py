@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.rounding import rnd
 from ..core.persist import (
     tracked_local_checkpoint,
     unpersist_rdd_ids,
@@ -171,7 +172,7 @@ def pagerank(
 
     out = ranks.select(
         F.col("nid").alias(id_col),
-        (F.floor(F.col("r") * 1e6 + 0.5001) / 1e6).alias("rank"),
+        rnd(F.col("r"), 6).alias("rank"),
     )
     unpersist_rdd_ids(sc, stale)
     return out

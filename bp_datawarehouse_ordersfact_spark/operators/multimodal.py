@@ -139,8 +139,9 @@ def audio_pcm_features(
     the same fan-out contract as ``sample_frames``; per-clip rollups
     need no extra shuffle beyond a groupBy(id).
     """
-    if win < 1 or hop < 1:
-        raise ValueError("win and hop must be >= 1")
+    # win >= 2: the zero-crossing rate divides by (win - 1)
+    if win < 2 or hop < 1:
+        raise ValueError("win must be >= 2 and hop >= 1")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
@@ -150,6 +151,8 @@ def audio_pcm_features(
         for pdf in batches:
             ids, idxs, ns, rmss, zcrs = [], [], [], [], []
             for i, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue  # null payload: no windows, like empty audio
                 buf = bytes(b)
                 samples = np.frombuffer(
                     buf[: len(buf) - (len(buf) % 2)], dtype="<i2"

@@ -341,6 +341,21 @@ def residual_frame(
     )
 
 
+def residual_index_rows(
+    res: DataFrame, codebooks: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, cell_id, codes) from a ``residual_frame`` and trained
+    codebooks — the single assembly used by every residual build/append
+    path. ``res`` feeds BOTH join sides; persist or stage it first when
+    the frame is expensive (the coarse argmax is the costliest pass of a
+    residual build and would otherwise run twice in one action)."""
+    return (
+        res.select(id_col, "cell_id")
+        .join(pq_encode(res, codebooks, "resid", id_col), id_col)
+        .select(id_col, "cell_id", "codes")
+    )
+
+
 def build_ivfpq_residual_index(
     df: DataFrame,
     centroids: DataFrame,
@@ -354,16 +369,14 @@ def build_ivfpq_residual_index(
     fit over the RESIDUALS (shared across cells, the standard IVFADC
     layout), index is (id, cell_id, codes) — write it partitioned by
     cell_id exactly like the non-residual variant. Same plan shapes;
-    the residual computation adds one broadcast argmax pass."""
-    res = residual_frame(df, centroids, vec_col, id_col)
+    the residual computation adds one broadcast argmax pass. The
+    residual frame is cached here (it feeds training and both assembly
+    sides); free the blocks with ``DataFrame.unpersist``/session cache
+    clearing once the index is written, or use ``pipelines.ann_index``
+    which stages every artifact."""
+    res = residual_frame(df, centroids, vec_col, id_col).cache()
     books = pq_train(res, "resid", id_col, m=m, ksub=ksub, n_iter=n_iter)
-    codes = pq_encode(res, books, "resid", id_col)
-    index = (
-        res.select(id_col, "cell_id")
-        .join(codes, id_col)
-        .select(id_col, "cell_id", "codes")
-    )
-    return books, index
+    return books, residual_index_rows(res, books, id_col)
 
 
 def pq_search_ivfpq_residual(
@@ -438,10 +451,9 @@ def pq_search_ivfpq_residual(
 
     dist = None
     for cell, cent in probe.items():
-        branch = F.when(F.col("cell_id") == F.lit(cell), _cell_dist(cent))
-        dist = branch if dist is None else dist.when(
-            F.col("cell_id") == F.lit(cell), _cell_dist(cent)
-        )
+        cond = F.col("cell_id") == F.lit(cell)
+        expr = _cell_dist(cent)
+        dist = F.when(cond, expr) if dist is None else dist.when(cond, expr)
     dist = F.coalesce(
         dist,
         F.raise_error(
@@ -491,22 +503,21 @@ def sq8_encode(
         lo[r["pos"]], hi[r["pos"]] = float(r["lo"]), float(r["hi"])
     lo_arr = F.array(*[F.lit(x) for x in lo])
     hi_arr = F.array(*[F.lit(x) for x in hi])
-    idx = F.sequence(F.lit(1), F.size(F.col(vec_col)))
+    # index-aware transform over the vector itself (NOT a sequence(1, n)
+    # index array — sequence(1, 0) is the DESCENDING [1, 0] for an empty
+    # vector and would crash element_at; this form maps [] to [])
     q = F.transform(
-        idx,
-        lambda i: F.least(
+        F.col(vec_col),
+        lambda x, i: F.least(
             F.lit(255),
             F.greatest(
                 F.lit(0),
                 F.floor(
                     (
-                        (
-                            F.element_at(F.col(vec_col), i).cast("double")
-                            - F.element_at(lo_arr, i)
-                        )
+                        (x.cast("double") - F.element_at(lo_arr, i + 1))
                         / F.when(
-                            F.element_at(hi_arr, i) > F.element_at(lo_arr, i),
-                            F.element_at(hi_arr, i) - F.element_at(lo_arr, i),
+                            F.element_at(hi_arr, i + 1) > F.element_at(lo_arr, i + 1),
+                            F.element_at(hi_arr, i + 1) - F.element_at(lo_arr, i + 1),
                         ).otherwise(F.lit(1.0))
                     )
                     * 255.0
@@ -523,10 +534,10 @@ def sq8_decode_expr(q_col: Column, lo: list[float], hi: list[float]) -> Column:
     v[i] ≈ lo[i] + q[i]/255 * (hi[i] − lo[i])."""
     lo_arr = F.array(*[F.lit(x) for x in lo])
     hi_arr = F.array(*[F.lit(x) for x in hi])
-    idx = F.sequence(F.lit(1), F.size(q_col))
+    # index-aware transform (see sq8_encode): empty code arrays map to []
     return F.transform(
-        idx,
-        lambda i: F.element_at(lo_arr, i)
-        + (F.element_at(q_col, i).cast("double") / 255.0)
-        * (F.element_at(hi_arr, i) - F.element_at(lo_arr, i)),
+        q_col,
+        lambda x, i: F.element_at(lo_arr, i + 1)
+        + (x.cast("double") / 255.0)
+        * (F.element_at(hi_arr, i + 1) - F.element_at(lo_arr, i + 1)),
     )

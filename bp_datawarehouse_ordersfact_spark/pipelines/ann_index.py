@@ -42,11 +42,11 @@ from ..functions import vectors as V
 from ..functions.rounding import rnd
 from ..operators.pq import (
     build_ivfpq_index,
-    pq_encode,
     pq_search_ivfpq,
     pq_search_ivfpq_residual,
     pq_train,
     residual_frame,
+    residual_index_rows,
 )
 from ..operators.similarity import kmeans_lloyd_centroids
 
@@ -88,18 +88,19 @@ def build_ann_index(
     cents.write.mode("overwrite").parquet(paths["centroids"])
     cents = spark.read.parquet(paths["centroids"])
     if residual:
-        # staged like the non-residual branch: train → write → reload →
-        # encode, so the encode plan reads the PERSISTED codebooks
-        # instead of re-running the whole training lineage
-        res = residual_frame(unit, cents, vec_col, id_col)
+        # staged like the non-residual branch: the residual frame (the
+        # costliest pass — coarse argmax over the corpus) is written
+        # once and the training/encode plans read it back, so neither
+        # the codebook fit nor the two assembly sides recompute it
+        res_path = os.path.join(out_dir, "_residuals_staging")
+        residual_frame(unit, cents, vec_col, id_col).write.mode(
+            "overwrite"
+        ).parquet(res_path)
+        res = spark.read.parquet(res_path)
         books = pq_train(res, "resid", id_col, m=m, ksub=ksub, n_iter=n_iter)
         books.write.mode("overwrite").parquet(paths["codebooks"])
         books = spark.read.parquet(paths["codebooks"])
-        index = (
-            res.select(id_col, "cell_id")
-            .join(pq_encode(res, books, "resid", id_col), id_col)
-            .select(id_col, "cell_id", "codes")
-        )
+        index = residual_index_rows(res, books, id_col)
     else:
         books = pq_train(unit, vec_col, id_col, m=m, ksub=ksub, n_iter=n_iter)
         books.write.mode("overwrite").parquet(paths["codebooks"])
@@ -115,6 +116,10 @@ def build_ann_index(
     index.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
         "overwrite"
     ).partitionBy("cell_id").parquet(paths["index"])
+    if residual:
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, "_residuals_staging"))
     return {
         "paths": paths,
         "n_cells": cents.count(),
@@ -134,6 +139,18 @@ def load_ann_index(
         spark.read.parquet(os.path.join(out_dir, "codebooks")),
         spark.read.parquet(os.path.join(out_dir, "index")),
     )
+
+
+def _load_meta(spark: SparkSession, out_dir: str) -> dict:
+    """Index metadata, tolerant of PRE-meta artifacts: indexes persisted
+    before the meta table existed are plain (non-residual) encodings, so
+    a missing meta/ directory means residual=False rather than an
+    unloadable index."""
+    path = os.path.join(out_dir, "meta")
+    if not os.path.exists(path):
+        return {"residual": False}
+    row = spark.read.parquet(path).collect()[0]
+    return {"m": row["m"], "ksub": row["ksub"], "residual": row["residual"]}
 
 
 def search_ann_index(
@@ -161,7 +178,7 @@ def search_ann_index(
     flavor (plain vs residual) is read from the persisted ``meta`` table
     and the matching search plan is chosen automatically."""
     cents, books, index = load_ann_index(spark, out_dir)
-    meta = spark.read.parquet(os.path.join(out_dir, "meta")).collect()[0]
+    meta = _load_meta(spark, out_dir)
     qn = math.sqrt(sum(float(x) * float(x) for x in query))
     unit_query = [float(x) / qn for x in query] if qn > 0 else list(query)
     shortlist_k = k if rerank_with is None else 4 * k
@@ -202,17 +219,16 @@ def append_to_ann_index(
     centroids — degrades recall gracefully and is the signal to schedule
     a rebuild, exactly as with any frozen-quantizer ANN index."""
     cents, books, _ = load_ann_index(spark, out_dir)
-    meta = spark.read.parquet(os.path.join(out_dir, "meta")).collect()[0]
+    meta = _load_meta(spark, out_dir)
     unit = new_embeddings.select(
         F.col(id_col), V.l2_normalize(F.col(vec_col)).alias(vec_col)
     )
     if meta["residual"]:
-        res = residual_frame(unit, cents, vec_col, id_col)
-        rows = (
-            res.select(id_col, "cell_id")
-            .join(pq_encode(res, books, "resid", id_col), id_col)
-            .select(id_col, "cell_id", "codes")
-        )
+        # append batches are increment-sized: a cache boundary (not a
+        # staged write) stops the residual frame recomputing on both
+        # assembly sides
+        res = residual_frame(unit, cents, vec_col, id_col).cache()
+        rows = residual_index_rows(res, books, id_col)
     else:
         rows = build_ivfpq_index(unit, cents, books, vec_col, id_col)
     obs = Observation("ann_append")

@@ -197,3 +197,20 @@ def test_append_without_retrain(spark, built, tmp_path):
     q = [float(x) for x in two[0]["embedding"]]
     got = [r["vec_id"] for r in search_ann_index(spark, out2, q, k=4, n_probe=6).collect()]
     assert two[0]["vec_id"] in got and 900001 in got
+
+
+def test_pre_meta_index_still_searchable(spark, built, tmp_path):
+    """Indexes persisted before the meta table existed must keep
+    serving: missing meta/ means plain (non-residual) encoding."""
+    import shutil
+
+    out, emb, _ = built
+    legacy = str(tmp_path / "legacy")
+    shutil.copytree(out, legacy)
+    shutil.rmtree(f"{legacy}/meta")
+    q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    got = search_ann_index(spark, legacy, q, k=5, n_probe=6).collect()
+    want = search_ann_index(spark, out, q, k=5, n_probe=6).collect()
+    assert [(r["vec_id"], r["adc_d2"]) for r in got] == [
+        (r["vec_id"], r["adc_d2"]) for r in want
+    ]

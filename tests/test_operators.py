@@ -1108,3 +1108,17 @@ def test_profile_numeric_single_pass_stats(spark):
     assert "Join" not in p
     with pytest.raises(ValueError):
         profile_numeric(df, [])
+
+
+def test_audio_pcm_features_null_payload_and_win_validation(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.multimodal import (
+        audio_pcm_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, b"\x01\x00" * 16)], "vid long, payload binary"
+    )
+    out = audio_pcm_features(df, "payload", "vid", win=8, hop=4).collect()
+    assert {r["vid"] for r in out} == {2}  # null payload contributes nothing
+    with pytest.raises(ValueError):
+        audio_pcm_features(df, "payload", "vid", win=1, hop=1)

@@ -582,3 +582,30 @@ class TestSq8:
         df = spark.createDataFrame([], "vec_id int, embedding array<double>")
         with pytest.raises(ValueError):
             sq8_encode(df, sq8_train(df))
+
+
+    def test_empty_vector_encodes_to_empty_codes(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.pq import (
+            sq8_decode_expr,
+            sq8_encode,
+            sq8_train,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id int, embedding array<double>"
+        )
+        ranges = sq8_train(df)
+        withempty = df.unionByName(
+            spark.createDataFrame([(3, [])], "vec_id int, embedding array<double>")
+        )
+        enc = sq8_encode(withempty, ranges)
+        got = {r["vec_id"]: list(r["q"]) for r in enc.collect()}
+        assert got[3] == []
+        lo, hi = [1.0, 2.0], [3.0, 4.0]
+        dec = {
+            r["vec_id"]: list(r["v"])
+            for r in enc.select(
+                "vec_id", sq8_decode_expr(enc["q"], lo, hi).alias("v")
+            ).collect()
+        }
+        assert dec[3] == []
