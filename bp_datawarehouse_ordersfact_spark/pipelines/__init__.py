@@ -5,3 +5,8 @@ from .ann_index import (  # noqa: F401
     search_ann_index,
 )
 from .corpus_build import build_corpus  # noqa: F401
+from .quality_loop import (  # noqa: F401
+    apply_quality_filter,
+    load_quality_weights,
+    train_quality_filter,
+)

@@ -1,0 +1,84 @@
+"""Quality-classifier loop over the sf0.001 embeddings: fit → persist →
+reload → sweep must reproduce the in-memory scorer exactly, filter at
+the recorded threshold, and keep the sweep plan joinless/shuffle-free.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from bp_datawarehouse_ordersfact_spark.core.io import load_table
+from bp_datawarehouse_ordersfact_spark.operators.ml import logreg_score, logreg_train
+from bp_datawarehouse_ordersfact_spark.pipelines.quality_loop import (
+    apply_quality_filter,
+    load_quality_weights,
+    train_quality_filter,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("quality-loop")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    # binarize the synthetic label for the quality contract (1 = keep)
+    return emb.select(
+        "vec_id", "embedding", (F.col("label") % 2).alias("label")
+    )
+
+
+def test_train_persist_reload_roundtrip(spark, labeled, tmp_path):
+    out = str(tmp_path / "q")
+    manifest = train_quality_filter(spark, labeled, out, n_iter=15)
+    assert manifest["dim"] == 64
+    assert 0.0 <= manifest["train_accuracy"] <= 1.0
+    w_disk = load_quality_weights(spark, out)
+    w_mem = logreg_train(labeled, "embedding", "label", n_iter=15)
+    assert w_disk == w_mem  # persisted weights identical to a refit
+    assert len(w_disk) == 65
+
+
+def test_apply_filter_matches_in_memory_scorer(spark, labeled, tmp_path):
+    out = str(tmp_path / "q")
+    manifest = train_quality_filter(spark, labeled, out, n_iter=15, threshold=0.4)
+    kept = apply_quality_filter(spark, labeled, out)
+    w = load_quality_weights(spark, out)
+    want = labeled.withColumn(
+        "quality_prob", logreg_score(labeled, F.col("embedding"), w)
+    ).filter(F.col("quality_prob") >= 0.4)
+    got_rows = {(r["vec_id"], r["quality_prob"]) for r in kept.collect()}
+    want_rows = {(r["vec_id"], r["quality_prob"]) for r in want.collect()}
+    assert got_rows == want_rows and got_rows
+    assert manifest["threshold"] == 0.4
+    # explicit threshold overrides the recorded one
+    stricter = apply_quality_filter(spark, labeled, out, threshold=0.99)
+    assert stricter.count() <= kept.count()
+
+
+def test_sweep_plan_is_joinless_map_side(spark, labeled, tmp_path):
+    out = str(tmp_path / "q")
+    train_quality_filter(spark, labeled, out, n_iter=5)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = (
+        apply_quality_filter(spark, emb, out)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
+    assert "Exchange" not in plan
