@@ -537,3 +537,47 @@ def test_bpe_train_local_matches_distributed_and_reference(spark, words, n_merge
     want = _ref_train(wf, n_merges)
     assert bpe_train_local(df, n_merges=n_merges) == want
     assert bpe_train(df.repartition(2), n_merges=n_merges) == want
+
+
+# ---------------------------------------------------------------------------
+# frequent_items_mg: bounds + capture guarantee under random streams
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    items=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=120,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_frequent_items_mg_guarantees(spark, items, k, parts):
+    from bp_datawarehouse_ordersfact_spark.operators.sketches import (
+        frequent_items_mg,
+    )
+
+    exact: dict[str, int] = {}
+    for it in items:
+        exact[it] = exact.get(it, 0) + 1
+    df = spark.createDataFrame([(i,) for i in items], "item string").repartition(
+        parts
+    )
+    out = frequent_items_mg(df, "item", k=k).collect()
+    if not out:
+        # legitimate MG outcome (e.g. k=1, all counts tied): every
+        # counter decremented away — possible only when no item exceeds
+        # the total decrement, which is itself bounded by the partition
+        # sums; nothing further to check without surviving candidates
+        return
+    total_dec = out[0]["est_hi"] - out[0]["est_lo"]
+    got = {r["item"]: (r["est_lo"], r["est_hi"]) for r in out}
+    for item, (lo, hi) in got.items():
+        assert lo <= exact[item] <= hi, item
+    for item, c in exact.items():
+        if c > total_dec:
+            assert item in got, item
+    # candidate counts never exceed the exact totals summed
+    assert sum(lo for lo, _ in got.values()) <= sum(exact.values())
