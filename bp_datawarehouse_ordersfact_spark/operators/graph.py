@@ -101,23 +101,32 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float = 1e-6,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list — the classic
     link-analysis quality prior a curation pipeline computes over
     citation/hyperlink graphs (public formulation, Page et al. 1999).
     Returns (id_col, rank), ranks summing to 1, rounded to 6dp on output.
 
+    ``seeds`` switches to PERSONALIZED PageRank: teleportation (and
+    dangling mass) flows uniformly to the seed set instead of all nodes,
+    so ranks measure proximity to the seeds — the "expand this curated
+    set" primitive (seed ids embed as a literal IN-list; seed sets are
+    query-sized by nature).
+
     Per iteration (the standard distributed plan): out-degrees join the
     current ranks, contributions shuffle once on the destination key
     with map-side partial sums, dangling mass (nodes with no out-edges)
-    comes from ONE scalar aggregate and redistributes uniformly.
-    Lineage is truncated per iteration with a tracked localCheckpoint;
-    convergence (L1 delta < tol) is a 1-row probe fused with the
-    materializing action — the same discipline as
+    comes from ONE scalar aggregate and redistributes over the teleport
+    distribution. Lineage is truncated per iteration with a tracked
+    localCheckpoint; convergence (L1 delta < tol) is a 1-row probe fused
+    with the materializing action — the same discipline as
     ``connected_components``. Iterations cap at ``max_iter``.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
+    if seeds is not None and not seeds:
+        raise ValueError("seeds must be None or a non-empty list")
     sc = nodes.sparkSession.sparkContext
     n = nodes.count()
     if n == 0:
@@ -127,8 +136,18 @@ def pagerank(
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
+    # teleport distribution p: uniform, or uniform over the seed set
+    if seeds is None:
+        p_of = lambda c: F.lit(1.0 / n)  # noqa: E731
+    else:
+        p_of = lambda c: F.when(  # noqa: E731
+            c.isin(list(seeds)), F.lit(1.0 / len(seeds))
+        ).otherwise(F.lit(0.0))
+
     ranks, ids = tracked_local_checkpoint(
-        nodes.select(F.col(id_col).alias("nid"), (F.lit(1.0) / n).alias("r")),
+        nodes.select(
+            F.col(id_col).alias("nid"), p_of(F.col(id_col)).alias("r")
+        ),
         eager=False,
     )
     stale: set[int] = set()
@@ -146,14 +165,16 @@ def pagerank(
             .agg(F.sum("c").alias("inflow"))
         )
         d_mass = dangling.collect()[0][0]
-        base = (1.0 - damping) / n + damping * d_mass / n
+        # per-node floor: p_i * ((1-d) + d * dangling_mass) — reduces to
+        # the classic uniform base when p is 1/n everywhere
+        base_factor = (1.0 - damping) + damping * d_mass
         new_ranks, new_ids = tracked_local_checkpoint(
-            nodes.select(F.col(id_col).alias("nid"))
+            nodes.select(F.col(id_col).alias("nid"), p_of(F.col(id_col)).alias("p"))
             .join(contribs, "nid", "left")
             .select(
                 "nid",
                 (
-                    F.lit(base)
+                    F.col("p") * F.lit(base_factor)
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("r"),
             ),

@@ -1122,3 +1122,43 @@ def test_audio_pcm_features_null_payload_and_win_validation(spark):
     assert {r["vid"] for r in out} == {2}  # null payload contributes nothing
     with pytest.raises(ValueError):
         audio_pcm_features(df, "payload", "vid", win=1, hop=1)
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.graph import pagerank
+
+    # two loosely-connected triangles; seeds in the left one
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    edge_list = [
+        (0, 1), (1, 2), (2, 0),          # left triangle
+        (3, 4), (4, 5), (5, 3),          # right triangle
+        (2, 3), (5, 0),                  # weak bridge
+    ]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(nodes, edges, max_iter=30, tol=0.0, seeds=[0, 1]).collect()
+    }
+
+    # reference PPR, identical formula
+    n, d, seeds = 6, 0.85, {0, 1}
+    p = {i: (1.0 / len(seeds) if i in seeds else 0.0) for i in range(n)}
+    out = {}
+    for s, t in edge_list:
+        out.setdefault(s, []).append(t)
+    ranks = dict(p)
+    for _ in range(30):
+        dangling = sum(r for i, r in ranks.items() if i not in out)
+        factor = (1 - d) + d * dangling
+        new = {i: p[i] * factor for i in range(n)}
+        for s, ts in out.items():
+            for t in ts:
+                new[t] += d * ranks[s] / len(ts)
+        ranks = new
+    for i in range(n):
+        assert got[i] == pytest.approx(ranks[i], abs=2e-6), i
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+    # proximity: the seed triangle outranks the far one
+    assert min(got[0], got[1], got[2]) > max(got[4], got[5])
+    with pytest.raises(ValueError):
+        pagerank(nodes, edges, seeds=[])
