@@ -25,6 +25,12 @@ Stages (all built from the repo's operators — nothing new semantically):
 5. ``05_chunks``     — sliding-window token chunks, token-budget packed
                        into bins, written COMPACTED (sources.files.
                        compact_write) — the artifact a tokenizer reads.
+5b. ``05b_shards``   — OPTIONAL (``tar_shard_rows``): re-export the
+                       packed chunks as WebDataset-style tar shards
+                       (sources.files.write_tar_shards) — the format a
+                       sequential training loader streams; reads the
+                       STAGED chunk parquet, so the heavy chunk/pack
+                       plan never re-runs.
 6. ``06_tokenizer``  — OPTIONAL (``bpe_merges``): fit a BPE merge list
                        on the SAME corpus the chunks came from
                        (operators/bpe.py) and persist it next to the
@@ -75,6 +81,7 @@ def build_corpus(
     sample_n: int | None = None,
     sample_weight: str = "n_chars",
     bpe_merges: int | None = None,
+    tar_shard_rows: int | None = None,
     chunk_tokens: int = 50,
     chunk_stride: int = 40,
     pack_budget: int = 500,
@@ -224,6 +231,26 @@ def build_corpus(
         "rows": n_rows,
         "files": n_files,
     }
+
+    # 5b — optional tar-shard delivery of the packed chunks (reads the
+    # staged parquet; the chunk/pack plan never re-runs)
+    if tar_shard_rows is not None:
+        from ..sources.files import write_tar_shards
+
+        chunks_staged = spark.read.parquet(final_path)
+        keyed = chunks_staged.select(
+            F.concat_ws("-", "doc_id", "chunk_idx").alias("key"),
+            F.concat_ws(" ", "chunk").alias("body"),
+        ).sortWithinPartitions("key")
+        shard_dir = os.path.join(out_dir, "05b_shards")
+        shard_manifest = write_tar_shards(
+            keyed, shard_dir, "key", {"txt": "body"}, shard_rows=tar_shard_rows
+        ).collect()
+        manifest["stages"]["05b_shards"] = {
+            "path": shard_dir,
+            "rows": sum(r["rows"] for r in shard_manifest),
+            "files": len(shard_manifest),
+        }
 
     # 6 — optional tokenizer fit on the corpus the chunks came from, so
     # the merge list ships with the data it will tokenize (the fit reads

@@ -190,3 +190,23 @@ def test_optional_sample_and_tokenizer_stages(spark, tmp_path):
     probe = (a + b).replace("</w>", "")
     if probe:  # a word ending exactly where the first merge applies
         assert len(_encode_word(probe, ranks)) < len(probe) + 1
+
+
+def test_optional_tar_shard_stage(spark, tmp_path):
+    from bp_datawarehouse_ordersfact_spark.sources.files import read_tar_shards
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "corpus")
+    manifest = build_corpus(spark, docs, out, min_chars=1, tar_shard_rows=50)
+    st = manifest["stages"]
+    assert "05b_shards" in st
+    assert st["05b_shards"]["rows"] == st["05_chunks"]["rows"]
+    assert st["05b_shards"]["files"] >= 1
+    # round trip: every chunk's text payload comes back intact
+    back = read_tar_shards(spark, st["05b_shards"]["path"])
+    assert back.count() == st["05_chunks"]["rows"]
+    chunks = spark.read.parquet(st["05_chunks"]["path"])
+    one = chunks.orderBy("doc_id", "chunk_idx").limit(1).collect()[0]
+    key = f"{one['doc_id']}-{one['chunk_idx']}"
+    payload = back.filter(back["key"] == key).collect()[0]["payload"]
+    assert bytes(payload).decode() == " ".join(one["chunk"])
