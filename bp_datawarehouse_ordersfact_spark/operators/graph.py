@@ -136,12 +136,22 @@ def pagerank(
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
-    # teleport distribution p: uniform, or uniform over the seed set
+    # teleport distribution p: uniform, or uniform over the seed set.
+    # Dedupe and VALIDATE seeds against the node set — a missing seed
+    # would make p sum below 1 and silently break the ranks-sum-to-1
+    # contract (all-zero ranks in the worst case)
     if seeds is None:
         p_of = lambda c: F.lit(1.0 / n)  # noqa: E731
     else:
+        seed_set = sorted(set(seeds))
+        matched = nodes.filter(F.col(id_col).isin(seed_set)).count()
+        if matched != len(seed_set):
+            raise ValueError(
+                f"{len(seed_set) - matched} of {len(seed_set)} seeds are "
+                "not in the node set"
+            )
         p_of = lambda c: F.when(  # noqa: E731
-            c.isin(list(seeds)), F.lit(1.0 / len(seeds))
+            c.isin(seed_set), F.lit(1.0 / len(seed_set))
         ).otherwise(F.lit(0.0))
 
     ranks, ids = tracked_local_checkpoint(

@@ -243,6 +243,10 @@ def build_corpus(
             F.concat_ws(" ", "chunk").alias("body"),
         ).sortWithinPartitions("key")
         shard_dir = os.path.join(out_dir, "05b_shards")
+        # every other stage overwrites; tar shards are appended files,
+        # so a rerun must clear stale shards or read_tar_shards would
+        # mix two generations into the delivery
+        shutil.rmtree(shard_dir, ignore_errors=True)
         shard_manifest = write_tar_shards(
             keyed, shard_dir, "key", {"txt": "body"}, shard_rows=tar_shard_rows
         ).collect()

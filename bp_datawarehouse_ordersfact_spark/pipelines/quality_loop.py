@@ -90,10 +90,20 @@ def apply_quality_filter(
     ``quality_prob`` and filters at ``threshold`` (default: the
     threshold recorded at fit time). The weights embed as literals, so
     the sweep is one codegen expression over the scan — zero joins,
-    zero shuffles, exactly what a 100 TB filter pass must be."""
+    zero shuffles, exactly what a 100 TB filter pass must be. The
+    corpus embedding dimension is checked against the dim recorded at
+    fit time — a mismatch would otherwise score a silent prefix (or
+    NULL-drop every row), the stale-artifact corruption class the ANN
+    index also guards against."""
     w = load_quality_weights(spark, out_dir)
+    meta = spark.read.parquet(os.path.join(out_dir, "meta")).collect()[0]
+    first = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    if first and first[0]["d"] != meta["dim"]:
+        raise ValueError(
+            f"corpus {vec_col} dim {first[0]['d']} != trained dim "
+            f"{meta['dim']} (stale weights?)"
+        )
     if threshold is None:
-        meta = spark.read.parquet(os.path.join(out_dir, "meta")).collect()[0]
         threshold = float(meta["threshold"])
     scored = corpus.withColumn(
         "quality_prob", logreg_score(corpus, F.col(vec_col), w)

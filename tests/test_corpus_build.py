@@ -210,3 +210,17 @@ def test_optional_tar_shard_stage(spark, tmp_path):
     key = f"{one['doc_id']}-{one['chunk_idx']}"
     payload = back.filter(back["key"] == key).collect()[0]["payload"]
     assert bytes(payload).decode() == " ".join(one["chunk"])
+
+
+def test_tar_shard_stage_rerun_clears_stale_shards(spark, tmp_path):
+    import pathlib
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "corpus")
+    m1 = build_corpus(spark, docs, out, min_chars=1, tar_shard_rows=10)
+    n_first = len(list(pathlib.Path(m1["stages"]["05b_shards"]["path"]).iterdir()))
+    # rerun into the SAME out_dir with much bigger shards -> fewer files;
+    # stale small shards from the first run must be gone
+    m2 = build_corpus(spark, docs, out, min_chars=1, tar_shard_rows=10_000)
+    files = list(pathlib.Path(m2["stages"]["05b_shards"]["path"]).iterdir())
+    assert len(files) == m2["stages"]["05b_shards"]["files"] < n_first

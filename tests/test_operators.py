@@ -1162,3 +1162,18 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
     assert min(got[0], got[1], got[2]) > max(got[4], got[5])
     with pytest.raises(ValueError):
         pagerank(nodes, edges, seeds=[])
+
+
+def test_personalized_pagerank_rejects_unknown_or_duplicate_seeds(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError, match="not in the node set"):
+        pagerank(nodes, edges, seeds=[0, 99])
+    # duplicate seeds dedupe rather than shrinking the teleport mass
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(nodes, edges, max_iter=10, seeds=[0, 0]).collect()
+    }
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)

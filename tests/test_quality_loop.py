@@ -82,3 +82,13 @@ def test_sweep_plan_is_joinless_map_side(spark, labeled, tmp_path):
     )
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_dim_mismatch_fails_loudly(spark, labeled, tmp_path):
+    out = str(tmp_path / "q")
+    train_quality_filter(spark, labeled, out, n_iter=3)
+    short = labeled.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="stale weights"):
+        apply_quality_filter(spark, short, out)
