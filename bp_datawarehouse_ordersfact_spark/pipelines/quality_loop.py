@@ -97,12 +97,17 @@ def apply_quality_filter(
     index also guards against."""
     w = load_quality_weights(spark, out_dir)
     meta = spark.read.parquet(os.path.join(out_dir, "meta")).collect()[0]
-    first = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
-    if first and first[0]["d"] != meta["dim"]:
-        raise ValueError(
-            f"corpus {vec_col} dim {first[0]['d']} != trained dim "
-            f"{meta['dim']} (stale weights?)"
-        )
+    # the sweep is a pure map-side expression, so it composes with a
+    # STREAMING corpus unchanged — but a stream cannot be probed with
+    # collect(), so the dim guard applies to batch input only (streaming
+    # callers pin the schema at readStream time anyway)
+    if not corpus.isStreaming:
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+        if first and first[0]["d"] != meta["dim"]:
+            raise ValueError(
+                f"corpus {vec_col} dim {first[0]['d']} != trained dim "
+                f"{meta['dim']} (stale weights?)"
+            )
     if threshold is None:
         threshold = float(meta["threshold"])
     scored = corpus.withColumn(

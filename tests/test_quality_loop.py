@@ -92,3 +92,32 @@ def test_dim_mismatch_fails_loudly(spark, labeled, tmp_path):
     )
     with pytest.raises(ValueError, match="stale weights"):
         apply_quality_filter(spark, short, out)
+
+
+def test_sweep_composes_with_structured_streaming(spark, labeled, tmp_path):
+    """The persisted filter is a pure map-side expression, so the SAME
+    call sweeps a readStream corpus — batch/streaming unification with
+    identical results."""
+    out = str(tmp_path / "q")
+    train_quality_filter(spark, labeled, out, n_iter=10)
+    src = str(tmp_path / "src")
+    labeled.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    kept = apply_quality_filter(spark, stream, out)
+    assert kept.isStreaming
+    q = (
+        kept.writeStream.format("memory")
+        .queryName("qf_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["vec_id"], r["quality_prob"])
+        for r in spark.sql("select vec_id, quality_prob from qf_stream").collect()
+    }
+    want = {
+        (r["vec_id"], r["quality_prob"])
+        for r in apply_quality_filter(spark, labeled, out).collect()
+    }
+    assert got == want and got
