@@ -541,3 +541,75 @@ def sq8_decode_expr(q_col: Column, lo: list[float], hi: list[float]) -> Column:
         + (x.cast("double") / 255.0)
         * (F.element_at(hi_arr, i + 1) - F.element_at(lo_arr, i + 1)),
     )
+
+
+def pq_search_adc_batch(
+    queries: DataFrame,
+    codes_df: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    query_vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Batch ADC: top-k per QUERY ROW of a queries DataFrame —
+    (q_id, vec_id, adc_d2, rnk). The single-query form embeds the
+    distance table as literals; for a query WORKLOAD the table becomes
+    data: one (q_id, sub, code, d) frame built by a broadcast join of
+    exploded query subvectors against the codebooks (Q×m×ksub rows —
+    broadcastable for any realistic query batch), then the codes side
+    explodes to (id, sub, code) and equi-joins it. Shuffle shape: the
+    broadcast table join is map-side; the only exchange is the
+    (q_id, id) partial-sum aggregation plus the per-query top-k window
+    (rank-limit pushed map-side). Distances equal the single-query
+    ``pq_search_adc`` exactly (pinned in tests)."""
+    book_rows = codebooks.select("sub").limit(1).collect()
+    if not book_rows:
+        raise ValueError("empty codebooks")
+    m = codebooks.agg(F.countDistinct("sub")).collect()[0][0]
+    qsub = _subvectors(queries, query_vec_col, query_id_col, m).select(
+        F.col("vid").alias("q_id"), "sub", F.col("sv").alias("qs")
+    )
+    table = (
+        qsub.join(F.broadcast(codebooks.select("sub", "code", "cent")), "sub")
+        .select(
+            "q_id",
+            "sub",
+            "code",
+            rnd(sq_l2(F.col("qs"), F.col("cent")), 6).alias("d"),
+        )
+    )
+    exploded = codes_df.select(
+        F.col(id_col),
+        F.posexplode(F.col(codes_col)).alias("sub", "code"),
+    )
+    partial = (
+        exploded.join(F.broadcast(table), ["sub", "code"])
+        .groupBy("q_id", id_col)
+        .agg(
+            rnd(F.sum("d"), 6).alias("adc_d2"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    # a vector must match a table entry in EVERY subspace; fewer matches
+    # means its codes reference codes absent from the codebooks (stale
+    # artifact) — drop-with-count-check keeps the batch form as loud as
+    # the single-query raise_error path
+    checked = partial.withColumn(
+        "adc_d2",
+        F.when(F.col("__n") == m, F.col("adc_d2")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "PQ codes reference a code absent from the codebooks "
+                    "(stale index?)"
+                )
+            ).cast("double")
+        ),
+    ).drop("__n")
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_d2"), F.asc(id_col))
+    return (
+        checked.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", id_col, "adc_d2", "rnk")
+    )

@@ -13,6 +13,7 @@ import math
 
 import pytest
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from bp_datawarehouse_ordersfact_spark.operators.pq import (
     pq_encode,
@@ -609,3 +610,43 @@ class TestSq8:
             ).collect()
         }
         assert dec[3] == []
+
+
+class TestBatchAdc:
+    def test_batch_equals_single_query_search(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.pq import (
+            pq_search_adc_batch,
+        )
+
+        df = _df(spark)
+        books = pq_train(df, m=2, ksub=2, n_iter=2)
+        codes = pq_encode(df, books)
+        queries = spark.createDataFrame(
+            [(qid, v) for qid, v in list(VECS.items())[:5]],
+            "q_id int, embedding array<double>",
+        ).repartition(3)
+        batch = pq_search_adc_batch(queries, codes, books, k=4).collect()
+        by_q: dict[int, list] = {}
+        for r in sorted(batch, key=lambda r: (r["q_id"], r["rnk"])):
+            by_q.setdefault(r["q_id"], []).append((r["vec_id"], r["adc_d2"]))
+        for qid in list(VECS)[:5]:
+            single = [
+                (r["vec_id"], r["adc_d2"])
+                for r in pq_search_adc(codes, books, VECS[qid], k=4).collect()
+            ]
+            assert by_q[qid] == single, qid
+
+    def test_batch_stale_codebooks_raise(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.pq import (
+            pq_search_adc_batch,
+        )
+
+        df = _df(spark)
+        books = pq_train(df, m=2, ksub=3, n_iter=2)
+        codes = pq_encode(df, books)
+        stale = books.filter(F.col("code") < 1)  # drop codes the index uses
+        queries = spark.createDataFrame(
+            [(1, VECS[1])], "q_id int, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="absent from the codebooks"):
+            pq_search_adc_batch(queries, codes, stale, k=3).collect()
