@@ -298,3 +298,27 @@ def test_bpe_word_freqs_partial_aggregates_map_side(spark):
     p = _exec_plan(word_freqs(docs, "text"))
     assert p.count("Exchange hashpartitioning") == 1
     assert p.count("HashAggregate") == 2  # partial + final
+
+
+def test_pq_batch_adc_broadcasts_both_small_sides(spark):
+    """Batch ADC: the query distance table and codebooks both broadcast
+    (never a sort-merge join against the corpus-sized codes), and the
+    per-query top-k pushes as WindowGroupLimit."""
+    from bp_datawarehouse_ordersfact_spark.core.io import load_table
+    from bp_datawarehouse_ordersfact_spark.operators.pq import (
+        pq_encode,
+        pq_search_adc_batch,
+        pq_train,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = pq_train(emb, m=4, ksub=4, n_iter=1)
+    enc = pq_encode(emb, books)
+    codes = spark.createDataFrame(enc.collect(), enc.schema)
+    queries = emb.limit(3).select(
+        emb["vec_id"].alias("q_id"), "embedding"
+    )
+    p = _exec_plan(pq_search_adc_batch(queries, codes, books, k=5))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    assert "WindowGroupLimit" in p
