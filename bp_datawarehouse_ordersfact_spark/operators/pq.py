@@ -613,3 +613,91 @@ def pq_search_adc_batch(
         .filter(F.col("rnk") <= k)
         .select("q_id", id_col, "adc_d2", "rnk")
     )
+
+
+def pq_search_ivfpq_batch(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    query_vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch top-k over an IVF+PQ index: (q_id, vec_id, adc_d2, rnk) for
+    every query ROW. The single-query form ranks cells on the driver and
+    prunes directories with a literal IN-list; a query workload keeps
+    everything cluster-side:
+
+    1. probe selection — queries × broadcast centroids, per-query
+       top-``n_probe`` by (cosine DESC, cell_id ASC) (WindowGroupLimit,
+       the same tie-break the index assignment used);
+    2. candidates — probes equi-join the index on cell_id (the index
+       side reads only the probed cells' partitions when AQE's dynamic
+       partition pruning fires; worst case it is one hash join keyed on
+       a handful of cell ids);
+    3. scoring — the per-query distance-table frame (Q×m×ksub rows,
+       broadcast) joins the candidates' exploded codes; one partial-sum
+       aggregation and a rank-limited window close the top-k.
+
+    Results are pinned equal to looping ``pq_search_ivfpq`` per query.
+    """
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    m = codebooks.agg(F.countDistinct("sub")).collect()[0][0]
+    cents = centroids.select("cell_id", F.col("cent").alias("cent_vec"))
+    scored = (
+        queries.select(F.col(query_id_col).alias("q_id"), F.col(query_vec_col))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cell_cos",
+            rnd(V.cosine_nullsafe(F.col(query_vec_col), F.col("cent_vec")), 6),
+        )
+    )
+    wprobe = Window.partitionBy("q_id").orderBy(
+        F.desc_nulls_last("cell_cos"), F.asc("cell_id")
+    )
+    probes = (
+        scored.withColumn("__r", F.row_number().over(wprobe))
+        .filter(F.col("__r") <= n_probe)
+        .select("q_id", "cell_id")
+    )
+    candidates = probes.join(index, "cell_id").select(
+        "q_id", F.col(id_col), "codes"
+    )
+
+    qsub = _subvectors(queries, query_vec_col, query_id_col, m).select(
+        F.col("vid").alias("q_id"), "sub", F.col("sv").alias("qs")
+    )
+    table = qsub.join(
+        F.broadcast(codebooks.select("sub", "code", "cent")), "sub"
+    ).select(
+        "q_id", "sub", "code", rnd(sq_l2(F.col("qs"), F.col("cent")), 6).alias("d")
+    )
+    exploded = candidates.select(
+        "q_id", F.col(id_col), F.posexplode(F.col("codes")).alias("sub", "code")
+    )
+    partial = (
+        exploded.join(F.broadcast(table), ["q_id", "sub", "code"])
+        .groupBy("q_id", id_col)
+        .agg(rnd(F.sum("d"), 6).alias("adc_d2"), F.count(F.lit(1)).alias("__n"))
+    )
+    checked = partial.withColumn(
+        "adc_d2",
+        F.when(F.col("__n") == m, F.col("adc_d2")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "PQ codes reference a code absent from the codebooks "
+                    "(stale index?)"
+                )
+            ).cast("double")
+        ),
+    ).drop("__n")
+    wk = Window.partitionBy("q_id").orderBy(F.asc("adc_d2"), F.asc(id_col))
+    return (
+        checked.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", id_col, "adc_d2", "rnk")
+    )

@@ -650,3 +650,32 @@ class TestBatchAdc:
         )
         with pytest.raises(Exception, match="absent from the codebooks"):
             pq_search_adc_batch(queries, codes, stale, k=3).collect()
+
+
+    def test_ivfpq_batch_equals_per_query_loop(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.pq import (
+            build_ivfpq_index,
+            pq_search_ivfpq,
+            pq_search_ivfpq_batch,
+        )
+
+        vecs, df, cents, books = TestIvfPq._fit(TestIvfPq(), spark)
+        index = build_ivfpq_index(df, cents, books)
+        qids = [1, 7, 42]
+        queries = spark.createDataFrame(
+            [(q, vecs[q]) for q in qids], "q_id int, embedding array<double>"
+        ).repartition(2)
+        batch = pq_search_ivfpq_batch(
+            queries, index, cents, books, k=6, n_probe=3
+        ).collect()
+        by_q: dict[int, list] = {}
+        for r in sorted(batch, key=lambda r: (r["q_id"], r["rnk"])):
+            by_q.setdefault(r["q_id"], []).append((r["vec_id"], r["adc_d2"]))
+        for q in qids:
+            single = [
+                (r["vec_id"], r["adc_d2"])
+                for r in pq_search_ivfpq(
+                    index, cents, books, vecs[q], k=6, n_probe=3
+                ).collect()
+            ]
+            assert by_q[q] == single, q
