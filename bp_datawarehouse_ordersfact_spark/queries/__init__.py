@@ -24,69 +24,52 @@ and cross-engine by the driver-faithful tests/parity.py.
 from __future__ import annotations
 
 from ..functions.rounding import sql_rewrite_rounds
-from . import domain_e2e, llmops, pipeline, relational, streaming
+from . import domain_e2e, llmops, pipeline, relational, sketches_r6, streaming
 
-_MODULES = (relational, pipeline, llmops, streaming, domain_e2e)
+_MODULES = (relational, pipeline, llmops, streaming, domain_e2e, sketches_r6)
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
-# registration order. Round 4's window gave the 27 never-checked backlog
-# queries + the 19 round-4 additions + 4 representative picks their first
-# driver rows, so after r4 every registry query has been checked at least
-# once. Round-5 window (this tuple): the 2 queries whose r4 rows were red
-# (ann_recall_at_k HUGEINT-cast fix, ann_ivf_kmeans_refine scalar-reshape
-# fix — must re-check), the 2 domain e2e queries (first HASH check ever:
-# they gained real VALUES oracles this round), the 2 round-5 ADDITIONS
-# (never checked), then 44 of the 46 queries whose newest driver row is
-# round 3, honoring the "no query's newest row older than 2 rounds"
-# invariant (tests/test_window_rotation.py enforces it). The other 2
-# r3-row queries — pricing_summary and tfidf_title_match — were the
-# displacements for the round-5 additions and are NOT in this window:
-# the driver smoke-checks entry() (which IS pricing_summary) every
-# round and tfidf is pinned by operator tests, but their staleness
-# deadline is round 6 (see the rotation plan below). The r4 window's 46
-# other queries (all green r4 rows) rotate out; their families stay
-# covered by pytest pins (tests/test_plans.py, test_scale_posture.py,
-# operator tests) until round 6 rotates them back.
+# registration order, so coverage is a rotation discipline: no query's
+# newest driver row may be older than 2 rounds
+# (tests/test_window_rotation.py enforces it).
 #
-# ROUND-6 ROTATION (mechanical; do this first): window = the 2 staged
-# sketch queries (add `sketches_r6` to _MODULES, names first in this
-# tuple: sketch_theta_set_algebra, sketch_kll_quantile_merge — already
-# driver-verified by tests/test_sketches_r6.py) + the 46 queries whose
-# newest row is then round 4 (exactly the r4-window list minus the 4
-# re-checked here: everything from dedup_ngram_jaccard through
-# listagg_per_group in the r4 tuple, plus fact_royalty,
-# rest_ingest_distributed, kafka_wire_roundtrip, sketch_approx_stats)
-# + pricing_summary and tfidf_title_match — NOT optional: their newest
-# row is round 3 (displaced from this window), so round 6 is their
-# staleness deadline. That fills all 50 slots: no other round-6
-# additions are possible beyond the 2 sketch queries. Registry lands at
-# 100 — the cap the 50-wide window sustains under the 2-round staleness
-# invariant; after r6, rotation alternates the two 50-query halves
-# (tests/test_window_rotation.py fails loudly if any of this is botched).
+# ROUND-6 WINDOW (this tuple) — executes the rotation codified in round
+# 5: the 2 staged sketch queries (sketches_r6 now in _MODULES; already
+# driver-verified by tests/test_sketches_r6.py), then pricing_summary
+# and tfidf_title_match at their HARD round-6 staleness deadline (their
+# newest row is round 3 — they were the displacements for the round-5
+# additions), then the 46 queries whose newest driver row is round 4
+# (exactly the r4 window minus the 4 re-checked in r5: ann_recall_at_k,
+# ann_ivf_kmeans_refine, domain_fact_royalty, domain_split_royalty_report).
+# That fills all 50 slots; the 48 round-5-green queries rotate out and
+# stay covered by pytest pins (tests/test_plans.py, operator tests)
+# until round 7 rotates them back. The registry now sits at 100 — the
+# cap the 50-wide window sustains under the 2-round invariant; from
+# round 7 on, rotation alternates the two 50-query halves.
 _WINDOW_FIRST = (
-    # red in r4, fixed this round — re-check first
-    "ann_recall_at_k", "ann_ivf_kmeans_refine",
-    # first-ever hash check (VALUES oracles added this round)
-    "domain_fact_royalty", "domain_split_royalty_report",
-    # round-5 additions — never checked (displaced pricing_summary and
-    # tfidf_title_match, see above)
-    "interval_coalesce", "correlated_exists_rewrite",
-    # newest driver row is round 3 for the 44 below (equally stale)
-    "select_rename", "membership_filter", "threshold_filter",
-    "distinct_rows", "dedup_keep_first", "percent_rate_normalization",
-    "broadcast_dim_join", "composite_key_join", "incremental_merge",
-    "semi_anti_join", "window_order_totals", "parent_allocation",
-    "sessionize_events", "case_categorize", "conditional_measures",
-    "string_cleanup", "date_functions", "union_by_name",
-    "multikey_rollup", "count_distinct_per_group", "null_audit",
-    "rolling_window_avg", "event_interarrival", "quantile_stats",
-    "grouping_rollup", "pivot_status", "top_k", "null_fill_sentinels",
-    "levenshtein_ratio_join", "asof_join", "range_join_attribution",
-    "shipping_priority", "regional_supplier_volume", "skew_salted_join",
-    "top_k_per_group", "window_rank_functions", "set_intersect_except",
-    "explode_line_items", "json_props_extract", "split_royalty_union",
-    "date_dim_generate", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash",
+    # round-6 additions — never driver-checked (pre-verified by
+    # tests/test_sketches_r6.py with the driver-faithful harness)
+    "sketch_theta_set_algebra", "sketch_kll_quantile_merge",
+    # newest row round 3 — hard staleness deadline this round
+    "pricing_summary", "tfidf_title_match",
+    # newest driver row is round 4 for the 46 below (equally stale)
+    "dedup_ngram_jaccard", "dedup_embedding_cosine", "ann_cosine_topk",
+    "ann_cosine_lsh", "ann_cosine_ivf", "text_langid", "text_quality",
+    "text_token_count", "text_fingerprint", "text_pii_scrub",
+    "corpus_filter_pipeline", "grouped_ewma", "multimodal_binary_meta",
+    "multimodal_feature_extract", "dedup_cluster_cc", "text_chunking",
+    "sample_stratified", "sequence_packing", "corpus_prep_pipeline",
+    "stream_tumbling_agg", "stream_sliding_agg", "stream_dedup",
+    "stream_session_agg", "stream_stateful_user_stats",
+    "text_repetition", "decontaminate_ngram_overlap",
+    "text_unigram_logprob", "stream_stream_join", "events_gap_fill",
+    "data_quality_audit", "scd2_dim_update", "leakage_safe_split",
+    "cdc_apply", "cube_summary", "embedding_classifier_score",
+    "sketch_hll_merge", "funnel_analysis", "retention_cohorts",
+    "rollup_incremental_refresh", "corpus_mix_resample",
+    "variant_props_extract", "listagg_per_group", "fact_royalty",
+    "rest_ingest_distributed", "kafka_wire_roundtrip",
+    "sketch_approx_stats",
 )
 
 

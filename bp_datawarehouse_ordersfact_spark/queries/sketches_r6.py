@@ -1,13 +1,10 @@
-"""Round-6 staged registry queries for the theta / KLL sketch operators.
+"""Registry queries for the theta / KLL sketch operators.
 
-NOT yet in the driver registry: the round-5 correctness window is
-rotation-locked (see queries/__init__.py — every slot is spoken for by
-the staleness invariant), and the registry sits at 98 of the ~100 the
-50-wide window can sustain. Round 6 activates these by adding the module
-to ``_MODULES`` and both names to the front of ``_WINDOW_FIRST``; until
-then tests/test_sketches_r6.py runs the exact driver-style comparison
-(same machinery as tests/parity.py) so activation is a two-line change,
-not a debugging session.
+Staged during round 5 (the round-5 window was rotation-locked) and
+ACTIVATED in round 6: the module is in ``_MODULES`` and both names lead
+``_WINDOW_FIRST``. tests/test_sketches_r6.py ran the exact driver-style
+comparison (same machinery as tests/parity.py) a full round before the
+driver first saw them.
 
 Both follow the self-validating sketch-oracle pattern of
 ``sketch_hll_merge``: exact values hash-check against the oracle, and
