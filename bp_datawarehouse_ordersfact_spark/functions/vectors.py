@@ -8,6 +8,7 @@ modulo final rounding.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf type hints resolve
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -32,11 +33,77 @@ def cosine(a: Column, b: Column) -> Column:
 def sign_bucket(a: Column, n_bits: int = 8) -> Column:
     """LSH bucket id from the sign pattern of the first ``n_bits``
     components — a deterministic random-hyperplane surrogate (axis-aligned
-    hyperplanes), reproducible in ANSI SQL for the oracle."""
+    hyperplanes), reproducible in ANSI SQL for the oracle.
+
+    SMALL-SCALE TWIN ONLY: one table of 2^n_bits buckets caps candidate
+    reduction at 2^n_bits, so any bucket self-join over it is a
+    within-bucket quadratic once rows ≫ 2^n_bits. The scale path is
+    ``hyperplane_band_keys`` (b tables × r true random-hyperplane bits,
+    MinHash-band structure); this form exists because it reproduces in
+    ANSI SQL for the DuckDB oracle."""
     out = F.lit(0)
     for i in range(n_bits):
         out = out + F.when(F.element_at(a, i + 1) >= 0, F.lit(2**i)).otherwise(F.lit(0))
     return out
+
+
+def hyperplane_band_keys(
+    vec: Column,
+    dim: int,
+    bands: int = 8,
+    bits_per_band: int = 32,
+    seed: int = 42,
+) -> Column:
+    """Banded random-hyperplane LSH keys: ``array<bigint>`` of ``bands``
+    bucket keys, one per table, key = ``band · 2^bits_per_band + sign
+    pattern`` (disjoint ranges per table, so a single equi-join on the
+    exploded key unions all tables).
+
+    This is the MinHash band structure applied to sign-LSH: each table
+    hashes the vector with ``bits_per_band`` independent Gaussian
+    hyperplanes (seeded, generated once on the driver — ``bands ×
+    bits_per_band × dim`` doubles, broadcast with the task closure), and
+    two vectors collide in a table iff all ``r`` signs agree
+    (P = (1 − θ/π)^r). Recall is recovered across the ``b`` tables:
+    1 − (1 − p^r)^b. Key cardinality is 2^r per table — with the default
+    r=32 effectively unbounded, so bucket joins stay linear at any scale
+    (the fix for the 2^8-bucket cap of ``sign_bucket``).
+
+    Deliberately a vectorized Arrow ``pandas_udf`` rather than codegen:
+    the per-row work is a dense (dim × b·r) matrix product — BLAS work,
+    ~100× faster in numpy than ``bands·bits·dim`` interpreted
+    higher-order-fold terms, and one map-side pass with zero shuffles
+    either way. ``dim`` must be the exact vector width (validated per
+    batch); mismatches raise rather than silently mis-hash.
+    """
+    if not 1 <= bits_per_band <= 56:
+        raise ValueError(f"bits_per_band must be in [1, 56], got {bits_per_band}")
+    import numpy as np
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.random.default_rng(seed).standard_normal(
+        (bands * bits_per_band, dim)
+    )
+    bit_weights = np.int64(1) << np.arange(bits_per_band, dtype=np.int64)
+    band_offsets = np.arange(bands, dtype=np.int64) * (np.int64(1) << bits_per_band)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _keys(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack(v.to_numpy()).astype(np.float64)
+        if mat.shape[1] != dim:
+            raise ValueError(
+                f"hyperplane_band_keys: vector dim {mat.shape[1]} != configured {dim}"
+            )
+        signs = (mat @ planes.T) >= 0.0
+        patterns = (
+            signs.reshape(len(mat), bands, bits_per_band).astype(np.int64)
+            * bit_weights
+        ).sum(axis=2)
+        return pd.Series(list(patterns + band_offsets))
+
+    return _keys(vec)
 
 
 def l2_normalize(a: Column) -> Column:

@@ -454,9 +454,15 @@ def embedding_near_dup_pairs(
     self-join + exact cosine on candidates only.
 
     Near-identical vectors have identical sign patterns, so every true
-    near-dup pair shares a bucket; the equi-join on the bucket key replaces
-    the all-pairs product (~2^n_bits reduction). At 100 TB: bucket → one
-    shuffle on a small uniform key; cosine verification only on candidates.
+    near-dup pair shares a bucket; the equi-join on the bucket key
+    replaces the all-pairs product. SMALL-SCALE / ORACLE TWIN: one table
+    of 2^n_bits buckets caps the reduction at 2^n_bits (256 by default),
+    so at 10⁹ rows the bucket self-join is a within-bucket quadratic —
+    use ``embedding_near_dup_pairs_banded`` (b tables × r bits, 2^32
+    keys per table, MinHash-band candidate structure) at scale. This
+    form stays because ``sign_bucket`` reproduces in ANSI SQL for the
+    DuckDB oracle; the banded twin is pinned to it by
+    tests/test_operators.py recall parity instead.
 
     ``eager``: executes now and checkpoints the result — semantics and
     cluster caveats as in ``minhash_lsh_pairs``.
@@ -483,6 +489,73 @@ def embedding_near_dup_pairs(
             .filter(F.col("cosine") >= threshold)
         )
         return scope.finish(pairs)
+
+
+def embedding_near_dup_pairs_banded(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.999,
+    bands: int = 8,
+    bits_per_band: int = 32,
+    dim: int | None = None,
+    seed: int = 42,
+    eager: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (a < b) via BANDED random-
+    hyperplane LSH — the 100 TB path (scale fix for the 2^8-bucket cap
+    of ``embedding_near_dup_pairs``).
+
+    Plan shape — exactly ``minhash_lsh_pairs``'s candidate structure:
+    map (``functions.vectors.hyperplane_band_keys``: one Arrow batch
+    pass, ``bands`` int64 keys per vector, zero shuffles) → explode
+    bands → self equi-join on the key → distinct pairs → exact cosine
+    verification of candidates only. Each table has 2^bits_per_band
+    buckets (2^32 by default — effectively unbounded key cardinality),
+    so no within-bucket quadratic exists at any scale: two vectors meet
+    only if all ``r`` hyperplane signs agree in some table, P = (1 −
+    θ/π)^r per table. At the defaults (r=32, b=8) recall for θ ≤ 2.6°
+    (cos ≥ 0.999) is ≥ 99.9% while random pairs collide with P ≈ b·2⁻³²
+    per table pair.
+
+    ``dim`` is the vector width (drives the seeded hyperplane matrix);
+    when None it is probed with a 1-row ``first()`` — pass it explicitly
+    in composed pipelines to keep the plan action-free.
+
+    ``eager``: executes now and checkpoints the result — semantics and
+    cluster caveats as in ``minhash_lsh_pairs``.
+    """
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    with (_CacheScope() if eager else _LazyScope()) as scope:
+        keyed = scope.materialize(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("v"),
+                V.hyperplane_band_keys(
+                    F.col(vec_col), dim, bands, bits_per_band, seed
+                ).alias("keys"),
+            )
+        )  # referenced by both sides of the band join AND the verify joins
+        bucketed = keyed.select("id", F.explode("keys").alias("bk"))
+        cand = (
+            bucketed.alias("x")
+            .join(
+                bucketed.alias("y"),
+                (F.col("x.bk") == F.col("y.bk")) & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
+        vecs = keyed.select("id", "v")
+        verified = (
+            cand.join(vecs.withColumnsRenamed({"id": "id_a", "v": "v_a"}), "id_a")
+            .join(vecs.withColumnsRenamed({"id": "id_b", "v": "v_b"}), "id_b")
+            .withColumn("cosine", rnd(V.cosine(F.col("v_a"), F.col("v_b")), 6))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+        return scope.finish(verified)
 
 
 def ngram_jaccard_pairs(

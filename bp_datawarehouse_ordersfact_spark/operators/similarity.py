@@ -207,8 +207,12 @@ def cosine_topk_lsh(
 ) -> DataFrame:
     """Bucketed ANN: sign-pattern LSH bucket (axis-aligned hyperplanes on
     the first ``n_bits`` dims) → candidates share the query's bucket →
-    exact cosine within bucket. The scale path: the bucket equi-join
-    replaces the cross join, cutting compared pairs by ~2^n_bits."""
+    exact cosine within bucket. The bucket equi-join replaces the cross
+    join, but ONE table of 2^n_bits buckets caps the reduction at
+    2^n_bits — SMALL-SCALE / ORACLE TWIN only (``sign_bucket``
+    reproduces in ANSI SQL). At scale use ``cosine_topk_lsh_banded``
+    (b tables × r hyperplane bits, unbounded key cardinality); its
+    recall is pinned against brute force in tests/test_operators.py."""
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
@@ -223,6 +227,70 @@ def cosine_topk_lsh(
         F.broadcast(q)
         .join(c, "bucket")
         .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cosine", rnd(V.cosine(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "c_id", "cosine", "rnk")
+    )
+
+
+def cosine_topk_lsh_banded(
+    queries: DataFrame,
+    candidates: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    bands: int = 16,
+    bits_per_band: int = 12,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded random-hyperplane ANN — the scale path for LSH top-k
+    (fixes ``cosine_topk_lsh``'s 2^n_bits single-table cap).
+
+    Both sides get ``bands`` int64 keys from
+    ``functions.vectors.hyperplane_band_keys`` (one Arrow map pass,
+    zero shuffles), are exploded to (id, key) rows, and candidates are
+    found by the key equi-join (2^bits_per_band buckets PER TABLE —
+    unbounded cardinality, never a within-bucket quadratic). Distinct
+    (q, c) pairs are verified with exact cosine and ranked per query.
+
+    Tuning: a table catches a neighbor at angle θ with P = (1 − θ/π)^r;
+    b tables give 1 − (1 − p)^b. The defaults (r=12, b=16) target
+    high-similarity neighbors (cos ≥ 0.9 → ~93% per-neighbor recall);
+    lower ``bits_per_band`` / raise ``bands`` for mid-similarity
+    workloads. Exactness of returned scores is unconditional — only
+    recall is approximate.
+    """
+    if dim is None:
+        dim = candidates.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+
+    def keyed(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            V.hyperplane_band_keys(
+                F.col(vec_col), dim, bands, bits_per_band, seed
+            ).alias("keys"),
+        )
+
+    q = keyed(queries, "q")
+    c = keyed(candidates, "c")
+    qb = q.select("q_id", F.explode("keys").alias("bk"))
+    cb = c.select("c_id", F.explode("keys").alias("bk"))
+    cand = (
+        F.broadcast(qb)
+        .join(cb, "bk")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(q.select("q_id", "q_vec")), "q_id")
+        .join(c.select("c_id", "c_vec"), "c_id")
         .withColumn("cosine", rnd(V.cosine(F.col("q_vec"), F.col("c_vec")), 6))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
