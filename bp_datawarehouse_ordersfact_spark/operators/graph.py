@@ -102,6 +102,8 @@ def pagerank(
     max_iter: int = 20,
     tol: float = 1e-6,
     seeds: list | None = None,
+    probe_delta_every: int = 1,
+    validate_edges: bool = True,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list — the classic
     link-analysis quality prior a curation pipeline computes over
@@ -117,16 +119,30 @@ def pagerank(
     Per iteration (the standard distributed plan): out-degrees join the
     current ranks, contributions shuffle once on the destination key
     with map-side partial sums, dangling mass (nodes with no out-edges)
-    comes from ONE scalar aggregate and redistributes over the teleport
-    distribution. Lineage is truncated per iteration with a tracked
-    localCheckpoint; convergence (L1 delta < tol) is a 1-row probe fused
-    with the materializing action — the same discipline as
-    ``connected_components``. Iterations cap at ``max_iter``.
+    redistributes over the teleport distribution. Driver round-trips are
+    ONE fused 1-row aggregate per iteration — the L1 convergence delta
+    and the NEXT iteration's dangling mass computed together on the
+    action that materializes the per-iteration localCheckpoint (r5
+    ADVICE: the previous two-probe form serialized the iteration at
+    cluster scale). ``probe_delta_every=k`` drops the delta join from
+    the off-iterations (the probe then computes dangling mass only), so
+    convergence is checked every k-th iteration; the default 1 keeps the
+    stopping behavior bit-identical to the pinned reference. Iterations
+    cap at ``max_iter``.
+
+    Edge endpoints MUST be drawn from ``nodes``: a dst outside the node
+    set silently drops its inflow in the join back to nodes (ranks stop
+    summing to 1) and a src outside it is ignored. ``validate_edges``
+    (default True) enforces this with one anti-join count and raises;
+    disable it only for pipelines that guarantee closure upstream (at
+    100 TB the check is a full edge scan).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0,1), got {damping}")
     if seeds is not None and not seeds:
         raise ValueError("seeds must be None or a non-empty list")
+    if probe_delta_every < 1:
+        raise ValueError(f"probe_delta_every must be >= 1, got {probe_delta_every}")
     sc = nodes.sparkSession.sparkContext
     n = nodes.count()
     if n == 0:
@@ -134,6 +150,21 @@ def pagerank(
             F.col(id_col).alias(id_col), F.lit(0.0).alias("rank")
         )
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if validate_edges:
+        node_ids = nodes.select(F.col(id_col).alias("nid"))
+        loose = (
+            e.select(F.col("src").alias("nid"))
+            .unionByName(e.select(F.col("dst").alias("nid")))
+            .distinct()
+            .join(node_ids, "nid", "left_anti")
+            .count()
+        )
+        if loose:
+            raise ValueError(
+                f"{loose} edge endpoint(s) are not in the node set — ranks "
+                "would silently stop summing to 1 (pass validate_edges=False "
+                "only when closure is guaranteed upstream)"
+            )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
     # teleport distribution p: uniform, or uniform over the seed set.
@@ -160,13 +191,24 @@ def pagerank(
         ),
         eager=False,
     )
+
+    # dangling-mass term of the fused probe: rank held by nodes with no
+    # out-edges (deg NULL after the left join against out_deg)
+    d_mass_agg = F.coalesce(
+        F.sum(F.when(F.col("deg").isNull(), F.col("r"))), F.lit(0.0)
+    ).alias("d_mass")
+
+    # initial probe (also materializes the ranks_0 checkpoint): the
+    # loop's fused probe computes iteration t+1's dangling mass, so only
+    # iteration 0's is needed up front
+    d_mass = (
+        ranks.join(out_deg, ranks["nid"] == out_deg["src"], "left")
+        .agg(d_mass_agg)
+        .collect()[0]["d_mass"]
+    )
+
     stale: set[int] = set()
-    for _ in range(max_iter):
-        with_deg = ranks.join(out_deg, ranks["nid"] == out_deg["src"], "left")
-        # dangling nodes contribute their whole rank to the uniform pool
-        dangling = with_deg.filter(F.col("deg").isNull()).agg(
-            F.coalesce(F.sum("r"), F.lit(0.0))
-        )
+    for it in range(max_iter):
         contribs = (
             e.join(ranks, e["src"] == ranks["nid"])
             .join(out_deg, "src")
@@ -174,7 +216,6 @@ def pagerank(
             .groupBy("nid")
             .agg(F.sum("c").alias("inflow"))
         )
-        d_mass = dangling.collect()[0][0]
         # per-node floor: p_i * ((1-d) + d * dangling_mass) — reduces to
         # the classic uniform base when p is 1/n everywhere
         base_factor = (1.0 - damping) + damping * d_mass
@@ -190,11 +231,26 @@ def pagerank(
             ),
             eager=False,
         )
-        delta = (
-            new_ranks.join(ranks.withColumnRenamed("r", "r_old"), "nid")
-            .agg(F.sum(F.abs(F.col("r") - F.col("r_old"))))
-            .collect()[0][0]
-        )
+        # ONE driver round-trip per iteration: next dangling mass and
+        # (on probe iterations) the L1 delta, in the same 1-row aggregate
+        # on the action that materializes new_ranks' checkpoint
+        check_delta = (it + 1) % probe_delta_every == 0 or it == max_iter - 1
+        probe = new_ranks.join(
+            out_deg, new_ranks["nid"] == out_deg["src"], "left"
+        ).select(new_ranks["nid"].alias("nid"), "r", "deg")
+        if check_delta:
+            probe = probe.join(
+                ranks.select("nid", F.col("r").alias("r_old")), "nid"
+            )
+            row = probe.agg(
+                d_mass_agg,
+                F.sum(F.abs(F.col("r") - F.col("r_old"))).alias("delta"),
+            ).collect()[0]
+            delta = row["delta"]
+        else:
+            row = probe.agg(d_mass_agg).collect()[0]
+            delta = None
+        d_mass = row["d_mass"]
         unpersist_rdd_ids(sc, stale)
         stale = ids
         ranks, ids = new_ranks, new_ids

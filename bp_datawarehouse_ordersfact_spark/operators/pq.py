@@ -543,6 +543,24 @@ def sq8_decode_expr(q_col: Column, lo: list[float], hi: list[float]) -> Column:
     )
 
 
+def _check_batch_query_dim(
+    queries: DataFrame, vec_col: str, codebooks: DataFrame, m: int
+) -> None:
+    """Batch twin of the single-query forms' ``query dim != m*d`` raise.
+
+    Without it a query batch whose dim is divisible by m but != m*d
+    (e.g. dim 4 against a 4×2-trained codebook) slices subvectors of
+    the wrong width, `zip_with` pads with NULL, every per-subspace
+    distance goes NULL — and NULL adc_d2 sorts NULLS FIRST, silently
+    returning a garbage top-k while the ``__n == m`` staleness check
+    still passes (r5 ADVICE, reproduced). Probes one codebook row and
+    one query row — both frames already pay driver collects here."""
+    d = codebooks.select(F.size("cent").alias("d")).limit(1).collect()[0]["d"]
+    q = queries.select(F.size(F.col(vec_col)).alias("qd")).limit(1).collect()
+    if q and q[0]["qd"] != m * d:
+        raise ValueError(f"query dim {q[0]['qd']} != {m}*{d}")
+
+
 def pq_search_adc_batch(
     queries: DataFrame,
     codes_df: DataFrame,
@@ -568,6 +586,7 @@ def pq_search_adc_batch(
     if not book_rows:
         raise ValueError("empty codebooks")
     m = codebooks.agg(F.countDistinct("sub")).collect()[0][0]
+    _check_batch_query_dim(queries, query_vec_col, codebooks, m)
     qsub = _subvectors(queries, query_vec_col, query_id_col, m).select(
         F.col("vid").alias("q_id"), "sub", F.col("sv").alias("qs")
     )
@@ -598,7 +617,9 @@ def pq_search_adc_batch(
     # the single-query raise_error path
     checked = partial.withColumn(
         "adc_d2",
-        F.when(F.col("__n") == m, F.col("adc_d2")).otherwise(
+        F.when(
+            (F.col("__n") == m) & F.col("adc_d2").isNotNull(), F.col("adc_d2")
+        ).otherwise(
             F.raise_error(
                 F.lit(
                     "PQ codes reference a code absent from the codebooks "
@@ -625,19 +646,27 @@ def pq_search_ivfpq_batch(
     query_vec_col: str = "embedding",
     query_id_col: str = "q_id",
     id_col: str = "vec_id",
+    prune_cells: bool = True,
 ) -> DataFrame:
     """Batch top-k over an IVF+PQ index: (q_id, vec_id, adc_d2, rnk) for
     every query ROW. The single-query form ranks cells on the driver and
     prunes directories with a literal IN-list; a query workload keeps
-    everything cluster-side:
+    the per-query ranking cluster-side:
 
     1. probe selection — queries × broadcast centroids, per-query
        top-``n_probe`` by (cosine DESC, cell_id ASC) (WindowGroupLimit,
        the same tie-break the index assignment used);
-    2. candidates — probes equi-join the index on cell_id (the index
-       side reads only the probed cells' partitions when AQE's dynamic
-       partition pruning fires; worst case it is one hash join keyed on
-       a handful of cell ids);
+    2. candidates — probes equi-join the index on cell_id. With
+       ``prune_cells`` (default) the UNION of probed cells — bounded by
+       the centroid count, which is driver-small by construction (the
+       centroids broadcast in step 1) — is collected and pushed as a
+       static ``cell_id IN (...)`` filter, so a cell-partitioned index
+       layout prunes to the probed directories in PartitionFilters,
+       GUARANTEED, rather than hoping runtime dynamic partition pruning
+       fires (r5 VERDICT #5; the plan pin lives in
+       tests/test_pq.py::test_ivfpq_batch_prunes_index_partitions).
+       Pass ``prune_cells=False`` only to skip the extra driver action
+       when the index frame is not a partitioned scan anyway;
     3. scoring — the per-query distance-table frame (Q×m×ksub rows,
        broadcast) joins the candidates' exploded codes; one partial-sum
        aggregation and a rank-limited window close the top-k.
@@ -647,6 +676,7 @@ def pq_search_ivfpq_batch(
     if n_probe < 1:
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     m = codebooks.agg(F.countDistinct("sub")).collect()[0][0]
+    _check_batch_query_dim(queries, query_vec_col, codebooks, m)
     cents = centroids.select("cell_id", F.col("cent").alias("cent_vec"))
     scored = (
         queries.select(F.col(query_id_col).alias("q_id"), F.col(query_vec_col))
@@ -664,6 +694,13 @@ def pq_search_ivfpq_batch(
         .filter(F.col("__r") <= n_probe)
         .select("q_id", "cell_id")
     )
+    if prune_cells:
+        # one cheap action (map-side probe pass, ≤ centroid-count rows
+        # out) buys static directory pruning on the index scan
+        probed = sorted(
+            r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+        )
+        index = index.filter(F.col("cell_id").isin(probed))
     candidates = probes.join(index, "cell_id").select(
         "q_id", F.col(id_col), "codes"
     )
@@ -686,7 +723,9 @@ def pq_search_ivfpq_batch(
     )
     checked = partial.withColumn(
         "adc_d2",
-        F.when(F.col("__n") == m, F.col("adc_d2")).otherwise(
+        F.when(
+            (F.col("__n") == m) & F.col("adc_d2").isNotNull(), F.col("adc_d2")
+        ).otherwise(
             F.raise_error(
                 F.lit(
                     "PQ codes reference a code absent from the codebooks "

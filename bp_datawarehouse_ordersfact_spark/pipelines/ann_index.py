@@ -145,11 +145,20 @@ def _load_meta(spark: SparkSession, out_dir: str) -> dict:
     """Index metadata, tolerant of PRE-meta artifacts: indexes persisted
     before the meta table existed are plain (non-residual) encodings, so
     a missing meta/ directory means residual=False rather than an
-    unloadable index."""
+    unloadable index.
+
+    Presence is probed through spark.read, NOT os.path — the index may
+    live on any Hadoop filesystem (s3://, hdfs://) where a driver-local
+    os.path.exists is always False and would silently misread a
+    residual-encoded index as plain, searching it with the wrong ADC
+    plan (r5 ADVICE)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     path = os.path.join(out_dir, "meta")
-    if not os.path.exists(path):
+    try:
+        row = spark.read.parquet(path).collect()[0]
+    except AnalysisException:  # PATH_NOT_FOUND → pre-meta artifact
         return {"residual": False}
-    row = spark.read.parquet(path).collect()[0]
     return {"m": row["m"], "ksub": row["ksub"], "residual": row["residual"]}
 
 
@@ -223,6 +232,7 @@ def append_to_ann_index(
     unit = new_embeddings.select(
         F.col(id_col), V.l2_normalize(F.col(vec_col)).alias(vec_col)
     )
+    res = None
     if meta["residual"]:
         # append batches are increment-sized: a cache boundary (not a
         # staged write) stops the residual frame recomputing on both
@@ -235,4 +245,9 @@ def append_to_ann_index(
     rows.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
         "append"
     ).partitionBy("cell_id").parquet(os.path.join(out_dir, "index"))
-    return int(obs.get["rows"])
+    appended = int(obs.get["rows"])
+    if res is not None:
+        # obs.get forced the write, so the cache has served its purpose —
+        # free the blocks instead of pinning them for the session lifetime
+        res.unpersist()
+    return appended

@@ -1079,6 +1079,37 @@ def test_pagerank_converges_early_and_validates(spark):
     assert pagerank(empty, edges.limit(0)).count() == 0
 
 
+def test_pagerank_validates_edge_endpoints_and_probe_cadence(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 1)], "src long, dst long"
+    )
+    # an edge referencing a node outside the set fails loudly (r5 ADVICE:
+    # previously its inflow silently vanished and ranks stopped summing to 1)
+    bad = edges.unionByName(
+        spark.createDataFrame([(9, 1)], "src long, dst long")
+    )
+    with pytest.raises(ValueError, match="endpoint"):
+        pagerank(nodes, bad)
+    with pytest.raises(ValueError, match="probe_delta_every"):
+        pagerank(nodes, edges, probe_delta_every=0)
+    # probing the delta every 3rd iteration reaches the same fixpoint as
+    # every iteration when tol=0 forces the full max_iter either way
+    every = {
+        r["id"]: r["rank"]
+        for r in pagerank(nodes, edges, max_iter=9, tol=0.0).collect()
+    }
+    sparse = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            nodes, edges, max_iter=9, tol=0.0, probe_delta_every=3
+        ).collect()
+    }
+    assert every == sparse  # identical iteration math, 6dp-rounded output
+
+
 def test_profile_numeric_single_pass_stats(spark):
     import statistics
 

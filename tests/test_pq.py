@@ -651,6 +651,33 @@ class TestBatchAdc:
         with pytest.raises(Exception, match="absent from the codebooks"):
             pq_search_adc_batch(queries, codes, stale, k=3).collect()
 
+    def test_batch_query_dim_mismatch_raises(self, spark):
+        """r5 ADVICE (medium): a query batch whose dim is divisible by m
+        but != m*d used to NULL every per-subspace distance via zip_with
+        padding and return a silent garbage top-k (NULLs sort first); the
+        batch forms must raise like the single-query form does."""
+        from bp_datawarehouse_ordersfact_spark.operators.pq import (
+            build_ivfpq_index,
+            pq_search_adc_batch,
+            pq_search_ivfpq_batch,
+        )
+
+        df = _df(spark)
+        books = pq_train(df, m=2, ksub=2, n_iter=1)  # trained at dim 4 = 2*2
+        codes = pq_encode(df, books)
+        short = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "q_id int, embedding array<double>"
+        )  # dim 2: divisible by m=2 but != m*d = 4
+        with pytest.raises(ValueError, match=r"query dim 2 != 2\*2"):
+            pq_search_adc_batch(short, codes, books, k=3)
+        cents = spark.createDataFrame(
+            [(0, [0.0, 0.0, 0.0, 1.0]), (1, [0.0, 0.0, 1.0, 0.0])],
+            "cell_id int, cent array<double>",
+        )
+        index = build_ivfpq_index(df, cents, books)
+        with pytest.raises(ValueError, match=r"query dim 2 != 2\*2"):
+            pq_search_ivfpq_batch(short, index, cents, books, k=3)
+
 
     def test_ivfpq_batch_equals_per_query_loop(self, spark):
         from bp_datawarehouse_ordersfact_spark.operators.pq import (
@@ -679,3 +706,52 @@ class TestBatchAdc:
                 ).collect()
             ]
             assert by_q[q] == single, q
+
+    def test_ivfpq_batch_prunes_index_partitions(self, spark, tmp_path):
+        """r5 VERDICT #5: the batch search's directory pruning must not
+        depend on runtime DPP firing. With prune_cells (default) the
+        probed-cell IN-list lands in the scan's PartitionFilters, and
+        the files actually read are exactly the probed cell_id=
+        directories."""
+        from bp_datawarehouse_ordersfact_spark.operators.pq import (
+            build_ivfpq_index,
+            pq_search_ivfpq_batch,
+        )
+
+        vecs, df, cents, books = TestIvfPq._fit(TestIvfPq(), spark)
+        path = str(tmp_path / "ivfpq_batch")
+        build_ivfpq_index(df, cents, books).write.partitionBy(
+            "cell_id"
+        ).parquet(path)
+        on_disk = spark.read.parquet(path)
+        queries = spark.createDataFrame(
+            [(q, vecs[q]) for q in (1, 7)], "q_id int, embedding array<double>"
+        )
+        out = pq_search_ivfpq_batch(
+            queries, on_disk, cents, books, k=4, n_probe=2
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell_id" in plan
+        assert "cell_id IN" in plan or "cell_id#" in plan
+        # the IN-list must be STATIC (in PartitionFilters, where
+        # FileSourceStrategy prunes directories at planning time — note
+        # df.inputFiles() can't verify this: it lists the relation's
+        # files BEFORE pruning) and a strict subset of the cells, i.e.
+        # genuinely pruning
+        import re
+
+        cells_in_plan = {
+            int(c)
+            for c in re.findall(r"cell_id#\d+ IN \(([\d,\s]+)\)", plan)
+            for c in c.split(",")
+        }
+        assert cells_in_plan, f"no static cell IN-list in plan:\n{plan[:2000]}"
+        all_cells = {r["cell_id"] for r in cents.collect()}
+        assert cells_in_plan < all_cells  # genuinely pruned
+        # and pruning does not change results
+        unpruned = pq_search_ivfpq_batch(
+            queries, on_disk, cents, books, k=4, n_probe=2, prune_cells=False
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, unpruned.collect())
+        )
