@@ -30,22 +30,72 @@ def logreg_train(
     label_col: str,
     n_iter: int = 20,
     lr: float = 1.0,
+    n_batches: int | None = None,
+    id_col: str | None = None,
 ) -> list[float]:
     """Train binary logistic regression (bias + one weight per dim) on
     (``vec_col`` array<float/double>, ``label_col`` 0/1). Returns
     ``[bias, w_0, ..., w_{dim-1}]``.
 
-    Full-batch gradient descent: ``w -= lr * mean((sigmoid(w.x+b) - y) * [1, x])``.
-    Deterministic (zero init, fixed epochs)."""
+    Default is full-batch gradient descent — one corpus pass per epoch:
+    ``w -= lr * mean((sigmoid(w.x+b) - y) * [1, x])``.
+
+    ``n_batches`` switches to deterministic MINI-BATCH descent: the
+    labeled frame is split ONCE into ``n_batches`` md5 hash buckets of
+    ``id_col`` (required then) and cached; update ``t`` averages its
+    gradient over bucket ``t % n_batches`` only, so per-update cost is
+    ``|data|/n_batches`` memory-resident rows instead of a full
+    recomputed pass — the r5 VERDICT fix for the quality loop's
+    per-epoch corpus cost. ``n_batches=1`` is bit-identical to the
+    full-batch form (pinned in tests). Still zero-RNG deterministic:
+    bucket membership is a pure md5 function of the id, and the update
+    sequence is fixed by ``n_iter``. The cache is freed before
+    returning."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if n_batches is not None:
+        if n_batches < 1:
+            raise ValueError(f"n_batches must be >= 1, got {n_batches}")
+        if id_col is None:
+            raise ValueError("n_batches requires id_col (bucket hash key)")
     dim = len(df.select(vec_col).first()[0])
     w = [0.0] * (dim + 1)  # w[0] = bias
 
     src = df.select(
         F.col(label_col).cast("double").alias("y"), F.col(vec_col).alias("x")
     )
-    for _ in range(n_iter):
+    cached = None
+    if n_batches is not None:
+        # 52-bit md5 uniform → bucket, the sampling.py hash discipline
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+            ).cast("long")
+            % n_batches
+        )
+        cached = (
+            df.select(
+                F.col(label_col).cast("double").alias("y"),
+                F.col(vec_col).alias("x"),
+                bucket.alias("__b"),
+            )
+            .cache()
+        )
+    try:
+        w = _gd_loop(src, cached, w, dim, n_iter, lr, n_batches)
+    finally:
+        if cached is not None:
+            cached.unpersist()
+    return w
+
+
+def _gd_loop(src, cached, w, dim, n_iter, lr, n_batches):
+    for t in range(n_iter):
+        epoch_src = (
+            src
+            if cached is None
+            else cached.filter(F.col("__b") == t % n_batches).select("y", "x")
+        )
         margin = F.lit(w[0])
         for j in range(dim):
             margin = margin + F.lit(w[j + 1]) * F.element_at("x", j + 1).cast(
@@ -54,7 +104,7 @@ def logreg_train(
         err = (F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))) - F.col("y")
         # narrow (pos, err*x_pos) rows; pos 0 carries the bias gradient
         grads = (
-            src.withColumn("err", err)
+            epoch_src.withColumn("err", err)
             .select(
                 F.explode(
                     F.concat(

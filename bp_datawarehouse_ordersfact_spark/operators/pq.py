@@ -740,3 +740,129 @@ def pq_search_ivfpq_batch(
         .filter(F.col("rnk") <= k)
         .select("q_id", id_col, "adc_d2", "rnk")
     )
+
+
+def pq_search_ivfpq_residual_batch(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    query_vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    id_col: str = "vec_id",
+    prune_cells: bool = True,
+) -> DataFrame:
+    """Batch top-k over a RESIDUAL IVF+PQ index — completes the batch
+    search family (plain ADC / plain IVF+PQ / residual IVF+PQ).
+
+    The residual wrinkle vs ``pq_search_ivfpq_batch``: the distance
+    table depends on the (query, cell) pair — codes quantize each
+    vector's offset from its coarse centroid, so the table is built
+    from (query − cell centroid) per probed cell. Cluster-side that is
+    one extra column on the probe frame: probes carry their centroid,
+    the residual is a ``zip_with`` subtraction, and the table frame
+    becomes (q_id, cell_id, sub, code, d) — Q × n_probe × m × ksub
+    rows, still broadcastable for any realistic query batch. Scoring
+    joins candidates' exploded codes on (q_id, cell_id, sub, code);
+    the rest (partial-sum agg, __n staleness check, rank-limited
+    per-query top-k, static probed-cell IN-list pruning) is identical
+    to the plain batch form. Pinned equal to looping
+    ``pq_search_ivfpq_residual`` per query."""
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    m = codebooks.agg(F.countDistinct("sub")).collect()[0][0]
+    _check_batch_query_dim(queries, query_vec_col, codebooks, m)
+    d = codebooks.select(F.size("cent").alias("d")).limit(1).collect()[0]["d"]
+
+    cents = centroids.select("cell_id", F.col("cent").alias("cent_vec"))
+    scored = (
+        queries.select(F.col(query_id_col).alias("q_id"), F.col(query_vec_col))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cell_cos",
+            rnd(V.cosine_nullsafe(F.col(query_vec_col), F.col("cent_vec")), 6),
+        )
+    )
+    wprobe = Window.partitionBy("q_id").orderBy(
+        F.desc_nulls_last("cell_cos"), F.asc("cell_id")
+    )
+    probes = (
+        scored.withColumn("__r", F.row_number().over(wprobe))
+        .filter(F.col("__r") <= n_probe)
+        .select(
+            "q_id",
+            "cell_id",
+            F.zip_with(
+                F.col(query_vec_col),
+                F.col("cent_vec"),
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("qr"),
+        )
+    )
+    if prune_cells:
+        probed = sorted(
+            r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+        )
+        index = index.filter(F.col("cell_id").isin(probed))
+
+    # per-(query, cell) residual subvectors → distance table
+    qsub = probes.select(
+        "q_id",
+        "cell_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("sub"),
+                        F.slice(F.col("qr"), j * d + 1, d).alias("qs"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("x"),
+    ).select("q_id", "cell_id", "x.sub", "x.qs")
+    table = qsub.join(
+        F.broadcast(codebooks.select("sub", "code", "cent")), "sub"
+    ).select(
+        "q_id",
+        "cell_id",
+        "sub",
+        "code",
+        rnd(sq_l2(F.col("qs"), F.col("cent")), 6).alias("d"),
+    )
+
+    candidates = probes.select("q_id", "cell_id").join(index, "cell_id").select(
+        "q_id", "cell_id", F.col(id_col), "codes"
+    )
+    exploded = candidates.select(
+        "q_id",
+        "cell_id",
+        F.col(id_col),
+        F.posexplode(F.col("codes")).alias("sub", "code"),
+    )
+    partial = (
+        exploded.join(F.broadcast(table), ["q_id", "cell_id", "sub", "code"])
+        .groupBy("q_id", id_col)
+        .agg(rnd(F.sum("d"), 6).alias("adc_d2"), F.count(F.lit(1)).alias("__n"))
+    )
+    checked = partial.withColumn(
+        "adc_d2",
+        F.when(
+            (F.col("__n") == m) & F.col("adc_d2").isNotNull(), F.col("adc_d2")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "PQ codes reference a code absent from the codebooks "
+                    "(stale index?)"
+                )
+            ).cast("double")
+        ),
+    ).drop("__n")
+    wk = Window.partitionBy("q_id").orderBy(F.asc("adc_d2"), F.asc(id_col))
+    return (
+        checked.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", id_col, "adc_d2", "rnk")
+    )

@@ -240,3 +240,101 @@ def grouped_ewma_partition_carry(
             yield out
 
     return src.mapInPandas(gen, schema=out_schema)
+
+
+def sessionize_skew(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    value_col: str,
+    gap_seconds: int = 1800,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Skew-proof sessionization — the salt-then-merge twin of the plain
+    gaps-and-islands form (``q_sessionize_events``), for the one hot key
+    a `Window.partitionBy(key)` cannot survive: all of a key's events
+    land in ONE task there, so a 10⁹-event user stalls or OOMs the stage
+    regardless of cluster size.
+
+    Two-level plan, with TIME as the salt (unlike the random salt of
+    ``skew_salted_join``, a time salt preserves the ordering the
+    semantics need):
+
+    1. events sessionize within (key, time-bucket) partitions — per-task
+       cardinality is bounded by one key's events per ``bucket_seconds``,
+       a knob, not by the key's lifetime volume;
+    2. the per-(key, bucket) LOCAL sessions collapse to summary rows
+       (start, end, n, sum) — per key that is ≤ true sessions + active
+       buckets, orders of magnitude below event cardinality and of the
+       same order as the operator's OUTPUT — and a second
+       gaps-and-islands pass over summaries per key heals the sessions
+       the bucket boundaries artificially split (chains spanning many
+       buckets merge through the running sum exactly like any island).
+
+    Exactly equal to the plain form — same gap rule (diff ≤ gap stays in
+    session), same (ts, tiebreak) ordering, same per-key session
+    numbering — pinned by tests/test_operators.py. The same two-level
+    decomposition skew-proofs ``coalesce_intervals``: clamp intervals to
+    buckets, coalesce within (key, bucket), then island-merge the
+    boundary summaries.
+
+    Returns (key, session_id, n_events, session_value, session_start,
+    session_end).
+    """
+    if gap_seconds < 1 or bucket_seconds < 1:
+        raise ValueError("gap_seconds and bucket_seconds must be >= 1")
+    gap_us = gap_seconds * 1_000_000
+    bkt_us = bucket_seconds * 1_000_000
+    key, ts, tb = F.col(key_col), F.col(ts_col), F.col(tiebreak_col)
+
+    bucketed = df.select(
+        key.alias("k"),
+        ts.alias("t"),
+        tb.alias("tb"),
+        F.col(value_col).alias("v"),
+        F.floor(F.unix_micros(ts) / F.lit(bkt_us)).alias("__bkt"),
+    )
+    w_local = Window.partitionBy("k", "__bkt").orderBy("t", "tb")
+    flagged = bucketed.withColumn(
+        "__new",
+        F.when(
+            F.unix_micros(F.col("t")) - F.unix_micros(F.lag("t").over(w_local))
+            <= gap_us,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    local = flagged.withColumn(
+        "__loc",
+        F.sum("__new").over(w_local.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    summaries = local.groupBy("k", "__bkt", "__loc").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("val"),
+        F.min("t").alias("s_start"),
+        F.max("t").alias("s_end"),
+        F.min("tb").alias("first_tb"),
+    )
+    # summaries are time-disjoint per key (sessions don't overlap), so
+    # a per-key window over THEM is safe at any event volume
+    w_sess = Window.partitionBy("k").orderBy("s_start", "first_tb")
+    healed = summaries.withColumn(
+        "__newg",
+        F.when(
+            F.unix_micros(F.col("s_start"))
+            - F.unix_micros(F.lag("s_end").over(w_sess))
+            <= gap_us,
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "session_id",
+        F.sum("__newg").over(w_sess.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return healed.groupBy(
+        F.col("k").alias(key_col), F.col("session_id").cast("bigint").alias("session_id")
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("val").alias("session_value"),
+        F.min("s_start").alias("session_start"),
+        F.max("s_end").alias("session_end"),
+    )

@@ -947,6 +947,164 @@ def test_logreg_train_separable_and_matches_numpy_reference(spark):
         logreg_train(df, "embedding", "y", n_iter=0)
 
 
+def test_logreg_minibatch_deterministic_and_degenerates_to_fullbatch(spark):
+    """Mini-batch mode (r5 VERDICT #7): n_batches=1 must be bit-identical
+    to the full-batch form, and n_batches>1 must match a numpy replay
+    that buckets ids with the same md5 rule — zero RNG anywhere."""
+    import hashlib
+
+    import numpy as np
+
+    from bp_datawarehouse_ordersfact_spark.operators.ml import (
+        logreg_score,
+        logreg_train,
+    )
+
+    rng = __import__("random").Random(23)
+    rows = [
+        Row(
+            vec_id=i,
+            embedding=[
+                (0.8 if i % 2 else 0.2) + rng.uniform(-0.1, 0.1),
+                rng.uniform(0, 1),
+            ],
+            y=i % 2,
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, y int")
+
+    full = logreg_train(df, "embedding", "y", n_iter=8, lr=2.0)
+    one = logreg_train(
+        df, "embedding", "y", n_iter=8, lr=2.0, n_batches=1, id_col="vec_id"
+    )
+    assert one == full  # single bucket IS the full batch, every epoch
+
+    mb = logreg_train(
+        df, "embedding", "y", n_iter=9, lr=2.0, n_batches=3, id_col="vec_id"
+    )
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) % 3
+
+    X = np.array([r.embedding for r in rows])
+    Xb = np.hstack([np.ones((len(X), 1)), X])
+    yv = np.array([r.y for r in rows], dtype=float)
+    b = np.array([bucket(r.vec_id) for r in rows])
+    ref = np.zeros(3)
+    for t in range(9):
+        sel = b == (t % 3)
+        p = 1.0 / (1.0 + np.exp(-(Xb[sel] @ ref)))
+        ref -= 2.0 * (Xb[sel].T @ (p - yv[sel])) / sel.sum()
+    assert np.allclose(mb, ref, rtol=0, atol=1e-9), (mb, ref.tolist())
+
+    # the mini-batch fit still separates the separable problem
+    scored = df.select("y", logreg_score(df, "embedding", mb).alias("p"))
+    acc = scored.filter(
+        ((F.col("p") >= 0.5) & (F.col("y") == 1))
+        | ((F.col("p") < 0.5) & (F.col("y") == 0))
+    ).count() / len(rows)
+    assert acc >= 0.95
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="id_col"):
+        logreg_train(df, "embedding", "y", n_batches=2)
+    with _pytest.raises(ValueError, match="n_batches"):
+        logreg_train(df, "embedding", "y", n_batches=0, id_col="vec_id")
+
+
+def test_sessionize_skew_equals_plain_windows(spark):
+    """The two-level (key, time-bucket) sessionizer must reproduce the
+    plain per-key gaps-and-islands form exactly — including sessions the
+    bucket boundaries split, and one session chaining across 3+ buckets."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from bp_datawarehouse_ordersfact_spark.operators.temporal import (
+        sessionize_skew,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+
+    def ev(user, minutes):
+        nonlocal eid
+        eid += 1
+        rows.append(
+            Row(
+                user_id=user,
+                event_id=eid,
+                ts=base + dt.timedelta(minutes=minutes),
+                value=float(eid % 7),
+            )
+        )
+
+    # hot user 1: a session every 2h, each with 5 events 10 min apart —
+    # several straddle the 1h bucket boundary used below
+    for s in range(12):
+        for j in range(5):
+            ev(1, s * 120 + j * 10)
+    # user 2: one session chaining across many 1h buckets (events every
+    # 20 min for 6 hours — never a 30-min gap)
+    for j in range(19):
+        ev(2, j * 20)
+    # user 3: single event (degenerate session)
+    ev(3, 42)
+
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    ).repartition(5)
+
+    skew = sessionize_skew(
+        df, "user_id", "ts", "event_id", "value",
+        gap_seconds=1800, bucket_seconds=3600,
+    )
+
+    # plain single-window reference (the registry query's formulation)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    plain = (
+        df.withColumn(
+            "new_s",
+            F.when(
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                <= 1800 * 1_000_000,
+                0,
+            ).otherwise(1),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+    )
+    got = sorted(
+        (r.user_id, r.session_id, r.n_events, r.session_value)
+        for r in skew.collect()
+    )
+    want = sorted(
+        (r.user_id, r.session_id, r.n_events, r.session_value)
+        for r in plain.collect()
+    )
+    assert got == want
+    # structure sanity: user 2's 6-hour chain is ONE session despite
+    # spanning 7 hourly buckets
+    u2 = [g for g in got if g[0] == 2]
+    assert len(u2) == 1 and u2[0][2] == 19
+    # scale-shape pin: the event-level window partitions on (key, bucket),
+    # never on the bare key
+    plan = skew._jdf.queryExecution().executedPlan().toString()
+    assert "__bkt" in plan
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        sessionize_skew(df, "user_id", "ts", "event_id", "value", bucket_seconds=0)
+
+
 def test_logreg_ovr_separates_multiclass_clusters(spark):
     """One-vs-rest over three directional clusters: argmax prediction
     must recover the class structure far above the 1/3 baseline. (The

@@ -707,6 +707,49 @@ class TestBatchAdc:
             ]
             assert by_q[q] == single, q
 
+    def test_residual_batch_equals_per_query_loop(self, spark):
+        """The residual batch form completes the family: results pinned
+        equal to looping pq_search_ivfpq_residual per query, and the
+        same dim/staleness guards hold."""
+        from bp_datawarehouse_ordersfact_spark.operators.pq import (
+            build_ivfpq_residual_index,
+            pq_search_ivfpq_residual,
+            pq_search_ivfpq_residual_batch,
+        )
+
+        vecs, df, cents, books_plain = TestIvfPq._fit(TestIvfPq(), spark)
+        res_books, index = build_ivfpq_residual_index(
+            df, cents, m=4, ksub=8, n_iter=2
+        )
+        try:
+            qids = [1, 7, 42]
+            queries = spark.createDataFrame(
+                [(q, vecs[q]) for q in qids], "q_id int, embedding array<double>"
+            ).repartition(2)
+            batch = pq_search_ivfpq_residual_batch(
+                queries, index, cents, res_books, k=6, n_probe=3
+            ).collect()
+            by_q: dict[int, list] = {}
+            for r in sorted(batch, key=lambda r: (r["q_id"], r["rnk"])):
+                by_q.setdefault(r["q_id"], []).append((r["vec_id"], r["adc_d2"]))
+            for q in qids:
+                single = [
+                    (r["vec_id"], r["adc_d2"])
+                    for r in pq_search_ivfpq_residual(
+                        index, cents, res_books, vecs[q], k=6, n_probe=3
+                    ).collect()
+                ]
+                assert by_q[q] == single, q
+            short = spark.createDataFrame(
+                [(1, vecs[1][:2])], "q_id int, embedding array<double>"
+            )
+            with pytest.raises(ValueError, match="query dim 2"):
+                pq_search_ivfpq_residual_batch(
+                    short, index, cents, res_books, k=3
+                )
+        finally:
+            spark.catalog.clearCache()  # the builder caches the residual frame
+
     def test_ivfpq_batch_prunes_index_partitions(self, spark, tmp_path):
         """r5 VERDICT #5: the batch search's directory pruning must not
         depend on runtime DPP firing. With prune_cells (default) the
