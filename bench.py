@@ -120,6 +120,8 @@ HEADLINE = [
     "listagg_per_group",
     "interval_coalesce",
     "correlated_exists_rewrite",
+    "sketch_theta_set_algebra",
+    "sketch_kll_quantile_merge",
 ]
 
 

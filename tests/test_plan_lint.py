@@ -51,6 +51,8 @@ BOUNDED_CROSS_OK = {
     "dedup_embedding_cosine": "bounded sign-bucket frame",
     "domain_fact_royalty": "fixture-bound scalar frames",
     "domain_split_royalty_report": "fixture-bound scalar frames",
+    "sketch_kll_quantile_merge": "1-row exact/estimate frames crossed for "
+    "self-validation (the sketch_approx_stats pattern)",
 }
 
 
