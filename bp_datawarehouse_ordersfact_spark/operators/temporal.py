@@ -338,3 +338,106 @@ def sessionize_skew(
         F.min("s_start").alias("session_start"),
         F.max("s_end").alias("session_end"),
     )
+
+
+def coalesce_intervals_skew(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    tiebreak_col: str,
+    bucket_span: int,
+) -> DataFrame:
+    """Skew-proof twin of ``coalesce_intervals`` — the two-level
+    decomposition ``sessionize_skew`` uses, applied to interval
+    coalescing, for the hot key whose intervals would all land in one
+    window task.
+
+    1. every interval is SPLIT at bucket boundaries (``sequence`` over
+       its covered buckets; an interval wholly inside a bucket emits one
+       segment) — pick ``bucket_span`` so typical intervals cover O(1)
+       buckets, since an interval spanning B buckets emits B segments;
+    2. segments coalesce into islands within (key, bucket) partitions —
+       per-task cardinality bounded by one key's segments per bucket;
+    3. the per-(key, bucket) island summaries — ≤ true islands + active
+       buckets per key, output-scale — run the SAME gaps-and-islands
+       pass per key; split segments of one interval touch at the
+       boundary, so the running-max merge heals every cut.
+
+    ``start_col``/``end_col`` must be integral (cast timestamps via
+    ``unix_micros`` first — bucketing uses exact integer floor division,
+    never double division, so boundary values at timestamp magnitudes
+    cannot misbucket). Original-interval counts are preserved by
+    flagging each interval's FIRST segment and summing flags, so the
+    output (key, island_id, interval_start, interval_end, n_intervals)
+    is pinned EXACTLY equal to the plain form."""
+    if bucket_span < 1:
+        raise ValueError(f"bucket_span must be >= 1, got {bucket_span}")
+
+    def fdiv(c):  # exact floor division for longs of any sign
+        c = c.cast("long")
+        return ((c - F.pmod(c, F.lit(bucket_span))) / bucket_span).cast("long")
+
+    s, e, tb = F.col(start_col), F.col(end_col), F.col(tiebreak_col)
+    segs = df.select(
+        F.col(key_col).alias("k"),
+        s.alias("s"),
+        e.alias("e"),
+        tb.alias("tb"),
+        F.explode(F.sequence(fdiv(s), fdiv(e))).alias("__bkt"),
+    ).select(
+        "k",
+        "__bkt",
+        F.greatest(F.col("s"), F.col("__bkt") * bucket_span).alias("ss"),
+        F.least(F.col("e"), (F.col("__bkt") + 1) * bucket_span).alias("se"),
+        "tb",
+        (F.col("__bkt") == fdiv(F.col("s"))).cast("long").alias("first_seg"),
+    )
+    w_prev = (
+        Window.partitionBy("k", "__bkt")
+        .orderBy("ss", "tb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("k", "__bkt")
+        .orderBy("ss", "tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = segs.withColumn(
+        "__new",
+        F.when(F.col("ss") <= F.max("se").over(w_prev), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    local = flagged.withColumn("__loc", F.sum("__new").over(w_cum))
+    summaries = local.groupBy("k", "__bkt", "__loc").agg(
+        F.min("ss").alias("is_"),
+        F.max("se").alias("ie"),
+        F.sum("first_seg").alias("n"),
+        F.min("tb").alias("first_tb"),
+    )
+    # pass 3: the plain algorithm over summary rows, per bare key
+    w_prev2 = (
+        Window.partitionBy("k")
+        .orderBy("is_", "first_tb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum2 = (
+        Window.partitionBy("k")
+        .orderBy("is_", "first_tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    healed = summaries.withColumn(
+        "__newg",
+        F.when(F.col("is_") <= F.max("ie").over(w_prev2), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("__island", F.sum("__newg").over(w_cum2))
+    return healed.groupBy(
+        F.col("k").alias(key_col),
+        F.col("__island").cast("bigint").alias("island_id"),
+    ).agg(
+        F.min("is_").alias("interval_start"),
+        F.max("ie").alias("interval_end"),
+        F.sum("n").cast("bigint").alias("n_intervals"),
+    )

@@ -3,6 +3,7 @@ from .ann_index import (  # noqa: F401
     build_ann_index,
     load_ann_index,
     search_ann_index,
+    search_ann_index_batch,
 )
 from .corpus_build import build_corpus  # noqa: F401
 from .quality_loop import (  # noqa: F401

@@ -251,3 +251,80 @@ def append_to_ann_index(
         # free the blocks instead of pinning them for the session lifetime
         res.unpersist()
     return appended
+
+
+def search_ann_index_batch(
+    spark: SparkSession,
+    out_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    rerank_with: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "q_id",
+) -> DataFrame:
+    """Batch twin of ``search_ann_index``: top-k for every ROW of a
+    queries DataFrame against a persisted index — the serving shape for
+    query WORKLOADS (offline eval sets, nightly retrieval jobs), where
+    looping the single-query form would pay one driver plan per query.
+
+    Queries are L2-normalized cluster-side to match the index (the
+    single-query form normalizes on the driver); the encoding flavor
+    (plain vs residual) comes from the persisted ``meta`` table and the
+    matching batch searcher is dispatched automatically, including the
+    probed-cell static IN-list pruning both of them push into the
+    cell-partitioned index scan. With ``rerank_with`` the per-query ADC
+    shortlist is 4·k ids, and ONE broadcast semi-join + per-query
+    window close the exact-cosine rerank for the whole workload —
+    never a second corpus scan. Returns (q_id, vec_id, adc_d2, rnk) or,
+    reranked, (q_id, vec_id, cosine, rnk)."""
+    from pyspark.sql import Window
+
+    from ..operators.pq import pq_search_ivfpq_batch, pq_search_ivfpq_residual_batch
+
+    cents, books, index = load_ann_index(spark, out_dir)
+    meta = _load_meta(spark, out_dir)
+    unit_q = queries.select(
+        F.col(query_id_col).alias("q_id"),
+        V.l2_normalize(F.col(vec_col)).alias(vec_col),
+    )
+    search_fn = (
+        pq_search_ivfpq_residual_batch if meta["residual"] else pq_search_ivfpq_batch
+    )
+    shortlist_k = k if rerank_with is None else 4 * k
+    shortlist = search_fn(
+        unit_q,
+        index,
+        cents,
+        books,
+        k=shortlist_k,
+        n_probe=n_probe,
+        query_vec_col=vec_col,
+        query_id_col="q_id",
+        id_col=id_col,
+    )
+    if rerank_with is None:
+        return shortlist
+    # exact-cosine rerank: |Q|·4k (q_id, vec_id) pairs broadcast against
+    # the full-precision table, then one per-query rank window
+    pairs = shortlist.select("q_id", id_col)
+    qvec = queries.select(
+        F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        rerank_with.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        .join(F.broadcast(pairs), id_col)
+        .join(F.broadcast(qvec), "q_id")
+        .select(
+            "q_id",
+            F.col(id_col),
+            rnd(V.cosine(F.col("__cv"), F.col("__qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", id_col, "cosine", "rnk")
+    )

@@ -39,12 +39,29 @@ def train_quality_filter(
     n_iter: int = 30,
     lr: float = 1.0,
     threshold: float = 0.5,
+    n_batches: int | None = None,
+    id_col: str | None = None,
 ) -> dict:
     """Fit the binary quality classifier on (``vec_col``, ``label_col``
     0/1) and persist weights + meta. Returns a manifest with train-set
     accuracy at ``threshold`` (the number a curation run sanity-checks
-    before sweeping 100 TB with the filter)."""
-    w = logreg_train(labeled, vec_col, label_col, n_iter=n_iter, lr=lr)
+    before sweeping 100 TB with the filter).
+
+    ``n_batches``/``id_col`` pass through to ``logreg_train``'s
+    deterministic mini-batch mode: the labeled frame is hashed once
+    into md5 buckets and cached, so each of the ``n_iter`` updates
+    costs ``|labeled|/n_batches`` memory-resident rows instead of a
+    full recomputed pass — the right shape when the labeled sample is
+    itself large."""
+    w = logreg_train(
+        labeled,
+        vec_col,
+        label_col,
+        n_iter=n_iter,
+        lr=lr,
+        n_batches=n_batches,
+        id_col=id_col,
+    )
     paths = {n: os.path.join(out_dir, n) for n in ("weights", "meta")}
     spark.createDataFrame(
         [(i, float(x)) for i, x in enumerate(w)], "pos int, w double"

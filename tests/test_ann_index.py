@@ -214,3 +214,79 @@ def test_pre_meta_index_still_searchable(spark, built, tmp_path):
     assert [(r["vec_id"], r["adc_d2"]) for r in got] == [
         (r["vec_id"], r["adc_d2"]) for r in want
     ]
+
+
+def test_batch_search_matches_single_query_loop(spark, built):
+    """search_ann_index_batch must equal looping search_ann_index per
+    query — ADC stage and rerank stage both — and keep the static
+    probed-cell pruning on the on-disk layout."""
+    from bp_datawarehouse_ordersfact_spark.pipelines import search_ann_index_batch
+
+    out, emb, _ = built
+    qrows = emb.orderBy("vec_id").limit(3).collect()
+    queries = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in qrows],
+        "q_id long, embedding array<float>",
+    )
+    batch = search_ann_index_batch(spark, out, queries, k=5, n_probe=3)
+    p = batch._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p and "cell_id" in p
+    by_q: dict[int, list] = {}
+    for r in sorted(batch.collect(), key=lambda r: (r["q_id"], r["rnk"])):
+        by_q.setdefault(r["q_id"], []).append((r["vec_id"], r["adc_d2"]))
+    for r in qrows:
+        single = [
+            (x["vec_id"], x["adc_d2"])
+            for x in search_ann_index(
+                spark, out, [float(v) for v in r["embedding"]], k=5, n_probe=3
+            ).collect()
+        ]
+        assert by_q[r["vec_id"]] == single, r["vec_id"]
+
+    # rerank stage: exact cosine per query, equal to the single form
+    rer = search_ann_index_batch(
+        spark, out, queries, k=4, n_probe=3, rerank_with=emb
+    )
+    by_qr: dict[int, list] = {}
+    for r in sorted(rer.collect(), key=lambda r: (r["q_id"], r["rnk"])):
+        by_qr.setdefault(r["q_id"], []).append((r["vec_id"], r["cosine"]))
+    for r in qrows:
+        single = [
+            (x["vec_id"], x["cosine"])
+            for x in search_ann_index(
+                spark,
+                out,
+                [float(v) for v in r["embedding"]],
+                k=4,
+                n_probe=3,
+                rerank_with=emb,
+            ).collect()
+        ]
+        assert by_qr[r["vec_id"]] == single, r["vec_id"]
+
+
+def test_batch_search_dispatches_residual_from_meta(spark, tmp_path):
+    """A residual-encoded index must be searched with the residual batch
+    plan automatically (meta dispatch), matching the single-query loop."""
+    from bp_datawarehouse_ordersfact_spark.pipelines import search_ann_index_batch
+
+    out = str(tmp_path / "res_idx")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    build_ann_index(spark, emb, out, n_cells=4, m=8, ksub=8, n_iter=2, residual=True)
+    qrows = emb.orderBy("vec_id").limit(2).collect()
+    queries = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in qrows],
+        "q_id long, embedding array<float>",
+    )
+    batch = search_ann_index_batch(spark, out, queries, k=5, n_probe=2)
+    by_q: dict[int, list] = {}
+    for r in sorted(batch.collect(), key=lambda r: (r["q_id"], r["rnk"])):
+        by_q.setdefault(r["q_id"], []).append((r["vec_id"], r["adc_d2"]))
+    for r in qrows:
+        single = [
+            (x["vec_id"], x["adc_d2"])
+            for x in search_ann_index(
+                spark, out, [float(v) for v in r["embedding"]], k=5, n_probe=2
+            ).collect()
+        ]
+        assert by_q[r["vec_id"]] == single, r["vec_id"]

@@ -297,6 +297,48 @@ def test_coalesce_intervals_matches_sweepline(spark, items):
 
 
 # ---------------------------------------------------------------------------
+# coalesce_intervals_skew == coalesce_intervals (two-level bucket split)
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    items=st.lists(
+        st.tuples(
+            st.integers(0, 2),      # key
+            st.integers(0, 40),     # start
+            st.integers(0, 25),     # duration — spans multiple 7-buckets
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    span=st.sampled_from([1, 3, 7, 50]),
+)
+def test_coalesce_intervals_skew_equals_plain(spark, items, span):
+    """The skew-proof (key, bucket) decomposition must reproduce the
+    plain per-key form EXACTLY — island ids, bounds, and original-
+    interval counts — for any bucket span, including span=1 (every
+    point its own bucket) and a span larger than the whole domain
+    (single bucket, degenerates to the plain plan)."""
+    from bp_datawarehouse_ordersfact_spark.operators.temporal import (
+        coalesce_intervals,
+        coalesce_intervals_skew,
+    )
+
+    rows = [
+        Row(k=k, iid=i, s=s, e=s + d) for i, (k, s, d) in enumerate(items)
+    ]
+    df = spark.createDataFrame(rows, "k long, iid long, s long, e long")
+    plain = sorted(
+        map(tuple, coalesce_intervals(df, "k", "s", "e", "iid").collect())
+    )
+    skew = sorted(
+        map(tuple, coalesce_intervals_skew(df, "k", "s", "e", "iid", span).collect())
+    )
+    assert skew == plain
+
+
+# ---------------------------------------------------------------------------
 # containment_pairs == brute-force containment (restricted to its
 # documented candidate rule: pairs sharing >= 1 rare shingle)
 # ---------------------------------------------------------------------------

@@ -53,6 +53,31 @@ def test_train_persist_reload_roundtrip(spark, labeled, tmp_path):
     assert len(w_disk) == 65
 
 
+def test_train_minibatch_passthrough(spark, labeled, tmp_path):
+    """n_batches/id_col reach logreg_train: the persisted weights equal a
+    direct mini-batch fit, and n_batches=1 reproduces the full-batch
+    manifest exactly."""
+    out = str(tmp_path / "q_mb")
+    train_quality_filter(
+        spark, labeled, out, n_iter=6, n_batches=4, id_col="vec_id"
+    )
+    w_disk = load_quality_weights(spark, out)
+    w_mem = logreg_train(
+        labeled, "embedding", "label", n_iter=6, n_batches=4, id_col="vec_id"
+    )
+    assert w_disk == w_mem
+    out_full = str(tmp_path / "q_full")
+    out_one = str(tmp_path / "q_one")
+    m_full = train_quality_filter(spark, labeled, out_full, n_iter=6)
+    m_one = train_quality_filter(
+        spark, labeled, out_one, n_iter=6, n_batches=1, id_col="vec_id"
+    )
+    assert m_full["train_accuracy"] == m_one["train_accuracy"]
+    assert load_quality_weights(spark, out_full) == load_quality_weights(
+        spark, out_one
+    )
+
+
 def test_apply_filter_matches_in_memory_scorer(spark, labeled, tmp_path):
     out = str(tmp_path / "q")
     manifest = train_quality_filter(spark, labeled, out, n_iter=15, threshold=0.4)
