@@ -53,6 +53,7 @@ def hyperplane_band_keys(
     bands: int = 8,
     bits_per_band: int = 32,
     seed: int = 42,
+    probe_flips: int = 0,
 ) -> Column:
     """Banded random-hyperplane LSH keys: ``array<bigint>`` of ``bands``
     bucket keys, one per table, key = ``band · 2^bits_per_band + sign
@@ -69,6 +70,16 @@ def hyperplane_band_keys(
     r=32 effectively unbounded, so bucket joins stay linear at any scale
     (the fix for the 2^8-bucket cap of ``sign_bucket``).
 
+    ``probe_flips`` enables MULTI-PROBE key generation (Lv et al.,
+    "Multi-Probe LSH", VLDB 2007 — public literature) for the QUERY side
+    of an asymmetric search: besides each band's base key, emit the keys
+    obtained by flipping, one at a time, the ``probe_flips`` sign bits
+    whose hyperplane margins |w·v| are smallest — the bits most likely
+    to disagree with a true neighbor's pattern. Output is then
+    ``bands × (1 + probe_flips)`` keys; recall rises without adding
+    tables (index side stays at ``probe_flips=0``, so the index is not
+    inflated).
+
     Deliberately a vectorized Arrow ``pandas_udf`` rather than codegen:
     the per-row work is a dense (dim × b·r) matrix product — BLAS work,
     ~100× faster in numpy than ``bands·bits·dim`` interpreted
@@ -78,6 +89,10 @@ def hyperplane_band_keys(
     """
     if not 1 <= bits_per_band <= 56:
         raise ValueError(f"bits_per_band must be in [1, 56], got {bits_per_band}")
+    if not 0 <= probe_flips <= bits_per_band:
+        raise ValueError(
+            f"probe_flips must be in [0, bits_per_band], got {probe_flips}"
+        )
     import numpy as np
     from pyspark.sql.types import ArrayType, LongType
 
@@ -96,12 +111,17 @@ def hyperplane_band_keys(
             raise ValueError(
                 f"hyperplane_band_keys: vector dim {mat.shape[1]} != configured {dim}"
             )
-        signs = (mat @ planes.T) >= 0.0
-        patterns = (
-            signs.reshape(len(mat), bands, bits_per_band).astype(np.int64)
-            * bit_weights
-        ).sum(axis=2)
-        return pd.Series(list(patterns + band_offsets))
+        proj = (mat @ planes.T).reshape(len(mat), bands, bits_per_band)
+        patterns = ((proj >= 0.0).astype(np.int64) * bit_weights).sum(axis=2)
+        keys = patterns + band_offsets  # (n, bands)
+        if probe_flips:
+            # bit indices of the probe_flips smallest |margins| per band
+            low = np.argsort(np.abs(proj), axis=2)[:, :, :probe_flips]
+            flipped = (
+                keys[:, :, None] ^ (np.int64(1) << low.astype(np.int64))
+            ).reshape(len(mat), -1)
+            keys = np.concatenate([keys, flipped], axis=1)
+        return pd.Series(list(keys))
 
     return _keys(vec)
 

@@ -247,6 +247,7 @@ def cosine_topk_lsh_banded(
     bits_per_band: int = 12,
     dim: int | None = None,
     seed: int = 42,
+    query_probe_flips: int = 0,
 ) -> DataFrame:
     """Banded random-hyperplane ANN — the scale path for LSH top-k
     (fixes ``cosine_topk_lsh``'s 2^n_bits single-table cap).
@@ -262,22 +263,25 @@ def cosine_topk_lsh_banded(
     b tables give 1 − (1 − p)^b. The defaults (r=12, b=16) target
     high-similarity neighbors (cos ≥ 0.9 → ~93% per-neighbor recall);
     lower ``bits_per_band`` / raise ``bands`` for mid-similarity
-    workloads. Exactness of returned scores is unconditional — only
-    recall is approximate.
+    workloads, or set ``query_probe_flips`` — multi-probe on the QUERY
+    side only (flip the lowest-|margin| sign bits one at a time), which
+    multiplies each query's probe keys by (1 + flips) while the
+    candidate index stays un-inflated. Exactness of returned scores is
+    unconditional — only recall is approximate.
     """
     if dim is None:
         dim = candidates.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
 
-    def keyed(df: DataFrame, prefix: str) -> DataFrame:
+    def keyed(df: DataFrame, prefix: str, flips: int = 0) -> DataFrame:
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.col(vec_col).alias(f"{prefix}_vec"),
             V.hyperplane_band_keys(
-                F.col(vec_col), dim, bands, bits_per_band, seed
+                F.col(vec_col), dim, bands, bits_per_band, seed, flips
             ).alias("keys"),
         )
 
-    q = keyed(queries, "q")
+    q = keyed(queries, "q", query_probe_flips)
     c = keyed(candidates, "c")
     qb = q.select("q_id", F.explode("keys").alias("bk"))
     cb = c.select("c_id", F.explode("keys").alias("bk"))

@@ -166,6 +166,62 @@ def test_banded_topk_recall_vs_bruteforce(spark):
     assert recall >= 0.8, f"banded LSH recall {recall:.2f} < 0.8"
 
 
+def test_multiprobe_flips_raise_recall_without_inflating_index(spark):
+    """Query-side multi-probe (flip lowest-|margin| bits): with an
+    under-provisioned table set (b=4), probing 2 flips per band must
+    find at least as many true top-k neighbors as the base probes —
+    and strictly more on this pinned setup — while candidate-side keys
+    stay at b per vector."""
+    from bp_datawarehouse_ordersfact_spark.functions import vectors as V
+    from bp_datawarehouse_ordersfact_spark.operators.similarity import (
+        cosine_topk_lsh_banded,
+    )
+
+    rng = np.random.default_rng(5)
+    dim, k = 16, 5
+    centers = rng.standard_normal((10, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.vstack([c + 0.15 * rng.standard_normal((20, dim)) for c in centers])
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    np.fill_diagonal(sims, -2.0)
+    q_ids = list(range(0, 200, 20))
+    truth = {q: set(np.argsort(-sims[q])[:k].tolist()) for q in q_ids}
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+    queries = df.filter(F.col("vec_id").isin(q_ids))
+
+    def recall(flips):
+        out = cosine_topk_lsh_banded(
+            queries, df, k=k, dim=dim, bands=4, bits_per_band=10,
+            query_probe_flips=flips,
+        ).collect()
+        got: dict[int, set] = {}
+        for r in out:
+            got.setdefault(r.q_id, set()).add(r.c_id)
+        return sum(len(got.get(q, set()) & truth[q]) for q in q_ids) / (
+            len(q_ids) * k
+        )
+
+    base, probed = recall(0), recall(2)
+    assert probed >= base
+    assert probed > base, (base, probed)  # measured: flips matter here
+
+    # key-shape invariants: flips multiply query keys, stay in-table
+    rows = df.limit(1).select(
+        V.hyperplane_band_keys(F.col("embedding"), dim, 4, 10).alias("base"),
+        V.hyperplane_band_keys(
+            F.col("embedding"), dim, 4, 10, probe_flips=2
+        ).alias("probed"),
+    ).collect()[0]
+    assert len(rows.base) == 4 and len(rows.probed) == 12
+    assert set(rows.base) <= set(rows.probed)
+    assert {key // 2**10 for key in rows.probed} == {0, 1, 2, 3}
+    with pytest.raises(ValueError, match="probe_flips"):
+        V.hyperplane_band_keys(F.col("embedding"), dim, 4, 10, probe_flips=11)
+
+
 def test_banded_plan_is_equijoin_with_arrow_key_pass(spark):
     """Scale-shape pin: band keys come from ONE Arrow eval pass, the
     candidate step is a key equi-join — no CartesianProduct / broadcast
