@@ -46,6 +46,19 @@ _MODULES = (relational, pipeline, llmops, streaming, domain_e2e, sketches_r6)
 # until round 7 rotates them back. The registry now sits at 100 — the
 # cap the 50-wide window sustains under the 2-round invariant; from
 # round 7 on, rotation alternates the two 50-query halves.
+#
+# ROUND-7 ROTATION (mechanical; do it first): the registry is at cap,
+# so the window is forced — exactly the 50 queries NOT in this tuple,
+# i.e. the round-5 window (CORRECTNESS_r05.json's keys, whose newest
+# row will then be 2 rounds old): ann_recall_at_k, ann_ivf_kmeans_refine,
+# domain_fact_royalty, domain_split_royalty_report, interval_coalesce,
+# correlated_exists_rewrite, and the 44 relational/pipeline queries from
+# select_rename through dedup_simhash. No additions are possible without
+# deleting a query (the two halves then alternate every round: r8 = this
+# r6 tuple again, and so on). Swap the tuple, run
+# tests/test_window_rotation.py, done. If a round-7 query's latest row
+# comes back red, it must ALSO be in the round-8 window (the rotation
+# test enforces this automatically).
 _WINDOW_FIRST = (
     # round-6 additions — never driver-checked (pre-verified by
     # tests/test_sketches_r6.py with the driver-faithful harness)
