@@ -1,6 +1,8 @@
 from .ann_index import (  # noqa: F401
     append_to_ann_index,
     build_ann_index,
+    compact_ann_index,
+    delete_from_ann_index,
     load_ann_index,
     search_ann_index,
     search_ann_index_batch,

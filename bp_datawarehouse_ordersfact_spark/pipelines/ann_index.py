@@ -19,6 +19,14 @@ ADC-rank the probed cells' codes (joinless literal-table scan), then
 optionally RERANK the shortlist against the original vectors — the
 shortlist is k-sized, so the rerank is a broadcast semi-join back to
 the full-precision table, never a second corpus scan.
+``search_ann_index_batch`` is the query-workload form (meta-dispatched
+plain/residual batch searchers, broadcast rerank).
+
+Maintenance completes the lifecycle CRUD: ``append_to_ann_index``
+(frozen-quantizer inserts), ``delete_from_ann_index`` (rewrites only
+the hit cells, removes emptied cell directories), and
+``compact_ann_index`` (the OPTIMIZE pass — one file per cell again
+after append batches, atomic directory swap).
 
 Metric coherence: the pipeline is cosine end to end (cosine coarse
 cells, cosine rerank), but PQ/ADC is an L2 quantizer — so the index is
@@ -328,3 +336,112 @@ def search_ann_index_batch(
         .filter(F.col("rnk") <= k)
         .select("q_id", id_col, "cosine", "rnk")
     )
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem for ``path`` — filesystem-agnostic (local,
+    hdfs://, s3a://), the same API spark.read uses underneath."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def delete_from_ann_index(
+    spark: SparkSession,
+    ids: list,
+    out_dir: str,
+    id_col: str = "vec_id",
+) -> int:
+    """Delete ``ids`` from a persisted index by rewriting ONLY the cell
+    partitions that contain them. Returns the number of rows removed.
+
+    Plan: one pruned probe finds the affected cells (the id filter
+    pushes into the scan), the surviving rows of just those cells are
+    rewritten under dynamic partition overwrite (untouched cells' files
+    are never read or rewritten), and any cell left EMPTY has its
+    directory removed through the Hadoop FileSystem API — dynamic
+    overwrite only replaces partitions it writes rows for, so an
+    all-deleted cell would otherwise silently keep its stale files (the
+    trap this function exists to handle).
+
+    ``ids`` is a driver-side list because deletion batches are
+    query-sized (GDPR erasure, bad-document takedowns); corpus-scale
+    deletion is a rebuild, not an incremental rewrite."""
+    if not ids:
+        return 0
+    index_path = os.path.join(out_dir, "index")
+    index = spark.read.parquet(index_path)
+    hit = (
+        index.filter(F.col(id_col).isin(list(ids)))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .collect()
+    )
+    if not hit:
+        return 0
+    cells = sorted(r["cell_id"] for r in hit)
+    n_deleted = sum(r["n_hit"] for r in hit)
+    survivors = index.filter(
+        F.col("cell_id").isin(cells) & ~F.col(id_col).isin(list(ids))
+    )
+    # survivors per cell — cells that end empty need their directory
+    # removed explicitly (tiny aggregate: ≤ |cells| rows)
+    alive = {
+        r["cell_id"]
+        for r in survivors.select("cell_id").distinct().collect()
+    }
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        survivors.write.mode("overwrite").partitionBy("cell_id").parquet(
+            index_path
+        )
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    fs, _, jvm = _hadoop_fs(spark, index_path)
+    for cell in cells:
+        if cell not in alive:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    os.path.join(index_path, f"cell_id={cell}")
+                ),
+                True,
+            )
+    return int(n_deleted)
+
+
+def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
+    """Index maintenance: rewrite the index so each cell holds ONE file.
+
+    Frozen-quantizer appends (``append_to_ann_index``) leave one file
+    per append batch per touched cell; a serving scan then pays per-file
+    open/footer costs inside exactly the directories it prunes down to.
+    This is the OPTIMIZE pass: repartition by cell_id (each cell's rows
+    land wholly in one task → one output file per cell), stage the
+    rewrite next to the live index, and atomically swap via the Hadoop
+    FileSystem API — a reader mid-swap sees the old or the new layout,
+    never a half-written mix. Search results are unchanged (pinned).
+
+    Returns {"files_before", "files_after", "n_rows"}."""
+    index_path = os.path.join(out_dir, "index")
+    staging = os.path.join(out_dir, "_index_compact_staging")
+    index = spark.read.parquet(index_path)
+    before = len(
+        [f for f in index.inputFiles()]
+    )
+    obs = Observation("ann_compact")
+    (
+        index.repartition("cell_id")
+        .observe(obs, F.count(F.lit(1)).alias("rows"))
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(staging)
+    )
+    n_rows = int(obs.get["rows"])
+    fs, _, jvm = _hadoop_fs(spark, index_path)
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs.delete(Path(index_path), True)
+    fs.rename(Path(staging), Path(index_path))
+    after = len(spark.read.parquet(index_path).inputFiles())
+    return {"files_before": before, "files_after": after, "n_rows": n_rows}

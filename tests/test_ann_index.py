@@ -290,3 +290,88 @@ def test_batch_search_dispatches_residual_from_meta(spark, tmp_path):
             ).collect()
         ]
         assert by_q[r["vec_id"]] == single, r["vec_id"]
+
+
+def test_delete_rewrites_only_affected_cells(spark, tmp_path):
+    """Deletes rewrite the hit cells' partitions, leave others' files
+    byte-identical, remove emptied cell directories entirely, and keep
+    search results correct (deleted ids never come back)."""
+    import glob
+    import os
+
+    from bp_datawarehouse_ordersfact_spark.pipelines.ann_index import (
+        delete_from_ann_index,
+    )
+
+    out = str(tmp_path / "del_idx")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    build_ann_index(spark, emb, out, n_cells=5, m=8, ksub=8, n_iter=2)
+    _, _, index = load_ann_index(spark, out)
+    rows = index.select("vec_id", "cell_id").collect()
+    by_cell: dict[int, list[int]] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell_id"], []).append(r["vec_id"])
+    cells = sorted(by_cell, key=lambda c: len(by_cell[c]))
+    empty_me = cells[0]          # delete an ENTIRE small cell
+    partial = cells[-1]          # plus 2 ids from the biggest cell
+    untouched = [c for c in cells if c not in (empty_me, partial)]
+    victims = by_cell[empty_me] + by_cell[partial][:2]
+
+    files_before = {
+        c: sorted(glob.glob(os.path.join(out, "index", f"cell_id={c}", "*")))
+        for c in untouched
+    }
+    n = delete_from_ann_index(spark, victims, out)
+    assert n == len(victims)
+    # untouched partitions: identical file listing (not rewritten)
+    for c in untouched:
+        assert (
+            sorted(glob.glob(os.path.join(out, "index", f"cell_id={c}", "*")))
+            == files_before[c]
+        )
+    # emptied cell directory is gone — the dynamic-overwrite trap
+    assert not os.path.exists(os.path.join(out, "index", f"cell_id={empty_me}"))
+    _, _, after = load_ann_index(spark, out)
+    left = {r["vec_id"] for r in after.select("vec_id").collect()}
+    assert left == {r["vec_id"] for r in rows} - set(victims)
+    # no-op delete returns 0 and changes nothing
+    assert delete_from_ann_index(spark, [999_999_999], out) == 0
+    assert delete_from_ann_index(spark, [], out) == 0
+    # probing every cell must never return a deleted id
+    q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    got = {r["vec_id"] for r in search_ann_index(spark, out, q, k=20, n_probe=5).collect()}
+    assert not (got & set(victims))
+
+
+def test_compact_restores_one_file_per_cell(spark, tmp_path):
+    """Appends leave one file per batch per touched cell; compaction
+    rewrites to one file per cell with identical search results."""
+    from bp_datawarehouse_ordersfact_spark.pipelines.ann_index import (
+        append_to_ann_index,
+        compact_ann_index,
+    )
+
+    out = str(tmp_path / "cmp_idx")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    build_ann_index(spark, emb, out, n_cells=4, m=8, ksub=8, n_iter=2)
+    for shift in (1, 2):  # two append batches → extra files per cell
+        batch = emb.limit(20).select(
+            (F.col("vec_id") + 100000 * shift).alias("vec_id"), "embedding"
+        )
+        append_to_ann_index(spark, batch, out)
+    q = [float(x) for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]]
+    before = [
+        (r["vec_id"], r["adc_d2"])
+        for r in search_ann_index(spark, out, q, k=10, n_probe=4).collect()
+    ]
+    stats = compact_ann_index(spark, out)
+    assert stats["files_after"] < stats["files_before"]
+    _, _, index = load_ann_index(spark, out)
+    n_cells = index.select("cell_id").distinct().count()
+    assert stats["files_after"] == n_cells  # ONE file per cell
+    assert index.count() == stats["n_rows"]
+    after = [
+        (r["vec_id"], r["adc_d2"])
+        for r in search_ann_index(spark, out, q, k=10, n_probe=4).collect()
+    ]
+    assert after == before
