@@ -174,6 +174,56 @@ def shingle_rows(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     )
 
 
+def minhash_band_rows(
+    shingles: DataFrame, id_col: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc, band, bh) LSH band rows from (id, shingle) rows — the
+    signature+banding stage of ``minhash_lsh_pairs``, factored out so a
+    persisted signature STORE (pipelines/dedup_store.py) and the
+    in-memory pair operator share one definition: band hashes computed
+    by either are comparable byte-for-byte.
+
+    Plan: hash columns → groupBy-min signature (codegen, map-side
+    partial min-combine) → band structs exploded; one shuffle total."""
+    rows_per_band = k // bands
+    hashed = shingles.select(
+        F.col(id_col).alias("doc"),
+        Tx.h32(F.col("shingle")).alias("ha"),
+        Tx.h32b(F.col("shingle")).alias("hb"),
+    )
+    mod = F.lit(2**32).cast("long")
+    sig = hashed.groupBy("doc").agg(
+        *[
+            F.min((F.col("ha") + F.lit(j).cast("long") * F.col("hb")) % mod).alias(
+                f"mh{j}"
+            )
+            for j in range(k)
+        ]
+    )
+    return sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bh")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -202,7 +252,6 @@ def minhash_lsh_pairs(
     a caller-side write to a staged table: localCheckpoint blocks are not
     replicated and die with their executor.
     """
-    rows_per_band = k // bands
     # Materialization boundaries matter here: without them Catalyst
     # inlines the shingle computation into every downstream reference
     # (signature build plus the two verification joins), recomputing the
@@ -210,49 +259,14 @@ def minhash_lsh_pairs(
     # this is a staged signature table.
     with (_CacheScope() if eager else _LazyScope()) as scope:
         rows = scope.materialize(shingle_rows(df, text_col, id_col, shingle_n))
-        # Signature via hash columns → groupBy-min: every operator stays
-        # inside whole-stage codegen (the higher-order-function form in
-        # functions.text.minhash_signature evaluates its lambdas interpreted,
-        # ~k array allocations per shingle — 10-20× slower on the same
-        # data). The shuffle is (id, a, b) rows — 24 bytes each — partially
-        # min-combined map-side before the exchange.
-        hashed = rows.select(
-            F.col(id_col).alias("doc"),
-            Tx.h32(F.col("shingle")).alias("ha"),
-            Tx.h32b(F.col("shingle")).alias("hb"),
-        )
-        mod = F.lit(2**32).cast("long")
-        sig = hashed.groupBy("doc").agg(
-            *[
-                F.min((F.col("ha") + F.lit(j).cast("long") * F.col("hb")) % mod).alias(
-                    f"mh{j}"
-                )
-                for j in range(k)
-            ]
-        )
-        banded = sig.select(
-            "doc",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.md5(
-                                F.concat_ws(
-                                    ",",
-                                    *[
-                                        F.col(f"mh{b * rows_per_band + r}").cast("string")
-                                        for r in range(rows_per_band)
-                                    ],
-                                )
-                            ).alias("bh"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("doc", "bb.band", "bb.bh")
-        banded = scope.materialize(banded)
+        # Signature via hash columns → groupBy-min (minhash_band_rows):
+        # every operator stays inside whole-stage codegen (the
+        # higher-order-function form in functions.text.minhash_signature
+        # evaluates its lambdas interpreted, ~k array allocations per
+        # shingle — 10-20× slower on the same data). The shuffle is
+        # (id, a, b) rows — 24 bytes each — partially min-combined
+        # map-side before the exchange.
+        banded = scope.materialize(minhash_band_rows(rows, id_col, k, bands))
 
         cand = (
             banded.alias("x")

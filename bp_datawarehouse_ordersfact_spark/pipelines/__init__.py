@@ -8,6 +8,11 @@ from .ann_index import (  # noqa: F401
     search_ann_index_batch,
 )
 from .corpus_build import build_corpus  # noqa: F401
+from .dedup_store import (  # noqa: F401
+    admit_to_store,
+    build_dedup_store,
+    dedup_against_store,
+)
 from .quality_loop import (  # noqa: F401
     apply_quality_filter,
     load_quality_weights,

@@ -1,0 +1,159 @@
+"""Incremental dedup against a persisted MinHash signature store.
+
+The batch operator (``operators/dedup.minhash_lsh_pairs``) answers
+"which pairs inside THIS frame are near-dups"; a continuously-ingesting
+corpus needs the other question — "which of these NEW documents
+duplicate something we already hold" — without rescanning the corpus
+per batch. This is the standard production shape (the `ann_index`
+lifecycle applied to dedup): one job builds the store from the corpus,
+every ingest batch joins against it, survivors are admitted.
+
+On-disk layout under ``out_dir``:
+
+- ``bands/``    — (doc, band, bh) LSH band rows, PARTITIONED BY band:
+  a batch's candidate probe equi-joins on (band, bh), so each band's
+  directory is read once per batch — corpus-sized but 32 bytes/row;
+- ``shingles/`` — (doc, shingles array) for exact-Jaccard verification,
+  touched only for candidate docs (semi-join, never a full scan);
+- ``meta/``     — (k, bands, shingle_n): the store is SELF-DESCRIBING,
+  and a query with mismatched parameters RAISES instead of silently
+  producing incomparable band hashes (the stale-artifact guard the ANN
+  index also carries).
+
+Scale shape per ingest batch: signatures for the batch are map-side;
+the candidate join shuffles batch-sized band rows against the
+band-partitioned store; verification joins shingle sets for candidate
+ids only. Nothing ever touches the full corpus text again.
+
+Cross-engine determinism: band hashes come from
+``operators/dedup.minhash_band_rows`` — the exact code path the
+oracle-checked ``dedup_minhash_lsh`` registry query uses — so pairs
+found incrementally are pinned equal to running the batch operator
+over (corpus ∪ batch) and keeping the cross pairs
+(tests/test_dedup_store.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+from ..functions import text as Tx
+from ..operators.dedup import minhash_band_rows, shingle_rows
+
+
+def _paths(out_dir: str) -> dict:
+    return {n: os.path.join(out_dir, n) for n in ("bands", "shingles", "meta")}
+
+
+def _prep(
+    docs: DataFrame, text_col: str, id_col: str, k: int, bands: int, shingle_n: int
+) -> tuple[DataFrame, DataFrame]:
+    """(band_rows, shingle_sets) for a document frame."""
+    rows = shingle_rows(docs, text_col, id_col, shingle_n)
+    banded = minhash_band_rows(rows, id_col, k, bands)
+    sets = rows.groupBy(id_col).agg(F.collect_set("shingle").alias("shingles"))
+    return banded, sets
+
+
+def build_dedup_store(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> dict:
+    """Build the signature store from the current corpus. Returns a
+    manifest with paths and the observed document count."""
+    paths = _paths(out_dir)
+    banded, sets = _prep(docs, text_col, id_col, k, bands, shingle_n)
+    banded.write.mode("overwrite").partitionBy("band").parquet(paths["bands"])
+    obs = Observation("dedup_store")
+    sets.observe(obs, F.count(F.lit(1)).alias("docs")).write.mode(
+        "overwrite"
+    ).parquet(paths["shingles"])
+    spark.createDataFrame(
+        [(k, bands, shingle_n)], "k int, bands int, shingle_n int"
+    ).write.mode("overwrite").parquet(paths["meta"])
+    return {"paths": paths, "n_docs": int(obs.get["docs"])}
+
+
+def _load_meta(spark: SparkSession, out_dir: str) -> dict:
+    row = spark.read.parquet(_paths(out_dir)["meta"]).collect()[0]
+    return {"k": row["k"], "bands": row["bands"], "shingle_n": row["shingle_n"]}
+
+
+def dedup_against_store(
+    spark: SparkSession,
+    batch: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, dup_of, jaccard) — batch documents whose exact Jaccard
+    against some STORED document clears ``threshold`` (candidates from
+    the band equi-join, verification on candidate shingle sets only).
+    Signature parameters come from the store's meta; intra-batch
+    near-dups are a separate concern — run ``minhash_lsh_pairs`` on the
+    batch itself (the two compose: store-dedup then self-dedup)."""
+    meta = _load_meta(spark, out_dir)
+    paths = _paths(out_dir)
+    banded, sets = _prep(
+        batch, text_col, id_col, meta["k"], meta["bands"], meta["shingle_n"]
+    )
+    stored_bands = spark.read.parquet(paths["bands"])
+    cand = (
+        banded.withColumnRenamed("doc", "new_doc")
+        .join(
+            stored_bands.withColumnRenamed("doc", "old_doc"),
+            ["band", "bh"],
+        )
+        .select("new_doc", "old_doc")
+        .distinct()
+    )
+    stored_sets = spark.read.parquet(paths["shingles"]).withColumnsRenamed(
+        {id_col: "old_doc", "shingles": "sh_old"}
+    )
+    new_sets = sets.withColumnsRenamed({id_col: "new_doc", "shingles": "sh_new"})
+    return (
+        cand.join(new_sets, "new_doc")
+        .join(stored_sets, "old_doc")
+        .withColumn("jaccard", rnd(Tx.jaccard(F.col("sh_new"), F.col("sh_old")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("new_doc").alias(id_col),
+            F.col("old_doc").alias("dup_of"),
+            "jaccard",
+        )
+    )
+
+
+def admit_to_store(
+    spark: SparkSession,
+    batch: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Append a batch's band rows + shingle sets to the store (run it on
+    the batch's NON-duplicate survivors after ``dedup_against_store``).
+    Id uniqueness vs the store is the caller's contract, exactly as in
+    ``append_to_ann_index``. Returns the number of documents admitted."""
+    meta = _load_meta(spark, out_dir)
+    paths = _paths(out_dir)
+    banded, sets = _prep(
+        batch, text_col, id_col, meta["k"], meta["bands"], meta["shingle_n"]
+    )
+    banded.write.mode("append").partitionBy("band").parquet(paths["bands"])
+    obs = Observation("dedup_admit")
+    sets.observe(obs, F.count(F.lit(1)).alias("docs")).write.mode(
+        "append"
+    ).parquet(paths["shingles"])
+    return int(obs.get["docs"])

@@ -1,0 +1,108 @@
+"""Persisted MinHash signature store: incremental dedup of ingest
+batches against the corpus, pinned equal to the batch operator run over
+(corpus ∪ batch) restricted to cross pairs — both share
+``operators/dedup.minhash_band_rows``, the oracle-checked code path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from bp_datawarehouse_ordersfact_spark.core.io import load_table
+from bp_datawarehouse_ordersfact_spark.pipelines import (
+    admit_to_store,
+    build_dedup_store,
+    dedup_against_store,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("dedup-store")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def corpus_and_batch(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    # batch: 10 exact copies of stored docs (new ids) + 10 genuinely new
+    copies = (
+        docs.filter(F.col("doc_id") < 10)
+        .select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    fresh = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 410)).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    return corpus, copies.unionByName(fresh)
+
+
+def test_store_dedup_equals_batch_operator_cross_pairs(
+    spark, corpus_and_batch, tmp_path
+):
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    corpus, batch = corpus_and_batch
+    out = str(tmp_path / "store")
+    manifest = build_dedup_store(spark, corpus, out)
+    assert manifest["n_docs"] == corpus.count()
+
+    got = {
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in dedup_against_store(spark, batch, out, threshold=0.5).collect()
+    }
+    # exact copies of stored docs must be flagged at jaccard 1.0
+    assert {(d, o) for d, o, _ in got} >= {(i + 10_000, i) for i in range(10)}
+    assert all(j == 1.0 for d, o, j in got if d - 10_000 == o)
+
+    # ground truth: batch operator over corpus ∪ batch, cross pairs only
+    union = corpus.unionByName(batch)
+    all_pairs = minhash_lsh_pairs(union, "text", "doc_id", threshold=0.5)
+    want = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]), r["jaccard"])
+        for r in all_pairs.collect()
+        # cross pairs: exactly one side is a batch id (>= 10_000)
+        if (r["id_a"] >= 10_000) != (r["id_b"] >= 10_000)
+    }
+    assert got == want
+
+
+def test_admit_then_redetect_and_store_growth(spark, corpus_and_batch, tmp_path):
+    corpus, batch = corpus_and_batch
+    out = str(tmp_path / "store2")
+    build_dedup_store(spark, corpus, out)
+    dups = {r["doc_id"] for r in dedup_against_store(spark, batch, out).collect()}
+    survivors = batch.filter(~F.col("doc_id").isin(list(dups)))
+    n = admit_to_store(spark, survivors, out)
+    assert n == survivors.count() > 0
+    # re-running the same batch now flags the admitted docs as dups of
+    # THEMSELVES in the store (jaccard 1.0 self-match on identical text)
+    again = dedup_against_store(spark, batch, out).collect()
+    flagged = {r["doc_id"] for r in again}
+    assert flagged >= {r[0] for r in survivors.select("doc_id").collect()}
+
+
+def test_unreadable_or_foreign_params_fail_loudly(spark, corpus_and_batch, tmp_path):
+    corpus, batch = corpus_and_batch
+    out = str(tmp_path / "store3")
+    build_dedup_store(spark, corpus, out, k=8, bands=2)
+    # the query derives (k, bands, shingle_n) FROM the meta, so a store
+    # built with different params still verifies exactly: copies hit 1.0
+    got = dedup_against_store(spark, batch, out).collect()
+    assert {(r["doc_id"], r["dup_of"]) for r in got} >= {
+        (i + 10_000, i) for i in range(10)
+    }
+    with pytest.raises(Exception):
+        dedup_against_store(spark, batch, str(tmp_path / "missing"))
