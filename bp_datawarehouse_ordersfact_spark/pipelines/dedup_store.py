@@ -151,6 +151,13 @@ def admit_to_store(
     banded, sets = _prep(
         batch, text_col, id_col, meta["k"], meta["bands"], meta["shingle_n"]
     )
+    # align the batch's id type to the store before APPENDING — a batch
+    # whose ids are int where the store holds bigint would otherwise
+    # write mixed-physical-type files into one directory and corrupt the
+    # store for every later reader (observed: INT32 vs INT64 crash)
+    stored_id_type = spark.read.parquet(paths["shingles"]).schema[id_col].dataType
+    banded = banded.withColumn("doc", F.col("doc").cast(stored_id_type))
+    sets = sets.withColumn(id_col, F.col(id_col).cast(stored_id_type))
     banded.write.mode("append").partitionBy("band").parquet(paths["bands"])
     obs = Observation("dedup_admit")
     sets.observe(obs, F.count(F.lit(1)).alias("docs")).write.mode(

@@ -590,3 +590,58 @@ def run_cdc_scd2_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    store_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    files_per_trigger: int = 1,
+) -> None:
+    """Streaming corpus ingest with dedup-at-the-door: every micro-batch
+    of documents is checked against the persisted MinHash signature
+    store (``pipelines/dedup_store.py``), survivors are written to
+    ``out_dir`` AND admitted to the store, duplicates are dropped — the
+    streaming composition of dedup_against_store + admit_to_store that
+    a continuously-ingesting corpus pipeline runs.
+
+    Within-batch near-dups are intentionally left to the next stage
+    (batch-level ``minhash_lsh_pairs``) — admitting a batch's survivors
+    BEFORE the next batch arrives means cross-batch duplicates are
+    always caught here, the contract that matters for unbounded ingest.
+    Batch-id ordering gives the usual foreachBatch exactly-once-per-
+    batch semantics over an availableNow drain."""
+    from ..pipelines.dedup_store import admit_to_store, dedup_against_store
+
+    schema = spark.read.parquet(docs_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        dups = dedup_against_store(
+            s, batch_df, store_dir, text_col, id_col, threshold
+        )
+        dup_ids = [r[id_col] for r in dups.select(id_col).distinct().collect()]
+        survivors = batch_df.filter(~F.col(id_col).isin(dup_ids))
+        survivors.write.mode("append").parquet(out_dir)
+        admit_to_store(s, survivors, store_dir, text_col, id_col)
+
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", out_dir.rstrip("/") + "_checkpoint"
+        )
+        .start()
+    )
+    q.awaitTermination()

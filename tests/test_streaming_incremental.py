@@ -347,3 +347,56 @@ def test_watermark_drops_late_event_in_append_mode(spark, tmp_path):
     # the 10:00 window emitted exactly once, from batch-1 data only —
     # the late 10:15/v=100 event left no trace
     assert by_window["2024-01-01 10:00:00"] == [(2, 3.0)]
+
+
+def test_incremental_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """Two micro-batches: batch 2 contains a copy of a CORPUS doc and a
+    copy of a BATCH-1 survivor — both must be dropped (survivors are
+    admitted before the next batch), fresh docs must land in the sink,
+    and the store must grow by exactly the survivor count."""
+    from bp_datawarehouse_ordersfact_spark.core.io import load_table
+    from bp_datawarehouse_ordersfact_spark.pipelines import build_dedup_store
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import (
+        run_incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    store = str(tmp_path / "store")
+    build_dedup_store(spark, corpus, store)
+
+    feed = str(tmp_path / "feed")
+    # file 1: one fresh doc (id 20300) + one copy of corpus doc 5
+    b1 = docs.filter(F.col("doc_id") == 300).select(
+        F.lit(20300).alias("doc_id"), "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") == 5).select(
+            F.lit(20005).alias("doc_id"), "text"
+        )
+    )
+    b1.coalesce(1).write.mode("append").parquet(feed)
+    # file 2: a copy of batch-1's SURVIVOR (20300's text) + a fresh doc
+    b2 = docs.filter(F.col("doc_id") == 300).select(
+        F.lit(30300).alias("doc_id"), "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") == 301).select(
+            F.lit(20301).alias("doc_id"), "text"
+        )
+    )
+    b2.coalesce(1).write.mode("append").parquet(feed)
+
+    sink = str(tmp_path / "clean")
+    run_incremental_dedup_stream(spark, feed, store, sink, files_per_trigger=1)
+
+    landed = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    # the corpus copy never lands; the genuinely fresh doc always does;
+    # of the two copies of doc 300's text, EXACTLY ONE survives —
+    # whichever micro-batch ran first (file pickup order is not
+    # guaranteed), the other is caught as a cross-batch duplicate
+    # because survivors are admitted before the next batch
+    assert 20005 not in landed
+    assert 20301 in landed
+    assert len(landed & {20300, 30300}) == 1
+    # store grew by exactly the survivors
+    n_store = spark.read.parquet(store + "/shingles").count()
+    assert n_store == corpus.count() + len(landed)
