@@ -9,9 +9,12 @@ from .ann_index import (  # noqa: F401
 )
 from .corpus_build import build_corpus  # noqa: F401
 from .dedup_store import (  # noqa: F401
+    admit_embeddings_to_store,
     admit_to_store,
     build_dedup_store,
+    build_embedding_dedup_store,
     dedup_against_store,
+    embedding_dedup_against_store,
 )
 from .quality_loop import (  # noqa: F401
     apply_quality_filter,

@@ -164,3 +164,155 @@ def admit_to_store(
         "append"
     ).parquet(paths["shingles"])
     return int(obs.get["docs"])
+
+
+# ---------------------------------------------------------------------------
+# Embedding twin: banded-hyperplane signature store for vector near-dups
+# ---------------------------------------------------------------------------
+
+
+def _emb_paths(out_dir: str) -> dict:
+    return {n: os.path.join(out_dir, n) for n in ("keys", "vectors", "meta")}
+
+
+def build_embedding_dedup_store(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    out_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 8,
+    bits_per_band: int = 32,
+    seed: int = 42,
+    dim: int | None = None,
+) -> dict:
+    """Vector twin of ``build_dedup_store``: persist banded
+    random-hyperplane keys (``functions.vectors.hyperplane_band_keys``)
+    plus the vectors themselves for exact-cosine verification. The meta
+    table records (bands, bits_per_band, seed, dim) — the hyperplanes
+    derive deterministically from (seed, dim), so any later batch
+    reproduces byte-identical keys from meta alone; no plane matrix is
+    ever persisted."""
+    from ..functions import vectors as V
+
+    if dim is None:
+        dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    paths = _emb_paths(out_dir)
+    keyed = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("v"),
+        V.hyperplane_band_keys(
+            F.col(vec_col), dim, bands, bits_per_band, seed
+        ).alias("keys"),
+    )
+    keyed.select(id_col, F.explode("keys").alias("bk")).write.mode(
+        "overwrite"
+    ).parquet(paths["keys"])
+    obs = Observation("emb_store")
+    keyed.select(id_col, "v").observe(
+        obs, F.count(F.lit(1)).alias("rows")
+    ).write.mode("overwrite").parquet(paths["vectors"])
+    spark.createDataFrame(
+        [(bands, bits_per_band, seed, dim)],
+        "bands int, bits_per_band int, seed int, dim int",
+    ).write.mode("overwrite").parquet(paths["meta"])
+    return {"paths": paths, "n_vectors": int(obs.get["rows"])}
+
+
+def _emb_meta(spark: SparkSession, out_dir: str) -> dict:
+    row = spark.read.parquet(_emb_paths(out_dir)["meta"]).collect()[0]
+    return {k: row[k] for k in ("bands", "bits_per_band", "seed", "dim")}
+
+
+def embedding_dedup_against_store(
+    spark: SparkSession,
+    batch: DataFrame,
+    out_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.999,
+) -> DataFrame:
+    """(vec_id, dup_of, cosine) — batch vectors whose exact cosine
+    against some STORED vector clears ``threshold``. Key parameters
+    (and thus the hyperplanes) come from the store's meta; a batch
+    whose vector dim differs from the trained dim RAISES inside the
+    key UDF rather than silently mis-hashing."""
+    from ..functions import vectors as V
+
+    meta = _emb_meta(spark, out_dir)
+    paths = _emb_paths(out_dir)
+    keyed = batch.select(
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).alias("v_new"),
+        V.hyperplane_band_keys(
+            F.col(vec_col),
+            meta["dim"],
+            meta["bands"],
+            meta["bits_per_band"],
+            meta["seed"],
+        ).alias("keys"),
+    )
+    cand = (
+        keyed.select("new_id", F.explode("keys").alias("bk"))
+        .join(
+            spark.read.parquet(paths["keys"]).withColumnsRenamed(
+                {id_col: "old_id"}
+            ),
+            "bk",
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    stored_vecs = spark.read.parquet(paths["vectors"]).withColumnsRenamed(
+        {id_col: "old_id", "v": "v_old"}
+    )
+    return (
+        cand.join(keyed.select("new_id", "v_new"), "new_id")
+        .join(stored_vecs, "old_id")
+        .withColumn("cosine", rnd(V.cosine(F.col("v_new"), F.col("v_old")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("new_id").alias(id_col),
+            F.col("old_id").alias("dup_of"),
+            "cosine",
+        )
+    )
+
+
+def admit_embeddings_to_store(
+    spark: SparkSession,
+    batch: DataFrame,
+    out_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> int:
+    """Append a batch's keys + vectors (run on non-duplicate survivors).
+    Id and vector types are aligned to the store schema before the
+    append — the mixed-physical-type corruption guard of
+    ``admit_to_store``."""
+    from ..functions import vectors as V
+
+    meta = _emb_meta(spark, out_dir)
+    paths = _emb_paths(out_dir)
+    vec_schema = spark.read.parquet(paths["vectors"]).schema
+    id_type = vec_schema[id_col].dataType
+    v_type = vec_schema["v"].dataType
+    keyed = batch.select(
+        F.col(id_col).cast(id_type).alias(id_col),
+        F.col(vec_col).cast(v_type).alias("v"),
+        V.hyperplane_band_keys(
+            F.col(vec_col),
+            meta["dim"],
+            meta["bands"],
+            meta["bits_per_band"],
+            meta["seed"],
+        ).alias("keys"),
+    )
+    keyed.select(id_col, F.explode("keys").alias("bk")).write.mode(
+        "append"
+    ).parquet(paths["keys"])
+    obs = Observation("emb_admit")
+    keyed.select(id_col, "v").observe(
+        obs, F.count(F.lit(1)).alias("rows")
+    ).write.mode("append").parquet(paths["vectors"])
+    return int(obs.get["rows"])

@@ -106,3 +106,70 @@ def test_unreadable_or_foreign_params_fail_loudly(spark, corpus_and_batch, tmp_p
     }
     with pytest.raises(Exception):
         dedup_against_store(spark, batch, str(tmp_path / "missing"))
+
+
+def test_embedding_store_matches_banded_operator_cross_pairs(spark, tmp_path):
+    """The embedding store's incremental results equal the banded
+    operator over corpus ∪ batch restricted to cross pairs (same seed
+    and params reproduce identical hyperplane keys from meta alone)."""
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import (
+        embedding_near_dup_pairs_banded,
+    )
+    from bp_datawarehouse_ordersfact_spark.pipelines import (
+        admit_embeddings_to_store,
+        build_embedding_dedup_store,
+        embedding_dedup_against_store,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") < 400)
+    # batch: scaled copies of 10 stored vectors (cosine exactly 1.0) +
+    # 10 fresh vectors
+    copies = corpus.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    fresh = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 410)).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    batch = copies.unionByName(fresh)
+
+    out = str(tmp_path / "emb_store")
+    manifest = build_embedding_dedup_store(spark, corpus, out)
+    assert manifest["n_vectors"] == corpus.count()
+
+    got = {
+        (r["vec_id"], r["dup_of"], r["cosine"])
+        for r in embedding_dedup_against_store(spark, batch, out).collect()
+    }
+    assert {(d, o) for d, o, _ in got} >= {(i + 10_000, i) for i in range(10)}
+    assert all(c == 1.0 for *_, c in got)
+
+    union = corpus.unionByName(batch)
+    want = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]), r["cosine"])
+        for r in embedding_near_dup_pairs_banded(
+            union, "embedding", "vec_id", 0.999, dim=64
+        ).collect()
+        if (r["id_a"] >= 10_000) != (r["id_b"] >= 10_000)
+    }
+    assert got == want
+
+    # admit survivors; re-running flags them at cosine 1.0
+    dups = {d for d, *_ in got}
+    survivors = batch.filter(~F.col("vec_id").isin(list(dups)))
+    n = admit_embeddings_to_store(spark, survivors, out)
+    assert n == survivors.count() > 0
+    again = {r["vec_id"] for r in embedding_dedup_against_store(spark, batch, out).collect()}
+    assert again >= {r[0] for r in survivors.select("vec_id").collect()}
+
+    # dim mismatch raises inside the key UDF (meta-driven planes)
+    import pytest as _pytest
+
+    short = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="dim"):
+        embedding_dedup_against_store(spark, short, out).collect()
