@@ -295,3 +295,37 @@ def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
         .select("path", "content")
         .mapInPandas(gen, schema="key string, ext string, payload binary, shard string")
     )
+
+
+def write_with_bloom(
+    df: DataFrame,
+    path: str,
+    bloom_cols: list[str],
+    expected_ndv: int = 100_000,
+    fpp: float = 0.01,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet write with split-block BLOOM FILTERS on ``bloom_cols`` —
+    the data-skipping tier for point lookups on HIGH-CARDINALITY,
+    UNSORTED columns, where min/max ranges (write_sorted_by_range) and
+    z-order keys cannot help: every row group's range covers the whole
+    domain, but the bloom filter answers "definitely not in this row
+    group" in one membership probe. At 100 TB this turns a needle
+    lookup (order id, document hash) from a full-column scan into a
+    handful of row groups, complementing the sorted/z-order layouts
+    that serve RANGE predicates.
+
+    ``expected_ndv`` sizes the filter per column per row group (bits ≈
+    -ndv·ln(fpp)/ln(2)²); oversizing wastes footer bytes, undersizing
+    inflates the false-positive rate — set it near the per-row-group
+    distinct count, not the table-wide one. Readers need no opt-in
+    (Spark's parquet reader consumes bloom filters automatically);
+    results are byte-identical with or without the filters (pinned)."""
+    w = df.write.mode(mode)
+    for c in bloom_cols:
+        w = (
+            w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            .option(f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv))
+            .option(f"parquet.bloom.filter.fpp#{c}", str(fpp))
+        )
+    w.parquet(path)

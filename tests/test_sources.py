@@ -530,3 +530,85 @@ def test_tar_shard_roundtrip(spark, tmp_path):
     for key, body, img in rows:
         assert got[(key, "txt")] == body.encode()
         assert got[(key, "png")] == img
+
+
+def test_write_with_bloom_sizes_and_identical_results(spark, tmp_path):
+    """Bloom filters add footer bytes on exactly the enabled column and
+    never change results (pyarrow 16 does not expose bloom offsets, so
+    the size delta plus the behavioral equality is the pin)."""
+    import glob
+    import os
+
+    from bp_datawarehouse_ordersfact_spark.sources.files import write_with_bloom
+
+    df = (
+        spark.range(50_000)
+        .selectExpr("id", "md5(cast(id as string)) as doc_hash", "id % 7 as grp")
+        .coalesce(1)
+    )
+    plain, bloomed = str(tmp_path / "plain"), str(tmp_path / "bloom")
+    df.write.parquet(plain)
+    write_with_bloom(df, bloomed, ["doc_hash"], expected_ndv=50_000)
+
+    size = lambda d: sum(  # noqa: E731
+        os.path.getsize(f) for f in glob.glob(os.path.join(d, "*.parquet"))
+    )
+    # ndv=50k @ fpp 1% ≈ 60 KB of bloom bytes — well above noise
+    assert size(bloomed) > size(plain) + 30_000
+
+    probe = df.limit(5).collect()
+    for r in probe:
+        got = (
+            spark.read.parquet(bloomed)
+            .filter(F.col("doc_hash") == r["doc_hash"])
+            .collect()
+        )
+        assert [(x["id"], x["doc_hash"]) for x in got] == [
+            (r["id"], r["doc_hash"])
+        ]
+    assert spark.read.parquet(bloomed).count() == 50_000
+
+
+def test_versioned_snapshots_time_travel_and_diff(spark, tmp_path):
+    import os
+
+    from bp_datawarehouse_ordersfact_spark.sources.versioned import (
+        diff_snapshots,
+        list_snapshots,
+        read_snapshot,
+        vacuum_uncommitted,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "dim")
+    v0_df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    assert write_snapshot(v0_df, base, label="init") == 0
+    # v1: update k=2, delete k=3, insert k=4
+    v1_df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 25.0), (4, "d", 40.0)], "k int, name string, v double"
+    )
+    assert write_snapshot(v1_df, base) == 1
+
+    assert {r["version"] for r in list_snapshots(spark, base).collect()} == {0, 1}
+    assert read_snapshot(spark, base).count() == 3  # latest = v1
+    old = {r["k"]: r["v"] for r in read_snapshot(spark, base, 0).collect()}
+    assert old == {1: 10.0, 2: 20.0, 3: 30.0}  # time travel
+
+    d = {
+        (r["change"], r["k"])
+        for r in diff_snapshots(spark, base, 0, 1, ["k"]).collect()
+    }
+    assert d == {("update", 2), ("delete", 3), ("insert", 4)}
+
+    # crash simulation: an orphan v=9 directory is INVISIBLE to readers
+    # and removed by vacuum
+    v1_df.write.parquet(os.path.join(base, "v=9"))
+    assert read_snapshot(spark, base).count() == 3
+    with pytest.raises(ValueError, match="not committed"):
+        read_snapshot(spark, base, 9)
+    assert vacuum_uncommitted(spark, base) == [9]
+    assert not os.path.exists(os.path.join(base, "v=9"))
+    with pytest.raises(ValueError, match="no committed"):
+        read_snapshot(spark, str(tmp_path / "empty"))
