@@ -232,3 +232,100 @@ def frequent_items_mg_by_group(
         )
         .orderBy(group_col, F.desc("est_lo"), F.asc("item"))
     )
+
+
+def cms_build(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 5,
+    width: int = 1 << 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-Min sketch as a DATAFRAME — (d, w, cnt) counter rows
+    (Cormode & Muthukrishnan 2005, public literature). Complements the
+    sketch family: HLL/theta answer distinct-count questions,
+    Misra–Gries returns the heavy-hitter CANDIDATES, CMS answers point
+    frequency queries for ANY item, including items decided on after
+    the scan.
+
+    Why a frame and not ``df.stat.countMinSketch``: the built-in
+    collects one JVM sketch object to the driver per call; the frame
+    form persists as a (depth × width)-row Parquet table — per-day
+    sketches merge later by summing counters (``cms_merge``) without
+    rescanning events, the same persist-then-compose contract as the
+    theta/KLL operators.
+
+    Plan: d codegen hash columns per row (xxhash64, seeded per row of
+    the matrix) exploded to (d, w) keys → ONE groupBy-count shuffle of
+    at most depth·width surviving groups. Estimates (``cms_query``):
+    est ≥ true always; est ≤ true + e·N/width with probability
+    ≥ 1 − e^−depth (N = total items)."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth and width must be >= 1, got {depth}, {width}")
+    item = F.col(item_col).cast("string")
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("d"),
+                F.pmod(F.xxhash64(item, F.lit(seed + j)), F.lit(width)).alias("w"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.filter(item.isNotNull())
+        .select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.d").alias("d"), F.col("p.w").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS frames built with the SAME (depth, width, seed):
+    counters add. Parameter agreement is the caller's contract (persist
+    the parameters next to the sketch, the dedup-store meta pattern)."""
+    if not sketches:
+        raise ValueError("no sketches to merge")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "w").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    items: list,
+    depth: int = 5,
+    width: int = 1 << 12,
+    seed: int = 42,
+) -> DataFrame:
+    """(item, est) point-frequency estimates for ``items`` — min over
+    the depth rows of each item's counters; a bucket no item ever hit
+    reads as 0 (left join + coalesce). Parameters must match the build
+    (same caller contract as ``cms_merge``)."""
+    spark = sketch.sparkSession
+    probe = spark.createDataFrame(
+        [(str(x),) for x in items], "item string"
+    ).select(
+        "item",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("d"),
+                        F.pmod(
+                            F.xxhash64(F.col("item"), F.lit(seed + j)),
+                            F.lit(width),
+                        ).alias("w"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select("item", "p.d", "p.w")
+    return (
+        probe.join(sketch, ["d", "w"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+        .orderBy(F.desc("est"), F.asc("item"))
+    )

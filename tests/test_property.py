@@ -339,6 +339,82 @@ def test_coalesce_intervals_skew_equals_plain(spark, items, span):
 
 
 # ---------------------------------------------------------------------------
+# sessionize_skew == plain per-key gaps-and-islands sessionization
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),       # user
+            st.integers(0, 30_000),  # offset seconds (~8h span)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    bucket_s=st.sampled_from([60, 1800, 3600, 86_400]),
+)
+def test_sessionize_skew_equals_plain_property(spark, events, bucket_s):
+    """Random event sets (duplicate timestamps, boundary-adjacent gaps)
+    sessionized two-level must match the single-window form for any
+    bucket size, including buckets smaller than the gap and a bucket
+    larger than the whole span."""
+    from pyspark.sql import functions as F
+
+    from bp_datawarehouse_ordersfact_spark.operators.temporal import (
+        sessionize_skew,
+    )
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [
+        Row(
+            user_id=u,
+            event_id=i,
+            ts=base + dt.timedelta(seconds=s),
+            value=float(i),
+        )
+        for i, (u, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = sorted(
+        (r.user_id, r.session_id, r.n_events, r.session_value)
+        for r in sessionize_skew(
+            df, "user_id", "ts", "event_id", "value",
+            gap_seconds=1800, bucket_seconds=bucket_s,
+        ).collect()
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    plain = (
+        df.withColumn(
+            "new_s",
+            F.when(
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                <= 1800 * 1_000_000,
+                0,
+            ).otherwise(1),
+        )
+        .withColumn(
+            "session_id", F.sum("new_s").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+    )
+    want = sorted(
+        (r.user_id, r.session_id, r.n_events, r.session_value)
+        for r in plain.collect()
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
 # containment_pairs == brute-force containment (restricted to its
 # documented candidate rule: pairs sharing >= 1 rare shingle)
 # ---------------------------------------------------------------------------
@@ -623,3 +699,57 @@ def test_frequent_items_mg_guarantees(spark, items, k, parts):
             assert item in got, item
     # candidate counts never exceed the exact totals summed
     assert sum(lo for lo, _ in got.values()) <= sum(exact.values())
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch: overestimate-only bound + exact merge algebra
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    items=st.lists(st.integers(0, 30), min_size=1, max_size=120),
+    width=st.sampled_from([16, 256, 4096]),
+)
+def test_cms_never_underestimates_and_merges_exactly(spark, items, width):
+    """CMS invariants under random streams: est >= true for EVERY item
+    (the one-sided guarantee), est - true <= total stream length (hash
+    collisions can only add), estimates are EXACT when width is large
+    vs the domain, and the sketch of two halves merged equals the
+    sketch of the whole (counters add)."""
+    from collections import Counter
+
+    from bp_datawarehouse_ordersfact_spark.operators.sketches import (
+        cms_build,
+        cms_merge,
+        cms_query,
+    )
+
+    df = spark.createDataFrame([(x,) for x in items], "item int").repartition(3)
+    sk = cms_build(df, "item", depth=3, width=width, seed=7)
+    true = Counter(str(x) for x in items)
+    got = {
+        r["item"]: r["est"]
+        for r in cms_query(sk, list(true), depth=3, width=width, seed=7).collect()
+    }
+    assert set(got) == set(true)
+    for item, t in true.items():
+        assert got[item] >= t, (item, got[item], t)
+        assert got[item] <= len(items)
+    if width == 4096:  # domain is ≤31 values: collisions ~0 at 4096
+        assert got == dict(true)
+    # an item never seen estimates as >= 0 (and 0 when width is ample)
+    unseen = cms_query(sk, ["999999"], depth=3, width=width, seed=7).collect()[0]
+    assert unseen["est"] >= 0
+
+    half = len(items) // 2 or 1
+    a = spark.createDataFrame([(x,) for x in items[:half]], "item int")
+    b = spark.createDataFrame([(x,) for x in items[half:]], "item int")
+    merged = cms_merge(
+        cms_build(a, "item", depth=3, width=width, seed=7),
+        cms_build(b, "item", depth=3, width=width, seed=7),
+    )
+    whole = {(r["d"], r["w"]): r["cnt"] for r in sk.collect()}
+    via_merge = {(r["d"], r["w"]): r["cnt"] for r in merged.collect()}
+    if items[half:]:
+        assert via_merge == whole
