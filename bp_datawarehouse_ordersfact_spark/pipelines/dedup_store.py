@@ -316,3 +316,40 @@ def admit_embeddings_to_store(
         obs, F.count(F.lit(1)).alias("rows")
     ).write.mode("append").parquet(paths["vectors"])
     return int(obs.get["rows"])
+
+
+def compact_dedup_store(spark: SparkSession, out_dir: str) -> dict:
+    """Maintenance for either store flavor (text bands/shingles or
+    embedding keys/vectors): every admit appends one file per artifact,
+    so a long-running ingest leaves thousands of small files that every
+    later probe pays per-file open/footer costs on. Rewrites each
+    artifact via repartition-to-content-size and atomically swaps the
+    directory (the ``compact_ann_index`` pattern; band-partitioned
+    artifacts keep their partitioning with one file per band).
+    Returns {artifact: (files_before, files_after)}."""
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(out_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    stats: dict = {}
+    plans = [
+        ("bands", ["band"]),
+        ("shingles", None),
+        ("keys", None),
+        ("vectors", None),
+    ]
+    for name, part_cols in plans:
+        path = os.path.join(out_dir, name)
+        if not fs.exists(Path(path)):
+            continue
+        df = spark.read.parquet(path)
+        before = len(df.inputFiles())
+        staging = os.path.join(out_dir, f"_{name}_compact_staging")
+        if part_cols:
+            w = df.repartition(*part_cols).write.partitionBy(*part_cols)
+        else:
+            w = df.coalesce(max(1, before // 8)).write
+        w.mode("overwrite").parquet(staging)
+        fs.delete(Path(path), True)
+        fs.rename(Path(staging), Path(path))
+        stats[name] = (before, len(spark.read.parquet(path).inputFiles()))
+    return stats

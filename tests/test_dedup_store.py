@@ -173,3 +173,31 @@ def test_embedding_store_matches_banded_operator_cross_pairs(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="dim"):
         embedding_dedup_against_store(spark, short, out).collect()
+
+
+def test_compact_store_shrinks_files_and_preserves_results(
+    spark, corpus_and_batch, tmp_path
+):
+    from bp_datawarehouse_ordersfact_spark.pipelines.dedup_store import (
+        compact_dedup_store,
+    )
+
+    corpus, batch = corpus_and_batch
+    out = str(tmp_path / "store_c")
+    build_dedup_store(spark, corpus, out)
+    # several appends → several files per artifact
+    for i in range(3):
+        sl = batch.filter(F.col("doc_id") % 3 == i).select(
+            (F.col("doc_id") + 1000 * (i + 1)).alias("doc_id"), "text"
+        )
+        admit_to_store(spark, sl, out)
+    before = {(r["doc_id"], r["dup_of"], r["jaccard"])
+              for r in dedup_against_store(spark, batch, out).collect()}
+    stats = compact_dedup_store(spark, out)
+    assert set(stats) == {"bands", "shingles"}
+    for name, (b, a) in stats.items():
+        assert a <= b
+    assert stats["shingles"][1] < stats["shingles"][0]
+    after = {(r["doc_id"], r["dup_of"], r["jaccard"])
+             for r in dedup_against_store(spark, batch, out).collect()}
+    assert after == before
