@@ -43,7 +43,7 @@ from __future__ import annotations
 import math
 import os
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
@@ -271,6 +271,7 @@ def search_ann_index_batch(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "q_id",
+    shortlist_factor: int = 4,
 ) -> DataFrame:
     """Batch twin of ``search_ann_index``: top-k for every ROW of a
     queries DataFrame against a persisted index — the serving shape for
@@ -283,7 +284,9 @@ def search_ann_index_batch(
     matching batch searcher is dispatched automatically, including the
     probed-cell static IN-list pruning both of them push into the
     cell-partitioned index scan. With ``rerank_with`` the per-query ADC
-    shortlist is 4·k ids, and ONE broadcast semi-join + per-query
+    shortlist is ``shortlist_factor``·k ids (4 by default; raise it
+    when PQ quantization error costs recall — evaluate_ann_index
+    measures exactly this), and ONE broadcast semi-join + per-query
     window close the exact-cosine rerank for the whole workload —
     never a second corpus scan. Returns (q_id, vec_id, adc_d2, rnk) or,
     reranked, (q_id, vec_id, cosine, rnk)."""
@@ -300,7 +303,7 @@ def search_ann_index_batch(
     search_fn = (
         pq_search_ivfpq_residual_batch if meta["residual"] else pq_search_ivfpq_batch
     )
-    shortlist_k = k if rerank_with is None else 4 * k
+    shortlist_k = k if rerank_with is None else shortlist_factor * k
     shortlist = search_fn(
         unit_q,
         index,
@@ -314,8 +317,8 @@ def search_ann_index_batch(
     )
     if rerank_with is None:
         return shortlist
-    # exact-cosine rerank: |Q|·4k (q_id, vec_id) pairs broadcast against
-    # the full-precision table, then one per-query rank window
+    # exact-cosine rerank: |Q|·factor·k (q_id, vec_id) pairs broadcast
+    # against the full-precision table, then one per-query rank window
     pairs = shortlist.select("q_id", id_col)
     qvec = queries.select(
         F.col(query_id_col).alias("q_id"), F.col(vec_col).alias("__qv")
@@ -445,3 +448,69 @@ def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
     fs.rename(Path(staging), Path(index_path))
     after = len(spark.read.parquet(index_path).inputFiles())
     return {"files_before": before, "files_after": after, "n_rows": n_rows}
+
+
+def evaluate_ann_index(
+    spark: SparkSession,
+    out_dir: str,
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    shortlist_factor: int = 4,
+) -> dict:
+    """Recall@k of the persisted index against EXACT cosine top-k — the
+    acceptance gate a retrain/append/compact pipeline runs before
+    promoting an index to serving (the ``ann_recall_at_k`` pattern
+    applied to the lifecycle).
+
+    Queries are the ``n_queries`` smallest-id vectors (deterministic —
+    an eval that samples randomly cannot gate a deterministic rebuild).
+    Ground truth is brute force over the provided embeddings table
+    (|Q| × |corpus| — an eval-sized cost, not a serving cost), the
+    candidate list is the batch search WITH exact-cosine rerank, so the
+    measured number isolates RETRIEVAL loss (cells not probed, PQ
+    shortlist misses) rather than score error; probing every cell with
+    a corpus-covering ``shortlist_factor`` provably recalls 1.0 (the
+    pinned sanity bound), and each knob's cost is attributable by
+    varying it alone. Returns
+    {"recall_at_k", "n_queries", "k", "n_probe", "shortlist_factor"}."""
+    from ..operators.similarity import cosine_topk_bruteforce
+
+    q = embeddings.orderBy(id_col).limit(n_queries)
+    truth = cosine_topk_bruteforce(
+        q, embeddings, vec_col=vec_col, id_col=id_col, k=k
+    ).select(F.col("q_id"), F.col("c_id"))
+    # k+1 from the index: the brute-force baseline excludes q==c but
+    # the index search returns the self-hit at rank 1 (cosine 1.0) — a
+    # naive k-for-k comparison silently caps recall at (k-1)/k
+    got = search_ann_index_batch(
+        spark,
+        out_dir,
+        q.withColumnRenamed(id_col, "q_id"),
+        k=k + 1,
+        n_probe=n_probe,
+        rerank_with=embeddings,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id_col="q_id",
+        shortlist_factor=shortlist_factor,
+    )
+    w = Window.partitionBy("q_id").orderBy("rnk")
+    got = (
+        got.filter(F.col("q_id") != F.col(id_col))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("q_id", F.col(id_col).alias("c_id"))
+    )
+    hits = truth.join(got, ["q_id", "c_id"], "left_semi").count()
+    denom = truth.count()
+    return {
+        "recall_at_k": round(hits / denom, 6) if denom else None,
+        "n_queries": n_queries,
+        "k": k,
+        "n_probe": n_probe,
+        "shortlist_factor": shortlist_factor,
+    }

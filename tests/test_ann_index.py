@@ -375,3 +375,29 @@ def test_compact_restores_one_file_per_cell(spark, tmp_path):
         for r in search_ann_index(spark, out, q, k=10, n_probe=4).collect()
     ]
     assert after == before
+
+
+def test_evaluate_ann_index_recall_gate(spark, built):
+    """The lifecycle acceptance gate: probing ALL cells with exact
+    rerank must achieve recall 1.0 (no retrieval loss possible), fewer
+    probes monotonically not-higher, and the manifest carries the run
+    parameters."""
+    from bp_datawarehouse_ordersfact_spark.pipelines.ann_index import (
+        evaluate_ann_index,
+    )
+
+    out, emb, _ = built
+    # all cells probed + corpus-covering shortlist: no retrieval loss
+    # possible anywhere -> recall must be exactly 1.0
+    full = evaluate_ann_index(
+        spark, out, emb, n_queries=8, k=5, n_probe=6, shortlist_factor=1000
+    )
+    assert full["recall_at_k"] == 1.0
+    assert (full["n_queries"], full["k"], full["n_probe"]) == (8, 5, 6)
+    # the default 4x shortlist pays PQ quantization loss (measured ~0.5
+    # on these random vectors), and fewer probes can only lose more
+    short = evaluate_ann_index(spark, out, emb, n_queries=8, k=5, n_probe=6)
+    assert 0.0 < short["recall_at_k"] <= full["recall_at_k"]
+    narrow = evaluate_ann_index(spark, out, emb, n_queries=8, k=5, n_probe=1)
+    assert narrow["recall_at_k"] <= full["recall_at_k"]
+    assert narrow["recall_at_k"] > 0.0
