@@ -3,7 +3,9 @@ from .ann_index import (  # noqa: F401
     build_ann_index,
     compact_ann_index,
     delete_from_ann_index,
+    evaluate_ann_index,
     load_ann_index,
+    mine_hard_negatives,
     search_ann_index,
     search_ann_index_batch,
 )

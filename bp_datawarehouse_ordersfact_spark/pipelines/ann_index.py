@@ -514,3 +514,78 @@ def evaluate_ann_index(
         "n_probe": n_probe,
         "shortlist_factor": shortlist_factor,
     }
+
+
+def mine_hard_negatives(
+    spark: SparkSession,
+    out_dir: str,
+    pairs: DataFrame,
+    embeddings: DataFrame,
+    n_negatives: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "q_id",
+    pos_id_col: str = "pos_id",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for every
+    (query, positive) pair, the ``n_negatives`` corpus items MOST
+    similar to the query that are neither the query nor any of its
+    positives — the negatives that actually move a contrastive loss
+    (random negatives are trivially separable; the standard recipe mines
+    them from the current index, e.g. DPR, Karpukhin et al. 2020 —
+    public literature).
+
+    One batch search over the persisted index serves every query; the
+    positive set joins back as an anti-join (a query may have MANY
+    positives — all excluded), and a rank window re-numbers the
+    survivors 1..n_negatives. Returns (q_id, neg_id, cosine, rnk).
+    Over-fetch is ``n_negatives + positives-per-query`` bounded by the
+    observed max positives — computed with one tiny aggregate, not
+    guessed."""
+    max_pos = (
+        pairs.groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    if max_pos is None:
+        raise ValueError("pairs is empty")
+    queries = (
+        pairs.select(F.col(query_id_col).alias("q_id"))
+        .distinct()
+        .join(
+            embeddings.select(
+                F.col(id_col).alias("q_id"), F.col(vec_col)
+            ),
+            "q_id",
+        )
+    )
+    # +1 for the self-hit, +max_pos for the excludable positives
+    fetched = search_ann_index_batch(
+        spark,
+        out_dir,
+        queries,
+        k=n_negatives + max_pos + 1,
+        n_probe=n_probe,
+        rerank_with=embeddings,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id_col="q_id",
+    )
+    pos = pairs.select(
+        F.col(query_id_col).alias("q_id"), F.col(pos_id_col).alias(id_col)
+    )
+    w = Window.partitionBy("q_id").orderBy("rnk")
+    return (
+        fetched.filter(F.col("q_id") != F.col(id_col))
+        .join(pos, ["q_id", id_col], "left_anti")
+        .withColumn("neg_rnk", F.row_number().over(w))
+        .filter(F.col("neg_rnk") <= n_negatives)
+        .select(
+            "q_id",
+            F.col(id_col).alias("neg_id"),
+            "cosine",
+            F.col("neg_rnk").alias("rnk"),
+        )
+    )

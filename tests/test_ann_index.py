@@ -401,3 +401,38 @@ def test_evaluate_ann_index_recall_gate(spark, built):
     narrow = evaluate_ann_index(spark, out, emb, n_queries=8, k=5, n_probe=1)
     assert narrow["recall_at_k"] <= full["recall_at_k"]
     assert narrow["recall_at_k"] > 0.0
+
+
+def test_mine_hard_negatives_excludes_self_and_positives(spark, built):
+    from bp_datawarehouse_ordersfact_spark.pipelines.ann_index import (
+        mine_hard_negatives,
+    )
+
+    out, emb, _ = built
+    # two queries; query 0 has TWO positives, query 1 has one
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (7, 9)], "q_id long, pos_id long"
+    )
+    got = mine_hard_negatives(
+        spark, out, pairs, emb, n_negatives=4, n_probe=6
+    ).collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r["q_id"], r["rnk"])):
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {0, 7}
+    for qid, rows in by_q.items():
+        assert len(rows) == 4
+        assert [r["rnk"] for r in rows] == [1, 2, 3, 4]
+        negs = {r["neg_id"] for r in rows}
+        assert qid not in negs                      # never the query
+        pos = {1, 2} if qid == 0 else {9}
+        assert not (negs & pos)                     # never a positive
+        # hard negatives: descending similarity order
+        cos = [r["cosine"] for r in rows]
+        assert cos == sorted(cos, reverse=True)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        mine_hard_negatives(
+            spark, out, pairs.limit(0), emb, n_negatives=2
+        )
