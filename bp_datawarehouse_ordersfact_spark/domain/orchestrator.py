@@ -70,8 +70,18 @@ def run_warehouse(
     spark: SparkSession,
     sources: WarehouseSources,
     out_dir: str,
+    snapshot_dims: bool = False,
 ) -> dict:
-    """dw2 → dw3 → dw4 → dw5 end to end, Parquet-staged, manifest out."""
+    """dw2 → dw3 → dw4 → dw5 end to end, Parquet-staged, manifest out.
+
+    ``snapshot_dims=True`` additionally commits Book_Dim to a versioned
+    snapshot history under ``out_dir/history/book_dim``
+    (``sources/versioned.py``) — the reference truncate-loads its dims
+    and destroys history (SURVEY §2.1 S6); with snapshots every run's
+    dimension state stays queryable (time travel) and diffable (keyed
+    insert/update/delete audit between any two runs), which is how a
+    royalty restatement gets explained months later. The manifest gains
+    the committed version number."""
     manifest: dict = {"out_dir": out_dir, "artifacts": {}}
 
     # dw2 — ingest + normalize (staged: feeds titles, dims, and facts)
@@ -105,6 +115,12 @@ def run_warehouse(
         "dimension_tables/book_dim",
         manifest,
     )
+    if snapshot_dims:
+        from ..sources.versioned import write_snapshot
+
+        manifest["book_dim_version"] = write_snapshot(
+            bdim, os.path.join(out_dir, "history/book_dim"), label="run"
+        )
     bundles = dims.bundle_dim(sources.bundle_master, wc)
     wc5 = facts.enrich_wc_lines(wc, bdim, bundles, dims.merch_dim(wc))
 

@@ -309,3 +309,38 @@ def test_orchestrated_warehouse_run_matches_fused_pipeline(spark, tmp_path):
         return {tuple(str(v) for v in r) for r in rounded.collect()}
 
     assert canon(staged_fr) == canon(fused_fr)
+
+
+def test_warehouse_dim_snapshots_time_travel_across_runs(spark, tmp_path):
+    """Two warehouse runs with snapshot_dims: versions 0 and 1 commit,
+    the latest Book_Dim snapshot equals the run's staged artifact, and
+    the cross-run diff is empty for identical inputs (the audit answer
+    'nothing changed between these runs')."""
+    from bp_datawarehouse_ordersfact_spark.domain import orchestrator
+    from bp_datawarehouse_ordersfact_spark.sources.versioned import (
+        diff_snapshots,
+        read_snapshot,
+    )
+
+    out = str(tmp_path / "wh_snap")
+    m1 = orchestrator.run_warehouse(
+        spark, orchestrator.fixture_sources(spark), out, snapshot_dims=True
+    )
+    assert m1["book_dim_version"] == 0
+    import os
+
+    # second run over the same out_dir: one history, many runs — the
+    # production layout
+    m2 = orchestrator.run_warehouse(
+        spark, orchestrator.fixture_sources(spark), out, snapshot_dims=True
+    )
+    assert m2["book_dim_version"] == 1
+
+    hist = os.path.join(out, "history/book_dim")
+    latest = read_snapshot(spark, hist)
+    staged = spark.read.parquet(m2["artifacts"]["dimension_tables/book_dim"]["path"])
+    assert sorted(map(tuple, latest.collect())) == sorted(
+        map(tuple, staged.collect())
+    )
+    d = diff_snapshots(spark, hist, 0, 1, ["Source_Title", "BookType"]).collect()
+    assert d == []  # identical fixture inputs → no dimension drift
