@@ -33,56 +33,43 @@ _MODULES = (relational, pipeline, llmops, streaming, domain_e2e, sketches_r6)
 # newest driver row may be older than 2 rounds
 # (tests/test_window_rotation.py enforces it).
 #
-# ROUND-6 WINDOW (this tuple) — executes the rotation codified in round
-# 5: the 2 staged sketch queries (sketches_r6 now in _MODULES; already
-# driver-verified by tests/test_sketches_r6.py), then pricing_summary
-# and tfidf_title_match at their HARD round-6 staleness deadline (their
-# newest row is round 3 — they were the displacements for the round-5
-# additions), then the 46 queries whose newest driver row is round 4
-# (exactly the r4 window minus the 4 re-checked in r5: ann_recall_at_k,
-# ann_ivf_kmeans_refine, domain_fact_royalty, domain_split_royalty_report).
-# That fills all 50 slots; the 48 round-5-green queries rotate out and
-# stay covered by pytest pins (tests/test_plans.py, operator tests)
-# until round 7 rotates them back. The registry now sits at 100 — the
-# cap the 50-wide window sustains under the 2-round invariant; from
-# round 7 on, rotation alternates the two 50-query halves.
+# ROUND-7 WINDOW (this tuple) — executes the forced rotation the
+# round-6 tuple codified: the registry is at the 100-entry cap, so the
+# window is exactly the 50 queries NOT in the round-6 tuple, i.e. the
+# round-5 window (CORRECTNESS_r05.json's keys, whose newest driver row
+# is now 2 rounds old — the hard staleness deadline). The 50
+# round-6-green queries rotate out and stay covered by pytest pins
+# (tests/test_plans.py, operator tests) until round 8 rotates them
+# back; from here on the two 50-query halves alternate every round.
 #
-# ROUND-7 ROTATION (mechanical; do it first): the registry is at cap,
-# so the window is forced — exactly the 50 queries NOT in this tuple,
-# i.e. the round-5 window (CORRECTNESS_r05.json's keys, whose newest
-# row will then be 2 rounds old): ann_recall_at_k, ann_ivf_kmeans_refine,
-# domain_fact_royalty, domain_split_royalty_report, interval_coalesce,
-# correlated_exists_rewrite, and the 44 relational/pipeline queries from
-# select_rename through dedup_simhash. No additions are possible without
-# deleting a query (the two halves then alternate every round: r8 = this
-# r6 tuple again, and so on). Swap the tuple, run
-# tests/test_window_rotation.py, done. If a round-7 query's latest row
-# comes back red, it must ALSO be in the round-8 window (the rotation
-# test enforces this automatically).
+# ROUND-8 ROTATION (mechanical; do it first): swap this tuple for the
+# other half — exactly the keys of CORRECTNESS_r06.json (the round-6
+# tuple recorded in git history at this file's round-6 revision). If a
+# round-7 query's latest row comes back red, it must ALSO be in the
+# round-8 window (tests/test_window_rotation.py enforces this
+# automatically).
 _WINDOW_FIRST = (
-    # round-6 additions — never driver-checked (pre-verified by
-    # tests/test_sketches_r6.py with the driver-faithful harness)
-    "sketch_theta_set_algebra", "sketch_kll_quantile_merge",
-    # newest row round 3 — hard staleness deadline this round
-    "pricing_summary", "tfidf_title_match",
-    # newest driver row is round 4 for the 46 below (equally stale)
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "ann_cosine_topk",
-    "ann_cosine_lsh", "ann_cosine_ivf", "text_langid", "text_quality",
-    "text_token_count", "text_fingerprint", "text_pii_scrub",
-    "corpus_filter_pipeline", "grouped_ewma", "multimodal_binary_meta",
-    "multimodal_feature_extract", "dedup_cluster_cc", "text_chunking",
-    "sample_stratified", "sequence_packing", "corpus_prep_pipeline",
-    "stream_tumbling_agg", "stream_sliding_agg", "stream_dedup",
-    "stream_session_agg", "stream_stateful_user_stats",
-    "text_repetition", "decontaminate_ngram_overlap",
-    "text_unigram_logprob", "stream_stream_join", "events_gap_fill",
-    "data_quality_audit", "scd2_dim_update", "leakage_safe_split",
-    "cdc_apply", "cube_summary", "embedding_classifier_score",
-    "sketch_hll_merge", "funnel_analysis", "retention_cohorts",
-    "rollup_incremental_refresh", "corpus_mix_resample",
-    "variant_props_extract", "listagg_per_group", "fact_royalty",
-    "rest_ingest_distributed", "kafka_wire_roundtrip",
-    "sketch_approx_stats",
+    # the 4 re-checked in r5 outside the r4 window
+    "ann_recall_at_k", "ann_ivf_kmeans_refine",
+    "domain_fact_royalty", "domain_split_royalty_report",
+    # round-5 additions
+    "interval_coalesce", "correlated_exists_rewrite",
+    # the 44 relational/pipeline/llmops queries whose newest row is r5
+    "select_rename", "membership_filter", "threshold_filter",
+    "split_royalty_union", "percent_rate_normalization",
+    "distinct_rows", "dedup_keep_first", "broadcast_dim_join",
+    "composite_key_join", "window_order_totals", "incremental_merge",
+    "semi_anti_join", "levenshtein_ratio_join", "parent_allocation",
+    "count_distinct_per_group", "grouping_rollup", "multikey_rollup",
+    "null_audit", "case_categorize", "conditional_measures",
+    "string_cleanup", "date_functions", "date_dim_generate", "top_k",
+    "top_k_per_group", "union_by_name", "set_intersect_except",
+    "null_fill_sentinels", "json_props_extract", "explode_line_items",
+    "pivot_status", "quantile_stats", "range_join_attribution",
+    "regional_supplier_volume", "rolling_window_avg",
+    "sessionize_events", "shipping_priority", "skew_salted_join",
+    "window_rank_functions", "event_interarrival", "asof_join",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
 )
 
 
