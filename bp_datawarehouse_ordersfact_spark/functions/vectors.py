@@ -47,6 +47,35 @@ def sign_bucket(a: Column, n_bits: int = 8) -> Column:
     return out
 
 
+def _hyperplanes(dim: int, bands: int, bits_per_band: int, seed: int):
+    """The (bands·bits_per_band × dim) Gaussian plane matrix — the single
+    generation site shared by key hashing and fingerprinting."""
+    import numpy as np
+
+    return np.random.default_rng(seed).standard_normal(
+        (bands * bits_per_band, dim)
+    )
+
+
+def hyperplane_fingerprint(
+    dim: int, bands: int = 8, bits_per_band: int = 32, seed: int = 42
+) -> str:
+    """md5 of the plane matrix bytes for (seed, dim, bands, bits_per_band).
+
+    NumPy does NOT guarantee Generator stream stability across releases
+    (NEP 19 reserves the right to change ``standard_normal``), so a
+    store/index that records only the seed could silently regenerate
+    DIFFERENT planes after a numpy upgrade — every probe then hashes into
+    foreign buckets and recall collapses to ~0 with no error (r6 ADVICE).
+    Persist this fingerprint in the artifact's meta and verify it at
+    query time: a drifted generator becomes a loud error instead."""
+    import hashlib
+
+    return hashlib.md5(
+        _hyperplanes(dim, bands, bits_per_band, seed).tobytes()
+    ).hexdigest()
+
+
 def hyperplane_band_keys(
     vec: Column,
     dim: int,
@@ -96,9 +125,7 @@ def hyperplane_band_keys(
     import numpy as np
     from pyspark.sql.types import ArrayType, LongType
 
-    planes = np.random.default_rng(seed).standard_normal(
-        (bands * bits_per_band, dim)
-    )
+    planes = _hyperplanes(dim, bands, bits_per_band, seed)
     bit_weights = np.int64(1) << np.arange(bits_per_band, dtype=np.int64)
     band_offsets = np.arange(bands, dtype=np.int64) * (np.int64(1) << bits_per_band)
 

@@ -375,8 +375,14 @@ def coalesce_intervals_skew(
         raise ValueError(f"bucket_span must be >= 1, got {bucket_span}")
 
     def fdiv(c):  # exact floor division for longs of any sign
+        # (c - pmod) is an exact multiple of bucket_span; the quotient is
+        # taken in decimal(38,0) because Spark's `/` on longs is DOUBLE
+        # division — exact only below 2^53, so unix-nano magnitudes
+        # (~1.7e18) would round the numerator to a multiple of 256 and
+        # misbucket (r6 ADVICE). Decimal division is exact at any long.
         c = c.cast("long")
-        return ((c - F.pmod(c, F.lit(bucket_span))) / bucket_span).cast("long")
+        exact = (c - F.pmod(c, F.lit(bucket_span))).cast("decimal(38,0)")
+        return (exact / F.lit(bucket_span)).cast("long")
 
     s, e, tb = F.col(start_col), F.col(end_col), F.col(tiebreak_col)
     segs = df.select(

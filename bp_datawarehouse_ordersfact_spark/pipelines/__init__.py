@@ -5,6 +5,7 @@ from .ann_index import (  # noqa: F401
     delete_from_ann_index,
     evaluate_ann_index,
     load_ann_index,
+    maintain_ann_index,
     mine_hard_negatives,
     search_ann_index,
     search_ann_index_batch,
@@ -15,6 +16,7 @@ from .dedup_store import (  # noqa: F401
     admit_to_store,
     build_dedup_store,
     build_embedding_dedup_store,
+    compact_dedup_store,
     dedup_against_store,
     embedding_dedup_against_store,
 )

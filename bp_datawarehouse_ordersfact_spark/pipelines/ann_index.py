@@ -24,9 +24,15 @@ plain/residual batch searchers, broadcast rerank).
 
 Maintenance completes the lifecycle CRUD: ``append_to_ann_index``
 (frozen-quantizer inserts), ``delete_from_ann_index`` (rewrites only
-the hit cells, removes emptied cell directories), and
-``compact_ann_index`` (the OPTIMIZE pass — one file per cell again
-after append batches, atomic directory swap).
+the hit cells, removes emptied cell directories), ``compact_ann_index``
+(the OPTIMIZE pass — one file per cell again after append batches,
+promoted through the ``pipelines/artifact.py`` commit-pointer ledger:
+readers resolve the live index directory through a committed version
+row, so a rewrite in flight or a crashed compactor never leaves them
+without an index), and ``maintain_ann_index`` (the composed
+delete→append→compact pass whose staged result is promoted ONLY if the
+``evaluate_ann_index`` recall gate clears — a mutation that guts recall
+is rejected with the index left at its pre-maintenance version).
 
 Metric coherence: the pipeline is cosine end to end (cosine coarse
 cells, cosine rerank), but PQ/ADC is an L2 quantizer — so the index is
@@ -48,6 +54,12 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors as V
 from ..functions.rounding import rnd
+from .artifact import (
+    commit_artifact_version,
+    current_artifact_dir,
+    next_artifact_dir,
+    reset_artifact,
+)
 from ..operators.pq import (
     build_ivfpq_index,
     pq_search_ivfpq,
@@ -120,6 +132,10 @@ def build_ann_index(
     # count via an observed metric on the producing write (corpus_build's
     # _stage convention) — no second pass over the corpus-sized artifact;
     # cents/books are kilobyte frames already in hand
+    # a REBUILD must become the resolved index again: drop any
+    # compaction ledger + versioned directories from the previous
+    # index's lifetime before writing the legacy plain directory
+    reset_artifact(spark, out_dir, "index")
     obs = Observation("ann_index")
     index.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
         "overwrite"
@@ -137,15 +153,23 @@ def build_ann_index(
     }
 
 
+def _index_dir(spark: SparkSession, out_dir: str) -> str:
+    """The LIVE index directory — resolved through the compaction
+    commit ledger (plain ``index/`` until the first compaction)."""
+    return current_artifact_dir(spark, out_dir, "index")
+
+
 def load_ann_index(
     spark: SparkSession, out_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(centroids, codebooks, index) read back from ``out_dir`` — the
-    index frame keeps its cell_id partition column for pruning."""
+    index frame keeps its cell_id partition column for pruning, and its
+    directory resolves through the commit-pointer ledger so a compaction
+    in flight never leaves a reader without an index."""
     return (
         spark.read.parquet(os.path.join(out_dir, "centroids")),
         spark.read.parquet(os.path.join(out_dir, "codebooks")),
-        spark.read.parquet(os.path.join(out_dir, "index")),
+        spark.read.parquet(_index_dir(spark, out_dir)),
     )
 
 
@@ -217,6 +241,29 @@ def search_ann_index(
     )
 
 
+def _encode_rows(
+    spark: SparkSession,
+    out_dir: str,
+    new_embeddings: DataFrame,
+    vec_col: str,
+    id_col: str,
+):
+    """New vectors encoded with the index's FROZEN quantizers →
+    (index_rows, residual_cache_or_None). Increment-sized batches get a
+    cache boundary (not a staged write) on the residual frame so the two
+    assembly sides don't recompute it; the caller unpersists after its
+    action forces the plan."""
+    cents, books, _ = load_ann_index(spark, out_dir)
+    meta = _load_meta(spark, out_dir)
+    unit = new_embeddings.select(
+        F.col(id_col), V.l2_normalize(F.col(vec_col)).alias(vec_col)
+    )
+    if meta["residual"]:
+        res = residual_frame(unit, cents, vec_col, id_col).cache()
+        return residual_index_rows(res, books, id_col), res
+    return build_ivfpq_index(unit, cents, books, vec_col, id_col), None
+
+
 def append_to_ann_index(
     spark: SparkSession,
     new_embeddings: DataFrame,
@@ -235,24 +282,11 @@ def append_to_ann_index(
     upstream corpus); quantization drift — new data far from the trained
     centroids — degrades recall gracefully and is the signal to schedule
     a rebuild, exactly as with any frozen-quantizer ANN index."""
-    cents, books, _ = load_ann_index(spark, out_dir)
-    meta = _load_meta(spark, out_dir)
-    unit = new_embeddings.select(
-        F.col(id_col), V.l2_normalize(F.col(vec_col)).alias(vec_col)
-    )
-    res = None
-    if meta["residual"]:
-        # append batches are increment-sized: a cache boundary (not a
-        # staged write) stops the residual frame recomputing on both
-        # assembly sides
-        res = residual_frame(unit, cents, vec_col, id_col).cache()
-        rows = residual_index_rows(res, books, id_col)
-    else:
-        rows = build_ivfpq_index(unit, cents, books, vec_col, id_col)
+    rows, res = _encode_rows(spark, out_dir, new_embeddings, vec_col, id_col)
     obs = Observation("ann_append")
     rows.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
         "append"
-    ).partitionBy("cell_id").parquet(os.path.join(out_dir, "index"))
+    ).partitionBy("cell_id").parquet(_index_dir(spark, out_dir))
     appended = int(obs.get["rows"])
     if res is not None:
         # obs.get forced the write, so the cache has served its purpose —
@@ -272,6 +306,7 @@ def search_ann_index_batch(
     id_col: str = "vec_id",
     query_id_col: str = "q_id",
     shortlist_factor: int = 4,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Batch twin of ``search_ann_index``: top-k for every ROW of a
     queries DataFrame against a persisted index — the serving shape for
@@ -289,12 +324,17 @@ def search_ann_index_batch(
     measures exactly this), and ONE broadcast semi-join + per-query
     window close the exact-cosine rerank for the whole workload —
     never a second corpus scan. Returns (q_id, vec_id, adc_d2, rnk) or,
-    reranked, (q_id, vec_id, cosine, rnk)."""
+    reranked, (q_id, vec_id, cosine, rnk). ``index_path`` overrides the
+    ledger-resolved index directory — the hook ``maintain_ann_index``
+    uses to evaluate a STAGED (uncommitted) rewrite before promoting
+    it."""
     from pyspark.sql import Window
 
     from ..operators.pq import pq_search_ivfpq_batch, pq_search_ivfpq_residual_batch
 
     cents, books, index = load_ann_index(spark, out_dir)
+    if index_path is not None:
+        index = spark.read.parquet(index_path)
     meta = _load_meta(spark, out_dir)
     unit_q = queries.select(
         F.col(query_id_col).alias("q_id"),
@@ -372,7 +412,7 @@ def delete_from_ann_index(
     deletion is a rebuild, not an incremental rewrite."""
     if not ids:
         return 0
-    index_path = os.path.join(out_dir, "index")
+    index_path = _index_dir(spark, out_dir)
     index = spark.read.parquet(index_path)
     hit = (
         index.filter(F.col(id_col).isin(list(ids)))
@@ -421,18 +461,21 @@ def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
     per append batch per touched cell; a serving scan then pays per-file
     open/footer costs inside exactly the directories it prunes down to.
     This is the OPTIMIZE pass: repartition by cell_id (each cell's rows
-    land wholly in one task → one output file per cell), stage the
-    rewrite next to the live index, and atomically swap via the Hadoop
-    FileSystem API — a reader mid-swap sees the old or the new layout,
-    never a half-written mix. Search results are unchanged (pinned).
+    land wholly in one task → one output file per cell), write the
+    rewrite into a fresh ``index.v{N}`` directory that no reader
+    resolves, then COMMIT it with one ledger append
+    (``pipelines/artifact.py``). Readers mid-compaction keep resolving
+    the previous version; a crashed compactor leaves the previous
+    version live (the orphan directory is absorbed by the next
+    attempt's overwrite) — there is no delete/rename window with no
+    live index, the r6 ADVICE hazard of the old in-place swap. Search
+    results are unchanged (pinned).
 
     Returns {"files_before", "files_after", "n_rows"}."""
-    index_path = os.path.join(out_dir, "index")
-    staging = os.path.join(out_dir, "_index_compact_staging")
-    index = spark.read.parquet(index_path)
-    before = len(
-        [f for f in index.inputFiles()]
-    )
+    cur_path = _index_dir(spark, out_dir)
+    index = spark.read.parquet(cur_path)
+    before = len(index.inputFiles())
+    version, staging = next_artifact_dir(spark, out_dir, "index")
     obs = Observation("ann_compact")
     (
         index.repartition("cell_id")
@@ -442,11 +485,8 @@ def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
         .parquet(staging)
     )
     n_rows = int(obs.get["rows"])
-    fs, _, jvm = _hadoop_fs(spark, index_path)
-    Path = jvm.org.apache.hadoop.fs.Path
-    fs.delete(Path(index_path), True)
-    fs.rename(Path(staging), Path(index_path))
-    after = len(spark.read.parquet(index_path).inputFiles())
+    commit_artifact_version(spark, out_dir, "index", version)
+    after = len(spark.read.parquet(_index_dir(spark, out_dir)).inputFiles())
     return {"files_before": before, "files_after": after, "n_rows": n_rows}
 
 
@@ -460,6 +500,7 @@ def evaluate_ann_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     shortlist_factor: int = 4,
+    index_path: str | None = None,
 ) -> dict:
     """Recall@k of the persisted index against EXACT cosine top-k — the
     acceptance gate a retrain/append/compact pipeline runs before
@@ -497,6 +538,7 @@ def evaluate_ann_index(
         id_col=id_col,
         query_id_col="q_id",
         shortlist_factor=shortlist_factor,
+        index_path=index_path,
     )
     w = Window.partitionBy("q_id").orderBy("rnk")
     got = (
@@ -589,3 +631,95 @@ def mine_hard_negatives(
             F.col("neg_rnk").alias("rnk"),
         )
     )
+
+
+def maintain_ann_index(
+    spark: SparkSession,
+    out_dir: str,
+    embeddings: DataFrame,
+    delete_ids: list | None = None,
+    append_embeddings: DataFrame | None = None,
+    min_recall: float = 0.9,
+    n_queries: int = 20,
+    k: int = 10,
+    n_probe: int = 2,
+    shortlist_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """One GATED maintenance pass: apply deletes and frozen-quantizer
+    appends, compact to one file per cell, measure recall@k of the
+    result, and promote it ONLY if recall clears ``min_recall``.
+
+    The staged rewrite lands in an uncommitted ``index.v{N}`` directory
+    (``pipelines/artifact.py``), ``evaluate_ann_index`` runs against
+    that directory via its ``index_path`` override, and the ledger
+    append — the promotion — happens only on a passing gate. A failing
+    gate deletes the staged directory and leaves the index at its
+    pre-maintenance version untouched, so a delete batch that guts
+    recall (or an append of garbage vectors) can never reach serving:
+    ``evaluate_ann_index`` stops being advisory and becomes the
+    promotion gate the lifecycle docstring promises.
+
+    ``embeddings`` is the corpus the index SHOULD represent AFTER the
+    maintenance (ground truth for the recall gate) — pass the
+    post-delete corpus table. Returns
+    {"promoted", "recall_at_k", "n_deleted", "n_appended", "version",
+    "files_after"} with ``version`` None when not promoted."""
+    if not 0.0 <= min_recall <= 1.0:
+        raise ValueError(f"min_recall must be in [0, 1], got {min_recall}")
+    cur_path = _index_dir(spark, out_dir)
+    index = spark.read.parquet(cur_path)
+    n_deleted = 0
+    if delete_ids:
+        ids = list(delete_ids)
+        n_deleted = index.filter(F.col(id_col).isin(ids)).count()
+        index = index.filter(~F.col(id_col).isin(ids))
+    n_appended = 0
+    res = None
+    if append_embeddings is not None:
+        rows, res = _encode_rows(
+            spark, out_dir, append_embeddings, vec_col, id_col
+        )
+        index = index.unionByName(rows.select(*index.columns))
+        n_appended = rows.count()
+    version, staging = next_artifact_dir(spark, out_dir, "index")
+    # full rewrite of a fresh directory: emptied cells simply have no
+    # directory (no dynamic-overwrite stale-file trap), and each cell's
+    # rows land in one task → one file per cell (the compaction)
+    index.repartition("cell_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(staging)
+    if res is not None:
+        res.unpersist()
+    stats = evaluate_ann_index(
+        spark,
+        out_dir,
+        embeddings,
+        n_queries=n_queries,
+        k=k,
+        n_probe=n_probe,
+        vec_col=vec_col,
+        id_col=id_col,
+        shortlist_factor=shortlist_factor,
+        index_path=staging,
+    )
+    recall = stats["recall_at_k"]
+    promoted = recall is not None and recall >= min_recall
+    if promoted:
+        commit_artifact_version(spark, out_dir, "index", version)
+        files_after = len(
+            spark.read.parquet(_index_dir(spark, out_dir)).inputFiles()
+        )
+    else:
+        fs, _, jvm = _hadoop_fs(spark, staging)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        files_after = len(spark.read.parquet(cur_path).inputFiles())
+    return {
+        "promoted": promoted,
+        "recall_at_k": recall,
+        "n_deleted": int(n_deleted),
+        "n_appended": int(n_appended),
+        "version": version if promoted else None,
+        "files_after": files_after,
+    }

@@ -43,10 +43,23 @@ from pyspark.sql import functions as F
 from ..functions.rounding import rnd
 from ..functions import text as Tx
 from ..operators.dedup import minhash_band_rows, shingle_rows
+from .artifact import (
+    commit_artifact_version,
+    current_artifact_dir,
+    next_artifact_dir,
+    reset_artifact,
+)
 
 
 def _paths(out_dir: str) -> dict:
     return {n: os.path.join(out_dir, n) for n in ("bands", "shingles", "meta")}
+
+
+def _live(spark: SparkSession, out_dir: str, name: str) -> str:
+    """The artifact's LIVE directory — ledger-resolved after any
+    compaction, the plain builder-written directory before the first
+    (``pipelines/artifact.py``)."""
+    return current_artifact_dir(spark, out_dir, name)
 
 
 def _prep(
@@ -73,6 +86,10 @@ def build_dedup_store(
     manifest with paths and the observed document count."""
     paths = _paths(out_dir)
     banded, sets = _prep(docs, text_col, id_col, k, bands, shingle_n)
+    # a rebuild must resolve again: drop any compaction ledger/versioned
+    # dirs so readers don't stay pinned to a pre-rebuild version
+    for name in ("bands", "shingles"):
+        reset_artifact(spark, out_dir, name)
     banded.write.mode("overwrite").partitionBy("band").parquet(paths["bands"])
     obs = Observation("dedup_store")
     sets.observe(obs, F.count(F.lit(1)).alias("docs")).write.mode(
@@ -104,11 +121,10 @@ def dedup_against_store(
     near-dups are a separate concern — run ``minhash_lsh_pairs`` on the
     batch itself (the two compose: store-dedup then self-dedup)."""
     meta = _load_meta(spark, out_dir)
-    paths = _paths(out_dir)
     banded, sets = _prep(
         batch, text_col, id_col, meta["k"], meta["bands"], meta["shingle_n"]
     )
-    stored_bands = spark.read.parquet(paths["bands"])
+    stored_bands = spark.read.parquet(_live(spark, out_dir, "bands"))
     cand = (
         banded.withColumnRenamed("doc", "new_doc")
         .join(
@@ -118,9 +134,9 @@ def dedup_against_store(
         .select("new_doc", "old_doc")
         .distinct()
     )
-    stored_sets = spark.read.parquet(paths["shingles"]).withColumnsRenamed(
-        {id_col: "old_doc", "shingles": "sh_old"}
-    )
+    stored_sets = spark.read.parquet(
+        _live(spark, out_dir, "shingles")
+    ).withColumnsRenamed({id_col: "old_doc", "shingles": "sh_old"})
     new_sets = sets.withColumnsRenamed({id_col: "new_doc", "shingles": "sh_new"})
     return (
         cand.join(new_sets, "new_doc")
@@ -147,22 +163,23 @@ def admit_to_store(
     Id uniqueness vs the store is the caller's contract, exactly as in
     ``append_to_ann_index``. Returns the number of documents admitted."""
     meta = _load_meta(spark, out_dir)
-    paths = _paths(out_dir)
     banded, sets = _prep(
         batch, text_col, id_col, meta["k"], meta["bands"], meta["shingle_n"]
     )
+    bands_path = _live(spark, out_dir, "bands")
+    shingles_path = _live(spark, out_dir, "shingles")
     # align the batch's id type to the store before APPENDING — a batch
     # whose ids are int where the store holds bigint would otherwise
     # write mixed-physical-type files into one directory and corrupt the
     # store for every later reader (observed: INT32 vs INT64 crash)
-    stored_id_type = spark.read.parquet(paths["shingles"]).schema[id_col].dataType
+    stored_id_type = spark.read.parquet(shingles_path).schema[id_col].dataType
     banded = banded.withColumn("doc", F.col("doc").cast(stored_id_type))
     sets = sets.withColumn(id_col, F.col(id_col).cast(stored_id_type))
-    banded.write.mode("append").partitionBy("band").parquet(paths["bands"])
+    banded.write.mode("append").partitionBy("band").parquet(bands_path)
     obs = Observation("dedup_admit")
     sets.observe(obs, F.count(F.lit(1)).alias("docs")).write.mode(
         "append"
-    ).parquet(paths["shingles"])
+    ).parquet(shingles_path)
     return int(obs.get["docs"])
 
 
@@ -189,15 +206,20 @@ def build_embedding_dedup_store(
     """Vector twin of ``build_dedup_store``: persist banded
     random-hyperplane keys (``functions.vectors.hyperplane_band_keys``)
     plus the vectors themselves for exact-cosine verification. The meta
-    table records (bands, bits_per_band, seed, dim) — the hyperplanes
-    derive deterministically from (seed, dim), so any later batch
-    reproduces byte-identical keys from meta alone; no plane matrix is
-    ever persisted."""
+    table records (bands, bits_per_band, seed, dim, plane_md5): the
+    hyperplanes derive deterministically from (seed, dim) so no plane
+    matrix is persisted, but NumPy's Generator streams may change across
+    releases (NEP 19) — plane_md5 fingerprints the matrix the store was
+    built with, and every later probe/admit verifies its regenerated
+    planes against it, turning silent recall collapse after a numpy
+    upgrade into a loud error (r6 ADVICE)."""
     from ..functions import vectors as V
 
     if dim is None:
         dim = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     paths = _emb_paths(out_dir)
+    for name in ("keys", "vectors"):
+        reset_artifact(spark, out_dir, name)
     keyed = embeddings.select(
         F.col(id_col),
         F.col(vec_col).alias("v"),
@@ -213,15 +235,45 @@ def build_embedding_dedup_store(
         obs, F.count(F.lit(1)).alias("rows")
     ).write.mode("overwrite").parquet(paths["vectors"])
     spark.createDataFrame(
-        [(bands, bits_per_band, seed, dim)],
-        "bands int, bits_per_band int, seed int, dim int",
+        [
+            (
+                bands,
+                bits_per_band,
+                seed,
+                dim,
+                V.hyperplane_fingerprint(dim, bands, bits_per_band, seed),
+            )
+        ],
+        "bands int, bits_per_band int, seed int, dim int, plane_md5 string",
     ).write.mode("overwrite").parquet(paths["meta"])
     return {"paths": paths, "n_vectors": int(obs.get["rows"])}
 
 
 def _emb_meta(spark: SparkSession, out_dir: str) -> dict:
+    """Store meta, with the plane-matrix fingerprint VERIFIED: the keys
+    this process would generate from (seed, dim) must hash to the same
+    matrix the store was built with, else every probe lands in foreign
+    buckets (numpy Generator drift across releases — NEP 19). Stores
+    persisted before the fingerprint existed skip the check."""
+    from ..functions import vectors as V
+
     row = spark.read.parquet(_emb_paths(out_dir)["meta"]).collect()[0]
-    return {k: row[k] for k in ("bands", "bits_per_band", "seed", "dim")}
+    meta = {k: row[k] for k in ("bands", "bits_per_band", "seed", "dim")}
+    stored_md5 = row["plane_md5"] if "plane_md5" in row.__fields__ else None
+    if stored_md5 is not None:
+        local = V.hyperplane_fingerprint(
+            meta["dim"], meta["bands"], meta["bits_per_band"], meta["seed"]
+        )
+        if local != stored_md5:
+            raise RuntimeError(
+                "embedding dedup store plane-matrix mismatch: store was "
+                f"built with planes md5={stored_md5} but this runtime "
+                f"regenerates md5={local} from the same seed — numpy "
+                "Generator stream drift. Rebuild the store (or pin numpy) "
+                "before querying; proceeding would hash into foreign "
+                "buckets and silently return no duplicates."
+            )
+    return meta
 
 
 def embedding_dedup_against_store(
@@ -231,16 +283,24 @@ def embedding_dedup_against_store(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.999,
+    probe_flips: int = 0,
 ) -> DataFrame:
     """(vec_id, dup_of, cosine) — batch vectors whose exact cosine
     against some STORED vector clears ``threshold``. Key parameters
     (and thus the hyperplanes) come from the store's meta; a batch
     whose vector dim differs from the trained dim RAISES inside the
-    key UDF rather than silently mis-hashing."""
+    key UDF rather than silently mis-hashing.
+
+    ``probe_flips`` is the QUERY-side multi-probe knob (Lv et al.,
+    VLDB 2007 — see ``functions.vectors.hyperplane_band_keys``): each
+    batch vector additionally probes the buckets reached by flipping,
+    one at a time, its ``probe_flips`` lowest-margin sign bits per band.
+    Recall against an under-provisioned store rises WITHOUT touching the
+    store's files — the store side stays at its built band count; only
+    this batch emits extra keys (r6 VERDICT #3)."""
     from ..functions import vectors as V
 
     meta = _emb_meta(spark, out_dir)
-    paths = _emb_paths(out_dir)
     keyed = batch.select(
         F.col(id_col).alias("new_id"),
         F.col(vec_col).alias("v_new"),
@@ -250,22 +310,23 @@ def embedding_dedup_against_store(
             meta["bands"],
             meta["bits_per_band"],
             meta["seed"],
+            probe_flips=probe_flips,
         ).alias("keys"),
     )
     cand = (
         keyed.select("new_id", F.explode("keys").alias("bk"))
         .join(
-            spark.read.parquet(paths["keys"]).withColumnsRenamed(
-                {id_col: "old_id"}
-            ),
+            spark.read.parquet(
+                _live(spark, out_dir, "keys")
+            ).withColumnsRenamed({id_col: "old_id"}),
             "bk",
         )
         .select("new_id", "old_id")
         .distinct()
     )
-    stored_vecs = spark.read.parquet(paths["vectors"]).withColumnsRenamed(
-        {id_col: "old_id", "v": "v_old"}
-    )
+    stored_vecs = spark.read.parquet(
+        _live(spark, out_dir, "vectors")
+    ).withColumnsRenamed({id_col: "old_id", "v": "v_old"})
     return (
         cand.join(keyed.select("new_id", "v_new"), "new_id")
         .join(stored_vecs, "old_id")
@@ -293,8 +354,9 @@ def admit_embeddings_to_store(
     from ..functions import vectors as V
 
     meta = _emb_meta(spark, out_dir)
-    paths = _emb_paths(out_dir)
-    vec_schema = spark.read.parquet(paths["vectors"]).schema
+    keys_path = _live(spark, out_dir, "keys")
+    vectors_path = _live(spark, out_dir, "vectors")
+    vec_schema = spark.read.parquet(vectors_path).schema
     id_type = vec_schema[id_col].dataType
     v_type = vec_schema["v"].dataType
     keyed = batch.select(
@@ -310,11 +372,11 @@ def admit_embeddings_to_store(
     )
     keyed.select(id_col, F.explode("keys").alias("bk")).write.mode(
         "append"
-    ).parquet(paths["keys"])
+    ).parquet(keys_path)
     obs = Observation("emb_admit")
     keyed.select(id_col, "v").observe(
         obs, F.count(F.lit(1)).alias("rows")
-    ).write.mode("append").parquet(paths["vectors"])
+    ).write.mode("append").parquet(vectors_path)
     return int(obs.get["rows"])
 
 
@@ -323,10 +385,14 @@ def compact_dedup_store(spark: SparkSession, out_dir: str) -> dict:
     embedding keys/vectors): every admit appends one file per artifact,
     so a long-running ingest leaves thousands of small files that every
     later probe pays per-file open/footer costs on. Rewrites each
-    artifact via repartition-to-content-size and atomically swaps the
-    directory (the ``compact_ann_index`` pattern; band-partitioned
-    artifacts keep their partitioning with one file per band).
-    Returns {artifact: (files_before, files_after)}."""
+    artifact via repartition-to-content-size into a fresh versioned
+    directory and COMMITS it with one ledger append
+    (``pipelines/artifact.py`` — the ``compact_ann_index`` protocol):
+    readers mid-compaction keep resolving the previous version, and a
+    crashed compactor leaves the previous version live, instead of the
+    old in-place delete/rename swap's dead window (r6 ADVICE).
+    Band-partitioned artifacts keep their partitioning with one file
+    per band. Returns {artifact: (files_before, files_after)}."""
     jvm = spark._jvm
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(out_dir).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -338,18 +404,18 @@ def compact_dedup_store(spark: SparkSession, out_dir: str) -> dict:
         ("vectors", None),
     ]
     for name, part_cols in plans:
-        path = os.path.join(out_dir, name)
+        path = _live(spark, out_dir, name)
         if not fs.exists(Path(path)):
             continue
         df = spark.read.parquet(path)
         before = len(df.inputFiles())
-        staging = os.path.join(out_dir, f"_{name}_compact_staging")
+        version, staging = next_artifact_dir(spark, out_dir, name)
         if part_cols:
             w = df.repartition(*part_cols).write.partitionBy(*part_cols)
         else:
             w = df.coalesce(max(1, before // 8)).write
         w.mode("overwrite").parquet(staging)
-        fs.delete(Path(path), True)
-        fs.rename(Path(staging), Path(path))
-        stats[name] = (before, len(spark.read.parquet(path).inputFiles()))
+        commit_artifact_version(spark, out_dir, name, version)
+        live = _live(spark, out_dir, name)
+        stats[name] = (before, len(spark.read.parquet(live).inputFiles()))
     return stats

@@ -16,7 +16,12 @@ is that protocol over plain Parquet:
   removes them);
 - readers resolve "latest" through the manifest, never by listing data
   directories — so concurrent readers see a consistent version while a
-  writer is mid-snapshot.
+  writer is mid-snapshot;
+- retention (``expire_snapshots``) is ALSO append-only: expiring a
+  version appends a TOMBSTONE row (n_rows = -1) rather than rewriting
+  the manifest, so a reader sees either the pre-expiry manifest (all
+  versions alive) or the post-expiry one (expired versions gone) —
+  never a half-expired state — and version numbers are never reused.
 
 Single-writer contract: version allocation reads the manifest, so two
 concurrent writers could both claim N+1 — the same caveat as Delta on a
@@ -52,6 +57,15 @@ def _read_manifest(spark: SparkSession, base_dir: str) -> DataFrame:
         return spark.createDataFrame([], _MANIFEST_SCHEMA)
 
 
+def _alive_manifest(spark: SparkSession, base_dir: str) -> DataFrame:
+    """Commit rows of versions that are committed and NOT tombstoned —
+    what every reader resolves against. A tombstone is an appended row
+    with n_rows < 0 (``expire_snapshots``)."""
+    mf = _read_manifest(spark, base_dir)
+    tomb = mf.filter(F.col("n_rows") < 0).select("version")
+    return mf.filter(F.col("n_rows") >= 0).join(tomb, "version", "left_anti")
+
+
 def write_snapshot(
     df: DataFrame, base_dir: str, label: str | None = None
 ) -> int:
@@ -59,6 +73,9 @@ def write_snapshot(
     Data is fully written BEFORE the manifest row lands — the manifest
     append is the commit point."""
     spark = df.sparkSession
+    # allocate over the RAW manifest (tombstoned rows included): an
+    # expired version's number is never reused, so time-travel reads,
+    # diffs, and audit logs stay unambiguous forever
     prev = _read_manifest(spark, base_dir).agg(F.max("version")).collect()[0][0]
     version = (prev if prev is not None else -1) + 1
     obs = Observation(f"snapshot_v{version}")
@@ -73,17 +90,19 @@ def write_snapshot(
 
 
 def list_snapshots(spark: SparkSession, base_dir: str) -> DataFrame:
-    """(version, label, n_rows), ascending — committed versions only."""
-    return _read_manifest(spark, base_dir).orderBy("version")
+    """(version, label, n_rows), ascending — committed, unexpired
+    versions only."""
+    return _alive_manifest(spark, base_dir).orderBy("version")
 
 
 def read_snapshot(
     spark: SparkSession, base_dir: str, version: int | None = None
 ) -> DataFrame:
     """The table AS OF ``version`` (default: latest committed). Reading
-    an uncommitted or unknown version raises — an orphan data directory
-    from a crashed writer is not a version."""
-    mf = _read_manifest(spark, base_dir)
+    an uncommitted, EXPIRED, or unknown version raises — an orphan data
+    directory from a crashed writer is not a version, and an expired
+    version's data may already be deleted."""
+    mf = _alive_manifest(spark, base_dir)
     if version is None:
         row = mf.agg(F.max("version").alias("v")).collect()[0]
         if row["v"] is None:
@@ -136,9 +155,11 @@ def diff_snapshots(
 
 
 def vacuum_uncommitted(spark: SparkSession, base_dir: str) -> list[int]:
-    """Remove orphan ``v=N`` directories with no manifest row (crashed
-    writers). Returns the removed version numbers. Uses the Hadoop
-    FileSystem API, so it works on any filesystem spark.read does."""
+    """Remove orphan ``v=N`` directories with no LIVE manifest row —
+    crashed writers, and expired versions whose data deletion was
+    interrupted mid-``expire_snapshots``. Returns the removed version
+    numbers. Uses the Hadoop FileSystem API, so it works on any
+    filesystem spark.read does."""
     jvm = spark._jvm
     Path = jvm.org.apache.hadoop.fs.Path
     fs = Path(base_dir).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -146,7 +167,7 @@ def vacuum_uncommitted(spark: SparkSession, base_dir: str) -> list[int]:
         return []
     committed = {
         r["version"]
-        for r in _read_manifest(spark, base_dir).select("version").collect()
+        for r in _alive_manifest(spark, base_dir).select("version").collect()
     }
     removed = []
     for status in fs.listStatus(Path(base_dir)):
@@ -157,3 +178,42 @@ def vacuum_uncommitted(spark: SparkSession, base_dir: str) -> list[int]:
                 fs.delete(status.getPath(), True)
                 removed.append(v)
     return sorted(removed)
+
+
+def expire_snapshots(
+    spark: SparkSession, base_dir: str, keep_last: int
+) -> list[int]:
+    """Retention: expire all but the newest ``keep_last`` committed
+    versions; returns the expired version numbers. Full-copy snapshot
+    history otherwise grows without bound — for per-run dimension
+    snapshots that is one full table copy per orchestrator run
+    (r6 VERDICT #4).
+
+    The commit point is ONE manifest append of tombstone rows
+    (n_rows = -1): a reader resolves either the pre-expiry manifest or
+    the post-expiry one, never a half-expired mix — no manifest rewrite,
+    no delete/rename window, same append-only discipline as
+    ``write_snapshot``. The expired data directories are deleted after
+    the tombstones land; a crash in between leaves orphans that
+    ``vacuum_uncommitted`` removes (they are already invisible to every
+    reader). Single-writer contract (module docstring) applies."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    alive = sorted(
+        r["version"]
+        for r in _alive_manifest(spark, base_dir).select("version").collect()
+    )
+    expired = alive[:-keep_last]
+    if not expired:
+        return []
+    spark.createDataFrame(
+        [(v, "__expired__", -1) for v in expired], _MANIFEST_SCHEMA
+    ).write.mode("append").parquet(_manifest_path(base_dir))
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(base_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    for v in expired:
+        p = Path(os.path.join(base_dir, f"v={v}"))
+        if fs.exists(p):
+            fs.delete(p, True)
+    return expired

@@ -613,9 +613,31 @@ def run_incremental_dedup_stream(
     (batch-level ``minhash_lsh_pairs``) — admitting a batch's survivors
     BEFORE the next batch arrives means cross-batch duplicates are
     always caught here, the contract that matters for unbounded ingest.
-    Batch-id ordering gives the usual foreachBatch exactly-once-per-
-    batch semantics over an availableNow drain."""
-    from ..pipelines.dedup_store import admit_to_store, dedup_against_store
+
+    foreachBatch is AT-LEAST-ONCE (a failure between the batch body and
+    the checkpoint commit replays the batch), so the batch body is built
+    to be IDEMPOTENT rather than assumed exactly-once (r6 ADVICE):
+
+    - survivors land under ``out_dir/ingest_batch_id={N}`` — a replay
+      OVERWRITES its own partition instead of appending duplicate rows
+      (readers of ``out_dir`` see the batch id as a provenance column
+      via partition discovery);
+    - a ``_processed_batches`` ledger inside the store records fully
+      processed batch ids; a replayed batch that already completed is
+      skipped outright;
+    - a replay that crashed MID-batch re-admits only the survivor ids
+      not yet visible in the store's shingle table (the artifact whose
+      append commits LAST in ``admit_to_store``, so gating on it cannot
+      lose a doc; a bands-only partial admit leaves duplicate band rows,
+      which are harmless — candidate pairs are ``distinct()``-ed);
+    - dup detection ignores matches whose ``dup_of`` is an id of THIS
+      batch, so survivors a crashed attempt already admitted are not
+      re-classified as duplicates of themselves on replay."""
+    from ..pipelines.dedup_store import (
+        _live,
+        admit_to_store,
+        dedup_against_store,
+    )
 
     schema = spark.read.parquet(docs_dir).schema
     src = (
@@ -623,18 +645,41 @@ def run_incremental_dedup_stream(
         .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(docs_dir)
     )
+    ledger = store_dir.rstrip("/") + "/_processed_batches"
 
     def apply_batch(batch_df, batch_id: int) -> None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
         if batch_df.isEmpty():
             return
         s = batch_df.sparkSession
+        try:
+            done = {r["batch_id"] for r in s.read.parquet(ledger).collect()}
+        except AnalysisException:
+            done = set()
+        if int(batch_id) in done:
+            return  # fully processed before the checkpoint crash — skip
         dups = dedup_against_store(
             s, batch_df, store_dir, text_col, id_col, threshold
         )
+        # replay-safety: a survivor admitted by a crashed attempt would
+        # now match ITS OWN stored copy (or a fellow batch member's) —
+        # only matches against PRE-batch corpus docs count
+        own = batch_df.select(F.col(id_col).alias("dup_of")).distinct()
+        dups = dups.join(own, "dup_of", "left_anti")
         dup_ids = [r[id_col] for r in dups.select(id_col).distinct().collect()]
         survivors = batch_df.filter(~F.col(id_col).isin(dup_ids))
-        survivors.write.mode("append").parquet(out_dir)
-        admit_to_store(s, survivors, store_dir, text_col, id_col)
+        survivors.write.mode("overwrite").parquet(
+            out_dir.rstrip("/") + f"/ingest_batch_id={int(batch_id)}"
+        )
+        stored_ids = s.read.parquet(_live(s, store_dir, "shingles")).select(
+            id_col
+        )
+        to_admit = survivors.join(stored_ids, id_col, "left_anti")
+        admit_to_store(s, to_admit, store_dir, text_col, id_col)
+        s.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+            "append"
+        ).parquet(ledger)
 
     q = (
         src.writeStream.foreachBatch(apply_batch)

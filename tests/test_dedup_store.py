@@ -5,6 +5,8 @@ batches against the corpus, pinned equal to the batch operator run over
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -201,3 +203,108 @@ def test_compact_store_shrinks_files_and_preserves_results(
     after = {(r["doc_id"], r["dup_of"], r["jaccard"])
              for r in dedup_against_store(spark, batch, out).collect()}
     assert after == before
+
+
+def test_store_probe_flips_raise_recall_without_touching_files(spark, tmp_path):
+    """r6 VERDICT #3: an UNDER-provisioned store (one 16-bit band) misses
+    many true near-dups; query-side multi-probe must strictly raise the
+    number found while leaving the store's files byte-identical — the
+    recall lever that doesn't require a rebuild."""
+    import glob as _glob
+
+    import numpy as np
+    from pyspark.sql import Row
+
+    from bp_datawarehouse_ordersfact_spark.pipelines import (
+        build_embedding_dedup_store,
+        embedding_dedup_against_store,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n = 16, 80
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noisy = base + 0.15 * rng.standard_normal((n, dim))
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(base)]
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(vec_id=10_000 + i, embedding=[float(x) for x in v])
+            for i, v in enumerate(noisy)
+        ]
+    )
+    out = str(tmp_path / "under_store")
+    build_embedding_dedup_store(
+        spark, corpus, out, bands=1, bits_per_band=16, seed=3
+    )
+    files_before = sorted(_glob.glob(os.path.join(out, "keys", "**"), recursive=True))
+
+    def found(flips: int) -> set:
+        return {
+            (r["vec_id"], r["dup_of"])
+            for r in embedding_dedup_against_store(
+                spark, batch, out, threshold=0.9, probe_flips=flips
+            ).collect()
+        }
+
+    base_found, probed_found = found(0), found(4)
+    true_pairs = {
+        (10_000 + i, i)
+        for i in range(n)
+        if float(
+            base[i]
+            @ (noisy[i] / np.linalg.norm(noisy[i]))
+        )
+        >= 0.9
+    }
+    assert base_found <= probed_found <= true_pairs | probed_found
+    assert len(probed_found) > len(base_found), (
+        len(base_found),
+        len(probed_found),
+    )
+    # exact-cosine verification means multi-probe adds no false positives
+    assert probed_found <= true_pairs
+    # the store itself was never written
+    assert (
+        sorted(_glob.glob(os.path.join(out, "keys", "**"), recursive=True))
+        == files_before
+    )
+
+
+def test_plane_fingerprint_guard_raises_on_drift(spark, tmp_path):
+    """r6 ADVICE: the store meta pins an md5 of the hyperplane matrix;
+    a runtime whose regenerated planes hash differently (numpy Generator
+    stream drift) must fail LOUDLY instead of hashing every probe into
+    foreign buckets and silently returning no duplicates."""
+    from bp_datawarehouse_ordersfact_spark.pipelines import (
+        build_embedding_dedup_store,
+        embedding_dedup_against_store,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") < 50)
+    out = str(tmp_path / "fp_store")
+    build_embedding_dedup_store(spark, corpus, out)
+    # healthy store round-trips
+    assert embedding_dedup_against_store(spark, corpus.limit(5), out).count() >= 0
+
+    # simulate generator drift: same meta params, different plane hash
+    meta_path = os.path.join(out, "meta")
+    row = spark.read.parquet(meta_path).collect()[0]
+    spark.createDataFrame(
+        [
+            (
+                row["bands"],
+                row["bits_per_band"],
+                row["seed"],
+                row["dim"],
+                "0" * 32,
+            )
+        ],
+        "bands int, bits_per_band int, seed int, dim int, plane_md5 string",
+    ).write.mode("overwrite").parquet(meta_path)
+    with pytest.raises(RuntimeError, match="plane-matrix mismatch"):
+        embedding_dedup_against_store(spark, corpus.limit(5), out).collect()

@@ -612,3 +612,56 @@ def test_versioned_snapshots_time_travel_and_diff(spark, tmp_path):
     assert not os.path.exists(os.path.join(base, "v=9"))
     with pytest.raises(ValueError, match="no committed"):
         read_snapshot(spark, str(tmp_path / "empty"))
+
+
+def test_expire_snapshots_retention(spark, tmp_path):
+    """r6 VERDICT #4: retention must make expired versions unreadable
+    and reclaim their data, keep latest/diff correct, never reuse a
+    version number, and leave vacuum safe — all through an append-only
+    tombstone commit (no manifest rewrite window)."""
+    import os
+
+    from bp_datawarehouse_ordersfact_spark.sources.versioned import (
+        diff_snapshots,
+        expire_snapshots,
+        list_snapshots,
+        read_snapshot,
+        vacuum_uncommitted,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "dim")
+    for i in range(5):  # versions 0..4
+        df = spark.createDataFrame(
+            [(k, float(10 * i + k)) for k in range(1, 4 + i)], "k int, v double"
+        )
+        assert write_snapshot(df, base, label=f"run{i}") == i
+
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_snapshots(spark, base, 0)
+    assert expire_snapshots(spark, base, keep_last=2) == [0, 1, 2]
+
+    # expired: unreadable + data reclaimed; survivors: fully readable
+    for v in (0, 1, 2):
+        with pytest.raises(ValueError, match="not committed"):
+            read_snapshot(spark, base, v)
+        assert not os.path.exists(os.path.join(base, f"v={v}"))
+    assert {r["version"] for r in list_snapshots(spark, base).collect()} == {3, 4}
+    assert read_snapshot(spark, base).count() == 7  # latest = v4, rows 1..7
+    d = {
+        (r["change"], r["k"])
+        for r in diff_snapshots(spark, base, 3, 4, ["k"]).collect()
+    }
+    assert d == {("insert", 7)} | {("update", k) for k in range(1, 7)}
+
+    # version numbers are never reused after expiry
+    nxt = spark.createDataFrame([(1, 99.0)], "k int, v double")
+    assert write_snapshot(nxt, base) == 5
+
+    # vacuum is still safe: removes only true orphans, not survivors
+    nxt.write.parquet(os.path.join(base, "v=42"))
+    assert vacuum_uncommitted(spark, base) == [42]
+    assert read_snapshot(spark, base, 3).count() == 6
+
+    # idempotent / no-op when history is already within budget
+    assert expire_snapshots(spark, base, keep_last=10) == []

@@ -400,3 +400,58 @@ def test_incremental_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     # store grew by exactly the survivors
     n_store = spark.read.parquet(store + "/shingles").count()
     assert n_store == corpus.count() + len(landed)
+
+
+def test_incremental_dedup_stream_replay_is_idempotent(spark, tmp_path):
+    """r6 ADVICE: foreachBatch is at-least-once — simulate the worst
+    replay (checkpoint lost AND ledger rows lost, so every batch re-runs
+    against a store that already absorbed its survivors) and pin that
+    the sink contents and the store are unchanged: partition overwrite
+    absorbs the re-write, own-batch matches are not re-classified as
+    duplicates, and the shingle-gated admit adds nothing."""
+    import shutil
+
+    from bp_datawarehouse_ordersfact_spark.core.io import load_table
+    from bp_datawarehouse_ordersfact_spark.pipelines import build_dedup_store
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import (
+        run_incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    store = str(tmp_path / "store")
+    build_dedup_store(spark, corpus, store)
+
+    feed = str(tmp_path / "feed")
+    b1 = docs.filter(F.col("doc_id") == 300).select(
+        F.lit(20300).alias("doc_id"), "text"
+    ).unionByName(
+        docs.filter(F.col("doc_id") == 5).select(F.lit(20005).alias("doc_id"), "text")
+    )
+    b1.coalesce(1).write.mode("append").parquet(feed)
+    b2 = docs.filter(F.col("doc_id") == 301).select(
+        F.lit(20301).alias("doc_id"), "text"
+    )
+    b2.coalesce(1).write.mode("append").parquet(feed)
+
+    sink = str(tmp_path / "clean")
+    run_incremental_dedup_stream(spark, feed, store, sink, files_per_trigger=1)
+    landed1 = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    n_store1 = spark.read.parquet(store + "/shingles").count()
+    assert sorted(landed1) == [20300, 20301]
+
+    # worst-case replay: checkpoint AND ledger gone — every batch re-runs
+    shutil.rmtree(sink.rstrip("/") + "_checkpoint")
+    shutil.rmtree(store + "/_processed_batches")
+    run_incremental_dedup_stream(spark, feed, store, sink, files_per_trigger=1)
+    landed2 = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    n_store2 = spark.read.parquet(store + "/shingles").count()
+    assert landed2 == landed1          # no duplicate output rows
+    assert n_store2 == n_store1        # no duplicate store admits
+
+    # ledger-respecting replay (checkpoint lost, ledger intact): every
+    # batch short-circuits — still identical
+    shutil.rmtree(sink.rstrip("/") + "_checkpoint")
+    run_incremental_dedup_stream(spark, feed, store, sink, files_per_trigger=1)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(sink).collect()) == landed1
+    assert spark.read.parquet(store + "/shingles").count() == n_store1
