@@ -51,7 +51,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "ann_cosine_lsh",
+    "dedup_embedding_lsh_banded",
     "ann_cosine_ivf",
     "text_langid",
     "text_quality",

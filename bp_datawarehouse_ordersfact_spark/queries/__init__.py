@@ -42,22 +42,34 @@ _MODULES = (relational, pipeline, llmops, streaming, domain_e2e, sketches_r6)
 # (tests/test_plans.py, operator tests) until round 8 rotates them
 # back; from here on the two 50-query halves alternate every round.
 #
+# One registry swap this round (r6 VERDICT #2): the banded-hyperplane
+# LSH scale path gets a driver row as `dedup_embedding_lsh_banded`,
+# REPLACING the `ann_cosine_lsh` small-scale sign-bucket twin it
+# supersedes (r6-green, so its slot frees cleanly). The new query takes
+# a window slot; `distinct_rows` (newest row r5 — 2 rounds old at r7,
+# the allowed maximum) is displaced to make room and MUST be in the
+# round-8 window.
+#
 # ROUND-8 ROTATION (mechanical; do it first): swap this tuple for the
-# other half — exactly the keys of CORRECTNESS_r06.json (the round-6
-# tuple recorded in git history at this file's round-6 revision). If a
-# round-7 query's latest row comes back red, it must ALSO be in the
+# other half — the keys of CORRECTNESS_r06.json MINUS the retired
+# `ann_cosine_lsh` PLUS the displaced `distinct_rows` (49 + 1 = 50). If
+# a round-7 query's latest row comes back red, it must ALSO be in the
 # round-8 window (tests/test_window_rotation.py enforces this
 # automatically).
 _WINDOW_FIRST = (
+    # never driver-checked: the banded-LSH scale path's new driver query
+    # (pre-verified by tests/parity.py and pinned by tests/test_banded_lsh.py)
+    "dedup_embedding_lsh_banded",
     # the 4 re-checked in r5 outside the r4 window
     "ann_recall_at_k", "ann_ivf_kmeans_refine",
     "domain_fact_royalty", "domain_split_royalty_report",
     # round-5 additions
     "interval_coalesce", "correlated_exists_rewrite",
-    # the 44 relational/pipeline/llmops queries whose newest row is r5
+    # the relational/pipeline/llmops queries whose newest row is r5
+    # (all of the r5 window except the displaced distinct_rows)
     "select_rename", "membership_filter", "threshold_filter",
     "split_royalty_union", "percent_rate_normalization",
-    "distinct_rows", "dedup_keep_first", "broadcast_dim_join",
+    "dedup_keep_first", "broadcast_dim_join",
     "composite_key_join", "window_order_totals", "incremental_merge",
     "semi_anti_join", "levenshtein_ratio_join", "parent_allocation",
     "count_distinct_per_group", "grouping_rollup", "multikey_rollup",

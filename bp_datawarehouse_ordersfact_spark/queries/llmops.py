@@ -25,7 +25,6 @@ from ..operators.graph import connected_components
 from ..operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
-    cosine_topk_lsh,
 )
 
 QUERIES: dict = {}
@@ -284,37 +283,50 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ann_cosine_lsh",
+    "dedup_embedding_lsh_banded",
     f"""
-    WITH b AS (SELECT vec_id, embedding,
-                      (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
-                      + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
-                      + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
-                      + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)
-                      + (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END)
-                      + (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END)
-                      + (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END)
-                      + (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
-               FROM embeddings),
-    q AS (SELECT vec_id AS q_id, embedding AS qv, bucket FROM b WHERE vec_id < 50),
-    c AS (SELECT vec_id AS c_id, embedding AS cv, bucket FROM b),
-    scored AS (SELECT q_id, c_id,
-                      round({SQL_DOT.format(a='qv', b='cv')}
-                            / (sqrt({SQL_DOT.format(a='qv', b='qv')})
-                               * sqrt({SQL_DOT.format(a='cv', b='cv')})), 6) AS cosine
-               FROM q JOIN c USING (bucket) WHERE q_id <> c_id)
-    SELECT q_id, c_id, cosine,
-           CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rnk
-    FROM scored
-    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) <= 5
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dup AS (SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 2.0) AS v
+            FROM base WHERE vec_id % 5 = 0),
+    pool AS (SELECT * FROM base UNION ALL SELECT * FROM dup)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             round({SQL_DOT.format(a='x.v', b='y.v')}
+                   / (sqrt({SQL_DOT.format(a='x.v', b='x.v')})
+                      * sqrt({SQL_DOT.format(a='y.v', b='y.v')})), 6) AS cosine
+      FROM pool x JOIN pool y ON x.vec_id < y.vec_id)
+    WHERE cosine >= 0.999
     """,
 )
-def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (sign-pattern bucket on the first 8 dims): the
-    bucket equi-join replaces the cross join — the scale path where
-    brute force would compare |Q|×|C| pairs."""
-    e = _emb(spark, sf_dir)
-    return cosine_topk_lsh(e.filter(F.col("vec_id") < 50), e, k=5, n_bits=8)
+def q_dedup_embedding_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via BANDED random-hyperplane LSH — the
+    100 TB scale path (``operators.dedup.embedding_near_dup_pairs_banded``,
+    2^32 buckets per table, candidate keys from ONE Arrow pass), given a
+    hash-checked driver row (r6 VERDICT #2) by replacing the
+    ``ann_cosine_lsh`` small-scale sign-bucket twin it supersedes.
+
+    Why an exact brute-force SQL twin CAN oracle this approximate
+    operator: the planted duplicates (every 5th vector rescaled ×2) sit
+    at cosine EXACTLY 1.0, and a positive rescale preserves every
+    hyperplane projection's sign, so each planted pair collides in ALL
+    ``b`` tables with probability 1 — for ANY seeded plane matrix. The
+    testdata has no natural pair above cosine 0.8 (measured, see the
+    ``dedup_embedding_cosine`` twin), so {{banded candidates}} ∩
+    {{cosine ≥ 0.999}} equals {{all pairs ≥ 0.999}} deterministically at
+    every scale factor — recall loss is impossible at this threshold,
+    not merely unlikely. Scaling by a power of two keeps float
+    arithmetic exact so both engines agree bit-for-bit."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    pool = e.unionByName(dup)
+    return D.embedding_near_dup_pairs_banded(
+        pool, "embedding", "vec_id", threshold=0.999, dim=64
+    )
 
 
 @register(

@@ -33,7 +33,6 @@ BOUNDED_CROSS_OK = {
     "ann_cosine_topk": "labeled exact brute-force baseline",
     "ann_recall_at_k": "consumes the exact brute-force baseline",
     "ann_cosine_ivf": "k-row centroid frame broadcast for assignment",
-    "ann_cosine_lsh": "bounded sign-bucket frame",
     "ann_ivf_kmeans_refine": "k-row centroid frame broadcast per Lloyd round",
     "dedup_cluster_cc": "consumes LSH pairs; convergence probe aggregates",
     "leakage_safe_split": "consumes LSH pairs + CC",
