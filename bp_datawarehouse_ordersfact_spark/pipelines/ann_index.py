@@ -141,9 +141,16 @@ def build_ann_index(
         "overwrite"
     ).partitionBy("cell_id").parquet(paths["index"])
     if residual:
-        import shutil
-
-        shutil.rmtree(os.path.join(out_dir, "_residuals_staging"))
+        # Hadoop FS delete, not shutil: the staging dir lives wherever
+        # out_dir does (s3a://, hdfs://) — a driver-local rmtree would
+        # silently leave corpus-sized residual garbage on object stores
+        fs, _, jvm = _hadoop_fs(spark, out_dir)
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                os.path.join(out_dir, "_residuals_staging")
+            ),
+            True,
+        )
     return {
         "paths": paths,
         "n_cells": cents.count(),

@@ -210,7 +210,12 @@ def build_corpus(
     # pipeline — run it exactly ONCE: stage it with an observed count,
     # then compact FROM the staged parquet (a cheap columnar rescan, not
     # a recompute) with the known row count, and drop the raw staging
-    import shutil
+    # (Hadoop FS delete: out_dir may be s3a://hdfs://, where a
+    # driver-local rmtree silently leaves the corpus-sized staging)
+    def _fs_delete(path: str) -> None:
+        jvm = spark._jvm
+        jp = jvm.org.apache.hadoop.fs.Path(path)
+        jp.getFileSystem(spark._jsc.hadoopConfiguration()).delete(jp, True)
 
     raw_path = os.path.join(out_dir, "05_chunks_raw")
     obs = Observation("05_chunks")
@@ -225,7 +230,7 @@ def build_corpus(
         target_rows_per_file=rows_per_file,
         n_rows=n_rows,
     )
-    shutil.rmtree(raw_path)
+    _fs_delete(raw_path)
     manifest["stages"]["05_chunks"] = {
         "path": final_path,
         "rows": n_rows,
@@ -246,7 +251,7 @@ def build_corpus(
         # every other stage overwrites; tar shards are appended files,
         # so a rerun must clear stale shards or read_tar_shards would
         # mix two generations into the delivery
-        shutil.rmtree(shard_dir, ignore_errors=True)
+        _fs_delete(shard_dir)
         shard_manifest = write_tar_shards(
             keyed, shard_dir, "key", {"txt": "body"}, shard_rows=tar_shard_rows
         ).collect()

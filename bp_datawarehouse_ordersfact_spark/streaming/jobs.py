@@ -20,6 +20,32 @@ from ..core.io import normalize_ntz
 from ..functions.rounding import rnd
 
 
+def _swap_dir(spark: SparkSession, staging: str, live: str) -> None:
+    """Publish ``staging`` as ``live`` through the Hadoop FileSystem API
+    — filesystem-agnostic (local, hdfs://, s3a://), unlike the
+    shutil/os.rename pair this replaces, which silently only works on
+    the driver's local disk. NOT atomic: there is a brief window between
+    the delete and the rename with no live directory, and a crash
+    between them leaves the data recoverable only in ``staging`` — the
+    inherent Parquet read-modify-write gap these per-batch upsert jobs
+    document (single writer, readers expected to retry; table formats
+    or the ``pipelines/artifact.py`` commit ledger close it for
+    artifacts whose readers resolve through a pointer)."""
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(live).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(Path(live)):
+        fs.delete(Path(live), True)
+    fs.rename(Path(staging), Path(live))
+
+
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    fs = Path(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(Path(path)))
+
+
 def _stream_source(spark: SparkSession, events_path: str) -> DataFrame:
     """File-stream source over the events table (nanos→micros truncation
     as in core.io.load_table; symlink dir because the streaming file
@@ -145,25 +171,22 @@ def run_incremental_merge_stream(
 
     Parquet cannot be read and overwritten in one job, so the merge lands
     in a swap directory first — exactly the atomicity gap table formats
-    exist to close, kept explicit here.
+    exist to close, kept explicit here (``_swap_dir``: Hadoop-FS
+    portable, single-writer, not atomic).
     """
-    import shutil
-
     from ..operators.joins import anti_join_merge
 
     src = _stream_source(spark, increments_path)
 
     def upsert(batch_df, batch_id: int) -> None:
         s = batch_df.sparkSession
-        if os.path.isdir(archive_dir):
+        if _dir_exists(s, archive_dir):
             merged = anti_join_merge(s.read.parquet(archive_dir), batch_df, keys)
         else:
             merged = batch_df
         tmp = archive_dir + ".swap"
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(archive_dir):
-            shutil.rmtree(archive_dir)
-        os.rename(tmp, archive_dir)
+        _swap_dir(s, tmp, archive_dir)
 
     q = (
         src.writeStream.foreachBatch(upsert)
@@ -550,11 +573,10 @@ def run_cdc_scd2_stream(
     deterministic for a time-partitioned feed, where each chunk's dates
     fall strictly after the previous chunk's (the same ordering contract
     as ``run_chunked_ewma_availablenow``). Parquet swap-directory
-    atomicity as in ``run_incremental_merge_stream``; on Delta/Iceberg
+    semantics as in ``run_incremental_merge_stream`` (``_swap_dir``:
+    Hadoop-FS portable, single-writer, not atomic); on Delta/Iceberg
     the body becomes the classic two-action ``MERGE``.
     """
-    import shutil
-
     from ..operators.scd import scd2_apply
 
     schema = spark.read.parquet(changes_dir).schema
@@ -580,8 +602,7 @@ def run_cdc_scd2_stream(
         )
         tmp = dim_dir + ".swap"
         out.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(dim_dir)
-        os.rename(tmp, dim_dir)
+        _swap_dir(s, tmp, dim_dir)
 
     q = (
         src.writeStream.foreachBatch(apply_batch)
@@ -686,6 +707,107 @@ def run_incremental_dedup_stream(
         .trigger(availableNow=True)
         .option(
             "checkpointLocation", out_dir.rstrip("/") + "_checkpoint"
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_incremental_ann_ingest_stream(
+    spark: SparkSession,
+    embeddings_dir: str,
+    index_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    files_per_trigger: int = 1,
+    maintain_every: int | None = None,
+    min_recall: float | None = None,
+    corpus_for_gate=None,
+) -> None:
+    """Streaming embedding ingest into a persisted ANN index: every
+    micro-batch is encoded with the index's FROZEN quantizers and
+    appended (``pipelines.ann_index.append_to_ann_index``) — the
+    ``run_incremental_dedup_stream`` lifecycle applied to retrieval, so
+    new corpus vectors become searchable within one trigger instead of
+    waiting for a nightly rebuild.
+
+    Idempotent under foreachBatch's at-least-once replay, by the same
+    construction as the dedup stream (r6 ADVICE):
+
+    - a ``_processed_batches`` ledger inside the index dir short-circuits
+      batches that fully completed before a checkpoint crash;
+    - a replay that crashed mid-append re-appends only the batch ids not
+      yet visible in the index (anti-join against the index's id column
+      — a columnar single-column scan; at 100 TB keep a bloom filter of
+      ids next to the index and swap it in here);
+
+    ``maintain_every``: every N-th batch ALSO runs the gated maintenance
+    pass (``maintain_ann_index`` — one-file-per-cell compaction promoted
+    through the commit ledger only if recall@k clears ``min_recall``
+    against ``corpus_for_gate``), so long-running ingest does not
+    accumulate one file per batch per cell indefinitely and quantization
+    drift from out-of-distribution appends is CAUGHT at the gate instead
+    of silently degrading serving recall."""
+    from ..pipelines.ann_index import (
+        _index_dir,
+        append_to_ann_index,
+        maintain_ann_index,
+    )
+
+    if maintain_every is not None and (
+        min_recall is None or corpus_for_gate is None
+    ):
+        raise ValueError(
+            "maintain_every requires min_recall and corpus_for_gate "
+            "(the recall gate needs a ground-truth corpus)"
+        )
+    schema = spark.read.parquet(embeddings_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(embeddings_dir)
+    )
+    ledger = index_dir.rstrip("/") + "/_processed_batches"
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        try:
+            done = {r["batch_id"] for r in s.read.parquet(ledger).collect()}
+        except AnalysisException:
+            done = set()
+        if int(batch_id) in done:
+            return
+        existing = s.read.parquet(_index_dir(s, index_dir)).select(id_col)
+        fresh = batch_df.join(existing, id_col, "left_anti")
+        # a fully-replayed batch leaves nothing fresh — encoding an
+        # empty frame would fail dim inference, and there is nothing
+        # to append anyway
+        if not fresh.isEmpty():
+            append_to_ann_index(s, fresh, index_dir, vec_col, id_col)
+        if maintain_every is not None and int(batch_id) % maintain_every == (
+            maintain_every - 1
+        ):
+            maintain_ann_index(
+                s,
+                index_dir,
+                corpus_for_gate,
+                min_recall=min_recall,
+                vec_col=vec_col,
+                id_col=id_col,
+            )
+        s.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+            "append"
+        ).parquet(ledger)
+
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", index_dir.rstrip("/") + "/_ingest_checkpoint"
         )
         .start()
     )

@@ -455,3 +455,64 @@ def test_incremental_dedup_stream_replay_is_idempotent(spark, tmp_path):
     run_incremental_dedup_stream(spark, feed, store, sink, files_per_trigger=1)
     assert sorted(r["doc_id"] for r in spark.read.parquet(sink).collect()) == landed1
     assert spark.read.parquet(store + "/shingles").count() == n_store1
+
+
+def test_incremental_ann_ingest_stream_appends_gates_and_replays(spark, tmp_path):
+    """Streaming embedding ingest into a persisted ANN index: every
+    micro-batch's NEW vectors are appended with the frozen quantizers
+    and become searchable; a worst-case replay (checkpoint + ledger
+    lost) adds no duplicate rows; the periodic gated maintenance pass
+    compacts through the commit ledger."""
+    import glob
+    import shutil
+
+    from bp_datawarehouse_ordersfact_spark.core.io import load_table
+    from bp_datawarehouse_ordersfact_spark.pipelines import (
+        build_ann_index,
+        load_ann_index,
+        search_ann_index,
+    )
+    from bp_datawarehouse_ordersfact_spark.pipelines.artifact import (
+        current_artifact_dir,
+    )
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import (
+        run_incremental_ann_ingest_stream,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 300)
+    index_dir = str(tmp_path / "ann")
+    build_ann_index(spark, corpus, index_dir, n_cells=4, m=8, ksub=8, n_iter=2)
+
+    feed = str(tmp_path / "emb_feed")
+    emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 350)).coalesce(
+        1
+    ).write.mode("append").parquet(feed)
+    emb.filter((F.col("vec_id") >= 350) & (F.col("vec_id") < 400)).coalesce(
+        1
+    ).write.mode("append").parquet(feed)
+
+    run_incremental_ann_ingest_stream(
+        spark, feed, index_dir, files_per_trigger=1,
+        maintain_every=2, min_recall=0.0, corpus_for_gate=emb.filter(F.col("vec_id") < 400),
+    )
+    _, _, index = load_ann_index(spark, index_dir)
+    assert index.count() == 400
+    assert {r["vec_id"] for r in index.select("vec_id").collect()} == set(range(400))
+    # an appended vector is immediately searchable (self-hit at top)
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 375).collect()[0]["embedding"]]
+    top = search_ann_index(spark, index_dir, q, k=1, n_probe=4).collect()[0]
+    assert top["vec_id"] == 375
+    # the periodic maintenance promoted a compacted version via the ledger
+    assert current_artifact_dir(spark, index_dir, "index").endswith(".v1")
+
+    # worst-case replay: checkpoint AND ledger lost — every batch
+    # re-runs; the index-id anti-join must admit nothing twice
+    shutil.rmtree(index_dir + "/_ingest_checkpoint")
+    shutil.rmtree(index_dir + "/_processed_batches")
+    run_incremental_ann_ingest_stream(
+        spark, feed, index_dir, files_per_trigger=1
+    )
+    _, _, again = load_ann_index(spark, index_dir)
+    assert again.count() == 400
+    assert glob.glob(index_dir + "/index.v2*") == []  # no stray versions
