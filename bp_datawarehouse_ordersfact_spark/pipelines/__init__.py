@@ -16,6 +16,8 @@ from .dedup_store import (  # noqa: F401
     admit_to_store,
     build_dedup_store,
     build_embedding_dedup_store,
+    check_dedup_store_health,
+    check_embedding_store_health,
     compact_dedup_store,
     dedup_against_store,
     embedding_dedup_against_store,

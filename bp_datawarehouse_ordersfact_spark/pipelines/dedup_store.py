@@ -419,3 +419,74 @@ def compact_dedup_store(spark: SparkSession, out_dir: str) -> dict:
         live = _live(spark, out_dir, name)
         stats[name] = (before, len(spark.read.parquet(live).inputFiles()))
     return stats
+
+
+def check_dedup_store_health(
+    spark: SparkSession,
+    out_dir: str,
+    n_sample: int = 20,
+    id_col: str = "doc_id",
+) -> dict:
+    """Referential-integrity gate for the TEXT store — the
+    ``evaluate_ann_index`` idea applied to the signature store, run
+    before trusting it for an ingest window.
+
+    The two artifacts must describe the same document set: a doc with
+    band rows but no shingle set verifies nothing (its candidates are
+    silently dropped at the verify join); a doc with shingles but no
+    band rows is INVISIBLE to every probe. Both states arise from a
+    half-completed admit (bands append commits before shingles — see
+    ``run_incremental_dedup_stream``'s replay notes) left unrepaired.
+    Samples the ``n_sample`` smallest ids from each side and checks
+    membership in the other; sampling keeps the gate probe-sized at any
+    corpus scale (full sweep = n_sample=None… pass a huge n).
+    Returns {"n_sample", "bands_missing_shingles", "shingles_missing_bands",
+    "healthy"}."""
+    _load_meta(spark, out_dir)  # raises on unreadable/foreign meta
+    bands = spark.read.parquet(_live(spark, out_dir, "bands"))
+    sets = spark.read.parquet(_live(spark, out_dir, "shingles"))
+    b_ids = bands.select(F.col("doc").alias("id")).distinct()
+    s_ids = sets.select(F.col(id_col).alias("id")).distinct()
+    b_sample = b_ids.orderBy("id").limit(n_sample)
+    s_sample = s_ids.orderBy("id").limit(n_sample)
+    missing_sh = b_sample.join(s_ids, "id", "left_anti").count()
+    missing_bd = s_sample.join(b_ids, "id", "left_anti").count()
+    return {
+        "n_sample": n_sample,
+        "bands_missing_shingles": int(missing_sh),
+        "shingles_missing_bands": int(missing_bd),
+        "healthy": missing_sh == 0 and missing_bd == 0,
+    }
+
+
+def check_embedding_store_health(
+    spark: SparkSession,
+    out_dir: str,
+    n_sample: int = 20,
+    id_col: str = "vec_id",
+) -> dict:
+    """SELF-PROBE gate for the embedding store: the ``n_sample``
+    smallest-id STORED vectors, pushed back through the full probe path
+    (meta → hyperplane keys → band equi-join → exact cosine), must each
+    rediscover themselves at cosine 1.0. A stored vector that cannot
+    find itself proves the store is broken for real queries too —
+    catches keys/vectors divergence from a half-completed admit, band
+    truncation, and any plane drift the md5 fingerprint guard didn't
+    get to veto. Returns {"n_sample", "n_self_found", "healthy"}."""
+    vecs = spark.read.parquet(_live(spark, out_dir, "vectors"))
+    probe = vecs.orderBy(id_col).limit(n_sample).select(
+        F.col(id_col), F.col("v").alias("__probe_vec")
+    )
+    n_probe = probe.count()
+    hits = embedding_dedup_against_store(
+        spark, probe, out_dir, vec_col="__probe_vec", id_col=id_col,
+        threshold=0.999,
+    )
+    n_self = (
+        hits.filter(F.col(id_col) == F.col("dup_of")).select(id_col).distinct().count()
+    )
+    return {
+        "n_sample": int(n_probe),
+        "n_self_found": int(n_self),
+        "healthy": n_self == n_probe,
+    }

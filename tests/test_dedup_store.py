@@ -308,3 +308,48 @@ def test_plane_fingerprint_guard_raises_on_drift(spark, tmp_path):
     ).write.mode("overwrite").parquet(meta_path)
     with pytest.raises(RuntimeError, match="plane-matrix mismatch"):
         embedding_dedup_against_store(spark, corpus.limit(5), out).collect()
+
+
+def test_store_health_checks_pass_on_healthy_and_catch_divergence(
+    spark, corpus_and_batch, tmp_path
+):
+    """The integrity gates must pass on freshly-built stores and catch
+    the half-completed-admit divergence they exist for: a doc visible in
+    one artifact but not its sibling (text store), and stored vectors
+    that can no longer rediscover themselves (embedding store)."""
+    from bp_datawarehouse_ordersfact_spark.pipelines.dedup_store import (
+        check_dedup_store_health,
+        check_embedding_store_health,
+    )
+    from bp_datawarehouse_ordersfact_spark.pipelines import (
+        build_embedding_dedup_store,
+    )
+
+    corpus, _ = corpus_and_batch
+    out = str(tmp_path / "health_store")
+    build_dedup_store(spark, corpus, out)
+    assert check_dedup_store_health(spark, out)["healthy"] is True
+
+    # simulate a bands append whose shingles half never landed
+    spark.createDataFrame(
+        [(99_999_999, 0, 123456)], "doc long, bh long, band int"
+    ).write.mode("append").partitionBy("band").parquet(os.path.join(out, "bands"))
+    h = check_dedup_store_health(spark, out, n_sample=10_000)
+    assert h["healthy"] is False and h["bands_missing_shingles"] == 1
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    eout = str(tmp_path / "health_emb")
+    build_embedding_dedup_store(spark, emb.filter(F.col("vec_id") < 100), eout)
+    eh = check_embedding_store_health(spark, eout, n_sample=10)
+    assert eh == {"n_sample": 10, "n_self_found": 10, "healthy": True}
+
+    # gut the keys artifact (band truncation): self-probe must fail loudly
+    keys_path = os.path.join(eout, "keys")
+    keys = spark.read.parquet(keys_path)
+    half = keys.filter(F.col("vec_id") >= 50).cache()
+    half.count()
+    half.write.mode("overwrite").parquet(keys_path)
+    eh2 = check_embedding_store_health(spark, eout, n_sample=10)
+    assert eh2["healthy"] is False and eh2["n_self_found"] == 0

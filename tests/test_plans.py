@@ -92,6 +92,42 @@ def test_dedup_queries_never_cross_join(spark):
         assert "BroadcastNestedLoopJoin" not in p, name
 
 
+def test_banded_lsh_driver_query_plan_shape(spark):
+    """The round-7 driver query for the banded scale path must carry the
+    scale plan it exists to prove: band keys from ONE Arrow eval pass
+    and a pure key equi-join — never a cartesian/BNL join (the r6
+    VERDICT #2 'done' criterion). The registry query returns an EAGER
+    localCheckpoint (its executed plan is just the checkpoint scan), so
+    the shape is pinned on the identical operator invocation in lazy
+    form over the identical pool."""
+    from pyspark.sql import functions as F
+
+    from bp_datawarehouse_ordersfact_spark.core.io import load_table
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import (
+        embedding_near_dup_pairs_banded,
+    )
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dup = e.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    pool = e.unionByName(dup)
+    df = embedding_near_dup_pairs_banded(
+        pool, "embedding", "vec_id", threshold=0.999, dim=64, eager=False
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # and the registry-surface form stays free of unbounded joins
+    p2 = plan_of(spark, "dedup_embedding_lsh_banded")
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
+
+
 def test_tfidf_match_is_token_join_not_cross_join(spark):
     p = plan_of(spark, "tfidf_title_match")
     assert "CartesianProduct" not in p
