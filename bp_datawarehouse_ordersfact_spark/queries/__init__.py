@@ -52,9 +52,28 @@ _MODULES = (relational, pipeline, llmops, streaming, domain_e2e, sketches_r6)
 #
 # ROUND-8 ROTATION (mechanical; do it first): swap this tuple for the
 # other half — the keys of CORRECTNESS_r06.json MINUS the retired
-# `ann_cosine_lsh` PLUS the displaced `distinct_rows` (49 + 1 = 50). If
-# a round-7 query's latest row comes back red, it must ALSO be in the
-# round-8 window (tests/test_window_rotation.py enforces this
+# `ann_cosine_lsh` PLUS the displaced `distinct_rows` (49 + 1 = 50),
+# i.e. EXACTLY:
+#   sketch_theta_set_algebra, sketch_kll_quantile_merge,
+#   pricing_summary, tfidf_title_match, dedup_ngram_jaccard,
+#   dedup_embedding_cosine, ann_cosine_topk, ann_cosine_ivf,
+#   text_langid, text_quality, text_token_count, text_fingerprint,
+#   text_pii_scrub, corpus_filter_pipeline, grouped_ewma,
+#   multimodal_binary_meta, multimodal_feature_extract,
+#   dedup_cluster_cc, text_chunking, sample_stratified,
+#   sequence_packing, corpus_prep_pipeline, stream_tumbling_agg,
+#   stream_sliding_agg, stream_dedup, stream_session_agg,
+#   stream_stateful_user_stats, text_repetition,
+#   decontaminate_ngram_overlap, text_unigram_logprob,
+#   stream_stream_join, events_gap_fill, data_quality_audit,
+#   scd2_dim_update, leakage_safe_split, cdc_apply, cube_summary,
+#   embedding_classifier_score, sketch_hll_merge, funnel_analysis,
+#   retention_cohorts, rollup_incremental_refresh, corpus_mix_resample,
+#   variant_props_extract, listagg_per_group, fact_royalty,
+#   rest_ingest_distributed, kafka_wire_roundtrip, sketch_approx_stats,
+#   distinct_rows
+# If a round-7 query's latest row comes back red, it must ALSO be in
+# the round-8 window (tests/test_window_rotation.py enforces this
 # automatically).
 _WINDOW_FIRST = (
     # never driver-checked: the banded-LSH scale path's new driver query

@@ -353,3 +353,43 @@ def test_store_health_checks_pass_on_healthy_and_catch_divergence(
     half.write.mode("overwrite").parquet(keys_path)
     eh2 = check_embedding_store_health(spark, eout, n_sample=10)
     assert eh2["healthy"] is False and eh2["n_self_found"] == 0
+
+
+def test_store_probe_plans_are_equijoins_no_cartesian(
+    spark, corpus_and_batch, tmp_path
+):
+    """Scale-shape pin for the probe paths — the 100 TB-critical plans:
+    the text store's candidate step is a (band, bh) equi-join and the
+    embedding store's a band-key equi-join fed by ONE Arrow eval pass;
+    neither may ever contain a cartesian / broadcast-nested-loop join."""
+    from bp_datawarehouse_ordersfact_spark.pipelines import (
+        build_embedding_dedup_store,
+        embedding_dedup_against_store,
+    )
+
+    corpus, batch = corpus_and_batch
+    out = str(tmp_path / "plan_store")
+    build_dedup_store(spark, corpus, out)
+    p = (
+        dedup_against_store(spark, batch, out)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+    emb = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    eout = str(tmp_path / "plan_emb")
+    build_embedding_dedup_store(spark, emb.filter(F.col("vec_id") < 100), eout)
+    p2 = (
+        embedding_dedup_against_store(spark, emb.limit(20), eout, probe_flips=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in p2
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
