@@ -221,3 +221,51 @@ def test_nano_magnitude_bucketing_is_exact(spark):
         )
     )
     assert skew == plain
+
+
+def test_maintain_residual_index_promotes_and_serves(spark, tmp_path):
+    """maintain_ann_index over a RESIDUAL-encoded index: the staged
+    rewrite re-encodes appends through the residual path (cache bounded,
+    meta-dispatched), the gate promotes, and the served index reflects
+    the delete + append."""
+    from bp_datawarehouse_ordersfact_spark.pipelines import (
+        search_ann_index,
+    )
+
+    out = str(tmp_path / "res_idx")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    build_ann_index(
+        spark, emb, out, n_cells=4, m=8, ksub=8, n_iter=2, residual=True
+    )
+    victim = emb.orderBy("vec_id").limit(1).collect()[0]["vec_id"]
+    extra = emb.orderBy(F.desc("vec_id")).limit(2).select(
+        (F.col("vec_id") + 700_000).alias("vec_id"), "embedding"
+    )
+    stats = maintain_ann_index(
+        spark,
+        out,
+        emb.filter(F.col("vec_id") != victim),
+        delete_ids=[victim],
+        append_embeddings=extra,
+        min_recall=0.99,
+        n_queries=4,
+        k=4,
+        n_probe=4,
+        shortlist_factor=1000,
+    )
+    assert stats["promoted"] is True
+    assert (stats["n_deleted"], stats["n_appended"]) == (1, 2)
+    _, _, idx = load_ann_index(spark, out)
+    ids = {r["vec_id"] for r in idx.select("vec_id").collect()}
+    assert victim not in ids
+    assert len([i for i in ids if i >= 700_000]) == 2
+    # an appended vector is searchable through the residual ADC plan
+    q_id = [i for i in ids if i >= 700_000][0]
+    src = emb.filter(F.col("vec_id") == q_id - 700_000).collect()[0]["embedding"]
+    got = {
+        r["vec_id"]
+        for r in search_ann_index(
+            spark, out, [float(x) for x in src], k=2, n_probe=4
+        ).collect()
+    }
+    assert q_id in got or (q_id - 700_000) in got
