@@ -84,3 +84,75 @@ def salted_join(
     )
     out = salted.join(replicated, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def diagnose_key_skew(
+    df: DataFrame,
+    key_col: str,
+    top: int = 10,
+    mg_k: int = 256,
+    max_salt: int = 1024,
+) -> dict:
+    """Measure, don't guess: one sketch-sized answer to "will a shuffle
+    on ``key_col`` skew, and what salt factor fixes it" — the diagnostic
+    that decides between a plain join/window and the repo's mitigation
+    family (``salted_join``, ``sessionize_skew``,
+    ``coalesce_intervals_skew``, AQE skew-join).
+
+    Cost: two map-side-combining passes over ``df`` and NOT ONE full
+    shuffle of it — (1) a single aggregate for total rows + HLL approx
+    distinct keys, (2) a Misra–Gries heavy-hitter pass
+    (``operators.sketches.frequent_items_mg``) whose per-partition state
+    is capacity-``mg_k`` and whose merge is ≤ mg_k·P rows. Works at any
+    corpus size.
+
+    Returns::
+
+        {"total_rows", "approx_n_keys",
+         "even_share",          # rows a perfectly even key would get
+         "skew_factor",         # est_lo(hottest)/even_share
+         "recommended_salt",    # ceil(skew_factor) clamped to [1, max_salt]
+         "top_keys": [(key, est_lo, est_hi, share_hi), ...]}
+
+    ``skew_factor`` deliberately uses the MG LOWER bound: ``est_lo <=
+    true count``, so skew_factor ≫ 1 PROVES real skew — whereas the
+    upper bound inflates by the global decrement, which on perfectly
+    UNIFORM high-cardinality data is enormous (every key gets decremented
+    constantly) and would recommend salting exactly where it only adds
+    replication cost. The price is under-salting when MG undercounts a
+    genuinely dominant key, bounded by n/(mg_k+1) per partition — raise
+    ``mg_k`` for tighter counts. A skew_factor near 1 means a plain hash
+    partition is already balanced."""
+    import math
+
+    from .sketches import frequent_items_mg
+
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(key_col).alias("keys"),
+    ).collect()[0]
+    total, n_keys = int(row["n"]), max(1, int(row["keys"]))
+    heavy = frequent_items_mg(df, key_col, k=mg_k).limit(top).collect()
+    even = total / n_keys
+    top_keys = [
+        (
+            r["item"],
+            int(r["est_lo"]),
+            int(r["est_hi"]),
+            round(int(r["est_hi"]) / total, 6) if total else 0.0,
+        )
+        for r in heavy
+    ]
+    hottest_lo = top_keys[0][1] if top_keys else 0
+    skew_factor = (hottest_lo / even) if even > 0 else 0.0
+    recommended = max(1, min(max_salt, math.ceil(skew_factor)))
+    return {
+        "total_rows": total,
+        "approx_n_keys": n_keys,
+        "even_share": round(even, 3),
+        "skew_factor": round(skew_factor, 3),
+        "recommended_salt": recommended,
+        "top_keys": top_keys,
+    }

@@ -9,6 +9,7 @@ from .ann_index import (  # noqa: F401
     mine_hard_negatives,
     search_ann_index,
     search_ann_index_batch,
+    tune_ann_index,
 )
 from .corpus_build import build_corpus  # noqa: F401
 from .dedup_store import (  # noqa: F401

@@ -730,3 +730,70 @@ def maintain_ann_index(
         "version": version if promoted else None,
         "files_after": files_after,
     }
+
+
+def tune_ann_index(
+    spark: SparkSession,
+    out_dir: str,
+    embeddings: DataFrame,
+    target_recall: float = 0.95,
+    n_queries: int = 20,
+    k: int = 10,
+    n_probe_grid: list[int] | None = None,
+    shortlist_grid: tuple[int, ...] = (4, 8, 16),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """CHEAPEST serving config that meets ``target_recall`` — the
+    evaluate gate turned into an optimizer, so "what n_probe do we
+    serve with?" is measured instead of guessed.
+
+    Walks (n_probe, shortlist_factor) in increasing serving-cost order —
+    n_probe dominates (each probe scans a whole cell directory), the
+    shortlist factor only widens the k-sized exact rerank — evaluating
+    each via ``evaluate_ann_index`` on the SAME deterministic query set,
+    and returns at the FIRST config whose recall@k clears the target
+    (every evaluated config is in ``trace``, so the recall/cost curve is
+    kept for the run log). ``n_probe_grid`` defaults to doubling from 1
+    up to the index's cell count; an unmeetable target returns
+    {"met": False} with the full trace rather than raising — the caller
+    decides between rebuilding (more cells/ksub) and relaxing the
+    target. Eval cost: one brute-force ground truth per (n_probe, sf)
+    pair at n_queries×corpus — an offline tuning cost, not a serving
+    cost; production would cache the ground truth across the grid."""
+    if not 0.0 <= target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in [0, 1], got {target_recall}")
+    if n_probe_grid is None:
+        n_cells = spark.read.parquet(os.path.join(out_dir, "centroids")).count()
+        n_probe_grid, p = [], 1
+        while p < n_cells:
+            n_probe_grid.append(p)
+            p *= 2
+        n_probe_grid.append(n_cells)
+    trace = []
+    for n_probe in sorted(set(n_probe_grid)):
+        for sf in sorted(set(shortlist_grid)):
+            stats = evaluate_ann_index(
+                spark,
+                out_dir,
+                embeddings,
+                n_queries=n_queries,
+                k=k,
+                n_probe=n_probe,
+                vec_col=vec_col,
+                id_col=id_col,
+                shortlist_factor=sf,
+            )
+            trace.append(stats)
+            if (
+                stats["recall_at_k"] is not None
+                and stats["recall_at_k"] >= target_recall
+            ):
+                return {
+                    "met": True,
+                    "n_probe": n_probe,
+                    "shortlist_factor": sf,
+                    "recall_at_k": stats["recall_at_k"],
+                    "trace": trace,
+                }
+    return {"met": False, "trace": trace}

@@ -228,3 +228,78 @@ def test_aqe_coalesces_shuffle_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_diagnose_key_skew_detects_hot_key_and_spares_uniform(spark):
+    """The diagnostic must (a) prove real skew from the MG LOWER bound
+    and recommend a salt near the hot key's multiple of the even share,
+    and (b) NOT cry wolf on uniform high-cardinality data — where the MG
+    upper bound alone would be wildly inflated by the global decrement."""
+    from bp_datawarehouse_ordersfact_spark.operators.joins import (
+        diagnose_key_skew,
+    )
+
+    # 10_000 rows, hot key holds 50%, 1000 cold keys share the rest
+    hot = spark.range(5_000).select(F.lit("hot").alias("k"), F.col("id").alias("v"))
+    cold = spark.range(5_000).select(
+        F.concat(F.lit("c"), (F.col("id") % 1000)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    d = diagnose_key_skew(hot.unionByName(cold), "k", mg_k=64)
+    assert d["total_rows"] == 10_000
+    assert d["top_keys"][0][0] == "hot"
+    lo, hi = d["top_keys"][0][1], d["top_keys"][0][2]
+    assert lo <= 5_000 <= hi  # MG bound contract on the hot key
+    # even share ~ 10_000/1001 ≈ 10; the hot key is hundreds of times it
+    assert d["skew_factor"] > 50
+    assert 50 < d["recommended_salt"] <= 1024
+
+    # uniform: 10_000 rows over ~2000 keys, 5 rows each
+    uni = spark.range(10_000).select(
+        F.concat(F.lit("u"), (F.col("id") % 2000)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    du = diagnose_key_skew(uni, "k", mg_k=64)
+    # est_lo of any survivor of heavy decrementing is tiny vs total;
+    # the diagnostic must NOT recommend material salting
+    assert du["recommended_salt"] <= 2, du
+    assert du["skew_factor"] < 2, du
+
+
+def test_tune_ann_index_finds_cheapest_passing_config(spark, tmp_path):
+    """The tuner walks the cost grid in order and stops at the FIRST
+    config meeting the target; probe-all with a corpus-covering
+    shortlist is always reachable at recall 1.0, and an impossible
+    target (>1.0 is invalid, so use 1.0 on a tiny shortlist grid that
+    cannot reach it... instead pin the met=False path via an empty
+    grid) returns the trace instead of raising."""
+    from bp_datawarehouse_ordersfact_spark.core.io import load_table
+    from bp_datawarehouse_ordersfact_spark.pipelines import build_ann_index
+    from bp_datawarehouse_ordersfact_spark.pipelines.ann_index import (
+        tune_ann_index,
+    )
+
+    out = str(tmp_path / "tune_idx")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    build_ann_index(spark, emb, out, n_cells=4, m=8, ksub=8, n_iter=2)
+
+    res = tune_ann_index(
+        spark, out, emb, target_recall=1.0, n_queries=5, k=4,
+        shortlist_grid=(1000,),
+    )
+    assert res["met"] is True
+    assert res["recall_at_k"] == 1.0
+    # the trace is the recall/cost curve: one row per evaluated config,
+    # strictly increasing n_probe, stopping AT the passing config
+    probes = [t["n_probe"] for t in res["trace"]]
+    assert probes == sorted(probes)
+    assert res["trace"][-1]["n_probe"] == res["n_probe"]
+    # every earlier config genuinely failed the target
+    assert all(t["recall_at_k"] < 1.0 for t in res["trace"][:-1])
+
+    # unmeetable: a 1-item grid with shortlist too small for recall 1.0
+    res2 = tune_ann_index(
+        spark, out, emb, target_recall=1.0, n_queries=5, k=4,
+        n_probe_grid=[1], shortlist_grid=(1,),
+    )
+    assert res2["met"] is False and len(res2["trace"]) == 1
