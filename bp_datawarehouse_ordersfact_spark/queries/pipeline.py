@@ -6,7 +6,7 @@ derived-measure block — re-expressed Spark-first over the TPC-H testdata.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core.io import load_table
