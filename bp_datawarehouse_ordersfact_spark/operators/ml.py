@@ -177,3 +177,76 @@ def logreg_predict_ovr(
             else F.when(s == best, F.lit(cls)).otherwise(pred)
         )
     return pred
+
+
+def text_hash_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_features: int = 256,
+    out_col: str = "features",
+    normalize: bool = True,
+) -> DataFrame:
+    """Hashing-trick bag-of-words featurizer (Weinberger et al. 2009,
+    "Feature Hashing for Large Scale Multitask Learning" — public
+    literature; the fastText-style input layer): every token hashes to
+    one of ``n_features`` buckets via the repo's canonical md5-based
+    ``h32``, and each document becomes the (optionally L1-normalized)
+    bucket-count histogram as ``array<double>`` — directly consumable by
+    ``logreg_train`` / ``logreg_score``, so the quality-classifier loop
+    gains a raw-TEXT path that needs no embedding model and no
+    vocabulary fit (the hash IS the vocabulary: fixed width, unbounded
+    token space, deterministic across runs and engines).
+
+    Scale shape: one explode pass → one (id, bucket) count aggregate →
+    one per-id map collection; the only corpus shuffle is on ``id``
+    (token fan-out combines map-side). Dense assembly walks
+    ``n_features`` slots per row via a sequence transform — interpreted,
+    but O(n_features) once per DOCUMENT, not per token; keep
+    ``n_features`` ≤ ~4k or consume the sparse (id, bucket, cnt)
+    intermediate directly. Returns (id_col, out_col).
+
+    Docs whose text yields zero tokens get the all-zero vector (they
+    survive the pipeline instead of disappearing at the explode)."""
+    if n_features < 1:
+        raise ValueError(f"n_features must be >= 1, got {n_features}")
+    from ..functions import text as Tx
+
+    toks = df.select(
+        F.col(id_col), F.explode_outer(Tx.tokens(F.col(text_col))).alias("__t")
+    )
+    counts = (
+        toks.withColumn(
+            "__b",
+            F.when(
+                F.col("__t").isNotNull(),
+                F.pmod(Tx.h32(F.col("__t")), F.lit(n_features)),
+            ),
+        )
+        .groupBy(id_col, "__b")
+        .agg(F.count("__t").cast("double").alias("__c"))
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.coalesce(F.col("__b"), F.lit(-1)).alias("k"), F.col("__c")
+                )
+            )
+        ).alias("__m"),
+        F.sum("__c").alias("__n"),
+    )
+    slot = F.transform(
+        F.sequence(F.lit(0), F.lit(n_features - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("__m"), i.cast("long")), F.lit(0.0)
+        ),
+    )
+    if normalize:
+        slot = F.transform(
+            slot,
+            lambda x: F.when(F.col("__n") > 0, x / F.col("__n")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    return per_doc.select(F.col(id_col), slot.alias(out_col))

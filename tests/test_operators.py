@@ -1366,3 +1366,50 @@ def test_personalized_pagerank_rejects_unknown_or_duplicate_seeds(spark):
         for r in pagerank(nodes, edges, max_iter=10, seeds=[0, 0]).collect()
     }
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_text_hash_features_trains_a_separable_text_classifier(spark):
+    """Hashing-trick features: deterministic, fixed-width, L1-normalized
+    histograms that make two vocab-distinct text classes linearly
+    separable through the EXISTING logreg loop — the raw-text path of
+    the quality classifier (no embeddings, no vocabulary fit). Also pins
+    the zero-token edge (all-zero vector, doc not dropped) and
+    determinism across invocations."""
+    from bp_datawarehouse_ordersfact_spark.operators.ml import (
+        logreg_score,
+        logreg_train,
+        text_hash_features,
+    )
+
+    good_words = ["science", "theory", "journal", "method", "proof"]
+    bad_words = ["click", "winner", "free", "prize", "buy"]
+    rows = []
+    for i in range(30):
+        rows.append((i, " ".join(good_words[j % 5] for j in range(i % 4 + 3)), 1))
+        rows.append(
+            (100 + i, " ".join(bad_words[(i + j) % 5] for j in range(i % 5 + 3)), 0)
+        )
+    rows.append((999, "!!! ...", 0))  # zero tokens after cleaning
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    feats = text_hash_features(df, "text", "doc_id", n_features=64)
+    assert feats.count() == 61  # the zero-token doc SURVIVES
+    zero_vec = feats.filter(F.col("doc_id") == 999).collect()[0]["features"]
+    assert zero_vec == [0.0] * 64
+    some = feats.filter(F.col("doc_id") == 0).collect()[0]["features"]
+    assert abs(sum(some) - 1.0) < 1e-9  # L1-normalized histogram
+
+    # determinism: the hash IS the vocabulary — two runs, same vectors
+    again = text_hash_features(df, "text", "doc_id", n_features=64)
+    a = {r["doc_id"]: r["features"] for r in feats.collect()}
+    b = {r["doc_id"]: r["features"] for r in again.collect()}
+    assert a == b
+
+    labeled = feats.join(df.select("doc_id", "label"), "doc_id")
+    w = logreg_train(labeled, "features", "label", n_iter=40, lr=2.0)
+    scored = labeled.select(
+        "label", logreg_score(labeled, F.col("features"), w).alias("p")
+    ).collect()
+    lo = max(r["p"] for r in scored if r["label"] == 0 and r["p"] is not None)
+    hi = min(r["p"] for r in scored if r["label"] == 1)
+    assert hi > 0.5 > lo  # fully separated at the decision boundary
