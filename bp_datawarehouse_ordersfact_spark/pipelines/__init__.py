@@ -25,6 +25,8 @@ from .dedup_store import (  # noqa: F401
 )
 from .quality_loop import (  # noqa: F401
     apply_quality_filter,
+    apply_text_quality_filter,
     load_quality_weights,
     train_quality_filter,
+    train_text_quality_filter,
 )

@@ -13,7 +13,9 @@ model over embeddings, sweep the full corpus with it.
 Artifacts under ``out_dir``:
 - ``weights/``  — (pos, w) rows; pos 0 is the bias (dim+1 rows total,
   kilobytes — the whole model);
-- ``meta/``     — (dim, n_iter, lr, threshold) fitting record.
+- ``meta/``     — (dim, n_iter, lr, threshold, mode) fitting record
+  (mode: 'vector' scores an embedding column; 'text' must be swept
+  through the hash featurizer — see train_text_quality_filter).
 
 Everything is deterministic (zero init, fixed epochs), so a refit on
 the same labeled set reproduces the same weights and the same corpus
@@ -41,6 +43,7 @@ def train_quality_filter(
     threshold: float = 0.5,
     n_batches: int | None = None,
     id_col: str | None = None,
+    _mode: str = "vector",
 ) -> dict:
     """Fit the binary quality classifier on (``vec_col``, ``label_col``
     0/1) and persist weights + meta. Returns a manifest with train-set
@@ -66,9 +69,12 @@ def train_quality_filter(
     spark.createDataFrame(
         [(i, float(x)) for i, x in enumerate(w)], "pos int, w double"
     ).write.mode("overwrite").parquet(paths["weights"])
+    # mode makes the artifact self-describing: 'vector' stores score an
+    # embedding column directly; 'text' stores (train_text_quality_filter)
+    # must be swept through the hash featurizer with the SAME width
     spark.createDataFrame(
-        [(len(w) - 1, n_iter, float(lr), float(threshold))],
-        "dim int, n_iter int, lr double, threshold double",
+        [(len(w) - 1, n_iter, float(lr), float(threshold), _mode)],
+        "dim int, n_iter int, lr double, threshold double, mode string",
     ).write.mode("overwrite").parquet(paths["meta"])
     scored = labeled.select(
         F.col(label_col).cast("int").alias("y"),
@@ -114,6 +120,13 @@ def apply_quality_filter(
     index also guards against."""
     w = load_quality_weights(spark, out_dir)
     meta = spark.read.parquet(os.path.join(out_dir, "meta")).collect()[0]
+    mode = meta["mode"] if "mode" in meta.__fields__ else "vector"
+    if mode != "vector":
+        raise ValueError(
+            f"quality artifact at {out_dir} has mode={mode!r}; "
+            "apply_quality_filter scores an embedding column — sweep "
+            "text-mode artifacts with apply_text_quality_filter"
+        )
     # the sweep is a pure map-side expression, so it composes with a
     # STREAMING corpus unchanged — but a stream cannot be probed with
     # collect(), so the dim guard applies to batch input only (streaming
@@ -131,3 +144,80 @@ def apply_quality_filter(
         "quality_prob", logreg_score(corpus, F.col(vec_col), w)
     )
     return scored.filter(F.col("quality_prob") >= F.lit(threshold))
+
+
+def train_text_quality_filter(
+    spark: SparkSession,
+    labeled_docs: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    n_features: int = 256,
+    n_iter: int = 30,
+    lr: float = 1.0,
+    threshold: float = 0.5,
+) -> dict:
+    """RAW-TEXT flavor of the loop: hash-featurize the labeled documents
+    (``operators.ml.text_hash_features`` — vocabulary-free, fixed width,
+    deterministic) and fit/persist the same logistic artifact. No
+    embedding model is needed anywhere in the loop — this is the
+    fastText-style corpus filter in its original text form. The persisted
+    meta records mode='text' and dim=``n_features``, so a sweep through
+    the wrong path fails loudly instead of scoring garbage."""
+    from ..operators.ml import text_hash_features
+
+    feats = text_hash_features(
+        labeled_docs, text_col, id_col, n_features=n_features
+    ).join(labeled_docs.select(id_col, label_col), id_col)
+    return train_quality_filter(
+        spark,
+        feats,
+        out_dir,
+        vec_col="features",
+        label_col=label_col,
+        n_iter=n_iter,
+        lr=lr,
+        threshold=threshold,
+        _mode="text",
+    )
+
+
+def apply_text_quality_filter(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Sweep a raw-text corpus with a mode='text' artifact: featurize
+    with the trained width, score, and join ``quality_prob`` back on
+    ``id_col``. One id-keyed shuffle is the price of the vocabulary-free
+    text path (the embedding sweep stays joinless); both are linear.
+    A mode='vector' artifact is rejected — its weights index embedding
+    dimensions, not hash buckets."""
+    from ..operators.ml import logreg_score, text_hash_features
+
+    meta = spark.read.parquet(os.path.join(out_dir, "meta")).collect()[0]
+    mode = meta["mode"] if "mode" in meta.__fields__ else "vector"
+    if mode != "text":
+        raise ValueError(
+            f"quality artifact at {out_dir} has mode={mode!r}; "
+            "apply_text_quality_filter needs a train_text_quality_filter "
+            "artifact (vector-mode weights index embedding dims, not hash "
+            "buckets)"
+        )
+    w = load_quality_weights(spark, out_dir)
+    if threshold is None:
+        threshold = float(meta["threshold"])
+    feats = text_hash_features(
+        corpus, text_col, id_col, n_features=int(meta["dim"])
+    )
+    scored = feats.select(
+        F.col(id_col),
+        logreg_score(feats, F.col("features"), w).alias("quality_prob"),
+    )
+    return corpus.join(scored, id_col).filter(
+        F.col("quality_prob") >= F.lit(threshold)
+    )

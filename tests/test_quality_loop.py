@@ -146,3 +146,60 @@ def test_sweep_composes_with_structured_streaming(spark, labeled, tmp_path):
         for r in apply_quality_filter(spark, labeled, out).collect()
     }
     assert got == want and got
+
+
+def test_text_mode_quality_loop_end_to_end_and_mode_guards(spark, tmp_path):
+    """Raw-text quality loop: train on vocab-distinct labeled docs,
+    sweep a corpus containing unseen docs of both vocabularies, and pin
+    that (a) the filter keeps exactly the good-vocab docs, (b) each
+    artifact mode rejects the other sweep path loudly."""
+    import pytest as _pytest
+
+    from bp_datawarehouse_ordersfact_spark.pipelines import (
+        apply_quality_filter,
+        apply_text_quality_filter,
+        train_text_quality_filter,
+    )
+
+    good_words = ["science", "theory", "journal", "method", "proof"]
+    bad_words = ["click", "winner", "free", "prize", "buy"]
+    rows = []
+    for i in range(25):
+        rows.append((i, " ".join(good_words[j % 5] for j in range(i % 4 + 3)), 1))
+        rows.append(
+            (100 + i, " ".join(bad_words[(i + j) % 5] for j in range(i % 5 + 3)), 0)
+        )
+    labeled = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    out = str(tmp_path / "textq")
+    m = train_text_quality_filter(
+        spark, labeled, out, n_features=64, n_iter=40, lr=2.0
+    )
+    assert m["train_accuracy"] == 1.0
+    assert m["dim"] == 64
+
+    # UNSEEN docs from both vocabularies
+    corpus = spark.createDataFrame(
+        [
+            (900, "proof method theory proof"),
+            (901, "buy prize click free free"),
+            (902, "journal science method"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = apply_text_quality_filter(spark, corpus, out)
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {900, 902}
+    assert set(kept.columns) == {"doc_id", "text", "quality_prob"}
+
+    # mode guards, both directions
+    with _pytest.raises(ValueError, match="mode='text'"):
+        apply_quality_filter(spark, corpus, out, vec_col="text")
+    vec_out = str(tmp_path / "vecq")
+    from bp_datawarehouse_ordersfact_spark.pipelines import train_quality_filter
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0], 1), (2, [0.0, 1.0], 0)],
+        "doc_id long, embedding array<double>, label int",
+    )
+    train_quality_filter(spark, vecs, vec_out, n_iter=5)
+    with _pytest.raises(ValueError, match="mode='vector'"):
+        apply_text_quality_filter(spark, corpus, vec_out)
