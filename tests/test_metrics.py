@@ -1,0 +1,77 @@
+"""Post-execution plan metrics (core/metrics.py): the numbers that
+prove a plan's scale posture — map-side combine (shuffle records ≪
+input rows), broadcast joins (zero exchanges), zero spill — read
+directly from the executed plan instead of eyeballed from wall clock."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from bp_datawarehouse_ordersfact_spark.core.io import load_table
+from bp_datawarehouse_ordersfact_spark.core.metrics import (
+    physical_plan_metrics,
+    shuffle_summary,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("metrics")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def test_groupby_metrics_prove_map_side_combine(spark):
+    df = spark.range(0, 10_000, 1, 4).groupBy((F.col("id") % 7).alias("k")).count()
+    df.collect()
+    s = shuffle_summary(df)
+    assert s["n_shuffle_exchanges"] == 1
+    # partial aggregation: ≤ groups × map partitions records cross the
+    # wire, NOT the 10k input rows — the map-side-combine proof
+    assert 7 <= s["shuffle_records"] <= 7 * 4
+    assert s["spill_bytes"] == 0
+    rows = {
+        e["node"]: e["metrics"].get("numOutputRows")
+        for e in physical_plan_metrics(df)
+        if e["metrics"].get("numOutputRows")
+    }
+    assert rows.get("RangeExec") == 10_000
+    assert 7 in {
+        e["metrics"].get("numOutputRows")
+        for e in physical_plan_metrics(df)
+        if e["node"] == "HashAggregateExec"
+    }
+
+
+def test_broadcast_join_shuffles_nothing(spark):
+    small = spark.range(7).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    big = spark.range(10_000).select((F.col("id") % 7).alias("k"))
+    j = big.join(F.broadcast(small), "k")
+    j.count()
+    assert shuffle_summary(j)["n_shuffle_exchanges"] == 0
+
+
+def test_registry_flagship_shuffles_group_rows_not_input_rows(spark):
+    """pricing_summary at sf0.001: 60k lineitem rows in, but the only
+    exchange carries ≤ groups × map-partitions partial rows — the
+    property that makes the rollup free at 100 TB, asserted from the
+    executed metrics instead of the plan string."""
+    from bp_datawarehouse_ordersfact_spark.queries import all_queries
+
+    df = all_queries()["pricing_summary"](spark, SF_DIR)
+    df.collect()
+    s = shuffle_summary(df)
+    n_input = load_table(spark, SF_DIR, "lineitem").count()
+    assert s["n_shuffle_exchanges"] >= 1
+    assert s["shuffle_records"] < n_input / 100
+    assert s["spill_bytes"] == 0
