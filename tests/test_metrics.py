@@ -75,3 +75,27 @@ def test_registry_flagship_shuffles_group_rows_not_input_rows(spark):
     assert s["n_shuffle_exchanges"] >= 1
     assert s["shuffle_records"] < n_input / 100
     assert s["spill_bytes"] == 0
+
+
+def test_heavy_registry_queries_zero_spill_bounded_exchanges(spark):
+    """The shuffle-heaviest registry shapes at sf0.001: every one must
+    run with ZERO spill and a small fixed number of exchanges — the two
+    metrics whose regression (a fan-out bug, a partition no longer
+    fitting memory) wall-clock noise hides but SQLMetrics expose."""
+    from bp_datawarehouse_ordersfact_spark.queries import all_queries
+
+    qs = all_queries()
+    budgets = {  # name -> max exchanges (fixed by plan shape)
+        "count_distinct_per_group": 3,
+        "dedup_keep_first": 2,
+        "window_order_totals": 2,
+        "multikey_rollup": 2,
+        "sessionize_events": 3,
+        "pivot_status": 3,
+    }
+    for name, max_ex in budgets.items():
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        s = shuffle_summary(df)
+        assert s["spill_bytes"] == 0, (name, s)
+        assert 1 <= s["n_shuffle_exchanges"] <= max_ex, (name, s)
