@@ -482,6 +482,7 @@ def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
     cur_path = _index_dir(spark, out_dir)
     index = spark.read.parquet(cur_path)
     before = len(index.inputFiles())
+    n_live = index.count()
     version, staging = next_artifact_dir(spark, out_dir, "index")
     obs = Observation("ann_compact")
     (
@@ -492,6 +493,17 @@ def compact_ann_index(spark: SparkSession, out_dir: str) -> dict:
         .parquet(staging)
     )
     n_rows = int(obs.get["rows"])
+    # commit GATE: a compaction is a pure rewrite — the staged row count
+    # must equal the live one exactly, or the rewrite lost/duplicated
+    # rows and must not be promoted (the staged dir is dropped, the live
+    # index untouched)
+    if n_rows != n_live:
+        fs, _, jvm = _hadoop_fs(spark, staging)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+        raise RuntimeError(
+            f"compact_ann_index: staged rewrite has {n_rows} rows but the "
+            f"live index has {n_live} — refusing to promote"
+        )
     commit_artifact_version(spark, out_dir, "index", version)
     after = len(spark.read.parquet(_index_dir(spark, out_dir)).inputFiles())
     return {"files_before": before, "files_after": after, "n_rows": n_rows}

@@ -409,12 +409,23 @@ def compact_dedup_store(spark: SparkSession, out_dir: str) -> dict:
             continue
         df = spark.read.parquet(path)
         before = len(df.inputFiles())
+        n_live = df.count()
         version, staging = next_artifact_dir(spark, out_dir, name)
         if part_cols:
             w = df.repartition(*part_cols).write.partitionBy(*part_cols)
         else:
             w = df.coalesce(max(1, before // 8)).write
         w.mode("overwrite").parquet(staging)
+        # commit GATE (same as compact_ann_index): a pure rewrite must
+        # preserve the exact row count or it is not promoted
+        n_staged = spark.read.parquet(staging).count()
+        if n_staged != n_live:
+            fs.delete(Path(staging), True)
+            raise RuntimeError(
+                f"compact_dedup_store[{name}]: staged rewrite has "
+                f"{n_staged} rows but the live artifact has {n_live} — "
+                "refusing to promote"
+            )
         commit_artifact_version(spark, out_dir, name, version)
         live = _live(spark, out_dir, name)
         stats[name] = (before, len(spark.read.parquet(live).inputFiles()))
