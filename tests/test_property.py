@@ -753,3 +753,55 @@ def test_cms_never_underestimates_and_merges_exactly(spark, items, width):
     via_merge = {(r["d"], r["w"]): r["cnt"] for r in merged.collect()}
     if items[half:]:
         assert via_merge == whole
+
+
+# ---------------------------------------------------------------------------
+# text_hash_features == pure-Python hashlib histogram
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    st.lists(
+        st.text(
+            alphabet="abc XY1 .,!", min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_text_hash_features_matches_hashlib_reference(spark, texts):
+    """The hashing-trick featurizer must equal a trivially-correct pure
+    reference: lowercase alnum tokenization, bucket = md5-first-8-hex %
+    n_features, L1-normalized counts; zero-token docs → zero vector.
+    Generator covers mixed case, digits, punctuation-only, and empty
+    strings."""
+    import hashlib
+    import re
+
+    from bp_datawarehouse_ordersfact_spark.operators.ml import (
+        text_hash_features,
+    )
+
+    n_features = 16
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["features"]
+        for r in text_hash_features(
+            df, "text", "doc_id", n_features=n_features
+        ).collect()
+    }
+
+    def ref(t: str) -> list[float]:
+        toks = [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+        counts = [0.0] * n_features
+        for tok in toks:
+            b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_features
+            counts[b] += 1.0
+        n = sum(counts)
+        return [c / n for c in counts] if n else counts
+
+    assert set(got) == set(range(len(texts)))
+    for i, t in rows:
+        assert got[i] == pytest.approx(ref(t), rel=0, abs=1e-12), (i, t)
