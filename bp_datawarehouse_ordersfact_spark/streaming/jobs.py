@@ -812,3 +812,57 @@ def run_incremental_ann_ingest_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_text_quality_sweep_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    quality_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float | None = None,
+    files_per_trigger: int = 1,
+) -> None:
+    """Streaming corpus sweep with the RAW-TEXT quality filter: every
+    micro-batch is hash-featurized, scored against the persisted
+    mode='text' artifact, and the survivors land in ``out_dir``.
+
+    The EMBEDDING sweep needs no job of its own — it is a map-side
+    codegen expression that composes with readStream directly
+    (``apply_quality_filter``, pinned by
+    tests/test_quality_loop.py::test_sweep_composes_with_structured_streaming).
+    The text path aggregates (per-doc token histogram) and joins, which
+    an append-mode stream cannot express — so it runs as a foreachBatch
+    job. Idempotent under at-least-once replay by construction: survivors
+    OVERWRITE their own ``ingest_batch_id={N}`` partition (the
+    ``run_incremental_dedup_stream`` pattern), and the sweep mutates no
+    store, so no ledger is needed — a replayed batch rewrites identical
+    rows."""
+    from ..pipelines.quality_loop import apply_text_quality_filter
+
+    schema = spark.read.parquet(docs_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        kept = apply_text_quality_filter(
+            s, batch_df, quality_dir, text_col, id_col, threshold
+        )
+        kept.write.mode("overwrite").parquet(
+            out_dir.rstrip("/") + f"/ingest_batch_id={int(batch_id)}"
+        )
+
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir.rstrip("/") + "_checkpoint")
+        .start()
+    )
+    q.awaitTermination()

@@ -203,3 +203,51 @@ def test_text_mode_quality_loop_end_to_end_and_mode_guards(spark, tmp_path):
     train_quality_filter(spark, vecs, vec_out, n_iter=5)
     with _pytest.raises(ValueError, match="mode='vector'"):
         apply_text_quality_filter(spark, corpus, vec_out)
+
+
+def test_text_sweep_stream_filters_and_replays_idempotently(spark, tmp_path):
+    """The foreachBatch text sweep: two micro-batches filtered against
+    the persisted text artifact, survivors landed per-batch; a replay
+    with a lost checkpoint rewrites identical rows (no duplicates)."""
+    import shutil
+
+    from bp_datawarehouse_ordersfact_spark.pipelines import (
+        train_text_quality_filter,
+    )
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import (
+        run_text_quality_sweep_stream,
+    )
+
+    good_words = ["science", "theory", "journal", "method", "proof"]
+    bad_words = ["click", "winner", "free", "prize", "buy"]
+    rows = []
+    for i in range(25):
+        rows.append((i, " ".join(good_words[j % 5] for j in range(i % 4 + 3)), 1))
+        rows.append(
+            (100 + i, " ".join(bad_words[(i + j) % 5] for j in range(i % 5 + 3)), 0)
+        )
+    labeled = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    qdir = str(tmp_path / "q")
+    train_text_quality_filter(spark, labeled, qdir, n_features=64, n_iter=40, lr=2.0)
+
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(900, "proof method theory"), (901, "buy prize click free")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(feed)
+    spark.createDataFrame(
+        [(902, "journal science method proof"), (903, "winner free buy")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(feed)
+
+    sink = str(tmp_path / "clean")
+    run_text_quality_sweep_stream(spark, feed, qdir, sink, files_per_trigger=1)
+    got = spark.read.parquet(sink)
+    assert {r["doc_id"] for r in got.collect()} == {900, 902}
+    assert "quality_prob" in got.columns
+
+    shutil.rmtree(sink + "_checkpoint")
+    run_text_quality_sweep_stream(spark, feed, qdir, sink, files_per_trigger=1)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(sink).collect()
+    ) == [900, 902]
