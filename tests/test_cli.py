@@ -28,3 +28,22 @@ def test_cli_list_and_query_and_warehouse(tmp_path):
     # tests/test_domain_pipeline.py
     wh = main(["warehouse", "--out", str(tmp_path / "wh")])
     assert isinstance(wh, dict) and wh
+
+
+def test_cli_corpus_build(tmp_path):
+    """The corpus subcommand runs the staged build over a documents
+    parquet and returns the per-stage manifest."""
+    m = main(
+        [
+            "corpus",
+            "--docs",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--out",
+            str(tmp_path / "corpus"),
+        ]
+    )
+    stages = m["stages"]
+    assert {"01_gated", "02_deduped", "03_decontam", "04_mixed", "05_chunks"} <= set(
+        stages
+    )
+    assert all(s["rows"] > 0 for s in stages.values())
