@@ -250,3 +250,86 @@ def text_hash_features(
             ),
         )
     return per_doc.select(F.col(id_col), slot.alias(out_col))
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lambda_bigram: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram language-model quality score — the step past
+    the corpus-unigram stand-in (``q_text_unigram_logprob``) on the way
+    to a KenLM-style perplexity filter (CCNet; Jelinek–Mercer
+    interpolation — public literature): per document, the mean of
+    ``log(λ·P_ML(w|prev) + (1−λ)·P_uni(w))`` over its token bigrams,
+    with both distributions counted from the corpus itself. Fluent
+    in-distribution word SEQUENCES now score high — a document made of
+    common words in garbage ORDER, which a unigram model cannot
+    penalize, scores low.
+
+    Scale shape: the BIGRAM table is the one piece that outgrows a
+    broadcast at corpus scale (|bigrams| ≫ |vocab|), so the probability
+    lookup is a hash join keyed on (prev, tok) — the bigram stream
+    shuffles once; the context-count and unigram tables stay
+    vocabulary-sized and broadcast. Bigram formation is one lag window
+    per document (shuffle by ``id_col``), reused by the final per-doc
+    rollup.
+
+    Returns (id_col, n_bigrams, mean_logprob) — documents with fewer
+    than two tokens have ``n_bigrams`` 0 and a NULL score (the caller
+    decides their fate; silently scoring them would fabricate fluency).
+    """
+    if not 0.0 < lambda_bigram < 1.0:
+        raise ValueError(
+            f"lambda_bigram must be in (0, 1), got {lambda_bigram}"
+        )
+    from pyspark.sql import Window
+
+    from ..functions import text as Tx
+    from ..functions.rounding import rnd
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(Tx.tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = toks.select(
+        F.col(id_col), F.lag("tok").over(w).alias("prev"), "tok"
+    ).filter(F.col("prev").isNotNull())
+    big_c = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("bc"))
+    ctx_c = big_c.groupBy("prev").agg(F.sum("bc").alias("cc"))
+    uni_c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("uc"))
+    total = uni_c.agg(F.sum("uc").alias("n"))
+    p = (
+        pairs.join(big_c, ["prev", "tok"])  # bigram-keyed hash join
+        .join(F.broadcast(ctx_c), "prev")
+        .join(F.broadcast(uni_c), "tok")
+        .join(F.broadcast(total))
+        .withColumn(
+            "__lp",
+            F.log(
+                F.lit(lambda_bigram)
+                * (F.col("bc").cast("double") / F.col("cc"))
+                + F.lit(1.0 - lambda_bigram)
+                * (F.col("uc").cast("double") / F.col("n"))
+            ),
+        )
+    )
+    scored = p.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        rnd(F.avg("__lp"), 6).alias("mean_logprob"),
+    )
+    # re-attach documents with < 2 tokens (no bigram rows survive the
+    # lag filter) so they are reported, not silently dropped
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            "mean_logprob",
+        )
+    )

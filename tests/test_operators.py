@@ -1413,3 +1413,67 @@ def test_text_hash_features_trains_a_separable_text_classifier(spark):
     lo = max(r["p"] for r in scored if r["label"] == 0 and r["p"] is not None)
     hi = min(r["p"] for r in scored if r["label"] == 1)
     assert hi > 0.5 > lo  # fully separated at the decision boundary
+
+
+def test_bigram_logprob_matches_reference_and_penalizes_garbage_order(spark):
+    """Interpolated bigram LM: exact equality with a pure-Python
+    reference on a small corpus, and the property the unigram model
+    cannot give — a document of common words in GARBAGE order scores
+    strictly lower than the fluent document with the same unigram
+    profile. Sub-2-token docs report n_bigrams=0 with a NULL score."""
+    import math
+
+    from bp_datawarehouse_ordersfact_spark.operators.ml import bigram_logprob
+
+    fluent = "the cat sat on the mat"
+    garbled = "mat the on sat cat the"  # same tokens, shuffled order
+    docs = [
+        (0, fluent),
+        (1, fluent),
+        (2, fluent),
+        (3, garbled),
+        (4, "solo"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    lam = 0.7
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+        for r in bigram_logprob(df, "text", "doc_id", lambda_bigram=lam).collect()
+    }
+
+    # pure reference over the same corpus
+    toks = {i: t.split() for i, t in docs}
+    uni: dict[str, int] = {}
+    big: dict[tuple, int] = {}
+    ctx: dict[str, int] = {}
+    for ts in toks.values():
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            ctx[a] = ctx.get(a, 0) + 1
+    n = sum(uni.values())
+
+    def ref(ts):
+        lps = [
+            math.log(
+                lam * big[(a, b)] / ctx[a] + (1 - lam) * uni[b] / n
+            )
+            for a, b in zip(ts, ts[1:])
+        ]
+        if not lps:
+            return (0, None)
+        m = sum(lps) / len(lps)
+        return (len(lps), math.floor(m * 10**6 + 0.5) / 10**6)
+
+    for i, _ in docs:
+        want = ref(toks[i])
+        assert got[i][0] == want[0], i
+        if want[1] is None:
+            assert got[i][1] is None, i
+        else:
+            assert got[i][1] == pytest.approx(want[1], abs=2e-6), i
+
+    # the order-sensitivity property
+    assert got[3][1] < got[0][1]
