@@ -1,10 +1,13 @@
-"""Distributed model TRAINING for the quality-classifier loop.
+"""Distributed model TRAINING + text featurization for the quality loop.
 
 ``embedding_classifier_score`` (queries/llmops.py) is the inference
 half: score every embedding with a fixed weight vector. This module is
 the training half — batch gradient-descent logistic regression run AS A
 SPARK JOB, so the classifier that filters a 100 TB corpus is trained on
-the same cluster that applies it, with no single-node detour:
+the same cluster that applies it, with no single-node detour — plus the
+raw-TEXT inputs that close the loop without an embedding model:
+``text_hash_features`` (hashing-trick bag-of-words) and
+``bigram_logprob`` (interpolated bigram LM quality scoring).
 
 Scale shape per epoch (the same pattern as ``kmeans_lloyd_centroids``):
 the weight vector is dim+1 floats — always broadcastable as literals —
