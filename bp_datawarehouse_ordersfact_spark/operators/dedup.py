@@ -709,3 +709,129 @@ def containment_pairs(
             )
         )
         return scope.finish(verified)
+
+
+def duplicated_passage_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 50,
+    stride: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact DUPLICATED-PASSAGE detection (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — public
+    literature): find the character spans of each document that occur
+    verbatim in at least ``min_docs`` distinct documents — boilerplate
+    headers, license blocks, templated paragraphs — which document-level
+    near-dup (MinHash) deliberately ignores because the HOST documents
+    are distinct.
+
+    The paper builds one corpus-wide suffix array — inherently
+    single-machine. The Spark-native shape hashes ``window``-char
+    substrings at CONTENT-DEFINED anchor positions (the winnowing /
+    content-defined-chunking idea, Schleimer et al. 2003 — public
+    literature): position ``p`` is an anchor iff
+    ``xxhash64(text[p:p+8]) % stride == 0``. A fixed offset grid would
+    only match passages that happen to be stride-ALIGNED across
+    documents (measured: it silently misses almost everything);
+    content-defined anchors land at the same positions RELATIVE TO THE
+    PASSAGE in every document that contains it, so shared passages
+    produce identical window hashes regardless of where they sit. A
+    window hash held by ≥ ``min_docs`` DISTINCT docs marks its windows
+    duplicated; each doc's surviving ``[p, p+window)`` spans merge into
+    maximal islands via ``operators.temporal.coalesce_intervals`` (one
+    shuffle, reused partitioning).
+
+    Cost: one row per CHARACTER for the anchor test (codegen hash +
+    filter, immediately reduced ~stride×) — linear with a real constant,
+    the price of alignment robustness without a global suffix sort,
+    which does not distribute. Expected anchors in a shared passage of
+    length L: (L − window)/stride — passages shorter than ~window +
+    stride may be probabilistically missed (raise ``window`` precision
+    by lowering ``stride``).
+
+    Returns (id_col, span_start, span_end, n_windows) with 0-based
+    [start, end) character offsets. Windows are md5-hashed, not
+    compared — collisions are negligible at any corpus size.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError(f"window/stride must be >= 1, got {window}/{stride}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    from .temporal import coalesce_intervals
+
+    k_anchor = 8
+    pos = df.filter(F.length(F.col(text_col)) >= window).select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.explode(
+            F.sequence(F.lit(0), F.length(F.col(text_col)) - window)
+        ).alias("__p"),
+    )
+    wins = pos.filter(
+        F.pmod(
+            F.xxhash64(F.substring(F.col("__t"), F.col("__p") + 1, k_anchor)),
+            F.lit(stride),
+        )
+        == 0
+    ).select(
+        "__id",
+        "__p",
+        F.md5(F.substring(F.col("__t"), F.col("__p") + 1, window)).alias("__h"),
+    )
+    shared = (
+        wins.groupBy("__h")
+        .agg(F.count_distinct("__id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    dup_wins = wins.join(shared, "__h").select(
+        "__id", "__p", (F.col("__p") + window).alias("__e")
+    )
+    spans = coalesce_intervals(dup_wins, "__id", "__p", "__e", "__p")
+    return spans.select(
+        F.col("__id").alias(id_col),
+        F.col("interval_start").cast("long").alias("span_start"),
+        F.col("interval_end").cast("long").alias("span_end"),
+        F.col("n_intervals").cast("long").alias("n_windows"),
+    )
+
+
+def duplicated_passage_fraction(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 50,
+    stride: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-passage load: the fraction of each doc's
+    characters covered by ``duplicated_passage_spans`` — the scalar a
+    corpus gate thresholds on (drop or trim docs that are mostly shared
+    boilerplate). Docs with no duplicated span report 0.0. Returns
+    (id_col, n_chars, dup_chars, dup_fraction)."""
+    from ..functions.rounding import rnd
+
+    spans = duplicated_passage_spans(
+        df, text_col, id_col, window=window, stride=stride, min_docs=min_docs
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start")).alias("dup_chars")
+    )
+    return (
+        df.select(F.col(id_col), F.length(F.col(text_col)).alias("n_chars"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long").alias(
+                "dup_chars"
+            ),
+            rnd(
+                F.coalesce(F.col("dup_chars"), F.lit(0))
+                / F.greatest(F.col("n_chars"), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1477,3 +1477,63 @@ def test_bigram_logprob_matches_reference_and_penalizes_garbage_order(spark):
 
     # the order-sensitivity property
     assert got[3][1] < got[0][1]
+
+
+def test_duplicated_passage_spans_and_fraction(spark):
+    """Exact duplicated-passage detection with CONTENT-DEFINED anchors:
+    the planted boilerplate must be found in every host document AT THE
+    SAME PASSAGE-RELATIVE OFFSETS even though its absolute offsets
+    differ mod stride per doc (the alignment independence a fixed grid
+    lacks — measured to miss almost everything); all spans lie inside
+    the shared text, unique/short docs report nothing, and the fraction
+    rollup agrees with the spans."""
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import (
+        duplicated_passage_fraction,
+        duplicated_passage_spans,
+    )
+
+    boiler = ("LICENSE NOTICE: this text is shared verbatim between many "
+              "documents and keeps going for a while longer. ")  # 104 chars
+    assert len(boiler) == 104
+    docs = [
+        (0, "A" * 37 + boiler + "unique tail zero " * 3),     # offset 37
+        (1, "prefix-one " * 5 + boiler),                       # offset 55
+        (2, boiler),                                           # offset 0
+        (3, "completely unique document body with no shared passage at all "
+            * 4),
+        (4, "short"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    W, S = 50, 10
+    spans = duplicated_passage_spans(df, "text", "doc_id", window=W, stride=S)
+    by_doc: dict[int, set] = {}
+    for r in spans.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(
+            (r["span_start"], r["span_end"], r["n_windows"])
+        )
+
+    # unique and too-short docs: nothing
+    assert 3 not in by_doc and 4 not in by_doc
+    # every host doc found it, fully inside its boiler occurrence
+    offsets = {0: 37, 1: 55, 2: 0}
+    rel = {}
+    for i, pa in offsets.items():
+        assert by_doc.get(i), f"doc {i} has no span"
+        for s0, e0, _ in by_doc[i]:
+            assert pa <= s0 < e0 <= pa + len(boiler), (i, s0, e0)
+            assert e0 - s0 >= W  # at least one full window
+        rel[i] = {(s0 - pa, e0 - pa, n) for s0, e0, n in by_doc[i]}
+    # ALIGNMENT INDEPENDENCE: identical passage-relative spans everywhere
+    assert rel[0] == rel[1] == rel[2], rel
+
+    frac = {
+        r["doc_id"]: (r["n_chars"], r["dup_chars"], r["dup_fraction"])
+        for r in duplicated_passage_fraction(
+            df, "text", "doc_id", window=W, stride=S
+        ).collect()
+    }
+    for i in (3, 4):
+        assert frac[i][1:] == (0, 0.0)
+    covered = sum(e0 - s0 for s0, e0, _ in by_doc[2])
+    assert frac[2] == (104, covered, round(covered / 104, 6))
+    assert 0.0 < frac[0][2] < 1.0
