@@ -14,6 +14,11 @@ Stages (all built from the repo's operators — nothing new semantically):
 2. ``02_deduped``    — exact dedup (md5 keep-first), then MinHash-LSH
                        near-dup clusters closed via connected components,
                        keeping the smallest doc_id per cluster.
+2b. ``02b_passage``  — OPTIONAL (``max_passage_dup_fraction``): drop
+                       docs whose verbatim-shared-passage fraction
+                       (content-defined anchors, operators/dedup.
+                       duplicated_passage_fraction) exceeds the budget —
+                       boilerplate-heavy docs document dedup keeps.
 3. ``03_decontam``   — drop docs sharing any 5-gram with the holdout
                        (broadcast holdout, one hash join).
 4. ``04_mixed``      — per-source mix resample to target ppm weights
@@ -78,6 +83,9 @@ def build_corpus(
     min_chars: int = 100,
     mix_ppm: dict[str, int] | None = None,
     near_dup_threshold: float = 0.5,
+    max_passage_dup_fraction: float | None = None,
+    passage_window: int = 50,
+    passage_stride: int = 10,
     sample_n: int | None = None,
     sample_weight: str = "n_chars",
     bpe_merges: int | None = None,
@@ -127,6 +135,26 @@ def build_corpus(
     deduped = record(
         "02_deduped", exact_kept.join(keep_nd.select("doc_id"), "doc_id")
     )
+
+    # 2b — OPTIONAL passage-level gate: document dedup keeps distinct
+    # docs even when they share verbatim boilerplate; docs whose
+    # duplicated-passage fraction (content-defined anchors,
+    # operators/dedup.duplicated_passage_fraction) exceeds the budget
+    # are dropped here, before the costlier downstream stages
+    if max_passage_dup_fraction is not None:
+        from ..operators.dedup import duplicated_passage_fraction
+
+        pf = duplicated_passage_fraction(
+            deduped,
+            "text",
+            "doc_id",
+            window=passage_window,
+            stride=passage_stride,
+        )
+        keep_pf = pf.filter(
+            F.col("dup_fraction") <= max_passage_dup_fraction
+        ).select("doc_id")
+        deduped = record("02b_passage", deduped.join(keep_pf, "doc_id"))
 
     # 3 — decontamination against the holdout's 5-grams (holdout is
     # benchmark-sized → broadcast; one semi-join, corpus never reshuffles)

@@ -224,3 +224,42 @@ def test_tar_shard_stage_rerun_clears_stale_shards(spark, tmp_path):
     m2 = build_corpus(spark, docs, out, min_chars=1, tar_shard_rows=10_000)
     files = list(pathlib.Path(m2["stages"]["05b_shards"]["path"]).iterdir())
     assert len(files) == m2["stages"]["05b_shards"]["files"] < n_first
+
+
+def test_passage_gate_drops_boilerplate_heavy_docs(spark, tmp_path):
+    """max_passage_dup_fraction: a doc that is mostly shared boilerplate
+    is dropped at stage 02b; docs carrying the same boilerplate as a
+    small part of unique content survive."""
+    from bp_datawarehouse_ordersfact_spark.pipelines import build_corpus
+
+    boiler = ("LICENSE NOTICE: this text is shared verbatim between many "
+              "documents and keeps going for a while longer. ")
+    words = ["alpha", "bravo", "carbon", "delta", "ember", "falcon"]
+    rows = []
+    for i, w in enumerate(words):
+        # mostly unique WITH many distinct shingles: a single repeated
+        # word gives the doc ONE unique set element, so MinHash (a SET
+        # measure) would see boiler-dominated sets and legitimately
+        # collapse the docs at stage 02 — the fixture must be unique in
+        # both sequence and set terms
+        body = " ".join(f"{w}{i}x{j}" for j in range(120)) + " " + boiler
+        rows.append((i, "web", body, len(body)))
+    heavy = boiler + "tiny unique bit seven"  # mostly boilerplate
+    rows.append((7, "web", heavy, len(heavy)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    )
+    m = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "c"),
+        min_chars=10,
+        max_passage_dup_fraction=0.5,
+    )
+    assert "02b_passage" in m["stages"]
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(m["stages"]["02b_passage"]["path"]).collect()
+    }
+    assert 7 not in kept
+    assert kept >= set(range(6))
