@@ -805,3 +805,63 @@ def test_text_hash_features_matches_hashlib_reference(spark, texts):
     assert set(got) == set(range(len(texts)))
     for i, t in rows:
         assert got[i] == pytest.approx(ref(t), rel=0, abs=1e-12), (i, t)
+
+
+# ---------------------------------------------------------------------------
+# duplicated_passage_spans: planted-passage recovery at random offsets
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    st.integers(min_value=0, max_value=97),   # host-A prefix length
+    st.integers(min_value=0, max_value=97),   # host-B prefix length
+    st.integers(min_value=200, max_value=320),  # passage length
+    st.integers(min_value=0, max_value=2**31),  # text RNG seed
+)
+def test_passage_spans_recover_planted_passage_any_alignment(
+    spark, pre_a, pre_b, plen, seed
+):
+    """Content-defined anchors make detection alignment-independent: a
+    planted passage at ARBITRARY (generator-chosen) offsets in two hosts
+    must be found in both, entirely inside the passage bounds, at
+    identical passage-relative offsets; a third unique doc stays clean.
+    With window 50/stride 10 a ≥200-char passage has ~15 expected
+    anchors — a miss probability below 1e-7 per example."""
+    import random
+
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import (
+        duplicated_passage_spans,
+    )
+
+    # a REAL (seeded) RNG, not hypothesis's adversarial one: an
+    # all-same-character passage has a single distinct 8-gram — one
+    # anchor lottery ticket — and the documented probabilistic miss is
+    # then near-certain, which is the operator's contract, not a bug
+    rnd_ = random.Random(seed)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    passage = "".join(rnd_.choice(alpha) for _ in range(plen))
+    mk = lambda n: "".join(rnd_.choice(alpha) for _ in range(n))  # noqa: E731
+    docs = [
+        (0, mk(pre_a) + passage + mk(40)),
+        (1, mk(pre_b) + passage),
+        (2, mk(400)),  # unique
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = duplicated_passage_spans(df, "text", "doc_id", window=50, stride=10)
+    by_doc: dict[int, set] = {}
+    for r in spans.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(
+            (r["span_start"], r["span_end"])
+        )
+    # the random-unique doc may collide with the passage only at
+    # window length 50 over a 27-letter alphabet — impossible in practice
+    assert 2 not in by_doc
+    offs = {0: pre_a, 1: pre_b}
+    rel = {}
+    for i, pa in offs.items():
+        assert by_doc.get(i), f"doc {i}: planted passage not found"
+        for s0, e0 in by_doc[i]:
+            assert pa <= s0 < e0 <= pa + plen, (i, s0, e0, pa, plen)
+        rel[i] = {(s0 - pa, e0 - pa) for s0, e0 in by_doc[i]}
+    assert rel[0] == rel[1], rel
