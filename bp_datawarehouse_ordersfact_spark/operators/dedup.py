@@ -835,3 +835,104 @@ def duplicated_passage_fraction(
             ).alias("dup_fraction"),
         )
     )
+
+
+def cut_duplicated_passages(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 50,
+    stride: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The CUT half of the Lee et al. 2021 recipe: remove each shared
+    passage from every document EXCEPT one canonical keeper, so the
+    corpus retains exactly one copy of its boilerplate instead of
+    dropping whole documents (``duplicated_passage_fraction`` gates;
+    this trims).
+
+    Keeper election is per window hash — the smallest ``id_col`` holding
+    it (deterministic); a non-keeper doc's duplicated windows merge into
+    maximal cut spans exactly as in ``duplicated_passage_spans``. The
+    string surgery (splice out [start, end) ranges) runs as ONE Arrow
+    ``mapInPandas`` pass over (text, spans-array) rows — per-doc python
+    slicing is genuinely not expressible as codegen, and the pass is
+    map-side after the span join. Untouched docs pass through unchanged.
+
+    Returns (id_col, text_col, n_cut_chars) — ``text_col`` holds the
+    trimmed text. Edges are ±``stride`` approximate, as in the span
+    detector."""
+    if window < 1 or stride < 1:
+        raise ValueError(f"window/stride must be >= 1, got {window}/{stride}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    import pandas as pd
+
+    from .temporal import coalesce_intervals
+
+    k_anchor = 8
+    pos = df.filter(F.length(F.col(text_col)) >= window).select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.explode(
+            F.sequence(F.lit(0), F.length(F.col(text_col)) - window)
+        ).alias("__p"),
+    )
+    wins = pos.filter(
+        F.pmod(
+            F.xxhash64(F.substring(F.col("__t"), F.col("__p") + 1, k_anchor)),
+            F.lit(stride),
+        )
+        == 0
+    ).select(
+        "__id",
+        "__p",
+        F.md5(F.substring(F.col("__t"), F.col("__p") + 1, window)).alias("__h"),
+    )
+    shared = (
+        wins.groupBy("__h")
+        .agg(
+            F.count_distinct("__id").alias("__nd"),
+            F.min("__id").alias("__keeper"),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .select("__h", "__keeper")
+    )
+    cut_wins = (
+        wins.join(shared, "__h")
+        .filter(F.col("__id") != F.col("__keeper"))
+        .select("__id", "__p", (F.col("__p") + window).alias("__e"))
+    )
+    spans = coalesce_intervals(cut_wins, "__id", "__p", "__e", "__p").select(
+        F.col("__id"),
+        F.struct(
+            F.col("interval_start").cast("long").alias("s"),
+            F.col("interval_end").cast("long").alias("e"),
+        ).alias("__span"),
+    )
+    per_doc = spans.groupBy("__id").agg(F.collect_list("__span").alias("__spans"))
+    joined = df.join(
+        per_doc.withColumnRenamed("__id", id_col), id_col, "left"
+    ).select(F.col(id_col), F.col(text_col), F.col("__spans"))
+
+    out_schema = f"{id_col} long, {text_col} string, n_cut_chars long"
+
+    def splice(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                t, spans_ = r[text_col], r["__spans"]
+                if spans_ is None or len(spans_) == 0:
+                    rows.append((r[id_col], t, 0))
+                    continue
+                ordered = sorted((s["s"], s["e"]) for s in spans_)
+                kept, prev, cut = [], 0, 0
+                for s, e in ordered:
+                    kept.append(t[prev:s])
+                    cut += e - s
+                    prev = e
+                kept.append(t[prev:])
+                rows.append((r[id_col], "".join(kept), cut))
+            yield pd.DataFrame(rows, columns=[id_col, text_col, "n_cut_chars"])
+
+    return joined.mapInPandas(splice, out_schema)

