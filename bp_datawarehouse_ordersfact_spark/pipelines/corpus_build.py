@@ -14,11 +14,13 @@ Stages (all built from the repo's operators — nothing new semantically):
 2. ``02_deduped``    — exact dedup (md5 keep-first), then MinHash-LSH
                        near-dup clusters closed via connected components,
                        keeping the smallest doc_id per cluster.
-2b. ``02b_passage``  — OPTIONAL (``max_passage_dup_fraction``): drop
+2b. ``02b_passage``  — OPTIONAL (``passage_dedup``): "drop" removes
                        docs whose verbatim-shared-passage fraction
-                       (content-defined anchors, operators/dedup.
-                       duplicated_passage_fraction) exceeds the budget —
-                       boilerplate-heavy docs document dedup keeps.
+                       (content-defined anchors, operators/dedup)
+                       exceeds ``max_passage_dup_fraction``; "cut"
+                       splices shared passages out of every doc except
+                       one keeper and re-applies the min_chars gate —
+                       boilerplate handling document dedup cannot give.
 3. ``03_decontam``   — drop docs sharing any 5-gram with the holdout
                        (broadcast holdout, one hash join).
 4. ``04_mixed``      — per-source mix resample to target ppm weights
@@ -83,7 +85,8 @@ def build_corpus(
     min_chars: int = 100,
     mix_ppm: dict[str, int] | None = None,
     near_dup_threshold: float = 0.5,
-    max_passage_dup_fraction: float | None = None,
+    passage_dedup: str | None = None,
+    max_passage_dup_fraction: float = 0.5,
     passage_window: int = 50,
     passage_stride: int = 10,
     sample_n: int | None = None,
@@ -136,25 +139,55 @@ def build_corpus(
         "02_deduped", exact_kept.join(keep_nd.select("doc_id"), "doc_id")
     )
 
-    # 2b — OPTIONAL passage-level gate: document dedup keeps distinct
-    # docs even when they share verbatim boilerplate; docs whose
-    # duplicated-passage fraction (content-defined anchors,
-    # operators/dedup.duplicated_passage_fraction) exceeds the budget
-    # are dropped here, before the costlier downstream stages
-    if max_passage_dup_fraction is not None:
-        from ..operators.dedup import duplicated_passage_fraction
+    # 2b — OPTIONAL passage-level dedup: document dedup keeps distinct
+    # docs even when they share verbatim boilerplate. Two modes
+    # (operators/dedup, content-defined anchors):
+    #   "drop" — docs whose duplicated-passage fraction exceeds
+    #            max_passage_dup_fraction are removed outright;
+    #   "cut"  — shared passages are SPLICED OUT of every doc except one
+    #            keeper (the corpus retains exactly one boilerplate
+    #            copy), then the min_chars gate re-applies to the
+    #            trimmed text so husks don't flow downstream.
+    if passage_dedup is not None:
+        if passage_dedup == "drop":
+            from ..operators.dedup import duplicated_passage_fraction
 
-        pf = duplicated_passage_fraction(
-            deduped,
-            "text",
-            "doc_id",
-            window=passage_window,
-            stride=passage_stride,
-        )
-        keep_pf = pf.filter(
-            F.col("dup_fraction") <= max_passage_dup_fraction
-        ).select("doc_id")
-        deduped = record("02b_passage", deduped.join(keep_pf, "doc_id"))
+            pf = duplicated_passage_fraction(
+                deduped,
+                "text",
+                "doc_id",
+                window=passage_window,
+                stride=passage_stride,
+            )
+            keep_pf = pf.filter(
+                F.col("dup_fraction") <= max_passage_dup_fraction
+            ).select("doc_id")
+            deduped = record("02b_passage", deduped.join(keep_pf, "doc_id"))
+        elif passage_dedup == "cut":
+            from ..operators.dedup import cut_duplicated_passages
+
+            trimmed = cut_duplicated_passages(
+                deduped,
+                "text",
+                "doc_id",
+                window=passage_window,
+                stride=passage_stride,
+            )
+            meta_cols = [
+                c for c in deduped.columns if c not in ("text", "n_chars")
+            ]
+            deduped = record(
+                "02b_passage",
+                deduped.select(*meta_cols)
+                .join(trimmed.drop("n_cut_chars"), "doc_id")
+                .withColumn("n_chars", F.length("text"))
+                .filter(F.col("n_chars") >= min_chars),
+            )
+        else:
+            raise ValueError(
+                f"passage_dedup must be None, 'drop', or 'cut'; "
+                f"got {passage_dedup!r}"
+            )
 
     # 3 — decontamination against the holdout's 5-grams (holdout is
     # benchmark-sized → broadcast; one semi-join, corpus never reshuffles)

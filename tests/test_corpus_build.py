@@ -254,6 +254,7 @@ def test_passage_gate_drops_boilerplate_heavy_docs(spark, tmp_path):
         docs,
         str(tmp_path / "c"),
         min_chars=10,
+        passage_dedup="drop",
         max_passage_dup_fraction=0.5,
     )
     assert "02b_passage" in m["stages"]
@@ -263,3 +264,46 @@ def test_passage_gate_drops_boilerplate_heavy_docs(spark, tmp_path):
     }
     assert 7 not in kept
     assert kept >= set(range(6))
+
+
+def test_passage_cut_mode_trims_and_regates(spark, tmp_path):
+    """passage_dedup='cut': the corpus keeps exactly ONE copy of the
+    boilerplate — the keeper doc retains it, every other host is
+    trimmed (n_chars recomputed), and a doc that was nothing but
+    boilerplate shrinks below min_chars and is re-gated out."""
+    from bp_datawarehouse_ordersfact_spark.pipelines import build_corpus
+
+    boiler = ("LICENSE NOTICE: this text is shared verbatim between many "
+              "documents and keeps going for a while longer. ")
+    words = ["alpha", "bravo", "carbon", "delta", "ember", "falcon"]
+    rows = []
+    for i, w in enumerate(words):
+        body = " ".join(f"{w}{i}x{j}" for j in range(120)) + " " + boiler
+        rows.append((i, "web", body, len(body)))
+    heavy = boiler + "tiny bit"
+    rows.append((7, "web", heavy, len(heavy)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    )
+    m = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "c"),
+        min_chars=40,
+        passage_dedup="cut",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(m["stages"]["02b_passage"]["path"]).collect()
+    }
+    core = boiler[20:-20]
+    # keeper (smallest id) retains the boilerplate; all other survivors
+    # are trimmed
+    assert core in out[0]
+    for i in range(1, 6):
+        assert i in out and core not in out[i]
+    # the boilerplate-only doc shrank below min_chars and was re-gated
+    assert 7 not in out
+    # schema intact for downstream stages
+    df = spark.read.parquet(m["stages"]["02b_passage"]["path"])
+    assert {"doc_id", "source", "text", "n_chars"} <= set(df.columns)
