@@ -711,6 +711,74 @@ def containment_pairs(
         return scope.finish(verified)
 
 
+def _anchor_window_rows(
+    df: DataFrame, text_col: str, id_col: str, window: int, stride: int
+) -> DataFrame:
+    """(__id, __p, __h) rows — winnowing anchors + window hashes for the
+    passage-dedup family, in ONE vectorized Arrow pass per document.
+
+    Position ``p`` anchors iff a polynomial rolling hash of the 8-char
+    gram at ``p`` is ≡ 0 mod ``stride`` (content-defined, so shared
+    passages anchor at passage-relative positions in every host); each
+    anchor's ``window``-char substring is md5'd for the cross-doc match.
+    A pure-DataFrame formulation needs ``explode`` to ONE ROW PER
+    CHARACTER before the anchor filter — ~100 TB of text becomes ~100 T
+    rows through an exchange-free but very real row pipeline. Here the
+    anchor test is a numpy sliding-window matmul over the document's
+    code points (utf-32 decode keeps offsets CHARACTER-indexed, matching
+    Python/Spark substring semantics for any script), and only the
+    ~1/stride surviving anchors materialize as rows — the
+    ``hyperplane_band_keys`` justification: batch-vectorized Arrow where
+    per-element codegen would fan out absurdly. uint64 arithmetic wraps
+    mod 2^64 — deterministic everywhere.
+
+    Parallelism note: mapInPandas inherits the scan's partitioning — on
+    few large files repartition the docs first (the testdata's
+    one-row-group-per-file caveat)."""
+    import pandas as pd
+
+    k = 8
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+
+        # polynomial base then a golden-ratio multiply + top-bits fold:
+        # a small base alone degenerates mod small strides (31 ≡ 1 mod
+        # 10 collapsed the hash to a character-sum — measured), and the
+        # anchor decision uses ``% stride`` where stride IS small
+        powers = np.power(
+            np.uint64(1_000_003), np.arange(k, dtype=np.uint64), dtype=np.uint64
+        )
+        golden = np.uint64(0x9E3779B97F4A7C15)
+        for pdf in batches:
+            out_id, out_p, out_h = [], [], []
+            for i, t in zip(pdf["__id"], pdf["__t"]):
+                if t is None or len(t) < window:
+                    continue
+                arr = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                grams = np.lib.stride_tricks.sliding_window_view(arr, k)[
+                    : len(arr) - window + 1
+                ]
+                h = (grams.astype(np.uint64) * powers).sum(
+                    axis=1, dtype=np.uint64
+                )
+                h = (h * golden) >> np.uint64(32)
+                for p in np.nonzero(h % np.uint64(stride) == 0)[0]:
+                    out_id.append(i)
+                    out_p.append(int(p))
+                    out_h.append(
+                        hashlib.md5(t[p : p + window].encode()).hexdigest()
+                    )
+            yield pd.DataFrame({"__id": out_id, "__p": out_p, "__h": out_h})
+
+    return df.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(text_col).alias("__t")
+    ).mapInPandas(gen, "__id long, __p long, __h string")
+
+
+
 def duplicated_passage_spans(
     df: DataFrame,
     text_col: str,
@@ -743,13 +811,14 @@ def duplicated_passage_spans(
     maximal islands via ``operators.temporal.coalesce_intervals`` (one
     shuffle, reused partitioning).
 
-    Cost: one row per CHARACTER for the anchor test (codegen hash +
-    filter, immediately reduced ~stride×) — linear with a real constant,
-    the price of alignment robustness without a global suffix sort,
-    which does not distribute. Expected anchors in a shared passage of
-    length L: (L − window)/stride — passages shorter than ~window +
-    stride may be probabilistically missed (raise ``window`` precision
-    by lowering ``stride``).
+    Cost: the anchor test runs as ONE vectorized Arrow pass per document
+    (``_anchor_window_rows`` — numpy sliding-window rolling hash; only
+    the ~1/stride surviving anchors materialize as rows), linear in
+    corpus characters with a BLAS-ish constant — the price of alignment
+    robustness without a global suffix sort, which does not distribute.
+    Expected anchors in a shared passage of length L: (L −
+    window)/stride — passages shorter than ~window + stride may be
+    probabilistically missed (raise precision by lowering ``stride``).
 
     Returns (id_col, span_start, span_end, n_windows) with 0-based
     [start, end) character offsets. Windows are md5-hashed, not
@@ -761,25 +830,7 @@ def duplicated_passage_spans(
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     from .temporal import coalesce_intervals
 
-    k_anchor = 8
-    pos = df.filter(F.length(F.col(text_col)) >= window).select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__t"),
-        F.explode(
-            F.sequence(F.lit(0), F.length(F.col(text_col)) - window)
-        ).alias("__p"),
-    )
-    wins = pos.filter(
-        F.pmod(
-            F.xxhash64(F.substring(F.col("__t"), F.col("__p") + 1, k_anchor)),
-            F.lit(stride),
-        )
-        == 0
-    ).select(
-        "__id",
-        "__p",
-        F.md5(F.substring(F.col("__t"), F.col("__p") + 1, window)).alias("__h"),
-    )
+    wins = _anchor_window_rows(df, text_col, id_col, window, stride)
     shared = (
         wins.groupBy("__h")
         .agg(F.count_distinct("__id").alias("__nd"))
@@ -870,25 +921,7 @@ def cut_duplicated_passages(
 
     from .temporal import coalesce_intervals
 
-    k_anchor = 8
-    pos = df.filter(F.length(F.col(text_col)) >= window).select(
-        F.col(id_col).alias("__id"),
-        F.col(text_col).alias("__t"),
-        F.explode(
-            F.sequence(F.lit(0), F.length(F.col(text_col)) - window)
-        ).alias("__p"),
-    )
-    wins = pos.filter(
-        F.pmod(
-            F.xxhash64(F.substring(F.col("__t"), F.col("__p") + 1, k_anchor)),
-            F.lit(stride),
-        )
-        == 0
-    ).select(
-        "__id",
-        "__p",
-        F.md5(F.substring(F.col("__t"), F.col("__p") + 1, window)).alias("__h"),
-    )
+    wins = _anchor_window_rows(df, text_col, id_col, window, stride)
     shared = (
         wins.groupBy("__h")
         .agg(
