@@ -293,6 +293,71 @@ def minhash_lsh_pairs(
         return scope.finish(verified)
 
 
+def fp64_band_pairs(
+    fp: DataFrame, max_hamming: int, n_bands: int = 4
+) -> DataFrame:
+    """Hamming-≤k candidate pairs over a 64-bit fingerprint held as two
+    32-bit halves ``(doc, fp1, fp2)`` — the blocking core shared by
+    ``simhash_pairs`` (text) and ``phash_pairs`` (image/binary).
+
+    Pigeonhole: a pair within hamming ≤ k of 64 bits must agree EXACTLY
+    on at least one of n_bands equal-width bands whenever
+    ``k < n_bands`` — so candidates come from ``n_bands`` band
+    equi-joins (shuffle on tiny (band, band_value) keys), never an
+    all-pairs product, and recall is exact, not probabilistic. Raises if
+    ``max_hamming >= n_bands`` rather than silently losing recall.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming ≤ k, exact
+    distances verified on candidates only. The plan is lazy; callers own
+    caching of ``fp`` (it feeds both sides of the self-join)."""
+    if n_bands not in (4, 8, 16):
+        raise ValueError("n_bands must be 4, 8, or 16 (bands of 16/8/4 bits)")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs > {max_hamming} bands for "
+            f"exact pigeonhole recall; got n_bands={n_bands}"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    per_half = n_bands // 2
+    band_structs = [
+        F.struct(
+            F.lit(per_half * half + i).alias("band"),
+            F.shiftright(F.col(f"fp{half + 1}"), width * i)
+            .bitwiseAND(F.lit(mask))
+            .alias("bv"),
+        )
+        for half in range(2)
+        for i in range(per_half)
+    ]
+    banded = fp.select(
+        "doc", "fp1", "fp2", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc", "fp1", "fp2", "bb.band", "bb.bv")
+    # hamming filter BEFORE the dedup of band-duplicate pairs: bit_count
+    # is a cheap row expression, and filtering first shrinks the distinct
+    # shuffle by up to the band count (a ≤k-bit pair can match in all
+    # n_bands bands)
+    hamming = F.bit_count(
+        F.col("x.fp1").bitwiseXOR(F.col("y.fp1"))
+    ) + F.bit_count(F.col("x.fp2").bitwiseXOR(F.col("y.fp2")))
+    return (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("id_a"),
+            F.col("y.doc").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str,
@@ -373,44 +438,44 @@ def simhash_pairs(
                 ).alias("fp2"),
             )
         )
-        # 4 bands of 16 bits: 0-1 from fp1, 2-3 from fp2
-        band_structs = [
-            F.struct(
-                F.lit(2 * half + i).alias("band"),
-                F.shiftright(F.col(f"fp{half + 1}"), 16 * i)
-                .bitwiseAND(F.lit(65535))
-                .alias("bv"),
-            )
-            for half in range(2)
-            for i in range(2)
-        ]
-        banded = fp.select(
-            "doc", "fp1", "fp2", F.explode(F.array(*band_structs)).alias("bb")
-        ).select("doc", "fp1", "fp2", "bb.band", "bb.bv")
-        # hamming filter BEFORE the dedup of band-duplicate pairs: bit_count
-        # is a cheap row expression, and filtering first shrinks the distinct
-        # shuffle by up to the band count (a ≤3-bit pair can match in all 4
-        # bands)
-        hamming = F.bit_count(
-            F.col("x.fp1").bitwiseXOR(F.col("y.fp1"))
-        ) + F.bit_count(F.col("x.fp2").bitwiseXOR(F.col("y.fp2")))
-        pairs = (
-            banded.alias("x")
-            .join(
-                banded.alias("y"),
-                (F.col("x.band") == F.col("y.band"))
-                & (F.col("x.bv") == F.col("y.bv"))
-                & (F.col("x.doc") < F.col("y.doc")),
-            )
-            .select(
-                F.col("x.doc").alias("id_a"),
-                F.col("y.doc").alias("id_b"),
-                hamming.alias("hamming"),
-            )
-            .filter(F.col("hamming") <= max_hamming)
-            .distinct()
+        return scope.finish(fp64_band_pairs(fp, max_hamming))
+
+
+def phash_pairs(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    eager: bool = True,
+) -> DataFrame:
+    """Near-duplicate IMAGE/binary pairs by perceptual-hash hamming
+    distance: the multimodal member of the dedup family (exact/MinHash/
+    SimHash cover text; embedding LSH covers vectors; this covers the
+    opaque payload columns a multimodal corpus carries).
+
+    Fingerprint = ``operators.multimodal.ahash64`` (64-bit average hash;
+    decode is that module's documented fake tier — bytes ARE pixels —
+    with the PIL swap point marked; pooling/threshold real). Blocking =
+    ``fp64_band_pairs``: pigeonhole band equi-join, exact recall for
+    ``max_hamming < n_bands``, never an all-pairs product. Returns
+    (id_a, id_b, hamming), id_a < id_b.
+
+    ``eager`` caches the fingerprint frame (it feeds both sides of the
+    self-join) and checkpoints the pair result — semantics and cluster
+    caveats as in ``minhash_lsh_pairs``.
+
+    Scale notes: the fingerprint is one map-only Arrow pass (64 bits per
+    image regardless of payload size); the only corpus shuffle is the
+    (band, band_value) exchange — the same posture as ``simhash_pairs``,
+    so the operator holds at any corpus size where SimHash does."""
+    from .multimodal import ahash64
+
+    with (_CacheScope() if eager else _LazyScope()) as scope:
+        fp = scope.materialize(
+            ahash64(df, payload_col, id_col).withColumnRenamed(id_col, "doc")
         )
-        return scope.finish(pairs)
+        return scope.finish(fp64_band_pairs(fp, max_hamming, n_bands))
 
 
 def minhash_lsh_pairs_ml(

@@ -115,6 +115,66 @@ def resize_frames(
     )
 
 
+def ahash64(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+    """64-bit average-hash (aHash) perceptual fingerprint per binary
+    payload: (id, fp1, fp2) — two 32-bit halves held as longs, the
+    fingerprint layout ``operators.dedup.fp64_band_pairs`` blocks on
+    (same convention as SimHash, so every value stays inside a signed
+    BIGINT).
+
+    The perceptual-hash contract: the payload is decoded to a grayscale
+    pixel stream, pooled to 64 block means, and bit i is set iff block
+    i's mean exceeds the mean of the 64 block means — so small local
+    edits (recompression noise, a changed corner) flip few bits and
+    hamming distance ranks visual similarity. The DECODE is the fake
+    tier (the file's convention): bytes ARE the pixel stream; the real
+    implementation decodes via PIL grayscale at the marked line. The
+    pooling/threshold stage — the part that makes it a perceptual hash —
+    is real and runs vectorized numpy inside one Arrow pass.
+
+    Block i covers pixels [i*n//64, (i+1)*n//64) (exact integer
+    boundaries — no float resampling drift across payload lengths);
+    payloads shorter than 64 pixels are zero-padded to 64 (a real
+    decoder's resize always yields >= 64 pixels, so only the fake tier
+    can hit this). Null payloads hash like empty ones: fp = 0.
+
+    Scale notes: map-only (no shuffle); the downstream near-dup join
+    cost lives in ``operators.dedup.phash_pairs``.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        w32 = 1 << np.arange(32, dtype=np.uint64)
+
+        def fp_halves(b) -> tuple[int, int]:
+            # real impl: np.asarray(PIL.Image.open(io.BytesIO(b)).convert("L"))
+            px = np.frombuffer(bytes(b or b""), dtype=np.uint8).astype(np.float64)
+            if len(px) < 64:
+                px = np.pad(px, (0, 64 - len(px)))
+            n = len(px)
+            bounds = (np.arange(64, dtype=np.int64) * n) // 64
+            sums = np.add.reduceat(px, bounds)
+            widths = np.diff(np.append(bounds, n))
+            means = sums / widths
+            bits = (means > means.mean()).astype(np.uint64)
+            return int(bits[:32] @ w32), int(bits[32:] @ w32)
+
+        for pdf in batches:
+            halves = [fp_halves(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "fp1": pd.array([h[0] for h in halves], dtype="int64"),
+                    "fp2": pd.array([h[1] for h in halves], dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        gen, schema=f"{id_col} long, fp1 long, fp2 long"
+    )
+
+
 def audio_pcm_features(
     df: DataFrame,
     payload_col: str,
