@@ -1,0 +1,181 @@
+"""Encoding hygiene for web-scale text corpora: unicode normalization,
+invisible-character cleanup, and mojibake repair.
+
+Raw crawl text arrives with the same logical string in many physical
+spellings — decomposed vs composed accents, 17 flavors of unicode
+space, zero-width joiners pasted from rich editors, and UTF-8 bytes
+that were mis-decoded through cp1252 somewhere upstream ("mojibake":
+``café`` shipped as ``cafÃ©``). Every exact-dedup hash, shingle, token
+count, and fingerprint downstream treats those spellings as different
+documents, so this normalization belongs BEFORE the dedup tier.
+
+Two speed tiers, consistent with the repo's UDF policy:
+
+- **codegen tier** (``strip_invisible``, ``normalize_spaces``,
+  ``demojibake_common``): pure Column expressions — regexp/replace
+  chains that stay inside whole-stage codegen. ``demojibake_common`` is
+  a table-driven literal chain covering the high-frequency cp1252
+  artifacts (the same table-driven shape as
+  ``cleaning.DEFAULT_LITERAL_REPLACEMENTS``, which carries the
+  reference's OWN observed mojibake — dw3_merge_inc.py:160-169).
+- **exact Arrow tier** (``nfc_normalize``, ``repair_mojibake_exact``):
+  unicode normalization forms and the full encode/decode roundtrip have
+  no JVM expression equivalent, so these are vectorized ``pandas_udf``
+  columns (Arrow batch transfer, never row-at-a-time Python). The
+  roundtrip repair is gated on a marker pre-check per value, so clean
+  corpora pay one substring scan, not an encode/decode per row.
+
+Scale notes: everything here is map-only (zero shuffles); the Arrow
+tier parallelizes per input partition (fan out one-row-group parquet
+first — see queries/llmops._fan_out).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Unicode space separators (Zs minus ASCII space) + line/para separators
+# that should read as a plain space.
+_SPACE_CLASS = (
+    "[\\u00a0\\u1680\\u2000-\\u200a\\u202f\\u205f\\u3000\\u2028\\u2029]"
+)
+# Zero-width characters + BOM: contribute nothing visually but split
+# tokens and flip hashes.
+_ZERO_WIDTH_CLASS = "[\\u200b-\\u200d\\u2060\\ufeff]"
+# C0 controls except \t \n \r, plus DEL and C1 controls.
+_CONTROL_CLASS = "[\\u0000-\\u0008\\u000b\\u000c\\u000e-\\u001f\\u007f-\\u009f]"
+
+# cp1252-as-UTF-8 artifacts, longest-first so prefixes can't pre-empt
+# (e.g. "â€œ" must be tried before any bare "â€" rule). The codegen
+# fast path for the handful of sequences that dominate real crawls;
+# repair_mojibake_exact below is the complete roundtrip.
+COMMON_MOJIBAKE: list[tuple[str, str]] = [
+    ("â€œ", "“"),
+    ("â€", "”"),
+    ("â€™", "’"),
+    ("â€˜", "‘"),
+    ("â€“", "–"),
+    ("â€”", "—"),
+    ("â€¦", "…"),
+    # bare 2-char remnant: strip_invisible removes the \x9d trailing
+    # byte of a mojibake right-double-quote BEFORE this chain runs in
+    # clean_text; must stay BELOW every longer entry sharing the prefix
+    # (the replace chain is sequential)
+    ("â€", "”"),
+    ("Ã©", "é"),
+    ("Ã¨", "è"),
+    ("Ã¡", "á"),
+    ("Ã³", "ó"),
+    ("Ãº", "ú"),
+    ("Ã±", "ñ"),
+    ("Ã§", "ç"),
+    ("Ã¼", "ü"),
+    ("Ã¶", "ö"),
+    ("Ã¤", "ä"),
+    ("ÃŸ", "ß"),
+    ("Â«", "«"),
+    ("Â»", "»"),
+    ("Â°", "°"),
+    ("Â", ""),  # stray cp1252 NBSP high byte; MUST come after Â« / Â»
+]
+
+
+def strip_invisible(col: Column) -> Column:
+    """Remove zero-width characters/BOM and non-whitespace control
+    characters (keeps \\t \\n \\r). Codegen-only."""
+    return F.regexp_replace(
+        F.regexp_replace(col, _ZERO_WIDTH_CLASS, ""), _CONTROL_CLASS, ""
+    )
+
+
+def normalize_spaces(col: Column, collapse: bool = True) -> Column:
+    """Map every unicode space/line separator to ASCII space; with
+    ``collapse``, squeeze runs of blanks to one space and trim. The
+    newline-preserving form (``collapse=False``) suits document text
+    where line structure is a feature. Codegen-only."""
+    out = F.regexp_replace(col, _SPACE_CLASS, " ")
+    if collapse:
+        out = F.trim(F.regexp_replace(out, "[ \t]+", " "))
+    return out
+
+
+def demojibake_common(col: Column) -> Column:
+    """Literal-chain repair of the dominant cp1252-as-UTF-8 sequences.
+    Stays in whole-stage codegen; exactness bounded by the table —
+    use ``repair_mojibake_exact`` for the full roundtrip."""
+    out = col
+    for bad, good in COMMON_MOJIBAKE:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    return out
+
+
+@F.pandas_udf("string")
+def nfc_normalize(s: pd.Series) -> pd.Series:
+    """NFC-normalize (canonical compose): e+combining-acute becomes é,
+    so equal-looking strings hash equal. Arrow tier — unicode
+    normalization has no JVM expression. NULLs pass through."""
+    return s.map(lambda v: unicodedata.normalize("NFC", v) if v is not None else None)
+
+
+@F.pandas_udf("string")
+def nfkc_normalize(s: pd.Series) -> pd.Series:
+    """NFKC-normalize (compatibility compose): also folds width/ligature
+    presentation forms (ﬁ→fi, full-width digits→ASCII) — the stronger
+    form training-data token counts usually want. NULLs pass through."""
+    return s.map(lambda v: unicodedata.normalize("NFKC", v) if v is not None else None)
+
+
+_MARKERS = ("Ã", "â€", "Â")
+
+
+def _roundtrip_fix(s: str) -> str:
+    """One mojibake repair pass: re-encode through cp1252 (latin-1
+    fallback for the five cp1252 holes) and decode as UTF-8; return the
+    input unchanged if the roundtrip fails or finds nothing to fix."""
+    try:
+        raw = s.encode("cp1252")
+    except UnicodeEncodeError:
+        try:
+            raw = s.encode("latin-1")
+        except UnicodeEncodeError:
+            return s
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return s
+
+
+@F.pandas_udf("string")
+def repair_mojibake_exact(s: pd.Series) -> pd.Series:
+    """Exact mojibake repair: the encode(cp1252)/decode(utf-8) roundtrip,
+    applied up to twice (double-encoded text exists) and only to values
+    carrying a mojibake marker — clean text is returned untouched, so
+    the common case costs one substring scan. Idempotent: repaired text
+    carries no markers, so a second call is a no-op."""
+
+    def fix(v):
+        if v is None:
+            return None
+        out = v
+        for _ in range(2):
+            if not any(m in out for m in _MARKERS):
+                break
+            repaired = _roundtrip_fix(out)
+            if repaired == out:
+                break
+            out = repaired
+        return out
+
+    return s.map(fix)
+
+
+def clean_text(col: Column) -> Column:
+    """The composed codegen pipeline: common-mojibake chain → invisible
+    strip → space normalization (newline-preserving). The full-fidelity
+    variant is ``nfc_normalize(repair_mojibake_exact(...))`` at Arrow
+    cost."""
+    return normalize_spaces(demojibake_common(strip_invisible(col)), collapse=False)
