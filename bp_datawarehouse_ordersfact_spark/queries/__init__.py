@@ -33,74 +33,38 @@ _MODULES = (relational, pipeline, llmops, streaming, domain_e2e, sketches_r6)
 # newest driver row may be older than 2 rounds
 # (tests/test_window_rotation.py enforces it).
 #
-# ROUND-7 WINDOW (this tuple) — executes the forced rotation the
-# round-6 tuple codified: the registry is at the 100-entry cap, so the
-# window is exactly the 50 queries NOT in the round-6 tuple, i.e. the
-# round-5 window (CORRECTNESS_r05.json's keys, whose newest driver row
-# is now 2 rounds old — the hard staleness deadline). The 50
-# round-6-green queries rotate out and stay covered by pytest pins
-# (tests/test_plans.py, operator tests) until round 8 rotates them
-# back; from here on the two 50-query halves alternate every round.
+# ROUND-8 WINDOW (this tuple) — the mechanical alternation the round-7
+# tuple spelled out: the registry is at the 100-entry cap, so the window
+# is the other 50-query half — the keys of CORRECTNESS_r06.json MINUS
+# the retired `ann_cosine_lsh` PLUS the displaced `distinct_rows`
+# (49 + 1 = 50). All 50 round-7 rows came back green (50/50 hash-match),
+# so no red query forces its way back in; the round-7-green half rotates
+# out and stays covered by pytest pins until round 9 rotates it back.
 #
-# One registry swap this round (r6 VERDICT #2): the banded-hyperplane
-# LSH scale path gets a driver row as `dedup_embedding_lsh_banded`,
-# REPLACING the `ann_cosine_lsh` small-scale sign-bucket twin it
-# supersedes (r6-green, so its slot frees cleanly). The new query takes
-# a window slot; `distinct_rows` (newest row r5 — 2 rounds old at r7,
-# the allowed maximum) is displaced to make room and MUST be in the
-# round-8 window.
-#
-# ROUND-8 ROTATION (mechanical; do it first): swap this tuple for the
-# other half — the keys of CORRECTNESS_r06.json MINUS the retired
-# `ann_cosine_lsh` PLUS the displaced `distinct_rows` (49 + 1 = 50),
-# i.e. EXACTLY:
-#   sketch_theta_set_algebra, sketch_kll_quantile_merge,
-#   pricing_summary, tfidf_title_match, dedup_ngram_jaccard,
-#   dedup_embedding_cosine, ann_cosine_topk, ann_cosine_ivf,
-#   text_langid, text_quality, text_token_count, text_fingerprint,
-#   text_pii_scrub, corpus_filter_pipeline, grouped_ewma,
-#   multimodal_binary_meta, multimodal_feature_extract,
-#   dedup_cluster_cc, text_chunking, sample_stratified,
-#   sequence_packing, corpus_prep_pipeline, stream_tumbling_agg,
-#   stream_sliding_agg, stream_dedup, stream_session_agg,
-#   stream_stateful_user_stats, text_repetition,
-#   decontaminate_ngram_overlap, text_unigram_logprob,
-#   stream_stream_join, events_gap_fill, data_quality_audit,
-#   scd2_dim_update, leakage_safe_split, cdc_apply, cube_summary,
-#   embedding_classifier_score, sketch_hll_merge, funnel_analysis,
-#   retention_cohorts, rollup_incremental_refresh, corpus_mix_resample,
-#   variant_props_extract, listagg_per_group, fact_royalty,
-#   rest_ingest_distributed, kafka_wire_roundtrip, sketch_approx_stats,
-#   distinct_rows
-# If a round-7 query's latest row comes back red, it must ALSO be in
-# the round-8 window (tests/test_window_rotation.py enforces this
-# automatically).
+# ROUND-9 ROTATION (mechanical; do it first): swap this tuple for the
+# other half — the round-7 window, i.e. EXACTLY the keys of
+# CORRECTNESS_r07.json. If a round-8 query's latest row comes back red,
+# it must ALSO be in the round-9 window
+# (tests/test_window_rotation.py enforces this automatically).
 _WINDOW_FIRST = (
-    # never driver-checked: the banded-LSH scale path's new driver query
-    # (pre-verified by tests/parity.py and pinned by tests/test_banded_lsh.py)
-    "dedup_embedding_lsh_banded",
-    # the 4 re-checked in r5 outside the r4 window
-    "ann_recall_at_k", "ann_ivf_kmeans_refine",
-    "domain_fact_royalty", "domain_split_royalty_report",
-    # round-5 additions
-    "interval_coalesce", "correlated_exists_rewrite",
-    # the relational/pipeline/llmops queries whose newest row is r5
-    # (all of the r5 window except the displaced distinct_rows)
-    "select_rename", "membership_filter", "threshold_filter",
-    "split_royalty_union", "percent_rate_normalization",
-    "dedup_keep_first", "broadcast_dim_join",
-    "composite_key_join", "window_order_totals", "incremental_merge",
-    "semi_anti_join", "levenshtein_ratio_join", "parent_allocation",
-    "count_distinct_per_group", "grouping_rollup", "multikey_rollup",
-    "null_audit", "case_categorize", "conditional_measures",
-    "string_cleanup", "date_functions", "date_dim_generate", "top_k",
-    "top_k_per_group", "union_by_name", "set_intersect_except",
-    "null_fill_sentinels", "json_props_extract", "explode_line_items",
-    "pivot_status", "quantile_stats", "range_join_attribution",
-    "regional_supplier_volume", "rolling_window_avg",
-    "sessionize_events", "shipping_priority", "skew_salted_join",
-    "window_rank_functions", "event_interarrival", "asof_join",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "sketch_theta_set_algebra", "sketch_kll_quantile_merge",
+    "pricing_summary", "tfidf_title_match", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "ann_cosine_topk", "ann_cosine_ivf",
+    "text_langid", "text_quality", "text_token_count", "text_fingerprint",
+    "text_pii_scrub", "corpus_filter_pipeline", "grouped_ewma",
+    "multimodal_binary_meta", "multimodal_feature_extract",
+    "dedup_cluster_cc", "text_chunking", "sample_stratified",
+    "sequence_packing", "corpus_prep_pipeline", "stream_tumbling_agg",
+    "stream_sliding_agg", "stream_dedup", "stream_session_agg",
+    "stream_stateful_user_stats", "text_repetition",
+    "decontaminate_ngram_overlap", "text_unigram_logprob",
+    "stream_stream_join", "events_gap_fill", "data_quality_audit",
+    "scd2_dim_update", "leakage_safe_split", "cdc_apply", "cube_summary",
+    "embedding_classifier_score", "sketch_hll_merge", "funnel_analysis",
+    "retention_cohorts", "rollup_incremental_refresh", "corpus_mix_resample",
+    "variant_props_extract", "listagg_per_group", "fact_royalty",
+    "rest_ingest_distributed", "kafka_wire_roundtrip", "sketch_approx_stats",
+    "distinct_rows",
 )
 
 
