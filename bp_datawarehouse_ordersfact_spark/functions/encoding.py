@@ -113,27 +113,43 @@ def demojibake_common(col: Column) -> Column:
     return out
 
 
-@F.pandas_udf("string")
-def nfc_normalize(s: pd.Series) -> pd.Series:
+def _normalize_udf(form: str):
+    """Build the Arrow normalization UDF at CALL time, nested per the
+    repo convention (``vectors.hyperplane_band_keys`` is the template):
+    a module-level ``@F.pandas_udf`` resolves its return type at import
+    time, which (a) requires an active SparkSession and (b) crashes the
+    executor-side re-import during UDF deserialization. ``StringType()``
+    instance (not the "string" DDL form) so no parser is consulted."""
+    from pyspark.sql.types import StringType
+
+    @F.pandas_udf(StringType())
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda v: unicodedata.normalize(form, v) if v is not None else None
+        )
+
+    return _norm
+
+
+def nfc_normalize(col: Column) -> Column:
     """NFC-normalize (canonical compose): e+combining-acute becomes é,
     so equal-looking strings hash equal. Arrow tier — unicode
     normalization has no JVM expression. NULLs pass through."""
-    return s.map(lambda v: unicodedata.normalize("NFC", v) if v is not None else None)
+    return _normalize_udf("NFC")(col)
 
 
-@F.pandas_udf("string")
-def nfkc_normalize(s: pd.Series) -> pd.Series:
+def nfkc_normalize(col: Column) -> Column:
     """NFKC-normalize (compatibility compose): also folds width/ligature
     presentation forms (ﬁ→fi, full-width digits→ASCII) — the stronger
     form training-data token counts usually want. NULLs pass through."""
-    return s.map(lambda v: unicodedata.normalize("NFKC", v) if v is not None else None)
+    return _normalize_udf("NFKC")(col)
 
 
 _MARKERS = ("Ã", "â€", "Â")
 
 
-def _roundtrip_fix(s: str) -> str:
-    """One mojibake repair pass: re-encode through cp1252 (latin-1
+def _roundtrip_seg(s: str) -> str:
+    """One whole-segment repair pass: re-encode through cp1252 (latin-1
     fallback for the five cp1252 holes) and decode as UTF-8; return the
     input unchanged if the roundtrip fails or finds nothing to fix."""
     try:
@@ -149,33 +165,103 @@ def _roundtrip_fix(s: str) -> str:
         return s
 
 
-@F.pandas_udf("string")
-def repair_mojibake_exact(s: pd.Series) -> pd.Series:
+def _bytelike(ch: str) -> bool:
+    """Could this char have come from a single mis-decoded byte?
+    (latin-1 range, or one of cp1252's graphic repertoire — e.g. the
+    â€œ/â€\x9d family.) Mojibake sequences consist ONLY of such chars,
+    so they never span a non-bytelike boundary."""
+    if ord(ch) <= 0xFF:
+        return True
+    try:
+        ch.encode("cp1252")
+        return True
+    except UnicodeEncodeError:
+        return False
+
+
+def _roundtrip_fix(s: str) -> str:
+    """One mojibake repair pass. Fast path: roundtrip the whole value.
+    When the value holds chars no single-byte codec can represent (an
+    emoji, CJK, a zero-width char), a whole-string encode would fail and
+    silently skip repair for the ENTIRE document — so fall back to
+    repairing each maximal run of byte-like chars independently; genuine
+    multi-byte text passes through untouched and corruption localized to
+    part of a document still gets fixed."""
+    try:
+        return _roundtrip_seg_checked(s)
+    except UnicodeEncodeError:
+        pass
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        j = i
+        byteish = _bytelike(s[i])
+        while j < n and _bytelike(s[j]) == byteish:
+            j += 1
+        seg = s[i:j]
+        if byteish and any(m in seg for m in _MARKERS):
+            seg = _roundtrip_seg(seg)
+        out.append(seg)
+        i = j
+    return "".join(out)
+
+
+def _roundtrip_seg_checked(s: str) -> str:
+    """Like ``_roundtrip_seg`` but lets UnicodeEncodeError propagate so
+    the caller can distinguish "not encodable" from "nothing to fix"."""
+    try:
+        raw = s.encode("cp1252")
+    except UnicodeEncodeError:
+        raw = s.encode("latin-1")  # may raise — caller handles
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return s
+
+
+def repair_mojibake_exact(col: Column) -> Column:
     """Exact mojibake repair: the encode(cp1252)/decode(utf-8) roundtrip,
     applied up to twice (double-encoded text exists) and only to values
     carrying a mojibake marker — clean text is returned untouched, so
     the common case costs one substring scan. Idempotent: repaired text
-    carries no markers, so a second call is a no-op."""
+    carries no markers, so a second call is a no-op. Arrow tier, UDF
+    nested at call time (see ``_normalize_udf`` for why)."""
+    from pyspark.sql.types import StringType
 
-    def fix(v):
-        if v is None:
-            return None
-        out = v
-        for _ in range(2):
-            if not any(m in out for m in _MARKERS):
-                break
-            repaired = _roundtrip_fix(out)
-            if repaired == out:
-                break
-            out = repaired
-        return out
+    @F.pandas_udf(StringType())
+    def _repair(s: pd.Series) -> pd.Series:
+        def fix(v):
+            if v is None:
+                return None
+            out = v
+            for _ in range(2):
+                if not any(m in out for m in _MARKERS):
+                    break
+                repaired = _roundtrip_fix(out)
+                if repaired == out:
+                    break
+                out = repaired
+            return out
 
-    return s.map(fix)
+        return s.map(fix)
+
+    return _repair(col)
 
 
 def clean_text(col: Column) -> Column:
     """The composed codegen pipeline: common-mojibake chain → invisible
     strip → space normalization (newline-preserving). The full-fidelity
-    variant is ``nfc_normalize(repair_mojibake_exact(...))`` at Arrow
-    cost."""
+    variant is ``clean_text_exact`` at Arrow cost."""
     return normalize_spaces(demojibake_common(strip_invisible(col)), collapse=False)
+
+
+def clean_text_exact(col: Column) -> Column:
+    """Full-fidelity hygiene: exact mojibake roundtrip repair → NFC
+    canonical compose (one Arrow pass each) → the codegen invisible
+    strip + space normalization. Idempotent end-to-end: repaired text
+    has no markers and NFC is a projection, so a second application is
+    the identity (property-pinned in tests/test_encoding.py)."""
+    return normalize_spaces(
+        strip_invisible(nfc_normalize(repair_mojibake_exact(col))),
+        collapse=False,
+    )

@@ -10,6 +10,12 @@ yield (what fraction survived each filter) is first-class.
 
 Stages (all built from the repo's operators — nothing new semantically):
 
+0. ``00_encoding``   — OPTIONAL (``encoding_normalize``): unicode/
+                       mojibake hygiene (functions/encoding.py) so
+                       logically-equal spellings hash equal in every
+                       later stage; "codegen" = map-only literal/regexp
+                       chain, "exact" = Arrow roundtrip repair + NFC.
+                       ``n_chars`` recomputed from the cleaned text.
 1. ``01_gated``      — quality gate: length + stopword-ratio heuristics.
 2. ``02_deduped``    — exact dedup (md5 keep-first), then MinHash-LSH
                        near-dup clusters closed via connected components,
@@ -56,6 +62,7 @@ import os
 from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import encoding as Enc
 from ..functions import text as Tx
 from ..operators.bpe import bpe_train, merges_df, word_freqs
 from ..operators.dedup import exact_dedup, minhash_lsh_pairs
@@ -85,6 +92,7 @@ def build_corpus(
     min_chars: int = 100,
     mix_ppm: dict[str, int] | None = None,
     near_dup_threshold: float = 0.5,
+    encoding_normalize: str | None = None,
     passage_dedup: str | None = None,
     max_passage_dup_fraction: float = 0.5,
     passage_window: int = 50,
@@ -111,6 +119,32 @@ def build_corpus(
             "rows": rows,
         }
         return staged
+
+    # 0 — OPTIONAL encoding hygiene (``encoding_normalize``): unify the
+    # physical spellings of logically-equal text BEFORE any hash-based
+    # stage sees it — mojibake, zero-width characters, and unicode space
+    # flavors otherwise make exact-dup md5s, minhash shingles, and
+    # decontam 5-grams miss equal documents. "codegen" is the map-only
+    # literal/regexp chain (zero Python); "exact" adds the Arrow
+    # roundtrip repair + NFC compose (functions/encoding.py).
+    # ``n_chars`` is recomputed — downstream gates and sampling weights
+    # must see the cleaned lengths.
+    if encoding_normalize is not None:
+        if encoding_normalize == "codegen":
+            cleaned_text = Enc.clean_text(F.col("text"))
+        elif encoding_normalize == "exact":
+            cleaned_text = Enc.clean_text_exact(F.col("text"))
+        else:
+            raise ValueError(
+                "encoding_normalize must be None, 'codegen', or 'exact'; "
+                f"got {encoding_normalize!r}"
+            )
+        docs = record(
+            "00_encoding",
+            docs.withColumn("text", cleaned_text).withColumn(
+                "n_chars", F.length("text")
+            ),
+        )
 
     # 1 — quality gate (cheap, codegen-only; runs first so every later
     # stage sees less data)

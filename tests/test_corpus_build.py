@@ -307,3 +307,57 @@ def test_passage_cut_mode_trims_and_regates(spark, tmp_path):
     # schema intact for downstream stages
     df = spark.read.parquet(m["stages"]["02b_passage"]["path"])
     assert {"doc_id", "source", "text", "n_chars"} <= set(df.columns)
+
+
+def test_encoding_stage_unifies_spellings_before_dedup(spark, tmp_path):
+    """encoding_normalize='exact' (stage 00): two docs that are the SAME
+    text in different physical spellings (one mojibake'd) become
+    byte-identical — equal md5s — at the hygiene stage, so the EXACT
+    dedup tier collapses them; the staged parquet carries the repaired
+    text with n_chars recomputed. (The near-dup tier can't be the
+    control here: ``tokens`` strips non-alnum, so token shingles ignore
+    spelling differences by construction.)"""
+    from bp_datawarehouse_ordersfact_spark.pipelines import build_corpus
+
+    clean = ("café résumé naïve déjà señor ça gâteau crème brûlée "
+             "fiancée über pâté niño jalapeño cliché entrée façade")
+    moji = clean.encode("utf-8").decode("cp1252")  # same text, mojibake'd
+    rows = [
+        (1, "web", clean, len(clean)),
+        (2, "web", moji, len(moji)),
+        (3, "web", "wholly different text " + " ".join(f"w{i}" for i in range(40)),
+         200),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    )
+    # raw spellings hash apart — the stage is what creates the equality
+    raw_md5 = {r.doc_id: r.h for r in
+               docs.select("doc_id", F.md5("text").alias("h")).collect()}
+    assert raw_md5[1] != raw_md5[2]
+
+    m1 = build_corpus(
+        spark, docs, str(tmp_path / "enc"), min_chars=10,
+        encoding_normalize="exact",
+    )
+    names = list(m1["stages"])
+    assert names[0] == "00_encoding"
+    assert m1["stages"]["00_encoding"]["rows"] == 3
+    staged = spark.read.parquet(m1["stages"]["00_encoding"]["path"])
+    staged_rows = {r.doc_id: r for r in staged.collect()}
+    # doc 2 repaired to doc 1's exact bytes; n_chars recomputed
+    assert staged_rows[2].text == clean
+    assert staged_rows[2].n_chars == len(clean) < len(moji)
+    assert staged_rows[1].text == staged_rows[2].text
+
+    # the twin collapses (exact tier: equal md5, smaller id wins)
+    assert m1["stages"]["02_deduped"]["rows"] == 2
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(m1["stages"]["02_deduped"]["path"]).collect()
+    }
+    assert kept == {1, 3}
+
+    with pytest.raises(ValueError, match="encoding_normalize"):
+        build_corpus(spark, docs, str(tmp_path / "bad"),
+                     encoding_normalize="nope")
