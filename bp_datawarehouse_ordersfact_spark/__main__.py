@@ -55,6 +55,10 @@ def cmd_query(args) -> dict:
     spark = _spark()
     df = qs[args.name](spark, args.sf_dir)
     if args.show:
+        # materialize ONCE; the preview and the count both read the
+        # checkpointed blocks — a show()-then-count() pair recomputes
+        # the whole query from scratch (ADVICE r7)
+        df = df.localCheckpoint(eager=True)
         df.show(args.show, truncate=False)
     n = df.count()
     return {"query": args.name, "sf_dir": args.sf_dir, "rows": n}

@@ -820,7 +820,12 @@ def _anchor_window_rows(
         for pdf in batches:
             out_id, out_p, out_h = [], [], []
             for i, t in zip(pdf["__id"], pdf["__t"]):
-                if t is None or len(t) < window:
+                # the anchor gram is k=8 chars, so texts shorter than
+                # max(window, k) have no testable position — with a
+                # window in [1, 8) a bare len<window guard would let a
+                # 7-char text reach sliding_window_view(arr, 8), which
+                # raises and fails the whole Arrow pass (ADVICE r7)
+                if t is None or len(t) < max(window, k):
                     continue
                 arr = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
                 grams = np.lib.stride_tricks.sliding_window_view(arr, k)[
@@ -864,8 +869,11 @@ def duplicated_passage_spans(
     single-machine. The Spark-native shape hashes ``window``-char
     substrings at CONTENT-DEFINED anchor positions (the winnowing /
     content-defined-chunking idea, Schleimer et al. 2003 — public
-    literature): position ``p`` is an anchor iff
-    ``xxhash64(text[p:p+8]) % stride == 0``. A fixed offset grid would
+    literature): position ``p`` is an anchor iff the hash of the 8-char
+    gram at ``p`` — a base-1000003 polynomial over the gram's code
+    points, folded by a golden-ratio multiply + top-32-bit shift, all
+    in wrapping uint64 (``_anchor_window_rows``) — is
+    ``≡ 0 (mod stride)``. A fixed offset grid would
     only match passages that happen to be stride-ALIGNED across
     documents (measured: it silently misses almost everything);
     content-defined anchors land at the same positions RELATIVE TO THE
@@ -887,7 +895,10 @@ def duplicated_passage_spans(
 
     Returns (id_col, span_start, span_end, n_windows) with 0-based
     [start, end) character offsets. Windows are md5-hashed, not
-    compared — collisions are negligible at any corpus size.
+    compared — collisions are negligible at any corpus size. The anchor
+    gram is fixed at k=8 chars, so texts shorter than max(window, 8)
+    contribute no anchors (and windows narrower than 8 anchor on the
+    8-char gram, not the window).
     """
     if window < 1 or stride < 1:
         raise ValueError(f"window/stride must be >= 1, got {window}/{stride}")

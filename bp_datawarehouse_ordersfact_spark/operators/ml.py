@@ -260,6 +260,8 @@ def bigram_logprob(
     text_col: str,
     id_col: str,
     lambda_bigram: float = 0.7,
+    broadcast_vocab: bool | None = None,
+    max_broadcast_vocab: int = 2_000_000,
 ) -> DataFrame:
     """Interpolated bigram language-model quality score — the step past
     the corpus-unigram stand-in (``q_text_unigram_logprob``) on the way
@@ -271,13 +273,21 @@ def bigram_logprob(
     common words in garbage ORDER, which a unigram model cannot
     penalize, scores low.
 
-    Scale shape: the BIGRAM table is the one piece that outgrows a
-    broadcast at corpus scale (|bigrams| ≫ |vocab|), so the probability
-    lookup is a hash join keyed on (prev, tok) — the bigram stream
-    shuffles once; the context-count and unigram tables stay
-    vocabulary-sized and broadcast. Bigram formation is one lag window
-    per document (shuffle by ``id_col``), reused by the final per-doc
-    rollup.
+    Scale shape: the BIGRAM table outgrows a broadcast at corpus scale
+    (|bigrams| ≫ |vocab|), so the probability lookup is a hash join
+    keyed on (prev, tok) — the bigram stream shuffles once. The
+    context-count and unigram tables are vocabulary-sized — a safe
+    broadcast at book scale, but a 100 TB web corpus's vocabulary
+    (misspellings, URLs, code tokens) is 10^8+ rows and broadcasting it
+    is the failure point. ``broadcast_vocab`` controls the strategy:
+    ``True`` forces the broadcast, ``False`` uses shuffled joins (AQE
+    still converts them to broadcast at runtime when the measured size
+    allows), and the default ``None`` probes the distinct-token count
+    once (capped at ``max_broadcast_vocab + 1`` — the probe cost is one
+    extra token-scan job, paid only in auto mode) and broadcasts iff it
+    fits under ``max_broadcast_vocab``. Bigram formation is one lag
+    window per document (shuffle by ``id_col``), reused by the final
+    per-doc rollup.
 
     Returns (id_col, n_bigrams, mean_logprob) — documents with fewer
     than two tokens have ``n_bigrams`` 0 and a NULL score (the caller
@@ -304,10 +314,17 @@ def bigram_logprob(
     ctx_c = big_c.groupBy("prev").agg(F.sum("bc").alias("cc"))
     uni_c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("uc"))
     total = uni_c.agg(F.sum("uc").alias("n"))
+    if broadcast_vocab is None:
+        # bounded probe: never counts past the knob, so the decision
+        # job is O(min(|vocab|, knob)) rows however large the corpus
+        broadcast_vocab = (
+            uni_c.limit(max_broadcast_vocab + 1).count() <= max_broadcast_vocab
+        )
+    hint = F.broadcast if broadcast_vocab else (lambda d: d)
     p = (
         pairs.join(big_c, ["prev", "tok"])  # bigram-keyed hash join
-        .join(F.broadcast(ctx_c), "prev")
-        .join(F.broadcast(uni_c), "tok")
+        .join(hint(ctx_c), "prev")
+        .join(hint(uni_c), "tok")
         .join(F.broadcast(total))
         .withColumn(
             "__lp",

@@ -396,33 +396,59 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
 
 
+def _delete_set(ids: DataFrame, id_col: str) -> DataFrame:
+    """Normalize a DataFrame delete batch to one distinct column named
+    ``id_col``. (Python lists — the convenience form for query-sized
+    batches — stay IN-list filters at the call sites, where they push
+    into the parquet scan; a DataFrame is the scale form, whose
+    membership tests run as semi/anti joins so the plan never embeds an
+    unbounded literal list.)"""
+    if id_col not in ids.columns:
+        raise ValueError(
+            f"delete-id frame must carry a {id_col!r} column; "
+            f"has {ids.columns}"
+        )
+    return ids.select(id_col).distinct()
+
+
 def delete_from_ann_index(
     spark: SparkSession,
-    ids: list,
+    ids: list | DataFrame,
     out_dir: str,
     id_col: str = "vec_id",
 ) -> int:
     """Delete ``ids`` from a persisted index by rewriting ONLY the cell
     partitions that contain them. Returns the number of rows removed.
 
-    Plan: one pruned probe finds the affected cells (the id filter
-    pushes into the scan), the surviving rows of just those cells are
-    rewritten under dynamic partition overwrite (untouched cells' files
-    are never read or rewritten), and any cell left EMPTY has its
-    directory removed through the Hadoop FileSystem API — dynamic
-    overwrite only replaces partitions it writes rows for, so an
-    all-deleted cell would otherwise silently keep its stale files (the
-    trap this function exists to handle).
+    Plan: one pruned probe finds the affected cells, the surviving rows
+    of just those cells are rewritten under dynamic partition overwrite
+    (untouched cells' files are never read or rewritten), and any cell
+    left EMPTY has its directory removed through the Hadoop FileSystem
+    API — dynamic overwrite only replaces partitions it writes rows
+    for, so an all-deleted cell would otherwise silently keep its stale
+    files (the trap this function exists to handle).
 
-    ``ids`` is a driver-side list because deletion batches are
-    query-sized (GDPR erasure, bad-document takedowns); corpus-scale
-    deletion is a rebuild, not an incremental rewrite."""
-    if not ids:
-        return 0
+    ``ids`` may be a driver-side list (query-sized batches — the probe
+    filter pushes into the scan as an IN-list, so bloom/min-max skipping
+    prunes row groups) or a DataFrame carrying ``id_col`` (large delete
+    sets — membership runs as semi/anti joins, the
+    ``mine_hard_negatives`` idiom, so the plan never embeds an unbounded
+    literal list). Corpus-scale deletion is still better served by a
+    rebuild than an incremental rewrite."""
+    if isinstance(ids, DataFrame):
+        ids_df = _delete_set(ids, id_col)
+        hit_pred = lambda d: d.join(ids_df, id_col, "semi")  # noqa: E731
+        drop_pred = lambda d: d.join(ids_df, id_col, "left_anti")  # noqa: E731
+    else:
+        if not ids:
+            return 0
+        id_list = list(ids)
+        hit_pred = lambda d: d.filter(F.col(id_col).isin(id_list))  # noqa: E731
+        drop_pred = lambda d: d.filter(~F.col(id_col).isin(id_list))  # noqa: E731
     index_path = _index_dir(spark, out_dir)
     index = spark.read.parquet(index_path)
     hit = (
-        index.filter(F.col(id_col).isin(list(ids)))
+        hit_pred(index)
         .groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
         .collect()
@@ -431,9 +457,7 @@ def delete_from_ann_index(
         return 0
     cells = sorted(r["cell_id"] for r in hit)
     n_deleted = sum(r["n_hit"] for r in hit)
-    survivors = index.filter(
-        F.col("cell_id").isin(cells) & ~F.col(id_col).isin(list(ids))
-    )
+    survivors = drop_pred(index.filter(F.col("cell_id").isin(cells)))
     # survivors per cell — cells that end empty need their directory
     # removed explicitly (tiny aggregate: ≤ |cells| rows)
     alive = {
@@ -656,7 +680,7 @@ def maintain_ann_index(
     spark: SparkSession,
     out_dir: str,
     embeddings: DataFrame,
-    delete_ids: list | None = None,
+    delete_ids: list | DataFrame | None = None,
     append_embeddings: DataFrame | None = None,
     min_recall: float = 0.9,
     n_queries: int = 20,
@@ -682,7 +706,9 @@ def maintain_ann_index(
 
     ``embeddings`` is the corpus the index SHOULD represent AFTER the
     maintenance (ground truth for the recall gate) — pass the
-    post-delete corpus table. Returns
+    post-delete corpus table. ``delete_ids`` accepts a list for
+    query-sized batches or a DataFrame carrying ``id_col`` for large
+    delete sets (anti-join, no literal IN-list in the plan). Returns
     {"promoted", "recall_at_k", "n_deleted", "n_appended", "version",
     "files_after"} with ``version`` None when not promoted."""
     if not 0.0 <= min_recall <= 1.0:
@@ -690,7 +716,12 @@ def maintain_ann_index(
     cur_path = _index_dir(spark, out_dir)
     index = spark.read.parquet(cur_path)
     n_deleted = 0
-    if delete_ids:
+    if isinstance(delete_ids, DataFrame):
+        # large delete sets: semi/anti joins, never a literal IN-list
+        ids_df = _delete_set(delete_ids, id_col)
+        n_deleted = index.join(ids_df, id_col, "semi").count()
+        index = index.join(ids_df, id_col, "left_anti")
+    elif delete_ids:
         ids = list(delete_ids)
         n_deleted = index.filter(F.col(id_col).isin(ids)).count()
         index = index.filter(~F.col(id_col).isin(ids))

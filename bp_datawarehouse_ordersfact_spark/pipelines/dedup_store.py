@@ -435,7 +435,7 @@ def compact_dedup_store(spark: SparkSession, out_dir: str) -> dict:
 def check_dedup_store_health(
     spark: SparkSession,
     out_dir: str,
-    n_sample: int = 20,
+    n_sample: int | None = 20,
     id_col: str = "doc_id",
 ) -> dict:
     """Referential-integrity gate for the TEXT store — the
@@ -448,9 +448,13 @@ def check_dedup_store_health(
     band rows is INVISIBLE to every probe. Both states arise from a
     half-completed admit (bands append commits before shingles — see
     ``run_incremental_dedup_stream``'s replay notes) left unrepaired.
-    Samples the ``n_sample`` smallest ids from each side and checks
-    membership in the other; sampling keeps the gate probe-sized at any
-    corpus scale (full sweep = n_sample=None… pass a huge n).
+    Samples the ``n_sample`` LARGEST ids from each side and checks
+    membership in the other: the divergence this gate exists to catch
+    is produced by the most RECENT admits, which in streaming ingest
+    carry the newest/largest ids — a smallest-id sample would keep
+    reporting healthy on a store whose latest admit half-completed.
+    Sampling keeps the gate probe-sized at any corpus scale;
+    ``n_sample=None`` sweeps both sides in full.
     Returns {"n_sample", "bands_missing_shingles", "shingles_missing_bands",
     "healthy"}."""
     _load_meta(spark, out_dir)  # raises on unreadable/foreign meta
@@ -458,8 +462,11 @@ def check_dedup_store_health(
     sets = spark.read.parquet(_live(spark, out_dir, "shingles"))
     b_ids = bands.select(F.col("doc").alias("id")).distinct()
     s_ids = sets.select(F.col(id_col).alias("id")).distinct()
-    b_sample = b_ids.orderBy("id").limit(n_sample)
-    s_sample = s_ids.orderBy("id").limit(n_sample)
+    if n_sample is None:
+        b_sample, s_sample = b_ids, s_ids
+    else:
+        b_sample = b_ids.orderBy(F.col("id").desc()).limit(n_sample)
+        s_sample = s_ids.orderBy(F.col("id").desc()).limit(n_sample)
     missing_sh = b_sample.join(s_ids, "id", "left_anti").count()
     missing_bd = s_sample.join(b_ids, "id", "left_anti").count()
     return {
@@ -473,21 +480,26 @@ def check_dedup_store_health(
 def check_embedding_store_health(
     spark: SparkSession,
     out_dir: str,
-    n_sample: int = 20,
+    n_sample: int | None = 20,
     id_col: str = "vec_id",
 ) -> dict:
     """SELF-PROBE gate for the embedding store: the ``n_sample``
-    smallest-id STORED vectors, pushed back through the full probe path
-    (meta → hyperplane keys → band equi-join → exact cosine), must each
-    rediscover themselves at cosine 1.0. A stored vector that cannot
-    find itself proves the store is broken for real queries too —
-    catches keys/vectors divergence from a half-completed admit, band
-    truncation, and any plane drift the md5 fingerprint guard didn't
-    get to veto. Returns {"n_sample", "n_self_found", "healthy"}."""
+    LARGEST-id STORED vectors (the most recent admits — where a
+    half-completed admit's keys/vectors divergence actually lives;
+    ``n_sample=None`` probes every vector), pushed back through the
+    full probe path (meta → hyperplane keys → band equi-join → exact
+    cosine), must each rediscover themselves at cosine 1.0. A stored
+    vector that cannot find itself proves the store is broken for real
+    queries too — catches keys/vectors divergence from a half-completed
+    admit, band truncation, and any plane drift the md5 fingerprint
+    guard didn't get to veto.
+    Returns {"n_sample", "n_self_found", "healthy"}."""
     vecs = spark.read.parquet(_live(spark, out_dir, "vectors"))
-    probe = vecs.orderBy(id_col).limit(n_sample).select(
-        F.col(id_col), F.col("v").alias("__probe_vec")
-    )
+    if n_sample is None:
+        newest = vecs
+    else:
+        newest = vecs.orderBy(F.col(id_col).desc()).limit(n_sample)
+    probe = newest.select(F.col(id_col), F.col("v").alias("__probe_vec"))
     n_probe = probe.count()
     hits = embedding_dedup_against_store(
         spark, probe, out_dir, vec_col="__probe_vec", id_col=id_col,

@@ -688,8 +688,12 @@ def run_incremental_dedup_stream(
         # only matches against PRE-batch corpus docs count
         own = batch_df.select(F.col(id_col).alias("dup_of")).distinct()
         dups = dups.join(own, "dup_of", "left_anti")
-        dup_ids = [r[id_col] for r in dups.select(id_col).distinct().collect()]
-        survivors = batch_df.filter(~F.col(id_col).isin(dup_ids))
+        # anti-join, not collect+isin: the duplicate set is unbounded in
+        # the batch's dup rate, and a literal IN-list both round-trips
+        # through the driver and bloats the plan (ADVICE r7)
+        survivors = batch_df.join(
+            dups.select(id_col).distinct(), id_col, "left_anti"
+        )
         survivors.write.mode("overwrite").parquet(
             out_dir.rstrip("/") + f"/ingest_batch_id={int(batch_id)}"
         )

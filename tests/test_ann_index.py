@@ -342,6 +342,24 @@ def test_delete_rewrites_only_affected_cells(spark, tmp_path):
     got = {r["vec_id"] for r in search_ann_index(spark, out, q, k=20, n_probe=5).collect()}
     assert not (got & set(victims))
 
+    # DataFrame delete set (VERDICT r7 #5): same semantics as the list
+    # form, but membership runs as semi/anti joins — the large-delete
+    # path that never embeds a literal IN-list in the plan
+    more = by_cell[partial][2:4]
+    ids_df = spark.createDataFrame([(i,) for i in more], "vec_id long")
+    assert delete_from_ann_index(spark, ids_df, out) == len(more)
+    _, _, after2 = load_ann_index(spark, out)
+    left2 = {r["vec_id"] for r in after2.select("vec_id").collect()}
+    assert left2 == left - set(more)
+    # empty + miss DataFrame batches are no-ops
+    assert delete_from_ann_index(
+        spark, spark.createDataFrame([(999_999_999,)], "vec_id long"), out
+    ) == 0
+    with pytest.raises(ValueError, match="vec_id"):
+        delete_from_ann_index(
+            spark, spark.createDataFrame([(1,)], "wrong_col long"), out
+        )
+
 
 def test_compact_restores_one_file_per_cell(spark, tmp_path):
     """Appends leave one file per batch per touched cell; compaction

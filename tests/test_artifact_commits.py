@@ -188,6 +188,33 @@ def test_maintain_promotes_passing_pass_and_compacts(spark, built):
     assert stats["files_after"] == after.select("cell_id").distinct().count()
 
 
+def test_maintain_accepts_dataframe_delete_set(spark, built):
+    """VERDICT r7 #5: large delete sets as a DataFrame — the anti-join
+    path — with gated-promotion behavior unchanged from the list form."""
+    out, emb = built
+    _, _, idx = load_ann_index(spark, out)
+    two = [r["vec_id"] for r in
+           idx.select("vec_id").orderBy("vec_id").limit(2).collect()]
+    del_df = spark.createDataFrame([(i,) for i in two], "vec_id long")
+    truth = emb.join(del_df, "vec_id", "left_anti")
+    stats = maintain_ann_index(
+        spark,
+        out,
+        truth,
+        delete_ids=del_df,
+        min_recall=0.5,
+        n_queries=5,
+        k=5,
+        n_probe=5,
+        shortlist_factor=1000,
+    )
+    assert stats["promoted"] is True
+    assert stats["n_deleted"] == 2
+    _, _, after = load_ann_index(spark, out)
+    ids = {r["vec_id"] for r in after.select("vec_id").collect()}
+    assert not (ids & set(two))
+
+
 def test_nano_magnitude_bucketing_is_exact(spark):
     """r6 ADVICE (low): the skew twin's bucket division must be exact
     integer arithmetic — double division misbuckets above 2^53 (unix

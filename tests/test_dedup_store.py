@@ -330,12 +330,18 @@ def test_store_health_checks_pass_on_healthy_and_catch_divergence(
     build_dedup_store(spark, corpus, out)
     assert check_dedup_store_health(spark, out)["healthy"] is True
 
-    # simulate a bands append whose shingles half never landed
+    # simulate a bands append whose shingles half never landed: the
+    # divergent doc carries a NEW (largest) id, as a half-completed
+    # streaming admit does — the DEFAULT-sized newest-id sample must
+    # catch it (ADVICE r7: a smallest-id sample reported healthy here)
     spark.createDataFrame(
         [(99_999_999, 0, 123456)], "doc long, bh long, band int"
     ).write.mode("append").partitionBy("band").parquet(os.path.join(out, "bands"))
-    h = check_dedup_store_health(spark, out, n_sample=10_000)
+    h = check_dedup_store_health(spark, out)
     assert h["healthy"] is False and h["bands_missing_shingles"] == 1
+    # n_sample=None sweeps both sides in full
+    h_full = check_dedup_store_health(spark, out, n_sample=None)
+    assert h_full["healthy"] is False and h_full["bands_missing_shingles"] == 1
 
     emb = load_table(spark, SF_DIR, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -345,10 +351,12 @@ def test_store_health_checks_pass_on_healthy_and_catch_divergence(
     eh = check_embedding_store_health(spark, eout, n_sample=10)
     assert eh == {"n_sample": 10, "n_self_found": 10, "healthy": True}
 
-    # gut the keys artifact (band truncation): self-probe must fail loudly
+    # gut the keys artifact for the NEWEST vectors (what a
+    # half-completed recent admit leaves behind): the newest-id
+    # self-probe must fail loudly
     keys_path = os.path.join(eout, "keys")
     keys = spark.read.parquet(keys_path)
-    half = keys.filter(F.col("vec_id") >= 50).cache()
+    half = keys.filter(F.col("vec_id") < 50).cache()
     half.count()
     half.write.mode("overwrite").parquet(keys_path)
     eh2 = check_embedding_store_health(spark, eout, n_sample=10)

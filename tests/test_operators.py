@@ -1478,6 +1478,55 @@ def test_bigram_logprob_matches_reference_and_penalizes_garbage_order(spark):
     # the order-sensitivity property
     assert got[3][1] < got[0][1]
 
+    # both vocab-join strategies — forced broadcast, shuffled hash join,
+    # and the bounded auto probe forced down BOTH branches via the knob —
+    # produce identical rows (VERDICT r7 #4: at web-corpus vocabulary the
+    # broadcast is the failure point, so the strategy must be switchable
+    # without changing results)
+    for kw in (
+        {"broadcast_vocab": True},
+        {"broadcast_vocab": False},
+        {"max_broadcast_vocab": 1},       # auto probe -> shuffled path
+        {"max_broadcast_vocab": 10_000},  # auto probe -> broadcast path
+    ):
+        alt = {
+            r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+            for r in bigram_logprob(
+                df, "text", "doc_id", lambda_bigram=lam, **kw
+            ).collect()
+        }
+        assert alt == got, kw
+
+
+def test_passage_anchor_short_text_and_narrow_window(spark):
+    """ADVICE r7: with window in [1, 8) a text whose length lands in
+    [window, 8) used to reach sliding_window_view(arr, 8) and raise,
+    failing the whole Arrow pass. Narrow windows + short texts must run
+    clean; texts shorter than max(window, 8) contribute no anchors."""
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import (
+        _anchor_window_rows,
+        duplicated_passage_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "1234567"),            # len 7 >= window, < k=8: must skip
+            (1, "abc"),
+            (2, None),
+            (3, "exactly 8 chars and then some shared tail here"),
+            (4, "other prefix text and then some shared tail here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = _anchor_window_rows(docs, "text", "doc_id", window=5, stride=1).collect()
+    assert {r["__id"] for r in rows} <= {3, 4}  # short/NULL docs skipped
+
+    spans = duplicated_passage_spans(
+        docs, "text", "doc_id", window=10, stride=2
+    ).collect()
+    for r in spans:  # any detected span lies inside its doc
+        assert 0 <= r["span_start"] < r["span_end"]
+
 
 def test_duplicated_passage_spans_and_fraction(spark):
     """Exact duplicated-passage detection with CONTENT-DEFINED anchors:
