@@ -66,7 +66,7 @@ HEADLINE = [
     "json_props_extract",
     "split_royalty_union",
     "fact_royalty",
-    "dedup_embedding_cosine",
+    "dedup_passage_spans",
     "multimodal_binary_meta",
     "multimodal_feature_extract",
     "sample_stratified",

@@ -41,6 +41,14 @@ _MODULES = (relational, pipeline, llmops, streaming, domain_e2e, sketches_r6)
 # so no red query forces its way back in; the round-7-green half rotates
 # out and stays covered by pytest pins until round 9 rotates it back.
 #
+# One registry swap this round (r7 VERDICT #6): the passage-dedup
+# family gets a driver row as `dedup_passage_spans` (typed VALUES
+# oracle over planted hosts — see queries/llmops.py), REPLACING the
+# `dedup_embedding_cosine` sign-LSH twin that the banded scale path's
+# own row (`dedup_embedding_lsh_banded`, r7-green) superseded. The
+# retired twin's operator stays pytest-pinned; the new query takes the
+# retiree's window slot, so the rotation math is unchanged.
+#
 # ROUND-9 ROTATION (mechanical; do it first): swap this tuple for the
 # other half — the round-7 window, i.e. EXACTLY the keys of
 # CORRECTNESS_r07.json. If a round-8 query's latest row comes back red,
@@ -49,7 +57,7 @@ _MODULES = (relational, pipeline, llmops, streaming, domain_e2e, sketches_r6)
 _WINDOW_FIRST = (
     "sketch_theta_set_algebra", "sketch_kll_quantile_merge",
     "pricing_summary", "tfidf_title_match", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "ann_cosine_topk", "ann_cosine_ivf",
+    "dedup_passage_spans", "ann_cosine_topk", "ann_cosine_ivf",
     "text_langid", "text_quality", "text_token_count", "text_fingerprint",
     "text_pii_scrub", "corpus_filter_pipeline", "grouped_ewma",
     "multimodal_binary_meta", "multimodal_feature_extract",

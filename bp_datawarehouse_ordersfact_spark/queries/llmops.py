@@ -216,42 +216,69 @@ def _emb_dup_bucket_sql(v: str, n_bits: int = 8) -> str:
     )
 
 
+# `dedup_embedding_cosine` (the sign-LSH small-scale twin of the banded
+# query below) was RETIRED from the registry in round 8 to free its
+# capped slot for `dedup_passage_spans` — the operator
+# (operators.dedup.embedding_near_dup_pairs) remains, pytest-pinned.
+
+
+# Planted-passage fixture for `dedup_passage_spans` (the
+# `dedup_embedding_lsh_banded` recipe: synthetic rows whose expected
+# output is provably sf-independent, unioned onto the REAL corpus so
+# the bench still pays the operator's true cost at scale).
+_PASSAGE_BOILER = (
+    "SYNTHETIC LICENSE BLOCK: this exact passage is planted "
+    "verbatim in every synthetic host document so the "
+    "content-defined anchors land at identical passage-relative "
+    "offsets regardless of each host's own prefix. "
+)  # 209 chars
+_PASSAGE_HOSTS = [
+    (10_000_000, "A" * 37 + _PASSAGE_BOILER + "unique tail zero " * 3),
+    (10_000_001, "prefix one " * 5 + _PASSAGE_BOILER),
+    (10_000_002, _PASSAGE_BOILER + "wholly different ending segment here"),
+    (10_000_003, "padding text " * 7 + _PASSAGE_BOILER + " trailing bit"),
+]
+
+
 @register(
-    "dedup_embedding_cosine",
-    f"""
-    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    dup AS (SELECT vec_id + 100000 AS vec_id, list_transform(v, x -> x * 2.0) AS v
-            FROM base WHERE vec_id % 5 = 0),
-    pool AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
-    b AS (SELECT vec_id, v, {_emb_dup_bucket_sql('v')} AS bucket FROM pool)
-    SELECT id_a, id_b, cosine FROM (
-      SELECT x.vec_id AS id_a, y.vec_id AS id_b,
-             round({SQL_DOT.format(a='x.v', b='y.v')}
-                   / (sqrt({SQL_DOT.format(a='x.v', b='x.v')})
-                      * sqrt({SQL_DOT.format(a='y.v', b='y.v')})), 6) AS cosine
-      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
-    WHERE cosine >= 0.999
+    "dedup_passage_spans",
+    """
+    SELECT * FROM (VALUES
+      (CAST(10000000 AS BIGINT), CAST(69 AS BIGINT), CAST(192 AS BIGINT), CAST(13 AS BIGINT)),
+      (CAST(10000001 AS BIGINT), CAST(87 AS BIGINT), CAST(210 AS BIGINT), CAST(13 AS BIGINT)),
+      (CAST(10000002 AS BIGINT), CAST(32 AS BIGINT), CAST(155 AS BIGINT), CAST(13 AS BIGINT)),
+      (CAST(10000003 AS BIGINT), CAST(123 AS BIGINT), CAST(246 AS BIGINT), CAST(13 AS BIGINT))
+    ) AS t(doc_id, span_start, span_end, n_windows)
     """,
 )
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup detection. The testdata has no natural
-    near-dups (max pairwise cosine < 0.8), so the query derives a
-    known-duplicate set first — every 5th vector rescaled ×2 (cosine
-    exactly 1.0 with its original) — then detects exactly those pairs via
-    the sign-LSH bucket self-join + cosine ≥ 0.999 (operators.dedup.
-    embedding_near_dup_pairs). Scaling is by a power of two so float
-    arithmetic is exact and both engines agree bit-for-bit."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+def q_dedup_passage_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-PASSAGE detection (operators.dedup.
+    duplicated_passage_spans — winnowing content-defined anchors, window
+    hash counts, interval coalesce) given a hash-checked driver row
+    (r7 VERDICT #6) by retiring the superseded `dedup_embedding_cosine`
+    sign-LSH twin.
+
+    Why a typed VALUES oracle is a deterministic twin: four synthetic
+    host documents (ids ≥ 10^7, far above every testdata id range)
+    carry one invented 209-char boilerplate at four different offsets;
+    the anchor rule is a fixed polynomial rolling hash (no seed, no
+    sampling), so the detected spans are a pure function of the planted
+    literals — [69,192), [87,210), [32,155), [123,246): identical
+    passage-relative offsets 32..155 in every host, the alignment
+    independence a fixed stride grid lacks. The REAL corpus is unioned
+    into the pool, so the full anchor pass + shared-hash rollup runs
+    over every document at bench scale, but cannot perturb the planted
+    answer: a real doc would have to contain one of the invented
+    50-char windows verbatim to join a planted hash bucket, and organic
+    cross-doc spans (which DO exist in the testdata) are excluded by
+    the planted-id output filter."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = spark.createDataFrame(_PASSAGE_HOSTS, "doc_id long, text string")
+    pool = d.unionByName(planted)
+    spans = D.duplicated_passage_spans(
+        pool, "text", "doc_id", window=50, stride=10, min_docs=2
     )
-    dup = e.filter(F.col("vec_id") % 5 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
-    )
-    pool = e.unionByName(dup)
-    return D.embedding_near_dup_pairs(
-        pool, "embedding", "vec_id", threshold=0.999, n_bits=8
-    )
+    return spans.filter(F.col("doc_id") >= 10_000_000)
 
 
 # ---------------------------------------------------------------------------

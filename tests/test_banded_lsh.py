@@ -2,7 +2,8 @@
 sign-LSH cap — VERDICT r5 "What's wrong #1").
 
 The registry keeps the oracle-compatible single-table ``sign_bucket``
-twins (`dedup_embedding_cosine`; `ann_cosine_lsh` until its round-7
+twins (`dedup_embedding_cosine` until its round-8 retirement;
+`ann_cosine_lsh` until its round-7
 replacement by the oracle-checked `dedup_embedding_lsh_banded`); these tests pin the
 banded path instead: recall against numpy brute force on planted
 near-dups/clusters, key-structure invariants, and the plan shape

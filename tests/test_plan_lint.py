@@ -47,7 +47,6 @@ BOUNDED_CROSS_OK = {
     "rollup_incremental_refresh": "1-row scalar frames",
     "data_quality_audit": "1-row per-check aggregate frames",
     "date_dim_generate": "bounded generated calendar",
-    "dedup_embedding_cosine": "bounded sign-bucket frame",
     "domain_fact_royalty": "fixture-bound scalar frames",
     "domain_split_royalty_report": "fixture-bound scalar frames",
     "sketch_kll_quantile_merge": "1-row exact/estimate frames crossed for "

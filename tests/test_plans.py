@@ -86,7 +86,7 @@ def test_semi_anti_join_no_shuffle_of_fact(spark):
 
 
 def test_dedup_queries_never_cross_join(spark):
-    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine"):
+    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_passage_spans"):
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
