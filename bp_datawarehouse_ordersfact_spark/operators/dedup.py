@@ -637,6 +637,114 @@ def embedding_near_dup_pairs_banded(
         return scope.finish(verified)
 
 
+def embedding_cross_pairs_banded(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bands: int = 16,
+    bits_per_band: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+    eager: bool = True,
+) -> DataFrame:
+    """CROSS-FRAME embedding-cosine near pairs: (left_id, right_id,
+    cosine ≥ threshold) — the two-table form of
+    ``embedding_near_dup_pairs_banded``, for probing one corpus against
+    another (semantic decontamination, cross-snapshot dedup, join of a
+    query workload against a reference set) without a store.
+
+    Both sides are keyed with the SAME seeded hyperplane matrix (one
+    Arrow batch pass each, zero shuffles), bands explode to (id, key)
+    rows, and candidates come from a pure band-key equi-join LEFT ×
+    RIGHT — never a cartesian; each side only meets the other, so the
+    self-pair/a<b bookkeeping of the one-table operator disappears.
+    Exact cosine verifies candidates only.
+
+    Default band geometry differs from the dedup twin deliberately:
+    near-DUP thresholds (≥ 0.999, θ ≤ 2.6°) suit few wide bands (8×32
+    bits), but SEMANTIC thresholds (≈ 0.95, θ ≈ 18°) would see
+    per-table collision P = (1 − θ/π)^32 ≈ 3% — recall ruin. At 16
+    bands × 8 bits, P per table = (1 − θ/π)^8 ≈ 0.43 and recall =
+    1 − (1 − P)^16 ≈ 99.99% at θ = 18°, while random pairs (θ ≈ 90°)
+    collide at ≈ 16·2⁻⁸ per pair of tables — tune ``bands``/
+    ``bits_per_band`` to the threshold via this formula.
+
+    Returns (left_id, right_id, cosine). ``dim`` as in the one-table
+    operator (probed with a 1-row ``first()`` when None)."""
+    if dim is None:
+        dim = left.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+
+    def _keyed(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{tag}_id"),
+            F.col(vec_col).alias(f"{tag}_v"),
+            V.hyperplane_band_keys(
+                F.col(vec_col), dim, bands, bits_per_band, seed
+            ).alias("keys"),
+        )
+
+    with (_CacheScope() if eager else _LazyScope()) as scope:
+        lk = scope.materialize(_keyed(left, "left"))
+        rk = scope.materialize(_keyed(right, "right"))
+        cand = (
+            lk.select("left_id", F.explode("keys").alias("bk"))
+            .join(rk.select("right_id", F.explode("keys").alias("bk")), "bk")
+            .select("left_id", "right_id")
+            .distinct()
+        )
+        verified = (
+            cand.join(lk.select("left_id", "left_v"), "left_id")
+            .join(rk.select("right_id", "right_v"), "right_id")
+            .withColumn(
+                "cosine", rnd(V.cosine(F.col("left_v"), F.col("right_v")), 6)
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select("left_id", "right_id", "cosine")
+        )
+        return scope.finish(verified)
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    holdout: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bands: int = 16,
+    bits_per_band: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """SEMANTIC decontamination: drop corpus rows whose embedding is
+    within ``threshold`` cosine of ANY holdout row — the embedding-level
+    complement of n-gram decontamination (``q_decontaminate_ngram
+    _overlap``): paraphrased or lightly-rewritten benchmark items share
+    no 5-gram but sit close in embedding space, and a training corpus
+    that keeps them leaks the benchmark anyway.
+
+    Plan: ``embedding_cross_pairs_banded`` (band equi-join, exact-verify
+    candidates only) → distinct contaminated ids → one left_anti join.
+    The holdout is benchmark-sized — typically thousands of rows — so
+    its keyed/exploded side broadcasts; the corpus-sized work is the
+    map-only Arrow key pass plus one narrow-key shuffle. Returns the
+    surviving corpus rows unchanged."""
+    hits = embedding_cross_pairs_banded(
+        corpus,
+        holdout,
+        vec_col=vec_col,
+        id_col=id_col,
+        threshold=threshold,
+        bands=bands,
+        bits_per_band=bits_per_band,
+        dim=dim,
+        seed=seed,
+    )
+    contaminated = hits.select(F.col("left_id").alias(id_col)).distinct()
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
