@@ -92,10 +92,17 @@ def test_heavy_registry_queries_zero_spill_bounded_exchanges(spark):
         "multikey_rollup": 2,
         "sessionize_events": 3,
         "pivot_status": 3,
+        "dedup_passage_spans": 7,  # fan-out + anchor rollups + coalesce window
     }
     for name, max_ex in budgets.items():
         df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
+        # collect(), NOT a noop write: a write action runs through its
+        # OWN QueryExecution, leaving df's SQLMetrics at zero — the
+        # assertions below would pass vacuously on an unexecuted plan
+        # (found in r8: shuffle_records stayed 0 after a noop save).
+        # Results at sf0.001 are small; collect executes THIS plan.
+        df.collect()
         s = shuffle_summary(df)
+        assert s["shuffle_records"] > 0, (name, s)  # proves execution
         assert s["spill_bytes"] == 0, (name, s)
         assert 1 <= s["n_shuffle_exchanges"] <= max_ex, (name, s)
