@@ -647,6 +647,7 @@ def embedding_cross_pairs_banded(
     bits_per_band: int = 8,
     dim: int | None = None,
     seed: int = 42,
+    probe_flips: int = 0,
     eager: bool = True,
 ) -> DataFrame:
     """CROSS-FRAME embedding-cosine near pairs: (left_id, right_id,
@@ -671,23 +672,33 @@ def embedding_cross_pairs_banded(
     collide at ≈ 16·2⁻⁸ per pair of tables — tune ``bands``/
     ``bits_per_band`` to the threshold via this formula.
 
+    ``probe_flips`` is MULTI-PROBE on the RIGHT side only: each right
+    (holdout/query) vector also emits every band key with its
+    ``probe_flips`` lowest-|margin| bits flipped — the vectors most
+    likely to have landed just across a hyperplane get a second look.
+    Recall rises at zero LEFT-side (corpus) cost: the corpus keeps
+    ``bands`` keys per vector; only the small side fans out to
+    ``bands × (1 + probe_flips)`` keys (Lv et al. multi-probe — see
+    ``functions.vectors.hyperplane_band_keys``).
+
     Returns (left_id, right_id, cosine). ``dim`` as in the one-table
     operator (probed with a 1-row ``first()`` when None)."""
     if dim is None:
         dim = left.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
 
-    def _keyed(df: DataFrame, tag: str) -> DataFrame:
+    def _keyed(df: DataFrame, tag: str, flips: int) -> DataFrame:
         return df.select(
             F.col(id_col).alias(f"{tag}_id"),
             F.col(vec_col).alias(f"{tag}_v"),
             V.hyperplane_band_keys(
-                F.col(vec_col), dim, bands, bits_per_band, seed
+                F.col(vec_col), dim, bands, bits_per_band, seed,
+                probe_flips=flips,
             ).alias("keys"),
         )
 
     with (_CacheScope() if eager else _LazyScope()) as scope:
-        lk = scope.materialize(_keyed(left, "left"))
-        rk = scope.materialize(_keyed(right, "right"))
+        lk = scope.materialize(_keyed(left, "left", 0))
+        rk = scope.materialize(_keyed(right, "right", probe_flips))
         cand = (
             lk.select("left_id", F.explode("keys").alias("bk"))
             .join(rk.select("right_id", F.explode("keys").alias("bk")), "bk")

@@ -138,6 +138,44 @@ def test_semantic_angle_recall_beats_formula_floor(spark):
     assert got <= want  # exact verify: no false positives ever
 
 
+def test_multiprobe_right_side_only_raises_recall(spark):
+    """probe_flips: extra low-margin-bit keys on the RIGHT side only —
+    candidate recall is monotone in probes, verified results stay a
+    subset of brute force (exact verify), and the left/corpus key count
+    is unchanged (the zero-corpus-cost claim)."""
+    rng = np.random.default_rng(11)
+    dim, n = 32, 100
+    base = rng.normal(size=(n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    theta = np.deg2rad(22.0)  # harder angle than the default test
+    noise = rng.normal(size=(n, dim))
+    noise -= (noise * base).sum(axis=1, keepdims=True) * base
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    perturbed = np.cos(theta) * base + np.sin(theta) * noise
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    holdout = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in perturbed[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    threshold = 0.92  # just under cos(22 deg) = 0.927
+    want = _brute_pairs(corpus.collect(), holdout.collect(), threshold)
+    found = {}
+    for flips in (0, 2):
+        hits = embedding_cross_pairs_banded(
+            corpus, holdout, threshold=threshold, dim=dim,
+            bands=4, bits_per_band=8, probe_flips=flips,
+        )
+        got = {(r["left_id"], r["right_id"]) for r in hits.collect()}
+        assert got <= want, flips  # never a false positive
+        found[flips] = len(got & want)
+    # deliberately few tables (4) so probing has headroom to matter
+    assert found[2] >= found[0]
+    assert found[2] / len(want) > found[0] / len(want) or found[0] == len(want)
+
+
 def test_cross_pairs_plan_is_pure_equijoin(spark, corpus_and_holdout):
     corpus, holdout = corpus_and_holdout
     lazy = embedding_cross_pairs_banded(
