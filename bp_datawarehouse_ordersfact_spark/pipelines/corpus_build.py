@@ -29,6 +29,12 @@ Stages (all built from the repo's operators — nothing new semantically):
                        boilerplate handling document dedup cannot give.
 3. ``03_decontam``   — drop docs sharing any 5-gram with the holdout
                        (broadcast holdout, one hash join).
+3b. ``03b_semantic`` — OPTIONAL (``holdout_embeddings`` +
+                       ``doc_embeddings``): drop docs within
+                       ``semantic_threshold`` cosine of any holdout
+                       embedding (banded cross-frame LSH + exact
+                       verify) — catches paraphrased benchmark items
+                       the 5-gram join cannot see.
 4. ``04_mixed``      — per-source mix resample to target ppm weights
                        (deterministic md5 bucket, zero shuffles).
 4b. ``04b_sampled``  — OPTIONAL (``sample_n``): fixed-size weighted draw
@@ -89,6 +95,9 @@ def build_corpus(
     docs: DataFrame,
     out_dir: str,
     holdout: DataFrame | None = None,
+    holdout_embeddings: DataFrame | None = None,
+    doc_embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.95,
     min_chars: int = 100,
     mix_ppm: dict[str, int] | None = None,
     near_dup_threshold: float = 0.5,
@@ -243,6 +252,33 @@ def build_corpus(
     else:
         clean = deduped
     clean = record("03_decontam", clean)
+
+    # 3b — OPTIONAL SEMANTIC decontamination: paraphrased benchmark
+    # items share no 5-gram with the holdout but sit close in embedding
+    # space; the banded cross-frame LSH (operators/dedup.
+    # decontaminate_semantic) drops docs within ``semantic_threshold``
+    # cosine of any holdout embedding. ``doc_embeddings`` carries
+    # (doc_id, embedding) for the corpus, ``holdout_embeddings``
+    # (doc_id, embedding) for the benchmark set; the corpus-side cost
+    # is one map-only Arrow key pass + one narrow-key shuffle.
+    if holdout_embeddings is not None:
+        if doc_embeddings is None:
+            raise ValueError(
+                "holdout_embeddings given without doc_embeddings — the "
+                "semantic gate needs an embedding per surviving doc"
+            )
+        from ..operators.dedup import decontaminate_semantic
+
+        survivors = decontaminate_semantic(
+            clean.select("doc_id").join(doc_embeddings, "doc_id"),
+            holdout_embeddings,
+            vec_col="embedding",
+            id_col="doc_id",
+            threshold=semantic_threshold,
+        )
+        clean = record(
+            "03b_semantic", clean.join(survivors.select("doc_id"), "doc_id")
+        )
 
     # 4 — source mix resample (deterministic md5 ppm bucket, map-side).
     # Uses the repo's canonical 8-hex-char h32 rule (functions/text.py,

@@ -361,3 +361,58 @@ def test_encoding_stage_unifies_spellings_before_dedup(spark, tmp_path):
     with pytest.raises(ValueError, match="encoding_normalize"):
         build_corpus(spark, docs, str(tmp_path / "bad"),
                      encoding_normalize="nope")
+
+
+def test_semantic_decontam_stage_catches_paraphrased_leak(spark, tmp_path):
+    """Stage 03b: a doc whose TEXT shares no 5-gram with the holdout
+    (so stage 03 keeps it) but whose EMBEDDING is a scaled copy of a
+    holdout embedding (cosine 1.0) is dropped by the semantic gate;
+    everything else survives. Missing doc_embeddings raises."""
+    from bp_datawarehouse_ordersfact_spark.pipelines import build_corpus
+
+    mk = lambda i: " ".join(f"w{i}x{j}" for j in range(60))  # noqa: E731
+    docs = spark.createDataFrame(
+        [(i, "web", mk(i), 300) for i in range(4)],
+        "doc_id long, source string, text string, n_chars long",
+    )
+    # deterministic orthogonal-ish embeddings; doc 2's embedding is the
+    # first holdout embedding scaled by 2 (cosine exactly 1.0)
+    base = [[1.0 if j == i else 0.1 for j in range(8)] for i in range(4)]
+    hold_vec = [x * 2.0 for x in base[2]]
+    doc_emb = spark.createDataFrame(
+        [(i, base[i]) for i in range(4)],
+        "doc_id long, embedding array<double>",
+    )
+    hold_emb = spark.createDataFrame(
+        [(9000, hold_vec)], "doc_id long, embedding array<double>"
+    )
+    # text holdout shares no 5-gram with any doc
+    holdout = spark.createDataFrame(
+        [("completely unrelated benchmark sentence with its own words",)],
+        "text string",
+    )
+
+    m = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "sem"),
+        holdout=holdout,
+        holdout_embeddings=hold_emb,
+        doc_embeddings=doc_emb,
+        semantic_threshold=0.95,
+        min_chars=10,
+    )
+    st = m["stages"]
+    assert st["03_decontam"]["rows"] == 4   # 5-gram gate sees nothing
+    assert st["03b_semantic"]["rows"] == 3  # the paraphrase leak is gone
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(st["03b_semantic"]["path"]).collect()
+    }
+    assert kept == {0, 1, 3}
+
+    with pytest.raises(ValueError, match="doc_embeddings"):
+        build_corpus(
+            spark, docs, str(tmp_path / "bad"),
+            holdout_embeddings=hold_emb, min_chars=10,
+        )
