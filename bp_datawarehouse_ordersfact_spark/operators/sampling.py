@@ -98,3 +98,82 @@ def weighted_sample_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def quality_stratified_resample(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    keep_ppm: list[int],
+    boundaries: list[float] | None = None,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """QUALITY-PACED resampling: partition the corpus into
+    ``len(keep_ppm)`` quality buckets by score quantile and keep each
+    bucket at its own parts-per-million rate — the data-mixing move
+    where ``corpus_mix_resample`` paces SOURCES, this paces QUALITY
+    (e.g. keep_ppm=[0, 250_000, 1_000_000]: drop the bottom tercile of
+    a perplexity/classifier score, thin the middle to 25%, keep the top
+    whole; pair with ``operators.ml.bigram_logprob`` or
+    ``apply_text_quality_filter`` for the score).
+
+    Bucket edges come from ``percentile_approx`` over the score (one
+    tiny aggregate — a map-side-combined sketch whose result is a
+    (n_buckets−1)-row driver pull, the k-row manifest-pull class), or
+    pass ``boundaries`` explicitly to reuse edges fitted on another
+    snapshot — the production posture, where the quantile fit and the
+    daily filter are separate jobs. Bucket ``i`` holds scores in
+    ``(b[i-1], b[i]]`` (±sketch error at the edges when fitted).
+
+    Membership is the repo's canonical deterministic rule —
+    ``h32(id) % 1e6 < keep_ppm[bucket]`` — a pure function of the row
+    id, stable under repartitioning, appends, retries, and AQE
+    re-plans, and reproducible from ``hashlib`` (fuzz-pinned for
+    ``sample_stratified``). After the one aggregate the filter is
+    MAP-ONLY: no shuffle of the corpus at any scale.
+
+    Rows with NULL score are DROPPED (a doc the scorer could not rate
+    has no bucket; gate upstream if they must survive). Returns the
+    surviving rows plus a ``quality_bucket`` int column."""
+    from ..functions.text import h32
+
+    n_buckets = len(keep_ppm)
+    if n_buckets < 1:
+        raise ValueError("keep_ppm must name at least one bucket")
+    for p in keep_ppm:
+        if not 0 <= p <= 1_000_000:
+            raise ValueError(f"keep_ppm entries must be in [0, 1e6]; got {p}")
+    if boundaries is None:
+        if n_buckets == 1:
+            boundaries = []
+        else:
+            qs = [i / n_buckets for i in range(1, n_buckets)]
+            [row] = (
+                df.agg(
+                    F.percentile_approx(
+                        F.col(score_col).cast("double"),
+                        qs,
+                        F.lit(int(1.0 / relative_error)),
+                    ).alias("b")
+                ).collect()
+            )
+            boundaries = [float(x) for x in row["b"]]
+    elif len(boundaries) != n_buckets - 1:
+        raise ValueError(
+            f"{n_buckets} buckets need {n_buckets - 1} boundaries; "
+            f"got {len(boundaries)}"
+        )
+    bucket = F.lit(0)
+    for b in boundaries:
+        bucket = bucket + (F.col(score_col).cast("double") > F.lit(float(b))).cast(
+            "int"
+        )
+    ppm_arr = F.array(*[F.lit(int(p)) for p in keep_ppm])
+    return (
+        df.filter(F.col(score_col).isNotNull())
+        .withColumn("quality_bucket", bucket)
+        .filter(
+            h32(F.col(id_col).cast("string")) % 1_000_000
+            < F.element_at(ppm_arr, F.col("quality_bucket") + 1)
+        )
+    )

@@ -132,3 +132,88 @@ class TestWeightedSample:
             weighted_sample(_df(spark), 0, "weight", "doc_id")
         with pytest.raises(ValueError):
             weighted_sample_per_group(_df(spark), 0, "weight", "doc_id", ["source"])
+
+
+class TestQualityStratifiedResample:
+    def _docs(self, spark, n=600):
+        # score == doc_id: quantile edges are knowable exactly
+        return spark.createDataFrame(
+            [(i, float(i)) for i in range(n)], "doc_id long, score double"
+        )
+
+    def test_membership_matches_hashlib_reference(self, spark):
+        import hashlib
+
+        from bp_datawarehouse_ordersfact_spark.operators.sampling import (
+            quality_stratified_resample,
+        )
+
+        n = 600
+        keep = [0, 250_000, 1_000_000]
+        out = quality_stratified_resample(
+            self._docs(spark, n), "score", "doc_id", keep
+        )
+        got = {(r.doc_id, r.quality_bucket) for r in out.collect()}
+
+        def ref_bucket(i, b):  # terciles of 0..599 land at ~200/400
+            return sum(float(i) > x for x in b)
+
+        # recover the fitted boundaries from the bucket column itself:
+        # bucket edges must sit within sketch error of 200/400
+        edges = sorted({r.quality_bucket for r in out.collect()})
+        assert set(edges) <= {0, 1, 2}
+
+        def ppm(i):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            return h % 1_000_000
+
+        # bottom bucket ppm=0: nothing below ~the first tercile survives
+        assert all(b != 0 for _, b in got)
+        assert min(i for i, _ in got) >= 190  # edge within sketch error
+        # top bucket kept whole: every id above the second edge is present
+        top_ids = {i for i, b in got if b == 2}
+        assert all(i in {g[0] for g in got} for i in range(410, n))
+        assert len(top_ids) >= 190
+        # middle bucket membership is EXACTLY the hashlib rule
+        mid = {i for i, b in got if b == 1}
+        mid_range = range(max(201, min(mid)), min(401, max(mid) + 1))
+        for i in mid_range:
+            assert (i in mid) == (ppm(i) < 250_000), i
+
+    def test_explicit_boundaries_and_determinism(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.sampling import (
+            quality_stratified_resample,
+        )
+
+        df = self._docs(spark).repartition(7)
+        a = quality_stratified_resample(
+            df, "score", "doc_id", [0, 1_000_000], boundaries=[299.5]
+        )
+        b = quality_stratified_resample(
+            df.repartition(3), "score", "doc_id", [0, 1_000_000],
+            boundaries=[299.5],
+        )
+        ids_a = sorted(r.doc_id for r in a.collect())
+        ids_b = sorted(r.doc_id for r in b.collect())
+        assert ids_a == ids_b == list(range(300, 600))  # exact cut, ppm 1e6
+
+    def test_null_scores_dropped_and_validation(self, spark):
+        import pytest as _pytest
+
+        from bp_datawarehouse_ordersfact_spark.operators.sampling import (
+            quality_stratified_resample,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, None)], "doc_id long, score double"
+        )
+        out = quality_stratified_resample(
+            df, "score", "doc_id", [1_000_000], boundaries=[]
+        )
+        assert [r.doc_id for r in out.collect()] == [1]
+        with _pytest.raises(ValueError, match="boundaries"):
+            quality_stratified_resample(
+                df, "score", "doc_id", [1, 2], boundaries=[1.0, 2.0]
+            )
+        with _pytest.raises(ValueError, match="keep_ppm"):
+            quality_stratified_resample(df, "score", "doc_id", [2_000_000])
