@@ -37,6 +37,13 @@ Stages (all built from the repo's operators — nothing new semantically):
                        the 5-gram join cannot see.
 4. ``04_mixed``      — per-source mix resample to target ppm weights
                        (deterministic md5 bucket, zero shuffles).
+4a. ``04a_quality``  — OPTIONAL (``quality_scores`` +
+                       ``quality_keep_ppm``): thin each score-quantile
+                       bucket at its own ppm rate (drop the worst,
+                       thin the middle, keep the best whole) — the
+                       QUALITY counterpart of the source mix;
+                       ``quality_boundaries`` reuses edges fitted on
+                       another snapshot.
 4b. ``04b_sampled``  — OPTIONAL (``sample_n``): fixed-size weighted draw
                        (Efraimidis–Spirakis, operators/sampling.py) when
                        the budget is "n documents, favor weight" rather
@@ -98,6 +105,9 @@ def build_corpus(
     holdout_embeddings: DataFrame | None = None,
     doc_embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.95,
+    quality_scores: DataFrame | None = None,
+    quality_keep_ppm: list[int] | None = None,
+    quality_boundaries: list[float] | None = None,
     min_chars: int = 100,
     mix_ppm: dict[str, int] | None = None,
     near_dup_threshold: float = 0.5,
@@ -294,6 +304,32 @@ def build_corpus(
     else:
         mixed = clean
     mixed = record("04_mixed", mixed)
+
+    # 4a — OPTIONAL quality pacing: thin each score-quantile bucket at
+    # its own ppm rate (operators/sampling.quality_stratified_resample —
+    # drop the worst, thin the middle, keep the best whole). Scores
+    # arrive as a (doc_id, score) frame — produced by any scorer
+    # (bigram_logprob, apply_text_quality_filter, an external model);
+    # docs without a score are dropped by the operator's NULL rule, so
+    # the join here is inner by construction.
+    if quality_keep_ppm is not None:
+        if quality_scores is None:
+            raise ValueError(
+                "quality_keep_ppm given without quality_scores — the "
+                "quality gate needs a score per surviving doc"
+            )
+        from ..operators.sampling import quality_stratified_resample
+
+        paced = quality_stratified_resample(
+            mixed.join(quality_scores, "doc_id"),
+            "score",
+            "doc_id",
+            quality_keep_ppm,
+            boundaries=quality_boundaries,
+        )
+        mixed = record(
+            "04a_quality", paced.drop("score", "quality_bucket")
+        )
 
     # 4b — optional fixed-size weighted draw on top of the mix: the mix
     # stage shapes the SOURCE proportions, this stage caps the absolute

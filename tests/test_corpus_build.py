@@ -416,3 +416,55 @@ def test_semantic_decontam_stage_catches_paraphrased_leak(spark, tmp_path):
             spark, docs, str(tmp_path / "bad"),
             holdout_embeddings=hold_emb, min_chars=10,
         )
+
+
+def test_quality_pacing_stage(spark, tmp_path):
+    """Stage 04a: with keep_ppm=[0, 1_000_000] and an explicit boundary,
+    every doc scoring at-or-below the edge is dropped and every doc
+    above survives; unscored docs are dropped by the operator's NULL
+    rule; missing quality_scores raises."""
+    from bp_datawarehouse_ordersfact_spark.pipelines import build_corpus
+
+    mk = lambda i: " ".join(f"w{i}x{j}" for j in range(60))  # noqa: E731
+    docs = spark.createDataFrame(
+        [(i, "web", mk(i), 300) for i in range(10)],
+        "doc_id long, source string, text string, n_chars long",
+    )
+    scores = spark.createDataFrame(
+        # doc 9 has no score row at all; doc 8's score is NULL
+        [(i, float(i)) for i in range(8)] + [(8, None)],
+        "doc_id long, score double",
+    )
+    m = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "q"),
+        min_chars=10,
+        quality_scores=scores,
+        quality_keep_ppm=[0, 1_000_000],
+        quality_boundaries=[3.5],
+    )
+    st = m["stages"]
+    assert st["04_mixed"]["rows"] == 10
+    assert st["04a_quality"]["rows"] == 4  # scores 4..7 survive
+    kept = {
+        r.doc_id
+        for r in spark.read.parquet(st["04a_quality"]["path"]).collect()
+    }
+    assert kept == {4, 5, 6, 7}
+    # the staged frame keeps the docs schema (score columns dropped)
+    cols = spark.read.parquet(st["04a_quality"]["path"]).columns
+    assert "score" not in cols and "quality_bucket" not in cols
+    # downstream chunks come only from the paced survivors
+    chunk_ids = {
+        r.doc_id
+        for r in spark.read.parquet(st["05_chunks"]["path"])
+        .select("doc_id").distinct().collect()
+    }
+    assert chunk_ids <= kept
+
+    with pytest.raises(ValueError, match="quality_scores"):
+        build_corpus(
+            spark, docs, str(tmp_path / "bad"),
+            quality_keep_ppm=[1_000_000], min_chars=10,
+        )
