@@ -727,6 +727,7 @@ def decontaminate_semantic(
     bits_per_band: int = 8,
     dim: int | None = None,
     seed: int = 42,
+    probe_flips: int = 0,
 ) -> DataFrame:
     """SEMANTIC decontamination: drop corpus rows whose embedding is
     within ``threshold`` cosine of ANY holdout row — the embedding-level
@@ -751,6 +752,7 @@ def decontaminate_semantic(
         bits_per_band=bits_per_band,
         dim=dim,
         seed=seed,
+        probe_flips=probe_flips,
     )
     contaminated = hits.select(F.col("left_id").alias(id_col)).distinct()
     return corpus.join(contaminated, id_col, "left_anti")
