@@ -177,3 +177,45 @@ def quality_stratified_resample(
             < F.element_at(ppm_arr, F.col("quality_bucket") + 1)
         )
     )
+
+
+def seeded_global_shuffle(
+    df: DataFrame,
+    id_col: str,
+    seed: str = "0",
+    n_shards: int | None = None,
+    keep_key: bool = False,
+) -> DataFrame:
+    """Deterministic GLOBAL pseudo-random reorder — the final shuffle a
+    training-data delivery needs before sharding (``write_tar_shards``
+    follows physical partition order, so whatever order this stage
+    establishes IS the training order).
+
+    Every row gets the repo's canonical hashlib-reproducible key
+    ``h32(seed || ':' || id)``; ``repartitionByRange`` over
+    ``(key, id)`` then ``sortWithinPartitions`` yields one total order
+    — a pure function of (id, seed), independent of the input's
+    partitioning, task retries, and AQE re-plans (``rand()`` is none of
+    those things). Re-seeding per epoch (``seed=f"ep{k}"``) gives
+    independent epoch orders from the same staged corpus.
+
+    Scale shape: ONE range shuffle of the corpus — the unavoidable cost
+    of a global permutation — into ``n_shards`` near-equal output
+    partitions (hash keys are uniform, so the range sampler's splits
+    balance; no skew by construction, even when the input is sorted by
+    source or quality). ``n_shards=None`` keeps the session's shuffle
+    parallelism. ``keep_key`` retains the ``_shuffle_key`` column for
+    audit; otherwise the frame comes back with its original columns.
+    """
+    from ..functions.text import h32
+
+    key = h32(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    out = df.withColumn("_shuffle_key", key)
+    parts = [F.col("_shuffle_key"), F.col(id_col)]
+    out = (
+        out.repartitionByRange(n_shards, *parts)
+        if n_shards is not None
+        else out.repartitionByRange(*parts)
+    )
+    out = out.sortWithinPartitions(*parts)
+    return out if keep_key else out.drop("_shuffle_key")

@@ -56,7 +56,11 @@ Stages (all built from the repo's operators — nothing new semantically):
                        (sources.files.write_tar_shards) — the format a
                        sequential training loader streams; reads the
                        STAGED chunk parquet, so the heavy chunk/pack
-                       plan never re-runs.
+                       plan never re-runs. ``shard_shuffle_seed``
+                       applies a deterministic global training-order
+                       shuffle (operators.sampling.
+                       seeded_global_shuffle) first — re-seedable per
+                       epoch from the same staged chunks.
 6. ``06_tokenizer``  — OPTIONAL (``bpe_merges``): fit a BPE merge list
                        on the SAME corpus the chunks came from
                        (operators/bpe.py) and persist it next to the
@@ -120,6 +124,7 @@ def build_corpus(
     sample_weight: str = "n_chars",
     bpe_merges: int | None = None,
     tar_shard_rows: int | None = None,
+    shard_shuffle_seed: str | None = None,
     chunk_tokens: int = 50,
     chunk_stride: int = 40,
     pack_budget: int = 500,
@@ -413,7 +418,17 @@ def build_corpus(
         keyed = chunks_staged.select(
             F.concat_ws("-", "doc_id", "chunk_idx").alias("key"),
             F.concat_ws(" ", "chunk").alias("body"),
-        ).sortWithinPartitions("key")
+        )
+        if shard_shuffle_seed is not None:
+            # deterministic global training-order shuffle: shard
+            # membership and within-shard order become a pure function
+            # of (key, seed) — reproducible across reruns, re-seedable
+            # per epoch from the same staged chunks
+            from ..operators.sampling import seeded_global_shuffle
+
+            keyed = seeded_global_shuffle(keyed, "key", seed=shard_shuffle_seed)
+        else:
+            keyed = keyed.sortWithinPartitions("key")
         shard_dir = os.path.join(out_dir, "05b_shards")
         # every other stage overwrites; tar shards are appended files,
         # so a rerun must clear stale shards or read_tar_shards would

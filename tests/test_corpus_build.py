@@ -468,3 +468,56 @@ def test_quality_pacing_stage(spark, tmp_path):
             spark, docs, str(tmp_path / "bad"),
             quality_keep_ppm=[1_000_000], min_chars=10,
         )
+
+
+def test_shard_shuffle_seed_sets_training_order(spark, tmp_path):
+    """05b with shard_shuffle_seed: shard contents follow the
+    deterministic global shuffle — reruns with the same seed are
+    byte-identical, a different epoch seed re-orders the same chunks."""
+    import hashlib
+    import pathlib
+
+    def _tar_bytes(shard_dir):
+        return {
+            p.name: hashlib.md5(p.read_bytes()).hexdigest()
+            for p in sorted(pathlib.Path(shard_dir).iterdir())
+        }
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    m1 = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "c1"),
+        min_chars=1,
+        tar_shard_rows=50,
+        shard_shuffle_seed="ep0",
+    )
+    m2 = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "c2"),
+        min_chars=1,
+        tar_shard_rows=50,
+        shard_shuffle_seed="ep0",
+    )
+    m3 = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "c3"),
+        min_chars=1,
+        tar_shard_rows=50,
+        shard_shuffle_seed="ep1",
+    )
+    s1 = m1["stages"]["05b_shards"]
+    s2 = m2["stages"]["05b_shards"]
+    s3 = m3["stages"]["05b_shards"]
+    assert s1["rows"] == s2["rows"] == s3["rows"] == m1["stages"]["05_chunks"]["rows"]
+    h1, h2, h3 = (_tar_bytes(s["path"]) for s in (s1, s2, s3))
+    assert h1 == h2  # same seed -> byte-identical delivery
+    assert h1 != h3  # new epoch seed -> different order/membership
+    # and the shuffled delivery still round-trips every chunk
+    from bp_datawarehouse_ordersfact_spark.sources.files import read_tar_shards
+
+    back = read_tar_shards(spark, s1["path"])
+    assert back.count() == s1["rows"]
+    assert back.select("key").distinct().count() == s1["rows"]

@@ -217,3 +217,89 @@ class TestQualityStratifiedResample:
             )
         with _pytest.raises(ValueError, match="keep_ppm"):
             quality_stratified_resample(df, "score", "doc_id", [2_000_000])
+
+
+class TestSeededGlobalShuffle:
+    """The training-order shuffle is a pure function of (id, seed):
+    the hashlib reference recomputes the exact global order."""
+
+    def _ref_order(self, ids, seed):
+        def k(i):
+            return int(
+                hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16
+            )
+
+        return sorted(ids, key=lambda i: (k(i), i))
+
+    def test_order_matches_hashlib_reference(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.sampling import (
+            seeded_global_shuffle,
+        )
+
+        ids = list(range(200))
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        out = seeded_global_shuffle(df, "doc_id", seed="ep0")
+        got = [r.doc_id for r in out.collect()]
+        assert sorted(got) == ids  # a permutation
+        assert got == self._ref_order(ids, "ep0")
+
+    def test_partitioning_independence_and_seed_sensitivity(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.sampling import (
+            seeded_global_shuffle,
+        )
+
+        ids = list(range(300))
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        a = [
+            r.doc_id
+            for r in seeded_global_shuffle(df, "doc_id", seed="ep0").collect()
+        ]
+        b = [
+            r.doc_id
+            for r in seeded_global_shuffle(
+                df.repartition(7), "doc_id", seed="ep0"
+            ).collect()
+        ]
+        assert a == b  # physical input layout is irrelevant
+        c = [
+            r.doc_id
+            for r in seeded_global_shuffle(df, "doc_id", seed="ep1").collect()
+        ]
+        assert sorted(c) == ids and c != a  # epoch reseed = new order
+
+    def test_shards_balanced_even_on_sorted_input(self, spark):
+        from pyspark.sql import functions as F
+
+        from bp_datawarehouse_ordersfact_spark.operators.sampling import (
+            seeded_global_shuffle,
+        )
+
+        # input sorted by id (the adversarial layout for naive range
+        # sharding); hash keys spread it uniformly
+        df = spark.createDataFrame(
+            [(i,) for i in range(4000)], "doc_id long"
+        ).orderBy("doc_id")
+        out = seeded_global_shuffle(df, "doc_id", n_shards=8)
+        assert out.rdd.getNumPartitions() == 8
+        sizes = [
+            r.n
+            for r in out.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        assert len(sizes) == 8
+        assert max(sizes) <= 2 * min(sizes)
+
+    def test_keep_key_toggle(self, spark):
+        from bp_datawarehouse_ordersfact_spark.operators.sampling import (
+            seeded_global_shuffle,
+        )
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, body string")
+        assert seeded_global_shuffle(df, "doc_id").columns == [
+            "doc_id",
+            "body",
+        ]
+        assert "_shuffle_key" in seeded_global_shuffle(
+            df, "doc_id", keep_key=True
+        ).columns
