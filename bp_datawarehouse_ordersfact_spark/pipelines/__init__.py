@@ -11,7 +11,7 @@ from .ann_index import (  # noqa: F401
     search_ann_index_batch,
     tune_ann_index,
 )
-from .corpus_build import build_corpus  # noqa: F401
+from .corpus_build import build_corpus, build_corpus_increment  # noqa: F401
 from .dedup_store import (  # noqa: F401
     admit_embeddings_to_store,
     admit_to_store,

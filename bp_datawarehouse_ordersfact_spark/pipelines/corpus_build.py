@@ -70,6 +70,13 @@ Stages (all built from the repo's operators — nothing new semantically):
 Each stage reads the previous stage's Parquet, so reruns of a later
 stage never recompute earlier ones — the restartability that a single
 fused plan cannot give at scale.
+
+``build_corpus_increment`` is the DAILY-DELTA complement: the same
+gates over today's crawl increment only, with the accumulated corpus
+participating solely through its MinHash signature store
+(``pipelines/dedup_store.py``) and one versioned snapshot append
+(``sources/versioned.py``) — increment-sized cost per day instead of a
+full rebuild.
 """
 
 from __future__ import annotations
@@ -455,4 +462,199 @@ def build_corpus(
             "path": tok_path,
             "rows": len(merges),
         }
+    return manifest
+
+
+def build_corpus_increment(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    out_dir: str,
+    store_dir: str,
+    corpus_dir: str,
+    holdout: DataFrame | None = None,
+    holdout_embeddings: DataFrame | None = None,
+    doc_embeddings: DataFrame | None = None,
+    semantic_threshold: float = 0.95,
+    quality_scores: DataFrame | None = None,
+    quality_keep_ppm: list[int] | None = None,
+    quality_boundaries: list[float] | None = None,
+    min_chars: int = 100,
+    near_dup_threshold: float = 0.5,
+    encoding_normalize: str | None = None,
+    admit: bool = True,
+    snapshot_label: str | None = None,
+) -> dict:
+    """The DAILY-DELTA corpus job: run ``new_docs`` (today's crawl
+    increment) through the same gates as ``build_corpus`` WITHOUT
+    re-reading the accumulated corpus — every stage's cost is
+    increment-sized; the existing corpus participates only through its
+    MinHash signature store (``pipelines/dedup_store.py``, band
+    equi-join against increment signatures) and one snapshot append.
+
+    Stage chain (manifest mirrors ``build_corpus``):
+
+    - ``i00_encoding`` — optional hygiene, same modes as the full build
+      (MUST match the mode the store was built with: the store holds
+      shingle hashes of the NORMALIZED text).
+    - ``i01_gated``    — min_chars + nonempty-token gate.
+    - ``i02_dedup``    — WITHIN-increment exact dedup + MinHash-LSH
+      near-dup clusters (keep min doc_id), the full build's policy.
+    - ``i03_store``    — AGAINST-corpus dedup via the signature store:
+      ``dedup_against_store`` candidates from the band equi-join, exact
+      Jaccard verify on candidates only; exact cross-corpus dups are
+      the Jaccard-1.0 subset, so one gate covers both tiers.
+    - ``i04_decontam`` / ``i04b_semantic`` — the same holdout gates as
+      the full build (benchmarks change rarely; re-gating the increment
+      keeps NEW leaks out without touching old data).
+    - ``i05_quality``  — quality pacing with EXPLICIT boundaries only:
+      quantile edges must come from the snapshot the filter was fitted
+      on (``quality_stratified_resample(boundaries=...)``); re-fitting
+      edges per increment would let one day's score drift silently
+      reshape the mix (raises if ``quality_keep_ppm`` arrives without
+      ``quality_boundaries``).
+    - admit survivors' signatures to the store (skippable via
+      ``admit=False`` for a dry run) and COMMIT them as the next
+      version of ``corpus_dir`` (``sources/versioned.write_snapshot``
+      — manifest append is the commit point, crash-safe).
+
+    Id uniqueness vs the store is the caller's contract (as in
+    ``admit_to_store``). Returns the manifest with per-stage rows plus
+    ``admitted`` and ``snapshot_version``.
+    """
+    from ..sources.versioned import write_snapshot
+    from .dedup_store import admit_to_store, dedup_against_store
+
+    manifest: dict = {"out_dir": out_dir, "stages": {}}
+
+    def record(name: str, df: DataFrame) -> DataFrame:
+        staged, rows = _stage(df, out_dir, name)
+        manifest["stages"][name] = {
+            "path": os.path.join(out_dir, name),
+            "rows": rows,
+        }
+        return staged
+
+    if encoding_normalize is not None:
+        if encoding_normalize == "codegen":
+            cleaned_text = Enc.clean_text(F.col("text"))
+        elif encoding_normalize == "exact":
+            cleaned_text = Enc.clean_text_exact(F.col("text"))
+        else:
+            raise ValueError(
+                "encoding_normalize must be None, 'codegen', or 'exact'; "
+                f"got {encoding_normalize!r}"
+            )
+        new_docs = record(
+            "i00_encoding",
+            new_docs.withColumn("text", cleaned_text).withColumn(
+                "n_chars", F.length("text")
+            ),
+        )
+
+    toks = Tx.tokens(F.col("text"))
+    gated = record(
+        "i01_gated",
+        new_docs.filter((F.col("n_chars") >= min_chars) & (F.size(toks) > 0)),
+    )
+
+    # within-increment dedup: the store can't see today's docs yet, so
+    # intra-batch dups need the full build's exact+near-dup policy
+    keep_exact = exact_dedup(gated, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    exact_kept = gated.join(keep_exact, "doc_id")
+    pairs = minhash_lsh_pairs(
+        exact_kept, "text", "doc_id", threshold=near_dup_threshold, eager=False
+    )
+    comps = connected_components(
+        exact_kept.select(F.col("doc_id").alias("id")),
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+    )
+    keep_nd = comps.groupBy("component").agg(F.min("id").alias("doc_id"))
+    deduped = record(
+        "i02_dedup", exact_kept.join(keep_nd.select("doc_id"), "doc_id")
+    )
+
+    # against-corpus dedup through the signature store (increment-sized
+    # band join; the corpus itself is never re-read)
+    dups = dedup_against_store(
+        spark,
+        deduped,
+        store_dir,
+        threshold=near_dup_threshold,
+    )
+    fresh = record(
+        "i03_store",
+        deduped.join(dups.select("doc_id").distinct(), "doc_id", "left_anti"),
+    )
+
+    if holdout is not None:
+        grams5 = lambda c: Tx.word_shingles(Tx.tokens(c), 5)  # noqa: E731
+        hold_grams = (
+            holdout.select(F.explode(grams5(F.col("text"))).alias("gram"))
+            .distinct()
+        )
+        doc_grams = fresh.select(
+            "doc_id", F.explode(grams5(F.col("text"))).alias("gram")
+        )
+        contaminated = (
+            doc_grams.join(F.broadcast(hold_grams), "gram")
+            .select("doc_id")
+            .distinct()
+        )
+        fresh = record(
+            "i04_decontam", fresh.join(contaminated, "doc_id", "left_anti")
+        )
+
+    if holdout_embeddings is not None:
+        if doc_embeddings is None:
+            raise ValueError(
+                "holdout_embeddings given without doc_embeddings — the "
+                "semantic gate needs an embedding per surviving doc"
+            )
+        from ..operators.dedup import decontaminate_semantic
+
+        survivors = decontaminate_semantic(
+            fresh.select("doc_id").join(doc_embeddings, "doc_id"),
+            holdout_embeddings,
+            vec_col="embedding",
+            id_col="doc_id",
+            threshold=semantic_threshold,
+        )
+        fresh = record(
+            "i04b_semantic", fresh.join(survivors.select("doc_id"), "doc_id")
+        )
+
+    if quality_keep_ppm is not None:
+        if quality_scores is None:
+            raise ValueError(
+                "quality_keep_ppm given without quality_scores — the "
+                "quality gate needs a score per surviving doc"
+            )
+        if quality_boundaries is None:
+            raise ValueError(
+                "incremental quality pacing needs EXPLICIT "
+                "quality_boundaries (edges fitted on the reference "
+                "snapshot) — refitting quantiles on one day's increment "
+                "would silently reshape the mix"
+            )
+        from ..operators.sampling import quality_stratified_resample
+
+        paced = quality_stratified_resample(
+            fresh.join(quality_scores, "doc_id"),
+            "score",
+            "doc_id",
+            quality_keep_ppm,
+            boundaries=quality_boundaries,
+        )
+        fresh = record(
+            "i05_quality", fresh.join(paced.select("doc_id"), "doc_id")
+        )
+
+    manifest["admitted"] = (
+        admit_to_store(spark, fresh, store_dir) if admit else 0
+    )
+    manifest["snapshot_version"] = write_snapshot(
+        fresh, corpus_dir, label=snapshot_label
+    )
     return manifest

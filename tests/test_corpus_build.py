@@ -521,3 +521,130 @@ def test_shard_shuffle_seed_sets_training_order(spark, tmp_path):
     back = read_tar_shards(spark, s1["path"])
     assert back.count() == s1["rows"]
     assert back.select("key").distinct().count() == s1["rows"]
+
+
+def test_incremental_corpus_build_daily_delta(spark, tmp_path):
+    """The daily-delta job: increment-only cost, corpus seen only via
+    the signature store; survivors admitted + snapshot-committed."""
+    from bp_datawarehouse_ordersfact_spark.pipelines import (
+        build_corpus_increment,
+        build_dedup_store,
+        dedup_against_store,
+    )
+    from bp_datawarehouse_ordersfact_spark.pipelines.corpus_build import (
+        build_corpus_increment as _same,  # import path sanity
+    )
+    from bp_datawarehouse_ordersfact_spark.sources.versioned import (
+        read_snapshot,
+    )
+
+    base = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+        .limit(20)
+    )
+    store_dir = str(tmp_path / "store")
+    corpus_dir = str(tmp_path / "corpus")
+    build_dedup_store(spark, base, store_dir)
+    from bp_datawarehouse_ordersfact_spark.sources.versioned import (
+        write_snapshot,
+    )
+
+    assert write_snapshot(base, corpus_dir, label="day0") == 0
+
+    rows = base.orderBy("doc_id").collect()
+    t0 = rows[0]["text"]
+    near = rows[1]["text"].replace(rows[1]["text"].split()[0], "zzz", 1)
+    fresh_a = "the quick brown fox jumps over a lazy dog " * 8
+    fresh_b = "entirely new content about spark incremental corpora " * 8
+    leaky = fresh_a + " secret holdout marker gram alpha beta gamma delta"
+    inc = spark.createDataFrame(
+        [
+            (1001, t0),          # exact copy of a stored doc -> i03 drop
+            (1002, near),        # near-dup of a stored doc   -> i03 drop
+            (1003, fresh_a),     # intra-increment exact pair:
+            (1004, fresh_a),     #   keep-min keeps 1003 at i02
+            (1005, leaky),       # holdout 5-gram overlap     -> i04 drop
+            (1006, fresh_b),     # clean survivor
+        ],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    holdout = spark.createDataFrame(
+        [("secret holdout marker gram alpha beta gamma delta",)],
+        "text string",
+    )
+
+    m = build_corpus_increment(
+        spark,
+        inc,
+        str(tmp_path / "delta"),
+        store_dir,
+        corpus_dir,
+        holdout=holdout,
+        min_chars=10,
+        snapshot_label="day1",
+    )
+    st = m["stages"]
+    assert st["i01_gated"]["rows"] == 6
+    assert st["i02_dedup"]["rows"] == 5          # 1004 folded into 1003
+    assert st["i03_store"]["rows"] == 3          # 1001, 1002 matched store
+    assert st["i04_decontam"]["rows"] == 2       # 1005 leaked
+    survivors = {1003, 1006}
+    assert m["admitted"] == 2
+    assert m["snapshot_version"] == 1
+    snap = read_snapshot(spark, corpus_dir, version=1)
+    assert {r.doc_id for r in snap.select("doc_id").collect()} == survivors
+    # day-0 snapshot still readable (time travel intact)
+    assert read_snapshot(spark, corpus_dir, version=0).count() == 20
+    # the admitted signatures are live: re-probing a survivor's copy
+    # against the store must now hit at jaccard 1.0
+    reprobe = spark.createDataFrame(
+        [(9001, fresh_b)], "doc_id long, text string"
+    )
+    hits = dedup_against_store(spark, reprobe, store_dir).collect()
+    assert any(r["dup_of"] == 1006 and r["jaccard"] == 1.0 for r in hits)
+
+
+def test_incremental_quality_pacing_requires_explicit_boundaries(
+    spark, tmp_path
+):
+    from bp_datawarehouse_ordersfact_spark.pipelines import (
+        build_corpus_increment,
+        build_dedup_store,
+    )
+
+    base = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+        .limit(5)
+    )
+    store_dir = str(tmp_path / "store")
+    build_dedup_store(spark, base, store_dir)
+    inc = spark.createDataFrame(
+        [(2001, "completely novel increment text " * 10)],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    scores = spark.createDataFrame([(2001, 0.9)], "doc_id long, score double")
+    with pytest.raises(ValueError, match="EXPLICIT"):
+        build_corpus_increment(
+            spark,
+            inc,
+            str(tmp_path / "d1"),
+            store_dir,
+            str(tmp_path / "c1"),
+            quality_scores=scores,
+            quality_keep_ppm=[0, 1_000_000],
+            min_chars=10,
+        )
+    m = build_corpus_increment(
+        spark,
+        inc,
+        str(tmp_path / "d2"),
+        store_dir,
+        str(tmp_path / "c2"),
+        quality_scores=scores,
+        quality_keep_ppm=[0, 1_000_000],
+        quality_boundaries=[0.5],
+        min_chars=10,
+    )
+    assert m["stages"]["i05_quality"]["rows"] == 1  # 0.9 > 0.5 -> top bucket
