@@ -75,3 +75,68 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
     return wide.select(F.explode(F.array(*pairs)).alias("p")).select(
         "p.column", *[F.col(f"p.{s}") for s in stats]
     )
+
+
+def corpus_stats_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str | None = None,
+) -> DataFrame:
+    """The DATASET-CARD stats table for a text corpus, in ONE
+    aggregation pass: per ``source_col`` stratum plus an all-corpus
+    rollup row (``source`` NULL), each with document count, char and
+    whitespace-token totals, char-length mean/p50/p95, and an
+    approximate exact-duplicate rate (1 − approx_distinct(md5(text)) /
+    n — HLL, so the corpus never shuffles by text).
+
+    Everything is a map-side-combinable aggregate over one ``rollup``
+    shuffle whose key cardinality is the number of sources — the report
+    over 100 TB costs one corpus scan, same as ``profile_numeric``.
+    Floats 6dp-rounded for engine-stable snapshots; `approx_dup_rate`
+    carries HLL error (~2%) and is clamped at 0."""
+    from ..functions.rounding import rnd
+    from ..functions.text import tokens
+
+    text = F.col(text_col)
+    n = F.count(F.lit(1))
+    src = (
+        F.col(source_col)
+        if source_col is not None
+        else F.lit(None).cast("string")
+    )
+    grouped = df.select(
+        src.alias("source"),
+        text.alias("_t"),
+        F.length(text).alias("_chars"),
+        F.size(tokens(text)).alias("_toks"),
+    ).rollup("source" if source_col is not None else F.lit(1).alias("_g"))
+    out = grouped.agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("_chars").cast("long").alias("n_chars"),
+        F.sum("_toks").cast("long").alias("n_tokens"),
+        rnd(F.avg("_chars"), 6).alias("chars_mean"),
+        rnd(F.percentile_approx(F.col("_chars").cast("double"), 0.5), 6).alias(
+            "chars_p50"
+        ),
+        rnd(F.percentile_approx(F.col("_chars").cast("double"), 0.95), 6).alias(
+            "chars_p95"
+        ),
+        rnd(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0) - F.approx_count_distinct(F.md5("_t")) / n,
+            ),
+            6,
+        ).alias("approx_dup_rate"),
+    )
+    if source_col is None:
+        # single-stratum corpus: the rollup's grand-total row IS the
+        # report; drop the synthetic grouping column and the per-group twin
+        return out.filter(F.col("_g").isNull()).drop("_g").withColumn(
+            "source", F.lit(None).cast("string")
+        ).select(
+            "source", "n_docs", "n_chars", "n_tokens",
+            "chars_mean", "chars_p50", "chars_p95", "approx_dup_rate",
+        )
+    return out

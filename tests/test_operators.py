@@ -1667,3 +1667,56 @@ def test_cut_duplicated_passages_keeps_one_canonical_copy(spark):
         assert got_text == t[: t.index(boiler)] + got_text[
             len(t[: t.index(boiler)]) :
         ]
+
+
+# ---------------------------------------------------------------------------
+# corpus stats report (dataset card)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_stats_report_rollup_and_dup_rate(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import (
+        corpus_stats_report,
+    )
+
+    rows = [
+        (1, "web", "alpha beta gamma"),       # 16 chars, 3 tokens
+        (2, "web", "alpha beta gamma"),       # exact dup of 1
+        (3, "web", "delta epsilon"),          # 13 chars, 2 tokens
+        (4, "books", "zeta eta theta iota"),  # 19 chars, 4 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rep = {
+        r["source"]: r
+        for r in corpus_stats_report(df, source_col="source").collect()
+    }
+    assert set(rep) == {"web", "books", None}
+    total = rep[None]
+    assert total["n_docs"] == 4
+    assert total["n_chars"] == 16 + 16 + 13 + 19
+    assert total["n_tokens"] == 3 + 3 + 2 + 4
+    # 3 distinct texts of 4 docs -> dup rate ~0.25 (HLL exact at n=4)
+    assert abs(total["approx_dup_rate"] - 0.25) < 0.05
+    web = rep["web"]
+    assert web["n_docs"] == 3 and web["n_tokens"] == 8
+    assert abs(web["approx_dup_rate"] - 1 / 3) < 0.05
+    books = rep["books"]
+    assert books["n_docs"] == 1 and books["approx_dup_rate"] == 0.0
+    assert books["chars_mean"] == 19.0
+
+
+def test_corpus_stats_report_single_stratum(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import (
+        corpus_stats_report,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "three")],
+        "doc_id long, text string",
+    )
+    out = corpus_stats_report(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["source"] is None
+    assert r["n_docs"] == 3 and r["n_tokens"] == 5
+    assert abs(r["approx_dup_rate"] - 1 / 3) < 0.05
