@@ -483,6 +483,7 @@ def build_corpus_increment(
     encoding_normalize: str | None = None,
     admit: bool = True,
     snapshot_label: str | None = None,
+    retain_snapshots: int | None = None,
 ) -> dict:
     """The DAILY-DELTA corpus job: run ``new_docs`` (today's crawl
     increment) through the same gates as ``build_corpus`` WITHOUT
@@ -515,7 +516,10 @@ def build_corpus_increment(
     - admit survivors' signatures to the store (skippable via
       ``admit=False`` for a dry run) and COMMIT them as the next
       version of ``corpus_dir`` (``sources/versioned.write_snapshot``
-      — manifest append is the commit point, crash-safe).
+      — manifest append is the commit point, crash-safe);
+      ``retain_snapshots`` then expires all but the newest N versions
+      (append-only tombstones — a daily job otherwise accretes one
+      full increment copy per day forever).
 
     Id uniqueness vs the store is the caller's contract (as in
     ``admit_to_store``). Returns the manifest with per-stage rows plus
@@ -657,4 +661,13 @@ def build_corpus_increment(
     manifest["snapshot_version"] = write_snapshot(
         fresh, corpus_dir, label=snapshot_label
     )
+    if retain_snapshots is not None:
+        # a daily job otherwise accretes one full increment copy per
+        # day forever; expiry is the same append-only tombstone commit
+        # the snapshot itself uses (sources/versioned.expire_snapshots)
+        from ..sources.versioned import expire_snapshots
+
+        manifest["expired_snapshots"] = expire_snapshots(
+            spark, corpus_dir, keep_last=retain_snapshots
+        )
     return manifest

@@ -648,3 +648,48 @@ def test_incremental_quality_pacing_requires_explicit_boundaries(
         min_chars=10,
     )
     assert m["stages"]["i05_quality"]["rows"] == 1  # 0.9 > 0.5 -> top bucket
+
+
+def test_incremental_snapshot_retention(spark, tmp_path):
+    """Two daily increments with retain_snapshots=2: the day-0 base
+    version is tombstoned, the two newest stay readable."""
+    from bp_datawarehouse_ordersfact_spark.pipelines import (
+        build_corpus_increment,
+        build_dedup_store,
+    )
+    from bp_datawarehouse_ordersfact_spark.sources.versioned import (
+        list_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+        .limit(5)
+    )
+    store_dir = str(tmp_path / "store")
+    corpus_dir = str(tmp_path / "corpus")
+    build_dedup_store(spark, base, store_dir)
+    write_snapshot(base, corpus_dir, label="day0")
+
+    for day, doc_id in ((1, 3001), (2, 3002)):
+        m = build_corpus_increment(
+            spark,
+            spark.createDataFrame(
+                [(doc_id, f"novel day {day} text that nobody wrote before " * 6)],
+                "doc_id long, text string",
+            ).withColumn("n_chars", F.length("text")),
+            str(tmp_path / f"delta{day}"),
+            store_dir,
+            corpus_dir,
+            min_chars=10,
+            retain_snapshots=2,
+        )
+    assert m["snapshot_version"] == 2
+    assert m["expired_snapshots"] == [0]
+    alive = [r["version"] for r in list_snapshots(spark, corpus_dir).collect()]
+    assert alive == [1, 2]
+    assert read_snapshot(spark, corpus_dir, version=2).count() == 1
+    with pytest.raises(ValueError):
+        read_snapshot(spark, corpus_dir, version=0)

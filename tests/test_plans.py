@@ -358,3 +358,42 @@ def test_pq_batch_adc_broadcasts_both_small_sides(spark):
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
     assert "WindowGroupLimit" in p
+
+
+def test_corpus_stats_report_single_rollup_exchange(spark):
+    """The dataset-card report is ONE scan + ONE rollup shuffle: partial
+    aggregates map-side, no shuffle keyed by text."""
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import (
+        corpus_stats_report,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = (
+        corpus_stats_report(docs, source_col="source")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Exchange") == 1
+    assert "Expand" in p  # the rollup's grouping-set expansion
+    assert "partial" in p.lower()  # map-side combine before the exchange
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_seeded_global_shuffle_single_range_exchange(spark):
+    """The training-order shuffle costs exactly one range exchange —
+    the minimum for a global permutation — and nothing else."""
+    from bp_datawarehouse_ordersfact_spark.operators.sampling import (
+        seeded_global_shuffle,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = (
+        seeded_global_shuffle(docs, "doc_id", n_shards=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Exchange") == 1
+    assert "rangepartitioning" in p.lower()
+    assert "Sort" in p
