@@ -13,6 +13,13 @@ switching from the reference's shell-driven pipeline
                                        printed (or row-counted);
 - ``corpus --docs P --out DIR``        the staged training-corpus build
                                        over a documents parquet;
+- ``corpus-increment --docs P --out DIR --store S --corpus C``
+                                       the daily-delta build: gate the
+                                       increment against the signature
+                                       store, admit survivors, commit
+                                       the next corpus snapshot
+                                       (``--retain N`` expires old
+                                       versions);
 - ``list``                             the registry query names.
 
 Everything returns a JSON manifest on stdout so the commands compose in
@@ -73,6 +80,24 @@ def cmd_corpus(args) -> dict:
     return build_corpus(spark, docs, args.out, holdout=holdout)
 
 
+def cmd_corpus_increment(args) -> dict:
+    from .pipelines import build_corpus_increment
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs)
+    holdout = spark.read.parquet(args.holdout) if args.holdout else None
+    return build_corpus_increment(
+        spark,
+        docs,
+        args.out,
+        args.store,
+        args.corpus,
+        holdout=holdout,
+        snapshot_label=args.label,
+        retain_snapshots=args.retain,
+    )
+
+
 def cmd_list(args) -> dict:
     from .queries import all_oracles, all_queries
 
@@ -104,6 +129,19 @@ def main(argv: list[str] | None = None) -> dict:
     c.add_argument("--out", required=True)
     c.add_argument("--holdout")
     c.set_defaults(fn=cmd_corpus)
+
+    ci = sub.add_parser(
+        "corpus-increment",
+        help="daily-delta corpus build gated against the signature store",
+    )
+    ci.add_argument("--docs", required=True)
+    ci.add_argument("--out", required=True)
+    ci.add_argument("--store", required=True)
+    ci.add_argument("--corpus", required=True)
+    ci.add_argument("--holdout")
+    ci.add_argument("--label")
+    ci.add_argument("--retain", type=int, default=None)
+    ci.set_defaults(fn=cmd_corpus_increment)
 
     ls = sub.add_parser("list", help="registry query names")
     ls.set_defaults(fn=cmd_list)

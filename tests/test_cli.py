@@ -47,3 +47,46 @@ def test_cli_corpus_build(tmp_path):
         stages
     )
     assert all(s["rows"] > 0 for s in stages.values())
+
+
+def test_cli_corpus_increment(tmp_path):
+    """The corpus-increment subcommand gates a delta against the store
+    and commits the next corpus snapshot."""
+    from bp_datawarehouse_ordersfact_spark.core.session import get_spark
+    from bp_datawarehouse_ordersfact_spark.pipelines import build_dedup_store
+    from bp_datawarehouse_ordersfact_spark.sources.versioned import (
+        write_snapshot,
+    )
+
+    spark = get_spark()
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+        .limit(5)
+    )
+    store = str(tmp_path / "store")
+    corpus = str(tmp_path / "corpus")
+    build_dedup_store(spark, base, store)
+    write_snapshot(base, corpus, label="day0")
+    inc_path = str(tmp_path / "inc.parquet")
+    import pyspark.sql.functions as F
+
+    spark.createDataFrame(
+        [(7001, "a fresh cli increment document never seen before " * 5)],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text")).write.parquet(inc_path)
+
+    m = main(
+        [
+            "corpus-increment",
+            "--docs", inc_path,
+            "--out", str(tmp_path / "delta"),
+            "--store", store,
+            "--corpus", corpus,
+            "--label", "day1",
+            "--retain", "1",
+        ]
+    )
+    assert m["snapshot_version"] == 1
+    assert m["admitted"] == 1
+    assert m["expired_snapshots"] == [0]
