@@ -475,6 +475,9 @@ def build_corpus_increment(
     holdout_embeddings: DataFrame | None = None,
     doc_embeddings: DataFrame | None = None,
     semantic_threshold: float = 0.95,
+    embedding_store_dir: str | None = None,
+    embedding_dup_threshold: float = 0.999,
+    embedding_probe_flips: int = 0,
     quality_scores: DataFrame | None = None,
     quality_keep_ppm: list[int] | None = None,
     quality_boundaries: list[float] | None = None,
@@ -504,6 +507,13 @@ def build_corpus_increment(
       ``dedup_against_store`` candidates from the band equi-join, exact
       Jaccard verify on candidates only; exact cross-corpus dups are
       the Jaccard-1.0 subset, so one gate covers both tiers.
+    - ``i03b_embedding`` — OPTIONAL (``embedding_store_dir`` +
+      ``doc_embeddings``): AGAINST-corpus dedup at the EMBEDDING level
+      through the banded hyperplane store
+      (``embedding_dedup_against_store``) — paraphrase-grade dups
+      share few shingles, so the MinHash gate can't see them;
+      ``embedding_probe_flips`` adds query-side multi-probe recall
+      without touching the store.
     - ``i04_decontam`` / ``i04b_semantic`` — the same holdout gates as
       the full build (benchmarks change rarely; re-gating the increment
       keeps NEW leaks out without touching old data).
@@ -592,6 +602,30 @@ def build_corpus_increment(
         deduped.join(dups.select("doc_id").distinct(), "doc_id", "left_anti"),
     )
 
+    if embedding_store_dir is not None:
+        if doc_embeddings is None:
+            raise ValueError(
+                "embedding_store_dir given without doc_embeddings — the "
+                "embedding dedup gate needs a vector per increment doc"
+            )
+        from .dedup_store import embedding_dedup_against_store
+
+        emb_dups = embedding_dedup_against_store(
+            spark,
+            fresh.select("doc_id").join(doc_embeddings, "doc_id"),
+            embedding_store_dir,
+            vec_col="embedding",
+            id_col="doc_id",
+            threshold=embedding_dup_threshold,
+            probe_flips=embedding_probe_flips,
+        )
+        fresh = record(
+            "i03b_embedding",
+            fresh.join(
+                emb_dups.select("doc_id").distinct(), "doc_id", "left_anti"
+            ),
+        )
+
     if holdout is not None:
         grams5 = lambda c: Tx.word_shingles(Tx.tokens(c), 5)  # noqa: E731
         hold_grams = (
@@ -658,6 +692,16 @@ def build_corpus_increment(
     manifest["admitted"] = (
         admit_to_store(spark, fresh, store_dir) if admit else 0
     )
+    if admit and embedding_store_dir is not None:
+        from .dedup_store import admit_embeddings_to_store
+
+        manifest["admitted_embeddings"] = admit_embeddings_to_store(
+            spark,
+            fresh.select("doc_id").join(doc_embeddings, "doc_id"),
+            embedding_store_dir,
+            vec_col="embedding",
+            id_col="doc_id",
+        )
     manifest["snapshot_version"] = write_snapshot(
         fresh, corpus_dir, label=snapshot_label
     )

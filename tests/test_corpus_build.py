@@ -693,3 +693,76 @@ def test_incremental_snapshot_retention(spark, tmp_path):
     assert read_snapshot(spark, corpus_dir, version=2).count() == 1
     with pytest.raises(ValueError):
         read_snapshot(spark, corpus_dir, version=0)
+
+
+def test_incremental_embedding_dedup_tier(spark, tmp_path):
+    """A paraphrase-grade dup (new text, same embedding) passes the
+    MinHash gate but dies at i03b; survivors' vectors are admitted so
+    the NEXT increment's re-probe finds them."""
+    from bp_datawarehouse_ordersfact_spark.pipelines import (
+        build_corpus_increment,
+        build_dedup_store,
+        build_embedding_dedup_store,
+        embedding_dedup_against_store,
+    )
+
+    base = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+        .limit(4)
+    )
+    base_ids = [r.doc_id for r in base.select("doc_id").collect()]
+
+    def vec(seedling):
+        return [float(seedling == i) for i in range(8)]
+
+    base_emb = spark.createDataFrame(
+        [(d, vec(i % 8)) for i, d in enumerate(base_ids)],
+        "doc_id long, embedding array<float>",
+    )
+    store = str(tmp_path / "sig")
+    emb_store = str(tmp_path / "emb")
+    corpus = str(tmp_path / "corpus")
+    build_dedup_store(spark, base, store)
+    build_embedding_dedup_store(
+        spark, base_emb, emb_store, id_col="doc_id", bands=4, bits_per_band=8
+    )
+    from bp_datawarehouse_ordersfact_spark.sources.versioned import (
+        write_snapshot,
+    )
+
+    write_snapshot(base, corpus, label="day0")
+
+    inc = spark.createDataFrame(
+        [
+            (4001, "completely rewritten paraphrase sharing zero shingles " * 5),
+            (4002, "an honestly new document with its own embedding " * 5),
+        ],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    inc_emb = spark.createDataFrame(
+        [(4001, vec(0)), (4002, [0.5] * 8)],  # 4001 == base doc 0's vector
+        "doc_id long, embedding array<float>",
+    )
+    m = build_corpus_increment(
+        spark,
+        inc,
+        str(tmp_path / "delta"),
+        store,
+        corpus,
+        doc_embeddings=inc_emb,
+        embedding_store_dir=emb_store,
+        min_chars=10,
+    )
+    st = m["stages"]
+    assert st["i03_store"]["rows"] == 2       # MinHash gate blind to both
+    assert st["i03b_embedding"]["rows"] == 1  # 4001 caught at cosine 1.0
+    assert m["admitted"] == 1
+    assert m["admitted_embeddings"] == 1
+    reprobe = spark.createDataFrame(
+        [(9002, [0.5] * 8)], "doc_id long, embedding array<float>"
+    )
+    hits = embedding_dedup_against_store(
+        spark, reprobe, emb_store, id_col="doc_id"
+    ).collect()
+    assert any(r["dup_of"] == 4002 and r["cosine"] == 1.0 for r in hits)
