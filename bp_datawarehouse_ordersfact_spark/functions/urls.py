@@ -1,0 +1,186 @@
+"""URL canonicalization and host extraction for web-corpus curation.
+
+Web-crawl curation is host-aware: the same page is fetched under many
+URL spellings (scheme/host case, default ports, tracking parameters,
+fragments, parameter order), and per-host caps / blocklists / stats all
+key on the *registrable domain*, not the raw hostname. Everything here
+is a pure Column expression (regexp/split/array ops — JVM-side,
+codegen'd except the documented tiny-array lambdas), mirroring the
+repo's UDF policy (`functions/text.py`).
+
+Reference scope note: the reference engine has no URL layer — this
+module is part of the training-data-pipeline surface the build brief
+adds beyond reference parity (SURVEY.md §7.1.5), modeled on the public
+C4 / CCNet / RefinedWeb curation recipes (per-host dedup keys, utm_*
+stripping, registrable-domain caps).
+
+Scale shape: every function is map-only (zero shuffles); the
+higher-order `filter`/`transform` lambdas run interpreted (outside
+whole-stage codegen) but only over query-parameter arrays, which are
+bounded by URL length (~tens of elements) — not over document text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Anatomy capture: scheme://host[:port][/path][?query][#fragment].
+# Host may carry userinfo (user@host) — stripped by the host rule below.
+_URL_RE = r"^\s*([A-Za-z][A-Za-z0-9+.-]*):\/\/([^\/?#]*)([^?#]*)(?:\?([^#]*))?(?:#(.*))?"
+
+# Query parameters that identify the click, not the page. Matched on the
+# key (case-insensitive), `utm_` as a prefix.
+TRACKING_PARAMS = (
+    "gclid", "fbclid", "msclkid", "dclid", "twclid", "igshid", "mc_cid",
+    "mc_eid", "yclid", "wbraid", "gbraid", "ref", "ref_src", "referrer",
+    "spm", "mkt_tok", "oly_anon_id", "oly_enc_id", "s_kwcid", "_hsenc",
+    "_hsmi", "vero_id", "wickedid", "soc_src", "soc_trk", "_openstat",
+)
+
+# Multi-label public suffixes (the high-frequency subset of the public
+# suffix list). `registrable_domain` keeps one label more than the
+# suffix; anything not listed here is treated as a single-label TLD.
+SECOND_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
+    "co.in", "net.in", "org.in", "co.kr", "or.kr", "co.za", "org.za",
+    "co.nz", "net.nz", "org.nz", "co.id", "com.my", "com.ph", "com.vn",
+)
+
+
+def _part(col: Column, idx: int) -> Column:
+    return F.regexp_extract(col, _URL_RE, idx)
+
+
+def url_scheme(col: Column) -> Column:
+    """Lowercased scheme (``''`` when the value doesn't parse as a URL)."""
+    return F.lower(_part(col, 1))
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased hostname: userinfo (``user@``) and ``:port`` stripped,
+    trailing dot removed (``example.com.`` ≡ ``example.com`` in DNS)."""
+    authority = F.lower(_part(col, 2))
+    no_user = F.regexp_replace(authority, "^[^@]*@", "")
+    no_port = F.regexp_replace(no_user, ":[0-9]*$", "")
+    return F.regexp_replace(no_port, r"\.$", "")
+
+
+def url_path(col: Column) -> Column:
+    """Path component, duplicate slashes collapsed; ``'/'`` when absent."""
+    path = F.regexp_replace(_part(col, 3), "//+", "/")
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def url_query(col: Column) -> Column:
+    """Raw query string (no leading ``?``; ``''`` when absent)."""
+    return _part(col, 4)
+
+
+def registrable_domain(host: Column) -> Column:
+    """Public-suffix-lite registrable domain of a (already-normalized)
+    hostname: one label more than the public suffix.
+
+    ``a.b.example.co.uk`` → ``example.co.uk``; ``www.example.com`` →
+    ``example.com``; IPv4 literals and one-label hosts pass through
+    unchanged. Covers the high-frequency multi-label suffixes
+    (`SECOND_LEVEL_SUFFIXES`); a full public-suffix-list lookup is a
+    broadcast join against the published table — the per-host stats and
+    caps in `operators/curation.py` take the host column as input, so
+    swapping in the exact table changes nothing downstream.
+
+    Tolerates a trailing dot (stripped) so pre-extracted host columns
+    that bypassed `url_host` still normalize.
+    """
+    host = F.regexp_replace(host, r"\.$", "")
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    is_ipv4 = host.rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$")
+    return (
+        F.when(is_ipv4 | (n <= 2), host)
+        .when(last2.isin(*SECOND_LEVEL_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
+def registrable_domain_py(host: str) -> str:
+    """Driver-side twin of `registrable_domain` for normalizing literal
+    blocklists etc. without a Spark job; pinned equal to the Column form
+    in tests/test_urls.py."""
+    import re
+
+    h = host.strip().lower().lstrip(".").rstrip(".")
+    labels = h.split(".")
+    if len(labels) <= 2 or re.fullmatch(r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", h):
+        return h
+    if ".".join(labels[-2:]) in SECOND_LEVEL_SUFFIXES:
+        return ".".join(labels[-3:])
+    return ".".join(labels[-2:])
+
+
+def _canonical_query(query: Column, drop_params: tuple[str, ...]) -> Column:
+    """Sorted, tracking-stripped query string (tiny-array lambdas)."""
+    pairs = F.filter(F.split(query, "&"), lambda p: p != "")
+    prefix_ok = lambda p: ~F.lower(p).rlike("^utm_")  # noqa: E731
+    listed_ok = lambda p: ~F.lower(  # noqa: E731
+        F.element_at(F.split(p, "=", 2), 1)
+    ).isin(*drop_params) if drop_params else F.lit(True)
+    kept = F.filter(pairs, lambda p: prefix_ok(p) & listed_ok(p))
+    return F.array_join(F.array_sort(kept), "&")
+
+
+def canonicalize_url(
+    col: Column,
+    *,
+    strip_www: bool = True,
+    drop_params: tuple[str, ...] = TRACKING_PARAMS,
+) -> Column:
+    """One canonical spelling per logical page, so URL-keyed dedup and
+    per-host grouping see through crawl noise.
+
+    Rules (each pinned in tests/test_urls.py):
+    - scheme + host lowercased; userinfo, default port (``:80`` http /
+      ``:443`` https), and trailing host dot stripped; leading ``www.``
+      stripped when ``strip_www``;
+    - fragment dropped (client-side only);
+    - duplicate path slashes collapsed; trailing slash dropped except root;
+    - query parameters: ``utm_*`` + `drop_params` removed (key match,
+      case-insensitive), remainder sorted for order-independence; the
+      ``?`` disappears when nothing survives.
+
+    Non-URL strings (no ``scheme://``) pass through trimmed — callers
+    filter on ``url_scheme != ''`` when they need strict parses.
+    """
+    scheme = url_scheme(col)
+    host = url_host(col)
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    # Default ports are scheme-relative; url_host already stripped the
+    # port, so re-append only a NON-default explicit port.
+    port = F.regexp_extract(F.lower(_part(col, 2)), ":([0-9]+)$", 1)
+    is_default = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == "")
+    )
+    host_port = F.when(is_default, host).otherwise(F.concat_ws(":", host, port))
+
+    path = url_path(col)
+    path = F.when(path == "/", path).otherwise(F.regexp_replace(path, "/$", ""))
+    query = _canonical_query(url_query(col), drop_params)
+
+    rebuilt = F.concat(
+        scheme, F.lit("://"), host_port, path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
+    )
+    return F.when(scheme == "", F.trim(col)).otherwise(rebuilt)

@@ -1,0 +1,171 @@
+"""Host-aware corpus curation: per-host caps, blocklists, host stats.
+
+Web corpora are wildly host-skewed (a handful of registrable domains
+contribute most of the crawl), and the public curation recipes
+(C4 / RefinedWeb / Gopher) all include a host layer: cap how many
+documents any one domain contributes, drop blocklisted domains, and
+report the host concentration so the mixture is auditable. This module
+is that layer, keyed on `functions/urls.py` host extraction.
+
+Reference scope note: no URL/host layer exists in the reference engine —
+this is training-data-pipeline surface added per the build brief
+(SURVEY.md §7.1.5), same tier as dedup/decontamination.
+
+Scale shapes:
+- `cap_docs_per_host` is TWO-PHASE so host skew can't melt a task: the
+  per-host counts (one map-side-combined aggregate) split hosts into
+  under-cap (pass through wholesale — no sort, no window) and over-cap
+  (the tiny head of the zipf curve — only THOSE rows pay the
+  rank-within-host window). A naive global `row_number() OVER
+  (PARTITION BY host)` sorts every host including the compliant 99%+.
+- `filter_blocked_hosts` broadcasts small lists as a literal IN (plan
+  pushdown-able) and anti-joins DataFrame blocklists.
+- `host_stats` is one aggregate + one small rollup; document text never
+  shuffles (only per-host counters do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import h32
+from ..functions.urls import registrable_domain, registrable_domain_py, url_host
+
+_HOST = "__curation_host"
+
+
+def _with_host(df: DataFrame, url_col: str | None, host_col: str | None) -> DataFrame:
+    """Attach the registrable-domain grouping key from either a raw URL
+    column or a pre-extracted host column (exactly one must be given)."""
+    if (url_col is None) == (host_col is None):
+        raise ValueError("pass exactly one of url_col / host_col")
+    src = url_host(F.col(url_col)) if url_col else F.col(host_col)
+    return df.withColumn(_HOST, registrable_domain(F.lower(src)))
+
+
+def cap_docs_per_host(
+    df: DataFrame,
+    *,
+    id_col: str,
+    max_docs: int,
+    url_col: str | None = None,
+    host_col: str | None = None,
+    seed: str = "0",
+) -> DataFrame:
+    """Keep at most `max_docs` documents per registrable domain,
+    deterministically (the kept set is a pure function of ids + seed —
+    repartition- and rerun-stable, like every sampling rule in
+    `operators/sampling.py`).
+
+    Selection rule: the `max_docs` smallest ``(h32(seed:id), id)`` keys
+    per host — a seeded uniform choice, not head-of-file bias.
+
+    Two-phase skew shape (see module docstring): hosts at/under the cap
+    bypass the window entirely; only over-cap hosts rank. At web scale
+    the over-cap side is the zipf head — small row share, but exactly
+    where a single-phase window would concentrate sort cost.
+    """
+    if max_docs < 1:
+        raise ValueError(f"max_docs must be >= 1, got {max_docs}")
+    from pyspark.sql import Window
+
+    keyed = _with_host(df, url_col, host_col).withColumn(
+        "__rk", h32(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    )
+    counts = keyed.groupBy(_HOST).agg(F.count(F.lit(1)).alias("__n"))
+    over = counts.filter(F.col("__n") > max_docs).select(_HOST)
+
+    compliant = keyed.join(over, _HOST, "left_anti")
+    w = Window.partitionBy(_HOST).orderBy("__rk", id_col)
+    capped = (
+        keyed.join(over, _HOST, "left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_docs)
+        .drop("__rn")
+    )
+    return compliant.unionByName(capped).drop(_HOST, "__rk")
+
+
+def filter_blocked_hosts(
+    df: DataFrame,
+    blocklist,
+    *,
+    url_col: str | None = None,
+    host_col: str | None = None,
+) -> DataFrame:
+    """Drop documents whose REGISTRABLE DOMAIN is blocklisted, so
+    ``evil.example.com`` dies when ``example.com`` is blocked.
+
+    `blocklist` is a list/tuple of domains (literal NOT-IN — fine for
+    operational lists, stays in codegen) or a single-column DataFrame
+    (left_anti join — the shape for big published blocklists; AQE
+    broadcasts it when it fits). Blocklist entries are normalized to
+    their own registrable domain, so a list carrying ``www.foo.co.uk``
+    still kills ``foo.co.uk``.
+    """
+    keyed = _with_host(df, url_col, host_col)
+    if isinstance(blocklist, DataFrame):
+        bcols = blocklist.columns
+        if len(bcols) != 1:
+            raise ValueError(f"blocklist DataFrame must have 1 column, has {bcols}")
+        bl = blocklist.select(
+            registrable_domain(F.lower(F.col(bcols[0]))).alias(_HOST)
+        )
+        return keyed.join(bl, _HOST, "left_anti").drop(_HOST)
+    norm = sorted(
+        {registrable_domain_py(d) for d in blocklist if d and d.strip()}
+    )
+    if not norm:
+        return keyed.drop(_HOST)
+    return keyed.filter(~F.col(_HOST).isin(*norm)).drop(_HOST)
+
+
+def host_stats(
+    df: DataFrame,
+    *,
+    url_col: str | None = None,
+    host_col: str | None = None,
+    text_col: str | None = None,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Per-registrable-domain corpus concentration report: doc counts,
+    corpus share, and — when `top_n` is given — cumulative share in
+    descending-share order (the "top 10 hosts are X% of the corpus"
+    number every dataset card wants). Char volume when `text_col` set.
+
+    Scale shape: one aggregate (map-side combined; text reduced to
+    `length()` before the shuffle) + the corpus total as a broadcast
+    1-row cross join — NEVER a global window over the per-host frame,
+    which at web scale is 10^8+ registrable domains and would serialize
+    into one task. Cumulative share is computed only over the `top_n`
+    truncation (TakeOrdered — distributed — then a window over `top_n`
+    rows), and both shares stay shares of the WHOLE corpus.
+    """
+    from pyspark.sql import Window
+
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("docs")]
+    if text_col:
+        aggs.append(F.sum(F.length(F.col(text_col))).cast("bigint").alias("chars"))
+    per_host = (
+        _with_host(df, url_col, host_col)
+        .groupBy(F.col(_HOST).alias("host"))
+        .agg(*aggs)
+    )
+    total = F.broadcast(per_host.agg(F.sum("docs").alias("__total")))
+    out = per_host.crossJoin(total).withColumn(
+        "doc_share", F.round(F.col("docs") / F.col("__total"), 6)
+    )
+    if top_n is None:
+        return out.drop("__total").orderBy(F.desc("docs"), F.asc("host"))
+    top = out.orderBy(F.desc("docs"), F.asc("host")).limit(top_n)
+    cum = Window.partitionBy().orderBy(F.desc("docs"), F.asc("host")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.withColumn(
+            "cum_doc_share", F.round(F.sum("docs").over(cum) / F.col("__total"), 6)
+        )
+        .drop("__total")
+        .orderBy(F.desc("docs"), F.asc("host"))
+    )

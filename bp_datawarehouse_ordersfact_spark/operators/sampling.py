@@ -219,3 +219,135 @@ def seeded_global_shuffle(
     )
     out = out.sortWithinPartitions(*parts)
     return out if keep_key else out.drop("_shuffle_key")
+
+
+def plan_token_mixture(
+    df: DataFrame,
+    *,
+    source_col: str,
+    token_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    max_epochs: float = 10.0,
+) -> list[dict]:
+    """Plan a token-budgeted source mixture WITH repetition: given target
+    mixture weights and a total token budget, compute how many epochs
+    (possibly fractional, possibly >1) of each source to take — the
+    published pretraining recipe shape ("books ×2.5 epochs, web ×0.4").
+    `corpus_mix_resample` / `weighted_sample` only ever DOWN-sample;
+    this planner adds the up-weighting dimension by repeating scarce
+    high-value sources, capped at `max_epochs` (repetition beyond a few
+    epochs has diminishing returns — the cap makes over-asked plans fail
+    loudly in the report rather than silently looping one source).
+
+    ONE aggregate over the corpus (map-side-combined per-source token
+    sums — a rows-per-source driver pull, the k-row manifest class),
+    then pure driver math. Returns one plan dict per source in
+    `weights`: ``source, weight, avail_tokens, target_tokens,
+    full_epochs (int), final_epoch_ppm (int), planned_tokens,
+    shortfall_tokens`` (>0 only when the cap bit). Sources present in
+    the corpus but absent from `weights` get weight 0 (dropped by
+    `apply_token_mixture`); sources in `weights` but absent from the
+    corpus plan 0 tokens with full shortfall.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
+    bad = {s: w for s, w in weights.items() if w < 0}
+    if bad:
+        raise ValueError(f"negative weights: {bad}")
+    wsum = sum(weights.values())
+    if wsum <= 0:
+        raise ValueError("weights must sum > 0")
+
+    avail = {
+        r["s"]: int(r["t"])
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.sum(F.col(token_col).cast("long")).alias("t"))
+        .collect()  # rows-per-source: the tiny-aggregate driver pull class
+    }
+    plan = []
+    for source in sorted(weights):
+        w = weights[source] / wsum
+        have = avail.get(source, 0)
+        target = int(round(token_budget * w))
+        if have <= 0:
+            epochs = 0.0
+        else:
+            epochs = min(target / have, max_epochs)
+        full = int(epochs)
+        ppm = int(round((epochs - full) * 1_000_000))
+        if ppm == 1_000_000:  # float edge: x.9999995 rounds up to a full epoch
+            full, ppm = full + 1, 0
+        planned = int(round(have * (full + ppm / 1_000_000)))
+        plan.append(
+            {
+                "source": source,
+                "weight": round(w, 6),
+                "avail_tokens": have,
+                "target_tokens": target,
+                "full_epochs": full,
+                "final_epoch_ppm": ppm,
+                "planned_tokens": planned,
+                "shortfall_tokens": max(0, target - planned),
+            }
+        )
+    return plan
+
+
+def apply_token_mixture(
+    df: DataFrame,
+    plan: list[dict],
+    *,
+    source_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Materialize a `plan_token_mixture` plan: each source appears
+    `full_epochs` whole times plus a `final_epoch_ppm` fraction of one
+    more, with an ``epoch`` int column distinguishing the copies (so the
+    delivery layer can re-shuffle per epoch via
+    ``seeded_global_shuffle(seed=f"ep{k}")``).
+
+    The partial final epoch uses the canonical deterministic rule keyed
+    by (epoch, id) — ``h32(epoch ':' id) % 1e6 < ppm`` — so it is a
+    uniform, repartition/rerun-stable subset, independent across
+    sources' epoch boundaries, and reproducible from hashlib.
+
+    Scale shape: the plan joins on as a BROADCAST (rows-per-source);
+    epoch copies come from ``explode(sequence(...))`` — map-only row
+    amplification bounded by max_epochs; the ppm filter is map-only.
+    The corpus itself never shuffles. Sources with weight 0 / no plan
+    row are dropped (inner join).
+    """
+    from ..functions.text import h32
+
+    spark = df.sparkSession
+    rows = [
+        (p["source"], int(p["full_epochs"]), int(p["final_epoch_ppm"]))
+        for p in plan
+        if p["full_epochs"] > 0 or p["final_epoch_ppm"] > 0
+    ]
+    if not rows:
+        return df.filter(F.lit(False)).withColumn("epoch", F.lit(0))
+    plan_df = spark.createDataFrame(
+        rows, f"{source_col} string, __full int, __ppm int"
+    )
+    keyed = df.join(F.broadcast(plan_df), source_col, "inner")
+    # epochs 0..full-1 are whole; epoch==full is the ppm-partial one
+    # (emitted only when ppm > 0)
+    last = F.col("__full") + F.when(F.col("__ppm") > 0, 1).otherwise(0) - 1
+    out = keyed.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), last))
+    )
+    partial = F.col("epoch") == F.col("__full")
+    keep_hash = (
+        h32(
+            F.concat_ws(
+                ":", F.col("epoch").cast("string"), F.col(id_col).cast("string")
+            )
+        )
+        % 1_000_000
+        < F.col("__ppm")
+    )
+    return out.filter(~partial | keep_hash).drop("__full", "__ppm")

@@ -16,7 +16,18 @@ Stages (all built from the repo's operators — nothing new semantically):
                        later stage; "codegen" = map-only literal/regexp
                        chain, "exact" = Arrow roundtrip repair + NFC.
                        ``n_chars`` recomputed from the cleaned text.
+0b. ``00b_lines``    — OPTIONAL (``line_dedup`` /
+                       ``line_boilerplate_min_docs``): sub-document
+                       hygiene (operators/lines.py) — within-doc line
+                       dedup and cross-doc boilerplate-line removal
+                       (optionally scoped per ``line_boilerplate_scope``)
+                       before any hash-based stage; text never shuffles;
+                       ``n_chars`` recomputed.
 1. ``01_gated``      — quality gate: length + stopword-ratio heuristics.
+1b. ``01b_hostcap``  — OPTIONAL (``host_col`` + ``max_docs_per_host`` /
+                       ``host_blocklist``): registrable-domain blocklist
+                       and a seeded deterministic per-domain doc cap
+                       (operators/curation.py, two-phase skew shape).
 2. ``02_deduped``    — exact dedup (md5 keep-first), then MinHash-LSH
                        near-dup clusters closed via connected components,
                        keeping the smallest doc_id per cluster.
@@ -120,6 +131,12 @@ def build_corpus(
     quality_keep_ppm: list[int] | None = None,
     quality_boundaries: list[float] | None = None,
     min_chars: int = 100,
+    line_dedup: bool = False,
+    line_boilerplate_min_docs: int | None = None,
+    line_boilerplate_scope: str | None = None,
+    host_col: str | None = None,
+    max_docs_per_host: int | None = None,
+    host_blocklist=None,
     mix_ppm: dict[str, int] | None = None,
     near_dup_threshold: float = 0.5,
     encoding_normalize: str | None = None,
@@ -177,6 +194,35 @@ def build_corpus(
             ),
         )
 
+    # 0b — OPTIONAL line hygiene (``line_dedup`` /
+    # ``line_boilerplate_min_docs``): sub-document cleanup BEFORE any
+    # hash-based stage — nav menus and footers repeated across pages
+    # otherwise survive document dedup (the surrounding article differs)
+    # and poison shingles/5-grams. Within-doc line dedup plus, when
+    # ``line_boilerplate_min_docs`` is set, removal of lines shared by
+    # that many distinct docs (scoped per ``line_boilerplate_scope``
+    # column — e.g. source/host — when given). Document text never
+    # shuffles (operators/lines.py); ``n_chars`` recomputed.
+    if line_dedup or line_boilerplate_min_docs is not None:
+        from ..operators import lines as Ln
+
+        cleaned = docs
+        if line_dedup:
+            cleaned = Ln.dedupe_lines_within_doc(
+                cleaned, id_col="doc_id", text_col="text"
+            ).drop("lines_deduped")
+        if line_boilerplate_min_docs is not None:
+            cleaned = Ln.drop_boilerplate_lines(
+                cleaned,
+                id_col="doc_id",
+                text_col="text",
+                min_docs=line_boilerplate_min_docs,
+                group_col=line_boilerplate_scope,
+            ).drop("lines_boilerplated")
+        docs = record(
+            "00b_lines", cleaned.withColumn("n_chars", F.length("text"))
+        )
+
     # 1 — quality gate (cheap, codegen-only; runs first so every later
     # stage sees less data)
     toks = Tx.tokens(F.col("text"))
@@ -186,6 +232,33 @@ def build_corpus(
             (F.col("n_chars") >= min_chars) & (F.size(toks) > 0)
         ),
     )
+
+    # 1b — OPTIONAL host curation (``host_col``): registrable-domain
+    # blocklist, then a seeded deterministic cap of docs per domain
+    # (two-phase: only over-cap zipf-head hosts pay the rank window —
+    # operators/curation.py). After 01 so the cap counts only docs that
+    # survived the cheap gate.
+    if max_docs_per_host is not None or host_blocklist is not None:
+        if host_col is None:
+            raise ValueError(
+                "host curation (max_docs_per_host / host_blocklist) "
+                "requires host_col"
+            )
+        from ..operators import curation as Cu
+
+        curated = gated
+        if host_blocklist is not None:
+            curated = Cu.filter_blocked_hosts(
+                curated, host_blocklist, host_col=host_col
+            )
+        if max_docs_per_host is not None:
+            curated = Cu.cap_docs_per_host(
+                curated,
+                id_col="doc_id",
+                max_docs=max_docs_per_host,
+                host_col=host_col,
+            )
+        gated = record("01b_hostcap", curated)
 
     # 2 — exact dedup, then near-dup clusters keep-one
     keep_exact = exact_dedup(gated, "text", "doc_id").select(

@@ -766,3 +766,105 @@ def test_incremental_embedding_dedup_tier(spark, tmp_path):
         spark, reprobe, emb_store, id_col="doc_id"
     ).collect()
     assert any(r["dup_of"] == 4002 and r["cosine"] == 1.0 for r in hits)
+
+
+def test_line_hygiene_stage_removes_boilerplate_before_dedup(spark, tmp_path):
+    from bp_datawarehouse_ordersfact_spark.pipelines.corpus_build import build_corpus
+
+    footer = "Copyright Example Site Inc all rights reserved worldwide."
+    body = [
+        "This article discusses an entirely original topic in depth. " * 4,
+        "A second piece of writing about something else substantive. " * 4,
+        "Third distinct document body text with plenty of substance. " * 4,
+    ]
+    docs = spark.createDataFrame(
+        [
+            # three docs, same footer, one also repeats a line internally
+            Row(doc_id=1, text=f"{body[0]}\n{footer}", lang="en",
+                source="web", n_chars=0),
+            Row(doc_id=2, text=f"{body[1]}\n{footer}", lang="en",
+                source="web", n_chars=0),
+            Row(doc_id=3,
+                text=f"{body[2]}\n{body[2]}\n{footer}", lang="en",
+                source="web", n_chars=0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text"))
+
+    manifest = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "corpus"),
+        line_dedup=True,
+        line_boilerplate_min_docs=3,
+        min_chars=50,
+        chunk_tokens=30,
+        chunk_stride=30,
+        pack_budget=100,
+    )
+    assert "00b_lines" in manifest["stages"]
+    assert manifest["stages"]["00b_lines"]["rows"] == 3
+    staged = spark.read.parquet(manifest["stages"]["00b_lines"]["path"])
+    texts = {r["doc_id"]: r["text"] for r in staged.collect()}
+    for i in (1, 2, 3):
+        assert footer not in texts[i]  # cross-doc boilerplate removed
+    assert texts[3] == body[2]  # internal repeat deduped
+    # n_chars recomputed from cleaned text
+    assert all(
+        r["n_chars"] == len(texts[r["doc_id"]]) for r in staged.collect()
+    )
+
+
+def test_host_cap_stage(spark, tmp_path):
+    from bp_datawarehouse_ordersfact_spark.pipelines.corpus_build import build_corpus
+
+    def mk(i):
+        return (
+            f"distinct document body number {i} with enough words to pass "
+            "gates and filters easily. " * 3 + f"unique tail {i}"
+        )
+
+    rows = [
+        Row(doc_id=i, text=mk(i), lang="en", source="hot.example.com", n_chars=0)
+        for i in range(8)
+    ] + [
+        Row(doc_id=100, text=mk(100), lang="en", source="cold.org", n_chars=0),
+        Row(doc_id=200, text=mk(200), lang="en", source="blocked.net", n_chars=0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).withColumn("n_chars", F.length("text"))
+
+    manifest = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "corpus"),
+        host_col="source",
+        max_docs_per_host=3,
+        host_blocklist=["blocked.net"],
+        min_chars=50,
+        near_dup_threshold=0.9,
+        chunk_tokens=30,
+        chunk_stride=30,
+        pack_budget=100,
+    )
+    assert manifest["stages"]["01b_hostcap"]["rows"] == 4  # 3 hot + 1 cold
+    staged = spark.read.parquet(manifest["stages"]["01b_hostcap"]["path"])
+    by_host = {
+        r["source"]: r["n"]
+        for r in staged.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_host == {"hot.example.com": 3, "cold.org": 1}
+
+
+def test_host_cap_requires_host_col(spark, tmp_path):
+    from bp_datawarehouse_ordersfact_spark.pipelines.corpus_build import build_corpus
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="x " * 60, lang="en", source="a", n_chars=120)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(ValueError, match="host_col"):
+        build_corpus(
+            spark, docs, str(tmp_path / "c"), max_docs_per_host=2
+        )

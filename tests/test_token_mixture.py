@@ -1,0 +1,219 @@
+"""Token-budget mixture planner (operators/sampling.plan_token_mixture /
+apply_token_mixture).
+
+Pins: driver math vs hand computation (down-sample, multi-epoch
+up-sample, max_epochs cap + shortfall, missing source), the hashlib
+reproducibility of the partial-epoch subset, epoch-count exactness,
+repartition stability, the broadcast plan-join shape, and planned-token
+accuracy of the materialized mixture.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from bp_datawarehouse_ordersfact_spark.operators.sampling import (
+    apply_token_mixture,
+    plan_token_mixture,
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("mixture")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def _corpus(spark):
+    # web: 400 docs x 100 tokens = 40_000; books: 40 x 500 = 20_000;
+    # code: 100 x 60 = 6_000
+    rows = (
+        [(i, "web", 100) for i in range(400)]
+        + [(1000 + i, "books", 500) for i in range(40)]
+        + [(2000 + i, "code", 60) for i in range(100)]
+    )
+    return spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+
+
+def _by_source(plan):
+    return {p["source"]: p for p in plan}
+
+
+def test_plan_math(spark):
+    plan = _by_source(
+        plan_token_mixture(
+            _corpus(spark),
+            source_col="source",
+            token_col="n_tokens",
+            weights={"web": 0.5, "books": 0.4, "code": 0.1},
+            token_budget=50_000,
+        )
+    )
+    # web: target 25k of 40k avail -> 0 full epochs + 625000 ppm
+    assert plan["web"]["full_epochs"] == 0
+    assert plan["web"]["final_epoch_ppm"] == 625_000
+    assert plan["web"]["shortfall_tokens"] == 0
+    # books: target 20k of 20k -> exactly 1.0 epoch
+    assert plan["books"]["full_epochs"] == 1
+    assert plan["books"]["final_epoch_ppm"] == 0
+    # code: target 5k of 6k -> 0 + 833333 ppm
+    assert plan["code"]["full_epochs"] == 0
+    assert abs(plan["code"]["final_epoch_ppm"] - 833_333) <= 1
+    assert sum(p["target_tokens"] for p in plan.values()) == 50_000
+
+
+def test_plan_upsamples_scarce_source(spark):
+    plan = _by_source(
+        plan_token_mixture(
+            _corpus(spark),
+            source_col="source",
+            token_col="n_tokens",
+            weights={"books": 1.0},
+            token_budget=50_000,
+        )
+    )
+    # 50k wanted, 20k available -> 2.5 epochs
+    assert plan["books"]["full_epochs"] == 2
+    assert plan["books"]["final_epoch_ppm"] == 500_000
+    assert plan["books"]["planned_tokens"] == 50_000
+
+
+def test_plan_cap_and_shortfall(spark):
+    plan = _by_source(
+        plan_token_mixture(
+            _corpus(spark),
+            source_col="source",
+            token_col="n_tokens",
+            weights={"code": 1.0},
+            token_budget=100_000,
+            max_epochs=3.0,
+        )
+    )
+    assert plan["code"]["full_epochs"] == 3
+    assert plan["code"]["final_epoch_ppm"] == 0
+    assert plan["code"]["planned_tokens"] == 18_000
+    assert plan["code"]["shortfall_tokens"] == 82_000
+
+
+def test_plan_missing_source_and_validation(spark):
+    plan = _by_source(
+        plan_token_mixture(
+            _corpus(spark),
+            source_col="source",
+            token_col="n_tokens",
+            weights={"wiki": 1.0},
+            token_budget=1_000,
+        )
+    )
+    assert plan["wiki"]["avail_tokens"] == 0
+    assert plan["wiki"]["planned_tokens"] == 0
+    assert plan["wiki"]["shortfall_tokens"] == 1_000
+    df = _corpus(spark)
+    for kwargs in (
+        {"token_budget": 0},
+        {"token_budget": 10, "max_epochs": 0},
+    ):
+        with pytest.raises(ValueError):
+            plan_token_mixture(
+                df, source_col="source", token_col="n_tokens",
+                weights={"web": 1.0}, **kwargs,
+            )
+    with pytest.raises(ValueError, match="negative"):
+        plan_token_mixture(
+            df, source_col="source", token_col="n_tokens",
+            weights={"web": -1.0}, token_budget=10,
+        )
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_apply_matches_hashlib_reference(spark):
+    df = _corpus(spark)
+    plan = plan_token_mixture(
+        df,
+        source_col="source",
+        token_col="n_tokens",
+        weights={"books": 0.6, "web": 0.4},
+        token_budget=60_000,
+    )
+    out = apply_token_mixture(df, plan, source_col="source", id_col="doc_id")
+    got = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+
+    by = {p["source"]: p for p in plan}
+    expect = []
+    for src, ids in (("books", range(1000, 1040)), ("web", range(400))):
+        p = by[src]
+        for i in ids:
+            for e in range(p["full_epochs"]):
+                expect.append((i, e))
+            if p["final_epoch_ppm"] > 0:
+                e = p["full_epochs"]
+                if _h32(f"{e}:{i}") % 1_000_000 < p["final_epoch_ppm"]:
+                    expect.append((i, e))
+    assert got == sorted(expect)
+    # code had weight 0 -> absent entirely
+    assert out.filter(F.col("source") == "code").count() == 0
+
+
+def test_apply_token_total_near_target(spark):
+    df = _corpus(spark)
+    plan = plan_token_mixture(
+        df, source_col="source", token_col="n_tokens",
+        weights={"web": 0.5, "books": 0.5}, token_budget=40_000,
+    )
+    out = apply_token_mixture(df, plan, source_col="source", id_col="doc_id")
+    total = out.agg(F.sum("n_tokens")).first()[0]
+    # ppm sampling is exact-in-expectation; tolerance ~ a few doc sizes
+    assert abs(total - 40_000) < 4_000
+
+
+def test_apply_repartition_stable_and_broadcast(spark):
+    df = _corpus(spark)
+    plan = plan_token_mixture(
+        df, source_col="source", token_col="n_tokens",
+        weights={"web": 1.0}, token_budget=10_000,
+    )
+    a = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in apply_token_mixture(
+            df, plan, source_col="source", id_col="doc_id"
+        ).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["epoch"])
+        for r in apply_token_mixture(
+            df.repartition(13), plan, source_col="source", id_col="doc_id"
+        ).collect()
+    )
+    assert a == b
+    physical = (
+        apply_token_mixture(df, plan, source_col="source", id_col="doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in physical
+    assert "SortMergeJoin" not in physical
+
+
+def test_apply_empty_plan_yields_empty_frame(spark):
+    df = _corpus(spark)
+    out = apply_token_mixture(
+        df,
+        [{"source": "web", "full_epochs": 0, "final_epoch_ppm": 0}],
+        source_col="source",
+        id_col="doc_id",
+    )
+    assert out.count() == 0
+    assert "epoch" in out.columns

@@ -1,0 +1,291 @@
+"""URL canonicalization + host-aware curation (functions/urls.py,
+operators/curation.py).
+
+Pins: every canonicalization rule individually, Column-vs-Python
+registrable-domain parity, the two-phase per-host cap (determinism,
+exactness vs a pure-Python reference, window only for over-cap hosts),
+blocklist semantics at the registrable-domain grain, and host_stats
+share math against hand computation.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, SparkSession
+from pyspark.sql import functions as F
+
+from bp_datawarehouse_ordersfact_spark.functions.urls import (
+    canonicalize_url,
+    registrable_domain,
+    registrable_domain_py,
+    url_host,
+    url_path,
+    url_query,
+    url_scheme,
+)
+from bp_datawarehouse_ordersfact_spark.operators.curation import (
+    cap_docs_per_host,
+    filter_blocked_hosts,
+    host_stats,
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("urls")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def _one(spark, url, expr):
+    return (
+        spark.createDataFrame([(url,)], "u string")
+        .select(expr(F.col("u")).alias("v"))
+        .first()["v"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "url,scheme,host,path,query",
+    [
+        ("https://Example.COM/a/b?x=1#frag", "https", "example.com", "/a/b", "x=1"),
+        ("HTTP://user:pw@WWW.Site.org:8080//a//b/", "http", "www.site.org", "/a/b/", ""),
+        ("https://example.com.", "https", "example.com", "/", ""),
+        ("ftp://files.example.co.uk/pub", "ftp", "files.example.co.uk", "/pub", ""),
+        ("not a url", "", "", "/", ""),
+    ],
+)
+def test_url_parts(spark, url, scheme, host, path, query):
+    row = (
+        spark.createDataFrame([(url,)], "u string")
+        .select(
+            url_scheme(F.col("u")).alias("s"),
+            url_host(F.col("u")).alias("h"),
+            url_path(F.col("u")).alias("p"),
+            url_query(F.col("u")).alias("q"),
+        )
+        .first()
+    )
+    assert (row["s"], row["h"], row["p"], row["q"]) == (scheme, host, path, query)
+
+
+# ---------------------------------------------------------------------------
+# canonicalization rules, one by one
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,canon",
+    [
+        # case + default port + fragment + trailing slash
+        ("HTTPS://Example.COM:443/Page/?utm_source=x#top", "https://example.com/Page"),
+        ("http://example.com:80/", "http://example.com/"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        # www strip + param sort + tracking strip (prefix and listed)
+        (
+            "https://www.shop.com/p?b=2&utm_campaign=x&a=1&fbclid=zzz",
+            "https://shop.com/p?a=1&b=2",
+        ),
+        # ref is tracking; REF uppercase key too (case-insensitive key match)
+        ("https://site.org/x?REF=abc&id=9", "https://site.org/x?id=9"),
+        # all params stripped -> no '?'
+        ("https://site.org/x?utm_a=1&utm_b=2", "https://site.org/x"),
+        # userinfo stripped, duplicate slashes collapsed
+        ("https://bob@site.org//a//b", "https://site.org/a/b"),
+        # value containing '=' survives intact
+        ("https://s.io/q?k=a=b&c=1", "https://s.io/q?c=1&k=a=b"),
+        # non-URL passes through trimmed
+        ("  plain text  ", "plain text"),
+    ],
+)
+def test_canonicalize_rules(spark, raw, canon):
+    assert _one(spark, raw, canonicalize_url) == canon
+
+
+def test_canonicalize_idempotent(spark):
+    urls = [
+        "HTTPS://WWW.Example.com:443//a/b/?utm_x=1&z=2&a=3#f",
+        "http://u@site.co.uk:80/p?fbclid=1",
+        "https://example.com/",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(canonicalize_url(F.col("u")).alias("c"))
+    twice = once.select(canonicalize_url(F.col("c")).alias("c2"))
+    for r1, r2 in zip(once.collect(), twice.collect()):
+        assert r1["c"] == r2["c2"]
+
+
+def test_canonicalize_keep_www(spark):
+    got = _one(
+        spark,
+        "https://www.example.com/a",
+        lambda c: canonicalize_url(c, strip_www=False),
+    )
+    assert got == "https://www.example.com/a"
+
+
+# ---------------------------------------------------------------------------
+# registrable domain
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "host,dom",
+    [
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("www.example.com", "example.com"),
+        ("example.com", "example.com"),
+        ("localhost", "localhost"),
+        ("10.1.2.3", "10.1.2.3"),
+        ("deep.sub.news.com.au", "news.com.au"),
+        ("sub.example.io", "example.io"),
+        ("example.com.", "example.com"),
+    ],
+)
+def test_registrable_domain_both_engines(spark, host, dom):
+    assert _one(spark, host, registrable_domain) == dom
+    assert registrable_domain_py(host) == dom
+
+
+# ---------------------------------------------------------------------------
+# cap_docs_per_host
+# ---------------------------------------------------------------------------
+
+
+def _host_corpus(spark):
+    rows = []
+    # hot host: 20 docs; warm: 5; cold: 2 — cap at 5
+    for i in range(20):
+        rows.append((i, f"https://sub{i % 3}.hot.com/p{i}"))
+    for i in range(5):
+        rows.append((100 + i, f"https://warm.org/p{i}"))
+    for i in range(2):
+        rows.append((200 + i, f"https://cold.net/p{i}"))
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_cap_per_host_exact_vs_python(spark):
+    import hashlib
+
+    df = _host_corpus(spark)
+    out = cap_docs_per_host(df, id_col="doc_id", max_docs=5, url_col="url")
+    got = sorted(r["doc_id"] for r in out.collect())
+
+    def h(i):
+        return int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:8], 16)
+
+    hot = sorted(range(20), key=lambda i: (h(i), i))[:5]
+    expect = sorted(hot + list(range(100, 105)) + [200, 201])
+    assert got == expect
+    assert out.columns == df.columns  # helper columns dropped
+
+
+def test_cap_per_host_deterministic_and_seeded(spark):
+    df = _host_corpus(spark).repartition(7)
+    a = sorted(
+        r["doc_id"]
+        for r in cap_docs_per_host(df, id_col="doc_id", max_docs=3, url_col="url").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in cap_docs_per_host(
+            _host_corpus(spark), id_col="doc_id", max_docs=3, url_col="url"
+        ).collect()
+    )
+    assert a == b  # repartition-stable
+    c = sorted(
+        r["doc_id"]
+        for r in cap_docs_per_host(
+            df, id_col="doc_id", max_docs=3, url_col="url", seed="epoch1"
+        ).collect()
+    )
+    assert a != c  # a different seed picks a different (valid) subset
+    assert len(c) == len(a)
+
+
+def test_cap_per_host_validates(spark):
+    df = _host_corpus(spark)
+    with pytest.raises(ValueError, match="max_docs"):
+        cap_docs_per_host(df, id_col="doc_id", max_docs=0, url_col="url")
+    with pytest.raises(ValueError, match="exactly one"):
+        cap_docs_per_host(df, id_col="doc_id", max_docs=1)
+    with pytest.raises(ValueError, match="exactly one"):
+        cap_docs_per_host(
+            df, id_col="doc_id", max_docs=1, url_col="url", host_col="url"
+        )
+
+
+def test_cap_per_host_window_only_over_cap(spark):
+    """The two-phase shape: compliant hosts must NOT appear under a
+    window — assert the plan unions an anti-join branch (no window)
+    with a semi-join + window branch."""
+    df = _host_corpus(spark)
+    plan = cap_docs_per_host(
+        df, id_col="doc_id", max_docs=5, url_col="url"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window [row_number()") == 1
+    # Catalyst pushes the rank limit below the sort (top-N per key kept
+    # per partition before the full window sort) — pin that it kicked in.
+    assert "WindowGroupLimit" in plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+# ---------------------------------------------------------------------------
+# blocklist
+# ---------------------------------------------------------------------------
+
+
+def test_blocklist_registrable_grain(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://evil.example.com/a"),
+            (2, "https://example.com/b"),
+            (3, "https://fine.org/c"),
+            (4, "https://sub.bad.co.uk/d"),
+        ],
+        "doc_id long, url string",
+    )
+    out = filter_blocked_hosts(df, ["Example.com", "www.bad.co.uk"], url_col="url")
+    assert sorted(r["doc_id"] for r in out.collect()) == [3]
+    # DataFrame blocklist path — same result via anti join
+    bl = spark.createDataFrame([("example.com",), ("bad.co.uk",)], "d string")
+    out2 = filter_blocked_hosts(df, bl, url_col="url")
+    assert sorted(r["doc_id"] for r in out2.collect()) == [3]
+    # empty list is a no-op
+    assert filter_blocked_hosts(df, [], url_col="url").count() == 4
+
+
+# ---------------------------------------------------------------------------
+# host stats
+# ---------------------------------------------------------------------------
+
+
+def test_host_stats_shares(spark):
+    df = spark.createDataFrame(
+        [Row(url=f"https://a.com/{i}", text="x" * 10) for i in range(6)]
+        + [Row(url=f"https://b.org/{i}", text="y" * 5) for i in range(3)]
+        + [Row(url="https://c.net/0", text="z")],
+        "url string, text string",
+    )
+    out = host_stats(df, url_col="url", text_col="text").collect()
+    assert [(r["host"], r["docs"], r["chars"]) for r in out] == [
+        ("a.com", 6, 60),
+        ("b.org", 3, 15),
+        ("c.net", 1, 1),
+    ]
+    assert [r["doc_share"] for r in out] == [0.6, 0.3, 0.1]
+    top = host_stats(df, url_col="url", top_n=2).collect()
+    assert [r["cum_doc_share"] for r in top] == [0.6, 0.9]
+    # shares remain shares of the WHOLE corpus after truncation
+    assert [r["doc_share"] for r in top] == [0.6, 0.3]
