@@ -12,7 +12,16 @@ switching from the reference's shell-driven pipeline
 - ``query NAME --sf-dir DIR``          any registry query by name,
                                        printed (or row-counted);
 - ``corpus --docs P --out DIR``        the staged training-corpus build
-                                       over a documents parquet;
+                                       over a documents parquet (optional
+                                       stages via ``--encoding``,
+                                       ``--line-dedup``,
+                                       ``--boilerplate-min-docs``,
+                                       ``--host-col`` +
+                                       ``--max-docs-per-host`` /
+                                       ``--host-blocklist``);
+- ``host-stats --docs P --host-col C`` registrable-domain concentration
+                                       report (top-N hosts, doc/char
+                                       share, cumulative share);
 - ``corpus-increment --docs P --out DIR --store S --corpus C``
                                        the daily-delta build: gate the
                                        increment against the signature
@@ -77,7 +86,36 @@ def cmd_corpus(args) -> dict:
     spark = _spark()
     docs = spark.read.parquet(args.docs)
     holdout = spark.read.parquet(args.holdout) if args.holdout else None
-    return build_corpus(spark, docs, args.out, holdout=holdout)
+    blocklist = (
+        [h for h in args.host_blocklist.split(",") if h.strip()]
+        if args.host_blocklist
+        else None
+    )
+    return build_corpus(
+        spark,
+        docs,
+        args.out,
+        holdout=holdout,
+        encoding_normalize=args.encoding,
+        line_dedup=args.line_dedup,
+        line_boilerplate_min_docs=args.boilerplate_min_docs,
+        line_boilerplate_scope=args.boilerplate_scope,
+        host_col=args.host_col,
+        max_docs_per_host=args.max_docs_per_host,
+        host_blocklist=blocklist,
+    )
+
+
+def cmd_host_stats(args) -> dict:
+    from .operators.curation import host_stats
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs)
+    kw = {"url_col": args.url_col} if args.url_col else {"host_col": args.host_col}
+    if not args.url_col and not args.host_col:
+        raise SystemExit("host-stats needs --url-col or --host-col")
+    report = host_stats(docs, text_col=args.text_col, top_n=args.top, **kw)
+    return {"docs": args.docs, "hosts": [r.asDict() for r in report.collect()]}
 
 
 def cmd_corpus_increment(args) -> dict:
@@ -128,7 +166,35 @@ def main(argv: list[str] | None = None) -> dict:
     c.add_argument("--docs", required=True)
     c.add_argument("--out", required=True)
     c.add_argument("--holdout")
+    c.add_argument("--encoding", choices=("codegen", "exact"), default=None,
+                   help="optional 00_encoding hygiene stage")
+    c.add_argument("--line-dedup", action="store_true", dest="line_dedup",
+                   help="00b: within-doc duplicate-line removal")
+    c.add_argument("--boilerplate-min-docs", type=int, default=None,
+                   dest="boilerplate_min_docs",
+                   help="00b: drop lines shared by >= N distinct docs")
+    c.add_argument("--boilerplate-scope", default=None,
+                   dest="boilerplate_scope",
+                   help="00b: column scoping boilerplate counting (e.g. source)")
+    c.add_argument("--host-col", default=None, dest="host_col",
+                   help="01b: column holding the document host/domain")
+    c.add_argument("--max-docs-per-host", type=int, default=None,
+                   dest="max_docs_per_host",
+                   help="01b: seeded deterministic per-domain doc cap")
+    c.add_argument("--host-blocklist", default=None, dest="host_blocklist",
+                   help="01b: comma-separated registrable domains to drop")
     c.set_defaults(fn=cmd_corpus)
+
+    hs = sub.add_parser(
+        "host-stats",
+        help="registrable-domain concentration report over a documents parquet",
+    )
+    hs.add_argument("--docs", required=True)
+    hs.add_argument("--url-col", default=None, dest="url_col")
+    hs.add_argument("--host-col", default=None, dest="host_col")
+    hs.add_argument("--text-col", default=None, dest="text_col")
+    hs.add_argument("--top", type=int, default=20)
+    hs.set_defaults(fn=cmd_host_stats)
 
     ci = sub.add_parser(
         "corpus-increment",

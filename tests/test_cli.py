@@ -90,3 +90,47 @@ def test_cli_corpus_increment(tmp_path):
     assert m["snapshot_version"] == 1
     assert m["admitted"] == 1
     assert m["expired_snapshots"] == [0]
+
+
+def test_cli_corpus_optional_stage_flags(tmp_path):
+    m = main(
+        [
+            "corpus",
+            "--docs",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--out",
+            str(tmp_path / "corpus"),
+            "--line-dedup",
+            "--host-col",
+            "source",
+            "--max-docs-per-host",
+            "5",
+        ]
+    )
+    stages = m["stages"]
+    assert "00b_lines" in stages and "01b_hostcap" in stages
+    assert stages["01b_hostcap"]["rows"] <= stages["01_gated"]["rows"]
+
+
+def test_cli_host_stats(tmp_path):
+    out = main(
+        [
+            "host-stats",
+            "--docs",
+            "/root/testdata/sf0.001/documents.parquet",
+            "--host-col",
+            "source",
+            "--text-col",
+            "text",
+            "--top",
+            "3",
+        ]
+    )
+    hosts = out["hosts"]
+    assert len(hosts) == 3
+    assert hosts[0]["docs"] >= hosts[-1]["docs"]
+    assert all("doc_share" in h and "cum_doc_share" in h and "chars" in h for h in hosts)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="url-col or --host-col"):
+        main(["host-stats", "--docs", "/root/testdata/sf0.001/documents.parquet"])
