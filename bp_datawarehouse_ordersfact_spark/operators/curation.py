@@ -169,3 +169,43 @@ def host_stats(
         .drop("__total")
         .orderBy(F.desc("docs"), F.asc("host"))
     )
+
+
+def host_disjoint_split(
+    df: DataFrame,
+    *,
+    val_ppm: int,
+    url_col: str | None = None,
+    host_col: str | None = None,
+    seed: str = "0",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/validation split that keeps every REGISTRABLE DOMAIN on one
+    side (`split_col` ∈ {'train','val'}): near-duplicate documents
+    concentrate within hosts (templates, boilerplate, syndication), so a
+    doc-level random split leaks host-local near-dups across the
+    boundary and inflates eval. This is the zero-cost host-grain
+    complement to `leakage_safe_split` (queries/llmops.py), which closes
+    CONTENT near-dup clusters via LSH + connected components; use both —
+    hosts here, cross-host near-dups there.
+
+    Membership is the canonical deterministic rule on the HOST —
+    ``h32(seed ':' domain) % 1e6 < val_ppm`` → val — a pure function of
+    (domain, seed): stable under repartitioning, appends (tomorrow's
+    docs from a known host land on the known side), and reruns, and
+    reproducible from hashlib. Expect val's DOC share to deviate from
+    ``val_ppm`` by the host-size distribution (hosts are the sampling
+    unit); at web scale the law of large numbers over millions of
+    domains tightens it.
+
+    Map-only: no shuffle, no UDF.
+    """
+    if not 0 <= val_ppm <= 1_000_000:
+        raise ValueError(f"val_ppm must be in [0, 1e6], got {val_ppm}")
+    keyed = _with_host(df, url_col, host_col)
+    is_val = (
+        h32(F.concat_ws(":", F.lit(seed), F.col(_HOST))) % 1_000_000 < val_ppm
+    )
+    return keyed.withColumn(
+        split_col, F.when(is_val, F.lit("val")).otherwise(F.lit("train"))
+    ).drop(_HOST)

@@ -289,3 +289,56 @@ def test_host_stats_shares(spark):
     assert [r["cum_doc_share"] for r in top] == [0.6, 0.9]
     # shares remain shares of the WHOLE corpus after truncation
     assert [r["doc_share"] for r in top] == [0.6, 0.3]
+
+
+# ---------------------------------------------------------------------------
+# host-disjoint split
+# ---------------------------------------------------------------------------
+
+
+def test_host_disjoint_split_hashlib_and_invariants(spark):
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(i, f"https://sub{i % 5}.site{i % 23}.com/p{i}") for i in range(200)],
+        "doc_id long, url string",
+    )
+    from bp_datawarehouse_ordersfact_spark.operators.curation import (
+        host_disjoint_split,
+    )
+
+    out = host_disjoint_split(df, val_ppm=300_000, url_col="url")
+    rows = out.collect()
+    # every registrable domain entirely on one side
+    sides = {}
+    for r in rows:
+        dom = f"site{r['doc_id'] % 23}.com"
+        sides.setdefault(dom, set()).add(r["split"])
+    assert all(len(s) == 1 for s in sides.values())
+    # side matches the hashlib rule on the domain
+    for dom, s in sides.items():
+        h = int(hashlib.md5(f"0:{dom}".encode()).hexdigest()[:8], 16)
+        assert s == {"val" if h % 1_000_000 < 300_000 else "train"}, dom
+    # repartition-stable; seed changes the assignment
+    again = {
+        r["doc_id"]: r["split"]
+        for r in host_disjoint_split(
+            df.repartition(9), val_ppm=300_000, url_col="url"
+        ).collect()
+    }
+    assert again == {r["doc_id"]: r["split"] for r in rows}
+    reseeded = {
+        r["doc_id"]: r["split"]
+        for r in host_disjoint_split(
+            df, val_ppm=300_000, url_col="url", seed="s2"
+        ).collect()
+    }
+    assert reseeded != again
+    # map-only plan
+    plan = (
+        host_disjoint_split(df, val_ppm=300_000, url_col="url")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="val_ppm"):
+        host_disjoint_split(df, val_ppm=2_000_000, url_col="url")
