@@ -865,3 +865,143 @@ def test_passage_spans_recover_planted_passage_any_alignment(
             assert pa <= s0 < e0 <= pa + plen, (i, s0, e0, pa, plen)
         rel[i] = {(s0 - pa, e0 - pa) for s0, e0 in by_doc[i]}
     assert rel[0] == rel[1], rel
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization: idempotent, and batch == one-at-a-time
+# ---------------------------------------------------------------------------
+
+
+_url_strategy = st.builds(
+    lambda scheme, user, host_labels, port, segs, params, frag, www: (
+        scheme
+        + "://"
+        + (user + "@" if user else "")
+        + ("www." if www else "")
+        + ".".join(host_labels)
+        + (f":{port}" if port else "")
+        + ("/" + "/".join(segs) if segs else "")
+        + ("?" + "&".join(f"{k}={v}" for k, v in params) if params else "")
+        + (f"#{frag}" if frag else "")
+    ),
+    scheme=st.sampled_from(["http", "https", "HTTP", "HttPs", "ftp"]),
+    user=st.sampled_from(["", "bob", "a:b"]),
+    host_labels=st.lists(
+        st.sampled_from(["Example", "sub", "x9", "CO", "uk", "com", "org"]),
+        min_size=1,
+        max_size=4,
+    ),
+    port=st.sampled_from([None, 80, 443, 8080]),
+    segs=st.lists(st.sampled_from(["a", "B", "p-1", "", "x%20y"]), max_size=4),
+    params=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "Z", "utm_x", "UTM_CAMPAIGN", "ref", "id", "k"]),
+            st.sampled_from(["1", "x=y", "", "%7E"]),
+        ),
+        max_size=5,
+    ),
+    frag=st.sampled_from(["", "top", "a/b?c=1"]),
+    www=st.booleans(),
+)
+
+
+@PROP
+@given(urls=st.lists(_url_strategy, min_size=1, max_size=12))
+def test_canonicalize_url_idempotent_property(spark, urls):
+    from pyspark.sql import functions as F
+
+    from bp_datawarehouse_ordersfact_spark.functions.urls import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = df.select(canonicalize_url(F.col("u")).alias("c")).collect()
+    twice = (
+        df.select(canonicalize_url(canonicalize_url(F.col("u"))).alias("c")).collect()
+    )
+    assert [r["c"] for r in once] == [r["c"] for r in twice]
+    # canonical form never carries a fragment, an uppercase scheme/host,
+    # a default port, or an unsorted surviving query string
+    for r in once:
+        c = r["c"]
+        assert "#" not in c
+        scheme, rest = c.split("://", 1)
+        assert scheme == scheme.lower()
+        hostport = rest.split("/", 1)[0].split("?", 1)[0]
+        assert hostport == hostport.lower()
+        # default ports are scheme-relative: :80 only strips for http,
+        # :443 only for https (https://h:80 legitimately keeps its port)
+        if scheme == "http":
+            assert not hostport.endswith(":80")
+        if scheme == "https":
+            assert not hostport.endswith(":443")
+        if "?" in c:
+            q = c.split("?", 1)[1]
+            parts = q.split("&")
+            assert parts == sorted(parts) and all(parts)
+            assert not any(p.lower().startswith("utm_") for p in parts)
+
+
+# ---------------------------------------------------------------------------
+# line dedup: idempotent fixed point, matches pure python
+# ---------------------------------------------------------------------------
+
+
+_doc_strategy = st.lists(
+    st.sampled_from(
+        [
+            "",
+            " ",
+            "short",
+            "a repeated navigation line",
+            "Another Repeated Navigation Line",
+            "unique sentence one with words.",
+            "unique sentence two with words.",
+            "\tindented line here",
+        ]
+    ),
+    max_size=10,
+).map(lambda ls: "\n".join(ls))
+
+
+@PROP
+@given(docs=st.lists(_doc_strategy, min_size=1, max_size=6))
+def test_dedupe_lines_idempotent_property(spark, docs):
+    from bp_datawarehouse_ordersfact_spark.operators.lines import (
+        dedupe_lines_within_doc,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    once = dedupe_lines_within_doc(df, id_col="doc_id", text_col="text")
+    got1 = {r["doc_id"]: r["text"] for r in once.collect()}
+    again = dedupe_lines_within_doc(
+        once.drop("lines_deduped"), id_col="doc_id", text_col="text"
+    )
+    got2 = {r["doc_id"]: (r["text"], r["lines_deduped"]) for r in again.collect()}
+    for i in got1:
+        assert got2[i] == (got1[i], 0)  # fixed point: second pass drops nothing
+
+
+@PROP
+@given(docs=st.lists(_doc_strategy, min_size=2, max_size=6), min_docs=st.integers(2, 3))
+def test_boilerplate_removal_fixed_point_property(spark, docs, min_docs):
+    from bp_datawarehouse_ordersfact_spark.operators.lines import (
+        drop_boilerplate_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    once = drop_boilerplate_lines(
+        df, id_col="doc_id", text_col="text", min_docs=min_docs
+    )
+    again = drop_boilerplate_lines(
+        once.drop("lines_boilerplated"),
+        id_col="doc_id",
+        text_col="text",
+        min_docs=min_docs,
+    )
+    first = {r["doc_id"]: r["text"] for r in once.collect()}
+    second = {r["doc_id"]: (r["text"], r["lines_boilerplated"]) for r in again.collect()}
+    for i in first:
+        assert second[i] == (first[i], 0)
