@@ -870,3 +870,120 @@ def run_text_quality_sweep_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_host_cap_ingest_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    *,
+    host_col: str,
+    id_col: str = "doc_id",
+    max_docs_per_host: int = 100,
+    files_per_trigger: int = 1,
+    seed: str = "0",
+) -> None:
+    """Streaming corpus ingest with HOST-CAP-at-the-door: each
+    registrable domain may contribute at most ``max_docs_per_host``
+    documents over the stream's LIFETIME — the streaming composition of
+    ``operators/curation.cap_docs_per_host`` (which caps a static
+    corpus) for the continuously-crawling posture, where a template
+    farm must stop contributing the moment it hits its cap, not at the
+    next batch job.
+
+    Per-host admitted counts persist as a parquet ledger under
+    ``{out_dir}_host_counts/ingest_batch_id={N}`` — per-batch DELTA rows
+    (host, admitted), summed at read time, so state updates are
+    partition-overwrites, never read-modify-write of a shared file.
+
+    foreachBatch is AT-LEAST-ONCE, so the batch body is idempotent (the
+    ``run_incremental_dedup_stream`` contract):
+
+    - survivors land under ``out_dir/ingest_batch_id={N}`` — replays
+      overwrite their own partition;
+    - the count DELTA also lands under its own ``ingest_batch_id={N}``
+      partition — a replay overwrites its own delta instead of
+      double-counting;
+    - quota reads EXCLUDE the current batch's partition (own-batch
+      exclusion), so a replay that crashed after writing its delta
+      still computes the same remaining quota;
+    - a ``_processed_batches`` ledger skips fully-committed batches.
+
+    Within a batch, the per-host picks are the canonical deterministic
+    rule (smallest ``h32(seed:id)`` first), so replays select identical
+    survivors. Scale: the window ranks only BATCH rows per host
+    (micro-batch-bounded, not corpus-bounded); the counts ledger is
+    rows-per-host-per-batch and compactable offline.
+    """
+    from ..functions.text import h32
+    from ..functions.urls import registrable_domain
+
+    if max_docs_per_host < 1:
+        raise ValueError(f"max_docs_per_host must be >= 1, got {max_docs_per_host}")
+    schema = spark.read.parquet(docs_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(docs_dir)
+    )
+    counts_dir = out_dir.rstrip("/") + "_host_counts"
+    ledger = out_dir.rstrip("/") + "_processed_batches"
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+        from pyspark.sql import Window
+
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        try:
+            done = {r["batch_id"] for r in s.read.parquet(ledger).collect()}
+        except AnalysisException:
+            done = set()
+        if int(batch_id) in done:
+            return
+        try:
+            prior = (
+                s.read.parquet(counts_dir)
+                .filter(F.col("ingest_batch_id") != int(batch_id))
+                .groupBy("__host")
+                .agg(F.sum("admitted").alias("__prior"))
+            )
+        except AnalysisException:
+            prior = s.createDataFrame([], "__host string, __prior long")
+
+        keyed = batch_df.withColumn(
+            "__host", registrable_domain(F.lower(F.col(host_col)))
+        ).withColumn(
+            "__rk",
+            h32(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))),
+        )
+        w = Window.partitionBy("__host").orderBy("__rk", id_col)
+        remaining = F.lit(max_docs_per_host) - F.coalesce(
+            F.col("__prior"), F.lit(0)
+        )
+        survivors = (
+            keyed.join(prior, "__host", "left")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= remaining)
+        )
+        delta = survivors.groupBy("__host").agg(
+            F.count(F.lit(1)).cast("long").alias("admitted")
+        )
+        survivors.drop("__host", "__rk", "__rn", "__prior").write.mode(
+            "overwrite"
+        ).parquet(out_dir.rstrip("/") + f"/ingest_batch_id={int(batch_id)}")
+        delta.write.mode("overwrite").parquet(
+            counts_dir + f"/ingest_batch_id={int(batch_id)}"
+        )
+        s.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+            "append"
+        ).parquet(ledger)
+
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir.rstrip("/") + "_checkpoint")
+        .start()
+    )
+    q.awaitTermination()

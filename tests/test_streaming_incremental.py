@@ -516,3 +516,108 @@ def test_incremental_ann_ingest_stream_appends_gates_and_replays(spark, tmp_path
     _, _, again = load_ann_index(spark, index_dir)
     assert again.count() == 400
     assert glob.glob(index_dir + "/index.v2*") == []  # no stray versions
+
+
+def test_host_cap_ingest_stream_enforces_lifetime_cap(spark, tmp_path):
+    """Two micro-batches from the same hot host: batch 1 uses up most of
+    the host's lifetime quota, batch 2 may only admit the remainder —
+    the cap binds across batches, not per batch. A cold host passes
+    untouched and the picks are the deterministic smallest-hash rule."""
+    import hashlib
+
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import (
+        run_host_cap_ingest_stream,
+    )
+
+    feed = str(tmp_path / "feed")
+    b1 = spark.createDataFrame(
+        [(i, "hot.example.com", f"doc {i}") for i in range(6)]
+        + [(100, "cold.org", "cold doc")],
+        "doc_id long, host string, text string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(feed)
+    b2 = spark.createDataFrame(
+        [(10 + i, "hot.example.com", f"doc {10 + i}") for i in range(6)],
+        "doc_id long, host string, text string",
+    )
+    b2.coalesce(1).write.mode("append").parquet(feed)
+
+    sink = str(tmp_path / "sink")
+    run_host_cap_ingest_stream(
+        spark, feed, sink, host_col="host", max_docs_per_host=8,
+        files_per_trigger=1,
+    )
+    landed = spark.read.parquet(sink)
+    by_host = {
+        r["host"]: r["n"]
+        for r in landed.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_host == {"hot.example.com": 8, "cold.org": 1}
+
+    # batch-local picks follow the smallest-h32 rule: whichever batch
+    # ran second admitted exactly (8 - first_batch_admits) docs, chosen
+    # by hash rank within that batch
+    ids = {r["doc_id"] for r in landed.collect()}
+
+    def h(i):
+        return int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:8], 16)
+
+    first = {r["doc_id"] for r in landed.filter(F.col("ingest_batch_id") == 0).collect()}
+    second = ids - first - {100} if 100 in first else ids - first
+    # one batch is all-admitted (6 <= 8), the other truncated to 2
+    batch_a = set(range(6))
+    batch_b = set(range(10, 16))
+    if first - {100} == batch_a:
+        expect_second = set(sorted(batch_b, key=lambda i: (h(i), i))[:2])
+        assert second == expect_second
+    else:
+        assert first - {100} == batch_b
+        expect_second = set(sorted(batch_a, key=lambda i: (h(i), i))[:2])
+        assert second == expect_second
+
+
+def test_host_cap_ingest_stream_replay_is_idempotent(spark, tmp_path):
+    """Worst-case replay (checkpoint AND batch ledger lost): every batch
+    re-runs against a counts ledger that already holds its delta. The
+    own-batch exclusion + partition overwrites must leave the sink and
+    the counts byte-identical."""
+    import shutil
+
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import (
+        run_host_cap_ingest_stream,
+    )
+
+    feed = str(tmp_path / "feed")
+    for b in range(2):
+        spark.createDataFrame(
+            [(b * 10 + i, "hot.example.com", f"d{b * 10 + i}") for i in range(5)],
+            "doc_id long, host string, text string",
+        ).coalesce(1).write.mode("append").parquet(feed)
+
+    sink = str(tmp_path / "sink")
+    kwargs = dict(host_col="host", max_docs_per_host=7, files_per_trigger=1)
+    run_host_cap_ingest_stream(spark, feed, sink, **kwargs)
+    before = sorted(
+        (r["doc_id"], r["ingest_batch_id"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    counts_before = sorted(
+        (r["__host"], r["admitted"], r["ingest_batch_id"])
+        for r in spark.read.parquet(sink + "_host_counts").collect()
+    )
+    assert sum(c for _, c, _ in counts_before) == 7
+
+    # lose the checkpoint and the processed-batches ledger -> full replay
+    shutil.rmtree(sink + "_checkpoint")
+    shutil.rmtree(sink + "_processed_batches")
+    run_host_cap_ingest_stream(spark, feed, sink, **kwargs)
+    after = sorted(
+        (r["doc_id"], r["ingest_batch_id"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    counts_after = sorted(
+        (r["__host"], r["admitted"], r["ingest_batch_id"])
+        for r in spark.read.parquet(sink + "_host_counts").collect()
+    )
+    assert after == before
+    assert counts_after == counts_before
