@@ -1166,3 +1166,69 @@ def cut_duplicated_passages(
             yield pd.DataFrame(rows, columns=[id_col, text_col, "n_cut_chars"])
 
     return joined.mapInPandas(splice, out_schema)
+
+
+def contamination_report(
+    docs: DataFrame,
+    holdout: DataFrame,
+    *,
+    holdout_id_col: str,
+    doc_id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    max_example_ids: int = 5,
+) -> DataFrame:
+    """Per-benchmark-item contamination audit: for each holdout item,
+    how many training documents share at least one word n-gram with it,
+    how many DISTINCT n-grams are shared, and a bounded sample of the
+    offending doc ids. The drop-stage (`build_corpus` 03_decontam)
+    answers "is the corpus clean?"; this answers the QA follow-ups —
+    "WHICH benchmark items leak, how badly, and through which docs" —
+    before anyone decides whether the leak is real contamination or a
+    common phrase that needs a longer n.
+
+    Items with zero hits are included (left join) so the report's row
+    count is the benchmark's size — absence of a row can't be confused
+    with absence of leakage.
+
+    Scale shape: holdout n-grams are benchmark-sized → broadcast; the
+    corpus explodes to (doc_id, gram) rows that are FILTERED by the
+    broadcast join before any shuffle, so only matched rows (rare by
+    construction) reach the per-item aggregate. ``example_doc_ids`` is
+    a sorted, `max_example_ids`-bounded sample serialized to a string —
+    scalar output columns per the repo's oracle conventions.
+    """
+    from ..functions.text import tokens, word_shingles
+
+    grams = lambda c: word_shingles(tokens(c), n)  # noqa: E731
+    hold = holdout.select(
+        F.col(holdout_id_col).alias("holdout_id"),
+        F.explode(grams(F.col(text_col))).alias("gram"),
+    ).distinct()
+    doc_grams = docs.select(
+        F.col(doc_id_col).alias("__doc"),
+        F.explode(grams(F.col(text_col))).alias("gram"),
+    )
+    hits = doc_grams.join(F.broadcast(hold), "gram").groupBy("holdout_id").agg(
+        F.count_distinct("__doc").cast("bigint").alias("contaminated_docs"),
+        F.count_distinct("gram").cast("bigint").alias("shared_grams"),
+        F.concat_ws(
+            ",",
+            F.slice(
+                F.array_sort(F.collect_set("__doc")), 1, max_example_ids
+            ).cast("array<string>"),
+        ).alias("example_doc_ids"),
+    )
+    all_items = holdout.select(
+        F.col(holdout_id_col).alias("holdout_id")
+    ).distinct()
+    return (
+        all_items.join(hits, "holdout_id", "left")
+        .select(
+            "holdout_id",
+            F.coalesce("contaminated_docs", F.lit(0)).alias("contaminated_docs"),
+            F.coalesce("shared_grams", F.lit(0)).alias("shared_grams"),
+            F.coalesce("example_doc_ids", F.lit("")).alias("example_doc_ids"),
+        )
+        .orderBy(F.desc("contaminated_docs"), F.asc("holdout_id"))
+    )

@@ -184,3 +184,61 @@ def test_cross_pairs_plan_is_pure_equijoin(spark, corpus_and_holdout):
     plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_report_counts_and_examples(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here. {leak} and then some more content."),
+            (2, f"{leak} appears here too inside this second document."),
+            (3, "a completely clean document about something unrelated."),
+            (4, f"partial overlap: the quick brown fox jumps far away."),
+        ],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame(
+        [
+            ("q1", leak),
+            ("q2", "no overlap with anything in the training corpus whatsoever"),
+        ],
+        "hid string, text string",
+    )
+    out = contamination_report(
+        docs, holdout, holdout_id_col="hid"
+    ).collect()
+    rows = {r["holdout_id"]: r for r in out}
+    assert set(rows) == {"q1", "q2"}  # zero-hit items still present
+    # docs 1,2 share full 5-gram runs; doc 4 shares exactly one 5-gram
+    # ("the quick brown fox jumps"); doc 3 shares none
+    assert rows["q1"]["contaminated_docs"] == 3
+    assert rows["q1"]["example_doc_ids"] == "1,2,4"
+    # q1's text has 10 tokens -> 6 distinct 5-grams, all hit via docs 1/2
+    assert rows["q1"]["shared_grams"] == 6
+    assert rows["q2"]["contaminated_docs"] == 0
+    assert rows["q2"]["shared_grams"] == 0
+    assert rows["q2"]["example_doc_ids"] == ""
+    # ordering: worst item first
+    assert [r["holdout_id"] for r in out] == ["q1", "q2"]
+
+
+def test_contamination_report_bounds_example_ids(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    leak = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} says {leak} verbatim") for i in range(10)],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame([("h", leak)], "hid string, text string")
+    r = contamination_report(
+        docs, holdout, holdout_id_col="hid", max_example_ids=3
+    ).first()
+    assert r["contaminated_docs"] == 10
+    assert r["example_doc_ids"] == "0,1,2"
