@@ -189,9 +189,11 @@ def write_tar_shards(
     partition rolls tar files of ``shard_rows`` samples named
     ``{prefix}-{partition:05d}-{seq:04d}.tar`` (stdlib tarfile, pinned
     zero mtime/uid/gid so identical inputs produce byte-identical
-    shards). Returns a lazy manifest frame (shard, rows, bytes) — the
-    caller's action triggers the export, and the manifest is the
-    restartability record. Shard membership follows the physical
+    shards). Returns a lazy manifest frame (shard, rows, bytes, sha256)
+    — the caller's action triggers the export, and the manifest is both
+    the restartability record and the integrity record
+    (``verify_tar_shards`` recomputes the digests distributed and
+    reports any shard whose bytes drifted after delivery). Shard membership follows the physical
     partitioning: repartition/sort upstream for reproducible shard
     contents. ``out_dir`` must be a filesystem every executor can reach
     (local/NFS/FUSE mount; for object stores, upload the closed shard
@@ -206,6 +208,7 @@ def write_tar_shards(
     exts = list(payload_cols.keys())
 
     def gen(batches):
+        import hashlib
         import io
         import tarfile
 
@@ -223,7 +226,15 @@ def write_tar_shards(
             nonlocal tar, n_in_shard, seq, path
             if tar is not None:
                 tar.close()
-                out_rows.append((path, n_in_shard, os.path.getsize(path)))
+                # digest the just-closed shard (still in page cache) so
+                # the manifest doubles as the integrity record
+                h = hashlib.sha256()
+                with open(path, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+                out_rows.append(
+                    (path, n_in_shard, os.path.getsize(path), h.hexdigest())
+                )
                 tar, path, n_in_shard = None, None, 0
                 seq += 1
 
@@ -251,11 +262,58 @@ def write_tar_shards(
                 if n_in_shard >= shard_rows:
                     close_current()
         close_current()
-        yield pd.DataFrame(out_rows, columns=["shard", "rows", "bytes"])
+        yield pd.DataFrame(
+            out_rows, columns=["shard", "rows", "bytes", "sha256"]
+        )
 
     return df.select(cols).mapInPandas(
-        gen, schema="shard string, rows long, bytes long"
+        gen, schema="shard string, rows long, bytes long, sha256 string"
     )
+
+
+def verify_tar_shards(spark, manifest_df):
+    """Distributed integrity check of exported tar shards against their
+    manifest: re-read every shard via the binaryFile source, recompute
+    sha256 JVM-side (``sha2`` over the content column — no Python in the
+    hot path), and report one row per PROBLEM shard with a ``status`` of
+    ``missing`` (file gone), ``hash_mismatch`` (bytes drifted), or
+    ``unexpected`` (a shard on disk the manifest doesn't know). Empty
+    result = delivery intact. The shape every loader-side checksum pass
+    runs before a training job trusts a shard directory.
+
+    Scale: one scan of the shard bytes (binaryFile splits per file; a
+    shard is one task) + a broadcast-sized manifest join.
+    """
+    from pyspark.sql import functions as F
+
+    expected = manifest_df.select(
+        F.col("shard"), F.col("sha256").alias("expected_sha256")
+    )
+    dirs = sorted({os.path.dirname(r["shard"]) for r in expected.collect()})
+    actual = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(dirs)
+        .select(
+            # binaryFile paths carry a file: scheme; manifest paths are
+            # plain local paths — strip the scheme for the join
+            F.regexp_replace(F.col("path"), "^file:", "").alias("shard"),
+            F.lower(F.sha2(F.col("content"), 256)).alias("actual_sha256"),
+        )
+    )
+    joined = expected.join(actual, "shard", "full_outer")
+    return joined.select(
+        "shard",
+        F.when(F.col("actual_sha256").isNull(), F.lit("missing"))
+        .when(F.col("expected_sha256").isNull(), F.lit("unexpected"))
+        .when(
+            F.col("actual_sha256") != F.col("expected_sha256"),
+            F.lit("hash_mismatch"),
+        )
+        .alias("status"),
+        "expected_sha256",
+        "actual_sha256",
+    ).filter(F.col("status").isNotNull()).orderBy("shard")
 
 
 def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
@@ -267,6 +325,7 @@ def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
     ``groupBy(key).pivot(ext)`` or a map_from_entries aggregation."""
 
     def gen(batches):
+        import hashlib
         import io
         import tarfile
 

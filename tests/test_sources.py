@@ -665,3 +665,43 @@ def test_expire_snapshots_retention(spark, tmp_path):
 
     # idempotent / no-op when history is already within budget
     assert expire_snapshots(spark, base, keep_last=10) == []
+
+
+def test_tar_shard_manifest_sha256_and_verifier(spark, tmp_path):
+    import hashlib
+
+    from bp_datawarehouse_ordersfact_spark.sources.files import (
+        verify_tar_shards,
+        write_tar_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i}", f"body {i}") for i in range(7)], "key string, body string"
+    ).repartition(2)
+    out = str(tmp_path / "shards")
+    manifest = write_tar_shards(
+        df, out, "key", {"txt": "body"}, shard_rows=3
+    ).localCheckpoint(eager=True)
+    rows = manifest.collect()
+    # manifest digests match hashlib over the files
+    for r in rows:
+        with open(r["shard"], "rb") as f:
+            assert r["sha256"] == hashlib.sha256(f.read()).hexdigest()
+    # intact delivery -> empty report
+    assert verify_tar_shards(spark, manifest).count() == 0
+
+    # corrupt one shard, delete another, plant an unexpected file
+    victim, missing = rows[0]["shard"], rows[1]["shard"]
+    with open(victim, "r+b") as f:
+        f.seek(10)
+        f.write(b"X")
+    import os as _os
+
+    _os.remove(missing)
+    with open(str(tmp_path / "shards" / "rogue-00000-0000.tar"), "wb") as f:
+        f.write(b"not really a tar")
+    report = {r["shard"]: r["status"] for r in verify_tar_shards(spark, manifest).collect()}
+    assert report[victim] == "hash_mismatch"
+    assert report[missing] == "missing"
+    assert any(s == "unexpected" for s in report.values())
+    assert len(report) == 3
