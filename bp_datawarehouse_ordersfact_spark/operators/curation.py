@@ -30,7 +30,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import h32
-from ..functions.urls import registrable_domain, registrable_domain_py, url_host
+from ..functions.urls import (
+    canonicalize_url,
+    registrable_domain,
+    registrable_domain_py,
+    url_host,
+)
 
 _HOST = "__curation_host"
 
@@ -209,3 +214,34 @@ def host_disjoint_split(
     return keyed.withColumn(
         split_col, F.when(is_val, F.lit("val")).otherwise(F.lit("train"))
     ).drop(_HOST)
+
+
+def dedup_by_canonical_url(
+    df: DataFrame,
+    *,
+    url_col: str,
+    id_col: str,
+) -> DataFrame:
+    """URL-level dedup — the FIRST dedup tier of a real crawl pipeline,
+    upstream of every content tier (`operators/dedup.py`): the same page
+    fetched under different URL spellings (tracking params, fragments,
+    parameter order, www/case/port noise) collapses to one keeper per
+    `functions/urls.canonicalize_url` identity, before anyone pays to
+    hash its content. Keeps the smallest `id_col` per canonical URL —
+    deterministic, no physical-order dependence.
+
+    Scale shape: one shuffle on the canonical-URL key; per-key groups
+    are refetch-count-sized (a handful), so the rank window has no skew
+    exposure, and Catalyst's ``WindowGroupLimit`` keeps only the
+    top row per key per partition before the sort.
+    """
+    from pyspark.sql import Window
+
+    key = canonicalize_url(F.col(url_col))
+    w = Window.partitionBy("__canon").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__canon", key)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__canon", "__rn")
+    )

@@ -23,6 +23,9 @@ Stages (all built from the repo's operators — nothing new semantically):
                        (optionally scoped per ``line_boilerplate_scope``)
                        before any hash-based stage; text never shuffles;
                        ``n_chars`` recomputed.
+0c. ``00c_urldedup`` — OPTIONAL (``url_dedup_col``): one keeper per
+                       canonical URL (operators/curation.py) before any
+                       content hashing pays for refetched spellings.
 1. ``01_gated``      — quality gate: length + stopword-ratio heuristics.
 1b. ``01b_hostcap``  — OPTIONAL (``host_col`` + ``max_docs_per_host`` /
                        ``host_blocklist``): registrable-domain blocklist
@@ -131,6 +134,7 @@ def build_corpus(
     quality_keep_ppm: list[int] | None = None,
     quality_boundaries: list[float] | None = None,
     min_chars: int = 100,
+    url_dedup_col: str | None = None,
     line_dedup: bool = False,
     line_boilerplate_min_docs: int | None = None,
     line_boilerplate_scope: str | None = None,
@@ -221,6 +225,18 @@ def build_corpus(
             ).drop("lines_boilerplated")
         docs = record(
             "00b_lines", cleaned.withColumn("n_chars", F.length("text"))
+        )
+
+    # 0c — OPTIONAL URL-level dedup (``url_dedup_col``): the same page
+    # refetched under different URL spellings collapses to one keeper
+    # BEFORE any content hashing pays for it (operators/curation.py —
+    # the first dedup tier of a real crawl pipeline).
+    if url_dedup_col is not None:
+        from ..operators.curation import dedup_by_canonical_url
+
+        docs = record(
+            "00c_urldedup",
+            dedup_by_canonical_url(docs, url_col=url_dedup_col, id_col="doc_id"),
         )
 
     # 1 — quality gate (cheap, codegen-only; runs first so every later

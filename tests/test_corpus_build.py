@@ -868,3 +868,36 @@ def test_host_cap_requires_host_col(spark, tmp_path):
         build_corpus(
             spark, docs, str(tmp_path / "c"), max_docs_per_host=2
         )
+
+
+def test_url_dedup_stage_collapses_refetched_spellings(spark, tmp_path):
+    from bp_datawarehouse_ordersfact_spark.pipelines.corpus_build import build_corpus
+
+    body = "a perfectly ordinary document body with plenty of words here. " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, body + "one", "HTTPS://Site.com/p?utm_x=1&a=1"),
+            (2, body + "one", "https://www.site.com/p/?a=1#f"),  # same page
+            (3, body + "two", "https://site.com/q?a=1"),          # different page
+        ],
+        "doc_id long, text string, url string",
+    ).withColumn("n_chars", F.length("text")).withColumn("source", F.lit("web"))
+
+    manifest = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "corpus"),
+        url_dedup_col="url",
+        min_chars=50,
+        chunk_tokens=30,
+        chunk_stride=30,
+        pack_budget=100,
+    )
+    assert manifest["stages"]["00c_urldedup"]["rows"] == 2
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            manifest["stages"]["00c_urldedup"]["path"]
+        ).collect()
+    }
+    assert kept == {1, 3}

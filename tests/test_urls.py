@@ -342,3 +342,31 @@ def test_host_disjoint_split_hashlib_and_invariants(spark):
     assert "Exchange" not in plan
     with pytest.raises(ValueError, match="val_ppm"):
         host_disjoint_split(df, val_ppm=2_000_000, url_col="url")
+
+
+# ---------------------------------------------------------------------------
+# URL-level dedup
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_by_canonical_url(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.curation import (
+        dedup_by_canonical_url,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (3, "https://www.shop.com/p?b=2&a=1&utm_x=9"),
+            (1, "HTTPS://Shop.com:443/p/?a=1&b=2#frag"),  # same page, id 1 wins
+            (2, "https://shop.com/p?a=1&b=2"),            # same page again
+            (4, "https://shop.com/p?a=1&b=3"),            # DIFFERENT params
+            (5, "https://other.org/p?a=1&b=2"),           # different host
+        ],
+        "doc_id long, url string",
+    )
+    out = dedup_by_canonical_url(df, url_col="url", id_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 4, 5]
+    assert out.columns == df.columns
+    # WindowGroupLimit rank pushdown engaged
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "WindowGroupLimit" in plan
