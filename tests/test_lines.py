@@ -258,3 +258,76 @@ def test_line_quality_map_only_plan(spark):
         )._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# paragraph-aware chunk packing
+# ---------------------------------------------------------------------------
+
+
+def _py_paragraph_chunks(text, budget):
+    import re
+
+    paras = [p.strip() for p in re.split(r"\n[ \t]*\n+", text) if p.strip()]
+    chunks, cur, run = [], [], 0
+    for p in paras:
+        t = len(p.split())
+        if cur and run + t > budget:
+            chunks.append("\n\n".join(cur))
+            cur, run = [p], t
+        else:
+            cur.append(p)
+            run += t
+    if cur:
+        chunks.append("\n\n".join(cur))
+    return chunks
+
+
+def test_paragraph_chunks_vs_python(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.lines import paragraph_chunks
+
+    docs = [
+        "one two three.\n\nfour five six seven.\n\neight nine.\n\nten.",
+        "a single short paragraph.",
+        # oversize paragraph becomes its own over-budget chunk
+        "word " * 20 + "\n\nshort tail here.",
+        # blank-ish separators with spaces/tabs between newlines
+        "p one here.\n \t\n\np two there.",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = paragraph_chunks(df, id_col="doc_id", text_col="text", budget_tokens=6)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["chunk_tokens"])
+        )
+    for i, d in enumerate(docs):
+        expect = _py_paragraph_chunks(d, 6)
+        rows = sorted(got.get(i, []))
+        assert [c for _, c, _ in rows] == expect, f"doc {i}"
+        assert [k for k, _, _ in rows] == list(range(len(expect)))
+        for _, c, n in rows:
+            assert n == len(c.split())
+    # the oversize paragraph overshot the budget, visibly
+    oversize = [n for _, _, n in got[2]]
+    assert max(oversize) == 20 and min(oversize) <= 6
+
+
+def test_paragraph_chunks_edge_cases_and_plan(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.lines import paragraph_chunks
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "\n\n\n"), (3, "exactly six words in this one.")],
+        "doc_id long, text string",
+    )
+    out = paragraph_chunks(df, id_col="doc_id", text_col="text", budget_tokens=6)
+    rows = out.collect()
+    # empty / all-blank docs emit no chunks
+    assert {r["doc_id"] for r in rows} == {3}
+    assert rows[0]["chunk_tokens"] == 6
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-local, map-only
+    with pytest.raises(ValueError, match="budget_tokens"):
+        paragraph_chunks(df, id_col="doc_id", text_col="text", budget_tokens=0)

@@ -1005,3 +1005,42 @@ def test_boilerplate_removal_fixed_point_property(spark, docs, min_docs):
     second = {r["doc_id"]: (r["text"], r["lines_boilerplated"]) for r in again.collect()}
     for i in first:
         assert second[i] == (first[i], 0)
+
+
+@PROP
+@given(
+    paras=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "ep"]),
+            min_size=1,
+            max_size=9,
+        ).map(" ".join),
+        max_size=8,
+    ),
+    budget=st.integers(1, 12),
+)
+def test_paragraph_chunks_matches_greedy_reference(spark, paras, budget):
+    from bp_datawarehouse_ordersfact_spark.operators.lines import paragraph_chunks
+
+    text = "\n\n".join(paras)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = [
+        r["chunk_text"]
+        for r in paragraph_chunks(
+            df, id_col="doc_id", text_col="text", budget_tokens=budget
+        )
+        .orderBy("chunk_idx")
+        .collect()
+    ]
+    chunks, cur, run = [], [], 0
+    for p in paras:
+        t = len(p.split())
+        if cur and run + t > budget:
+            chunks.append("\n\n".join(cur))
+            cur, run = [p], t
+        else:
+            cur.append(p)
+            run += t
+    if cur:
+        chunks.append("\n\n".join(cur))
+    assert got == chunks
