@@ -236,6 +236,7 @@ def paragraph_chunks(
     id_col: str,
     text_col: str,
     budget_tokens: int,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Boundary-respecting chunking: split each document at blank-line
     paragraph boundaries and greedily pack CONSECUTIVE paragraphs into
@@ -249,8 +250,10 @@ def paragraph_chunks(
     than being torn — callers that must hard-cap re-split those few
     through the token-window chunker.
 
-    Returns (id, chunk_idx, chunk_text, chunk_tokens), chunks in
-    document order, paragraphs re-joined with a blank line.
+    Returns (id, *carry_cols, chunk_idx, chunk_text, chunk_tokens),
+    chunks in document order, paragraphs re-joined with a blank line;
+    `carry_cols` ride along row-locally (no join-back shuffle for
+    source/host metadata).
 
     Scale shape: entirely ROW-LOCAL — the greedy reset-accumulation is a
     sequential recurrence (no prefix-sum/codegen expression exists), so
@@ -307,10 +310,12 @@ def paragraph_chunks(
     )
     out = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
     )
     return out.select(
         id_col,
+        *carry_cols,
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         "chunk_text",
         ntok(F.col("chunk_text")).cast("int").alias("chunk_tokens"),

@@ -62,7 +62,10 @@ Stages (all built from the repo's operators — nothing new semantically):
                        (Efraimidis–Spirakis, operators/sampling.py) when
                        the budget is "n documents, favor weight" rather
                        than a per-source fraction. Shuffle-free top-n.
-5. ``05_chunks``     — sliding-window token chunks, token-budget packed
+5. ``05_chunks``     — sliding-window token chunks (``chunk_mode=
+                       "window"``) or boundary-respecting paragraph
+                       packing (``chunk_mode="paragraph"``,
+                       operators/lines.py), token-budget packed
                        into bins, written COMPACTED (sources.files.
                        compact_write) — the artifact a tokenizer reads.
 5b. ``05b_shards``   — OPTIONAL (``tar_shard_rows``): re-export the
@@ -153,6 +156,7 @@ def build_corpus(
     bpe_merges: int | None = None,
     tar_shard_rows: int | None = None,
     shard_shuffle_seed: str | None = None,
+    chunk_mode: str = "window",
     chunk_tokens: int = 50,
     chunk_stride: int = 40,
     pack_budget: int = 500,
@@ -444,26 +448,54 @@ def build_corpus(
             ).drop("es_key"),
         )
 
-    # 5 — chunk + pack + compacted write
-    t = mixed.select("doc_id", "source", Tx.tokens(F.col("text")).alias("t"))
-    sized = t.withColumn("n", F.size("t")).filter(F.col("n") > 0)
-    n_chunks = F.floor(
-        (F.greatest(F.col("n") - chunk_tokens, F.lit(0)) + chunk_stride - 1)
-        / chunk_stride
-    ) + 1
-    chunks = sized.select(
-        "doc_id",
-        "source",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
-        "t",
-    ).select(
-        "doc_id",
-        "source",
-        "chunk_idx",
-        F.slice(
-            F.col("t"), F.col("chunk_idx") * chunk_stride + 1, chunk_tokens
-        ).alias("chunk"),
-    )
+    # 5 — chunk + pack + compacted write. Two chunking modes:
+    # "window" (default) — sliding token windows of ``chunk_tokens`` at
+    # ``chunk_stride`` (overlap = pretraining shape); "paragraph" —
+    # boundary-respecting greedy packing of consecutive paragraphs into
+    # ≤ chunk_tokens chunks (operators/lines.paragraph_chunks — the
+    # SFT/RAG shape that never cuts mid-sentence; oversize paragraphs
+    # overshoot visibly rather than tearing). Both emit the same
+    # (doc_id, source, chunk_idx, chunk: array<token>) schema into the
+    # pack window.
+    if chunk_mode == "paragraph":
+        from ..operators.lines import paragraph_chunks
+
+        chunks = paragraph_chunks(
+            mixed,
+            id_col="doc_id",
+            text_col="text",
+            budget_tokens=chunk_tokens,
+            carry_cols=("source",),
+        ).select(
+            "doc_id",
+            "source",
+            "chunk_idx",
+            F.split(F.trim(F.col("chunk_text")), r"\s+").alias("chunk"),
+        )
+    elif chunk_mode == "window":
+        t = mixed.select("doc_id", "source", Tx.tokens(F.col("text")).alias("t"))
+        sized = t.withColumn("n", F.size("t")).filter(F.col("n") > 0)
+        n_chunks = F.floor(
+            (F.greatest(F.col("n") - chunk_tokens, F.lit(0)) + chunk_stride - 1)
+            / chunk_stride
+        ) + 1
+        chunks = sized.select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+            "t",
+        ).select(
+            "doc_id",
+            "source",
+            "chunk_idx",
+            F.slice(
+                F.col("t"), F.col("chunk_idx") * chunk_stride + 1, chunk_tokens
+            ).alias("chunk"),
+        )
+    else:
+        raise ValueError(
+            f"chunk_mode must be 'window' or 'paragraph'; got {chunk_mode!r}"
+        )
     w = Window.partitionBy("source").orderBy("doc_id", "chunk_idx")
     packed = chunks.withColumn("chunk_tokens", F.size("chunk")).withColumn(
         "bin_id",

@@ -901,3 +901,42 @@ def test_url_dedup_stage_collapses_refetched_spellings(spark, tmp_path):
         ).collect()
     }
     assert kept == {1, 3}
+
+
+def test_paragraph_chunk_mode(spark, tmp_path):
+    from bp_datawarehouse_ordersfact_spark.pipelines.corpus_build import build_corpus
+
+    paras = [
+        "first paragraph with exactly six words.",
+        "second paragraph also has six words.",
+        "third one is short.",
+    ]
+    docs = spark.createDataFrame(
+        [(1, "\n\n".join(paras), "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text"))
+
+    manifest = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "corpus"),
+        min_chars=50,
+        chunk_mode="paragraph",
+        chunk_tokens=10,
+        pack_budget=100,
+    )
+    chunks = (
+        spark.read.parquet(manifest["stages"]["05_chunks"]["path"])
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    # greedy packing at budget 10: para1 (6) alone (6+6>10), para2+para3
+    # (6+4=10) together — boundaries respected, nothing torn
+    assert [r["chunk_tokens"] for r in chunks] == [6, 10]
+    assert chunks[0]["chunk"] == paras[0].split()
+    assert chunks[1]["chunk"] == (paras[1] + " " + paras[2]).split()
+
+    with pytest.raises(ValueError, match="chunk_mode"):
+        build_corpus(
+            spark, docs, str(tmp_path / "c2"), min_chars=50, chunk_mode="bogus"
+        )
