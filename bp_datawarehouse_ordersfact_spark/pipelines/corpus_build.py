@@ -166,6 +166,14 @@ def build_corpus(
     ``holdout`` carries a ``text`` column of benchmark documents whose
     5-grams must not leak into training data. Returns the manifest:
     per-stage paths and row counts."""
+    if (max_docs_per_host is not None or host_blocklist is not None) and (
+        host_col is None
+    ):
+        raise ValueError(
+            "host curation (max_docs_per_host / host_blocklist) "
+            "requires host_col"
+        )
+
     manifest: dict = {"out_dir": out_dir, "stages": {}}
 
     def record(name: str, df: DataFrame) -> DataFrame:
@@ -259,11 +267,6 @@ def build_corpus(
     # operators/curation.py). After 01 so the cap counts only docs that
     # survived the cheap gate.
     if max_docs_per_host is not None or host_blocklist is not None:
-        if host_col is None:
-            raise ValueError(
-                "host curation (max_docs_per_host / host_blocklist) "
-                "requires host_col"
-            )
         from ..operators import curation as Cu
 
         curated = gated
@@ -605,6 +608,12 @@ def build_corpus_increment(
     min_chars: int = 100,
     near_dup_threshold: float = 0.5,
     encoding_normalize: str | None = None,
+    line_dedup: bool = False,
+    line_boilerplate_min_docs: int | None = None,
+    line_boilerplate_scope: str | None = None,
+    url_dedup_col: str | None = None,
+    host_blocklist=None,
+    host_col: str | None = None,
     admit: bool = True,
     snapshot_label: str | None = None,
     retain_snapshots: int | None = None,
@@ -621,7 +630,19 @@ def build_corpus_increment(
     - ``i00_encoding`` — optional hygiene, same modes as the full build
       (MUST match the mode the store was built with: the store holds
       shingle hashes of the NORMALIZED text).
+    - ``i00b_lines``  — optional line hygiene (same knobs as the full
+      build's ``00b_lines``; like encoding, it MUST match what the
+      store's corpus saw — shingle hashes are of the cleaned text).
+    - ``i00c_urldedup`` — optional within-increment URL dedup (a
+      refetch of an ALREADY-STORED page that survives here is still
+      killed by the content gate ``i03_store``, so no URL store is
+      needed across increments).
     - ``i01_gated``    — min_chars + nonempty-token gate.
+    - ``i01b_hostblock`` — optional registrable-domain blocklist
+      (``host_blocklist`` + ``host_col``; stateless, so it composes
+      daily). LIFETIME per-host caps need cross-increment state — that
+      is ``streaming/jobs.run_host_cap_ingest_stream``'s counts-ledger
+      job, not this one.
     - ``i02_dedup``    — WITHIN-increment exact dedup + MinHash-LSH
       near-dup clusters (keep min doc_id), the full build's policy.
     - ``i03_store``    — AGAINST-corpus dedup via the signature store:
@@ -659,6 +680,9 @@ def build_corpus_increment(
     from ..sources.versioned import write_snapshot
     from .dedup_store import admit_to_store, dedup_against_store
 
+    if host_blocklist is not None and host_col is None:
+        raise ValueError("host_blocklist requires host_col")
+
     manifest: dict = {"out_dir": out_dir, "stages": {}}
 
     def record(name: str, df: DataFrame) -> DataFrame:
@@ -686,11 +710,49 @@ def build_corpus_increment(
             ),
         )
 
+    if line_dedup or line_boilerplate_min_docs is not None:
+        from ..operators import lines as Ln
+
+        cleaned = new_docs
+        if line_dedup:
+            cleaned = Ln.dedupe_lines_within_doc(
+                cleaned, id_col="doc_id", text_col="text"
+            ).drop("lines_deduped")
+        if line_boilerplate_min_docs is not None:
+            cleaned = Ln.drop_boilerplate_lines(
+                cleaned,
+                id_col="doc_id",
+                text_col="text",
+                min_docs=line_boilerplate_min_docs,
+                group_col=line_boilerplate_scope,
+            ).drop("lines_boilerplated")
+        new_docs = record(
+            "i00b_lines", cleaned.withColumn("n_chars", F.length("text"))
+        )
+
+    if url_dedup_col is not None:
+        from ..operators.curation import dedup_by_canonical_url
+
+        new_docs = record(
+            "i00c_urldedup",
+            dedup_by_canonical_url(
+                new_docs, url_col=url_dedup_col, id_col="doc_id"
+            ),
+        )
+
     toks = Tx.tokens(F.col("text"))
     gated = record(
         "i01_gated",
         new_docs.filter((F.col("n_chars") >= min_chars) & (F.size(toks) > 0)),
     )
+
+    if host_blocklist is not None:
+        from ..operators.curation import filter_blocked_hosts
+
+        gated = record(
+            "i01b_hostblock",
+            filter_blocked_hosts(gated, host_blocklist, host_col=host_col),
+        )
 
     # within-increment dedup: the store can't see today's docs yet, so
     # intra-batch dups need the full build's exact+near-dup policy

@@ -940,3 +940,81 @@ def test_paragraph_chunk_mode(spark, tmp_path):
         build_corpus(
             spark, docs, str(tmp_path / "c2"), min_chars=50, chunk_mode="bogus"
         )
+
+
+def test_incremental_hygiene_and_blocklist_gates(spark, tmp_path):
+    from bp_datawarehouse_ordersfact_spark.pipelines import build_dedup_store
+    from bp_datawarehouse_ordersfact_spark.pipelines.corpus_build import (
+        build_corpus_increment,
+    )
+
+    import random
+
+    def doc(i, extra=""):
+        rng = random.Random(i)
+        words = " ".join(
+            rng.choice(
+                ["apple", "river", "stone", "cloud", "maple", "ember",
+                 "harbor", "copper", "violet", "meadow", "falcon", "cinder"]
+            )
+            + str(rng.randint(0, 999))
+            for _ in range(30)
+        )
+        return f"document {i}: {words}." + extra
+
+    corpus = spark.createDataFrame(
+        [(i, doc(i), "seed.org") for i in range(3)],
+        "doc_id long, text string, host string",
+    )
+    store = str(tmp_path / "store")
+    build_dedup_store(spark, corpus.select("doc_id", "text"), store)
+
+    inc = spark.createDataFrame(
+        [
+            # duplicated internal line -> line_dedup trims it
+            (100, doc(100, "\nnav line\nnav line"), "fine.com",
+             "https://fine.com/a?utm_x=1"),
+            # same canonical URL as 100 -> URL dedup keeps min id... use
+            # distinct id 101 with the SAME canonical url
+            (101, doc(101), "fine.com", "https://www.fine.com/a/"),
+            (102, doc(102), "blocked.net", "https://blocked.net/p"),
+            (103, doc(103), "fine.com", "https://fine.com/b"),
+        ],
+        "doc_id long, text string, host string, url string",
+    ).withColumn("n_chars", F.length("text"))
+    m = build_corpus_increment(
+        spark,
+        inc,
+        str(tmp_path / "inc"),
+        store,
+        str(tmp_path / "corpus"),
+        min_chars=50,
+        line_dedup=True,
+        url_dedup_col="url",
+        host_blocklist=["blocked.net"],
+        host_col="host",
+    )
+    st = m["stages"]
+    assert st["i00b_lines"]["rows"] == 4
+    lines_text = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(st["i00b_lines"]["path"]).collect()
+    }
+    assert lines_text[100].count("nav line") == 1
+    assert st["i00c_urldedup"]["rows"] == 3  # 101 lost to 100's canonical URL
+    assert st["i01b_hostblock"]["rows"] == 2  # 102 blocked
+    final_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(st["i05_admitted"]["path"]).collect()
+    } if "i05_admitted" in st else None
+    # survivors present in the committed snapshot
+    from bp_datawarehouse_ordersfact_spark.sources.versioned import read_snapshot
+
+    snap = read_snapshot(spark, str(tmp_path / "corpus"))
+    assert {r["doc_id"] for r in snap.collect()} == {100, 103}
+
+    with pytest.raises(ValueError, match="host_col"):
+        build_corpus_increment(
+            spark, inc, str(tmp_path / "inc2"), store,
+            str(tmp_path / "corpus2"), host_blocklist=["x.com"],
+        )
