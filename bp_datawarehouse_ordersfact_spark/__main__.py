@@ -103,6 +103,8 @@ def cmd_corpus(args) -> dict:
         host_col=args.host_col,
         max_docs_per_host=args.max_docs_per_host,
         host_blocklist=blocklist,
+        url_dedup_col=args.url_dedup_col,
+        chunk_mode=args.chunk_mode,
     )
 
 
@@ -124,6 +126,11 @@ def cmd_corpus_increment(args) -> dict:
     spark = _spark()
     docs = spark.read.parquet(args.docs)
     holdout = spark.read.parquet(args.holdout) if args.holdout else None
+    blocklist = (
+        [h for h in args.host_blocklist.split(",") if h.strip()]
+        if args.host_blocklist
+        else None
+    )
     return build_corpus_increment(
         spark,
         docs,
@@ -133,6 +140,11 @@ def cmd_corpus_increment(args) -> dict:
         holdout=holdout,
         snapshot_label=args.label,
         retain_snapshots=args.retain,
+        encoding_normalize=args.encoding,
+        line_dedup=args.line_dedup,
+        url_dedup_col=args.url_dedup_col,
+        host_blocklist=blocklist,
+        host_col=args.host_col,
     )
 
 
@@ -183,6 +195,11 @@ def main(argv: list[str] | None = None) -> dict:
                    help="01b: seeded deterministic per-domain doc cap")
     c.add_argument("--host-blocklist", default=None, dest="host_blocklist",
                    help="01b: comma-separated registrable domains to drop")
+    c.add_argument("--url-dedup-col", default=None, dest="url_dedup_col",
+                   help="00c: URL column for canonical-URL dedup")
+    c.add_argument("--chunk-mode", choices=("window", "paragraph"),
+                   default="window", dest="chunk_mode",
+                   help="05: sliding token windows or paragraph packing")
     c.set_defaults(fn=cmd_corpus)
 
     hs = sub.add_parser(
@@ -207,6 +224,11 @@ def main(argv: list[str] | None = None) -> dict:
     ci.add_argument("--holdout")
     ci.add_argument("--label")
     ci.add_argument("--retain", type=int, default=None)
+    ci.add_argument("--encoding", choices=("codegen", "exact"), default=None)
+    ci.add_argument("--line-dedup", action="store_true", dest="line_dedup")
+    ci.add_argument("--url-dedup-col", default=None, dest="url_dedup_col")
+    ci.add_argument("--host-blocklist", default=None, dest="host_blocklist")
+    ci.add_argument("--host-col", default=None, dest="host_col")
     ci.set_defaults(fn=cmd_corpus_increment)
 
     ls = sub.add_parser("list", help="registry query names")

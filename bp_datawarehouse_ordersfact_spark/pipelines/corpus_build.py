@@ -33,7 +33,10 @@ Stages (all built from the repo's operators — nothing new semantically):
                        (operators/curation.py, two-phase skew shape).
 2. ``02_deduped``    — exact dedup (md5 keep-first), then MinHash-LSH
                        near-dup clusters closed via connected components,
-                       keeping the smallest doc_id per cluster.
+                       keeping the smallest doc_id per cluster — or the
+                       HIGHEST-scoring member when
+                       ``dedup_keep_score_col`` names a quality column
+                       (keep the better copy, not the first-crawled).
 2b. ``02b_passage``  — OPTIONAL (``passage_dedup``): "drop" removes
                        docs whose verbatim-shared-passage fraction
                        (content-defined anchors, operators/dedup)
@@ -112,6 +115,35 @@ from ..operators.sampling import weighted_sample
 from ..sources.files import compact_write
 
 
+def _cluster_keepers(
+    comps: DataFrame, docs: DataFrame, score_col: str | None
+) -> DataFrame:
+    """One keeper doc_id per near-dup component. Default: smallest id
+    (deterministic, content-blind). With `score_col` (a quality column
+    on the docs frame — perplexity rank, classifier score), the keeper
+    is the HIGHEST-scoring member (ties -> smallest id): when a cluster
+    holds a clean original and a boilerplate-wrapped mirror, min-id
+    keeps whichever crawled first; score-keep keeps the better copy.
+
+    Aggregate shape (`max_by` over (score, -id)) — map-side combinable,
+    no per-component window, so a boilerplate mega-cluster can't melt a
+    task."""
+    if score_col is None:
+        return comps.groupBy("component").agg(F.min("id").alias("doc_id"))
+    scored = comps.join(
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.col(score_col).cast("double").alias("__s"),
+        ),
+        "id",
+    )
+    return scored.groupBy("component").agg(
+        F.max_by(
+            "id", F.struct(F.col("__s").alias("s"), (-F.col("id")).alias("ni"))
+        ).alias("doc_id")
+    )
+
+
 def _stage(df: DataFrame, out_dir: str, name: str) -> tuple[DataFrame, int]:
     """Write a stage and return (reloaded frame, row count). The count
     comes from an observed metric collected DURING the write action —
@@ -137,6 +169,7 @@ def build_corpus(
     quality_keep_ppm: list[int] | None = None,
     quality_boundaries: list[float] | None = None,
     min_chars: int = 100,
+    dedup_keep_score_col: str | None = None,
     url_dedup_col: str | None = None,
     line_dedup: bool = False,
     line_boilerplate_min_docs: int | None = None,
@@ -295,7 +328,7 @@ def build_corpus(
         exact_kept.select(F.col("doc_id").alias("id")),
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
     )
-    keep_nd = comps.groupBy("component").agg(F.min("id").alias("doc_id"))
+    keep_nd = _cluster_keepers(comps, exact_kept, dedup_keep_score_col)
     deduped = record(
         "02_deduped", exact_kept.join(keep_nd.select("doc_id"), "doc_id")
     )
@@ -607,6 +640,7 @@ def build_corpus_increment(
     quality_boundaries: list[float] | None = None,
     min_chars: int = 100,
     near_dup_threshold: float = 0.5,
+    dedup_keep_score_col: str | None = None,
     encoding_normalize: str | None = None,
     line_dedup: bool = False,
     line_boilerplate_min_docs: int | None = None,
@@ -767,7 +801,7 @@ def build_corpus_increment(
         exact_kept.select(F.col("doc_id").alias("id")),
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
     )
-    keep_nd = comps.groupBy("component").agg(F.min("id").alias("doc_id"))
+    keep_nd = _cluster_keepers(comps, exact_kept, dedup_keep_score_col)
     deduped = record(
         "i02_dedup", exact_kept.join(keep_nd.select("doc_id"), "doc_id")
     )

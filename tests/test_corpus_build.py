@@ -1018,3 +1018,57 @@ def test_incremental_hygiene_and_blocklist_gates(spark, tmp_path):
             spark, inc, str(tmp_path / "inc2"), store,
             str(tmp_path / "corpus2"), host_blocklist=["x.com"],
         )
+
+
+def test_dedup_keep_score_col_keeps_best_cluster_member(spark, tmp_path):
+    from bp_datawarehouse_ordersfact_spark.pipelines.corpus_build import build_corpus
+
+    base = (
+        "shared near duplicate content with many overlapping words "
+        "repeated across the whole cluster of documents here. " * 3
+    )
+    docs = spark.createDataFrame(
+        [
+            # one near-dup cluster: 1, 2, 3 (3 has the best score)
+            (1, base + "tail one", "web", 0.2),
+            (2, base + "tail two", "web", 0.5),
+            (3, base + "tail three", "web", 0.9),
+            # a standalone doc
+            (4, "a completely different standalone document about other "
+                "topics entirely with its own vocabulary and phrasing. " * 3,
+             "web", 0.1),
+        ],
+        "doc_id long, text string, source string, score double",
+    ).withColumn("n_chars", F.length("text")).withColumn("lang", F.lit("en"))
+
+    m = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "corpus"),
+        min_chars=50,
+        dedup_keep_score_col="score",
+        chunk_tokens=30,
+        chunk_stride=30,
+        pack_budget=100,
+    )
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(m["stages"]["02_deduped"]["path"]).collect()
+    }
+    assert kept == {3, 4}  # best-scoring cluster member, not min id
+
+    # default stays min-id
+    m2 = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "corpus2"),
+        min_chars=50,
+        chunk_tokens=30,
+        chunk_stride=30,
+        pack_budget=100,
+    )
+    kept2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(m2["stages"]["02_deduped"]["path"]).collect()
+    }
+    assert kept2 == {1, 4}
