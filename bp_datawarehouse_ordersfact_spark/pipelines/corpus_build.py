@@ -10,6 +10,12 @@ yield (what fraction survived each filter) is first-class.
 
 Stages (all built from the repo's operators — nothing new semantically):
 
+0a. ``00a_html``     — OPTIONAL (``extract_html``): markup → visible
+                       text (functions/html.py — block-content removal,
+                       break-tag line structure, entity decode; exact
+                       stdlib entities when ``extract_html="exact"``),
+                       the step between a raw crawl and everything
+                       else; ``n_chars`` recomputed.
 0. ``00_encoding``   — OPTIONAL (``encoding_normalize``): unicode/
                        mojibake hygiene (functions/encoding.py) so
                        logically-equal spellings hash equal in every
@@ -169,6 +175,7 @@ def build_corpus(
     quality_keep_ppm: list[int] | None = None,
     quality_boundaries: list[float] | None = None,
     min_chars: int = 100,
+    extract_html: bool | str = False,
     dedup_keep_score_col: str | None = None,
     url_dedup_col: str | None = None,
     line_dedup: bool = False,
@@ -216,6 +223,27 @@ def build_corpus(
             "rows": rows,
         }
         return staged
+
+    # 0a — OPTIONAL HTML extraction (``extract_html``): raw crawl pages
+    # become visible text before any text-grain stage; True = codegen
+    # entity chain, "exact" = full stdlib entity decode (one Arrow pass).
+    if extract_html:
+        from ..functions.html import html_to_text
+
+        if extract_html not in (True, "exact"):
+            raise ValueError(
+                f"extract_html must be False, True, or 'exact'; "
+                f"got {extract_html!r}"
+            )
+        docs = record(
+            "00a_html",
+            docs.withColumn(
+                "text",
+                html_to_text(
+                    F.col("text"), exact_entities=extract_html == "exact"
+                ),
+            ).withColumn("n_chars", F.length("text")),
+        )
 
     # 0 — OPTIONAL encoding hygiene (``encoding_normalize``): unify the
     # physical spellings of logically-equal text BEFORE any hash-based

@@ -1072,3 +1072,39 @@ def test_dedup_keep_score_col_keeps_best_cluster_member(spark, tmp_path):
         for r in spark.read.parquet(m2["stages"]["02_deduped"]["path"]).collect()
     }
     assert kept2 == {1, 4}
+
+
+def test_html_extraction_stage(spark, tmp_path):
+    from bp_datawarehouse_ordersfact_spark.pipelines.corpus_build import build_corpus
+
+    body = (
+        "<html><head><title>T</title><script>var hidden = 1;</script></head>"
+        "<body><p>A real paragraph of visible words that clears the length "
+        "gate comfortably with room to spare.</p><p>Second &amp; final "
+        "paragraph of equally visible words for the corpus build.</p></body>"
+        "</html>"
+    )
+    docs = spark.createDataFrame(
+        [(1, body, "en", "web", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text"))
+
+    m = build_corpus(
+        spark,
+        docs,
+        str(tmp_path / "corpus"),
+        extract_html=True,
+        min_chars=50,
+        chunk_tokens=30,
+        chunk_stride=30,
+        pack_budget=100,
+    )
+    staged = spark.read.parquet(m["stages"]["00a_html"]["path"]).first()
+    assert "<p>" not in staged["text"] and "hidden" not in staged["text"]
+    assert "Second & final" in staged["text"]
+    assert staged["n_chars"] == len(staged["text"])
+
+    with pytest.raises(ValueError, match="extract_html"):
+        build_corpus(
+            spark, docs, str(tmp_path / "c2"), extract_html="bogus", min_chars=50
+        )
