@@ -245,3 +245,56 @@ def dedup_by_canonical_url(
         .filter(F.col("__rn") == 1)
         .drop("__canon", "__rn")
     )
+
+
+def host_authority(
+    df: DataFrame,
+    *,
+    url_col: str,
+    html_col: str,
+    damping: float = 0.85,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Link-graph authority score per registrable domain — the classic
+    curation quality prior (a page linked from many independent sites
+    is likelier worth keeping than an orphan SEO farm): extract hrefs
+    from the raw HTML (`functions/html.extract_links`), collapse both
+    endpoints to registrable domains, and run the repo's PageRank
+    (`operators/graph.pagerank`) over the DISTINCT host→host edge set
+    (self-links dropped — intra-site nav carries no authority).
+    Relative links (no scheme) have no host and are skipped.
+
+    Returns (host, authority), ranks summing to 1 over the observed
+    hosts; join onto the corpus as a quality signal for
+    `quality_stratified_resample` / `dedup_keep_score_col`.
+
+    Scale shape: link extraction is map-only; the edge set dedups on
+    (src,dst) host pairs — web-scale small relative to the page count —
+    and PageRank iterates over that host graph (10^7-ish nodes), never
+    over pages.
+    """
+    from ..functions.html import extract_links
+    from .graph import pagerank
+
+    src_host = registrable_domain(url_host(F.col(url_col)))
+    links = df.select(
+        src_host.alias("src"),
+        F.explode(extract_links(F.col(html_col))).alias("__target"),
+    )
+    dst_host = registrable_domain(url_host(F.col("__target")))
+    edges = (
+        links.select("src", dst_host.alias("dst"))
+        .filter((F.col("dst") != "") & (F.col("src") != ""))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .unionByName(df.select(src_host.alias("id")).filter(F.col("id") != ""))
+        .distinct()
+    )
+    ranks = pagerank(
+        nodes, edges, damping=damping, max_iter=max_iter
+    )
+    return ranks.select(F.col("id").alias("host"), F.col("rank").alias("authority"))

@@ -669,6 +669,7 @@ def build_corpus_increment(
     min_chars: int = 100,
     near_dup_threshold: float = 0.5,
     dedup_keep_score_col: str | None = None,
+    extract_html: bool | str = False,
     encoding_normalize: str | None = None,
     line_dedup: bool = False,
     line_boilerplate_min_docs: int | None = None,
@@ -689,6 +690,9 @@ def build_corpus_increment(
 
     Stage chain (manifest mirrors ``build_corpus``):
 
+    - ``i00a_html``   — optional markup extraction, same modes as the
+      full build's ``00a_html`` (the store's corpus must have been
+      extracted the same way — shingles hash the visible text).
     - ``i00_encoding`` — optional hygiene, same modes as the full build
       (MUST match the mode the store was built with: the store holds
       shingle hashes of the NORMALIZED text).
@@ -754,6 +758,24 @@ def build_corpus_increment(
             "rows": rows,
         }
         return staged
+
+    if extract_html:
+        from ..functions.html import html_to_text
+
+        if extract_html not in (True, "exact"):
+            raise ValueError(
+                f"extract_html must be False, True, or 'exact'; "
+                f"got {extract_html!r}"
+            )
+        new_docs = record(
+            "i00a_html",
+            new_docs.withColumn(
+                "text",
+                html_to_text(
+                    F.col("text"), exact_entities=extract_html == "exact"
+                ),
+            ).withColumn("n_chars", F.length("text")),
+        )
 
     if encoding_normalize is not None:
         if encoding_normalize == "codegen":

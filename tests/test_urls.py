@@ -370,3 +370,42 @@ def test_dedup_by_canonical_url(spark):
     # WindowGroupLimit rank pushdown engaged
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+# ---------------------------------------------------------------------------
+# host authority (link-graph PageRank at the registrable-domain grain)
+# ---------------------------------------------------------------------------
+
+
+def test_host_authority_ranks_linked_hosts(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.curation import host_authority
+
+    def page(*hrefs):
+        return "<html><body>" + "".join(
+            f'<a href="{h}">x</a>' for h in hrefs
+        ) + "</body></html>"
+
+    df = spark.createDataFrame(
+        [
+            # three independent sites all link to hub.com; hub links to one
+            ("https://a.org/p", page("https://hub.com/x", "/relative/skip")),
+            ("https://b.net/p", page("https://www.hub.com/y")),
+            ("https://c.io/p", page("https://sub.hub.com/z")),
+            # self-links carry nothing
+            ("https://hub.com/home", page("https://hub.com/self", "https://d.dev/q")),
+        ],
+        "url string, html string",
+    )
+    out = {r["host"]: r["authority"] for r in host_authority(
+        df, url_col="url", html_col="html"
+    ).collect()}
+    # all five hosts present (a/b/c as sources, hub + d as targets)
+    assert set(out) == {"a.org", "b.net", "c.io", "hub.com", "d.dev"}
+    # hub.com (3 independent in-links) and d.dev (sole recipient of the
+    # authoritative hub's full flow — classic PageRank) both outrank the
+    # never-linked source sites
+    assert out["hub.com"] > out["a.org"]
+    assert out["d.dev"] > out["a.org"]
+    # the source sites are symmetric, and rank found them equal
+    assert out["a.org"] == out["b.net"] == out["c.io"]
+    assert abs(sum(out.values()) - 1.0) < 1e-3  # ranks sum to 1
