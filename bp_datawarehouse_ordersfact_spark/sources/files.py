@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -43,6 +44,46 @@ def read_json(
     return (
         spark.read.schema(schema).option("multiLine", multiline).json(path)
     )
+
+
+def read_jsonl_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+) -> tuple[DataFrame, DataFrame]:
+    """Crawl-grade JSONL ingest: schema'd line-delimited JSON where
+    malformed lines are QUARANTINED, not silently nulled or fatally
+    raised — a web dump always has a few truncated/garbage lines, and at
+    100 TB "FAILFAST on line 40 billion" and "PERMISSIVE all-null rows
+    poisoning downstream filters" are both wrong.
+
+    Returns ``(good, bad)``: `good` carries `schema`'s columns for rows
+    that parsed clean; `bad` keeps the schema columns (nulls) PLUS the
+    RAW offending line (``_corrupt_record``) for triage — Spark
+    disallows queries that reference ONLY the internal corrupt column
+    over a raw JSON source (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the
+    quarantine frame must carry real columns alongside it. PERMISSIVE
+    mode + ``columnNameOfCorruptRecord`` (the `sources/kafka_shaped.py`
+    contract): a row is corrupt exactly when the corrupt column is
+    non-null.
+
+    Scale: one scan shape; the split is two lazy filters over the same
+    source (Catalyst reuses the scan per action; for a one-pass split,
+    persist the parsed frame first).
+    """
+    corrupt_col = "_corrupt_record"
+    full = T.StructType(
+        schema.fields + [T.StructField(corrupt_col, T.StringType(), True)]
+    )
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+    good = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = parsed.filter(F.col(corrupt_col).isNotNull())
+    return good, bad
 
 
 def write_table(

@@ -705,3 +705,39 @@ def test_tar_shard_manifest_sha256_and_verifier(spark, tmp_path):
     assert report[missing] == "missing"
     assert any(s == "unexpected" for s in report.values())
     assert len(report) == 3
+
+
+def test_read_jsonl_quarantined(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from bp_datawarehouse_ordersfact_spark.sources.files import (
+        read_jsonl_quarantined,
+    )
+
+    p = tmp_path / "crawl.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                '{"doc_id": 1, "text": "clean one"}',
+                '{"doc_id": 2, "text": "clean two"}',
+                '{"doc_id": 3, "text": "truncated',       # corrupt
+                "not json at all",                          # corrupt
+                '{"doc_id": 4, "text": null}',             # legit null
+            ]
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, bad = read_jsonl_quarantined(spark, str(p), schema)
+    rows = {r["doc_id"]: r["text"] for r in good.collect()}
+    # clean rows parse; the legit-null row is GOOD (null != corrupt)
+    assert rows == {1: "clean one", 2: "clean two", 4: None}
+    bad_rows = bad.collect()
+    bad_lines = sorted(r["_corrupt_record"] for r in bad_rows)
+    assert bad_lines == ["not json at all", '{"doc_id": 3, "text": "truncated']
+    assert good.columns == ["doc_id", "text"]
+    assert bad.columns == ["doc_id", "text", "_corrupt_record"]
