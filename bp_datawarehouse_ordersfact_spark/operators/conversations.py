@@ -1,0 +1,198 @@
+"""Conversation (SFT/chat) data preparation.
+
+Pretraining eats documents; instruction tuning eats CONVERSATIONS —
+arrays of (role, content) turns — and the prep pipeline needs the same
+hygiene the document tier gets, at the turn grain: structural
+validation, per-turn dedup keys, a deterministic rendering to the flat
+text the trainer tokenizes, and loss-mask boundaries (train on
+assistant turns only — the standard SFT recipe).
+
+The conversation column is ``array<struct<role:string,content:string>>``
+— the storage shape chat datasets publish (role ∈ system/user/
+assistant by convention; validation is data-driven, not hardcoded).
+
+Reference scope note: training-data-pipeline surface per the build
+brief (SURVEY.md §7.1.5); no conversation layer exists in the
+reference.
+
+Scale: every function here is row-local (map-only Column expressions —
+turn arrays are bounded by dialog length); only `explode_turns`
+produces rows for cross-turn operators, and those rows are narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ChatML-ish rendering (public convention): <|role|>\ncontent<|end|>\n
+_TEMPLATES = {
+    "chatml": ("<|{role}|>\n", "<|end|>\n"),
+    "plain": ("{role}: ", "\n"),
+}
+
+
+def explode_turns(df: DataFrame, *, id_col: str, conv_col: str) -> DataFrame:
+    """(id, turn_idx, role, content) rows — the grain for turn-level
+    dedup/PII/quality via the existing document-tier operators."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.col(conv_col)).alias("turn_idx", "__t"),
+    ).select(
+        id_col,
+        "turn_idx",
+        F.col("__t.role").alias("role"),
+        F.col("__t.content").alias("content"),
+    )
+
+
+def validate_conversations(
+    df: DataFrame,
+    *,
+    conv_col: str,
+    roles: tuple[str, ...] = ("system", "user", "assistant"),
+    require_alternation: bool = True,
+    require_assistant: bool = True,
+) -> DataFrame:
+    """Append ``conv_valid`` (boolean) + ``conv_invalid_reason``
+    (string, NULL when valid): non-empty, every role in `roles`, no
+    null/empty content, optionally user/assistant strictly alternating
+    after an optional leading system turn, optionally at least one
+    assistant turn (a dialog with nothing to train on is dead weight).
+    Filter on the flag or route invalid rows to a quarantine sink —
+    the JSONL ingest contract (`sources/files.read_jsonl_quarantined`),
+    applied at the structure level.
+    """
+    conv = F.col(conv_col)
+    empty = F.size(conv) == 0
+    bad_role = F.exists(conv, lambda t: ~t["role"].isin(*roles))
+    bad_content = F.exists(
+        conv, lambda t: t["content"].isNull() | (F.trim(t["content"]) == "")
+    )
+    body = F.filter(conv, lambda t: t["role"] != "system")
+    # strict user/assistant alternation: turn i's role differs from
+    # turn i+1's, and the body starts with 'user'
+    pairs_ok = F.aggregate(
+        F.zip_with(
+            F.slice(body, 1, F.greatest(F.size(body) - 1, F.lit(0))),
+            F.slice(body, 2, F.greatest(F.size(body) - 1, F.lit(0))),
+            lambda a, b: a["role"] != b["role"],
+        ),
+        F.lit(True),
+        lambda acc, x: acc & x,
+    )
+    starts_user = F.coalesce(
+        F.try_element_at(body, F.lit(1))["role"] == "user", F.lit(False)
+    )
+    no_assistant = ~F.exists(conv, lambda t: t["role"] == "assistant")
+
+    reason = F.when(empty, "empty")
+    reason = reason.when(bad_role, "unknown_role")
+    reason = reason.when(bad_content, "empty_content")
+    if require_alternation:
+        reason = reason.when(~starts_user, "body_must_start_with_user")
+        reason = reason.when(~pairs_ok, "non_alternating_roles")
+    if require_assistant:
+        reason = reason.when(no_assistant, "no_assistant_turn")
+    reason = reason.otherwise(F.lit(None).cast("string"))
+    return df.withColumn("conv_invalid_reason", reason).withColumn(
+        "conv_valid", F.col("conv_invalid_reason").isNull()
+    )
+
+
+def _render_turn(t: Column, template: str) -> Column:
+    head, tail = _TEMPLATES[template]
+    pre, post = head.split("{role}")
+    return F.concat(
+        F.lit(pre), t["role"], F.lit(post), t["content"], F.lit(tail)
+    )
+
+
+def render_conversation(
+    df: DataFrame,
+    *,
+    conv_col: str,
+    template: str = "chatml",
+    out_col: str = "text",
+) -> DataFrame:
+    """Flatten each conversation to the single training string the
+    tokenizer sees (`template`: "chatml" — ``<|role|>\\ncontent<|end|>``
+    — or "plain" — ``role: content``). Deterministic, row-local; the
+    flat text drops into every document-tier operator (dedup shingles,
+    decontam 5-grams, token counting) unchanged.
+    """
+    if template not in _TEMPLATES:
+        raise ValueError(
+            f"template must be one of {sorted(_TEMPLATES)}; got {template!r}"
+        )
+    rendered = F.array_join(
+        F.transform(F.col(conv_col), lambda t: _render_turn(t, template)), ""
+    )
+    return df.withColumn(out_col, rendered)
+
+
+def loss_mask_spans(
+    df: DataFrame,
+    *,
+    id_col: str,
+    conv_col: str,
+    template: str = "chatml",
+    train_roles: tuple[str, ...] = ("assistant",),
+) -> DataFrame:
+    """CHARACTER spans of `render_conversation`'s output to train on —
+    one row per trainable turn: (id, turn_idx, start, end) half-open
+    offsets into the rendered string, covering exactly the turn's
+    rendered block (header + content + terminator). The trainer maps
+    char spans to token masks after tokenization (offset mapping), the
+    standard decoupling — masks computed here stay tokenizer-agnostic.
+
+    Row-local: a running-length aggregate over the turn array (the
+    paragraph-packer recurrence shape), then posexplode of the
+    trainable spans only.
+    """
+    if template not in _TEMPLATES:
+        raise ValueError(
+            f"template must be one of {sorted(_TEMPLATES)}; got {template!r}"
+        )
+    conv = F.col(conv_col)
+    lens = F.transform(conv, lambda t: F.length(_render_turn(t, template)))
+    # ends[i] = cumulative length through turn i (inclusive)
+    ends = F.aggregate(
+        lens,
+        F.array().cast("array<long>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0)) + x
+            ),
+        ),
+    )
+    # sequence(0, -1) would be a DESCENDING sequence — guard the empty
+    # conversation; try_element_at (not element_at) because ANSI mode
+    # throws on out-of-bounds
+    idx = F.when(
+        F.size(conv) > 0, F.sequence(F.lit(0), F.size(conv) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.filter(
+        F.zip_with(
+            conv,
+            idx,
+            lambda t, i: F.struct(
+                i.alias("turn_idx"),
+                t["role"].alias("role"),
+                (
+                    F.try_element_at(ends, i + 1) - F.try_element_at(lens, i + 1)
+                ).alias("start"),
+                F.try_element_at(ends, i + 1).alias("end"),
+            ),
+        ),
+        lambda s: s["role"].isin(*train_roles),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(spans).alias("__i", "__s")
+    ).select(
+        id_col,
+        F.col("__s.turn_idx").cast("int").alias("turn_idx"),
+        F.col("__s.start").cast("long").alias("start"),
+        F.col("__s.end").cast("long").alias("end"),
+    )

@@ -1,0 +1,149 @@
+"""Conversation/SFT prep operators (operators/conversations.py).
+
+Pins: structural validation reasons one by one, template rendering
+exactness, loss-mask char spans verified by SLICING the rendered string
+(the span must reproduce the turn's rendered block verbatim), empty/
+edge conversations, and the row-local (no Exchange) plan contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from bp_datawarehouse_ordersfact_spark.operators.conversations import (
+    explode_turns,
+    loss_mask_spans,
+    render_conversation,
+    validate_conversations,
+)
+
+SCHEMA = "conv_id long, conv array<struct<role:string,content:string>>"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("conversations")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+def _conv(*turns):
+    return [{"role": r, "content": c} for r, c in turns]
+
+
+GOOD = _conv(
+    ("system", "You are helpful."),
+    ("user", "Hi there"),
+    ("assistant", "Hello!"),
+    ("user", "Bye"),
+    ("assistant", "See you."),
+)
+
+
+def test_explode_turns(spark):
+    df = spark.createDataFrame([(1, GOOD)], SCHEMA)
+    rows = explode_turns(df, id_col="conv_id", conv_col="conv").collect()
+    assert [(r["turn_idx"], r["role"]) for r in rows] == [
+        (0, "system"), (1, "user"), (2, "assistant"), (3, "user"),
+        (4, "assistant"),
+    ]
+    assert rows[2]["content"] == "Hello!"
+
+
+@pytest.mark.parametrize(
+    "conv,reason",
+    [
+        (GOOD, None),
+        ([], "empty"),
+        (_conv(("user", "hi"), ("bot", "yo")), "unknown_role"),
+        (_conv(("user", "hi"), ("assistant", "  ")), "empty_content"),
+        (_conv(("assistant", "hi first")), "body_must_start_with_user"),
+        (
+            _conv(("user", "a"), ("user", "b"), ("assistant", "c")),
+            "non_alternating_roles",
+        ),
+        (_conv(("user", "a")), "no_assistant_turn"),
+    ],
+)
+def test_validate_reasons(spark, conv, reason):
+    df = spark.createDataFrame([(1, conv)], SCHEMA)
+    r = validate_conversations(df, conv_col="conv").first()
+    assert r["conv_invalid_reason"] == reason
+    assert r["conv_valid"] == (reason is None)
+
+
+def test_validate_knobs_relax(spark):
+    non_alt = _conv(("user", "a"), ("user", "b"), ("assistant", "c"))
+    df = spark.createDataFrame([(1, non_alt), (2, _conv(("user", "q")))], SCHEMA)
+    out = {
+        r["conv_id"]: r["conv_valid"]
+        for r in validate_conversations(
+            df, conv_col="conv", require_alternation=False,
+            require_assistant=False,
+        ).collect()
+    }
+    assert out == {1: True, 2: True}
+
+
+def test_render_templates(spark):
+    df = spark.createDataFrame([(1, GOOD[:3])], SCHEMA)
+    chatml = render_conversation(df, conv_col="conv").first()["text"]
+    assert chatml == (
+        "<|system|>\nYou are helpful.<|end|>\n"
+        "<|user|>\nHi there<|end|>\n"
+        "<|assistant|>\nHello!<|end|>\n"
+    )
+    plain = render_conversation(df, conv_col="conv", template="plain").first()[
+        "text"
+    ]
+    assert plain == "system: You are helpful.\nuser: Hi there\nassistant: Hello!\n"
+    with pytest.raises(ValueError, match="template"):
+        render_conversation(df, conv_col="conv", template="nope")
+
+
+@pytest.mark.parametrize("template", ["chatml", "plain"])
+def test_loss_mask_spans_slice_exactly(spark, template):
+    df = spark.createDataFrame([(1, GOOD)], SCHEMA)
+    text = render_conversation(df, conv_col="conv", template=template).first()[
+        "text"
+    ]
+    spans = loss_mask_spans(
+        df, id_col="conv_id", conv_col="conv", template=template
+    ).collect()
+    assert [r["turn_idx"] for r in spans] == [2, 4]  # assistant turns only
+    head, tail = {"chatml": ("<|assistant|>\n", "<|end|>\n"),
+                  "plain": ("assistant: ", "\n")}[template]
+    expect = [head + "Hello!" + tail, head + "See you." + tail]
+    got = [text[r["start"]:r["end"]] for r in spans]
+    assert got == expect
+    # spans tile without overlap and in order
+    assert spans[0]["end"] <= spans[1]["start"]
+
+
+def test_loss_mask_custom_roles_and_empty(spark):
+    df = spark.createDataFrame([(1, GOOD), (2, [])], SCHEMA)
+    spans = loss_mask_spans(
+        df, id_col="conv_id", conv_col="conv",
+        train_roles=("user", "assistant"),
+    ).collect()
+    assert [r["turn_idx"] for r in spans if r["conv_id"] == 1] == [1, 2, 3, 4]
+    assert not [r for r in spans if r["conv_id"] == 2]  # empty conv: no rows
+
+
+def test_row_local_plans(spark):
+    df = spark.createDataFrame([(1, GOOD)], SCHEMA)
+    for frame in (
+        validate_conversations(df, conv_col="conv"),
+        render_conversation(df, conv_col="conv"),
+        loss_mask_spans(df, id_col="conv_id", conv_col="conv"),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
