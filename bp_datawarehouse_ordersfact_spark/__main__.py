@@ -42,6 +42,10 @@ import json
 import sys
 
 
+def _parse_blocklist(s: str | None) -> list[str] | None:
+    return [h.strip() for h in s.split(",") if h.strip()] if s else None
+
+
 def _spark():
     from .core.session import get_spark
 
@@ -86,11 +90,7 @@ def cmd_corpus(args) -> dict:
     spark = _spark()
     docs = spark.read.parquet(args.docs)
     holdout = spark.read.parquet(args.holdout) if args.holdout else None
-    blocklist = (
-        [h for h in args.host_blocklist.split(",") if h.strip()]
-        if args.host_blocklist
-        else None
-    )
+    blocklist = _parse_blocklist(args.host_blocklist)
     return build_corpus(
         spark,
         docs,
@@ -126,11 +126,7 @@ def cmd_corpus_increment(args) -> dict:
     spark = _spark()
     docs = spark.read.parquet(args.docs)
     holdout = spark.read.parquet(args.holdout) if args.holdout else None
-    blocklist = (
-        [h for h in args.host_blocklist.split(",") if h.strip()]
-        if args.host_blocklist
-        else None
-    )
+    blocklist = _parse_blocklist(args.host_blocklist)
     return build_corpus_increment(
         spark,
         docs,

@@ -55,21 +55,36 @@ def validate_conversations(
     require_assistant: bool = True,
 ) -> DataFrame:
     """Append ``conv_valid`` (boolean) + ``conv_invalid_reason``
-    (string, NULL when valid): non-empty, every role in `roles`, no
-    null/empty content, optionally user/assistant strictly alternating
-    after an optional leading system turn, optionally at least one
-    assistant turn (a dialog with nothing to train on is dead weight).
+    (string, NULL when valid): non-empty, every role non-null and in
+    `roles`, no null/empty content, any system turn only in the leading
+    position, optionally user/assistant strictly alternating after the
+    optional leading system turn, optionally at least one assistant
+    turn (a dialog with nothing to train on is dead weight).
     Filter on the flag or route invalid rows to a quarantine sink —
     the JSONL ingest contract (`sources/files.read_jsonl_quarantined`),
     applied at the structure level.
     """
     conv = F.col(conv_col)
     empty = F.size(conv) == 0
-    bad_role = F.exists(conv, lambda t: ~t["role"].isin(*roles))
+    # NULL role must read as bad, not as three-valued unknown: a bare
+    # ~isin(...) is NULL for a NULL role, exists() propagates the NULL,
+    # and F.when treats it as false — the malformed turn would validate
+    bad_role = F.exists(
+        conv, lambda t: t["role"].isNull() | ~t["role"].isin(*roles)
+    )
     bad_content = F.exists(
         conv, lambda t: t["content"].isNull() | (F.trim(t["content"]) == "")
     )
-    body = F.filter(conv, lambda t: t["role"] != "system")
+    # at most ONE system turn, and only in the leading position — a
+    # system prompt rendered mid- or post-conversation is a position no
+    # chat template allows, so it must not validate
+    first_is_system = F.coalesce(
+        F.try_element_at(conv, F.lit(1))["role"] == "system", F.lit(False)
+    )
+    body = F.when(
+        first_is_system, F.slice(conv, 2, F.greatest(F.size(conv) - 1, F.lit(0)))
+    ).otherwise(conv)
+    stray_system = F.exists(body, lambda t: t["role"] == "system")
     # strict user/assistant alternation: turn i's role differs from
     # turn i+1's, and the body starts with 'user'
     pairs_ok = F.aggregate(
@@ -89,6 +104,7 @@ def validate_conversations(
     reason = F.when(empty, "empty")
     reason = reason.when(bad_role, "unknown_role")
     reason = reason.when(bad_content, "empty_content")
+    reason = reason.when(stray_system, "system_not_leading")
     if require_alternation:
         reason = reason.when(~starts_user, "body_must_start_with_user")
         reason = reason.when(~pairs_ok, "non_alternating_roles")

@@ -35,6 +35,7 @@ from ..functions.urls import (
     registrable_domain,
     registrable_domain_py,
     url_host,
+    url_scheme,
 )
 
 _HOST = "__curation_host"
@@ -42,11 +43,18 @@ _HOST = "__curation_host"
 
 def _with_host(df: DataFrame, url_col: str | None, host_col: str | None) -> DataFrame:
     """Attach the registrable-domain grouping key from either a raw URL
-    column or a pre-extracted host column (exactly one must be given)."""
+    column or a pre-extracted host column (exactly one must be given).
+    NULL / unparseable inputs normalize to the empty string — the
+    HOSTLESS sentinel each operator must handle explicitly (they are
+    one shared pseudo-key otherwise; `cap_docs_per_host` exempts them,
+    `filter_blocked_hosts` can never block them, `host_stats` reports
+    them as the '' row)."""
     if (url_col is None) == (host_col is None):
         raise ValueError("pass exactly one of url_col / host_col")
     src = url_host(F.col(url_col)) if url_col else F.col(host_col)
-    return df.withColumn(_HOST, registrable_domain(F.lower(src)))
+    return df.withColumn(
+        _HOST, F.coalesce(registrable_domain(F.lower(src)), F.lit(""))
+    )
 
 
 def cap_docs_per_host(
@@ -70,6 +78,11 @@ def cap_docs_per_host(
     bypass the window entirely; only over-cap hosts rank. At web scale
     the over-cap side is the zipf head — small row share, but exactly
     where a single-phase window would concentrate sort cost.
+
+    Docs with a NULL/unparseable host are EXEMPT (pass through
+    uncapped): they cannot be attributed to a domain, and treating them
+    as one shared pseudo-domain would silently delete all but
+    `max_docs` of them corpus-wide.
     """
     if max_docs < 1:
         raise ValueError(f"max_docs must be >= 1, got {max_docs}")
@@ -78,7 +91,11 @@ def cap_docs_per_host(
     keyed = _with_host(df, url_col, host_col).withColumn(
         "__rk", h32(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
     )
-    counts = keyed.groupBy(_HOST).agg(F.count(F.lit(1)).alias("__n"))
+    counts = (
+        keyed.filter(F.col(_HOST) != "")
+        .groupBy(_HOST)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
     over = counts.filter(F.col("__n") > max_docs).select(_HOST)
 
     compliant = keyed.join(over, _HOST, "left_anti")
@@ -234,10 +251,22 @@ def dedup_by_canonical_url(
     are refetch-count-sized (a handful), so the rank window has no skew
     exposure, and Catalyst's ``WindowGroupLimit`` keeps only the
     top row per key per partition before the sort.
+
+    Docs whose URL is NULL or not a parseable ``scheme://`` URL PASS
+    THROUGH untouched: a shared "no URL" pseudo-key would silently
+    collapse every URL-less doc in the corpus into one keeper. Only a
+    real canonical identity dedups.
     """
     from pyspark.sql import Window
 
-    key = canonicalize_url(F.col(url_col))
+    raw = F.col(url_col)
+    parseable = raw.isNotNull() & (url_scheme(raw) != "")
+    # non-parseable rows get a per-row unique key (never collide);
+    # \x00 prefix cannot appear in a canonical URL, so the key spaces
+    # are disjoint
+    key = F.when(parseable, canonicalize_url(raw)).otherwise(
+        F.concat(F.lit("\x00rowkey:"), F.col(id_col).cast("string"))
+    )
     w = Window.partitionBy("__canon").orderBy(F.col(id_col).asc())
     return (
         df.withColumn("__canon", key)

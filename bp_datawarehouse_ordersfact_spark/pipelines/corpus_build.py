@@ -131,7 +131,7 @@ def _cluster_keepers(
     holds a clean original and a boilerplate-wrapped mirror, min-id
     keeps whichever crawled first; score-keep keeps the better copy.
 
-    Aggregate shape (`max_by` over (score, -id)) — map-side combinable,
+    Aggregate shape (`min_by` over (-score, id)) — map-side combinable,
     no per-component window, so a boilerplate mega-cluster can't melt a
     task."""
     if score_col is None:
@@ -143,9 +143,13 @@ def _cluster_keepers(
         ),
         "id",
     )
+    # min_by over (-score, id): struct order is ascending — highest
+    # score first, then SMALLEST id. The id participates in its native
+    # ordering (never negated/cast), so string doc ids work; a max_by
+    # with -id would CAST_INVALID_INPUT under ANSI on non-numeric ids.
     return scored.groupBy("component").agg(
-        F.max_by(
-            "id", F.struct(F.col("__s").alias("s"), (-F.col("id")).alias("ni"))
+        F.min_by(
+            "id", F.struct((-F.col("__s")).alias("ns"), F.col("id").alias("i"))
         ).alias("doc_id")
     )
 
@@ -531,10 +535,14 @@ def build_corpus(
             budget_tokens=chunk_tokens,
             carry_cols=("source",),
         ).select(
+            # same token rule as window mode (Tx.tokens: lowercased
+            # alnum) so the 05_chunks artifact has ONE vocabulary across
+            # chunk modes; the operator's whitespace counts governed the
+            # packing BUDGET, the stage's tokens define the ARTIFACT
             "doc_id",
             "source",
             "chunk_idx",
-            F.split(F.trim(F.col("chunk_text")), r"\s+").alias("chunk"),
+            Tx.tokens(F.col("chunk_text")).alias("chunk"),
         )
     elif chunk_mode == "window":
         t = mixed.select("doc_id", "source", Tx.tokens(F.col("text")).alias("t"))

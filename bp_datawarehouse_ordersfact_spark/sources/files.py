@@ -58,31 +58,42 @@ def read_jsonl_quarantined(
     poisoning downstream filters" are both wrong.
 
     Returns ``(good, bad)``: `good` carries `schema`'s columns for rows
-    that parsed clean; `bad` keeps the schema columns (nulls) PLUS the
-    RAW offending line (``_corrupt_record``) for triage — Spark
-    disallows queries that reference ONLY the internal corrupt column
-    over a raw JSON source (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the
-    quarantine frame must carry real columns alongside it. PERMISSIVE
-    mode + ``columnNameOfCorruptRecord`` (the `sources/kafka_shaped.py`
-    contract): a row is corrupt exactly when the corrupt column is
-    non-null.
+    that parsed clean; `bad` carries the RAW offending line
+    (``_corrupt_record``) for triage.
+
+    Implementation reads the file as TEXT and decodes with `from_json`
+    (the `sources/kafka_shaped.parse_kafka_wire` contract: PERMISSIVE +
+    ``columnNameOfCorruptRecord``, corrupt exactly when that field is
+    non-null) rather than `spark.read.json` with a corrupt column — the
+    raw-JSON-source form forbids any query whose pruned column set is
+    only the corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN), which
+    breaks the most natural triage op, ``bad.count()``. Decoding a text
+    column has no such restriction.
 
     Scale: one scan shape; the split is two lazy filters over the same
     source (Catalyst reuses the scan per action; for a one-pass split,
-    persist the parsed frame first).
+    persist the parsed frame first). Blank lines are skipped like the
+    native JSON reader skips them.
     """
     corrupt_col = "_corrupt_record"
     full = T.StructType(
-        schema.fields + [T.StructField(corrupt_col, T.StringType(), True)]
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
     )
     parsed = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", corrupt_col)
-        .json(path)
+        spark.read.text(path)
+        .filter(F.trim(F.col("value")) != "")
+        .select(
+            F.from_json(
+                F.col("value"),
+                full,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+            ).alias("__rec"),
+            F.col("value"),
+        )
     )
-    good = parsed.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    bad = parsed.filter(F.col(corrupt_col).isNotNull())
+    is_bad = F.col(f"__rec.{corrupt_col}").isNotNull() | F.col("__rec").isNull()
+    good = parsed.filter(~is_bad).select("__rec.*").drop(corrupt_col)
+    bad = parsed.filter(is_bad).select(F.col("value").alias(corrupt_col))
     return good, bad
 
 
@@ -327,6 +338,12 @@ def verify_tar_shards(spark, manifest_df):
     """
     from pyspark.sql import functions as F
 
+    # write_tar_shards returns a LAZY manifest whose action IS the
+    # export; this function uses the manifest twice (dirs pull + join),
+    # so materialize it once — otherwise a lazy manifest would re-run
+    # the exporter concurrently with the verification scan, rewriting
+    # shards mid-hash and reporting spurious mismatches
+    manifest_df = manifest_df.localCheckpoint(eager=True)
     expected = manifest_df.select(
         F.col("shard"), F.col("sha256").alias("expected_sha256")
     )
@@ -366,7 +383,6 @@ def read_tar_shards(spark: SparkSession, path: str) -> DataFrame:
     ``groupBy(key).pivot(ext)`` or a map_from_entries aggregation."""
 
     def gen(batches):
-        import hashlib
         import io
         import tarfile
 

@@ -953,7 +953,8 @@ def run_host_cap_ingest_stream(
             prior = s.createDataFrame([], "__host string, __prior long")
 
         keyed = batch_df.withColumn(
-            "__host", registrable_domain(F.lower(F.col(host_col)))
+            "__host",
+            F.coalesce(registrable_domain(F.lower(F.col(host_col))), F.lit("")),
         ).withColumn(
             "__rk",
             h32(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))),
@@ -962,13 +963,19 @@ def run_host_cap_ingest_stream(
         remaining = F.lit(max_docs_per_host) - F.coalesce(
             F.col("__prior"), F.lit(0)
         )
+        # hostless docs ('' after normalization — NULL/unparseable host)
+        # are exempt: they can't be attributed to a domain, and a shared
+        # pseudo-domain would admit at most max_docs_per_host of them
+        # over the stream's lifetime
         survivors = (
             keyed.join(prior, "__host", "left")
             .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= remaining)
+            .filter((F.col("__host") == "") | (F.col("__rn") <= remaining))
         )
-        delta = survivors.groupBy("__host").agg(
-            F.count(F.lit(1)).cast("long").alias("admitted")
+        delta = (
+            survivors.filter(F.col("__host") != "")
+            .groupBy("__host")
+            .agg(F.count(F.lit(1)).cast("long").alias("admitted"))
         )
         survivors.drop("__host", "__rk", "__rn", "__prior").write.mode(
             "overwrite"

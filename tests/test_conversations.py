@@ -147,3 +147,30 @@ def test_row_local_plans(spark):
     ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_validate_null_role_is_invalid(spark):
+    """Review finding: three-valued isin() let a NULL role validate."""
+    conv = [
+        {"role": None, "content": "sneaky"},
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "yo"},
+    ]
+    df = spark.createDataFrame([(1, conv)], SCHEMA)
+    r = validate_conversations(df, conv_col="conv").first()
+    assert r["conv_valid"] is False
+    assert r["conv_invalid_reason"] == "unknown_role"
+
+
+def test_validate_stray_system_is_invalid(spark):
+    """Review finding: system turns anywhere but position 0 validated."""
+    for conv, reason in [
+        (_conv(("user", "a"), ("assistant", "b"), ("system", "late")),
+         "system_not_leading"),
+        (_conv(("system", "s1"), ("system", "s2"), ("user", "a"),
+               ("assistant", "b")), "system_not_leading"),
+        (GOOD, None),
+    ]:
+        df = spark.createDataFrame([(1, conv)], SCHEMA)
+        r = validate_conversations(df, conv_col="conv").first()
+        assert r["conv_invalid_reason"] == reason, conv

@@ -933,8 +933,13 @@ def test_paragraph_chunk_mode(spark, tmp_path):
     # greedy packing at budget 10: para1 (6) alone (6+6>10), para2+para3
     # (6+4=10) together — boundaries respected, nothing torn
     assert [r["chunk_tokens"] for r in chunks] == [6, 10]
-    assert chunks[0]["chunk"] == paras[0].split()
-    assert chunks[1]["chunk"] == (paras[1] + " " + paras[2]).split()
+    # chunk arrays use the SAME token rule as window mode (Tx.tokens:
+    # lowercased alnum) so 05_chunks has one vocabulary across modes
+    def toks(t):
+        import re
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+    assert chunks[0]["chunk"] == toks(paras[0])
+    assert chunks[1]["chunk"] == toks(paras[1] + " " + paras[2])
 
     with pytest.raises(ValueError, match="chunk_mode"):
         build_corpus(
@@ -1108,3 +1113,26 @@ def test_html_extraction_stage(spark, tmp_path):
         build_corpus(
             spark, docs, str(tmp_path / "c2"), extract_html="bogus", min_chars=50
         )
+
+
+def test_cluster_keepers_string_ids(spark):
+    """Review finding: the score tie-break negated the id, which threw
+    CAST_INVALID_INPUT for string doc ids under ANSI."""
+    from pyspark.sql import Row
+
+    from bp_datawarehouse_ordersfact_spark.pipelines.corpus_build import (
+        _cluster_keepers,
+    )
+
+    comps = spark.createDataFrame(
+        [Row(id="docB", component="c1"), Row(id="docA", component="c1"),
+         Row(id="docC", component="c2")],
+    )
+    docs = spark.createDataFrame(
+        [Row(doc_id="docA", score=0.5), Row(doc_id="docB", score=0.5),
+         Row(doc_id="docC", score=0.1)],
+    )
+    kept = sorted(
+        r["doc_id"] for r in _cluster_keepers(comps, docs, "score").collect()
+    )
+    assert kept == ["docA", "docC"]  # tie in c1 -> smallest id

@@ -736,8 +736,30 @@ def test_read_jsonl_quarantined(spark, tmp_path):
     rows = {r["doc_id"]: r["text"] for r in good.collect()}
     # clean rows parse; the legit-null row is GOOD (null != corrupt)
     assert rows == {1: "clean one", 2: "clean two", 4: None}
-    bad_rows = bad.collect()
-    bad_lines = sorted(r["_corrupt_record"] for r in bad_rows)
+    bad_lines = sorted(r["_corrupt_record"] for r in bad.collect())
     assert bad_lines == ["not json at all", '{"doc_id": 3, "text": "truncated']
     assert good.columns == ["doc_id", "text"]
-    assert bad.columns == ["doc_id", "text", "_corrupt_record"]
+    assert bad.columns == ["_corrupt_record"]
+    # the natural triage ops must not hit Spark's
+    # QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction (review finding)
+    assert good.count() == 3
+    assert bad.count() == 2
+
+
+def test_verify_tar_shards_accepts_lazy_manifest(spark, tmp_path):
+    """Review finding: a lazy write_tar_shards manifest used to re-run
+    the exporter inside the verification join, rewriting shards
+    mid-hash. The verifier must materialize the manifest once."""
+    from bp_datawarehouse_ordersfact_spark.sources.files import (
+        verify_tar_shards,
+        write_tar_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i}", f"body {i}") for i in range(5)], "key string, body string"
+    ).coalesce(1)
+    lazy_manifest = write_tar_shards(
+        df, str(tmp_path / "shards"), "key", {"txt": "body"}, shard_rows=2
+    )
+    # pass the LAZY frame straight in — must report clean, not mismatches
+    assert verify_tar_shards(spark, lazy_manifest).count() == 0

@@ -409,3 +409,43 @@ def test_host_authority_ranks_linked_hosts(spark):
     # the source sites are symmetric, and rank found them equal
     assert out["a.org"] == out["b.net"] == out["c.io"]
     assert abs(sum(out.values()) - 1.0) < 1e-3  # ranks sum to 1
+
+
+def test_cap_per_host_exempts_hostless_docs(spark):
+    """Review finding: NULL/unparseable hosts must not collapse into one
+    capped pseudo-domain — they pass through uncapped."""
+    rows = [(i, None) for i in range(10)] + [
+        (100 + i, f"https://hot.com/{i}") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = cap_docs_per_host(df, id_col="doc_id", max_docs=2, url_col="url")
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert [i for i in got if i < 100] == list(range(10))  # all hostless kept
+    assert len([i for i in got if i >= 100]) == 2  # real host capped
+
+
+def test_dedup_by_canonical_url_passes_through_urlless(spark):
+    """Review finding: NULL/empty/non-URL values must not share one
+    canonical key (which silently deleted all but one of them)."""
+    from bp_datawarehouse_ordersfact_spark.operators.curation import (
+        dedup_by_canonical_url,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, None),
+            (3, ""),
+            (4, ""),
+            (5, "just some text"),
+            (6, "just some text"),
+            (7, "https://a.com/x"),
+            (8, "https://a.com/x?utm_y=1"),
+        ],
+        "doc_id long, url string",
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in dedup_by_canonical_url(df, url_col="url", id_col="doc_id").collect()
+    )
+    assert out == [1, 2, 3, 4, 5, 6, 7]  # only the real URL pair deduped
