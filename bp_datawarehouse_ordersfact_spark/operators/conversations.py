@@ -212,3 +212,97 @@ def loss_mask_spans(
         F.col("__s.start").cast("long").alias("start"),
         F.col("__s.end").cast("long").alias("end"),
     )
+
+
+def pack_conversations(
+    rendered: DataFrame,
+    spans: DataFrame,
+    *,
+    id_col: str,
+    text_col: str = "text",
+    budget_chars: int,
+    sep: str = "",
+) -> tuple[DataFrame, DataFrame]:
+    """Pack rendered conversations into training rows: short dialogs
+    waste sequence capacity, so trainers concatenate several per row —
+    which silently breaks every `loss_mask_spans` offset unless the
+    masks shift with the packing. This does both together, the only
+    safe order.
+
+    First-fit-by-order packing (the `sequence_packing` recipe): bins
+    are assigned by a running char total over id order, so the result
+    is deterministic and an example never splits across bins. A dialog
+    longer than `budget_chars` becomes its own over-budget bin —
+    visible, never torn (the paragraph-packer contract).
+
+    Returns ``(packed, packed_spans)``:
+
+    - ``packed``: (bin_id, text, n_examples, n_chars) — dialogs joined
+      by `sep` in id order;
+    - ``packed_spans``: (bin_id, id, turn_idx, start, end) — the input
+      spans with each example's bin offset (prior texts + separators)
+      added, so ``packed.text[start:end]`` still slices the exact turn
+      block (test-pinned).
+
+    Scale shape: one running-sum window over (length-only) rows for bin
+    assignment, one shuffle of the rendered text into bins for the
+    concat, and the spans adjust via a BROADCASTable (id → bin, offset)
+    frame — spans themselves never re-shuffle by text.
+    """
+    if budget_chars < 1:
+        raise ValueError(f"budget_chars must be >= 1, got {budget_chars}")
+    from pyspark.sql import Window
+
+    sep_len = len(sep)
+    sized = rendered.select(
+        F.col(id_col), F.col(text_col), F.length(text_col).alias("__len")
+    )
+    w = Window.orderBy(id_col)
+    # bin = floor((cumulative length BEFORE this example, counting one
+    # separator per prior example) / budget): first-fit by order —
+    # identical rule to queries' sequence_packing, in chars
+    assigned = sized.withColumn(
+        "__before",
+        F.coalesce(
+            F.sum(F.col("__len") + sep_len).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn("bin_id", F.floor(F.col("__before") / budget_chars))
+    wb = Window.partitionBy("bin_id").orderBy(id_col)
+    placed = assigned.withColumn(
+        "__offset",
+        F.coalesce(
+            F.sum(F.col("__len") + sep_len).over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    packed = (
+        placed.groupBy("bin_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                                F.col(text_col).alias("t")))
+                    ),
+                    lambda s: s["t"],
+                ),
+                sep,
+            ).alias(text_col),
+            F.count(F.lit(1)).cast("int").alias("n_examples"),
+        )
+        .withColumn("n_chars", F.length(text_col).cast("long"))
+    )
+    offsets = placed.select(id_col, "bin_id", "__offset")
+    packed_spans = spans.join(F.broadcast(offsets), id_col).select(
+        "bin_id",
+        id_col,
+        "turn_idx",
+        (F.col("start") + F.col("__offset")).cast("long").alias("start"),
+        (F.col("end") + F.col("__offset")).cast("long").alias("end"),
+    )
+    return packed, packed_spans

@@ -174,3 +174,75 @@ def test_validate_stray_system_is_invalid(spark):
         df = spark.createDataFrame([(1, conv)], SCHEMA)
         r = validate_conversations(df, conv_col="conv").first()
         assert r["conv_invalid_reason"] == reason, conv
+
+
+def test_pack_conversations_spans_still_slice(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.conversations import (
+        pack_conversations,
+    )
+
+    convs = [
+        (1, _conv(("user", "Hi"), ("assistant", "Hello there"))),
+        (2, _conv(("user", "Q2"), ("assistant", "A2"))),
+        (3, _conv(("user", "Q3 is long"), ("assistant", "A3 likewise here"))),
+        (4, _conv(("user", "Q4"), ("assistant", "A4"))),
+    ]
+    df = spark.createDataFrame(convs, SCHEMA)
+    rendered = render_conversation(df, conv_col="conv")
+    spans = loss_mask_spans(df, id_col="conv_id", conv_col="conv")
+    packed, pspans = pack_conversations(
+        rendered.select("conv_id", "text"), spans,
+        id_col="conv_id", budget_chars=80, sep="\n",
+    )
+    texts = {r["bin_id"]: r["text"] for r in packed.collect()}
+    meta = {r["bin_id"]: (r["n_examples"], r["n_chars"]) for r in packed.collect()}
+    # every adjusted span still slices the exact assistant block
+    originals = {
+        r["conv_id"]: r["text"] for r in rendered.select("conv_id", "text").collect()
+    }
+    orig_spans = {(r["conv_id"], r["turn_idx"]): (r["start"], r["end"])
+                  for r in spans.collect()}
+    for r in pspans.collect():
+        want_s, want_e = orig_spans[(r["conv_id"], r["turn_idx"])]
+        expect = originals[r["conv_id"]][want_s:want_e]
+        got = texts[r["bin_id"]][r["start"]:r["end"]]
+        assert got == expect, (r["conv_id"], r["turn_idx"])
+    # accounting consistent
+    assert sum(n for n, _ in meta.values()) == 4
+    for b, (n, n_chars) in meta.items():
+        assert n_chars == len(texts[b])
+    # multiple examples actually packed together somewhere
+    assert any(n > 1 for n, _ in meta.values())
+    # packed text = examples joined with sep in id order within the bin
+    for b, t in texts.items():
+        ids = sorted(r["conv_id"] for r in pspans.collect() if r["bin_id"] == b)
+        # reconstruct from originals of the DISTINCT ids in this bin
+        uniq = sorted(set(ids))
+        assert t == "\n".join(originals[i] for i in uniq)
+
+
+def test_pack_conversations_oversize_own_bin_and_validation(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.conversations import (
+        pack_conversations,
+    )
+
+    convs = [
+        (1, _conv(("user", "x" * 200), ("assistant", "y" * 200))),
+        (2, _conv(("user", "a"), ("assistant", "b"))),
+    ]
+    df = spark.createDataFrame(convs, SCHEMA)
+    rendered = render_conversation(df, conv_col="conv")
+    spans = loss_mask_spans(df, id_col="conv_id", conv_col="conv")
+    packed, _ = pack_conversations(
+        rendered.select("conv_id", "text"), spans,
+        id_col="conv_id", budget_chars=100,
+    )
+    rows = sorted(packed.collect(), key=lambda r: r["bin_id"])
+    # the oversize dialog occupies its own over-budget bin, untorn
+    assert [r["n_examples"] for r in rows] == [1, 1]
+    assert rows[0]["n_chars"] > 100
+    with pytest.raises(ValueError, match="budget_chars"):
+        pack_conversations(
+            rendered.select("conv_id", "text"), spans,
+            id_col="conv_id", budget_chars=0,
+        )
