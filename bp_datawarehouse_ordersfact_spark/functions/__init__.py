@@ -1,6 +1,18 @@
-from . import cleaning, conditional, dates, nulls, rounding, text, vectors, zorder
+from . import (
+    cleaning,
+    conditional,
+    dates,
+    encoding,
+    html,
+    nulls,
+    rounding,
+    text,
+    urls,
+    vectors,
+    zorder,
+)
 
 __all__ = [
-    "cleaning", "conditional", "dates", "nulls", "rounding", "text",
-    "vectors", "zorder",
+    "cleaning", "conditional", "dates", "encoding", "html", "nulls",
+    "rounding", "text", "urls", "vectors", "zorder",
 ]
