@@ -22,6 +22,9 @@ switching from the reference's shell-driven pipeline
 - ``host-stats --docs P --host-col C`` registrable-domain concentration
                                        report (top-N hosts, doc/char
                                        share, cumulative share);
+- ``contamination --docs P --holdout H`` per-benchmark-item n-gram leak
+                                       report (worst items first, with
+                                       example doc ids);
 - ``corpus-increment --docs P --out DIR --store S --corpus C``
                                        the daily-delta build: gate the
                                        increment against the signature
@@ -144,6 +147,31 @@ def cmd_corpus_increment(args) -> dict:
     )
 
 
+def cmd_contamination(args) -> dict:
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import contamination_report
+
+    spark = _spark()
+    docs = spark.read.parquet(args.docs)
+    holdout = spark.read.parquet(args.holdout)
+    if args.holdout_id_col not in holdout.columns:
+        # benchmarks often ship as bare text files — synthesize stable ids
+        holdout = holdout.withColumn(
+            args.holdout_id_col, F.md5(F.col(args.text_col))
+        )
+    report = contamination_report(
+        docs,
+        holdout,
+        holdout_id_col=args.holdout_id_col,
+        doc_id_col=args.doc_id_col,
+        text_col=args.text_col,
+        n=args.ngram,
+    ).limit(args.top)
+    return {"docs": args.docs, "holdout": args.holdout,
+            "items": [r.asDict() for r in report.collect()]}
+
+
 def cmd_list(args) -> dict:
     from .queries import all_oracles, all_queries
 
@@ -226,6 +254,20 @@ def main(argv: list[str] | None = None) -> dict:
     ci.add_argument("--host-blocklist", default=None, dest="host_blocklist")
     ci.add_argument("--host-col", default=None, dest="host_col")
     ci.set_defaults(fn=cmd_corpus_increment)
+
+    ct = sub.add_parser(
+        "contamination",
+        help="per-benchmark-item n-gram contamination report",
+    )
+    ct.add_argument("--docs", required=True)
+    ct.add_argument("--holdout", required=True)
+    ct.add_argument("--holdout-id-col", default="holdout_id",
+                    dest="holdout_id_col")
+    ct.add_argument("--doc-id-col", default="doc_id", dest="doc_id_col")
+    ct.add_argument("--text-col", default="text", dest="text_col")
+    ct.add_argument("--ngram", type=int, default=5)
+    ct.add_argument("--top", type=int, default=50)
+    ct.set_defaults(fn=cmd_contamination)
 
     ls = sub.add_parser("list", help="registry query names")
     ls.set_defaults(fn=cmd_list)

@@ -134,3 +134,24 @@ def test_cli_host_stats(tmp_path):
 
     with _pytest.raises(SystemExit, match="url-col or --host-col"):
         main(["host-stats", "--docs", "/root/testdata/sf0.001/documents.parquet"])
+
+
+def test_cli_contamination_report(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    leak = "the quick brown fox jumps over the lazy dog tonight"
+    docs = tmp_path / "docs.parquet"
+    hold = tmp_path / "hold.parquet"
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": [f"intro. {leak} outro.", "clean words only here"]}),
+        docs,
+    )
+    pq.write_table(pa.table({"text": [leak]}), hold)
+    out = main(
+        ["contamination", "--docs", str(docs), "--holdout", str(hold), "--top", "5"]
+    )
+    items = out["items"]
+    assert len(items) == 1  # id synthesized from text
+    assert items[0]["contaminated_docs"] == 1
+    assert items[0]["example_doc_ids"] == "1"

@@ -246,3 +246,48 @@ def test_pack_conversations_oversize_own_bin_and_validation(spark):
             rendered.select("conv_id", "text"), spans,
             id_col="conv_id", budget_chars=0,
         )
+
+
+def test_sft_path_composes_with_corpus_build(spark, tmp_path):
+    """End-to-end: validate -> render turns conversations into documents
+    that flow through the staged corpus build unchanged — the SFT
+    ingest path reuses the whole document tier."""
+    from bp_datawarehouse_ordersfact_spark.pipelines.corpus_build import build_corpus
+
+    def dlg(i, reply):
+        return _conv(
+            ("user", f"please explain topic number {i} in adequate detail"),
+            ("assistant", reply),
+        )
+
+    convs = [
+        (1, dlg(1, "here is a sufficiently long and unique explanation "
+                    "about the first topic with many distinct words.")),
+        (2, dlg(2, "a different long reply covering other material with "
+                    "plenty of unique vocabulary to avoid dedup.")),
+        # exact duplicate of 1's dialog -> must die at exact dedup
+        (3, dlg(1, "here is a sufficiently long and unique explanation "
+                    "about the first topic with many distinct words.")),
+        # structurally invalid -> must die at validation
+        (4, _conv(("assistant", "answer with no question preceding it"))),
+    ]
+    df = spark.createDataFrame(convs, SCHEMA)
+    valid = validate_conversations(df, conv_col="conv").filter("conv_valid")
+    docs = (
+        render_conversation(valid, conv_col="conv")
+        .select(
+            F.col("conv_id").alias("doc_id"),
+            "text",
+            F.lit("sft").alias("source"),
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    m = build_corpus(
+        spark, docs, str(tmp_path / "sft"),
+        min_chars=50, chunk_tokens=30, chunk_stride=30, pack_budget=100,
+    )
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(m["stages"]["02_deduped"]["path"]).collect()
+    }
+    assert kept == {1, 2}  # 4 failed validation, 3 died at exact dedup
