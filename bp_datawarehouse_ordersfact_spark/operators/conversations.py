@@ -222,6 +222,7 @@ def pack_conversations(
     text_col: str = "text",
     budget_chars: int,
     sep: str = "",
+    partition_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Pack rendered conversations into training rows: short dialogs
     waste sequence capacity, so trainers concatenate several per row —
@@ -244,20 +245,32 @@ def pack_conversations(
       added, so ``packed.text[start:end]`` still slices the exact turn
       block (test-pinned).
 
-    Scale shape: one running-sum window over (length-only) rows for bin
-    assignment, one shuffle of the rendered text into bins for the
-    concat, and the spans adjust via a BROADCASTable (id → bin, offset)
-    frame — spans themselves never re-shuffle by text.
+    Scale shape: the bin-assignment running sum is a window over
+    LENGTH-ONLY rows — pass `partition_cols` (e.g. source/shard) at
+    scale so it parallelizes per partition key (the `sequence_packing`
+    recipe; bin_id is then composite with those keys). Without them the
+    window is GLOBAL — a deliberate single-task total order, fine for
+    dataset-sized SFT corpora (millions of length rows in one task),
+    wrong for web scale. Text shuffles once into bins for the concat;
+    the spans adjust via an equi-join on id against the per-example
+    (bin, offset) frame — one row per conversation, so no broadcast
+    hint (AQE may still pick one when it fits).
     """
     if budget_chars < 1:
         raise ValueError(f"budget_chars must be >= 1, got {budget_chars}")
     from pyspark.sql import Window
 
     sep_len = len(sep)
+    pcols = [F.col(c) for c in partition_cols]
     sized = rendered.select(
-        F.col(id_col), F.col(text_col), F.length(text_col).alias("__len")
+        F.col(id_col), *pcols, F.col(text_col),
+        F.length(text_col).alias("__len"),
     )
-    w = Window.orderBy(id_col)
+    w = (
+        Window.partitionBy(*partition_cols).orderBy(id_col)
+        if partition_cols
+        else Window.orderBy(id_col)
+    )
     # bin = floor((cumulative length BEFORE this example, counting one
     # separator per prior example) / budget): first-fit by order —
     # identical rule to queries' sequence_packing, in chars
@@ -270,7 +283,7 @@ def pack_conversations(
             F.lit(0),
         ),
     ).withColumn("bin_id", F.floor(F.col("__before") / budget_chars))
-    wb = Window.partitionBy("bin_id").orderBy(id_col)
+    wb = Window.partitionBy(*partition_cols, "bin_id").orderBy(id_col)
     placed = assigned.withColumn(
         "__offset",
         F.coalesce(
@@ -281,7 +294,7 @@ def pack_conversations(
         ),
     )
     packed = (
-        placed.groupBy("bin_id")
+        placed.groupBy(*partition_cols, "bin_id")
         .agg(
             F.array_join(
                 F.transform(
@@ -297,8 +310,9 @@ def pack_conversations(
         )
         .withColumn("n_chars", F.length(text_col).cast("long"))
     )
-    offsets = placed.select(id_col, "bin_id", "__offset")
-    packed_spans = spans.join(F.broadcast(offsets), id_col).select(
+    offsets = placed.select(id_col, *partition_cols, "bin_id", "__offset")
+    packed_spans = spans.join(offsets, id_col).select(
+        *partition_cols,
         "bin_id",
         id_col,
         "turn_idx",

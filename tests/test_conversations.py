@@ -291,3 +291,39 @@ def test_sft_path_composes_with_corpus_build(spark, tmp_path):
         for r in spark.read.parquet(m["stages"]["02_deduped"]["path"]).collect()
     }
     assert kept == {1, 2}  # 4 failed validation, 3 died at exact dedup
+
+
+def test_pack_conversations_partitioned(spark):
+    """partition_cols parallelizes the packing per key: bins are
+    composite with the partition column and never mix sources."""
+    from bp_datawarehouse_ordersfact_spark.operators.conversations import (
+        pack_conversations,
+    )
+
+    convs = [
+        (i, _conv(("user", f"q{i}"), ("assistant", f"answer {i}")))
+        for i in range(1, 7)
+    ]
+    df = spark.createDataFrame(convs, SCHEMA).withColumn(
+        "source", F.when(F.col("conv_id") % 2 == 0, "even").otherwise("odd")
+    )
+    rendered = render_conversation(df, conv_col="conv")
+    spans = loss_mask_spans(df, id_col="conv_id", conv_col="conv")
+    packed, pspans = pack_conversations(
+        rendered.select("conv_id", "source", "text"), spans,
+        id_col="conv_id", budget_chars=60, partition_cols=("source",),
+    )
+    # a (source, bin) never mixes parities
+    for r in pspans.collect():
+        assert ("even" if r["conv_id"] % 2 == 0 else "odd") == r["source"]
+    # spans still slice exactly
+    texts = {(r["source"], r["bin_id"]): r["text"] for r in packed.collect()}
+    originals = {r["conv_id"]: r["text"] for r in rendered.collect()}
+    orig = {(r["conv_id"], r["turn_idx"]): (r["start"], r["end"])
+            for r in spans.collect()}
+    for r in pspans.collect():
+        s0, e0 = orig[(r["conv_id"], r["turn_idx"])]
+        assert (
+            texts[(r["source"], r["bin_id"])][r["start"]:r["end"]]
+            == originals[r["conv_id"]][s0:e0]
+        )
