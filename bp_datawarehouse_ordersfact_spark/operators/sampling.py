@@ -351,3 +351,46 @@ def apply_token_mixture(
         < F.col("__ppm")
     )
     return out.filter(~partial | keep_hash).drop("__full", "__ppm")
+
+
+def length_bucketed_order(
+    df: DataFrame,
+    *,
+    id_col: str,
+    length_col: str,
+    bucket_width: int,
+    seed: str = "0",
+    n_shards: int | None = None,
+    keep_bucket: bool = False,
+) -> DataFrame:
+    """Training order that co-locates similar-length examples while
+    staying pseudo-random WITHIN each length bucket — the padding-waste
+    fix: a batch drawn from a fully random order pads every sequence to
+    the batch max (a 2k-token straggler makes 63 short neighbors pay
+    for it), while strict length sort destroys shuffling. Bucketing by
+    ``floor(length / bucket_width)`` bounds intra-batch padding to
+    `bucket_width` and keeps the order within a bucket a pure function
+    of (id, seed) — the `seeded_global_shuffle` contract (rerun-,
+    repartition-, and retry-stable; re-seed per epoch).
+
+    Scale shape: ONE range shuffle over (bucket, hash key) — identical
+    cost to the unbucketed global shuffle; downstream sequential
+    loaders (`write_tar_shards` follows physical order) see buckets in
+    ascending length order, shuffled inside.
+    """
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    from ..functions.text import h32
+
+    bucket = F.floor(F.col(length_col) / bucket_width).cast("long")
+    key = h32(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    out = df.withColumn("_len_bucket", bucket).withColumn("_shuffle_key", key)
+    parts = [F.col("_len_bucket"), F.col("_shuffle_key"), F.col(id_col)]
+    out = (
+        out.repartitionByRange(n_shards, *parts)
+        if n_shards is not None
+        else out.repartitionByRange(*parts)
+    )
+    out = out.sortWithinPartitions(*parts)
+    drop = ["_shuffle_key"] + ([] if keep_bucket else ["_len_bucket"])
+    return out.drop(*drop)

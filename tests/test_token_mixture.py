@@ -217,3 +217,56 @@ def test_apply_empty_plan_yields_empty_frame(spark):
     )
     assert out.count() == 0
     assert "epoch" in out.columns
+
+
+def test_length_bucketed_order(spark):
+    import hashlib
+
+    from bp_datawarehouse_ordersfact_spark.operators.sampling import (
+        length_bucketed_order,
+    )
+
+    rows = [(i, (i * 37) % 500 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int").repartition(7)
+    out = length_bucketed_order(
+        df, id_col="doc_id", length_col="n_tokens", bucket_width=100,
+        n_shards=4, keep_bucket=True,
+    )
+    collected = []
+    for pid, it in enumerate(out.rdd.glom().collect()):
+        collected.extend((pid, r) for r in it)
+    # physical order == (bucket asc, h32 key asc, id asc) globally
+    def h(i):
+        return int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:8], 16)
+
+    keys = [
+        (r["_len_bucket"], h(r["doc_id"]), r["doc_id"]) for _, r in collected
+    ]
+    assert keys == sorted(keys)
+    # buckets are length-coherent: padding waste bounded by bucket_width
+    for _, r in collected:
+        assert r["_len_bucket"] == (r["n_tokens"]) // 100
+    # rerun-stable; different seed reorders within buckets
+    again = [
+        r["doc_id"]
+        for r in length_bucketed_order(
+            spark.createDataFrame(rows, "doc_id long, n_tokens int"),
+            id_col="doc_id", length_col="n_tokens", bucket_width=100,
+            n_shards=4,
+        ).rdd.flatMap(lambda r: [r]).collect()
+    ]
+    base = [r["doc_id"] for _, r in collected]
+    assert again == base
+    reseeded = [
+        r["doc_id"]
+        for r in length_bucketed_order(
+            df, id_col="doc_id", length_col="n_tokens", bucket_width=100,
+            seed="ep1", n_shards=4,
+        ).rdd.flatMap(lambda r: [r]).collect()
+    ]
+    assert reseeded != base
+    assert sorted(reseeded) == sorted(base)
+    with pytest.raises(ValueError, match="bucket_width"):
+        length_bucketed_order(
+            df, id_col="doc_id", length_col="n_tokens", bucket_width=0
+        )
