@@ -1044,3 +1044,58 @@ def test_paragraph_chunks_matches_greedy_reference(spark, paras, budget):
     if cur:
         chunks.append("\n\n".join(cur))
     assert got == chunks
+
+
+# ---------------------------------------------------------------------------
+# conversation loss-mask spans == pure-python rendering arithmetic
+# ---------------------------------------------------------------------------
+
+
+_turn_strategy = st.tuples(
+    st.sampled_from(["user", "assistant"]),
+    st.sampled_from(["hi", "a longer reply with several words", "x", "né ü"]),
+)
+
+
+@PROP
+@given(
+    turns=st.lists(_turn_strategy, min_size=1, max_size=8),
+    template=st.sampled_from(["chatml", "plain"]),
+    lead_system=st.booleans(),
+)
+def test_loss_mask_spans_match_python(spark, turns, template, lead_system):
+    from pyspark.sql import functions as F
+
+    from bp_datawarehouse_ordersfact_spark.operators.conversations import (
+        loss_mask_spans,
+        render_conversation,
+    )
+
+    conv = ([{"role": "system", "content": "be nice"}] if lead_system else []) + [
+        {"role": r, "content": c} for r, c in turns
+    ]
+    df = spark.createDataFrame(
+        [(1, conv)], "conv_id long, conv array<struct<role:string,content:string>>"
+    )
+    text = render_conversation(df, conv_col="conv", template=template).first()[
+        "text"
+    ]
+    got = [
+        (r["turn_idx"], r["start"], r["end"])
+        for r in loss_mask_spans(
+            df, id_col="conv_id", conv_col="conv", template=template
+        ).orderBy("turn_idx").collect()
+    ]
+
+    head, tail = {"chatml": ("<|{role}|>\n", "<|end|>\n"),
+                  "plain": ("{role}: ", "\n")}[template]
+    expect, pos = [], 0
+    for i, t in enumerate(conv):
+        block = head.format(role=t["role"]) + t["content"] + tail
+        if t["role"] == "assistant":
+            expect.append((i, pos, pos + len(block)))
+        pos += len(block)
+    assert got == expect
+    for i, s, e in got:
+        block = head.format(role="assistant") + conv[i]["content"] + tail
+        assert text[s:e] == block
