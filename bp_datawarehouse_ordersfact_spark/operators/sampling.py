@@ -394,3 +394,101 @@ def length_bucketed_order(
     out = out.sortWithinPartitions(*parts)
     drop = ["_shuffle_key"] + ([] if keep_bucket else ["_len_bucket"])
     return out.drop(*drop)
+
+
+def quality_stratified_resample_by_group(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    group_col: str,
+    keep_ppm: list[int],
+    boundaries: dict[str, list[float]] | None = None,
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """`quality_stratified_resample` with PER-GROUP quantile edges —
+    the multilingual/multi-source posture: perplexity and classifier
+    score distributions differ wildly across languages and sources, so
+    GLOBAL bucket edges judge low-resource groups against the dominant
+    group's distribution (crushing e.g. non-English text whose scores
+    run lower). Each group gets its own edges; the keep_ppm policy
+    ("drop the bottom tercile, thin the middle") then means the same
+    thing in every group.
+
+    ``boundaries`` maps group → explicit edges (the production reuse
+    path; every group present in the data must have an entry — missing
+    groups raise rather than silently falling back to a refit). When
+    None, edges come from one grouped ``percentile_approx`` (a
+    rows-per-group driver pull, the k-row manifest class).
+
+    Membership is the same canonical ``h32(id) % 1e6 < keep_ppm[b]``
+    rule; after the one grouped aggregate the filter is MAP-ONLY — the
+    per-group edges join on as a broadcast rows-per-group frame. NULL
+    scores are dropped (the base operator's contract); NULL groups form
+    their own '' group. Returns survivors + ``quality_bucket``.
+    """
+    from ..functions.text import h32
+
+    n_buckets = len(keep_ppm)
+    if n_buckets < 1:
+        raise ValueError("keep_ppm must name at least one bucket")
+    for p in keep_ppm:
+        if not 0 <= p <= 1_000_000:
+            raise ValueError(f"keep_ppm entries must be in [0, 1e6]; got {p}")
+
+    grp = F.coalesce(F.col(group_col).cast("string"), F.lit(""))
+    scored = df.filter(F.col(score_col).isNotNull()).withColumn("__grp", grp)
+
+    if boundaries is not None:
+        bad = {g: len(v) for g, v in boundaries.items() if len(v) != n_buckets - 1}
+        if bad:
+            raise ValueError(
+                f"{n_buckets} buckets need {n_buckets - 1} boundaries per "
+                f"group; wrong lengths: {bad}"
+            )
+        present = {r["__grp"] for r in scored.select("__grp").distinct().collect()}
+        missing = sorted(present - set(boundaries))
+        if missing:
+            raise ValueError(
+                "explicit boundaries missing groups (refusing to refit "
+                f"silently): {missing}"
+            )
+        edges_rows = [(g, [float(x) for x in v]) for g, v in boundaries.items()]
+    else:
+        if n_buckets == 1:
+            edges_rows = None  # single bucket: no edges needed
+        else:
+            qs = [i / n_buckets for i in range(1, n_buckets)]
+            edges_rows = [
+                (r["__grp"], [float(x) for x in r["b"]])
+                for r in scored.groupBy("__grp").agg(
+                    F.percentile_approx(
+                        F.col(score_col).cast("double"),
+                        qs,
+                        F.lit(int(1.0 / relative_error)),
+                    ).alias("b")
+                ).collect()  # rows-per-group: the k-row manifest class
+            ]
+
+    if edges_rows is None:
+        bucketed = scored.withColumn("quality_bucket", F.lit(0))
+    else:
+        spark = df.sparkSession
+        edges = spark.createDataFrame(
+            edges_rows, "__grp string, __edges array<double>"
+        )
+        bucketed = scored.join(F.broadcast(edges), "__grp", "left").withColumn(
+            "quality_bucket",
+            F.size(
+                F.filter(
+                    F.coalesce(
+                        F.col("__edges"), F.array().cast("array<double>")
+                    ),
+                    lambda b: F.col(score_col).cast("double") > b,
+                )
+            ),
+        ).drop("__edges")
+    ppm_arr = F.array(*[F.lit(int(p)) for p in keep_ppm])
+    return bucketed.filter(
+        h32(F.col(id_col).cast("string")) % 1_000_000
+        < F.element_at(ppm_arr, F.col("quality_bucket") + 1)
+    ).drop("__grp")

@@ -270,3 +270,54 @@ def test_length_bucketed_order(spark):
         length_bucketed_order(
             df, id_col="doc_id", length_col="n_tokens", bucket_width=0
         )
+
+
+def test_quality_resample_by_group_per_language_edges(spark):
+    import hashlib
+
+    from bp_datawarehouse_ordersfact_spark.operators.sampling import (
+        quality_stratified_resample_by_group,
+    )
+
+    # two languages with DISJOINT score ranges: global edges would put
+    # every French doc in the bottom bucket; per-group edges must not
+    rows = [(i, "en", 100.0 + i) for i in range(90)] + [
+        (1000 + i, "fr", float(i)) for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    out = quality_stratified_resample_by_group(
+        df, "score", "doc_id", "lang", keep_ppm=[0, 0, 1_000_000]
+    )
+    got = {r["doc_id"]: r["quality_bucket"] for r in out.collect()}
+    # survivors are top-tercile WITHIN each language
+    assert all(b == 2 for b in got.values())
+    en = [i for i in got if i < 1000]
+    fr = [i - 1000 for i in got if i >= 1000]
+    assert en and fr  # both languages keep their own top tercile
+    assert min(en) >= 55 and min(fr) >= 55  # ~top third by per-group score
+
+    # explicit per-group boundaries: exact + hashlib-pinned membership
+    out2 = quality_stratified_resample_by_group(
+        df, "score", "doc_id", "lang",
+        keep_ppm=[0, 500_000],
+        boundaries={"en": [144.5], "fr": [44.5]},
+    )
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+    expect = {
+        i for i, lang, s in rows
+        if (s > (144.5 if lang == "en" else 44.5)) and h(i) % 1_000_000 < 500_000
+    }
+    assert {r["doc_id"] for r in out2.collect()} == expect
+
+    # missing group in explicit boundaries -> loud refusal
+    with pytest.raises(ValueError, match="missing groups"):
+        quality_stratified_resample_by_group(
+            df, "score", "doc_id", "lang",
+            keep_ppm=[0, 1_000_000], boundaries={"en": [144.5]},
+        )
+    with pytest.raises(ValueError, match="wrong lengths"):
+        quality_stratified_resample_by_group(
+            df, "score", "doc_id", "lang",
+            keep_ppm=[0, 1_000_000], boundaries={"en": [], "fr": [1.0]},
+        )
