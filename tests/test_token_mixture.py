@@ -321,3 +321,38 @@ def test_quality_resample_by_group_per_language_edges(spark):
             df, "score", "doc_id", "lang",
             keep_ppm=[0, 1_000_000], boundaries={"en": [], "fr": [1.0]},
         )
+
+
+def test_epoch_copies_get_independent_delivery_orders(spark):
+    """Composition pin: apply_token_mixture's epoch column feeds
+    seeded_global_shuffle(seed=f"ep{k}") — each epoch's copy of the same
+    docs must come out in a DIFFERENT (but individually deterministic)
+    training order."""
+    from bp_datawarehouse_ordersfact_spark.operators.sampling import (
+        seeded_global_shuffle,
+    )
+
+    df = _corpus(spark).filter("source = 'books'")
+    plan = plan_token_mixture(
+        df, source_col="source", token_col="n_tokens",
+        weights={"books": 1.0}, token_budget=40_000,
+    )
+    mixed = apply_token_mixture(df, plan, source_col="source", id_col="doc_id")
+    orders = {}
+    for e in (0, 1):
+        epoch = mixed.filter(F.col("epoch") == e)
+        shuffled = seeded_global_shuffle(epoch, "doc_id", seed=f"ep{e}")
+        orders[e] = [
+            r["doc_id"] for part in shuffled.rdd.glom().collect() for r in part
+        ]
+    assert sorted(orders[0]) == sorted(orders[1])  # same 2-epoch doc set
+    assert orders[0] != orders[1]  # different training order per epoch
+    # each epoch's order is reproducible
+    again = [
+        r["doc_id"]
+        for part in seeded_global_shuffle(
+            mixed.filter("epoch = 0"), "doc_id", seed="ep0"
+        ).rdd.glom().collect()
+        for r in part
+    ]
+    assert again == orders[0]
