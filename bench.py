@@ -34,7 +34,7 @@ HEADLINE = [
     "composite_key_join",
     "multikey_rollup",
     "window_order_totals",
-    "rolling_window_avg",
+    "conversation_pack",
     "asof_join",
     "range_join_attribution",
     "shipping_priority",
@@ -101,10 +101,10 @@ HEADLINE = [
     "conditional_measures",
     "union_by_name",
     "null_audit",
-    "event_interarrival",
+    "token_mixture",
     "quantile_stats",
     "grouping_rollup",
-    "pivot_status",
+    "url_canonicalize",
     "top_k",
     "null_fill_sentinels",
     "levenshtein_ratio_join",
@@ -129,6 +129,18 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-minute load averages — recorded at suite start and end so
+    the artifact self-describes its noise conditions (r8 VERDICT: three
+    rounds of cross-round deltas had to be re-litigated from side
+    documents because the official number carried no load telemetry)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [round(float(x), 2) for x in f.read().split()[:3]]
+    except OSError:  # non-Linux fallback — telemetry absent, not wrong
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -147,6 +159,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    load_start = _loadavg()
     t_total0 = time.perf_counter()
     for name in HEADLINE:
         # min of 2 back-to-back runs: single-sample timings on this host
@@ -186,6 +199,9 @@ def main() -> None:
                 "queries": timings,
                 "first_run_total_s": round(sum(first_run.values()), 3),
                 "wall_2run_s": wall,
+                "loadavg_start": load_start,
+                "loadavg_end": _loadavg(),
+                "attempts_per_query": 2,
                 "sf": sf_val,
             }
         )
@@ -203,6 +219,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "first_run_total_s": round(sum(first_run.values()), 3),
                 "wall_2run_s": wall,
+                "loadavg_start": load_start,
+                "loadavg_end": _loadavg(),
+                "attempts_per_query": 2,
                 "sf": sf_val,
             }
         )

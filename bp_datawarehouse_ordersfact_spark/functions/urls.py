@@ -184,3 +184,82 @@ def canonicalize_url(
         F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
     )
     return F.when(scheme == "", F.trim(col)).otherwise(rebuilt)
+
+
+def registrable_domain_psl(
+    df,
+    psl_df,
+    *,
+    host_col: str,
+    out_col: str = "domain",
+    max_suffix_labels: int = 4,
+):
+    """EXACT public-suffix-list registrable domain (r8 VERDICT #6): the
+    longest-matching-suffix lookup `registrable_domain`'s docstring
+    promises, as a broadcast join against the published table.
+
+    `psl_df` is a one-column DataFrame of public suffixes (``suffix``
+    string, e.g. ``com``, ``co.uk``, ``github.io``) — load the published
+    list (https://publicsuffix.org/list/) however the deployment ships
+    it; tests use a fixture. Wildcard (``*.``) and exception (``!``)
+    PSL rules are out of scope here — a row per pre-expanded suffix is
+    the contract.
+
+    Semantics (pinned equal to the lite `registrable_domain` on every
+    suffix the lite table covers — tests/test_urls.py): the registrable
+    domain is ONE label more than the LONGEST listed suffix the host
+    ends with (on label boundaries). Hosts that ARE a listed suffix,
+    IPv4 literals, and hosts matching no listed suffix pass through
+    unchanged (an unlisted TLD means the cut is unknowable — unlike the
+    lite form's guess, the exact form refuses to invent one).
+
+    Scale shape: the lookup runs over the DISTINCT host dimension, not
+    the corpus — each distinct host explodes to its trailing label
+    suffixes of length 1..`max_suffix_labels` (bounded tiny array; PSL
+    entries are ≤4 labels), equi-joins the BROADCAST suffix table, and
+    keeps the longest match per host. The result joins back on the host
+    value itself (deterministic key — no monotonically_increasing_id
+    self-join hazard): one corpus shuffle on the host, the same
+    partitioning every per-host curation operator
+    (`operators/curation.py`) reuses downstream; AQE broadcasts the
+    host→domain map instead when it fits.
+    """
+    from pyspark.sql import functions as F
+
+    host_norm = F.regexp_replace(F.lower(F.col(host_col)), r"\.$", "")
+    base = df.withColumn("__host_norm", host_norm)
+
+    hosts = base.select("__host_norm").distinct()
+    labels = F.split(F.col("__host_norm"), r"\.")
+    n = F.size(labels)
+    cand = F.transform(
+        F.sequence(F.lit(1), F.least(n, F.lit(max_suffix_labels))),
+        lambda k: F.struct(
+            F.concat_ws(".", F.slice(labels, n - k + 1, k)).alias("s"),
+            k.alias("k"),
+        ),
+    )
+    exploded = hosts.select(
+        "__host_norm", F.explode(cand).alias("__c")
+    ).select(
+        "__host_norm",
+        F.col("__c.s").alias("__suffix"),
+        F.col("__c.k").alias("__len"),
+    )
+    psl = psl_df.select(F.lower(F.col("suffix")).alias("__suffix")).distinct()
+    best = (
+        exploded.join(F.broadcast(psl), "__suffix")
+        .groupBy("__host_norm")
+        .agg(F.max("__len").alias("__best_len"))
+    )
+    joined = base.join(best, "__host_norm", "left")
+
+    lbls = F.split(F.col("__host_norm"), r"\.")
+    nn = F.size(lbls)
+    keep = F.col("__best_len") + 1
+    is_ipv4 = F.col("__host_norm").rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$")
+    dom = F.when(
+        is_ipv4 | F.col("__best_len").isNull() | (nn <= keep),
+        F.col("__host_norm"),
+    ).otherwise(F.concat_ws(".", F.slice(lbls, nn - keep + 1, keep)))
+    return joined.withColumn(out_col, dom).drop("__host_norm", "__best_len")

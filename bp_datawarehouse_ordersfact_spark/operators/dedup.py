@@ -1194,9 +1194,23 @@ def contamination_report(
     Scale shape: holdout n-grams are benchmark-sized → broadcast; the
     corpus explodes to (doc_id, gram) rows that are FILTERED by the
     broadcast join before any shuffle, so only matched rows (rare by
-    construction) reach the per-item aggregate. ``example_doc_ids`` is
+    construction) reach the per-item aggregates. ``example_doc_ids`` is
     a sorted, `max_example_ids`-bounded sample serialized to a string —
-    scalar output columns per the repo's oracle conventions.
+    scalar output columns per the repo's oracle conventions — and the
+    bound is applied BEFORE any aggregation (r8 VERDICT #1): a
+    benchmark item containing one common phrase matches a corpus-sized
+    doc set, and the old ``slice(array_sort(collect_set(...)))`` form
+    aggregated EVERY matching id into a single grouped value before
+    truncating — an executor-OOM shape in exactly the
+    common-phrase case this report exists to adjudicate. Now a
+    ``row_number() <= max_example_ids`` rank-limit over distinct
+    (item, doc) pairs feeds the example list — Spark rewrites the
+    filtered window to a WindowGroupLimit (plan-pinned in
+    tests/test_contamination_report.py), so no per-item state ever
+    exceeds `max_example_ids` rows — while separate ``count_distinct``
+    aggregates (bounded sketch-free exact counts over matched rows)
+    keep the true totals. Totals and examples share the holdout_id
+    hash partitioning, so the final join adds no exchange.
     """
     from ..functions.text import tokens, word_shingles
 
@@ -1209,16 +1223,26 @@ def contamination_report(
         F.col(doc_id_col).alias("__doc"),
         F.explode(grams(F.col(text_col))).alias("gram"),
     )
-    hits = doc_grams.join(F.broadcast(hold), "gram").groupBy("holdout_id").agg(
+    matched = doc_grams.join(F.broadcast(hold), "gram")
+    totals = matched.groupBy("holdout_id").agg(
         F.count_distinct("__doc").cast("bigint").alias("contaminated_docs"),
         F.count_distinct("gram").cast("bigint").alias("shared_grams"),
-        F.concat_ws(
-            ",",
-            F.slice(
-                F.array_sort(F.collect_set("__doc")), 1, max_example_ids
-            ).cast("array<string>"),
-        ).alias("example_doc_ids"),
     )
+    w = Window.partitionBy("holdout_id").orderBy("__doc")
+    examples = (
+        matched.select("holdout_id", "__doc")
+        .distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_example_ids)
+        .groupBy("holdout_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.array_sort(F.collect_list("__doc")).cast("array<string>"),
+            ).alias("example_doc_ids")
+        )
+    )
+    hits = totals.join(examples, "holdout_id", "left")
     all_items = holdout.select(
         F.col(holdout_id_col).alias("holdout_id")
     ).distinct()

@@ -24,55 +24,62 @@ and cross-engine by the driver-faithful tests/parity.py.
 from __future__ import annotations
 
 from ..functions.rounding import sql_rewrite_rounds
-from . import domain_e2e, llmops, pipeline, relational, sketches_r6, streaming
+from . import (
+    curation_r9,
+    domain_e2e,
+    llmops,
+    pipeline,
+    relational,
+    sketches_r6,
+    streaming,
+)
 
-_MODULES = (relational, pipeline, llmops, streaming, domain_e2e, sketches_r6)
+_MODULES = (
+    relational, pipeline, llmops, streaming, domain_e2e, sketches_r6,
+    curation_r9,
+)
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
 # registration order, so coverage is a rotation discipline: no query's
 # newest driver row may be older than 2 rounds
 # (tests/test_window_rotation.py enforces it).
 #
-# ROUND-8 WINDOW (this tuple) — the mechanical alternation the round-7
+# ROUND-9 WINDOW (this tuple) — the mechanical alternation the round-8
 # tuple spelled out: the registry is at the 100-entry cap, so the window
-# is the other 50-query half — the keys of CORRECTNESS_r06.json MINUS
-# the retired `ann_cosine_lsh` PLUS the displaced `distinct_rows`
-# (49 + 1 = 50). All 50 round-7 rows came back green (50/50 hash-match),
-# so no red query forces its way back in; the round-7-green half rotates
-# out and stays covered by pytest pins until round 9 rotates it back.
+# is the other 50-query half — the keys of CORRECTNESS_r07.json, with
+# THREE swaps this round (r8 VERDICT #1): the beyond-reference twins
+# `rolling_window_avg`, `event_interarrival`, and `pivot_status` are
+# RETIRED from the registry (still oracle-pinned every pytest run —
+# relational.RETIRED / tests/test_retired_queries.py) and their capped
+# slots go to the round-8 curation/SFT layer's typed-VALUES queries
+# (queries/curation_r9.py): `url_canonicalize`, `conversation_pack`,
+# `token_mixture`. All 50 round-8 rows came back green (50/50
+# hash-match), so no red query forces its way back in; the
+# round-8-green half rotates out and stays covered by pytest pins until
+# round 10 rotates it back.
 #
-# One registry swap this round (r7 VERDICT #6): the passage-dedup
-# family gets a driver row as `dedup_passage_spans` (typed VALUES
-# oracle over planted hosts — see queries/llmops.py), REPLACING the
-# `dedup_embedding_cosine` sign-LSH twin that the banded scale path's
-# own row (`dedup_embedding_lsh_banded`, r7-green) superseded. The
-# retired twin's operator stays pytest-pinned; the new query takes the
-# retiree's window slot, so the rotation math is unchanged.
-#
-# ROUND-9 ROTATION (mechanical; do it first): swap this tuple for the
-# other half — the round-7 window, i.e. EXACTLY the keys of
-# CORRECTNESS_r07.json. If a round-8 query's latest row comes back red,
-# it must ALSO be in the round-9 window
-# (tests/test_window_rotation.py enforces this automatically).
+# ROUND-10 ROTATION (mechanical; do it first): swap this tuple for the
+# other half — EXACTLY the keys of CORRECTNESS_r08.json. If a round-9
+# query's latest row comes back red, it must ALSO be in the round-10
+# window (tests/test_window_rotation.py enforces this automatically).
 _WINDOW_FIRST = (
-    "sketch_theta_set_algebra", "sketch_kll_quantile_merge",
-    "pricing_summary", "tfidf_title_match", "dedup_ngram_jaccard",
-    "dedup_passage_spans", "ann_cosine_topk", "ann_cosine_ivf",
-    "text_langid", "text_quality", "text_token_count", "text_fingerprint",
-    "text_pii_scrub", "corpus_filter_pipeline", "grouped_ewma",
-    "multimodal_binary_meta", "multimodal_feature_extract",
-    "dedup_cluster_cc", "text_chunking", "sample_stratified",
-    "sequence_packing", "corpus_prep_pipeline", "stream_tumbling_agg",
-    "stream_sliding_agg", "stream_dedup", "stream_session_agg",
-    "stream_stateful_user_stats", "text_repetition",
-    "decontaminate_ngram_overlap", "text_unigram_logprob",
-    "stream_stream_join", "events_gap_fill", "data_quality_audit",
-    "scd2_dim_update", "leakage_safe_split", "cdc_apply", "cube_summary",
-    "embedding_classifier_score", "sketch_hll_merge", "funnel_analysis",
-    "retention_cohorts", "rollup_incremental_refresh", "corpus_mix_resample",
-    "variant_props_extract", "listagg_per_group", "fact_royalty",
-    "rest_ingest_distributed", "kafka_wire_roundtrip", "sketch_approx_stats",
-    "distinct_rows",
+    "dedup_embedding_lsh_banded", "ann_recall_at_k", "ann_ivf_kmeans_refine",
+    "domain_fact_royalty", "domain_split_royalty_report",
+    "interval_coalesce", "correlated_exists_rewrite", "select_rename",
+    "membership_filter", "threshold_filter", "split_royalty_union",
+    "percent_rate_normalization", "dedup_keep_first", "broadcast_dim_join",
+    "composite_key_join", "window_order_totals", "incremental_merge",
+    "semi_anti_join", "levenshtein_ratio_join", "parent_allocation",
+    "count_distinct_per_group", "grouping_rollup", "multikey_rollup",
+    "null_audit", "case_categorize", "conditional_measures",
+    "string_cleanup", "date_functions", "date_dim_generate", "top_k",
+    "top_k_per_group", "union_by_name", "set_intersect_except",
+    "null_fill_sentinels", "json_props_extract", "explode_line_items",
+    "url_canonicalize", "quantile_stats", "range_join_attribution",
+    "regional_supplier_volume", "conversation_pack", "sessionize_events",
+    "shipping_priority", "skew_salted_join", "window_rank_functions",
+    "token_mixture", "asof_join", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash",
 )
 
 

@@ -83,8 +83,12 @@ def test_heavy_registry_queries_zero_spill_bounded_exchanges(spark):
     metrics whose regression (a fan-out bug, a partition no longer
     fitting memory) wall-clock noise hides but SQLMetrics expose."""
     from bp_datawarehouse_ordersfact_spark.queries import all_queries
+    from bp_datawarehouse_ordersfact_spark.queries.relational import RETIRED
 
-    qs = all_queries()
+    # registry-retired queries keep their plan budgets pinned here too —
+    # retirement (round 9) moved them out of the driver window, not out
+    # of the performance contract
+    qs = {**all_queries(), **{k: fn for k, (fn, _) in RETIRED.items()}}
     budgets = {  # name -> max exchanges (fixed by plan shape)
         "count_distinct_per_group": 3,
         "dedup_keep_first": 2,

@@ -1,0 +1,61 @@
+"""Oracle pins for registry-RETIRED queries (round 9, r8 VERDICT #1).
+
+`rolling_window_avg`, `event_interarrival`, and `pivot_status` were
+unregistered to free capped registry slots for the curation/SFT layer
+(queries/curation_r9.py). Retirement changes WHO checks them, not
+whether they are checked: this runs the exact driver-style comparison
+(tests/parity.py's fetchdf + dtype-sensitive frames_match, central
+round() rewrite applied) against each retiree's original oracle, every
+pytest run — the same contract they had while registered.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import SparkSession
+
+from bp_datawarehouse_ordersfact_spark.functions.rounding import sql_rewrite_rounds
+from bp_datawarehouse_ordersfact_spark.queries.relational import RETIRED
+from tests.parity import frames_match
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("retired-queries")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("events", "lineitem"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def test_retirees_are_not_registered():
+    from bp_datawarehouse_ordersfact_spark import queries as Q
+
+    registered = set(Q.all_queries())
+    leaked = set(RETIRED) & registered
+    assert not leaked, f"retired queries still registered: {leaked}"
+
+
+@pytest.mark.parametrize("name", sorted(RETIRED))
+def test_retired_query_still_passes_driver_comparison(spark, con, name):
+    fn, oracle = RETIRED[name]
+    sdf = fn(spark, SF_DIR).toPandas()
+    ddf = con.execute(sql_rewrite_rounds(oracle)).fetchdf()
+    ok, msg = frames_match(sdf, ddf)
+    assert ok, f"{name}: {msg}"

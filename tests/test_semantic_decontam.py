@@ -242,3 +242,37 @@ def test_contamination_report_bounds_example_ids(spark):
     ).first()
     assert r["contaminated_docs"] == 10
     assert r["example_doc_ids"] == "0,1,2"
+
+
+def test_contamination_report_example_aggregation_is_rank_limited(spark):
+    """r8 VERDICT fix: the example-id list must be bounded BEFORE any
+    aggregation. A common-phrase holdout item matches a corpus-sized doc
+    set, and the old slice-after-collect_set form built the full set in
+    one grouped value (executor-OOM shape at 100 TB). The fix ranks
+    distinct (item, doc) pairs and filters row_number <= max_example_ids
+    — which Spark rewrites to a WindowGroupLimit, so no per-item window
+    state exceeds the bound. Pin the plan node AND that totals are
+    computed from ALL matched rows (unchanged by the bound)."""
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    # the planted common-phrase case: one short phrase shared by MANY docs
+    phrase = "click here to accept all cookies and continue reading"
+    docs = spark.createDataFrame(
+        [(i, f"article {i} body. {phrase} footer {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame(
+        [("item", f"question text containing {phrase} inside")],
+        "hid string, text string",
+    )
+    out = contamination_report(
+        docs, holdout, holdout_id_col="hid", max_example_ids=5
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    r = out.first()
+    # totals reflect all 40 matching docs; the example list stays at 5
+    assert r["contaminated_docs"] == 40
+    assert r["example_doc_ids"] == "0,1,2,3,4"
