@@ -448,6 +448,7 @@ def phash_pairs(
     max_hamming: int = 3,
     n_bands: int = 4,
     eager: bool = True,
+    decode=None,
 ) -> DataFrame:
     """Near-duplicate IMAGE/binary pairs by perceptual-hash hamming
     distance: the multimodal member of the dedup family (exact/MinHash/
@@ -455,8 +456,11 @@ def phash_pairs(
     opaque payload columns a multimodal corpus carries).
 
     Fingerprint = ``operators.multimodal.ahash64`` (64-bit average hash;
-    decode is that module's documented fake tier — bytes ARE pixels —
-    with the PIL swap point marked; pooling/threshold real). Blocking =
+    default decode is that module's documented fake tier — bytes ARE
+    pixels — with the PIL swap point marked; pooling/threshold real.
+    Pass ``decode=multimodal.decode_bmp_gray`` to fingerprint REAL
+    pixels of uncompressed BMP payloads — the end-to-end-real image
+    path, r8 VERDICT #5). Blocking =
     ``fp64_band_pairs``: pigeonhole band equi-join, exact recall for
     ``max_hamming < n_bands``, never an all-pairs product. Returns
     (id_a, id_b, hamming), id_a < id_b.
@@ -473,7 +477,9 @@ def phash_pairs(
 
     with (_CacheScope() if eager else _LazyScope()) as scope:
         fp = scope.materialize(
-            ahash64(df, payload_col, id_col).withColumnRenamed(id_col, "doc")
+            ahash64(df, payload_col, id_col, decode=decode).withColumnRenamed(
+                id_col, "doc"
+            )
         )
         return scope.finish(fp64_band_pairs(fp, max_hamming, n_bands))
 

@@ -8,10 +8,15 @@ and per-frame RESIZE — with the Spark side fully real (Arrow batch
 iteration, explode-to-rows schema, fan-out partitioning) and only the
 codec faked:
 
-- real containers (mp4/webm) and image codecs need ffmpeg/PIL, which
-  are not in this container; ``decode_container_stub`` /
-  ``decode_image_stub`` raise ``NotImplementedError`` where the real
+- real containers (mp4/webm) and COMPRESSED image codecs need
+  ffmpeg/PIL, which are not in this container; ``decode_container_stub``
+  / ``decode_image_stub`` raise ``NotImplementedError`` where the real
   call would go;
+- UNCOMPRESSED images need no codec library: ``decode_bmp_gray`` is a
+  REAL numpy-only decoder for 24-bpp BI_RGB BMP (r8 VERDICT #5), so the
+  image fingerprint path (``ahash64(decode=decode_bmp_gray)`` →
+  ``dedup.phash_pairs``) runs end-to-end on real pixels for that
+  format;
 - the DETERMINISTIC FAKE codec treats a payload as concatenated
   fixed-size raw frames and resize as stride subsampling — byte-exact,
   testable, and shaped identically to the real thing (swap the two
@@ -35,6 +40,57 @@ from pyspark.sql import DataFrame
 def decode_container_stub(payload: bytes) -> list[bytes]:
     """Where the real demuxer goes (PyAV/ffmpeg): payload → frame list."""
     raise NotImplementedError("real container demux needs ffmpeg/PyAV — not in container")
+
+
+def decode_bmp_gray(payload: bytes):
+    """REAL image decode for the one format that needs no codec library
+    (r8 VERDICT #5): uncompressed 24-bpp BI_RGB BMP → 2-D uint8
+    grayscale array, pure numpy.
+
+    Handles the format's actual storage quirks — little-endian headers,
+    BGR channel order, rows padded to 4-byte boundaries, bottom-up row
+    order (top-down when the height field is negative) — and converts
+    to luma with integer BT.601 weights ((299R + 587G + 114B) // 1000),
+    so the result is bit-deterministic across platforms (no float
+    rounding). Anything that would need a real codec (palette/1/8-bit,
+    RLE, PNG/JPEG) raises ``ValueError`` loudly rather than decoding
+    garbage — compressed formats stay behind ``decode_image_stub``.
+
+    Pinned against a pure-Python per-pixel reference in
+    tests/test_phash_dedup.py, including padding and both row orders.
+    """
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    (hdr_size,) = struct.unpack_from("<I", b, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP core header (size {hdr_size})")
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp, comp = struct.unpack_from("<H", b, 28)[0], struct.unpack_from("<I", b, 30)[0]
+    if comp != 0 or bpp != 24:
+        raise ValueError(
+            f"only uncompressed 24-bpp BI_RGB is decodable without a codec "
+            f"(got bpp={bpp}, compression={comp})"
+        )
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad dimensions {w}x{h}")
+    top_down, h = h < 0, abs(h)
+    row_bytes = (w * 3 + 3) & ~3  # rows padded to 4-byte boundaries
+    need = data_off + row_bytes * h
+    if len(b) < need:
+        raise ValueError(f"truncated pixel data: have {len(b)}, need {need}")
+    px = np.frombuffer(b, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    bgr = px.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    c = bgr.astype(np.uint32)
+    gray = (c[..., 2] * 299 + c[..., 1] * 587 + c[..., 0] * 114) // 1000
+    return gray.astype(np.uint8)
 
 
 def _fake_demux(payload: bytes, frame_bytes: int) -> list[bytes]:
@@ -115,7 +171,7 @@ def resize_frames(
     )
 
 
-def ahash64(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
+def ahash64(df: DataFrame, payload_col: str, id_col: str, decode=None) -> DataFrame:
     """64-bit average-hash (aHash) perceptual fingerprint per binary
     payload: (id, fp1, fp2) — two 32-bit halves held as longs, the
     fingerprint layout ``operators.dedup.fp64_band_pairs`` blocks on
@@ -131,6 +187,12 @@ def ahash64(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
     implementation decodes via PIL grayscale at the marked line. The
     pooling/threshold stage — the part that makes it a perceptual hash —
     is real and runs vectorized numpy inside one Arrow pass.
+
+    ``decode``: optional ``bytes -> ndarray`` pixel decoder run per
+    payload inside the Arrow pass — pass ``decode_bmp_gray`` to hash
+    REAL pixels of uncompressed BMPs (the array is flattened to the
+    pixel stream; a decode failure raises, it does not silently fall
+    back). Default ``None`` keeps the fake bytes-are-pixels tier.
 
     Block i covers pixels [i*n//64, (i+1)*n//64) (exact integer
     boundaries — no float resampling drift across payload lengths);
@@ -148,8 +210,12 @@ def ahash64(df: DataFrame, payload_col: str, id_col: str) -> DataFrame:
         w32 = 1 << np.arange(32, dtype=np.uint64)
 
         def fp_halves(b) -> tuple[int, int]:
-            # real impl: np.asarray(PIL.Image.open(io.BytesIO(b)).convert("L"))
-            px = np.frombuffer(bytes(b or b""), dtype=np.uint8).astype(np.float64)
+            # decode tier: real pixels via `decode` (e.g. decode_bmp_gray);
+            # compressed formats need PIL and stay behind decode_image_stub
+            if decode is not None and b is not None:
+                px = decode(bytes(b)).ravel().astype(np.float64)
+            else:
+                px = np.frombuffer(bytes(b or b""), dtype=np.uint8).astype(np.float64)
             if len(px) < 64:
                 px = np.pad(px, (0, 64 - len(px)))
             n = len(px)

@@ -184,3 +184,151 @@ def test_simhash_pairs_unchanged_by_band_join_factoring(spark):
     }
     assert (1, 2, 0) in got
     assert all(3 not in p[:2] for p in got)
+
+
+# ---------------------------------------------------------------------------
+# Real-pixel tier (r8 VERDICT #5): numpy-only BMP decode behind ahash64's
+# decode swap point — the image path end-to-end real for one format.
+# ---------------------------------------------------------------------------
+
+
+def _make_bmp(pixels_rgb, top_down=False) -> bytes:
+    """Pure-Python 24-bpp BI_RGB BMP writer (the test's independent
+    reference — struct only, no numpy): pixels_rgb is a list of rows,
+    each a list of (r, g, b). Writes bottom-up (the format default) or
+    top-down (negative height), with rows padded to 4-byte boundaries."""
+    import struct
+
+    h, w = len(pixels_rgb), len(pixels_rgb[0])
+    row_pad = (-(w * 3)) % 4
+    rows = pixels_rgb if top_down else list(reversed(pixels_rgb))
+    body = b"".join(
+        b"".join(bytes((b_, g, r)) for r, g, b_ in row) + b"\x00" * row_pad
+        for row in rows
+    )
+    data_off = 14 + 40
+    file_size = data_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+        len(body), 2835, 2835, 0, 0,
+    )
+    return header + dib + body
+
+
+def _gray_py(pixels_rgb):
+    """Pure-Python BT.601 integer luma — the decoder's reference."""
+    return [
+        [(299 * r + 587 * g + 114 * b) // 1000 for r, g, b in row]
+        for row in pixels_rgb
+    ]
+
+
+def test_decode_bmp_gray_matches_pure_python_reference():
+    from bp_datawarehouse_ordersfact_spark.operators.multimodal import (
+        decode_bmp_gray,
+    )
+
+    # 3x5 image (w=5 → 15 row bytes → 1 pad byte) with asymmetric
+    # content so a row-order or channel-order bug can't cancel out
+    px = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30), (200, 100, 50)],
+        [(0, 0, 0), (255, 255, 255), (128, 128, 128), (1, 2, 3), (40, 50, 60)],
+        [(5, 5, 5), (250, 10, 10), (10, 250, 10), (10, 10, 250), (77, 88, 99)],
+    ]
+    want = _gray_py(px)
+    for top_down in (False, True):
+        got = decode_bmp_gray(_make_bmp(px, top_down=top_down))
+        assert got.shape == (3, 5)
+        assert got.tolist() == want, f"top_down={top_down}"
+
+
+def test_decode_bmp_gray_rejects_unsupported_loudly():
+    import struct
+
+    from bp_datawarehouse_ordersfact_spark.operators.multimodal import (
+        decode_bmp_gray,
+    )
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_bmp_gray(b"PNG" + b"\x00" * 60)
+    ok = _make_bmp([[(1, 2, 3)]])
+    # flip bpp to 8 (palette) — must refuse, not decode garbage
+    bad_bpp = ok[:28] + struct.pack("<H", 8) + ok[30:]
+    with pytest.raises(ValueError, match="24-bpp"):
+        decode_bmp_gray(bad_bpp)
+    # declare RLE compression — must refuse
+    bad_comp = ok[:30] + struct.pack("<I", 1) + ok[34:]
+    with pytest.raises(ValueError, match="24-bpp"):
+        decode_bmp_gray(bad_comp)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_bmp_gray(ok[:-2])
+
+
+def _bmp_fixture(seed=7, n=6, w=16, h=8):
+    """Deterministic random BMPs + a near-dup (few pixels nudged) and an
+    exact copy of image 0."""
+    rng = np.random.default_rng(seed)
+    imgs = []
+    for _ in range(n):
+        imgs.append(
+            [[tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(w)]
+             for _ in range(h)]
+        )
+    near = [row[:] for row in imgs[0]]
+    near[0][0] = (255, 255, 255)
+    near[h // 2][w // 2] = (0, 0, 0)
+    return imgs, near
+
+
+def test_ahash64_real_bmp_pixels_match_pure_python_hash(spark):
+    """Known-hash pin: ahash64(decode=decode_bmp_gray) over planted BMP
+    bytes equals the pure-Python pipeline (BMP writer → integer luma →
+    the block-mean hash replica) — the whole image path real, no numpy
+    in the reference."""
+    from bp_datawarehouse_ordersfact_spark.operators.multimodal import (
+        ahash64,
+        decode_bmp_gray,
+    )
+
+    imgs, near = _bmp_fixture()
+    payloads = [_make_bmp(p) for p in imgs] + [_make_bmp(near)]
+    df = spark.createDataFrame(
+        [Row(img_id=i, payload=bytearray(p)) for i, p in enumerate(payloads)],
+        "img_id long, payload binary",
+    )
+    got = {
+        r.img_id: (r.fp1, r.fp2)
+        for r in ahash64(df, "payload", "img_id", decode=decode_bmp_gray).collect()
+    }
+    for i, (p, px) in enumerate(zip(payloads, imgs + [near])):
+        flat = bytes(v for row in _gray_py(px) for v in row)
+        assert got[i] == _ahash_halves(flat), f"img {i}"
+    # the near-dup hashes close to its base; an unrelated image doesn't
+    d_near = _hamming(got[0], got[len(payloads) - 1])
+    d_far = min(_hamming(got[0], got[j]) for j in range(1, len(imgs)))
+    assert d_near <= 3 < d_far, (d_near, d_far)
+
+
+def test_phash_pairs_real_bmp_decode_finds_planted_near_dup(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import phash_pairs
+    from bp_datawarehouse_ordersfact_spark.operators.multimodal import (
+        decode_bmp_gray,
+    )
+
+    imgs, near = _bmp_fixture()
+    payloads = [_make_bmp(p) for p in imgs] + [_make_bmp(near), _make_bmp(imgs[0])]
+    df = spark.createDataFrame(
+        [Row(img_id=i, payload=bytearray(p)) for i, p in enumerate(payloads)],
+        "img_id long, payload binary",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_pairs(
+            df, "payload", "img_id", decode=decode_bmp_gray
+        ).collect()
+    }
+    n_near, n_copy = len(payloads) - 2, len(payloads) - 1
+    assert pairs[(0, n_copy)] == 0  # exact copy
+    assert (0, n_near) in pairs and pairs[(0, n_near)] <= 3  # near-dup
+    assert (n_near, n_copy) in pairs  # transitively near
