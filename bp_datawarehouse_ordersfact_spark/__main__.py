@@ -116,9 +116,12 @@ def cmd_host_stats(args) -> dict:
 
     spark = _spark()
     docs = spark.read.parquet(args.docs)
+    # exactly one of the two — mirroring curation._with_host's contract:
+    # silently preferring url_col over a supplied --host-col (the old
+    # behavior) masks an operator-level ambiguity error (r8 ADVICE)
+    if bool(args.url_col) == bool(args.host_col):
+        raise SystemExit("host-stats needs exactly one of --url-col / --host-col")
     kw = {"url_col": args.url_col} if args.url_col else {"host_col": args.host_col}
-    if not args.url_col and not args.host_col:
-        raise SystemExit("host-stats needs --url-col or --host-col")
     report = host_stats(docs, text_col=args.text_col, top_n=args.top, **kw)
     return {"docs": args.docs, "hosts": [r.asDict() for r in report.collect()]}
 

@@ -65,7 +65,11 @@ def validate_conversations(
     applied at the structure level.
     """
     conv = F.col(conv_col)
-    empty = F.size(conv) == 0
+    # NULL-first: F.size(NULL) is NULL, and a NULL `empty` would fall
+    # through EVERY branch below when the alternation/assistant knobs
+    # are off, landing the NULL conversation in the valid otherwise-arm
+    # (r8 ADVICE) — so the leading check names NULL and empty explicitly
+    empty = conv.isNull() | (F.size(conv) == 0)
     # NULL role must read as bad, not as three-valued unknown: a bare
     # ~isin(...) is NULL for a NULL role, exists() propagates the NULL,
     # and F.when treats it as false — the malformed turn would validate
@@ -136,15 +140,31 @@ def render_conversation(
     — or "plain" — ``role: content``). Deterministic, row-local; the
     flat text drops into every document-tier operator (dedup shingles,
     decontam 5-grams, token counting) unchanged.
+
+    A conversation containing any NULL-role/NULL-content turn renders
+    as NULL text (not a silently-shortened string): ``array_join``
+    would DROP the NULL rendered turn while `loss_mask_spans`' running
+    lengths go NULL from that turn onward — the two would disagree on
+    every later offset (r8 ADVICE). Such rows are
+    `validate_conversations` rejects anyway; the NULL keeps the
+    invariant even for callers that skip validation.
     """
     if template not in _TEMPLATES:
         raise ValueError(
             f"template must be one of {sorted(_TEMPLATES)}; got {template!r}"
         )
-    rendered = F.array_join(
-        F.transform(F.col(conv_col), lambda t: _render_turn(t, template)), ""
+    conv = F.col(conv_col)
+    any_null_turn = ~F.forall(
+        conv, lambda t: t["role"].isNotNull() & t["content"].isNotNull()
     )
-    return df.withColumn(out_col, rendered)
+    rendered = F.array_join(
+        F.transform(conv, lambda t: _render_turn(t, template)), ""
+    )
+    return df.withColumn(
+        out_col,
+        F.when(conv.isNull() | any_null_turn, F.lit(None).cast("string"))
+        .otherwise(rendered),
+    )
 
 
 def loss_mask_spans(
@@ -165,6 +185,12 @@ def loss_mask_spans(
     Row-local: a running-length aggregate over the turn array (the
     paragraph-packer recurrence shape), then posexplode of the
     trainable spans only.
+
+    Mirrors `render_conversation`'s NULL-turn contract (r8 ADVICE): a
+    conversation containing any NULL-role/NULL-content turn emits NO
+    span rows — the rendered text is NULL there, so there is nothing
+    the offsets could index into. Validate first to route such rows to
+    quarantine instead of silently dropping them.
     """
     if template not in _TEMPLATES:
         raise ValueError(
@@ -189,20 +215,30 @@ def loss_mask_spans(
     idx = F.when(
         F.size(conv) > 0, F.sequence(F.lit(0), F.size(conv) - 1)
     ).otherwise(F.array().cast("array<int>"))
-    spans = F.filter(
-        F.zip_with(
-            conv,
-            idx,
-            lambda t, i: F.struct(
-                i.alias("turn_idx"),
-                t["role"].alias("role"),
-                (
-                    F.try_element_at(ends, i + 1) - F.try_element_at(lens, i + 1)
-                ).alias("start"),
-                F.try_element_at(ends, i + 1).alias("end"),
+    all_turns_renderable = conv.isNotNull() & F.forall(
+        conv, lambda t: t["role"].isNotNull() & t["content"].isNotNull()
+    )
+    # no otherwise(): a non-renderable conversation yields a NULL span
+    # array, and posexplode of NULL emits no rows — the documented
+    # nothing-to-index contract
+    spans = F.when(
+        all_turns_renderable,
+        F.filter(
+            F.zip_with(
+                conv,
+                idx,
+                lambda t, i: F.struct(
+                    i.alias("turn_idx"),
+                    t["role"].alias("role"),
+                    (
+                        F.try_element_at(ends, i + 1)
+                        - F.try_element_at(lens, i + 1)
+                    ).alias("start"),
+                    F.try_element_at(ends, i + 1).alias("end"),
+                ),
             ),
+            lambda s: s["role"].isin(*train_roles),
         ),
-        lambda s: s["role"].isin(*train_roles),
     )
     return df.select(
         F.col(id_col), F.posexplode(spans).alias("__i", "__s")
@@ -231,10 +267,14 @@ def pack_conversations(
     safe order.
 
     First-fit-by-order packing (the `sequence_packing` recipe): bins
-    are assigned by a running char total over id order, so the result
-    is deterministic and an example never splits across bins. A dialog
-    longer than `budget_chars` becomes its own over-budget bin —
-    visible, never torn (the paragraph-packer contract).
+    are assigned by a running char total over id order — bin =
+    floor(cumulative-length-before-this-example / budget) — so the
+    result is deterministic and an example never splits across bins
+    (never torn). Bins are budget-width WINDOWS of the running total:
+    an over-budget dialog lands whole in whichever window its running
+    total opened, which may also hold the shorter examples that opened
+    that window — it does NOT get a bin to itself (same rule as
+    `sequence_packing`; r8 ADVICE docstring fix).
 
     Returns ``(packed, packed_spans)``:
 

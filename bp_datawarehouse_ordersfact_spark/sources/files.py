@@ -325,16 +325,26 @@ def write_tar_shards(
 
 def verify_tar_shards(spark, manifest_df):
     """Distributed integrity check of exported tar shards against their
-    manifest: re-read every shard via the binaryFile source, recompute
-    sha256 JVM-side (``sha2`` over the content column — no Python in the
-    hot path), and report one row per PROBLEM shard with a ``status`` of
-    ``missing`` (file gone), ``hash_mismatch`` (bytes drifted), or
-    ``unexpected`` (a shard on disk the manifest doesn't know). Empty
-    result = delivery intact. The shape every loader-side checksum pass
-    runs before a training job trusts a shard directory.
+    manifest: re-hash every shard and report one row per PROBLEM shard
+    with a ``status`` of ``missing`` (file gone), ``hash_mismatch``
+    (bytes drifted), or ``unexpected`` (a shard on disk the manifest
+    doesn't know). Empty result = delivery intact. The shape every
+    loader-side checksum pass runs before a training job trusts a shard
+    directory.
 
-    Scale: one scan of the shard bytes (binaryFile splits per file; a
-    shard is one task) + a broadcast-sized manifest join.
+    Hashing is a CHUNKED stream (4 MiB reads into hashlib, which
+    releases the GIL and runs at C speed) inside one Arrow pass keyed
+    on the shard paths — NOT a ``binaryFile`` content read: binaryFile
+    materializes each file as a single byte-array cell capped at
+    Int.MaxValue (~2 GiB), which large ``shard_rows × sample`` exports
+    exceed exactly where a loader-side check matters most (r8 ADVICE).
+    The binaryFile source is still used for DISCOVERY (path column
+    only — content is never selected, so nothing is read), which is
+    what finds the ``unexpected`` shards a manifest-only pass can't.
+
+    Scale: one list of the shard dirs + one task per shard hashing at
+    stream speed with constant memory, + a broadcast-sized manifest
+    join. Shard files larger than 2 GiB verify fine.
     """
     from pyspark.sql import functions as F
 
@@ -348,17 +358,46 @@ def verify_tar_shards(spark, manifest_df):
         F.col("shard"), F.col("sha256").alias("expected_sha256")
     )
     dirs = sorted({os.path.dirname(r["shard"]) for r in expected.collect()})
-    actual = (
+    on_disk = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.tar")
         .load(dirs)
         .select(
             # binaryFile paths carry a file: scheme; manifest paths are
-            # plain local paths — strip the scheme for the join
-            F.regexp_replace(F.col("path"), "^file:", "").alias("shard"),
-            F.lower(F.sha2(F.col("content"), 256)).alias("actual_sha256"),
+            # plain local paths — strip the scheme for the join. ONLY
+            # the path column: selecting content here would re-impose
+            # the 2 GiB cell cap this function exists to avoid.
+            F.regexp_replace(F.col("path"), "^file:", "").alias("shard")
         )
     )
+    to_hash = (
+        expected.select("shard")
+        .unionByName(on_disk)
+        .distinct()
+        # one shard per task: the path list is tiny, the hashing isn't
+        .repartition(spark.sparkContext.defaultParallelism, "shard")
+    )
+
+    def gen(batches):
+        import hashlib
+        import os as _os
+
+        import pandas as pd
+
+        for pdf in batches:
+            shards, hashes = [], []
+            for p in pdf["shard"]:
+                if not _os.path.exists(p):
+                    continue  # no actual row -> full_outer join says missing
+                h = hashlib.sha256()
+                with open(p, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 22), b""):
+                        h.update(chunk)
+                shards.append(p)
+                hashes.append(h.hexdigest())
+            yield pd.DataFrame({"shard": shards, "actual_sha256": hashes})
+
+    actual = to_hash.mapInPandas(gen, "shard string, actual_sha256 string")
     joined = expected.join(actual, "shard", "full_outer")
     return joined.select(
         "shard",

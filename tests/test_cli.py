@@ -132,8 +132,14 @@ def test_cli_host_stats(tmp_path):
     assert all("doc_share" in h and "cum_doc_share" in h and "chars" in h for h in hosts)
     import pytest as _pytest
 
-    with _pytest.raises(SystemExit, match="url-col or --host-col"):
-        main(["host-stats", "--docs", "/root/testdata/sf0.001/documents.parquet"])
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    with _pytest.raises(SystemExit, match="exactly one of --url-col / --host-col"):
+        main(["host-stats", "--docs", docs])
+    # r8 ADVICE: BOTH flags is the same ambiguity the operator's
+    # exactly-one contract rejects — not a silent url-col preference
+    with _pytest.raises(SystemExit, match="exactly one of --url-col / --host-col"):
+        main(["host-stats", "--docs", docs,
+              "--url-col", "text", "--host-col", "source"])
 
 
 def test_cli_contamination_report(tmp_path):

@@ -238,7 +238,9 @@ def test_pack_conversations_oversize_own_bin_and_validation(spark):
         id_col="conv_id", budget_chars=100,
     )
     rows = sorted(packed.collect(), key=lambda r: r["bin_id"])
-    # the oversize dialog occupies its own over-budget bin, untorn
+    # the oversize dialog is FIRST, so the budget-width window it opens
+    # holds it alone (the window rule — an oversize example elsewhere in
+    # id order shares its window with whatever opened it), untorn
     assert [r["n_examples"] for r in rows] == [1, 1]
     assert rows[0]["n_chars"] > 100
     with pytest.raises(ValueError, match="budget_chars"):
@@ -327,3 +329,55 @@ def test_pack_conversations_partitioned(spark):
             texts[(r["source"], r["bin_id"])][r["start"]:r["end"]]
             == originals[r["conv_id"]][s0:e0]
         )
+
+
+def test_validate_null_conversation_flagged_under_every_knob(spark):
+    """r8 ADVICE: a NULL conversation array must be invalid under EVERY
+    knob combination — with the alternation/assistant checks off, the
+    old when-chain saw only NULL predicates and fell through to the
+    valid otherwise-arm."""
+    df = spark.createDataFrame([(1, None), (2, [])], SCHEMA)
+    for kwargs in (
+        {},
+        {"require_alternation": False},
+        {"require_assistant": False},
+        {"require_alternation": False, "require_assistant": False},
+    ):
+        rows = {
+            r["conv_id"]: r
+            for r in validate_conversations(df, conv_col="conv", **kwargs).collect()
+        }
+        for cid in (1, 2):
+            assert rows[cid]["conv_valid"] is False, (cid, kwargs)
+            assert rows[cid]["conv_invalid_reason"] == "empty", (cid, kwargs)
+
+
+def test_render_and_spans_agree_on_null_turns(spark):
+    """r8 ADVICE: a turn with NULL role/content must not let the
+    rendered text and the span offsets diverge for callers that skip
+    validation — render yields NULL text and loss_mask_spans emits no
+    rows; valid rows in the same frame are untouched."""
+    df = spark.createDataFrame(
+        [
+            (1, _conv(("user", "hi"), ("assistant", "hello"))),
+            (2, [{"role": "user", "content": "q"},
+                 {"role": None, "content": "dangling"},
+                 {"role": "assistant", "content": "a"}]),
+            (3, [{"role": "user", "content": None},
+                 {"role": "assistant", "content": "a"}]),
+        ],
+        SCHEMA,
+    )
+    texts = {
+        r["conv_id"]: r["text"]
+        for r in render_conversation(df, conv_col="conv").collect()
+    }
+    assert texts[1] == "<|user|>\nhi<|end|>\n<|assistant|>\nhello<|end|>\n"
+    assert texts[2] is None and texts[3] is None
+    spans = loss_mask_spans(df, id_col="conv_id", conv_col="conv").collect()
+    by_id = {}
+    for r in spans:
+        by_id.setdefault(r["conv_id"], []).append(r)
+    assert set(by_id) == {1}  # NULL-turn conversations emit no spans
+    (s,) = by_id[1]
+    assert texts[1][s["start"] : s["end"]] == "<|assistant|>\nhello<|end|>\n"
