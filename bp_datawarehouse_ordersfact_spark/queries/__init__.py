@@ -59,9 +59,19 @@ _MODULES = (
 # round 10 rotates it back.
 #
 # ROUND-10 ROTATION (mechanical; do it first): swap this tuple for the
-# other half — EXACTLY the keys of CORRECTNESS_r08.json. If a round-9
-# query's latest row comes back red, it must ALSO be in the round-10
-# window (tests/test_window_rotation.py enforces this automatically).
+# other half — the keys of CORRECTNESS_r08.json — and ACTIVATE the
+# staged module `queries/staged_r10.py` (add to _MODULES): its three
+# queries (`host_cap`, `quality_pacing`, `line_dedupe`) are already
+# oracle-paired and driver-style-tested (tests/test_staged_r10_queries.py);
+# retire three coverage-duplicated round-8-window twins to keep the
+# registry at the 100 cap (keep retirees pinned via relational.RETIRED —
+# candidates: `sample_stratified` [sampling rule also covered by
+# corpus_mix_resample + the new token_mixture/quality_pacing],
+# `text_chunking` [chunker also exercised inside corpus_prep_pipeline],
+# `dedup_ngram_jaccard` [quadratic small-scale verifier; the scale path
+# has dedup_minhash_lsh]). If a round-9 query's latest row comes back
+# red, it must ALSO be in the round-10 window
+# (tests/test_window_rotation.py enforces this automatically).
 _WINDOW_FIRST = (
     "dedup_embedding_lsh_banded", "ann_recall_at_k", "ann_ivf_kmeans_refine",
     "domain_fact_royalty", "domain_split_royalty_report",

@@ -1,0 +1,211 @@
+"""STAGED registry queries for the round-10 rotation (not yet in
+``queries._MODULES`` — the sketches_r6 staging discipline: write the
+query + oracle + driver-style test a full round before the driver sees
+it, so activation is a mechanical edit).
+
+Three more round-8-layer operators get typed-VALUES driver rows here,
+completing the set r8 VERDICT #1 started (`url_canonicalize` /
+`conversation_pack` / `token_mixture` landed in the round-9 window):
+
+- ``host_cap`` — `operators.curation.cap_docs_per_host` (two-phase
+  per-host cap, hashlib-derivable keeper rule)
+- ``quality_pacing`` — `operators.sampling.quality_stratified_resample`
+  with explicit boundaries (exact buckets, canonical h32 ppm rule)
+- ``line_dedupe`` — `operators.lines.dedupe_lines_within_doc`
+  (rebuilt text pinned verbatim, including the untouched blank line)
+
+All three follow the planted-fixture recipe (ids ≥ 3×10^7, above every
+testdata id range) with the REAL corpus unioned into the input so the
+bench pays each operator's true scan/window cost; the planted answer is
+a pure function of invented literals + md5, re-derived from pure Python
+in tests/test_staged_r10_queries.py.
+
+ROUND-10 ACTIVATION: add this module to ``queries._MODULES``, retire
+three round-8-window twins (pick coverage-duplicated ones, keep them
+pytest-pinned), and put these three names in the round-10
+``_WINDOW_FIRST`` (= the CORRECTNESS_r08 keys with those swaps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.io import load_table
+from ..operators.curation import cap_docs_per_host
+from ..operators.lines import dedupe_lines_within_doc
+from ..operators.sampling import quality_stratified_resample
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _real_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# host_cap — two planted hosts: one over-cap (10 docs, cap 3 keeps the
+# 3 smallest (h32("0:"+id), id) keys: 30000002/30000004/30000006 — from
+# hashlib) and one under-cap (both pass, no window). Real docs join the
+# pool with their `source` as host, so the per-host count + over-cap
+# window run at corpus scale; planted hosts are distinct strings, so
+# the planted answer is unperturbable.
+# ---------------------------------------------------------------------------
+
+_CAP_PLANTED = (
+    [(30_000_000 + i, "alpha-host.example") for i in range(10)]
+    + [(30_000_100 + i, "beta-host.example") for i in range(2)]
+)
+
+
+@register(
+    "host_cap",
+    """
+    SELECT * FROM (VALUES
+      (CAST(30000002 AS BIGINT)), (CAST(30000004 AS BIGINT)),
+      (CAST(30000006 AS BIGINT)), (CAST(30000100 AS BIGINT)),
+      (CAST(30000101 AS BIGINT))
+    ) AS t(doc_id)
+    """,
+)
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (`operators.curation.cap_docs_per_host`,
+    two-phase: under-cap hosts bypass the window wholesale).
+
+    Why a typed VALUES oracle is a deterministic twin: the keeper rule
+    is the `max_docs` smallest ``(h32('0:'||id), id)`` keys per host —
+    pure md5 arithmetic over the planted ids, re-derived from hashlib
+    in the staged test. The real corpus (host = `source`) unions into
+    the pool, so every real source pays the count aggregate and the
+    zipf-head window at bench scale; planted hosts are distinct
+    strings, so no real row can enter a planted host's ranking."""
+    real = _real_docs(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("host")
+    )
+    planted = spark.createDataFrame(_CAP_PLANTED, "doc_id long, host string")
+    pool = real.unionByName(planted)
+    capped = cap_docs_per_host(pool, id_col="doc_id", max_docs=3, host_col="host")
+    return capped.filter(F.col("doc_id") >= 30_000_000).select("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# quality_pacing — explicit boundaries (0.3, 0.7] and keep_ppm
+# [0, 400000, 1000000]: bottom bucket dropped, middle thinned by the
+# canonical h32(id) % 1e6 < 400000 rule (hashlib: keeps 31000005/6/8 of
+# the five middle ids), top kept whole.
+# ---------------------------------------------------------------------------
+
+_PACE_SCORES = [
+    0.05, 0.10, 0.25, 0.30, 0.31, 0.45, 0.55, 0.69, 0.70, 0.71, 0.85, 0.99,
+]
+_PACE_PLANTED = [(31_000_000 + i, s) for i, s in enumerate(_PACE_SCORES)]
+
+
+@register(
+    "quality_pacing",
+    """
+    SELECT * FROM (VALUES
+      (CAST(31000005 AS BIGINT), CAST(1 AS INT)),
+      (CAST(31000006 AS BIGINT), CAST(1 AS INT)),
+      (CAST(31000008 AS BIGINT), CAST(1 AS INT)),
+      (CAST(31000009 AS BIGINT), CAST(2 AS INT)),
+      (CAST(31000010 AS BIGINT), CAST(2 AS INT)),
+      (CAST(31000011 AS BIGINT), CAST(2 AS INT))
+    ) AS t(doc_id, quality_bucket)
+    """,
+)
+def q_quality_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-paced resampling
+    (`operators.sampling.quality_stratified_resample`) with EXPLICIT
+    boundaries — the production posture where the quantile fit and the
+    daily filter are separate jobs, and the exact-bucket path the
+    operator's docstring pins.
+
+    Why a typed VALUES oracle is a deterministic twin: with explicit
+    boundaries there is no sketch — bucket = how many boundaries the
+    planted score exceeds, and membership is the canonical
+    ``h32(id) % 1e6 < keep_ppm[bucket]`` md5 rule, re-derived from
+    hashlib in the staged test. The real corpus unions in (score =
+    n_chars scaled to [0,1]-ish — its rows are filtered from the output
+    by the planted-id range), so the map-only pacing filter runs over
+    every real row at bench scale."""
+    real = _real_docs(spark, sf_dir).select(
+        "doc_id", (F.col("n_chars") / F.lit(1000.0)).alias("score")
+    )
+    planted = spark.createDataFrame(_PACE_PLANTED, "doc_id long, score double")
+    pool = real.unionByName(planted)
+    kept = quality_stratified_resample(
+        pool,
+        "score",
+        "doc_id",
+        keep_ppm=[0, 400_000, 1_000_000],
+        boundaries=[0.3, 0.7],
+    )
+    return kept.filter(F.col("doc_id") >= 31_000_000).select(
+        "doc_id", "quality_bucket"
+    )
+
+
+# ---------------------------------------------------------------------------
+# line_dedupe — planted docs with repeated lines (one case-folded
+# repeat, one blank separator that must survive untouched) + the real
+# corpus paying the explode/window/rebuild cost.
+# ---------------------------------------------------------------------------
+
+_LINE_PLANTED = [
+    (
+        32_000_000,
+        "Home | About | Contact\nWelcome to page one.\n"
+        "Home | About | Contact\n\nBody paragraph here.\n"
+        "body paragraph here.\nEnd of page.",
+    ),
+    (32_000_001, "only unique lines\nno repeats at all\n\nfinal line"),
+]
+
+
+@register(
+    "line_dedupe",
+    """
+    SELECT * FROM (VALUES
+      (CAST(32000000 AS BIGINT), CAST(2 AS INT),
+       'Home | About | Contact' || chr(10) || 'Welcome to page one.'
+       || chr(10) || chr(10) || 'Body paragraph here.' || chr(10)
+       || 'End of page.'),
+      (CAST(32000001 AS BIGINT), CAST(0 AS INT),
+       'only unique lines' || chr(10) || 'no repeats at all'
+       || chr(10) || chr(10) || 'final line')
+    ) AS t(doc_id, lines_deduped, text)
+    """,
+)
+def q_line_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document line dedup
+    (`operators.lines.dedupe_lines_within_doc`, keep-first, normalized
+    keys): the rebuilt text is pinned VERBATIM — a wrong drop position,
+    a clobbered blank separator, or a broken case-fold produces a wrong
+    string, not just a wrong count.
+
+    Why a typed VALUES oracle is a deterministic twin: the drop rule is
+    keep-first over (lower(trim(line)), length) keys by position — pure
+    string arithmetic over the planted literals, re-derived from a pure
+    Python twin in the staged test. The real corpus unions in, so the
+    narrow-key explode + occurrence window + map-side rebuild run over
+    every real document at bench scale; planted output is selected by
+    the id range."""
+    real = _real_docs(spark, sf_dir).select("doc_id", "text")
+    planted = spark.createDataFrame(_LINE_PLANTED, "doc_id long, text string")
+    pool = real.unionByName(planted)
+    out = dedupe_lines_within_doc(pool, id_col="doc_id", text_col="text")
+    return out.filter(F.col("doc_id") >= 32_000_000).select(
+        "doc_id", "lines_deduped", "text"
+    )
