@@ -298,6 +298,16 @@ def pack_conversations(
     """
     if budget_chars < 1:
         raise ValueError(f"budget_chars must be >= 1, got {budget_chars}")
+    if not partition_cols:
+        import warnings
+
+        warnings.warn(
+            "pack_conversations without partition_cols assigns bins with a "
+            "GLOBAL window — one task orders the whole corpus's length rows. "
+            "Fine for dataset-sized SFT corpora; pass partition_cols (e.g. "
+            "source/shard) at web scale.",
+            stacklevel=2,
+        )
     from pyspark.sql import Window
 
     sep_len = len(sep)
