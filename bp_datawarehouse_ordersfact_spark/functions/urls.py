@@ -192,35 +192,46 @@ def registrable_domain_psl(
     *,
     host_col: str,
     out_col: str = "domain",
-    max_suffix_labels: int = 4,
+    max_suffix_labels: int = 5,
 ):
     """EXACT public-suffix-list registrable domain (r8 VERDICT #6): the
     longest-matching-suffix lookup `registrable_domain`'s docstring
-    promises, as a broadcast join against the published table.
+    promises, as a broadcast join against the published table —
+    including the list's WILDCARD and EXCEPTION rule forms.
 
-    `psl_df` is a one-column DataFrame of public suffixes (``suffix``
-    string, e.g. ``com``, ``co.uk``, ``github.io``) — load the published
-    list (https://publicsuffix.org/list/) however the deployment ships
-    it; tests use a fixture. Wildcard (``*.``) and exception (``!``)
-    PSL rules are out of scope here — a row per pre-expanded suffix is
-    the contract.
+    `psl_df` is a one-column DataFrame of raw PSL rules (``suffix``
+    string) — load the published list (https://publicsuffix.org/list/)
+    however the deployment ships it; tests use a fixture. All three
+    rule forms are honored with the spec's semantics:
 
-    Semantics (pinned equal to the lite `registrable_domain` on every
-    suffix the lite table covers — tests/test_urls.py): the registrable
-    domain is ONE label more than the LONGEST listed suffix the host
-    ends with (on label boundaries). Hosts that ARE a listed suffix,
-    IPv4 literals, and hosts matching no listed suffix pass through
-    unchanged (an unlisted TLD means the cut is unknowable — unlike the
-    lite form's guess, the exact form refuses to invent one).
+    - plain (``com``, ``co.uk``, ``github.io``): the rule is a public
+      suffix; registrable = one label more;
+    - wildcard (``*.kobe.jp``): every single label under the base is a
+      public suffix (``x.kobe.jp`` public → ``y.x.kobe.jp`` registrable
+      ``y.x.kobe.jp``[-3:]);
+    - exception (``!city.kobe.jp``): overrides any matching wildcard —
+      the public suffix is the exception minus its leftmost label, so
+      ``www.city.kobe.jp`` → ``city.kobe.jp``. Exceptions beat all
+      other matches; otherwise the LONGEST match wins (the spec's
+      prevailing-rule order).
+
+    Hosts that ARE a public suffix, IPv4 literals, and hosts matching
+    no rule pass through unchanged (an unlisted TLD means the cut is
+    unknowable — unlike the lite form's guess, the exact form refuses
+    to invent one; the spec's implicit ``*`` default is deliberately
+    NOT applied, matching `registrable_domain`'s passthrough).
+    `max_suffix_labels` must be ≥ the longest rule's label count
+    (5 covers the published list).
 
     Scale shape: the lookup runs over the DISTINCT host dimension, not
     the corpus — each distinct host explodes to its trailing label
-    suffixes of length 1..`max_suffix_labels` (bounded tiny array; PSL
-    entries are ≤4 labels), equi-joins the BROADCAST suffix table, and
-    keeps the longest match per host. The result joins back on the host
-    value itself (deterministic key — no monotonically_increasing_id
-    self-join hazard): one corpus shuffle on the host, the same
-    partitioning every per-host curation operator
+    suffixes of length 1..`max_suffix_labels`, each emitting its plain
+    key and its wildcard key (first label replaced by ``*``), equi-joins
+    the BROADCAST rule table once, and keeps the prevailing match per
+    host (max of an (is_exception, match_len) struct). The result joins
+    back on the host value itself (deterministic key — no
+    monotonically_increasing_id self-join hazard): one corpus shuffle
+    on the host, the same partitioning every per-host curation operator
     (`operators/curation.py`) reuses downstream; AQE broadcasts the
     host→domain map instead when it fits.
     """
@@ -232,34 +243,73 @@ def registrable_domain_psl(
     hosts = base.select("__host_norm").distinct()
     labels = F.split(F.col("__host_norm"), r"\.")
     n = F.size(labels)
-    cand = F.transform(
-        F.sequence(F.lit(1), F.least(n, F.lit(max_suffix_labels))),
-        lambda k: F.struct(
-            F.concat_ws(".", F.slice(labels, n - k + 1, k)).alias("s"),
-            k.alias("k"),
-        ),
+    # each trailing suffix of length k emits (key, pub_len_if_plain):
+    # its own string, and — for k >= 2 — the wildcard spelling with the
+    # first label replaced by "*" (a wildcard rule's public suffix
+    # INCLUDES the wildcard label, so pub_len stays k)
+    cand = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.least(n, F.lit(max_suffix_labels))),
+            lambda k: F.concat(
+                F.array(
+                    F.struct(
+                        F.concat_ws(".", F.slice(labels, n - k + 1, k)).alias("s"),
+                        k.alias("k"),
+                    )
+                ),
+                F.when(
+                    k >= 2,
+                    F.array(
+                        F.struct(
+                            F.concat_ws(
+                                ".",
+                                F.concat(
+                                    F.array(F.lit("*")),
+                                    F.slice(labels, n - k + 2, k - 1),
+                                ),
+                            ).alias("s"),
+                            k.alias("k"),
+                        )
+                    ),
+                ).otherwise(F.array().cast("array<struct<s:string,k:int>>")),
+            ),
+        )
     )
     exploded = hosts.select(
         "__host_norm", F.explode(cand).alias("__c")
     ).select(
         "__host_norm",
-        F.col("__c.s").alias("__suffix"),
+        F.col("__c.s").alias("__key"),
         F.col("__c.k").alias("__len"),
     )
-    psl = psl_df.select(F.lower(F.col("suffix")).alias("__suffix")).distinct()
-    best = (
-        exploded.join(F.broadcast(psl), "__suffix")
-        .groupBy("__host_norm")
-        .agg(F.max("__len").alias("__best_len"))
+    raw = F.lower(F.trim(F.col("suffix")))
+    rules = psl_df.select(
+        F.when(raw.startswith("!"), F.substring(raw, 2, 2048))
+        .otherwise(raw)
+        .alias("__key"),
+        raw.startswith("!").alias("__exc"),
+    ).distinct()
+    matched = exploded.join(F.broadcast(rules), "__key").select(
+        "__host_norm",
+        F.struct(
+            F.col("__exc").cast("int").alias("p"),
+            # an exception rule's public suffix drops its leftmost label
+            (F.col("__len") - F.col("__exc").cast("int")).alias("pub_len"),
+        ).alias("__m"),
+    )
+    best = matched.groupBy("__host_norm").agg(
+        F.max("__m")["pub_len"].alias("__pub_len")
     )
     joined = base.join(best, "__host_norm", "left")
 
     lbls = F.split(F.col("__host_norm"), r"\.")
     nn = F.size(lbls)
-    keep = F.col("__best_len") + 1
+    keep = F.col("__pub_len") + 1
     is_ipv4 = F.col("__host_norm").rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$")
     dom = F.when(
-        is_ipv4 | F.col("__best_len").isNull() | (nn <= keep),
+        is_ipv4 | F.col("__pub_len").isNull() | (nn <= F.col("__pub_len")),
         F.col("__host_norm"),
-    ).otherwise(F.concat_ws(".", F.slice(lbls, nn - keep + 1, keep)))
-    return joined.withColumn(out_col, dom).drop("__host_norm", "__best_len")
+    ).otherwise(
+        F.concat_ws(".", F.slice(lbls, nn - F.least(keep, nn) + 1, F.least(keep, nn)))
+    )
+    return joined.withColumn(out_col, dom).drop("__host_norm", "__pub_len")

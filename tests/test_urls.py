@@ -514,3 +514,46 @@ def test_registrable_domain_psl_exact_lookup(spark):
     )
     for r in both:
         assert r["psl_dom"] == r["lite_dom"], (r["host"], r["psl_dom"], r["lite_dom"])
+
+
+def test_registrable_domain_psl_wildcard_and_exception_rules(spark):
+    """PSL spec semantics for the two non-plain rule forms: a wildcard
+    makes every single label under its base a public suffix; an
+    exception overrides any matching wildcard (public suffix = the
+    exception minus its leftmost label); exceptions beat longest-match."""
+    from bp_datawarehouse_ordersfact_spark.functions.urls import (
+        registrable_domain_psl,
+    )
+
+    psl = spark.createDataFrame(
+        [("jp",), ("*.kobe.jp",), ("!city.kobe.jp",),
+         ("com",), ("*.compute.amazonaws.com",)],
+        "suffix string",
+    )
+    rows = [
+        # wildcard: x.kobe.jp is a public suffix → one more label sticks
+        ("y.x.kobe.jp", "y.x.kobe.jp"),
+        ("z.y.x.kobe.jp", "y.x.kobe.jp"),
+        # host IS a wildcard-made public suffix → passthrough
+        ("x.kobe.jp", "x.kobe.jp"),
+        # exception: city.kobe.jp is NOT a public suffix despite *.kobe.jp
+        ("city.kobe.jp", "city.kobe.jp"),
+        ("www.city.kobe.jp", "city.kobe.jp"),
+        ("a.www.city.kobe.jp", "city.kobe.jp"),
+        # plain jp still works beside the wildcard
+        ("example.jp", "example.jp"),
+        ("www.example.jp", "example.jp"),
+        # 4-label wildcard base (the published list's deepest shape):
+        # public suffix = eu-1.compute.amazonaws.com (wildcard label
+        # included), so registrable keeps exactly one more label
+        ("eu-1.compute.amazonaws.com", "eu-1.compute.amazonaws.com"),
+        ("bucket.eu-1.compute.amazonaws.com", "bucket.eu-1.compute.amazonaws.com"),
+        ("x.bucket.eu-1.compute.amazonaws.com", "bucket.eu-1.compute.amazonaws.com"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "host string")
+    out = {
+        r["host"]: r["domain"]
+        for r in registrable_domain_psl(df, psl, host_col="host").collect()
+    }
+    for h, want in rows:
+        assert out[h] == want, (h, out[h], want)
