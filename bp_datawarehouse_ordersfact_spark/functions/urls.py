@@ -289,6 +289,20 @@ def registrable_domain_psl(
         .alias("__key"),
         raw.startswith("!").alias("__exc"),
     ).distinct()
+    # the documented precondition, VALIDATED: a rule deeper than the
+    # candidate explode silently loses to a shorter match for every
+    # host under it — wrong domains with no error. The rules table is
+    # broadcast-sized, so this is one cheap driver pull.
+    [probe] = rules.agg(
+        F.max(F.size(F.split(F.col("__key"), r"\."))).alias("m")
+    ).collect()
+    deepest = probe["m"] or 0
+    if deepest > max_suffix_labels:
+        raise ValueError(
+            f"psl_df contains a rule with {deepest} labels but "
+            f"max_suffix_labels={max_suffix_labels}; raise it to cover "
+            "the deepest rule or hosts under that suffix resolve wrongly"
+        )
     matched = exploded.join(F.broadcast(rules), "__key").select(
         "__host_norm",
         F.struct(

@@ -1183,6 +1183,7 @@ def contamination_report(
     text_col: str = "text",
     n: int = 5,
     max_example_ids: int = 5,
+    eager: bool = True,
 ) -> DataFrame:
     """Per-benchmark-item contamination audit: for each holdout item,
     how many training documents share at least one word n-gram with it,
@@ -1217,6 +1218,15 @@ def contamination_report(
     aggregates (bounded sketch-free exact counts over matched rows)
     keep the true totals. Totals and examples share the holdout_id
     hash partitioning, so the final join adds no exchange.
+
+    ``eager`` (default True) caches the matched rows — they feed BOTH
+    the totals and examples branches, and without the cache Catalyst
+    computes the corpus n-gram explode + broadcast join once per branch
+    (review-verified: duplicated Generate/BroadcastHashJoin, zero
+    ReusedExchange), doubling the report's dominant cost at 100 TB.
+    Matched rows are rare by construction, so the cache is small; the
+    result is localCheckpoint-ed and every intermediate freed, the
+    ``minhash_lsh_pairs`` lifecycle.
     """
     from ..functions.text import tokens, word_shingles
 
@@ -1229,7 +1239,23 @@ def contamination_report(
         F.col(doc_id_col).alias("__doc"),
         F.explode(grams(F.col(text_col))).alias("gram"),
     )
-    matched = doc_grams.join(F.broadcast(hold), "gram")
+    with (_CacheScope() if eager else _LazyScope()) as scope:
+        matched = scope.materialize(
+            doc_grams.join(F.broadcast(hold), "gram")
+        )
+        return scope.finish(
+            _contamination_rollup(
+                matched, holdout, holdout_id_col, max_example_ids
+            )
+        )
+
+
+def _contamination_rollup(
+    matched: DataFrame,
+    holdout: DataFrame,
+    holdout_id_col: str,
+    max_example_ids: int,
+) -> DataFrame:
     totals = matched.groupBy("holdout_id").agg(
         F.count_distinct("__doc").cast("bigint").alias("contaminated_docs"),
         F.count_distinct("gram").cast("bigint").alias("shared_grams"),

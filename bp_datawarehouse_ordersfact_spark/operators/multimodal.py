@@ -79,6 +79,10 @@ def decode_bmp_gray(payload: bytes):
         )
     if w <= 0 or h == 0:
         raise ValueError(f"bad dimensions {w}x{h}")
+    if data_off < 14 + hdr_size:
+        # a pixel offset pointing into the header would decode header
+        # bytes as pixels — garbage, not an error, without this check
+        raise ValueError(f"pixel data offset {data_off} overlaps the header")
     top_down, h = h < 0, abs(h)
     row_bytes = (w * 3 + 3) & ~3  # rows padded to 4-byte boundaries
     need = data_off + row_bytes * h

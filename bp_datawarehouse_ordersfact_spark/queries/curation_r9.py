@@ -168,12 +168,19 @@ def q_conversation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns: `<|assistant|>\\n{content}<|end|>\\n`. Dialog 3 overflows the
     budget (239 chars rendered) and lands alone in bin 1 — the
     never-torn contract; bins 0 and 3 each pack two dialogs."""
+    import warnings
+
     df = spark.createDataFrame(_CONV_FIXTURE, _CONV_SCHEMA)
     rendered = render_conversation(df, conv_col="conv")
     spans = loss_mask_spans(df, id_col="conv_id", conv_col="conv")
-    packed, pspans = pack_conversations(
-        rendered, spans, id_col="conv_id", budget_chars=120, sep="\n\n"
-    )
+    with warnings.catch_warnings():
+        # the global-window warning is for corpus-scale callers; this
+        # fixture is 5 rows by design — opt out so every bench/driver
+        # run doesn't train readers to ignore the warning where it matters
+        warnings.simplefilter("ignore", UserWarning)
+        packed, pspans = pack_conversations(
+            rendered, spans, id_col="conv_id", budget_chars=120, sep="\n\n"
+        )
     return pspans.join(packed.select("bin_id", "text"), "bin_id").select(
         "bin_id",
         "conv_id",

@@ -163,6 +163,17 @@ def frames_match(sdf: pd.DataFrame, ddf: pd.DataFrame) -> tuple[bool, str]:
     return True, f"OK ({len(sdf)} rows)"
 
 
+def h32_md5(s: str) -> int:
+    """Pure-Python twin of functions.text.h32 (first 8 md5 hex chars as
+    uint32) — THE canonical sampling/bucketing hash every planted-oracle
+    test re-derives membership from. One definition here, imported by
+    the query-staging tests, so a production rule change can't leave a
+    stale copy green."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
 def compare_query(spark, con, name, fn, sql, sf_dir) -> tuple[bool, str]:
     sdf = fn(spark, sf_dir).toPandas()
     ddf = con.execute(sql).fetchdf()

@@ -9,15 +9,13 @@ the expected answer lives).
 
 from __future__ import annotations
 
-import hashlib
-
 import duckdb
 import pytest
 from pyspark.sql import SparkSession
 
 from bp_datawarehouse_ordersfact_spark.functions.rounding import sql_rewrite_rounds
 from bp_datawarehouse_ordersfact_spark.queries import curation_r9
-from tests.parity import frames_match
+from tests.parity import frames_match, h32_md5
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -53,10 +51,6 @@ def test_staged_r9_query_passes_driver_comparison(spark, con, name):
     assert ok, f"{name}: {msg}"
 
 
-def _h32(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-
-
 def test_token_mixture_values_rederive_from_hashlib():
     """The token_mixture VALUES rows are not hand-trusted: re-derive the
     whole plan (driver arithmetic) and the partial-epoch membership
@@ -85,7 +79,7 @@ def test_token_mixture_values_rederive_from_hashlib():
             kept = [
                 (i, t)
                 for i, t in docs
-                if _h32(f"{full}:{i}") % 1_000_000 < ppm
+                if h32_md5(f"{full}:{i}") % 1_000_000 < ppm
             ]
             if kept:
                 expect.add((src, full, len(kept), sum(t for _, t in kept)))

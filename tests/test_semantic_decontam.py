@@ -267,12 +267,17 @@ def test_contamination_report_example_aggregation_is_rank_limited(spark):
         [("item", f"question text containing {phrase} inside")],
         "hid string, text string",
     )
-    out = contamination_report(
-        docs, holdout, holdout_id_col="hid", max_example_ids=5
+    # plan pin on the LAZY form (eager=True returns a checkpointed frame
+    # whose plan is an RDD scan — nothing left to inspect)
+    lazy = contamination_report(
+        docs, holdout, holdout_id_col="hid", max_example_ids=5, eager=False
     )
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:2000]
-    r = out.first()
-    # totals reflect all 40 matching docs; the example list stays at 5
+    # totals through the default eager path (cached matched rows —
+    # single corpus scan): all 40 matching docs; the example list stays at 5
+    r = contamination_report(
+        docs, holdout, holdout_id_col="hid", max_example_ids=5
+    ).first()
     assert r["contaminated_docs"] == 40
     assert r["example_doc_ids"] == "0,1,2,3,4"

@@ -8,15 +8,13 @@ expected answer lives.
 
 from __future__ import annotations
 
-import hashlib
-
 import duckdb
 import pytest
 from pyspark.sql import SparkSession
 
 from bp_datawarehouse_ordersfact_spark.functions.rounding import sql_rewrite_rounds
 from bp_datawarehouse_ordersfact_spark.queries import staged_r10
-from tests.parity import frames_match
+from tests.parity import frames_match, h32_md5
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -43,10 +41,6 @@ def con():
     return c
 
 
-def _h32(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
-
-
 @pytest.mark.parametrize("name", list(staged_r10.QUERIES))
 def test_staged_r10_query_passes_driver_comparison(spark, con, name):
     sdf = staged_r10.QUERIES[name](spark, SF_DIR).toPandas()
@@ -70,7 +64,7 @@ def test_host_cap_values_rederive_from_hashlib():
     seed = "0"
     a_ids = [i for i, h in staged_r10._CAP_PLANTED if h == "alpha-host.example"]
     b_ids = [i for i, h in staged_r10._CAP_PLANTED if h == "beta-host.example"]
-    ranked = sorted(a_ids, key=lambda i: (_h32(f"{seed}:{i}"), i))
+    ranked = sorted(a_ids, key=lambda i: (h32_md5(f"{seed}:{i}"), i))
     expect = sorted(ranked[:3]) + sorted(b_ids)  # cap 3; B under-cap
     got = sorted(
         r[0]
@@ -86,7 +80,7 @@ def test_quality_pacing_values_rederive_from_hashlib():
     expect = set()
     for i, s in staged_r10._PACE_PLANTED:
         b = sum(s > x for x in bounds)
-        if _h32(str(i)) % 1_000_000 < ppm[b]:
+        if h32_md5(str(i)) % 1_000_000 < ppm[b]:
             expect.add((i, b))
     got = {
         tuple(r)

@@ -136,8 +136,7 @@ def test_plan_missing_source_and_validation(spark):
         )
 
 
-def _h32(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+from tests.parity import h32_md5 as _h32
 
 
 def test_apply_matches_hashlib_reference(spark):

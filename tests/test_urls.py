@@ -471,7 +471,7 @@ def test_registrable_domain_psl_exact_lookup(spark):
         ("www.example.com", "example.com"),
         ("a.b.example.co.uk", "example.co.uk"),
         # the suffix the lite table lacks: exact keeps one label more
-        ("user.github.io", "user.github.io")[:1] + ("user.github.io",),
+        ("user.github.io", "user.github.io"),
         ("deep.sub.user.github.io", "user.github.io"),
         # longest match wins over shorter ones (io < github.io;
         # com < s3.amazonaws.com)
