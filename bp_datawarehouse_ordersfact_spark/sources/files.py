@@ -75,21 +75,27 @@ def read_jsonl_quarantined(
     persist the parsed frame first). Blank lines are skipped like the
     native JSON reader skips them.
     """
+    return split_jsonl_lines(spark.read.text(path), schema)
+
+
+def split_jsonl_lines(
+    text_df: DataFrame, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """The `read_jsonl_quarantined` parse/split over an ALREADY-READ
+    text frame (column ``value``) — factored out so the streaming SFT
+    ingest (`streaming.jobs.run_sft_ingest_stream`) applies the exact
+    batch contract to each micro-batch instead of reimplementing it."""
     corrupt_col = "_corrupt_record"
     full = T.StructType(
         list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
     )
-    parsed = (
-        spark.read.text(path)
-        .filter(F.trim(F.col("value")) != "")
-        .select(
-            F.from_json(
-                F.col("value"),
-                full,
-                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
-            ).alias("__rec"),
+    parsed = text_df.filter(F.trim(F.col("value")) != "").select(
+        F.from_json(
             F.col("value"),
-        )
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ).alias("__rec"),
+        F.col("value"),
     )
     is_bad = F.col(f"__rec.{corrupt_col}").isNotNull() | F.col("__rec").isNull()
     good = parsed.filter(~is_bad).select("__rec.*").drop(corrupt_col)
