@@ -22,8 +22,8 @@ from bp_datawarehouse_ordersfact_spark.core.session import get_spark
 from bp_datawarehouse_ordersfact_spark.queries import all_queries
 
 # Every registry query except (a) the deliberately quadratic
-# small-scale verifiers (ngram all-pairs, brute-force ANN, and their
-# consumers dedup_cluster_cc / ann_recall_at_k) and (b) the domain e2e
+# small-scale verifiers (brute-force ANN and its consumers
+# ann_recall_at_k / dedup_cluster_cc) and (b) the domain e2e
 # runs, which execute on fixed-size fixtures and ignore sf_dir — they
 # measure plan depth, not data scaling, and are timed by the
 # correctness gate and tests/test_domain_pipeline.py instead:
@@ -69,10 +69,11 @@ HEADLINE = [
     "dedup_passage_spans",
     "multimodal_binary_meta",
     "multimodal_feature_extract",
-    "sample_stratified",
+    "host_cap",
     "grouped_ewma",
     "text_pii_scrub",
-    "text_chunking",
+    "quality_pacing",
+    "line_dedupe",
     "sequence_packing",
     "corpus_filter_pipeline",
     "corpus_prep_pipeline",

@@ -31,12 +31,13 @@ from . import (
     pipeline,
     relational,
     sketches_r6,
+    staged_r10,
     streaming,
 )
 
 _MODULES = (
     relational, pipeline, llmops, streaming, domain_e2e, sketches_r6,
-    curation_r9,
+    curation_r9, staged_r10,
 )
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
@@ -44,52 +45,52 @@ _MODULES = (
 # newest driver row may be older than 2 rounds
 # (tests/test_window_rotation.py enforces it).
 #
-# ROUND-9 WINDOW (this tuple) — the mechanical alternation the round-8
+# ROUND-10 WINDOW (this tuple) — the mechanical alternation the round-9
 # tuple spelled out: the registry is at the 100-entry cap, so the window
-# is the other 50-query half — the keys of CORRECTNESS_r07.json, with
-# THREE swaps this round (r8 VERDICT #1): the beyond-reference twins
-# `rolling_window_avg`, `event_interarrival`, and `pivot_status` are
-# RETIRED from the registry (still oracle-pinned every pytest run —
-# relational.RETIRED / tests/test_retired_queries.py) and their capped
-# slots go to the round-8 curation/SFT layer's typed-VALUES queries
-# (queries/curation_r9.py): `url_canonicalize`, `conversation_pack`,
-# `token_mixture`. All 50 round-8 rows came back green (50/50
-# hash-match), so no red query forces its way back in; the
-# round-8-green half rotates out and stays covered by pytest pins until
-# round 10 rotates it back.
+# is the other 50-query half — the keys of CORRECTNESS_r08.json, with
+# THREE swaps this round (r9 VERDICT #1): the coverage-duplicated twins
+# `sample_stratified` (sampling rule also covered by corpus_mix_resample
+# + token_mixture/quality_pacing), `text_chunking` (chunker also
+# exercised inside corpus_prep_pipeline), and `dedup_ngram_jaccard`
+# (quadratic small-scale verifier; the scale path is dedup_minhash_lsh)
+# are RETIRED from the registry (still oracle-pinned every pytest run —
+# llmops.RETIRED / tests/test_retired_queries.py) and their capped slots
+# go to the staged curation-layer queries now ACTIVATED from
+# queries/staged_r10.py: `host_cap`, `quality_pacing`, `line_dedupe`.
+# All 50 round-9 rows came back green (50/50 hash-match), so no red
+# query forces its way back in; the round-9-green half rotates out and
+# stays covered by pytest pins until round 11 rotates it back.
 #
-# ROUND-10 ROTATION (mechanical; do it first): swap this tuple for the
-# other half — the keys of CORRECTNESS_r08.json — and ACTIVATE the
-# staged module `queries/staged_r10.py` (add to _MODULES): its three
-# queries (`host_cap`, `quality_pacing`, `line_dedupe`) are already
-# oracle-paired and driver-style-tested (tests/test_staged_r10_queries.py);
-# retire three coverage-duplicated round-8-window twins to keep the
-# registry at the 100 cap (keep retirees pinned via relational.RETIRED —
-# candidates: `sample_stratified` [sampling rule also covered by
-# corpus_mix_resample + the new token_mixture/quality_pacing],
-# `text_chunking` [chunker also exercised inside corpus_prep_pipeline],
-# `dedup_ngram_jaccard` [quadratic small-scale verifier; the scale path
-# has dedup_minhash_lsh]). If a round-9 query's latest row comes back
-# red, it must ALSO be in the round-10 window
-# (tests/test_window_rotation.py enforces this automatically).
+# ROUND-11 ROTATION (mechanical; do it first): swap this tuple for the
+# other half — the keys of CORRECTNESS_r09.json — and ACTIVATE the
+# staged module `queries/staged_r11.py` (add to _MODULES) once its
+# queries are oracle-paired and driver-style tested a full round
+# (r9 VERDICT #2 names the candidates: `html_extract`,
+# `contamination_report`, `host_disjoint_split`/`length_bucketed_order`);
+# retire an equal number of coverage-duplicated round-9-window twins to
+# hold the 100 cap (keep retirees oracle-pinned via a RETIRED dict). If
+# a round-10 query's latest row comes back red, it must ALSO be in the
+# round-11 window (tests/test_window_rotation.py enforces this
+# automatically).
 _WINDOW_FIRST = (
-    "dedup_embedding_lsh_banded", "ann_recall_at_k", "ann_ivf_kmeans_refine",
-    "domain_fact_royalty", "domain_split_royalty_report",
-    "interval_coalesce", "correlated_exists_rewrite", "select_rename",
-    "membership_filter", "threshold_filter", "split_royalty_union",
-    "percent_rate_normalization", "dedup_keep_first", "broadcast_dim_join",
-    "composite_key_join", "window_order_totals", "incremental_merge",
-    "semi_anti_join", "levenshtein_ratio_join", "parent_allocation",
-    "count_distinct_per_group", "grouping_rollup", "multikey_rollup",
-    "null_audit", "case_categorize", "conditional_measures",
-    "string_cleanup", "date_functions", "date_dim_generate", "top_k",
-    "top_k_per_group", "union_by_name", "set_intersect_except",
-    "null_fill_sentinels", "json_props_extract", "explode_line_items",
-    "url_canonicalize", "quantile_stats", "range_join_attribution",
-    "regional_supplier_volume", "conversation_pack", "sessionize_events",
-    "shipping_priority", "skew_salted_join", "window_rank_functions",
-    "token_mixture", "asof_join", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash",
+    "sketch_theta_set_algebra", "sketch_kll_quantile_merge",
+    "pricing_summary", "tfidf_title_match", "host_cap",
+    "dedup_passage_spans", "ann_cosine_topk", "ann_cosine_ivf",
+    "text_langid", "text_quality", "text_token_count", "text_fingerprint",
+    "text_pii_scrub", "corpus_filter_pipeline", "grouped_ewma",
+    "multimodal_binary_meta", "multimodal_feature_extract",
+    "dedup_cluster_cc", "quality_pacing", "line_dedupe",
+    "sequence_packing", "corpus_prep_pipeline", "stream_tumbling_agg",
+    "stream_sliding_agg", "stream_dedup", "stream_session_agg",
+    "stream_stateful_user_stats", "text_repetition",
+    "decontaminate_ngram_overlap", "text_unigram_logprob",
+    "stream_stream_join", "events_gap_fill", "data_quality_audit",
+    "scd2_dim_update", "leakage_safe_split", "cdc_apply", "cube_summary",
+    "embedding_classifier_score", "sketch_hll_merge", "funnel_analysis",
+    "retention_cohorts", "rollup_incremental_refresh",
+    "corpus_mix_resample", "variant_props_extract", "listagg_per_group",
+    "fact_royalty", "rest_ingest_distributed", "kafka_wire_roundtrip",
+    "sketch_approx_stats", "distinct_rows",
 )
 
 

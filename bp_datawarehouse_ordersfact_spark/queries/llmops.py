@@ -178,9 +178,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=3)
 
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""
+# RETIRED round 10 (r9 VERDICT #1): the quadratic small-scale verifier —
+# the scale path is `dedup_minhash_lsh`. Pytest-pinned via RETIRED below.
+_ORACLE_DEDUP_NGRAM_JACCARD = f"""
     WITH toks AS (SELECT doc_id, source, {SQL_TOKS.format(c='text')} AS t FROM documents),
     sh AS (SELECT doc_id, source, {SQL_SHINGLES.format(t='t')} AS shingles FROM toks)
     SELECT id_a, id_b, jaccard FROM (
@@ -190,8 +190,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                       - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
       FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
     WHERE jaccard >= 0.3
-    """,
-)
+    """
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs, blocked by `source` so the pair space
     stays bounded (the quadratic verifier; standalone only when blocked,
@@ -1126,9 +1127,9 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "text_chunking",
-    f"""
+# RETIRED round 10 (r9 VERDICT #1): the chunker is also exercised inside
+# `corpus_prep_pipeline`. Pytest-pinned via RETIRED below.
+_ORACLE_TEXT_CHUNKING = f"""
     WITH toks AS (SELECT doc_id, {SQL_TOKS.format(c='text')} AS t FROM documents),
     sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
     chunks AS (
@@ -1140,8 +1141,9 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(chunk) AS INT) AS chunk_tokens,
            md5(array_to_string(chunk, ' ')) AS chunk_hash
     FROM chunks
-    """,
-)
+    """
+
+
 def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (50-token windows, stride 40 —
     10-token overlap), the unit-of-work split every LLM training/RAG
@@ -1176,14 +1178,16 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sample_stratified",
-    """
+# RETIRED round 10 (r9 VERDICT #1): the hash-rule sampling contract is
+# also covered by `corpus_mix_resample`, `token_mixture`, and the new
+# `quality_pacing`. Pytest-pinned via RETIRED below.
+_ORACLE_SAMPLE_STRATIFIED = """
     SELECT doc_id, source
     FROM documents
     WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 5 = 0
-    """,
-)
+    """
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic ~20% sample keyed on a hash of the id — the
     reproducible train/eval split for a corpus pipeline. Unlike
@@ -1587,3 +1591,19 @@ def q_corpus_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(thresholds), "source").filter(
         bucket < F.col("keep_ppm")
     ).select("doc_id", "source", "keep_ppm")
+
+
+# ---------------------------------------------------------------------------
+# Retired registry queries (round 10, r9 VERDICT #1): unregistered to
+# free capped slots for the staged curation layer (queries/staged_r10.py
+# -> host_cap / quality_pacing / line_dedupe), but still pinned against
+# their original oracles every pytest run (tests/test_retired_queries.py)
+# - retirement changes WHO checks them, not whether they are checked.
+# Coverage rationale per retiree lives in the comment above each def.
+# ---------------------------------------------------------------------------
+
+RETIRED: dict[str, tuple] = {
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _ORACLE_DEDUP_NGRAM_JACCARD),
+    "text_chunking": (q_text_chunking, _ORACLE_TEXT_CHUNKING),
+    "sample_stratified": (q_sample_stratified, _ORACLE_SAMPLE_STRATIFIED),
+}

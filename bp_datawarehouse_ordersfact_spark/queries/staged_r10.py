@@ -1,7 +1,9 @@
-"""STAGED registry queries for the round-10 rotation (not yet in
-``queries._MODULES`` — the sketches_r6 staging discipline: write the
-query + oracle + driver-style test a full round before the driver sees
-it, so activation is a mechanical edit).
+"""Round-10 registry queries — STAGED in round 9 (the sketches_r6
+discipline: query + oracle + driver-style test written a full round
+before the driver sees it), ACTIVATED in round 10 (in
+``queries._MODULES``; `host_cap` / `quality_pacing` / `line_dedupe`
+hold the capped slots freed by retiring `sample_stratified`,
+`text_chunking`, and `dedup_ngram_jaccard` into ``llmops.RETIRED``).
 
 Three more round-8-layer operators get typed-VALUES driver rows here,
 completing the set r8 VERDICT #1 started (`url_canonicalize` /
@@ -20,10 +22,9 @@ bench pays each operator's true scan/window cost; the planted answer is
 a pure function of invented literals + md5, re-derived from pure Python
 in tests/test_staged_r10_queries.py.
 
-ROUND-10 ACTIVATION: add this module to ``queries._MODULES``, retire
-three round-8-window twins (pick coverage-duplicated ones, keep them
-pytest-pinned), and put these three names in the round-10
-``_WINDOW_FIRST`` (= the CORRECTNESS_r08 keys with those swaps).
+Activated round 10 exactly as staged: this module is in
+``queries._MODULES`` and the three names sit in the round-10
+``_WINDOW_FIRST`` (= the CORRECTNESS_r08 keys with the three swaps).
 """
 
 from __future__ import annotations

@@ -14,7 +14,6 @@ from bp_datawarehouse_ordersfact_spark import queries as Q
 # query -> reason it is excluded from the sf-scaling bench (mirrors the
 # comment block above bench.HEADLINE)
 EXCLUDED = {
-    "dedup_ngram_jaccard": "deliberately quadratic small-scale verifier",
     "ann_cosine_topk": "exact brute-force baseline (quadratic)",
     "ann_recall_at_k": "consumes the brute-force baseline",
     "dedup_cluster_cc": "consumes the quadratic pair verifier",

@@ -29,7 +29,6 @@ SF_DIR = "/root/testdata/sf0.001"
 BOUNDED_CROSS_OK = {
     "tfidf_title_match": "1-row corpus-size frame joined for IDF",
     "levenshtein_ratio_join": "broadcast master side, threshold filter",
-    "dedup_ngram_jaccard": "labeled quadratic verifier (excluded from bench)",
     "ann_cosine_topk": "labeled exact brute-force baseline",
     "ann_recall_at_k": "consumes the exact brute-force baseline",
     "ann_cosine_ivf": "k-row centroid frame broadcast for assignment",

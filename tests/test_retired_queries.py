@@ -1,12 +1,14 @@
-"""Oracle pins for registry-RETIRED queries (round 9, r8 VERDICT #1).
+"""Oracle pins for registry-RETIRED queries.
 
-`rolling_window_avg`, `event_interarrival`, and `pivot_status` were
-unregistered to free capped registry slots for the curation/SFT layer
-(queries/curation_r9.py). Retirement changes WHO checks them, not
-whether they are checked: this runs the exact driver-style comparison
-(tests/parity.py's fetchdf + dtype-sensitive frames_match, central
-round() rewrite applied) against each retiree's original oracle, every
-pytest run — the same contract they had while registered.
+Round 9 (r8 VERDICT #1) retired `rolling_window_avg`,
+`event_interarrival`, and `pivot_status` (relational.RETIRED); round 10
+(r9 VERDICT #1) retired `sample_stratified`, `text_chunking`, and
+`dedup_ngram_jaccard` (llmops.RETIRED). Each freed a capped registry
+slot for a curation/SFT-layer query. Retirement changes WHO checks
+them, not whether they are checked: this runs the exact driver-style
+comparison (tests/parity.py's fetchdf + dtype-sensitive frames_match,
+central round() rewrite applied) against each retiree's original
+oracle, every pytest run — the same contract they had while registered.
 """
 
 from __future__ import annotations
@@ -16,10 +18,12 @@ import pytest
 from pyspark.sql import SparkSession
 
 from bp_datawarehouse_ordersfact_spark.functions.rounding import sql_rewrite_rounds
-from bp_datawarehouse_ordersfact_spark.queries.relational import RETIRED
+from bp_datawarehouse_ordersfact_spark.queries import llmops, relational
 from tests.parity import frames_match
 
 SF_DIR = "/root/testdata/sf0.001"
+
+RETIRED: dict[str, tuple] = {**relational.RETIRED, **llmops.RETIRED}
 
 
 @pytest.fixture(scope="module")
@@ -39,9 +43,14 @@ def spark():
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("events", "lineitem"):
+    for t in ("events", "lineitem", "documents"):
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return c
+
+
+def test_retiree_dicts_are_disjoint():
+    overlap = set(relational.RETIRED) & set(llmops.RETIRED)
+    assert not overlap, f"query retired in two modules: {overlap}"
 
 
 def test_retirees_are_not_registered():
