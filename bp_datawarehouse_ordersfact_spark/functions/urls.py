@@ -199,10 +199,13 @@ def registrable_domain_psl(
     promises, as a broadcast join against the published table —
     including the list's WILDCARD and EXCEPTION rule forms.
 
-    `psl_df` is a one-column DataFrame of raw PSL rules (``suffix``
-    string) — load the published list (https://publicsuffix.org/list/)
-    however the deployment ships it; tests use a fixture. All three
-    rule forms are honored with the spec's semantics:
+    `psl_df` is a one-column DataFrame of raw PSL lines (``suffix``
+    string) — either bare rules, or the published list
+    (https://publicsuffix.org/list/) verbatim: `//` comments, blank
+    lines, and section markers are filtered here per the spec's line
+    rules (text after the first whitespace ignored), so
+    ``load_psl_snapshot(spark, path)`` output plugs in directly. All
+    three rule forms are honored with the spec's semantics:
 
     - plain (``com``, ``co.uk``, ``github.io``): the rule is a public
       suffix; registrable = one label more;
@@ -282,13 +285,30 @@ def registrable_domain_psl(
         F.col("__c.s").alias("__key"),
         F.col("__c.k").alias("__len"),
     )
-    raw = F.lower(F.trim(F.col("suffix")))
-    rules = psl_df.select(
-        F.when(raw.startswith("!"), F.substring(raw, 2, 2048))
-        .otherwise(raw)
-        .alias("__key"),
-        raw.startswith("!").alias("__exc"),
-    ).distinct()
+    # The published file's text format carries `//` comment lines (some
+    # with dotted text — emails, URLs), blank lines, and section
+    # markers; none can ever match a host, but an unfiltered comment
+    # with many dots CAN exceed `max_suffix_labels` and abort the depth
+    # probe below with a spurious ValueError (r9 ADVICE). Apply the
+    # spec's line rules here — drop comments/blanks, keep only up to
+    # the first whitespace — so callers may hand this function the raw
+    # published file verbatim (see `load_psl_snapshot`).
+    line = F.lower(F.trim(F.col("suffix")))
+    raw = F.regexp_extract(line, r"^(\S+)", 1)
+    rules = (
+        psl_df.select(line.alias("__line"), raw.alias("__raw"))
+        .filter((F.col("__raw") != "") & ~F.col("__line").startswith("//"))
+        .select(
+            F.when(
+                F.col("__raw").startswith("!"),
+                F.substring(F.col("__raw"), 2, 2048),
+            )
+            .otherwise(F.col("__raw"))
+            .alias("__key"),
+            F.col("__raw").startswith("!").alias("__exc"),
+        )
+        .distinct()
+    )
     # the documented precondition, VALIDATED: a rule deeper than the
     # candidate explode silently loses to a shorter match for every
     # host under it — wrong domains with no error. The rules table is
@@ -327,3 +347,63 @@ def registrable_domain_psl(
         F.concat_ws(".", F.slice(lbls, nn - F.least(keep, nn) + 1, F.least(keep, nn)))
     )
     return joined.withColumn(out_col, dom).drop("__host_norm", "__pub_len")
+
+
+def load_psl_snapshot(spark, path: str, *, section: str | None = None):
+    """Load a downloaded ``public_suffix_list.dat`` snapshot verbatim
+    into the one-column ``suffix`` frame `registrable_domain_psl`
+    takes (r9 VERDICT #5) — the published list is public, versioned
+    content, so a deployment pins a snapshot next to its code and
+    points this at it.
+
+    Parses the published text format per the spec's line rules:
+
+    - ``//`` lines are comments (including the
+      ``// ===BEGIN ICANN DOMAINS===`` / ``===END ...=== `` section
+      markers); blank/whitespace-only lines are ignored;
+    - a rule is the text up to the first whitespace of every other
+      line (the list's own test vectors carry trailing commentary);
+    - `section` = ``"icann"`` or ``"private"`` keeps only the rules
+      between the matching BEGIN/END markers (training-data curation
+      usually wants ICANN-only so `github.io` pages group by USER, not
+      all under one private suffix — pass ``"icann"`` deliberately;
+      default keeps both, matching browser behavior).
+
+    Scale shape: the list is ~250 KB / ~10k lines — one driver-side
+    text read, then a broadcast join inside `registrable_domain_psl`.
+    The section scan is a tiny driver loop over the raw lines, not a
+    Spark job; the returned frame is createDataFrame-backed so the
+    lookup's broadcast is exact. Unicode rules are kept as published
+    (lowercased downstream); hosts in punycode only match ASCII rules —
+    IDN normalization is the caller's ingest concern.
+    """
+    if section not in (None, "icann", "private"):
+        raise ValueError(f"section must be None|'icann'|'private': {section!r}")
+    with open(path, encoding="utf-8") as fh:
+        lines = fh.read().splitlines()
+    if section is not None:
+        marker = section.upper()
+        keep, active = [], False
+        for ln in lines:
+            s = ln.strip()
+            if s.startswith("//"):
+                if f"===BEGIN {marker} DOMAINS===" in s:
+                    active = True
+                elif f"===END {marker} DOMAINS===" in s:
+                    active = False
+                continue
+            if active:
+                keep.append(ln)
+        lines = keep
+    rules = [
+        (s.split()[0],)
+        for s in (ln.strip() for ln in lines)
+        if s and not s.startswith("//")
+    ]
+    if not rules:
+        raise ValueError(
+            f"no PSL rules parsed from {path!r}"
+            + (f" (section={section!r})" if section else "")
+            + " — wrong file or section markers absent"
+        )
+    return spark.createDataFrame(rules, "suffix string")

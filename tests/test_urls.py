@@ -557,3 +557,125 @@ def test_registrable_domain_psl_wildcard_and_exception_rules(spark):
     }
     for h, want in rows:
         assert out[h] == want, (h, out[h], want)
+
+
+_PSL_SNAPSHOT = """\
+// This fixture is in the EXACT published public_suffix_list.dat text
+// format (comments, blank lines, section markers, trailing notes).
+// See https://publicsuffix.org/list/ — e.g. submit@the.list.example.org
+// and https://a.very.deep.dotted.example.url/path appear in real
+// comments; neither may perturb the rule-depth probe (r9 ADVICE).
+
+// ===BEGIN ICANN DOMAINS===
+
+com
+// uk : https://en.wikipedia.org/wiki/.uk
+uk
+co.uk
+
+jp
+*.kobe.jp
+!city.kobe.jp
+
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+
+// GitHub, Inc.
+github.io  extra trailing commentary ignored per spec
+
+// ===END PRIVATE DOMAINS===
+"""
+
+
+def test_load_psl_snapshot_published_format(spark, tmp_path):
+    """r9 VERDICT #5: a snapshot in the published format loads verbatim
+    and drives the exact lookup — comments (with dotted text DEEPER
+    than max_suffix_labels), blank lines, section markers, and trailing
+    whitespace commentary all handled; lite ≡ PSL pins unchanged on the
+    covered suffixes."""
+    from bp_datawarehouse_ordersfact_spark.functions.urls import (
+        load_psl_snapshot,
+        registrable_domain_psl,
+    )
+
+    p = tmp_path / "public_suffix_list.dat"
+    p.write_text(_PSL_SNAPSHOT, encoding="utf-8")
+    psl = load_psl_snapshot(spark, str(p))
+    rows = [
+        ("www.example.com", "example.com"),
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("deep.sub.user.github.io", "user.github.io"),  # trailing note cut
+        ("www.city.kobe.jp", "city.kobe.jp"),  # exception survives load
+        ("z.y.x.kobe.jp", "y.x.kobe.jp"),  # wildcard survives load
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "host string")
+    out = {
+        r["host"]: r["domain"]
+        for r in registrable_domain_psl(df, psl, host_col="host").collect()
+    }
+    for h, want in rows:
+        assert out[h] == want, (h, out[h], want)
+
+
+def test_registrable_domain_psl_filters_raw_file_lines(spark):
+    """r9 ADVICE: the lookup itself also accepts RAW published-file
+    lines — a `//` comment with more dots than max_suffix_labels must
+    not abort the depth probe, and comment/blank lines must never match
+    a host (`//` is not a rule even if its text ends in a real TLD)."""
+    from bp_datawarehouse_ordersfact_spark.functions.urls import (
+        registrable_domain_psl,
+    )
+
+    psl = spark.createDataFrame(
+        [("// see submit@a.b.c.d.e.f.g.example.com for the process",),
+         ("",), ("   ",), ("com",), ("// example.com",)],
+        "suffix string",
+    )
+    df = spark.createDataFrame(
+        [("www.example.com",), ("a.b.c.d.e.f.g.example.com",)], "host string"
+    )
+    out = {
+        r["host"]: r["domain"]
+        for r in registrable_domain_psl(df, psl, host_col="host").collect()
+    }
+    # the comment's deep dotted text neither raised nor became a rule:
+    # both hosts resolve via the one real rule (com)
+    assert out["www.example.com"] == "example.com"
+    assert out["a.b.c.d.e.f.g.example.com"] == "example.com"
+
+
+def test_registrable_domain_psl_depth_probe_still_guards_real_rules(spark):
+    """The depth probe's ValueError contract is unchanged for GENUINE
+    rules deeper than max_suffix_labels (only comments are exempt)."""
+    import pytest as _pytest
+
+    from bp_datawarehouse_ordersfact_spark.functions.urls import (
+        registrable_domain_psl,
+    )
+
+    psl = spark.createDataFrame([("a.b.c.d.e.f",), ("com",)], "suffix string")
+    df = spark.createDataFrame([("www.example.com",)], "host string")
+    with _pytest.raises(ValueError, match="max_suffix_labels"):
+        registrable_domain_psl(df, psl, host_col="host", max_suffix_labels=5)
+
+
+def test_load_psl_snapshot_sections(spark, tmp_path):
+    from bp_datawarehouse_ordersfact_spark.functions.urls import (
+        load_psl_snapshot,
+    )
+
+    p = tmp_path / "psl.dat"
+    p.write_text(_PSL_SNAPSHOT, encoding="utf-8")
+    icann = {r["suffix"] for r in load_psl_snapshot(spark, str(p), section="icann").collect()}
+    assert icann == {"com", "uk", "co.uk", "jp", "*.kobe.jp", "!city.kobe.jp"}
+    private = {r["suffix"] for r in load_psl_snapshot(spark, str(p), section="private").collect()}
+    assert private == {"github.io"}
+    both = {r["suffix"] for r in load_psl_snapshot(spark, str(p)).collect()}
+    assert both == icann | private
+
+    with pytest.raises(ValueError, match="section"):
+        load_psl_snapshot(spark, str(p), section="bogus")
+    empty = tmp_path / "empty.dat"
+    empty.write_text("// only comments\n\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="no PSL rules"):
+        load_psl_snapshot(spark, str(empty))
