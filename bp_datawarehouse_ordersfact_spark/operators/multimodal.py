@@ -202,7 +202,13 @@ def ahash64(df: DataFrame, payload_col: str, id_col: str, decode=None) -> DataFr
     boundaries — no float resampling drift across payload lengths);
     payloads shorter than 64 pixels are zero-padded to 64 (a real
     decoder's resize always yields >= 64 pixels, so only the fake tier
-    can hit this). Null payloads hash like empty ones: fp = 0.
+    can hit this). NULL payloads: the FAKE tier hashes them like empty
+    ones (fp = 0 — fixture convenience); with a real ``decode`` a NULL
+    payload IS a decode failure (there are no bytes to decode) and
+    raises with the offending ids, so undecodable rows can never pair
+    as all-zero "near-duplicates" of each other or of dark images in
+    ``phash_pairs`` (r9 ADVICE) — filter
+    ``payload_col IS NOT NULL`` upstream to opt out.
 
     Scale notes: map-only (no shuffle); the downstream near-dup join
     cost lives in ``operators.dedup.phash_pairs``.
@@ -231,6 +237,19 @@ def ahash64(df: DataFrame, payload_col: str, id_col: str, decode=None) -> DataFr
             return int(bits[:32] @ w32), int(bits[32:] @ w32)
 
         for pdf in batches:
+            if decode is not None:
+                null_ids = [
+                    int(i)
+                    for i, b in zip(pdf[id_col], pdf[payload_col])
+                    if b is None
+                ]
+                if null_ids:
+                    raise ValueError(
+                        f"ahash64: NULL {payload_col} for {id_col}s "
+                        f"{sorted(null_ids)[:5]} — a NULL payload cannot be "
+                        "decoded; filter payload IS NOT NULL upstream or "
+                        "use the fake tier (decode=None)"
+                    )
             halves = [fp_halves(b) for b in pdf[payload_col]]
             yield pd.DataFrame(
                 {

@@ -332,3 +332,32 @@ def test_phash_pairs_real_bmp_decode_finds_planted_near_dup(spark):
     assert pairs[(0, n_copy)] == 0  # exact copy
     assert (0, n_near) in pairs and pairs[(0, n_near)] <= 3  # near-dup
     assert (n_near, n_copy) in pairs  # transitively near
+
+
+def test_ahash64_real_decode_raises_on_null_payload(spark):
+    """r9 ADVICE: with a real decoder a NULL payload is a decode
+    failure — it must raise with the offending ids, never silently
+    produce the all-zero fake-tier fingerprint (which would pair NULL
+    rows as near-duplicates of each other and of dark images)."""
+    import pytest as _pytest
+
+    from bp_datawarehouse_ordersfact_spark.operators.multimodal import (
+        ahash64,
+        decode_bmp_gray,
+    )
+
+    imgs, _ = _bmp_fixture()
+    rows = [Row(img_id=0, payload=bytearray(_make_bmp(imgs[0]))),
+            Row(img_id=7, payload=None)]
+    df = spark.createDataFrame(rows, "img_id long, payload binary")
+    with _pytest.raises(Exception, match="NULL payload.*img_ids \\[7\\]|img_ids \\[7\\]"):
+        ahash64(df, "payload", "img_id", decode=decode_bmp_gray).collect()
+    # filtering NULLs upstream is the documented opt-out
+    ok = ahash64(
+        df.filter("payload IS NOT NULL"), "payload", "img_id",
+        decode=decode_bmp_gray,
+    ).collect()
+    assert [r.img_id for r in ok] == [0]
+    # the fake tier's null-hashes-like-empty contract is unchanged
+    fake = {r.img_id: (r.fp1, r.fp2) for r in ahash64(df, "payload", "img_id").collect()}
+    assert fake[7] == _ahash_halves(b"")
