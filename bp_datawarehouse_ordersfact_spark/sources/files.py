@@ -351,6 +351,18 @@ def verify_tar_shards(spark, manifest_df):
     Scale: one list of the shard dirs + one task per shard hashing at
     stream speed with constant memory, + a broadcast-sized manifest
     join. Shard files larger than 2 GiB verify fine.
+
+    FILESYSTEM REQUIREMENT (r9 ADVICE): the hash loop reads shards with
+    Python ``open()`` on EXECUTORS, so the manifest's paths must
+    resolve on every executor — a shared filesystem (NFS, FUSE-mounted
+    object store) or single-node/local mode. This matches
+    ``write_tar_shards``' own local-write posture (tarfile writes the
+    same way); on a multi-node cluster with non-shared local disks
+    every shard reports ``missing``. For shards on remote storage
+    (s3a:// etc.) without a mount, port the loop to the Hadoop
+    FileSystem API (``_swap_dir`` in streaming/jobs.py shows the
+    incantation) — deliberately not done until a real deployment needs
+    it, so the common local path stays dependency-free.
     """
     from pyspark.sql import functions as F
 

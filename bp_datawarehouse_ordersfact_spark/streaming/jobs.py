@@ -994,3 +994,97 @@ def run_host_cap_ingest_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_sft_ingest_stream(
+    spark: SparkSession,
+    jsonl_dir: str,
+    out_dir: str,
+    schema,
+    *,
+    conv_col: str = "conversation",
+    roles: tuple[str, ...] = ("system", "user", "assistant"),
+    require_alternation: bool = True,
+    require_assistant: bool = True,
+    files_per_trigger: int = 1,
+) -> None:
+    """Streaming SFT (conversation) ingest: JSONL files land in
+    ``jsonl_dir`` continuously; each micro-batch is parsed with the
+    EXACT batch contract (`sources/files.split_jsonl_lines` — PERMISSIVE
+    from_json over the text lines, corrupt iff the corrupt column is
+    non-null), structurally validated
+    (`operators/conversations.validate_conversations`), and three-way
+    routed:
+
+    - parse-clean AND structurally valid  → ``{out_dir}/ingest_batch_id={N}``
+      (training-ready rows, `schema`'s columns);
+    - parse-clean but structurally INVALID (empty dialog, stray system
+      turn, role soup…) → ``{out_dir}_invalid/ingest_batch_id={N}``
+      with ``conv_invalid_reason`` kept for triage;
+    - unparseable raw lines → ``{out_dir}_parse_quarantine/
+      ingest_batch_id={N}`` (``_corrupt_record`` string — the
+      `read_jsonl_quarantined` quarantine shape).
+
+    `schema` is the record StructType and must contain `conv_col` as
+    ``array<struct<role:string,content:string>>`` (the storage shape
+    `operators/conversations` documents).
+
+    foreachBatch is AT-LEAST-ONCE, so the batch body is idempotent (the
+    ``run_text_quality_sweep_stream`` pattern): all three sinks are
+    partition-overwrites keyed by ``ingest_batch_id`` — a replayed batch
+    rewrites identical rows into its own partitions; no cross-batch
+    state, so no ledger is needed. The batch's parsed frame is persisted
+    once so the three routes share one parse instead of re-reading the
+    text three times.
+
+    Scale: parse + validation are map-only (no shuffle at any size);
+    throughput is governed by ``files_per_trigger`` × file size, and
+    each sink partition is one batch's rows — compact downstream with
+    `sources/files.compact_write` if small batches accumulate.
+    """
+    from ..operators.conversations import validate_conversations
+    from ..sources.files import split_jsonl_lines
+
+    if conv_col not in schema.names:
+        raise ValueError(
+            f"schema has no column {conv_col!r} (columns: {schema.names})"
+        )
+    base = out_dir.rstrip("/")
+    src = (
+        spark.readStream.option("maxFilesPerTrigger", files_per_trigger)
+        .text(jsonl_dir)
+    )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        part = f"/ingest_batch_id={int(batch_id)}"
+        batch_df.persist()
+        try:
+            good, bad = split_jsonl_lines(batch_df, schema)
+            flagged = validate_conversations(
+                good,
+                conv_col=conv_col,
+                roles=roles,
+                require_alternation=require_alternation,
+                require_assistant=require_assistant,
+            )
+            flagged.filter(F.col("conv_valid")).drop(
+                "conv_valid", "conv_invalid_reason"
+            ).write.mode("overwrite").parquet(base + part)
+            flagged.filter(~F.col("conv_valid")).drop("conv_valid").write.mode(
+                "overwrite"
+            ).parquet(base + "_invalid" + part)
+            bad.write.mode("overwrite").parquet(
+                base + "_parse_quarantine" + part
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", base + "_checkpoint")
+        .start()
+    )
+    q.awaitTermination()

@@ -621,3 +621,105 @@ def test_host_cap_ingest_stream_replay_is_idempotent(spark, tmp_path):
     )
     assert after == before
     assert counts_after == counts_before
+
+
+def test_sft_ingest_stream_three_way_routes_and_replays(spark, tmp_path):
+    """r9 ADVICE: the streaming SFT ingest `split_jsonl_lines`' split
+    was factored out FOR. Two JSONL micro-batches containing a valid
+    conversation, a structurally-invalid one (stray system turn), and
+    an unparseable line: valid rows land training-ready, invalid rows
+    keep their reason, raw garbage is quarantined — and a worst-case
+    replay (checkpoint lost) leaves all three sinks identical, because
+    every write is an own-partition overwrite."""
+    import json
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import (
+        run_sft_ingest_stream,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.LongType()),
+            T.StructField(
+                "conversation",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("role", T.StringType()),
+                            T.StructField("content", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
+    def rec(cid, turns):
+        return json.dumps(
+            {"conv_id": cid,
+             "conversation": [{"role": r, "content": c} for r, c in turns]}
+        )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    (feed / "b1.jsonl").write_text(
+        rec(1, [("user", "hi"), ("assistant", "hello")]) + "\n"
+        + rec(2, [("user", "q"), ("system", "late system prompt")]) + "\n"
+        + "{this is not json\n",
+        encoding="utf-8",
+    )
+    (feed / "b2.jsonl").write_text(
+        rec(3, [("system", "be terse"), ("user", "a"), ("assistant", "b")])
+        + "\n",
+        encoding="utf-8",
+    )
+
+    sink = str(tmp_path / "sink")
+    run_sft_ingest_stream(
+        spark, str(feed), sink, schema, files_per_trigger=1
+    )
+
+    def snap():
+        valid = {
+            r["conv_id"]
+            for r in spark.read.parquet(sink).select("conv_id").collect()
+        }
+        inv = {
+            (r["conv_id"], r["conv_invalid_reason"])
+            for r in spark.read.parquet(sink + "_invalid")
+            .select("conv_id", "conv_invalid_reason")
+            .collect()
+        }
+        quar = {
+            r["_corrupt_record"]
+            for r in spark.read.parquet(sink + "_parse_quarantine").collect()
+        }
+        return valid, inv, quar
+
+    valid, inv, quar = snap()
+    assert valid == {1, 3}
+    assert inv == {(2, "system_not_leading")}
+    assert quar == {"{this is not json"}
+    # training-ready rows carry exactly the schema's columns (no flags)
+    assert set(spark.read.parquet(sink).columns) == {
+        "conv_id", "conversation", "ingest_batch_id",
+    }
+
+    # worst-case replay: checkpoint gone, every batch re-runs
+    shutil.rmtree(sink + "_checkpoint")
+    run_sft_ingest_stream(
+        spark, str(feed), sink, schema, files_per_trigger=1
+    )
+    assert snap() == (valid, inv, quar)
+
+    # schema without the conversation column is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="conversation"):
+        run_sft_ingest_stream(
+            spark, str(feed), str(tmp_path / "x"),
+            T.StructType([T.StructField("conv_id", T.LongType())]),
+        )
