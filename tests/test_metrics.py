@@ -102,6 +102,11 @@ def test_heavy_registry_queries_zero_spill_bounded_exchanges(spark):
         # shuffle_records>0 gate and is pinned by parity instead)
         "conversation_pack": 4,  # bin window + offset window + final agg
         "token_mixture": 2,  # apply side: one (source, epoch) agg; plan agg is its own job
+        # r10: the parallelism-pinning repartition must SATISFY the
+        # grouped-map clustering requirement, not stack a second
+        # exchange under it (and it exempts the Python stage from AQE
+        # bytes-based coalescing — the 3x serialization found in r10)
+        "grouped_ewma": 1,
     }
     for name, max_ex in budgets.items():
         df = qs[name](spark, SF_DIR)
