@@ -41,9 +41,20 @@ def con():
 
 @pytest.fixture(scope="module")
 def oracle_frames(con):
+    from bp_datawarehouse_ordersfact_spark.functions.rounding import (
+        sql_rewrite_rounds,
+    )
+    from bp_datawarehouse_ordersfact_spark.queries import staged_r11
+
     frames = {}
     for name, sql in Q.all_oracles().items():
         frames[name] = con.execute(sql).fetchdf()
+    # STAGED (not-yet-registered) oracles get the same convention gate a
+    # round early, so a gate-incompatible shape is caught while the
+    # activation is still a mechanical edit (r10; staged_r10's oracles
+    # were only convention-checked once activated)
+    for name, sql in staged_r11.ORACLES.items():
+        frames[f"staged:{name}"] = con.execute(sql_rewrite_rounds(sql)).fetchdf()
     return frames
 
 
