@@ -84,3 +84,35 @@ def test_no_unbounded_joins_anywhere(spark):
         f"{offenders} — if the cross side is provably bounded, add the "
         "query to BOUNDED_CROSS_OK with the reason"
     )
+
+
+def test_python_stages_sit_on_user_pinned_partitioning(spark):
+    """r10 lesson (grouped_ewma, PLANS.md "Round 10"): a Python-eval
+    stage's cost scales with ROWS, not bytes, so AQE's bytes-based
+    partition coalescing will serialize it onto a handful of cores
+    whenever the rows are small — 3x on the suite's most expensive
+    query. The repo rule is therefore: every registry plan containing a
+    Python node (grouped-map, mapInPandas, Arrow/batch eval) must carry
+    a USER-SPECIFIED repartition (REPARTITION_BY_NUM — exempt from AQE
+    coalescing) feeding it, the `_fan_out` contract. This lint sweeps
+    all registry plans so a new Python-stage query can't ship without
+    the pin."""
+    import re
+
+    py_node = re.compile(
+        r"FlatMapGroupsInPandas|MapInPandas|ArrowEvalPython"
+        r"|BatchEvalPython|MapInArrow"
+    )
+    offenders = []
+    for name, fn in all_queries().items():
+        try:
+            plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        except Exception:
+            continue  # planning failures are the other lint's business
+        if py_node.search(plan) and "REPARTITION_BY_NUM" not in plan:
+            offenders.append(name)
+    assert not offenders, (
+        f"registry queries with a Python stage but no user-pinned "
+        f"repartition (AQE coalescing will serialize the Python work "
+        f"when rows are small — see PLANS.md 'Round 10'): {offenders}"
+    )
