@@ -63,15 +63,20 @@ _MODULES = (
 #
 # ROUND-11 ROTATION (mechanical; do it first): swap this tuple for the
 # other half — the keys of CORRECTNESS_r09.json — and ACTIVATE the
-# staged module `queries/staged_r11.py` (add to _MODULES) once its
-# queries are oracle-paired and driver-style tested a full round
-# (r9 VERDICT #2 names the candidates: `html_extract`,
-# `contamination_report`, `host_disjoint_split`/`length_bucketed_order`);
-# retire an equal number of coverage-duplicated round-9-window twins to
-# hold the 100 cap (keep retirees oracle-pinned via a RETIRED dict). If
-# a round-10 query's latest row comes back red, it must ALSO be in the
-# round-11 window (tests/test_window_rotation.py enforces this
-# automatically).
+# staged module `queries/staged_r11.py` (add to _MODULES): its three
+# queries (`html_extract`, `contamination_report`,
+# `host_disjoint_split`) are already oracle-paired and driver-style
+# tested (tests/test_staged_r11_queries.py, and the staged oracles ride
+# the conventions gate a round early); retire three coverage-duplicated
+# round-9-window twins to hold the 100 cap (keep retirees oracle-pinned
+# via a RETIRED dict — least-loss candidates: `threshold_filter`
+# [P3-P6 filter family keeps `membership_filter`'s row],
+# `window_rank_functions` [beyond-reference rank tour; the window
+# family keeps `top_k_per_group` + `dedup_keep_first`],
+# `correlated_exists_rewrite` [beyond-reference rewrite demo; the
+# EXISTS semantics keep `semi_anti_join`'s row]). If a round-10 query's
+# latest row comes back red, it must ALSO be in the round-11 window
+# (tests/test_window_rotation.py enforces this automatically).
 _WINDOW_FIRST = (
     "sketch_theta_set_algebra", "sketch_kll_quantile_merge",
     "pricing_summary", "tfidf_title_match", "host_cap",
