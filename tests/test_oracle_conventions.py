@@ -44,17 +44,20 @@ def oracle_frames(con):
     from bp_datawarehouse_ordersfact_spark.functions.rounding import (
         sql_rewrite_rounds,
     )
-    from bp_datawarehouse_ordersfact_spark.queries import staged_r11
+    from bp_datawarehouse_ordersfact_spark.queries import staged_r11, staged_r12
 
     frames = {}
     for name, sql in Q.all_oracles().items():
         frames[name] = con.execute(sql).fetchdf()
-    # STAGED (not-yet-registered) oracles get the same convention gate a
-    # round early, so a gate-incompatible shape is caught while the
-    # activation is still a mechanical edit (r10; staged_r10's oracles
-    # were only convention-checked once activated)
-    for name, sql in staged_r11.ORACLES.items():
-        frames[f"staged:{name}"] = con.execute(sql_rewrite_rounds(sql)).fetchdf()
+    # STAGED (not-yet-registered) oracles get the same convention gate
+    # ahead of activation, so a gate-incompatible shape is caught while
+    # the activation is still a mechanical edit (r10; staged_r10's
+    # oracles were only convention-checked once activated)
+    for mod in (staged_r11, staged_r12):
+        for name, sql in mod.ORACLES.items():
+            frames[f"staged:{name}"] = con.execute(
+                sql_rewrite_rounds(sql)
+            ).fetchdf()
     return frames
 
 
