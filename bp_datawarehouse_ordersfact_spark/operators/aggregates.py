@@ -82,19 +82,33 @@ def corpus_stats_report(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str | None = None,
+    exact: bool = False,
 ) -> DataFrame:
     """The DATASET-CARD stats table for a text corpus, in ONE
     aggregation pass: per ``source_col`` stratum plus an all-corpus
     rollup row (``source`` NULL), each with document count, char and
     whitespace-token totals, char-length mean/p50/p95, and an
-    approximate exact-duplicate rate (1 − approx_distinct(md5(text)) /
-    n — HLL, so the corpus never shuffles by text).
+    exact-duplicate rate (1 − distinct(md5(text)) / n).
+
+    ``exact`` picks the estimator tier for the two sketch columns —
+    the SCALE path (default) uses ``percentile_approx`` + HLL
+    ``approx_count_distinct`` (the corpus never shuffles by text, ~2%
+    HLL error, clamped at 0); ``exact=True`` swaps in interpolated
+    ``percentile`` and exact ``count_distinct`` — cross-engine
+    reproducible (a DuckDB ``quantile_cont`` / ``count(DISTINCT ...)``
+    twin matches to 6dp), the VERIFICATION tier for driver rows and
+    snapshot audits. Column names are identical either way
+    (``approx_dup_rate`` keeps its name — it records the REPORT's
+    field, not the estimator), so downstream card renderers don't fork.
+    The approx tier is pinned within tolerance of the exact tier in
+    tests/test_operators.py.
 
     Everything is a map-side-combinable aggregate over one ``rollup``
     shuffle whose key cardinality is the number of sources — the report
-    over 100 TB costs one corpus scan, same as ``profile_numeric``.
-    Floats 6dp-rounded for engine-stable snapshots; `approx_dup_rate`
-    carries HLL error (~2%) and is clamped at 0."""
+    over 100 TB costs one corpus scan, same as ``profile_numeric``
+    (exact=True adds the count_distinct expand, fine at audit scale;
+    the default stays one-pass sketch-cheap). Floats 6dp-rounded for
+    engine-stable snapshots."""
     from ..functions.rounding import rnd
     from ..functions.text import tokens
 
@@ -111,22 +125,24 @@ def corpus_stats_report(
         F.length(text).alias("_chars"),
         F.size(tokens(text)).alias("_toks"),
     ).rollup("source" if source_col is not None else F.lit(1).alias("_g"))
+    chars_d = F.col("_chars").cast("double")
+    if exact:
+        p50 = F.percentile(chars_d, F.lit(0.5))
+        p95 = F.percentile(chars_d, F.lit(0.95))
+        n_distinct = F.count_distinct(F.md5("_t"))
+    else:
+        p50 = F.percentile_approx(chars_d, 0.5)
+        p95 = F.percentile_approx(chars_d, 0.95)
+        n_distinct = F.approx_count_distinct(F.md5("_t"))
     out = grouped.agg(
         n.cast("long").alias("n_docs"),
         F.sum("_chars").cast("long").alias("n_chars"),
         F.sum("_toks").cast("long").alias("n_tokens"),
         rnd(F.avg("_chars"), 6).alias("chars_mean"),
-        rnd(F.percentile_approx(F.col("_chars").cast("double"), 0.5), 6).alias(
-            "chars_p50"
-        ),
-        rnd(F.percentile_approx(F.col("_chars").cast("double"), 0.95), 6).alias(
-            "chars_p95"
-        ),
+        rnd(p50, 6).alias("chars_p50"),
+        rnd(p95, 6).alias("chars_p95"),
         rnd(
-            F.greatest(
-                F.lit(0.0),
-                F.lit(1.0) - F.approx_count_distinct(F.md5("_t")) / n,
-            ),
+            F.greatest(F.lit(0.0), F.lit(1.0) - n_distinct / n),
             6,
         ).alias("approx_dup_rate"),
     )

@@ -1705,6 +1705,50 @@ def test_corpus_stats_report_rollup_and_dup_rate(spark):
     assert books["chars_mean"] == 19.0
 
 
+def test_corpus_stats_report_exact_tier_matches_approx_within_tolerance(spark):
+    """exact=True (the cross-engine-reproducible verification tier) and
+    the default sketch tier must agree: identically on the exact
+    columns, within HLL/sketch tolerance on dup rate and percentiles.
+    The exact tier's dup rate is arithmetic truth on a known fixture."""
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import (
+        corpus_stats_report,
+    )
+
+    rows = [(i, "web" if i % 2 else "books", f"text body {i % 7}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    approx = {
+        r["source"]: r
+        for r in corpus_stats_report(df, source_col="source").collect()
+    }
+    exact = {
+        r["source"]: r
+        for r in corpus_stats_report(df, source_col="source", exact=True).collect()
+    }
+    assert set(approx) == set(exact)
+    for src in exact:
+        a, e = approx[src], exact[src]
+        for c in ("n_docs", "n_chars", "n_tokens", "chars_mean"):
+            assert a[c] == e[c], (src, c)
+        assert abs(a["approx_dup_rate"] - e["approx_dup_rate"]) < 0.05
+        assert abs(a["chars_p50"] - e["chars_p50"]) <= 1.0
+        assert abs(a["chars_p95"] - e["chars_p95"]) <= 1.0
+    # exact dup rate is arithmetic truth: 40 docs, 7 distinct texts
+    # globally -> 1 - 7/40
+    assert exact[None]["approx_dup_rate"] == round(1 - 7 / 40, 6)
+    # exact p50 interpolates: DuckDB quantile_cont twin (cross-engine)
+    import duckdb
+
+    pdf = df.toPandas()
+    con = duckdb.connect()
+    con.register("d", pdf)
+    want_p50, want_p95 = con.execute(
+        "SELECT round(quantile_cont(length(text), 0.5), 6), "
+        "round(quantile_cont(length(text), 0.95), 6) FROM d"
+    ).fetchone()
+    assert exact[None]["chars_p50"] == want_p50
+    assert exact[None]["chars_p95"] == want_p95
+
+
 def test_corpus_stats_report_single_stratum(spark):
     from bp_datawarehouse_ordersfact_spark.operators.aggregates import (
         corpus_stats_report,
