@@ -22,8 +22,11 @@ from bp_datawarehouse_ordersfact_spark.core.session import get_spark
 from bp_datawarehouse_ordersfact_spark.queries import all_queries
 
 # Every registry query except (a) the deliberately quadratic
-# small-scale verifiers (brute-force ANN and its consumers
-# ann_recall_at_k / dedup_cluster_cc) and (b) the domain e2e
+# small-scale verifiers (the brute-force ANN baseline + its consumer
+# ann_recall_at_k, and dedup_cluster_cc, which consumes the quadratic
+# n-gram Jaccard pair verifier — still quadratic inside even though the
+# dedup_ngram_jaccard registry row was retired in round 10) and (b) the
+# domain e2e
 # runs, which execute on fixed-size fixtures and ignore sf_dir — they
 # measure plan depth, not data scaling, and are timed by the
 # correctness gate and tests/test_domain_pipeline.py instead:

@@ -78,29 +78,49 @@ def read_jsonl_quarantined(
     return split_jsonl_lines(spark.read.text(path), schema)
 
 
+_CORRUPT_COL = "_corrupt_record"
+
+
+def parse_jsonl_lines(text_df: DataFrame, schema: T.StructType) -> DataFrame:
+    """The raw parse stage of `split_jsonl_lines`: one ``from_json``
+    pass over an already-read text frame (column ``value``), returning
+    (``__rec`` struct, ``value``) rows with corrupt-exactly-when the
+    struct's ``_corrupt_record`` field is non-null. Exposed separately
+    so a caller that routes BOTH sides (the streaming SFT ingest,
+    `streaming.jobs.run_sft_ingest_stream`) can persist THIS frame and
+    pay the JSON parse once instead of once per sink."""
+    full = T.StructType(
+        list(schema.fields)
+        + [T.StructField(_CORRUPT_COL, T.StringType(), True)]
+    )
+    return text_df.filter(F.trim(F.col("value")) != "").select(
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT_COL},
+        ).alias("__rec"),
+        F.col("value"),
+    )
+
+
+def split_parsed_jsonl(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a `parse_jsonl_lines` frame into (good, bad) — good carries
+    the schema's columns, bad the raw offending line."""
+    is_bad = F.col(f"__rec.{_CORRUPT_COL}").isNotNull() | F.col("__rec").isNull()
+    good = parsed.filter(~is_bad).select("__rec.*").drop(_CORRUPT_COL)
+    bad = parsed.filter(is_bad).select(F.col("value").alias(_CORRUPT_COL))
+    return good, bad
+
+
 def split_jsonl_lines(
     text_df: DataFrame, schema: T.StructType
 ) -> tuple[DataFrame, DataFrame]:
     """The `read_jsonl_quarantined` parse/split over an ALREADY-READ
-    text frame (column ``value``) — factored out so the streaming SFT
-    ingest (`streaming.jobs.run_sft_ingest_stream`) applies the exact
-    batch contract to each micro-batch instead of reimplementing it."""
-    corrupt_col = "_corrupt_record"
-    full = T.StructType(
-        list(schema.fields) + [T.StructField(corrupt_col, T.StringType(), True)]
-    )
-    parsed = text_df.filter(F.trim(F.col("value")) != "").select(
-        F.from_json(
-            F.col("value"),
-            full,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
-        ).alias("__rec"),
-        F.col("value"),
-    )
-    is_bad = F.col(f"__rec.{corrupt_col}").isNotNull() | F.col("__rec").isNull()
-    good = parsed.filter(~is_bad).select("__rec.*").drop(corrupt_col)
-    bad = parsed.filter(is_bad).select(F.col("value").alias(corrupt_col))
-    return good, bad
+    text frame (column ``value``) — `parse_jsonl_lines` +
+    `split_parsed_jsonl` in one call; the streaming SFT ingest
+    (`streaming.jobs.run_sft_ingest_stream`) uses the two stages
+    directly so it can persist the parsed frame between its sinks."""
+    return split_parsed_jsonl(parse_jsonl_lines(text_df, schema))
 
 
 def write_table(

@@ -1033,9 +1033,13 @@ def run_sft_ingest_stream(
     ``run_text_quality_sweep_stream`` pattern): all three sinks are
     partition-overwrites keyed by ``ingest_batch_id`` — a replayed batch
     rewrites identical rows into its own partitions; no cross-batch
-    state, so no ledger is needed. The batch's parsed frame is persisted
-    once so the three routes share one parse instead of re-reading the
-    text three times.
+    state, so no ledger is needed. The batch's PARSED frame
+    (`sources/files.parse_jsonl_lines` output) is what gets persisted:
+    JSON parsing is the batch's dominant CPU cost, so the three sinks
+    share ONE ``from_json`` pass; only the cheap validate/filter column
+    expressions re-evaluate per sink over the cached parsed rows
+    (the round's review pass caught the first version persisting the
+    raw TEXT frame, which re-parsed once per sink).
 
     Scale: parse + validation are map-only (no shuffle at any size);
     throughput is governed by ``files_per_trigger`` × file size, and
@@ -1043,7 +1047,7 @@ def run_sft_ingest_stream(
     `sources/files.compact_write` if small batches accumulate.
     """
     from ..operators.conversations import validate_conversations
-    from ..sources.files import split_jsonl_lines
+    from ..sources.files import parse_jsonl_lines, split_parsed_jsonl
 
     if conv_col not in schema.names:
         raise ValueError(
@@ -1059,9 +1063,9 @@ def run_sft_ingest_stream(
         if batch_df.isEmpty():
             return
         part = f"/ingest_batch_id={int(batch_id)}"
-        batch_df.persist()
+        parsed = parse_jsonl_lines(batch_df, schema).persist()
         try:
-            good, bad = split_jsonl_lines(batch_df, schema)
+            good, bad = split_parsed_jsonl(parsed)
             flagged = validate_conversations(
                 good,
                 conv_col=conv_col,
@@ -1079,7 +1083,7 @@ def run_sft_ingest_stream(
                 base + "_parse_quarantine" + part
             )
         finally:
-            batch_df.unpersist()
+            parsed.unpersist()
 
     q = (
         src.writeStream.foreachBatch(apply_batch)

@@ -24,6 +24,14 @@ def spark():
         SparkSession.builder.master("local[4]")
         .appName("metrics")
         .config("spark.sql.shuffle.partitions", "4")
+        # PIN the engine default: the exchange budgets below assume AQE
+        # (e.g. conversation_pack reuses exchanges AQE plans away).
+        # Another module's session config (test_plan_lint disables AQE)
+        # leaks through the shared JVM's SparkConf when its module runs
+        # first in the same pytest process — reproduced: plan_lint-then-
+        # metrics ordering planned conversation_pack with 6 exchanges
+        # against a budget of 4 (r10 review pass).
+        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

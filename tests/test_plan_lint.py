@@ -67,13 +67,29 @@ def spark():
     s.stop()
 
 
-def test_no_unbounded_joins_anywhere(spark):
-    offenders = []
+@pytest.fixture(scope="module")
+def plans(spark):
+    """ONE planning sweep shared by every lint in this module — each
+    lint is just a string scan, so adding one must stay O(1), not
+    another full-registry executedPlan pass (r10 review finding).
+    Values are plan strings, or ``("__error__", msg)`` tuples for
+    queries that fail to plan."""
+    out = {}
     for name, fn in all_queries().items():
         try:
-            plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        except Exception as ex:  # a query that cannot even plan is its own bug
-            offenders.append((name, f"planning failed: {type(ex).__name__}: {ex}"))
+            out[name] = (
+                fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception as ex:
+            out[name] = ("__error__", f"{type(ex).__name__}: {ex}")
+    return out
+
+
+def test_no_unbounded_joins_anywhere(plans):
+    offenders = []
+    for name, plan in plans.items():
+        if isinstance(plan, tuple):  # a query that cannot plan is its own bug
+            offenders.append((name, f"planning failed: {plan[1]}"))
             continue
         if "CartesianProduct" in plan and name not in BOUNDED_CROSS_OK:
             offenders.append((name, "CartesianProduct"))
@@ -86,7 +102,7 @@ def test_no_unbounded_joins_anywhere(spark):
     )
 
 
-def test_python_stages_sit_on_user_pinned_partitioning(spark):
+def test_python_stages_sit_on_user_pinned_partitioning(plans):
     """r10 lesson (grouped_ewma, PLANS.md "Round 10"): a Python-eval
     stage's cost scales with ROWS, not bytes, so AQE's bytes-based
     partition coalescing will serialize it onto a handful of cores
@@ -104,10 +120,8 @@ def test_python_stages_sit_on_user_pinned_partitioning(spark):
         r"|BatchEvalPython|MapInArrow"
     )
     offenders = []
-    for name, fn in all_queries().items():
-        try:
-            plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
-        except Exception:
+    for name, plan in plans.items():
+        if isinstance(plan, tuple):
             continue  # planning failures are the other lint's business
         if py_node.search(plan) and "REPARTITION_BY_NUM" not in plan:
             offenders.append(name)
