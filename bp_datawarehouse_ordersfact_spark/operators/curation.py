@@ -283,6 +283,7 @@ def host_authority(
     html_col: str,
     damping: float = 0.85,
     max_iter: int = 20,
+    tol: float = 1e-6,
 ) -> DataFrame:
     """Link-graph authority score per registrable domain — the classic
     curation quality prior (a page linked from many independent sites
@@ -323,7 +324,12 @@ def host_authority(
         .unionByName(df.select(src_host.alias("id")).filter(F.col("id") != ""))
         .distinct()
     )
+    # tol passes through so a caller needing a REPRODUCIBLE iteration
+    # count (a driver-pinned fixture; cross-engine replay) can set
+    # tol=0.0 and get exactly max_iter power steps — the early-stop
+    # delta is a float aggregate whose last-ulp could otherwise flip
+    # the stop round under a different partitioning.
     ranks = pagerank(
-        nodes, edges, damping=damping, max_iter=max_iter
+        nodes, edges, damping=damping, max_iter=max_iter, tol=tol
     )
     return ranks.select(F.col("id").alias("host"), F.col("rank").alias("authority"))

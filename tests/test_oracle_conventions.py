@@ -44,7 +44,11 @@ def oracle_frames(con):
     from bp_datawarehouse_ordersfact_spark.functions.rounding import (
         sql_rewrite_rounds,
     )
-    from bp_datawarehouse_ordersfact_spark.queries import staged_r11, staged_r12
+    from bp_datawarehouse_ordersfact_spark.queries import (
+        staged_r11,
+        staged_r12,
+        staged_r13,
+    )
 
     frames = {}
     for name, sql in Q.all_oracles().items():
@@ -53,7 +57,7 @@ def oracle_frames(con):
     # ahead of activation, so a gate-incompatible shape is caught while
     # the activation is still a mechanical edit (r10; staged_r10's
     # oracles were only convention-checked once activated)
-    for mod in (staged_r11, staged_r12):
+    for mod in (staged_r11, staged_r12, staged_r13):
         for name, sql in mod.ORACLES.items():
             frames[f"staged:{name}"] = con.execute(
                 sql_rewrite_rounds(sql)
