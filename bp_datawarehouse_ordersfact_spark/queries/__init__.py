@@ -77,6 +77,12 @@ _MODULES = (
 # EXISTS semantics keep `semi_anti_join`'s row]). If a round-10 query's
 # latest row comes back red, it must ALSO be in the round-11 window
 # (tests/test_window_rotation.py enforces this automatically).
+#
+# Rounds 12 and 13 are ALSO pre-staged (queries/staged_r12.py:
+# line_quality / boilerplate_lines / quality_pacing_by_group;
+# queries/staged_r13.py: corpus_stats_exact / host_authority — the
+# latter is fixture-bound, add it to bench EXCLUDED at activation).
+# All staged oracles ride tests/test_oracle_conventions.py every run.
 _WINDOW_FIRST = (
     "sketch_theta_set_algebra", "sketch_kll_quantile_merge",
     "pricing_summary", "tfidf_title_match", "host_cap",

@@ -1099,3 +1099,65 @@ def test_loss_mask_spans_match_python(spark, turns, template, lead_system):
     for i, s, e in got:
         block = head.format(role="assistant") + conv[i]["content"] + tail
         assert text[s:e] == block
+
+
+# --- PSL snapshot parser (r10) ------------------------------------------------
+
+_rule_label = st.text(alphabet="abcdefghijk0123456789-", min_size=1, max_size=6).filter(
+    lambda s: not s.startswith("-") and not s.endswith("-")
+)
+_rule = st.builds(
+    lambda labels, form: form + ".".join(labels),
+    st.lists(_rule_label, min_size=1, max_size=4),
+    st.sampled_from(["", "", "", "!", "*."]),
+).filter(lambda r: r not in ("!", "*."))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rules=st.lists(_rule, min_size=1, max_size=12, unique=True),
+    # decorations interleaved into the serialized file: comments with
+    # dotted text (the r9 ADVICE hazard), blanks, indentation, trailing
+    # commentary after the rule
+    decorate=st.lists(st.sampled_from(["comment", "blank", "indent", "trail"]),
+                      min_size=0, max_size=8),
+)
+def test_load_psl_snapshot_roundtrips_any_rule_set(tmp_path_factory, rules, decorate):
+    """PROPERTY: serializing any rule set into the published file format
+    (comments incl. dotted text, blank lines, leading whitespace,
+    trailing commentary, section markers) and loading it back through
+    `load_psl_snapshot` yields exactly the original rule set. Pure
+    driver-side parsing — no Spark session needed beyond createDataFrame,
+    so a stub session substitute captures the rows."""
+    from bp_datawarehouse_ordersfact_spark.functions.urls import load_psl_snapshot
+
+    lines = ["// Fixture in the published format", ""]
+    lines.append("// ===BEGIN ICANN DOMAINS===")
+    for i, r in enumerate(rules):
+        for d in decorate:
+            if d == "comment":
+                lines.append(f"// see submit@a.b.c.d.e{i}.example.org for details")
+            elif d == "blank":
+                lines.append("   ")
+        deco = decorate[i % len(decorate)] if decorate else ""
+        if deco == "indent":
+            lines.append(f"  {r}")
+        elif deco == "trail":
+            lines.append(f"{r} trailing commentary ignored per spec")
+        else:
+            lines.append(r)
+    lines.append("// ===END ICANN DOMAINS===")
+
+    p = tmp_path_factory.mktemp("psl") / "snapshot.dat"
+    p.write_text("\n".join(lines), encoding="utf-8")
+
+    class _CaptureSpark:
+        def createDataFrame(self, data, schema):
+            return [row[0] for row in data]
+
+    got = load_psl_snapshot(_CaptureSpark(), str(p))
+    assert got == rules
+    icann = load_psl_snapshot(_CaptureSpark(), str(p), section="icann")
+    assert icann == rules
+    with pytest.raises(ValueError):
+        load_psl_snapshot(_CaptureSpark(), str(p), section="private")
