@@ -8,7 +8,6 @@ line rules from string twins, pacing membership from hashlib.
 
 from __future__ import annotations
 
-import hashlib
 import re
 
 import duckdb
