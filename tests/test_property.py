@@ -1161,3 +1161,107 @@ def test_load_psl_snapshot_roundtrips_any_rule_set(tmp_path_factory, rules, deco
     assert icann == rules
     with pytest.raises(ValueError):
         load_psl_snapshot(_CaptureSpark(), str(p), section="private")
+
+
+# --- line-grain operators == pure-Python twins (r10) -------------------------
+# ASCII-limited alphabet: the goal is rule-logic equivalence (word
+# count, terminal punct, blocklist, blank handling, ratio gate; key
+# normalization and cross-doc counting), not Java-vs-Python unicode
+# regex trivia, which the operators' own docstrings scope out.
+
+_line_text = st.text(
+    alphabet=" abcdefgh.!?\"", min_size=0, max_size=40
+)
+_doc_text = st.builds(
+    "\n".join, st.lists(_line_text, min_size=1, max_size=8)
+)
+
+
+@PROP
+@given(docs=st.lists(_doc_text, min_size=1, max_size=6))
+def test_line_quality_filter_matches_pure_twin(spark, docs):
+    import re as _re
+
+    from bp_datawarehouse_ordersfact_spark.operators.lines import (
+        line_quality_filter,
+    )
+
+    def twin(text, min_words=2, min_ratio=0.3):
+        kept = []
+        lines = text.split("\n")
+        for ln in lines:
+            t = ln.strip()
+            if t == "":
+                kept.append(ln)
+                continue
+            ok = len(_re.split(r"\s+", t)) >= min_words
+            ok = ok and _re.search(r'[.!?"”’]\s*$', t) is not None
+            if ok:
+                kept.append(ln)
+        ratio = len(kept) / max(len(lines), 1)
+        # mirror the operator's rounding (shared floor form)
+        import math
+
+        ratio = math.floor(ratio * 1e6 + (0.5 + 1e-4)) / 1e6
+        if ratio < min_ratio:
+            return None
+        return ratio, "\n".join(kept)
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["line_retain_ratio"], r["text"])
+        for r in line_quality_filter(
+            df, id_col="doc_id", text_col="text",
+            min_words=2, require_terminal_punct=True, min_retain_ratio=0.3,
+        ).collect()
+    }
+    want = {i: twin(t) for i, t in rows}
+    want = {i: v for i, v in want.items() if v is not None}
+    assert got == want
+
+
+@PROP
+@given(
+    docs=st.lists(_doc_text, min_size=2, max_size=6),
+    min_docs=st.integers(min_value=2, max_value=3),
+)
+def test_drop_boilerplate_lines_matches_pure_twin(spark, docs, min_docs):
+    from collections import defaultdict
+
+    from bp_datawarehouse_ordersfact_spark.operators.lines import (
+        drop_boilerplate_lines,
+    )
+
+    min_chars = 4
+
+    def twin(rows):
+        per_key = defaultdict(set)
+        for did, text in rows:
+            for ln in text.split("\n"):
+                t = ln.strip()
+                if len(t) >= min_chars:
+                    per_key[t.lower()].add(did)
+        bad = {k for k, ids in per_key.items() if len(ids) >= min_docs}
+        out = {}
+        for did, text in rows:
+            kept, dropped = [], 0
+            for ln in text.split("\n"):
+                t = ln.strip()
+                if len(t) >= min_chars and t.lower() in bad:
+                    dropped += 1
+                    continue
+                kept.append(ln)
+            out[did] = (dropped, "\n".join(kept))
+        return out
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["lines_boilerplated"], r["text"])
+        for r in drop_boilerplate_lines(
+            df, id_col="doc_id", text_col="text",
+            min_docs=min_docs, min_chars=min_chars,
+        ).collect()
+    }
+    assert got == twin(rows)
