@@ -1228,16 +1228,20 @@ def contamination_report(
     result is localCheckpoint-ed and every intermediate freed, the
     ``minhash_lsh_pairs`` lifecycle.
     """
-    from ..functions.text import tokens, word_shingles
+    from ..functions.text import word_ngrams_fast
 
-    grams = lambda c: word_shingles(tokens(c), n)  # noqa: E731
+    # word_ngrams_fast: codegen + map-only gram explode (9x the
+    # interpreted word_shingles form on the corpus side, r10); its
+    # non-distinct grams are safe here — the hold side dedups, the
+    # totals are count_distinct, and the example list dedups
+    # (holdout_id, doc) pairs before ranking
     hold = holdout.select(
         F.col(holdout_id_col).alias("holdout_id"),
-        F.explode(grams(F.col(text_col))).alias("gram"),
+        F.explode(word_ngrams_fast(F.col(text_col), n)).alias("gram"),
     ).distinct()
     doc_grams = docs.select(
         F.col(doc_id_col).alias("__doc"),
-        F.explode(grams(F.col(text_col))).alias("gram"),
+        F.explode(word_ngrams_fast(F.col(text_col), n)).alias("gram"),
     )
     with (_CacheScope() if eager else _LazyScope()) as scope:
         matched = scope.materialize(

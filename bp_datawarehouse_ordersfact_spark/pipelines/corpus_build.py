@@ -418,7 +418,11 @@ def build_corpus(
     # 3 — decontamination against the holdout's 5-grams (holdout is
     # benchmark-sized → broadcast; one semi-join, corpus never reshuffles)
     if holdout is not None:
-        grams5 = lambda c: Tx.word_shingles(Tx.tokens(c), 5)  # noqa: E731
+        # codegen map-only gram explode (9x the interpreted
+        # word_shingles form on the corpus side, r10); non-distinct
+        # grams are safe: both consumers dedup (hold side .distinct(),
+        # doc side joins then .distinct() on doc_id)
+        grams5 = lambda c: Tx.word_ngrams_fast(c, 5)  # noqa: E731
         hold_grams = (
             holdout.select(F.explode(grams5(F.col("text"))).alias("gram"))
             .distinct()
@@ -902,7 +906,11 @@ def build_corpus_increment(
         )
 
     if holdout is not None:
-        grams5 = lambda c: Tx.word_shingles(Tx.tokens(c), 5)  # noqa: E731
+        # codegen map-only gram explode (9x the interpreted
+        # word_shingles form on the corpus side, r10); non-distinct
+        # grams are safe: both consumers dedup (hold side .distinct(),
+        # doc side joins then .distinct() on doc_id)
+        grams5 = lambda c: Tx.word_ngrams_fast(c, 5)  # noqa: E731
         hold_grams = (
             holdout.select(F.explode(grams5(F.col("text"))).alias("gram"))
             .distinct()

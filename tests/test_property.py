@@ -1265,3 +1265,48 @@ def test_drop_boilerplate_lines_matches_pure_twin(spark, docs, min_docs):
         ).collect()
     }
     assert got == twin(rows)
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(alphabet=" aAbB0.!-\t", min_size=0, max_size=60),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(min_value=2, max_value=5),
+)
+def test_word_ngrams_fast_matches_word_shingles_set(spark, texts, n):
+    """PROPERTY (r10): the codegen regex gram extractor produces exactly
+    the `word_shingles` gram SET for every text — including NULLs,
+    empty/whitespace-only strings, punctuation runs, and docs shorter
+    than n tokens (the whole-text fallback) — so the duplicate-
+    insensitive call sites (decontam, contamination report) can use the
+    9x fast path as a drop-in."""
+    from pyspark.sql import functions as F
+
+    from bp_datawarehouse_ordersfact_spark.functions.text import (
+        tokens,
+        word_ngrams_fast,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, t string"
+    )
+    slow = {
+        (r["i"], r["g"])
+        for r in df.select(
+            "i", F.explode(word_shingles(tokens(F.col("t")), n)).alias("g")
+        ).collect()
+    }
+    fast = {
+        (r["i"], r["g"])
+        for r in df.select(
+            "i", F.explode(word_ngrams_fast(F.col("t"), n)).alias("g")
+        ).collect()
+    }
+    assert fast == slow
