@@ -98,7 +98,7 @@ HEADLINE = [
     "rollup_incremental_refresh",
     "corpus_mix_resample",
     "membership_filter",
-    "threshold_filter",
+    "html_extract",
     "distinct_rows",
     "percent_rate_normalization",
     "semi_anti_join",
@@ -114,7 +114,7 @@ HEADLINE = [
     "levenshtein_ratio_join",
     "skew_salted_join",
     "top_k_per_group",
-    "window_rank_functions",
+    "contamination_report",
     "set_intersect_except",
     "date_dim_generate",
     "sketch_approx_stats",
@@ -123,7 +123,7 @@ HEADLINE = [
     "variant_props_extract",
     "listagg_per_group",
     "interval_coalesce",
-    "correlated_exists_rewrite",
+    "host_disjoint_split",
     "sketch_theta_set_algebra",
     "sketch_kll_quantile_merge",
 ]

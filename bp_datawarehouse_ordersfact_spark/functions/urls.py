@@ -384,16 +384,29 @@ def load_psl_snapshot(spark, path: str, *, section: str | None = None):
     if section is not None:
         marker = section.upper()
         keep, active = [], False
+        begin_seen = end_seen = False
         for ln in lines:
             s = ln.strip()
             if s.startswith("//"):
                 if f"===BEGIN {marker} DOMAINS===" in s:
-                    active = True
+                    active, begin_seen = True, True
                 elif f"===END {marker} DOMAINS===" in s:
-                    active = False
+                    active, end_seen = False, True
                 continue
             if active:
                 keep.append(ln)
+        # unbalanced markers must be LOUD (r10 ADVICE): a missing END
+        # leaves active=True to EOF, silently bleeding the NEXT section's
+        # rules into this one (section='icann' would absorb the private
+        # rules — the exact grouping mistake the parameter exists to
+        # avoid); a missing BEGIN silently returns nothing between them.
+        if not (begin_seen and end_seen):
+            raise ValueError(
+                f"unbalanced section markers in {path!r}: "
+                f"BEGIN {marker} DOMAINS {'seen' if begin_seen else 'MISSING'}, "
+                f"END {marker} DOMAINS {'seen' if end_seen else 'MISSING'} — "
+                "truncated or non-published-format snapshot"
+            )
         lines = keep
     rules = [
         (s.split()[0],)

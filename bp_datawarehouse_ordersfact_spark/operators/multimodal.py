@@ -238,8 +238,11 @@ def ahash64(df: DataFrame, payload_col: str, id_col: str, decode=None) -> DataFr
 
         for pdf in batches:
             if decode is not None:
+                # unbox numpy scalars but never int()-coerce: id_col
+                # accepts string ids too, and the error path crashing on
+                # them would hide the real diagnosis (r10 ADVICE)
                 null_ids = [
-                    int(i)
+                    i.item() if hasattr(i, "item") else i
                     for i, b in zip(pdf[id_col], pdf[payload_col])
                     if b is None
                 ]

@@ -32,12 +32,13 @@ from . import (
     relational,
     sketches_r6,
     staged_r10,
+    staged_r11,
     streaming,
 )
 
 _MODULES = (
     relational, pipeline, llmops, streaming, domain_e2e, sketches_r6,
-    curation_r9, staged_r10,
+    curation_r9, staged_r10, staged_r11,
 )
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
@@ -45,63 +46,59 @@ _MODULES = (
 # newest driver row may be older than 2 rounds
 # (tests/test_window_rotation.py enforces it).
 #
-# ROUND-10 WINDOW (this tuple) — the mechanical alternation the round-9
-# tuple spelled out: the registry is at the 100-entry cap, so the window
-# is the other 50-query half — the keys of CORRECTNESS_r08.json, with
-# THREE swaps this round (r9 VERDICT #1): the coverage-duplicated twins
-# `sample_stratified` (sampling rule also covered by corpus_mix_resample
-# + token_mixture/quality_pacing), `text_chunking` (chunker also
-# exercised inside corpus_prep_pipeline), and `dedup_ngram_jaccard`
-# (quadratic small-scale verifier; the scale path is dedup_minhash_lsh)
-# are RETIRED from the registry (still oracle-pinned every pytest run —
-# llmops.RETIRED / tests/test_retired_queries.py) and their capped slots
-# go to the staged curation-layer queries now ACTIVATED from
-# queries/staged_r10.py: `host_cap`, `quality_pacing`, `line_dedupe`.
-# All 50 round-9 rows came back green (50/50 hash-match), so no red
-# query forces its way back in; the round-9-green half rotates out and
-# stays covered by pytest pins until round 11 rotates it back.
+# ROUND-11 WINDOW (this tuple) — the mechanical alternation: the
+# registry is at the 100-entry cap, so the window is the other 50-query
+# half — the keys of CORRECTNESS_r09.json, with THREE swaps this round
+# (r10 VERDICT #1): the coverage-duplicated twins `threshold_filter`
+# (P3-P6 filter family keeps `membership_filter`'s row),
+# `window_rank_functions` (beyond-reference rank tour; the window family
+# keeps `top_k_per_group` + `dedup_keep_first`), and
+# `correlated_exists_rewrite` (beyond-reference rewrite demo; EXISTS
+# semantics keep `semi_anti_join`'s row) are RETIRED from the registry
+# (still oracle-pinned every pytest run — relational.RETIRED /
+# tests/test_retired_queries.py) and their capped slots go to the staged
+# curation-layer queries now ACTIVATED from queries/staged_r11.py:
+# `html_extract`, `contamination_report`, `host_disjoint_split`. All 50
+# round-10 rows came back green (50/50 hash-match), so no red query
+# forces its way back in. (Round 10 rotated the CORRECTNESS_r08 half
+# with the `host_cap`/`quality_pacing`/`line_dedupe` swaps — history;
+# see CORRECTNESS_r10.json.)
 #
-# ROUND-11 ROTATION (mechanical; do it first): swap this tuple for the
-# other half — the keys of CORRECTNESS_r09.json — and ACTIVATE the
-# staged module `queries/staged_r11.py` (add to _MODULES): its three
-# queries (`html_extract`, `contamination_report`,
-# `host_disjoint_split`) are already oracle-paired and driver-style
-# tested (tests/test_staged_r11_queries.py, and the staged oracles ride
-# the conventions gate a round early); retire three coverage-duplicated
-# round-9-window twins to hold the 100 cap (keep retirees oracle-pinned
-# via a RETIRED dict — least-loss candidates: `threshold_filter`
-# [P3-P6 filter family keeps `membership_filter`'s row],
-# `window_rank_functions` [beyond-reference rank tour; the window
-# family keeps `top_k_per_group` + `dedup_keep_first`],
-# `correlated_exists_rewrite` [beyond-reference rewrite demo; the
-# EXISTS semantics keep `semi_anti_join`'s row]). If a round-10 query's
-# latest row comes back red, it must ALSO be in the round-11 window
-# (tests/test_window_rotation.py enforces this automatically).
+# ROUND-12 ROTATION (mechanical; do it first): swap this tuple for the
+# other half — the keys of CORRECTNESS_r10.json — and ACTIVATE the
+# staged module `queries/staged_r12.py` (add to _MODULES): its three
+# queries (`line_quality`, `boilerplate_lines`,
+# `quality_pacing_by_group`) are already oracle-paired and driver-style
+# tested (tests/test_staged_r12_queries.py; staged oracles ride the
+# conventions gate every run); retire three coverage-duplicated
+# round-10-window twins to hold the 100 cap (keep retirees oracle-pinned
+# via a RETIRED dict). If a round-11 query's latest row comes back red,
+# it must ALSO be in the round-12 window (tests/test_window_rotation.py
+# enforces this automatically).
 #
-# Rounds 12 and 13 are ALSO pre-staged (queries/staged_r12.py:
-# line_quality / boilerplate_lines / quality_pacing_by_group;
-# queries/staged_r13.py: corpus_stats_exact / host_authority — the
-# latter is fixture-bound, add it to bench EXCLUDED at activation).
-# All staged oracles ride tests/test_oracle_conventions.py every run.
+# Round 13 is ALSO pre-staged (queries/staged_r13.py: corpus_stats_exact
+# / host_authority — the latter is fixture-bound, add it to bench
+# EXCLUDED at activation), and round 14's PSL-lookup row is staged in
+# queries/staged_r14.py.
 _WINDOW_FIRST = (
-    "sketch_theta_set_algebra", "sketch_kll_quantile_merge",
-    "pricing_summary", "tfidf_title_match", "host_cap",
-    "dedup_passage_spans", "ann_cosine_topk", "ann_cosine_ivf",
-    "text_langid", "text_quality", "text_token_count", "text_fingerprint",
-    "text_pii_scrub", "corpus_filter_pipeline", "grouped_ewma",
-    "multimodal_binary_meta", "multimodal_feature_extract",
-    "dedup_cluster_cc", "quality_pacing", "line_dedupe",
-    "sequence_packing", "corpus_prep_pipeline", "stream_tumbling_agg",
-    "stream_sliding_agg", "stream_dedup", "stream_session_agg",
-    "stream_stateful_user_stats", "text_repetition",
-    "decontaminate_ngram_overlap", "text_unigram_logprob",
-    "stream_stream_join", "events_gap_fill", "data_quality_audit",
-    "scd2_dim_update", "leakage_safe_split", "cdc_apply", "cube_summary",
-    "embedding_classifier_score", "sketch_hll_merge", "funnel_analysis",
-    "retention_cohorts", "rollup_incremental_refresh",
-    "corpus_mix_resample", "variant_props_extract", "listagg_per_group",
-    "fact_royalty", "rest_ingest_distributed", "kafka_wire_roundtrip",
-    "sketch_approx_stats", "distinct_rows",
+    "dedup_embedding_lsh_banded", "ann_recall_at_k",
+    "ann_ivf_kmeans_refine", "domain_fact_royalty",
+    "domain_split_royalty_report", "interval_coalesce", "html_extract",
+    "select_rename", "membership_filter", "contamination_report",
+    "split_royalty_union", "percent_rate_normalization",
+    "dedup_keep_first", "broadcast_dim_join", "composite_key_join",
+    "window_order_totals", "incremental_merge", "semi_anti_join",
+    "levenshtein_ratio_join", "parent_allocation",
+    "count_distinct_per_group", "grouping_rollup", "multikey_rollup",
+    "null_audit", "case_categorize", "conditional_measures",
+    "string_cleanup", "date_functions", "date_dim_generate", "top_k",
+    "top_k_per_group", "union_by_name", "set_intersect_except",
+    "null_fill_sentinels", "json_props_extract", "explode_line_items",
+    "url_canonicalize", "quantile_stats", "range_join_attribution",
+    "regional_supplier_volume", "conversation_pack", "sessionize_events",
+    "shipping_priority", "skew_salted_join", "host_disjoint_split",
+    "token_mixture", "asof_join", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash",
 )
 
 

@@ -132,13 +132,8 @@ def q_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
 
 
-@register(
-    "threshold_filter",
-    """
-    SELECT p_partkey, p_name, round(p_retailprice, 2) AS retail_price
-    FROM part WHERE p_retailprice >= 910.0 AND p_size < 20
-    """,
-)
+# RETIRED round 11 (r10 VERDICT #1) — the P3-P6 filter family keeps
+# `membership_filter`'s registry row; pytest-pinned via RETIRED below.
 def q_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 (score-threshold filters dw4_book_dim.py:191-192)."""
     return (
@@ -1228,19 +1223,9 @@ def q_top_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "window_rank_functions",
-    """
-    SELECT o_orderkey, o_orderpriority,
-           CAST(rank() OVER w AS INT) AS rnk,
-           CAST(dense_rank() OVER w AS INT) AS drnk,
-           CAST(ntile(4) OVER w AS INT) AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist() OVER w, 6) AS cdist
-    FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
-    """,
-)
+# RETIRED round 11 (r10 VERDICT #1) — beyond-reference rank tour; the
+# window family keeps `top_k_per_group` + `dedup_keep_first`'s rows.
+# Pytest-pinned via RETIRED below.
 def q_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ranking-function family (absent from the reference — §2.6
     notes no ranking exists there): rank, dense_rank, ntile, percent_rank
@@ -1945,24 +1930,9 @@ def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("n_intervals", "n_events")
 
 
-@register(
-    "correlated_exists_rewrite",
-    """
-    SELECT s.s_name,
-           count(*) AS n_sole_returns
-    FROM lineitem l1
-    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
-    WHERE l1.l_returnflag = 'R'
-      AND EXISTS (SELECT 1 FROM lineitem l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_returnflag = 'R')
-    GROUP BY s.s_name
-    """,
-)
+# RETIRED round 11 (r10 VERDICT #1) — beyond-reference rewrite demo; the
+# EXISTS semantics keep `semi_anti_join`'s registry row. Pytest-pinned
+# via RETIRED below.
 def q_correlated_exists_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS (TPC-H Q21 shape on the columns the
     testdata has): suppliers whose returned item was the ONLY return in a
@@ -2006,14 +1976,53 @@ def q_correlated_exists_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Retired registry queries (round 9, r8 VERDICT #1): unregistered to free
-# capped slots for the curation/SFT layer (queries/curation_r9.py), but
-# still pinned against their original oracles every pytest run
+# Retired registry queries (round 9, r8 VERDICT #1; round 11, r10
+# VERDICT #1): unregistered to free capped slots for the curation/SFT
+# layer (queries/curation_r9.py, queries/staged_r11.py), but still
+# pinned against their original oracles every pytest run
 # (tests/test_retired_queries.py) — retirement changes WHO checks them,
 # not whether they are checked.
 # ---------------------------------------------------------------------------
 
 RETIRED: dict[str, tuple] = {
+    "threshold_filter": (
+        q_threshold_filter,
+        """
+        SELECT p_partkey, p_name, round(p_retailprice, 2) AS retail_price
+        FROM part WHERE p_retailprice >= 910.0 AND p_size < 20
+        """,
+    ),
+    "window_rank_functions": (
+        q_window_rank_functions,
+        """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(rank() OVER w AS INT) AS rnk,
+               CAST(dense_rank() OVER w AS INT) AS drnk,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cdist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        """,
+    ),
+    "correlated_exists_rewrite": (
+        q_correlated_exists_rewrite,
+        """
+        SELECT s.s_name,
+               count(*) AS n_sole_returns
+        FROM lineitem l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        """,
+    ),
     "rolling_window_avg": (
         q_rolling_window_avg,
         """

@@ -1,7 +1,9 @@
-"""STAGED registry queries for the round-11 rotation (not yet in
-``queries._MODULES`` — the sketches_r6/staged_r10 staging discipline:
-write the query + oracle + driver-style test a full round before the
-driver sees it, so activation is a mechanical edit).
+"""Round-11 registry queries — STAGED in round 10 (the
+sketches_r6/staged_r10 discipline: query + oracle + driver-style test
+written a full round before the driver sees it), ACTIVATED in round 11
+(in ``queries._MODULES``; the three names hold the capped slots freed
+by retiring `threshold_filter`, `window_rank_functions`, and
+`correlated_exists_rewrite` into ``relational.RETIRED``).
 
 Three more still-driver-uncovered operators get typed-VALUES driver
 rows here (r9 VERDICT #2 named exactly these):
@@ -27,10 +29,6 @@ INVENTED 5-token phrases (digit-bearing nonsense tokens) so no real
 document can ever share a gram with them — the planted counts are
 unperturbable by the corpus.
 
-ROUND-11 ACTIVATION: add this module to ``queries._MODULES``, retire
-three coverage-duplicated round-9-window twins (keep them oracle-pinned
-via a RETIRED dict), and put these three names in the round-11
-``_WINDOW_FIRST`` (= the CORRECTNESS_r09 keys with those swaps).
 """
 
 from __future__ import annotations

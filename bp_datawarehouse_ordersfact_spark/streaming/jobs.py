@@ -1033,7 +1033,19 @@ def run_sft_ingest_stream(
     ``run_text_quality_sweep_stream`` pattern): all three sinks are
     partition-overwrites keyed by ``ingest_batch_id`` — a replayed batch
     rewrites identical rows into its own partitions; no cross-batch
-    state, so no ledger is needed. The batch's PARSED frame
+    state, so no ledger is needed. CHECKPOINT-LOSS CAVEAT (r10 ADVICE):
+    the idempotency holds only while the checkpoint reproduces the
+    batch-id→file assignment. If the checkpoint directory is LOST and
+    the stream restarted after new files landed, batch numbering shifts
+    — stale ``ingest_batch_id=N`` partitions written under the OLD
+    numbering remain beside the re-written ones, and reading a sink
+    root then double-counts rows. Recovery from checkpoint loss must
+    clear all three sink roots (``{out_dir}``, ``{out_dir}_invalid``,
+    ``{out_dir}_parse_quarantine``) before restarting; partitioning by
+    a content-derived key (source file name) was considered and
+    rejected — ``input_file_name()`` is empty under foreachBatch on
+    some source/DSv2 combinations, and the batch id is the documented
+    replay key everywhere else in this module. The batch's PARSED frame
     (`sources/files.parse_jsonl_lines` output) is what gets persisted:
     JSON parsing is the batch's dominant CPU cost, so the three sinks
     share ONE ``from_json`` pass; only the cheap validate/filter column

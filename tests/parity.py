@@ -191,6 +191,19 @@ def main():
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
 
+    qs, oracles = e.queries(), e.oracle_sql()
+    if window:
+        qs = dict(list(qs.items())[:50])
+    # a typo'd query name must be LOUD, not a clean "0 failures" (r10
+    # VERDICT #4: `only` silently skipped unknown names, so a bogus name
+    # in a pre-commit parity invocation looked like a pass). Checked
+    # BEFORE the Spark session comes up, so the failure is immediate.
+    unknown = only - set(qs)
+    if unknown:
+        scope = "the driver window" if window else "the registry"
+        print(f"ERROR: query names not in {scope}: {sorted(unknown)}")
+        sys.exit(2)
+
     if vanilla:
         from pyspark.sql import SparkSession
 
@@ -205,9 +218,6 @@ def main():
     ).split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    qs, oracles = e.queries(), e.oracle_sql()
-    if window:
-        qs = dict(list(qs.items())[:50])
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

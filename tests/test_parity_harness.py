@@ -67,3 +67,20 @@ def test_real_value_divergence_fails():
     b = pd.DataFrame({"k": [1], "v": [0.30]})
     ok, msg = frames_match(a, b)
     assert not ok and "value mismatch" in msg
+
+
+def test_unknown_query_name_exits_loudly():
+    """r10 VERDICT #4: `python tests/parity.py <sf> <bogus-name>` used to
+    print a clean "0 failures" — the `only` filter silently skipped
+    names not in the registry. It must exit nonzero BEFORE any Spark
+    session comes up."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, "/root/repo/tests/parity.py",
+         "/root/testdata/sf0.001", "no_such_query_xyz"],
+        capture_output=True, text=True, timeout=120, cwd="/root/repo",
+    )
+    assert proc.returncode == 2, proc.stdout + proc.stderr
+    assert "no_such_query_xyz" in proc.stdout

@@ -361,3 +361,23 @@ def test_ahash64_real_decode_raises_on_null_payload(spark):
     # the fake tier's null-hashes-like-empty contract is unchanged
     fake = {r.img_id: (r.fp1, r.fp2) for r in ahash64(df, "payload", "img_id").collect()}
     assert fake[7] == _ahash_halves(b"")
+
+
+def test_ahash64_null_payload_guard_reports_nonint_ids(spark):
+    """r10 ADVICE: the guard used int(i) on the offending ids, so a
+    non-integer id column made the ERROR PATH ITSELF raise an unrelated
+    ValueError and hide the real diagnosis. The message must name the
+    ids verbatim whatever their type."""
+    import pytest as _pytest
+
+    from bp_datawarehouse_ordersfact_spark.operators.multimodal import (
+        ahash64,
+        decode_bmp_gray,
+    )
+
+    df = spark.createDataFrame(
+        [Row(img_id="frame-00042", payload=None)],
+        "img_id string, payload binary",
+    )
+    with _pytest.raises(Exception, match="NULL payload.*frame-00042"):
+        ahash64(df, "payload", "img_id", decode=decode_bmp_gray).collect()

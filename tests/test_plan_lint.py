@@ -1,7 +1,8 @@
 """Bulk plan lint over the ENTIRE registry.
 
 tests/test_plans.py pins specific plan shapes for flagship queries; this
-lint sweeps ALL 98 registry queries for the one property that must hold
+lint sweeps EVERY registry query (it iterates ``all_queries()``, so the
+count tracks the live registry) for the one property that must hold
 everywhere: no unbounded join — no CartesianProduct, and no
 BroadcastNestedLoopJoin except where one side is a bounded
 scalar/seed/centroid frame the plan deliberately replicates. A refactor

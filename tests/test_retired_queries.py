@@ -3,8 +3,10 @@
 Round 9 (r8 VERDICT #1) retired `rolling_window_avg`,
 `event_interarrival`, and `pivot_status` (relational.RETIRED); round 10
 (r9 VERDICT #1) retired `sample_stratified`, `text_chunking`, and
-`dedup_ngram_jaccard` (llmops.RETIRED). Each freed a capped registry
-slot for a curation/SFT-layer query. Retirement changes WHO checks
+`dedup_ngram_jaccard` (llmops.RETIRED); round 11 (r10 VERDICT #1)
+retired `threshold_filter`, `window_rank_functions`, and
+`correlated_exists_rewrite` (relational.RETIRED). Each freed a capped
+registry slot for a curation/SFT-layer query. Retirement changes WHO checks
 them, not whether they are checked: this runs the exact driver-style
 comparison (tests/parity.py's fetchdf + dtype-sensitive frames_match,
 central round() rewrite applied) against each retiree's original
@@ -43,7 +45,7 @@ def spark():
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("events", "lineitem", "documents"):
+    for t in ("events", "lineitem", "documents", "part", "orders", "supplier"):
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     return c
 

@@ -55,14 +55,17 @@ def test_staged_r11_query_passes_driver_comparison(spark, con, name):
     assert ok, f"{name}: {msg}"
 
 
-def test_staged_module_is_not_yet_registered():
-    """Staging contract: these names must NOT be in the live registry
-    (the registry is at its 100-entry rotation cap) until the round-11
-    activation swaps them in."""
+def test_staged_module_is_activated():
+    """Activation contract (round 11): all three names must be live in
+    the registry AND inside the driver's 50-entry window, holding the
+    capped slots freed by the three round-11 relational.RETIRED twins."""
     from bp_datawarehouse_ordersfact_spark import queries as Q
 
     live = set(Q.all_queries())
-    assert not (set(staged_r11.QUERIES) & live)
+    window = set(Q._WINDOW_FIRST)
+    missing = set(staged_r11.QUERIES) - (live & window)
+    assert not missing, f"staged queries not activated into the window: {missing}"
+    assert set(staged_r11.QUERIES) <= set(Q.all_oracles())
 
 
 # --- pure-Python twin of the functions/html.py codegen chain ----------------

@@ -679,3 +679,49 @@ def test_load_psl_snapshot_sections(spark, tmp_path):
     empty.write_text("// only comments\n\n", encoding="utf-8")
     with pytest.raises(ValueError, match="no PSL rules"):
         load_psl_snapshot(spark, str(empty))
+
+
+def test_load_psl_snapshot_unbalanced_markers_are_loud(spark, tmp_path):
+    """r10 ADVICE: a truncated snapshot missing the END marker used to
+    leave active=True to EOF, silently bleeding the NEXT section's rules
+    into the requested one (section='icann' absorbing private rules —
+    the exact grouping mistake the parameter exists to avoid). Both
+    missing-END and missing-BEGIN must raise; the balanced file and the
+    section=None path are unchanged."""
+    from bp_datawarehouse_ordersfact_spark.functions.urls import (
+        load_psl_snapshot,
+    )
+
+    # END ICANN marker missing -> icann would silently include github.io
+    truncated = tmp_path / "truncated.dat"
+    truncated.write_text(
+        "// ===BEGIN ICANN DOMAINS===\ncom\n"
+        "// ===BEGIN PRIVATE DOMAINS===\ngithub.io\n"
+        "// ===END PRIVATE DOMAINS===\n",
+        encoding="utf-8",
+    )
+    with pytest.raises(ValueError, match="END ICANN DOMAINS MISSING"):
+        load_psl_snapshot(spark, str(truncated), section="icann")
+    # ...but the private section's pair IS balanced there
+    private = {
+        r["suffix"]
+        for r in load_psl_snapshot(
+            spark, str(truncated), section="private"
+        ).collect()
+    }
+    assert private == {"github.io"}
+
+    # BEGIN marker missing entirely -> loud, not an empty/absorbed set
+    headless = tmp_path / "headless.dat"
+    headless.write_text(
+        "com\n// ===END ICANN DOMAINS===\n", encoding="utf-8"
+    )
+    with pytest.raises(ValueError, match="BEGIN ICANN DOMAINS MISSING"):
+        load_psl_snapshot(spark, str(headless), section="icann")
+
+    # section=None never consults markers: the truncated file still
+    # loads all rules (browser behavior, both sections)
+    both = {
+        r["suffix"] for r in load_psl_snapshot(spark, str(truncated)).collect()
+    }
+    assert both == {"com", "github.io"}
