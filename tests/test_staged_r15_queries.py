@@ -1,0 +1,98 @@
+"""Driver-style verification for the STAGED round-15 registry query
+(queries/staged_r15.py) — run ahead of the driver ever seeing it, so
+the round-15 activation is a mechanical edit. The typed-VALUES oracle
+is re-derived from the pure-numpy aHash replica in
+tests/test_phash_dedup.py (flip-k-blocks fixtures => hamming k), so the
+literals are never the only place the expected answer lives; the
+pigeonhole premise (every expected pair shares an exact 16-bit band)
+is re-checked on the same fingerprints.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import duckdb
+import pytest
+from pyspark.sql import SparkSession
+
+from bp_datawarehouse_ordersfact_spark.functions.rounding import sql_rewrite_rounds
+from bp_datawarehouse_ordersfact_spark.queries import staged_r15
+from tests.parity import frames_match
+from tests.test_phash_dedup import _ahash_halves
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("staged-r15")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.mark.parametrize("name", list(staged_r15.QUERIES))
+def test_staged_r15_query_passes_driver_comparison(spark, name):
+    sdf = staged_r15.QUERIES[name](spark, SF_DIR).toPandas()
+    sql = sql_rewrite_rounds(staged_r15.ORACLES[name])
+    ddf = duckdb.connect().execute(sql).fetchdf()
+    ok, msg = frames_match(sdf, ddf)
+    assert ok, f"{name}: {msg}"
+
+
+def test_staged_module_is_not_yet_registered():
+    """Staging contract: the name must NOT be in the live registry (the
+    registry is at its 100-entry rotation cap) until the round-15
+    activation swaps it in."""
+    from bp_datawarehouse_ordersfact_spark import queries as Q
+
+    live = set(Q.all_queries())
+    assert not (set(staged_r15.QUERIES) & live)
+
+
+def _hamming64(fa: tuple[int, int], fb: tuple[int, int]) -> int:
+    return bin((fa[0] ^ fb[0]) & 0xFFFFFFFF).count("1") + bin(
+        (fa[1] ^ fb[1]) & 0xFFFFFFFF
+    ).count("1")
+
+
+def test_phash_values_rederive_from_numpy_replica():
+    plants = staged_r15._plant_bytes()
+    fps = {did: _ahash_halves(p) for did, p in plants}
+    expect = set()
+    for (ia, _), (ib, _) in combinations(plants, 2):
+        a, b = min(ia, ib), max(ia, ib)
+        h = _hamming64(fps[a], fps[b])
+        if h <= 3:
+            expect.add((a, b, h))
+    got = set(
+        duckdb.connect()
+        .execute(staged_r15.ORACLES["phash_near_dup"])
+        .fetchall()
+    )
+    assert got == expect
+    # the fixture exercises the interesting distances: an exact dup
+    # (hamming 0), the max-in-threshold (3), and a non-pair (the
+    # inverted plant appears in NO pair)
+    hams = {h for _, _, h in got}
+    assert {0, 3} <= hams
+    paired_ids = {i for a, b, _ in got for i in (a, b)}
+    assert 40_000_003 not in paired_ids and len(got) == 6
+    # pigeonhole premise re-checked: every expected pair agrees exactly
+    # on at least one 16-bit band of the 64-bit fingerprint
+    for a, b, _ in got:
+        fa, fb = fps[a], fps[b]
+        bands_a = [
+            (fa[half] >> (16 * i)) & 0xFFFF for half in (0, 1) for i in (0, 1)
+        ]
+        bands_b = [
+            (fb[half] >> (16 * i)) & 0xFFFF for half in (0, 1) for i in (0, 1)
+        ]
+        assert any(x == y for x, y in zip(bands_a, bands_b)), (a, b)
