@@ -78,8 +78,10 @@ _MODULES = (
 #
 # Round 13 is ALSO pre-staged (queries/staged_r13.py: corpus_stats_exact
 # / host_authority — the latter is fixture-bound, add it to bench
-# EXCLUDED at activation), and round 14's PSL-lookup row is staged in
-# queries/staged_r14.py.
+# EXCLUDED at activation), round 14's PSL-lookup row is staged in
+# queries/staged_r14.py, and round 15's phash_near_dup +
+# sft_ingest_stream rows are staged in queries/staged_r15.py (the
+# stream row is fixture-bound — bench-EXCLUDE it at activation).
 _WINDOW_FIRST = (
     "dedup_embedding_lsh_banded", "ann_recall_at_k",
     "ann_ivf_kmeans_refine", "domain_fact_royalty",

@@ -96,3 +96,69 @@ def test_phash_values_rederive_from_numpy_replica():
             (fb[half] >> (16 * i)) & 0xFFFF for half in (0, 1) for i in (0, 1)
         ]
         assert any(x == y for x, y in zip(bands_a, bands_b)), (a, b)
+
+
+def test_sft_values_rederive_from_batch_validator(spark):
+    """The oracle's route/reason/n_turns literals re-derive by running
+    the BATCH validator (`operators.conversations.validate_conversations`
+    — the stream's own routing rule) directly over the parsed planted
+    records; the quarantine line is proven unparseable with json.loads."""
+    import json
+
+    from pyspark.sql import Row
+
+    from bp_datawarehouse_ordersfact_spark.operators.conversations import (
+        validate_conversations,
+    )
+    from bp_datawarehouse_ordersfact_spark.queries.staged_r15 import (
+        _SFT_BAD_LINE,
+        _SFT_FEED,
+        _sft_schema,
+    )
+
+    parsed, quarantined = [], []
+    for _, lines in _SFT_FEED:
+        for ln in lines:
+            try:
+                parsed.append(json.loads(ln))
+            except json.JSONDecodeError:
+                quarantined.append(ln)
+    assert quarantined == [_SFT_BAD_LINE]
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                conv_id=r["conv_id"],
+                conversation=[
+                    Row(role=t["role"], content=t["content"])
+                    for t in r["conversation"]
+                ],
+            )
+            for r in parsed
+        ],
+        _sft_schema(),
+    )
+    flagged = {
+        r["conv_id"]: (r["conv_invalid_reason"], len(r["conversation"]))
+        for r in validate_conversations(df, conv_col="conversation").collect()
+    }
+    oracle = {
+        r[0]: (r[1], r[2], r[3])
+        for r in duckdb.connect()
+        .execute(staged_r15.ORACLES["sft_ingest_stream"])
+        .fetchall()
+    }
+    for cid, (reason, n_turns) in flagged.items():
+        route, o_turns, detail = oracle[cid]
+        assert o_turns == n_turns, cid
+        if reason is None:
+            assert route == "ready" and detail == "", cid
+        else:
+            assert route == "invalid" and detail == reason, cid
+    # quarantine row: keyed -1, detail is the raw line verbatim
+    assert oracle[-1] == ("quarantine", 0, _SFT_BAD_LINE)
+    assert set(oracle) == set(flagged) | {-1}
+    # three distinct invalid reasons exercised — the fixture is not
+    # one failure mode repeated
+    reasons = {v[2] for k, v in oracle.items() if v[0] == "invalid"}
+    assert len(reasons) == 3
