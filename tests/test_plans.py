@@ -243,8 +243,13 @@ def test_interval_coalesce_single_exchange_windows_reuse_partitioning(spark):
 
 def test_correlated_exists_rewrite_semi_anti_no_cartesian(spark):
     """EXISTS -> left-semi, NOT EXISTS -> left-anti; supplier dim
-    broadcasts; never a cartesian/BNLJ."""
-    p = plan_of(spark, "correlated_exists_rewrite")
+    broadcasts; never a cartesian/BNLJ. Retired from the registry in
+    round 11 (r10 VERDICT #1) — the plan pin rides the RETIRED dict, the
+    same everything-stays-checked contract as its oracle pin."""
+    from bp_datawarehouse_ordersfact_spark.queries.relational import RETIRED
+
+    fn, _ = RETIRED["correlated_exists_rewrite"]
+    p = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in p and "LeftAnti" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
