@@ -51,15 +51,19 @@ def test_staged_r10_query_passes_driver_comparison(spark, con, name):
 
 
 def test_staged_module_is_activated():
-    """Activation contract (round 10): all three names must be live in
-    the registry AND inside the driver's 50-entry window, holding the
-    capped slots freed by the three llmops.RETIRED twins."""
+    """Activation contract (round 10): all three names are live in the
+    registry, oracle-paired, holding the capped slots freed by the three
+    llmops.RETIRED twins. Window membership is deliberately NOT pinned
+    here — it was the round-10 activation condition only; from round 11
+    on these rotate through the window on the generic 2-round staleness
+    invariant (tests/test_window_rotation.py), and a window pin here
+    would fail on every later rotation (found by the r11 full-suite
+    run)."""
     from bp_datawarehouse_ordersfact_spark import queries as Q
 
     live = set(Q.all_queries())
-    window = set(Q._WINDOW_FIRST)
-    missing = set(staged_r10.QUERIES) - (live & window)
-    assert not missing, f"staged queries not activated into the window: {missing}"
+    missing = set(staged_r10.QUERIES) - live
+    assert not missing, f"staged queries not in the registry: {missing}"
     assert set(staged_r10.QUERIES) <= set(Q.all_oracles())
 
 

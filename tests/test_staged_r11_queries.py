@@ -56,15 +56,17 @@ def test_staged_r11_query_passes_driver_comparison(spark, con, name):
 
 
 def test_staged_module_is_activated():
-    """Activation contract (round 11): all three names must be live in
-    the registry AND inside the driver's 50-entry window, holding the
-    capped slots freed by the three round-11 relational.RETIRED twins."""
+    """Activation contract (round 11): all three names are live in the
+    registry and oracle-paired, holding the capped slots freed by the
+    three round-11 relational.RETIRED twins. Window membership is NOT
+    pinned (the staged_r10 lesson: it is an activation-round-only fact;
+    later rotations correctly move these out of the window under the
+    generic staleness invariant in tests/test_window_rotation.py)."""
     from bp_datawarehouse_ordersfact_spark import queries as Q
 
     live = set(Q.all_queries())
-    window = set(Q._WINDOW_FIRST)
-    missing = set(staged_r11.QUERIES) - (live & window)
-    assert not missing, f"staged queries not activated into the window: {missing}"
+    missing = set(staged_r11.QUERIES) - live
+    assert not missing, f"staged queries not in the registry: {missing}"
     assert set(staged_r11.QUERIES) <= set(Q.all_oracles())
 
 
