@@ -123,3 +123,56 @@ def test_psl_values_rederive_from_python_twin():
     # and the comment line with dotted URL text parsed as NO rule
     assert all(klabels[-1] != "details" for klabels, _ in rules)
     assert len(rules) == 7
+
+
+def test_psl_lookup_matches_python_twin_on_randomized_hosts(spark):
+    """Beyond the ten planted branches: one seeded randomized batch —
+    30 rules (plain/wildcard/exception over a small label alphabet so
+    collisions actually happen) x 300 hosts of depth 1-6 — run through
+    the REAL Spark lookup and the pure-Python twin; full-output
+    equality. Catches prevailing-rule ordering bugs the hand-picked
+    fixture can't reach (e.g. a longest-match tie against an exception
+    at a different depth)."""
+    import random
+
+    from bp_datawarehouse_ordersfact_spark.functions.urls import (
+        registrable_domain_psl,
+    )
+
+    rng = random.Random(1107)
+    labels = ["aa", "bb", "cc", "dd", "ee"]
+
+    def rand_suffix(depth):
+        return ".".join(rng.choice(labels) for _ in range(depth))
+
+    rules = set()
+    while len(rules) < 30:
+        depth = rng.randint(1, 3)
+        base = rand_suffix(depth)
+        form = rng.choice(["plain", "plain", "wild", "exc"])
+        if form == "wild":
+            rules.add("*." + base)
+        elif form == "exc" and depth >= 2:
+            rules.add("!" + base)
+        else:
+            rules.add(base)
+    rule_list = sorted(rules)
+
+    hosts = sorted(
+        {rand_suffix(rng.randint(1, 6)) for _ in range(300)}
+    )
+    psl = spark.createDataFrame([(r,) for r in rule_list], "suffix string")
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r["host"]: r["domain"]
+        for r in registrable_domain_psl(
+            df, psl, host_col="host"
+        ).collect()
+    }
+    twin_rules = _parse_rules_py(rule_list)
+    want = {h: _psl_domain_py(h, twin_rules) for h in hosts}
+    assert got == want
+    # non-degenerate: the batch exercised a cut, a passthrough, and at
+    # least one host where an exception or wildcard decided the answer
+    assert any(got[h] != h for h in hosts)
+    assert any(got[h] == h for h in hosts)
