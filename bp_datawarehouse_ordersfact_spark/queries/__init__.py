@@ -72,7 +72,13 @@ _MODULES = (
 # tested (tests/test_staged_r12_queries.py; staged oracles ride the
 # conventions gate every run); retire three coverage-duplicated
 # round-10-window twins to hold the 100 cap (keep retirees oracle-pinned
-# via a RETIRED dict). If a round-11 query's latest row comes back red,
+# via a RETIRED dict — least-loss candidates: `cube_summary`
+# [beyond-reference CUBE tour; grouping-set coverage keeps
+# `grouping_rollup` (GROUPING SETS) + `multikey_rollup` +
+# `rollup_incremental_refresh`], `listagg_per_group` [beyond-reference
+# string agg; the A-family keeps `count_distinct_per_group`'s row],
+# `variant_props_extract` [VARIANT twin of `json_props_extract`, whose
+# J1 row survives]). If a round-11 query's latest row comes back red,
 # it must ALSO be in the round-12 window (tests/test_window_rotation.py
 # enforces this automatically).
 #
