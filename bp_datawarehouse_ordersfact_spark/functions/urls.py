@@ -388,9 +388,24 @@ def load_psl_snapshot(spark, path: str, *, section: str | None = None):
         for ln in lines:
             s = ln.strip()
             if s.startswith("//"):
+                # ORDERING is checked, not just existence (r11 review):
+                # a stray END before the BEGIN, or a duplicate BEGIN,
+                # would otherwise satisfy the seen-flags while active
+                # still runs to EOF — silently bleeding the next
+                # section's rules into this one.
                 if f"===BEGIN {marker} DOMAINS===" in s:
+                    if begin_seen:
+                        raise ValueError(
+                            f"duplicate BEGIN {marker} DOMAINS marker in "
+                            f"{path!r} — corrupted snapshot"
+                        )
                     active, begin_seen = True, True
                 elif f"===END {marker} DOMAINS===" in s:
+                    if not active:
+                        raise ValueError(
+                            f"END {marker} DOMAINS marker before a matching "
+                            f"BEGIN in {path!r} — corrupted snapshot"
+                        )
                     active, end_seen = False, True
                 continue
             if active:

@@ -247,9 +247,15 @@ def ahash64(df: DataFrame, payload_col: str, id_col: str, decode=None) -> DataFr
                     if b is None
                 ]
                 if null_ids:
+                    # total-order sort key: a NULL id or a mixed-type id
+                    # column must not crash the error path either (r11
+                    # review — same bug class as the int() coercion)
+                    shown = sorted(
+                        null_ids, key=lambda v: (v is None, str(v))
+                    )[:5]
                     raise ValueError(
                         f"ahash64: NULL {payload_col} for {id_col}s "
-                        f"{sorted(null_ids)[:5]} — a NULL payload cannot be "
+                        f"{shown} — a NULL payload cannot be "
                         "decoded; filter payload IS NOT NULL upstream or "
                         "use the fake tier (decode=None)"
                     )

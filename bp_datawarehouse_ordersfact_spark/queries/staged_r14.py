@@ -10,8 +10,9 @@ complexity (wildcard ``*.kobe.jp`` and exception ``!city.kobe.jp`` rule
 forms, longest-match precedence) that had neither a driver row nor a
 staged one; until now it was pytest-pinned only.
 
-The fixture follows the planted recipe (ids >= 3.9x10^7, above every
-testdata id range and the other staged plants): a rules frame in the
+The fixture follows the planted recipe (ids in the 3.9x10^7 range —
+disjoint from every testdata id range and every other staged module's
+plants, which each own their own 10^6-wide floor): a rules frame in the
 PUBLISHED list's raw text format (``//`` comments — one with dotted
 URL text, the r9-ADVICE depth-probe hazard — section markers, a blank
 line) handed to the lookup VERBATIM, proving the in-lookup line

@@ -381,3 +381,12 @@ def test_ahash64_null_payload_guard_reports_nonint_ids(spark):
     )
     with _pytest.raises(Exception, match="NULL payload.*frame-00042"):
         ahash64(df, "payload", "img_id", decode=decode_bmp_gray).collect()
+
+    # worst case (r11 review): a NULL id next to a real one — sorted()
+    # over mixed None/str must not TypeError before the diagnosis
+    df2 = spark.createDataFrame(
+        [Row(img_id=None, payload=None), Row(img_id="frame-7", payload=None)],
+        "img_id string, payload binary",
+    )
+    with _pytest.raises(Exception, match="NULL payload.*frame-7"):
+        ahash64(df2, "payload", "img_id", decode=decode_bmp_gray).collect()

@@ -19,7 +19,7 @@ from pyspark.sql import SparkSession
 from bp_datawarehouse_ordersfact_spark.functions.rounding import sql_rewrite_rounds
 from bp_datawarehouse_ordersfact_spark.queries import staged_r15
 from tests.parity import frames_match
-from tests.test_phash_dedup import _ahash_halves
+from tests.test_phash_dedup import _ahash_halves, _hamming
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -57,19 +57,15 @@ def test_staged_module_is_not_yet_registered():
     assert not (set(staged_r15.QUERIES) & live)
 
 
-def _hamming64(fa: tuple[int, int], fb: tuple[int, int]) -> int:
-    return bin((fa[0] ^ fb[0]) & 0xFFFFFFFF).count("1") + bin(
-        (fa[1] ^ fb[1]) & 0xFFFFFFFF
-    ).count("1")
-
-
 def test_phash_values_rederive_from_numpy_replica():
+    # _ahash_halves/_hamming are THE phash twin pair (one definition,
+    # tests/test_phash_dedup.py) — no local copy to drift (r11 review)
     plants = staged_r15._plant_bytes()
     fps = {did: _ahash_halves(p) for did, p in plants}
     expect = set()
     for (ia, _), (ib, _) in combinations(plants, 2):
         a, b = min(ia, ib), max(ia, ib)
-        h = _hamming64(fps[a], fps[b])
+        h = _hamming(fps[a], fps[b])
         if h <= 3:
             expect.add((a, b, h))
     got = set(

@@ -712,12 +712,41 @@ def test_load_psl_snapshot_unbalanced_markers_are_loud(spark, tmp_path):
     assert private == {"github.io"}
 
     # BEGIN marker missing entirely -> loud, not an empty/absorbed set
+    # (the stray END fires the ordering check first: END before BEGIN)
     headless = tmp_path / "headless.dat"
     headless.write_text(
         "com\n// ===END ICANN DOMAINS===\n", encoding="utf-8"
     )
-    with pytest.raises(ValueError, match="BEGIN ICANN DOMAINS MISSING"):
+    with pytest.raises(ValueError, match="before a matching BEGIN"):
         load_psl_snapshot(spark, str(headless), section="icann")
+
+    # ORDERING, not just existence (r11 review): a stray leftover END
+    # before the real BEGIN with the real END lost makes both seen-flags
+    # true — without the order check, active would run to EOF and
+    # section='icann' would silently absorb the private rules
+    bled = tmp_path / "bled.dat"
+    bled.write_text(
+        "// ===END ICANN DOMAINS===\n"
+        "// ===BEGIN ICANN DOMAINS===\ncom\n"
+        "// ===BEGIN PRIVATE DOMAINS===\ngithub.io\n"
+        "// ===END PRIVATE DOMAINS===\n",
+        encoding="utf-8",
+    )
+    with pytest.raises(ValueError, match="before a matching BEGIN"):
+        load_psl_snapshot(spark, str(bled), section="icann")
+
+    # duplicate BEGIN of the requested section is corruption, not a
+    # second window to union in
+    doubled = tmp_path / "doubled.dat"
+    doubled.write_text(
+        "// ===BEGIN ICANN DOMAINS===\ncom\n"
+        "// ===END ICANN DOMAINS===\n"
+        "// ===BEGIN ICANN DOMAINS===\nnet\n"
+        "// ===END ICANN DOMAINS===\n",
+        encoding="utf-8",
+    )
+    with pytest.raises(ValueError, match="duplicate BEGIN"):
+        load_psl_snapshot(spark, str(doubled), section="icann")
 
     # section=None never consults markers: the truncated file still
     # loads all rules (browser behavior, both sections)
