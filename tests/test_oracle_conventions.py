@@ -50,6 +50,7 @@ def oracle_frames(con):
         staged_r14,
         staged_r15,
         staged_r16,
+        staged_r17,
     )
 
     frames = {}
@@ -59,7 +60,9 @@ def oracle_frames(con):
     # ahead of activation, so a gate-incompatible shape is caught while
     # the activation is still a mechanical edit (r10; staged_r10's
     # oracles were only convention-checked once activated)
-    for mod in (staged_r12, staged_r13, staged_r14, staged_r15, staged_r16):
+    for mod in (
+        staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17,
+    ):
         for name, sql in mod.ORACLES.items():
             frames[f"staged:{name}"] = con.execute(
                 sql_rewrite_rounds(sql)
