@@ -51,6 +51,7 @@ def oracle_frames(con):
         staged_r15,
         staged_r16,
         staged_r17,
+        staged_r18,
     )
 
     frames = {}
@@ -61,7 +62,8 @@ def oracle_frames(con):
     # the activation is still a mechanical edit (r10; staged_r10's
     # oracles were only convention-checked once activated)
     for mod in (
-        staged_r12, staged_r13, staged_r14, staged_r15, staged_r16, staged_r17,
+        staged_r12, staged_r13, staged_r14, staged_r15, staged_r16,
+        staged_r17, staged_r18,
     ):
         for name, sql in mod.ORACLES.items():
             frames[f"staged:{name}"] = con.execute(
