@@ -144,3 +144,117 @@ def test_audio_values_rederive_from_pure_python_twin():
     }
     assert all(r[4] > 0 for r in got if r[0] == 44_000_000)
     assert all(r[4] == 0 for r in got if r[0] != 44_000_000)
+
+
+def test_containment_operator_matches_twin_on_randomized_batch(spark):
+    """Beyond the planted branches: one seeded batch of 40 random short
+    docs over a SMALL token alphabet (so shingles genuinely collide and
+    the document-frequency cutoff actually fires) through the REAL
+    operator vs a pure-Python twin that mirrors the full contract —
+    candidates exist iff the docs share a shingle whose corpus-wide
+    document frequency is <= max_shingle_df, then exact two-direction
+    containment with the threshold on the max direction."""
+    import random
+
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    rng = random.Random(1117)
+    alphabet = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(alphabet) for _ in range(rng.randint(3, 14))))
+        for i in range(40)
+    ]
+    # guarantee high-containment structure: six docs are contiguous
+    # token slices of random bases (the doc-inside-doc shape the
+    # operator exists for)
+    for j in range(6):
+        base_toks = docs[rng.randrange(40)][1].split()
+        if len(base_toks) >= 5:
+            lo = rng.randrange(len(base_toks) - 4)
+            docs.append((100 + j, " ".join(base_toks[lo : lo + 5])))
+    # and a UBIQUITOUS boilerplate shingle across 10 docs (df=10 > 5),
+    # so the document-frequency cutoff genuinely fires: docs sharing
+    # ONLY boilerplate must never become candidates
+    docs = [
+        (i, t + " cc1 cc2 cc3" if i < 10 else t) for i, t in docs
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["containment_a_in_b"], r["containment_b_in_a"], r["jaccard"]
+        )
+        for r in containment_pairs(
+            df, "text", "doc_id", threshold=0.6, shingle_n=3, max_shingle_df=5
+        ).collect()
+    }
+
+    sh = {i: _shingles(t) for i, t in docs}
+    dfreq: dict[str, int] = {}
+    for s in sh.values():
+        for g in s:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    expect = {}
+    for i, a in enumerate(sorted(sh)):
+        for b in sorted(sh)[i + 1 :]:
+            inter = sh[a] & sh[b]
+            if not any(dfreq[g] <= 5 for g in inter):
+                continue  # no RARE shared shingle -> never a candidate
+            c_ab = len(inter) / len(sh[a])
+            c_ba = len(inter) / len(sh[b])
+            if max(c_ab, c_ba) >= 0.6:
+                expect[(a, b)] = (
+                    _rnd6(c_ab), _rnd6(c_ba),
+                    _rnd6(len(inter) / len(sh[a] | sh[b])),
+                )
+    assert got == expect
+    # non-degenerate: pairs exist, and the dfreq cutoff excluded at
+    # least one shared-shingle pair the naive any-shared rule would keep
+    naive = sum(
+        1
+        for i, a in enumerate(sorted(sh))
+        for b in sorted(sh)[i + 1 :]
+        if sh[a] & sh[b]
+    )
+    candidates = sum(
+        1
+        for i, a in enumerate(sorted(sh))
+        for b in sorted(sh)[i + 1 :]
+        if sh[a] & sh[b] and any(dfreq[g] <= 5 for g in sh[a] & sh[b])
+    )
+    assert got and naive > candidates
+
+
+def test_audio_operator_matches_twin_on_randomized_batch(spark):
+    """One seeded batch of random PCM16 clips (lengths straddling the
+    window size, odd trailing bytes, a NULL payload) through the REAL
+    operator vs the pure-Python window twin — full-output equality
+    including the epsilon-shifted 6dp floor."""
+    import random
+
+    from bp_datawarehouse_ordersfact_spark.operators.multimodal import (
+        audio_pcm_features,
+    )
+    from bp_datawarehouse_ordersfact_spark.queries.staged_r17 import _pcm_bytes
+
+    rng = random.Random(2026)
+    clips = []
+    for i in range(12):
+        n = rng.randint(100, 900)
+        clips.append((i, [rng.randint(-32000, 32000) for _ in range(n)]))
+    rows = [(i, _pcm_bytes(v)) for i, v in clips]
+    # odd trailing byte must be ignored; NULL payload contributes nothing
+    rows[3] = (3, rows[3][1] + b"\x7f")
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r["doc_id"], r["win_idx"]): (r["n_samples"], r["rms"], r["zcr"])
+        for r in audio_pcm_features(df, "payload", "doc_id").collect()
+    }
+    expect = {}
+    for i, vals in clips:
+        for win_idx, n, rms, zcr in _windows_twin(vals):
+            expect[(i, win_idx)] = (n, rms, zcr)
+    assert got == expect
+    assert all(k[0] != 99 for k in got)
