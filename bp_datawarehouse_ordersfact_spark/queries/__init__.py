@@ -82,14 +82,15 @@ _MODULES = (
 # it must ALSO be in the round-12 window (tests/test_window_rotation.py
 # enforces this automatically).
 #
-# Rounds 13-18 are ALSO pre-staged: queries/staged_r13.py
+# Rounds 13-19 are ALSO pre-staged: queries/staged_r13.py
 # (corpus_stats_exact / host_authority — the latter is fixture-bound,
 # add it to bench EXCLUDED at activation), queries/staged_r14.py
 # (registrable_domain_psl), queries/staged_r15.py (phash_near_dup +
 # sft_ingest_stream — the stream row is fixture-bound, bench-EXCLUDE it
 # at activation), queries/staged_r16.py (bpe_tokenize),
 # queries/staged_r17.py (containment_near_dup + audio_pcm_features),
-# and queries/staged_r18.py (cms_point_freq + pq_adc_topk).
+# queries/staged_r18.py (cms_point_freq + pq_adc_topk), and
+# queries/staged_r19.py (mg_heavy_hitters).
 _WINDOW_FIRST = (
     "dedup_embedding_lsh_banded", "ann_recall_at_k",
     "ann_ivf_kmeans_refine", "domain_fact_royalty",

@@ -52,6 +52,7 @@ def oracle_frames(con):
         staged_r16,
         staged_r17,
         staged_r18,
+        staged_r19,
     )
 
     frames = {}
@@ -63,7 +64,7 @@ def oracle_frames(con):
     # oracles were only convention-checked once activated)
     for mod in (
         staged_r12, staged_r13, staged_r14, staged_r15, staged_r16,
-        staged_r17, staged_r18,
+        staged_r17, staged_r18, staged_r19,
     ):
         for name, sql in mod.ORACLES.items():
             frames[f"staged:{name}"] = con.execute(
