@@ -383,10 +383,13 @@ def test_ahash64_null_payload_guard_reports_nonint_ids(spark):
         ahash64(df, "payload", "img_id", decode=decode_bmp_gray).collect()
 
     # worst case (r11 review): a NULL id next to a real one — sorted()
-    # over mixed None/str must not TypeError before the diagnosis
+    # over mixed None/str must not TypeError before the diagnosis.
+    # coalesce(1): both rows must share one Arrow batch, or whichever
+    # partition raises first reports only ITS ids (seen flaky under
+    # local[32]'s 2-partition split of a 2-row frame)
     df2 = spark.createDataFrame(
         [Row(img_id=None, payload=None), Row(img_id="frame-7", payload=None)],
         "img_id string, payload binary",
-    )
+    ).coalesce(1)
     with _pytest.raises(Exception, match="NULL payload.*frame-7"):
         ahash64(df2, "payload", "img_id", decode=decode_bmp_gray).collect()
