@@ -123,3 +123,42 @@ def test_oracles_sort_under_driver_canonicalization(oracle_frames):
         except Exception as ex:
             failures.append((name, f"{type(ex).__name__}: {ex}"))
     assert not failures, f"oracle frames the driver cannot canonicalize: {failures}"
+
+
+def test_staged_modules_and_registry_names_are_pairwise_disjoint():
+    """With eight staged modules queued (r12-r19), two defining the same
+    query name — or a staged name colliding with a live registry one —
+    would make an activation silently overwrite a dict entry instead of
+    adding a row. Every staged module's names must be disjoint from
+    every other's AND from the live registry, and every staged query
+    must carry an oracle (or be a deliberate rows-only op, of which
+    there are none staged)."""
+    from bp_datawarehouse_ordersfact_spark.queries import (
+        staged_r12,
+        staged_r13,
+        staged_r14,
+        staged_r15,
+        staged_r16,
+        staged_r17,
+        staged_r18,
+        staged_r19,
+    )
+
+    mods = [
+        staged_r12, staged_r13, staged_r14, staged_r15, staged_r16,
+        staged_r17, staged_r18, staged_r19,
+    ]
+    live = set(Q.all_queries())
+    seen: dict[str, str] = {}
+    for mod in mods:
+        names = set(mod.QUERIES)
+        assert names == set(mod.ORACLES), (
+            f"{mod.__name__}: query/oracle key mismatch"
+        )
+        clash_live = names & live
+        assert not clash_live, f"{mod.__name__} collides with registry: {clash_live}"
+        for n in names:
+            assert n not in seen, (
+                f"{n} staged in both {seen[n]} and {mod.__name__}"
+            )
+            seen[n] = mod.__name__
