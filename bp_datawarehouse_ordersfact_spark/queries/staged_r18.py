@@ -215,11 +215,21 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pool = real.unionByName(planted)
     codes = pq_encode(pool, codebooks, vec_col="embedding", id_col="vec_id")
-    planted_codes = codes.filter(F.col("vec_id") >= 46_000_000)
     topk = pq_search_adc(
-        planted_codes, codebooks, _PQ_QUERY, k=3, id_col="vec_id"
+        codes.filter(F.col("vec_id") >= 46_000_000),
+        codebooks,
+        _PQ_QUERY,
+        k=3,
+        id_col="vec_id",
     )
-    return topk.join(planted_codes, "vec_id").select(
+    # the codes column for the OUTPUT comes from a planted-only encode
+    # (3 rows, identical per-row arithmetic): joining the corpus-scale
+    # `codes` lineage a second time would re-run the whole encode
+    # subtree in the same plan (r11 review — verified duplicated)
+    planted_only = pq_encode(
+        planted, codebooks, vec_col="embedding", id_col="vec_id"
+    )
+    return topk.join(planted_only, "vec_id").select(
         "vec_id",
         F.array_join(F.transform("codes", lambda c: c.cast("string")), " ").alias(
             "codes"

@@ -46,7 +46,12 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
-_MG_PLANT_A, _MG_PLANT_B = 3000, 2500
+# Plant sizes set for ~4x headroom over the largest existing testdata
+# (survival needs count > N/(k+1); sf0.1's N ~ 105k gives worst_dec
+# ~1.6k — 6500 holds to N ~ 420k). tests/test_staged_r19_queries.py
+# enumerates EVERY /root/testdata/sf* dir, so a new, larger sf breaks
+# the guard test before it can redden a driver row (r11 review).
+_MG_PLANT_A, _MG_PLANT_B = 8000, 6500
 _MG_K = 64
 _MG_ITEMS = ["planted-hh-a", "planted-hh-b", "never-seen-item"]
 
@@ -96,9 +101,19 @@ def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pool = ev.unionByName(planted)
     mg = frequent_items_mg(pool, "item", k=_MG_K)
+    # truth side: filter to the 3 queried keys BEFORE aggregating — a
+    # full-cardinality groupBy over the all-distinct pool would be the
+    # exact O(N-distinct) shuffle the MG row exists to avoid (r11
+    # review); the left join + coalesce(0) already handles absent keys
     truth = (
         spark.createDataFrame([(i,) for i in _MG_ITEMS], "item string")
-        .join(pool.groupBy("item").agg(F.count(F.lit(1)).alias("n")), "item", "left")
+        .join(
+            pool.filter(F.col("item").isin(*_MG_ITEMS))
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).alias("n")),
+            "item",
+            "left",
+        )
         .select("item", F.coalesce("n", F.lit(0)).cast("long").alias("true_cnt"))
     )
     return truth.join(mg, "item", "left").select(

@@ -115,8 +115,9 @@ def test_bpe_values_rederive_from_python_twin():
     merges = _train_twin(staged_r16._BPE_TRAIN_TEXT, staged_r16._BPE_N_MERGES)
     assert len(merges) == staged_r16._BPE_N_MERGES
     expect = {
-        did: (" ".join(_encode_twin(t, merges)), len(_encode_twin(t, merges)))
+        did: (" ".join(enc), len(enc))
         for did, t in staged_r16._BPE_DOCS
+        for enc in [_encode_twin(t, merges)]
     }
     got = {
         r[0]: (r[1], r[2])

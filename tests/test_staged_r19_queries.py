@@ -58,14 +58,25 @@ def test_staged_module_is_not_yet_registered():
 
 def test_mg_presence_guarantee_margin_at_every_test_sf():
     """The plants' survival must be GUARANTEED, not lucky: true count >
-    N/(k+1) (the worst-case total decrement) at sf0.001, 0.01, and 0.1."""
-    for sf in ("0.001", "0.01", "0.1"):
+    N/(k+1) (the worst-case total decrement), with >= 2x margin, at
+    EVERY sf directory that exists — enumerated, not hardcoded, so a
+    regenerated or larger testdata dir re-triggers this check before it
+    can redden a driver row (r11 review)."""
+    import glob
+    import os
+
+    sf_dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert sf_dirs, "no testdata sf dirs found"
+    for d in sf_dirs:
+        path = os.path.join(d, "events.parquet")
+        if not os.path.exists(path):
+            continue
         [n_events] = duckdb.connect().execute(
-            f"SELECT count(*) FROM '/root/testdata/sf{sf}/events.parquet'"
+            f"SELECT count(*) FROM '{path}'"
         ).fetchone()
         n = n_events + staged_r19._MG_PLANT_A + staged_r19._MG_PLANT_B
         worst_dec = n / (staged_r19._MG_K + 1)
-        assert staged_r19._MG_PLANT_B > worst_dec, (sf, n, worst_dec)
+        assert staged_r19._MG_PLANT_B > 2 * worst_dec, (d, n, worst_dec)
 
 
 def _mg_twin(stream, k):
