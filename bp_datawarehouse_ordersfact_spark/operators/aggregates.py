@@ -156,3 +156,62 @@ def corpus_stats_report(
             "chars_mean", "chars_p50", "chars_p95", "approx_dup_rate",
         )
     return out
+
+
+def outlier_iqr_per_group(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    fence_k: float = 1.5,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group robust (Tukey-fence) outlier audit — the data-quality
+    step between ``null_audit`` (missingness) and ``profile_numeric``
+    (moments): moments are themselves corrupted by the outliers they
+    would flag, so the fences come from quartiles, which are not.
+
+    Per distinct ``group_cols`` value: ``n`` (non-NULL values), ``q1``/
+    ``q3`` (2dp), and ``n_low``/``n_high`` — values strictly outside
+    ``[q1 - fence_k·iqr, q3 + fence_k·iqr]``. NULL values count in
+    neither (they are ``null_audit``'s job).
+
+    Two-pass by necessity (the fences must exist before rows can be
+    judged), but both passes aggregate on the SAME group key: pass 1
+    reduces to one stats row per group, which then BROADCASTS back onto
+    pass 2's map side — the detail rows shuffle once (the unavoidable
+    grouped-percentile exchange), never twice.
+
+    ``exact=True`` uses ``percentile`` (exact sort-based; right at audit
+    scale and for the cross-engine driver row — DuckDB's
+    ``quantile_cont`` is bit-identical linear interpolation).
+    ``exact=False`` swaps in ``percentile_approx`` (KLL-style bounded
+    memory): at 100 TB a single group's values need not fit a task, and
+    an audit's fences don't need the exact tie-break.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    if fence_k <= 0:
+        raise ValueError(f"fence_k must be > 0, got {fence_k}")
+    from ..functions.rounding import rnd
+
+    v = F.col(value_col).cast("double")
+    pct = "percentile" if exact else "percentile_approx"
+    stats = df.groupBy(*group_cols).agg(
+        F.expr(f"{pct}({value_col}, 0.25)").alias("__q1"),
+        F.expr(f"{pct}({value_col}, 0.75)").alias("__q3"),
+    )
+    iqr = F.col("__q3") - F.col("__q1")
+    lo = F.col("__q1") - F.lit(fence_k) * iqr
+    hi = F.col("__q3") + F.lit(fence_k) * iqr
+    return (
+        df.join(F.broadcast(stats), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(v).cast("long").alias("n"),
+            rnd(F.first("__q1"), 2).alias("q1"),
+            rnd(F.first("__q3"), 2).alias("q3"),
+            F.sum(F.when(v < lo, 1).otherwise(0)).cast("long").alias("n_low"),
+            F.sum(F.when(v > hi, 1).otherwise(0)).cast("long").alias("n_high"),
+        )
+    )

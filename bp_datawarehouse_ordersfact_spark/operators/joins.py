@@ -156,3 +156,93 @@ def diagnose_key_skew(
         "recommended_salt": recommended,
         "top_keys": top_keys,
     }
+
+
+def bloom_bitmap(build: DataFrame, key_col: str, *, m_bits: int = 1 << 16, k: int = 5) -> list:
+    """Bloom bitmap of the build side's non-NULL join keys, as a Python
+    list of ``m_bits // 64`` longs (word ``w`` holds bits
+    ``64*w .. 64*w+63``).
+
+    Bit positions are ``pmod(xxhash64(key, j), m_bits)`` for
+    ``j = 0..k-1`` — xxhash64 is a deterministic JVM-side codegen
+    expression, so the bitmap is a pure function of the key set.
+
+    Scale shape: the explode emits ``k`` position rows per key, but the
+    groupBy on the word index partial-aggregates MAP-SIDE down to at most
+    ``m_bits / 64`` rows per task before the shuffle, so the exchange and
+    the driver collect are both bounded by the bitmap size (8 KiB of
+    longs at the default 64 Ki bits) — never by the key count. That is
+    the whole point: a build side too large to broadcast as a hash set
+    still compresses to a constant-size filter.
+    """
+    if m_bits < 64 or m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    key = F.col(key_col)
+    positions = F.array(
+        *[F.pmod(F.xxhash64(key, F.lit(j)), F.lit(m_bits)) for j in range(k)]
+    )
+    words = (
+        build.filter(key.isNotNull())
+        .select(F.explode(positions).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[r["w"]] = r["bits"]
+    return bitmap
+
+
+def bloom_prefilter(
+    probe: DataFrame,
+    probe_key: str,
+    build: DataFrame,
+    build_key: str,
+    *,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+) -> DataFrame:
+    """Runtime join pruning: probe rows whose key passes a Bloom filter
+    built from the build side's keys.
+
+    May pass FALSE POSITIVES (rate ≈ ``(1 - e^(-k·n/m))^k``) and NULL
+    probe keys; it never drops a true match, so composing with the exact
+    join afterwards preserves the join result EXACTLY — the driver row
+    (``bloom_join_prune``) pins that invariance against a plain-join
+    oracle.
+
+    Why this exists at 100 TB: a shuffle join ships the ENTIRE probe side
+    even when only 1% of it matches. When the build side's distinct keys
+    are too many to broadcast as a hash set but the row filter fits in a
+    few KiB, shipping the bitmap to every probe task turns the shuffle
+    into (passing rows only) — the same trick Spark's own
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` applies when its
+    thresholds allow; this operator makes the reduction explicit,
+    deterministic, and available to any plan shape.
+
+    The bit test is a pure codegen expression (xxhash64 + element_at +
+    bitwiseAND) evaluated map-side: NO shuffle, NO Python. NULL probe
+    keys pass through (the exact join decides their fate, keeping the
+    operator usable ahead of outer joins).
+    """
+    bitmap = bloom_bitmap(build, build_key, m_bits=m_bits, k=k)
+    arr = F.array(*[F.lit(w) for w in bitmap])
+    key = F.col(probe_key)
+    out = probe.withColumn("__bloom", arr)
+    cond = F.lit(True)
+    for j in range(k):
+        p = F.pmod(F.xxhash64(key, F.lit(j)), F.lit(m_bits))
+        word = F.element_at(F.col("__bloom"), (p / 64).cast("int") + F.lit(1))
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(xxhash64({probe_key}, {j}), {m_bits}) % 64 AS INT))"
+        )
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return out.filter(key.isNull() | cond).drop("__bloom")

@@ -1,0 +1,299 @@
+"""STAGED registry queries for the round-20 rotation (not yet in
+``queries._MODULES`` — the sketches_r6/staged_r10 staging discipline).
+
+Four rows, closing the last shipped-operator-without-a-driver-row gaps
+and adding two new scale operators:
+
+- ``weighted_sample_by_group`` — `operators.sampling.
+  weighted_sample_per_group` (Efraimidis–Spirakis A-ES weighted
+  sampling without replacement), shipped since r8 with only pytest
+  pins. The per-group race is INDEPENDENT across groups (the window
+  partitions by group), so a planted group's winners are a pure
+  function of the planted (doc_id, weight) literals — unperturbable by
+  the real corpus, which unions in as its own groups (grp = source,
+  weight = n_chars) so the bench pays the full one-shuffle window at
+  corpus scale. Typed VALUES oracle; winners re-derived from pure
+  Python hashlib/math in tests/test_staged_r20_queries.py.
+- ``bigram_lm_score`` — `operators.ml.bigram_logprob` (interpolated
+  bigram LM quality score, the CCNet-style perplexity-filter step),
+  shipped since r9 with only pytest pins. Computed oracle over the
+  REAL documents table: both engines count the same bigram/context/
+  unigram tables and average ``ln(0.7·P_ML(w|prev) + 0.3·P_uni(w))``
+  per document (the cross-engine ln-mean discipline
+  ``text_unigram_logprob`` has run green since r9).
+- ``bloom_join_prune`` — NEW `operators.joins.bloom_prefilter`:
+  runtime Bloom-filter join pruning (the explicit form of Spark's
+  ``runtime.bloomFilter`` rewrite). The oracle is a plain semi-join
+  aggregate — the row pins the operator's contract itself: a Bloom
+  prefilter has NO false negatives, so prefilter + exact join must
+  equal the plain join EXACTLY, cross-engine.
+- ``outlier_iqr_per_group`` — NEW `operators.aggregates.
+  outlier_iqr_per_group`: per-group Tukey-fence outlier audit on exact
+  quartiles (Spark ``percentile`` and DuckDB ``quantile_cont`` are
+  bit-identical linear interpolation — verified, not assumed), with a
+  ``percentile_approx`` tier for the 100 TB path.
+
+Planted-id floor: 47_000_000 (above every testdata id range and every
+other staged module's floor — each module owns a disjoint 10^6-wide
+range; gated by tests/test_staged_r20_queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core.io import load_table
+from ..functions.rounding import rnd
+from ..operators.aggregates import outlier_iqr_per_group
+from ..operators.joins import bloom_prefilter
+from ..operators.ml import bigram_logprob
+from ..operators.sampling import weighted_sample_per_group
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_by_group — ten planted docs in their own group; the
+# four A-ES winners (race key -ln(u)/w, u = md5-derived 52-bit uniform,
+# seed 'r20') are a pure function of these literals, re-derived from
+# hashlib/math in the staged test. The heaviest weights (120, 42, 18.5,
+# 3.25) win in exactly that order for this seed — weight-monotone here,
+# though A-ES is a lottery, not a sort (weight 9.5 drew a losing u).
+# ---------------------------------------------------------------------------
+
+_WS_SEED = "r20"
+_WS_N = 4
+_WS_GRP = "planted-fixture"
+_WS_PLANTED = [
+    (47_000_000 + i, _WS_GRP, w)
+    for i, w in enumerate(
+        [9.5, 0.01, 3.25, 120.0, 0.5, 42.0, 7.75, 1.0, 0.02, 18.5]
+    )
+]
+
+
+@register(
+    "weighted_sample_by_group",
+    """
+    SELECT * FROM (VALUES
+      (CAST(47000003 AS BIGINT), CAST(1 AS BIGINT)),
+      (CAST(47000005 AS BIGINT), CAST(2 AS BIGINT)),
+      (CAST(47000009 AS BIGINT), CAST(3 AS BIGINT)),
+      (CAST(47000002 AS BIGINT), CAST(4 AS BIGINT))
+    ) AS t(doc_id, sample_rank)
+    """,
+)
+def q_weighted_sample_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size weighted sampling without replacement, per group
+    (`operators.sampling.weighted_sample_per_group`): the
+    Efraimidis–Spirakis exponential race — rank by ``-ln(u)/w`` with a
+    deterministic md5-derived u — keeps the n smallest keys per group.
+    Inclusion odds follow the weight; the sample is a pure function of
+    (row key, seed): stable under repartitioning, retries, and AQE.
+
+    Why a typed VALUES oracle is a deterministic twin: the window
+    partitions by group, so the planted group's four winners depend
+    ONLY on the planted (doc_id, weight) literals — hashlib-rederived
+    in the staged test — while the real corpus (grp = source, weight =
+    n_chars) unions in as its own groups, so the bench pays the full
+    race: map-side key computation over every row, ONE shuffle on the
+    group key, rank-limit-pushed window (WindowGroupLimit partial
+    top-n map-side). Output selected by the planted group."""
+    real = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("source").alias("grp"),
+        F.col("n_chars").cast("double").alias("w"),
+    )
+    planted = spark.createDataFrame(
+        _WS_PLANTED, "doc_id long, grp string, w double"
+    )
+    pool = real.unionByName(planted)
+    out = weighted_sample_per_group(
+        pool, _WS_N, "w", "doc_id", ["grp"], seed=_WS_SEED
+    )
+    w = Window.partitionBy("grp").orderBy(F.asc("es_key"), F.asc("doc_id"))
+    return (
+        out.filter(F.col("grp") == _WS_GRP)
+        .select("doc_id", F.row_number().over(w).cast("long").alias("sample_rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm_score — computed oracle over the real corpus: the same
+# token/bigram/context/unigram counts on both engines, then the same
+# Jelinek–Mercer interpolated log-probability mean per document.
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
+
+
+@register(
+    "bigram_lm_score",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS.format(c='text')} AS t FROM documents),
+    uni_c AS (SELECT tok, CAST(count(*) AS DOUBLE) AS uc
+              FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+    tot AS (SELECT sum(uc) AS n FROM uni_c),
+    pr AS (SELECT doc_id, split_part(g, ' ', 1) AS prev,
+                  split_part(g, ' ', 2) AS tok, g
+           FROM (SELECT doc_id,
+                        unnest(list_transform(range(len(t) - 1),
+                               i -> t[i+1] || ' ' || t[i+2])) AS g
+                 FROM toks WHERE len(t) >= 2)),
+    big_c AS (SELECT g, CAST(count(*) AS DOUBLE) AS bc FROM pr GROUP BY g),
+    ctx_c AS (SELECT prev, CAST(count(*) AS DOUBLE) AS cc FROM pr GROUP BY prev),
+    scored AS (SELECT p.doc_id,
+                      ln(0.7 * (b.bc / c.cc) + (1.0 - 0.7) * (u.uc / t.n)) AS lp
+               FROM pr p JOIN big_c b USING (g)
+                         JOIN ctx_c c USING (prev)
+                         JOIN uni_c u USING (tok)
+                         CROSS JOIN tot t)
+    SELECT d.doc_id,
+           CAST(coalesce(s.nb, 0) AS BIGINT) AS n_bigrams,
+           s.ml AS mean_logprob
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, count(*) AS nb, round(avg(lp), 6) AS ml
+      FROM scored GROUP BY doc_id) s USING (doc_id)
+    """,
+)
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality score (`operators.ml.
+    bigram_logprob`, λ = 0.7): per document, the mean of
+    ``ln(0.7·P_ML(w|prev) + 0.3·P_uni(w))`` over its token bigrams,
+    both distributions counted from the corpus itself — the step past
+    ``text_unigram_logprob`` toward a KenLM-style perplexity filter:
+    common words in garbage ORDER now score low.
+
+    Scale shape (see the operator docstring): the bigram-probability
+    lookup is a hash join keyed on (prev, tok) — the bigram stream
+    shuffles once; the vocabulary-sized context/unigram tables
+    broadcast (forced here — the synthetic vocab is tiny; the operator
+    auto-probes and falls back to shuffled joins past the knob, which
+    is the 10^8-token web-corpus path). Docs with < 2 tokens report
+    n_bigrams 0 and a NULL score on BOTH engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(
+        d, "text", "doc_id", lambda_bigram=0.7, broadcast_vocab=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# bloom_join_prune — the oracle is the PLAIN semi-join aggregate: the
+# row pins the Bloom contract itself (no false negatives ⇒ prefilter +
+# exact join ≡ plain join), cross-engine, at every sf.
+# ---------------------------------------------------------------------------
+
+_BLOOM_PRICE_MIN = 400_000.0
+
+
+@register(
+    "bloom_join_prune",
+    f"""
+    WITH k AS (SELECT DISTINCT o_orderkey FROM orders
+               WHERE o_totalprice > {_BLOOM_PRICE_MIN})
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_quantity), 2) AS sum_qty,
+           round(sum(l.l_extendedprice), 2) AS sum_price
+    FROM lineitem l JOIN k ON l.l_orderkey = k.o_orderkey
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (`operators.joins.
+    bloom_prefilter`): lineitem is prefiltered by a 64 Ki-bit Bloom
+    bitmap of the high-value order keys BEFORE the exact semi join —
+    the explicit, deterministic form of Spark's own
+    ``runtime.bloomFilter`` rewrite, for build sides too large to
+    broadcast as a hash set but whose bitmap fits in KiB.
+
+    Why the plain-join oracle IS the operator's contract: a Bloom
+    filter admits false positives but NEVER false negatives, so
+    prefilter + exact join must equal the plain join exactly — any
+    dropped match reddens the row. The bench pays the real sequence:
+    bitmap build (map-side partial bit_or, collect bounded by bitmap
+    size, never key count), map-side codegen bit test over every
+    lineitem row (no shuffle, no Python), then the exact semi join over
+    the surviving ~20%."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = orders.filter(F.col("o_totalprice") > _BLOOM_PRICE_MIN).select(
+        "o_orderkey"
+    )
+    pre = bloom_prefilter(li, "l_orderkey", build, "o_orderkey")
+    # NO broadcast hint on the exact join: the operator's premise is a
+    # build side too large to broadcast as a hash set — the honest plan
+    # is a shuffle semi join over the PRUNED probe (AQE still converts
+    # to broadcast at test scale, where the build measures tiny)
+    exact = pre.join(
+        build.distinct().withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey",
+        "left_semi",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        rnd(F.sum("l_quantity"), 2).alias("sum_qty"),
+        rnd(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# outlier_iqr_per_group — computed oracle over the real corpus; the
+# quartiles are exact on both engines (bit-identical linear
+# interpolation), so the strict fence comparisons agree row-for-row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "outlier_iqr_per_group",
+    """
+    WITH s AS (SELECT l_returnflag, l_linestatus,
+                      quantile_cont(l_extendedprice, 0.25) AS q1_raw,
+                      quantile_cont(l_extendedprice, 0.75) AS q3_raw
+               FROM lineitem GROUP BY l_returnflag, l_linestatus)
+    SELECT l.l_returnflag, l.l_linestatus,
+           CAST(count(l.l_extendedprice) AS BIGINT) AS n,
+           round(s.q1_raw, 2) AS q1,
+           round(s.q3_raw, 2) AS q3,
+           CAST(sum(CASE WHEN l.l_extendedprice <
+                              s.q1_raw - 1.5 * (s.q3_raw - s.q1_raw)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN l.l_extendedprice >
+                              s.q3_raw + 1.5 * (s.q3_raw - s.q1_raw)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+    FROM lineitem l
+    JOIN s USING (l_returnflag, l_linestatus)
+    GROUP BY l.l_returnflag, l.l_linestatus, s.q1_raw, s.q3_raw
+    """,
+)
+def q_outlier_iqr_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Tukey-fence outlier audit (`operators.aggregates.
+    outlier_iqr_per_group`, exact tier): values strictly outside
+    ``[q1 − 1.5·iqr, q3 + 1.5·iqr]`` per (returnflag, linestatus) —
+    the robust data-quality step moments can't provide, because means
+    and stddevs are corrupted by the very outliers they would flag.
+
+    Cross-engine determinism: Spark's exact ``percentile`` and DuckDB's
+    ``quantile_cont`` compute the SAME linear interpolation on the same
+    parquet doubles (verified bit-identical on this data), so the
+    strict fence comparisons agree row-for-row without rounding games;
+    only the REPORTED quartiles are 2dp-rounded. Two passes, both
+    keyed on the same group columns: the stats row broadcasts back, so
+    the detail rows shuffle once. The ``exact=False`` tier swaps in
+    ``percentile_approx`` for groups that outgrow a task at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return outlier_iqr_per_group(
+        li, "l_extendedprice", ["l_returnflag", "l_linestatus"], fence_k=1.5
+    )

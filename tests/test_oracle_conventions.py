@@ -53,6 +53,7 @@ def oracle_frames(con):
         staged_r17,
         staged_r18,
         staged_r19,
+        staged_r20,
     )
 
     frames = {}
@@ -64,7 +65,7 @@ def oracle_frames(con):
     # oracles were only convention-checked once activated)
     for mod in (
         staged_r12, staged_r13, staged_r14, staged_r15, staged_r16,
-        staged_r17, staged_r18, staged_r19,
+        staged_r17, staged_r18, staged_r19, staged_r20,
     ):
         for name, sql in mod.ORACLES.items():
             frames[f"staged:{name}"] = con.execute(
@@ -126,7 +127,7 @@ def test_oracles_sort_under_driver_canonicalization(oracle_frames):
 
 
 def test_staged_modules_and_registry_names_are_pairwise_disjoint():
-    """With eight staged modules queued (r12-r19), two defining the same
+    """With nine staged modules queued (r12-r20), two defining the same
     query name — or a staged name colliding with a live registry one —
     would make an activation silently overwrite a dict entry instead of
     adding a row. Every staged module's names must be disjoint from
@@ -142,11 +143,12 @@ def test_staged_modules_and_registry_names_are_pairwise_disjoint():
         staged_r17,
         staged_r18,
         staged_r19,
+        staged_r20,
     )
 
     mods = [
         staged_r12, staged_r13, staged_r14, staged_r15, staged_r16,
-        staged_r17, staged_r18, staged_r19,
+        staged_r17, staged_r18, staged_r19, staged_r20,
     ]
     live = set(Q.all_queries())
     seen: dict[str, str] = {}

@@ -1,0 +1,231 @@
+"""Driver-style verification for the STAGED round-20 registry queries
+(queries/staged_r20.py), plus the premises each row rests on:
+
+- ``weighted_sample_by_group``'s VALUES oracle is re-derived from pure
+  Python hashlib/math (the A-ES race over the planted literals), and
+  the planted group name can never collide with a real source;
+- ``bloom_join_prune``'s contract (no false negatives ⇒ prefilter +
+  exact join ≡ plain join) is checked directly on the operator, along
+  with the pruning actually happening and false positives dying at the
+  exact join;
+- ``outlier_iqr_per_group``'s exact quartiles match numpy's linear
+  interpolation on an explicit fixture (the definition both engines
+  must share), and the ``exact=False`` 100 TB tier runs;
+- the module's planted-id floor (47M) is disjoint from every other
+  staged module's plants.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from bp_datawarehouse_ordersfact_spark.functions.rounding import sql_rewrite_rounds
+from bp_datawarehouse_ordersfact_spark.queries import staged_r20
+from tests.parity import frames_match
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("staged-r20")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.mark.parametrize("name", list(staged_r20.QUERIES))
+def test_staged_r20_query_passes_driver_comparison(spark, name):
+    sdf = staged_r20.QUERIES[name](spark, SF_DIR).toPandas()
+    sql = sql_rewrite_rounds(staged_r20.ORACLES[name])
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    ddf = con.execute(sql).fetchdf()
+    ok, msg = frames_match(sdf, ddf)
+    assert ok, f"{name}: {msg}"
+
+
+def test_staged_module_is_not_yet_registered():
+    """Staging contract: the names must NOT be in the live registry (the
+    registry is at its 100-entry rotation cap) until the round-20
+    activation swaps them in."""
+    from bp_datawarehouse_ordersfact_spark import queries as Q
+
+    live = set(Q.all_queries())
+    assert not (set(staged_r20.QUERIES) & live)
+
+
+def test_planted_id_floor_is_disjoint_from_other_staged_modules():
+    """Each staged module owns a 10^6-wide planted-id range; r20's floor
+    (47M) must sit above every other module's plants so range-selected
+    outputs can never capture a sibling's rows."""
+    import re
+    from pathlib import Path
+
+    qdir = Path("bp_datawarehouse_ordersfact_spark/queries")
+    for mod in sorted(qdir.glob("staged_r1*.py")):
+        ids = [
+            int(m.replace("_", ""))
+            for m in re.findall(r"\b(\d{2}_\d{3}_\d{3})\b", mod.read_text())
+        ]
+        assert all(i < 47_000_000 for i in ids), (
+            f"{mod.name} plants ids at/above r20's 47M floor: "
+            f"{[i for i in ids if i >= 47_000_000]}"
+        )
+
+
+def test_weighted_sample_oracle_rederived_from_pure_python():
+    """The VALUES oracle's four (doc_id, rank) rows are exactly the A-ES
+    winners of the planted race: u = first 52 md5 bits of 'id:seed'
+    (+0.5 centering), key = -ln(u)/w, four smallest keys win."""
+
+    def u(key: int) -> float:
+        h = int(
+            hashlib.md5(f"{key}:{staged_r20._WS_SEED}".encode()).hexdigest()[:13],
+            16,
+        )
+        return (h + 0.5) / 2**52
+
+    keyed = sorted(
+        (-math.log(u(d)) / w, d) for d, _grp, w in staged_r20._WS_PLANTED
+    )
+    expect = [(d, r) for r, (_k, d) in enumerate(keyed[: staged_r20._WS_N], 1)]
+    assert expect == [
+        (47_000_003, 1),
+        (47_000_005, 2),
+        (47_000_009, 3),
+        (47_000_002, 4),
+    ]
+
+
+def test_weighted_sample_planted_group_never_collides_with_real_sources():
+    """The planted group must stay its own window partition: no real
+    `documents.source` value may equal it at any test sf (real sources
+    are 'srcN'; the plant is not)."""
+    import glob
+
+    for sf in sorted(glob.glob("/root/testdata/sf*")):
+        hit = duckdb.sql(
+            f"SELECT count(*) FROM '{sf}/documents.parquet' "
+            f"WHERE source = '{staged_r20._WS_GRP}'"
+        ).fetchone()[0]
+        assert hit == 0, f"{sf}: real source collides with the planted group"
+
+
+def test_bloom_prefilter_contract_on_real_corpus(spark):
+    """No false negatives (prefilter + exact ≡ plain, as SETS of rows)
+    and the prefilter genuinely prunes (the pass-through fraction tracks
+    the true match fraction, not 1.0)."""
+    from bp_datawarehouse_ordersfact_spark.operators.joins import bloom_prefilter
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    build = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .filter(F.col("o_totalprice") > 400_000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+        .distinct()
+    )
+    pre = bloom_prefilter(li, "l_orderkey", build, "l_orderkey")
+    plain = li.join(F.broadcast(build), "l_orderkey", "left_semi")
+    via_bloom = pre.join(F.broadcast(build), "l_orderkey", "left_semi")
+    n_plain = plain.count()
+    assert via_bloom.count() == n_plain
+    # the exact join must also drop any Bloom false positives
+    assert (
+        via_bloom.select("l_orderkey", "l_linenumber")
+        .exceptAll(plain.select("l_orderkey", "l_linenumber"))
+        .count()
+        == 0
+    )
+    n_pre, n_all = pre.count(), li.count()
+    assert n_plain <= n_pre < n_all
+
+
+def test_bloom_prefilter_passes_false_positives_but_never_drops_matches(spark):
+    """Tiny-bitmap stress: with m_bits=64 and one hash the filter is
+    nearly saturated — false positives are expected and allowed; every
+    true match must still pass (the one-sided error the driver row
+    pins at full size)."""
+    from bp_datawarehouse_ordersfact_spark.operators.joins import bloom_prefilter
+
+    probe = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    build = spark.createDataFrame([(i,) for i in range(0, 500, 50)], "k long")
+    pre = {r["k"] for r in bloom_prefilter(probe, "k", build, "k", m_bits=64, k=1).collect()}
+    assert set(range(0, 500, 50)) <= pre
+
+
+def test_bloom_prefilter_null_probe_keys_pass_through(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.joins import bloom_prefilter
+
+    probe = spark.createDataFrame([(1,), (None,)], "k long")
+    build = spark.createDataFrame([(99,)], "k long")
+    out = bloom_prefilter(probe, "k", build, "k")
+    assert [r["k"] for r in out.collect()] == [None]
+
+
+def test_bloom_bitmap_rejects_bad_shape(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.joins import bloom_bitmap
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError):
+        bloom_bitmap(df, "k", m_bits=100)
+    with pytest.raises(ValueError):
+        bloom_bitmap(df, "k", k=0)
+
+
+def test_outlier_iqr_matches_numpy_linear_interpolation(spark):
+    """The exact tier's quartiles must be numpy's method='linear' (the
+    shared Spark/DuckDB definition), and the strict fences must count
+    the planted outliers exactly."""
+    import numpy as np
+
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import (
+        outlier_iqr_per_group,
+    )
+
+    vals = [10.0, 12.0, 11.0, 13.0, 12.5, 11.5, 10.5, 100.0, -50.0, 12.2]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v double")
+    row = outlier_iqr_per_group(df, "v", ["grp"]).collect()[0]
+    q1 = float(np.percentile(vals, 25, method="linear"))
+    q3 = float(np.percentile(vals, 75, method="linear"))
+    iqr = q3 - q1
+    def rnd2(x: float) -> float:  # the repo's portable half-up form
+        return math.floor(x * 100 + 0.5001) / 100
+
+    assert row["n"] == len(vals)
+    assert abs(row["q1"] - rnd2(q1)) < 1e-9
+    assert abs(row["q3"] - rnd2(q3)) < 1e-9
+    assert row["n_low"] == sum(v < q1 - 1.5 * iqr for v in vals) == 1
+    assert row["n_high"] == sum(v > q3 + 1.5 * iqr for v in vals) == 1
+
+
+def test_outlier_iqr_approx_tier_runs_and_nulls_dont_count(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import (
+        outlier_iqr_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", None), ("g", 3.0)], "grp string, v double"
+    )
+    row = outlier_iqr_per_group(df, "v", ["grp"], exact=False).collect()[0]
+    assert row["n"] == 3 and row["n_low"] == 0 and row["n_high"] == 0
+    with pytest.raises(ValueError):
+        outlier_iqr_per_group(df, "v", [])
+    with pytest.raises(ValueError):
+        outlier_iqr_per_group(df, "v", ["grp"], fence_k=0.0)
