@@ -89,8 +89,16 @@ _MODULES = (
 # sft_ingest_stream — the stream row is fixture-bound, bench-EXCLUDE it
 # at activation), queries/staged_r16.py (bpe_tokenize),
 # queries/staged_r17.py (containment_near_dup + audio_pcm_features),
-# queries/staged_r18.py (cms_point_freq + pq_adc_topk), and
-# queries/staged_r19.py (mg_heavy_hitters).
+# queries/staged_r18.py (cms_point_freq + pq_adc_topk),
+# queries/staged_r19.py (mg_heavy_hitters), and queries/staged_r20.py
+# (weighted_sample_by_group + bigram_lm_score + bloom_join_prune +
+# outlier_iqr_per_group — the four extra slots come from the retirement
+# pool named in PLANS.md "Round-11 staging ledger", e.g. fact_royalty
+# [§3 keeps domain_fact_royalty's full-chain row + conditional_measures'
+# C-row], one of funnel_analysis/retention_cohorts [the pair's other
+# half already pools], stream_sliding_agg [windowed-agg family keeps
+# tumbling + session + stateful], and text_token_count once
+# bpe_tokenize's r16 row is live [token-counting family]).
 _WINDOW_FIRST = (
     "dedup_embedding_lsh_banded", "ann_recall_at_k",
     "ann_ivf_kmeans_refine", "domain_fact_royalty",

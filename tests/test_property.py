@@ -1310,3 +1310,99 @@ def test_word_ngrams_fast_matches_word_shingles_set(spark, texts, n):
         ).collect()
     }
     assert fast == slow
+
+
+# ---------------------------------------------------------------------------
+# bloom_prefilter: one-sided error, any keys / any bitmap shape
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    probe=st.lists(st.integers(-1000, 1000), min_size=0, max_size=60),
+    build=st.lists(st.integers(-1000, 1000), min_size=0, max_size=25),
+    m_words=st.sampled_from([1, 2, 16]),
+    k=st.integers(1, 4),
+)
+def test_bloom_prefilter_one_sided_error_property(spark, probe, build, m_words, k):
+    """For ANY probe/build key sets and ANY (even saturated) bitmap
+    shape: every true match passes the prefilter (no false negatives),
+    so prefilter-then-intersect equals plain intersect as multisets."""
+    from collections import Counter
+
+    from bp_datawarehouse_ordersfact_spark.operators.joins import bloom_prefilter
+
+    pdf = spark.createDataFrame([(v,) for v in probe] or [(None,)], "key long")
+    if not probe:
+        pdf = pdf.filter("key is not null")
+    bdf = spark.createDataFrame([(v,) for v in build] or [(None,)], "key long")
+    if not build:
+        bdf = bdf.filter("key is not null")
+    passed = [
+        r["key"]
+        for r in bloom_prefilter(
+            pdf, "key", bdf, "key", m_bits=64 * m_words, k=k
+        ).collect()
+    ]
+    bset = set(build)
+    expect = Counter(v for v in probe if v in bset)
+    got = Counter(v for v in passed if v in bset)
+    assert got == expect  # every true match survived, with multiplicity
+    assert Counter(passed) <= Counter(probe)  # prefilter only ever drops
+
+
+# ---------------------------------------------------------------------------
+# outlier_iqr_per_group == numpy linear quartiles + strict Tukey fences
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=1,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    fence_k=st.sampled_from([0.5, 1.5, 3.0]),
+)
+def test_outlier_iqr_matches_numpy_twin_property(spark, groups, fence_k):
+    import math as _m
+
+    import numpy as np
+
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import (
+        outlier_iqr_per_group,
+    )
+
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = {
+        r["grp"]: r
+        for r in outlier_iqr_per_group(
+            df, "v", ["grp"], fence_k=fence_k
+        ).collect()
+    }
+    assert set(out) == set(groups)
+    for g, vs in groups.items():
+        q1 = float(np.percentile(vs, 25, method="linear"))
+        q3 = float(np.percentile(vs, 75, method="linear"))
+        iqr = q3 - q1
+        r = out[g]
+        assert r["n"] == len(vs)
+        # tolerance, not equality: Spark's lerp and numpy's may differ
+        # in the last ulp, which the half-up rounding then amplifies
+        assert abs(r["q1"] - _m.floor(q1 * 100 + 0.5001) / 100) <= 0.01
+        assert abs(r["q3"] - _m.floor(q3 * 100 + 0.5001) / 100) <= 0.01
+        assert r["n_low"] == sum(v < q1 - fence_k * iqr for v in vs)
+        assert r["n_high"] == sum(v > q3 + fence_k * iqr for v in vs)
