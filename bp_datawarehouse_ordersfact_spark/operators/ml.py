@@ -353,3 +353,77 @@ def bigram_logprob(
             "mean_logprob",
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Corpus-level collocation mining: pointwise mutual information of
+    adjacent token pairs — ``pmi = ln(P(w1,w2) / (P(w1)·P(w2)))`` with
+    ``P(w1,w2)`` over the bigram stream and the unigram P's over the
+    token stream (Church & Hanks 1990, public literature). High-PMI
+    pairs are multiword units ("new york", "machine learning") — the
+    standard vocabulary/tokenizer-audit step before committing a merge
+    table, and the corpus-level dual of ``bigram_logprob``'s per-doc
+    score.
+
+    ``min_pair_count`` is the classic low-frequency guard (PMI explodes
+    for hapax pairs) AND what makes the output driver-stable: membership
+    is an integer-count threshold, never a float comparison.
+
+    Scale shape: bigram formation is one lag window per document
+    (shuffle by ``id_col``, reusing the ingest fan-out partitioning);
+    the pair counts shuffle once on the bigram key, partial-aggregated
+    map-side; the threshold then shrinks the pair table BEFORE the two
+    vocabulary-sized unigram joins and the 1-row total broadcasts —
+    nothing after the threshold scales with the corpus.
+
+    Returns (w1, w2, pair_cnt, pmi) — pmi 6dp-rounded.
+    """
+    if min_pair_count < 1:
+        raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
+    from pyspark.sql import Window
+
+    from ..functions import text as Tx
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(Tx.tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = (
+        toks.select(F.lag("tok").over(w).alias("w1"), F.col("tok").alias("w2"))
+        .filter(F.col("w1").isNotNull())
+    )
+    pair_c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    n_pairs = pair_c.agg(F.sum("pair_cnt").alias("np"))
+    uni_c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("uc"))
+    n_toks = uni_c.agg(F.sum("uc").alias("nt"))
+    kept = pair_c.filter(F.col("pair_cnt") >= min_pair_count)
+    u1 = uni_c.select(F.col("tok").alias("w1"), F.col("uc").alias("uc1"))
+    u2 = uni_c.select(F.col("tok").alias("w2"), F.col("uc").alias("uc2"))
+    return (
+        kept.join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(n_pairs))
+        .join(F.broadcast(n_toks))
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_cnt").cast("long").alias("pair_cnt"),
+            rnd(
+                F.log(
+                    (F.col("pair_cnt").cast("double") / F.col("np"))
+                    / (
+                        (F.col("uc1").cast("double") / F.col("nt"))
+                        * (F.col("uc2").cast("double") / F.col("nt"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -492,3 +492,50 @@ def quality_stratified_resample_by_group(
         h32(F.col(id_col).cast("string")) % 1_000_000
         < F.element_at(ppm_arr, F.col("quality_bucket") + 1)
     ).drop("__grp")
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    *,
+    source_col: str,
+    token_col: str,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Derive mixture weights from corpus sizes by temperature scaling:
+    ``w_i = n_i^α / Σ n_j^α`` (the exponentiated-share sampling rule of
+    the multilingual pretraining literature — XLM-R/mT5-style α-sampling,
+    public). α = 1 reproduces the natural distribution; α → 0 approaches
+    uniform; the standard α ≈ 0.3 lifts low-resource sources without
+    letting any source dominate. This is the WEIGHT-DERIVATION step in
+    front of ``plan_token_mixture`` (which takes the weights as given and
+    budgets epochs) — together they close the loop from raw corpus to
+    executable sampling plan.
+
+    ONE map-side-combined aggregate to a rows-per-source frame, then
+    window arithmetic over that tiny frame — nothing downstream of the
+    aggregate scales with the corpus.
+
+    Returns per source: ``n_tokens``, ``raw_share`` (natural
+    distribution), ``temp_share`` (the derived weight), ``boost``
+    (temp/raw — >1 means the source is up-sampled), 6dp-rounded.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    from pyspark.sql import Window
+
+    from ..functions.rounding import rnd
+
+    per_src = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.col(token_col).cast("long")).alias("n_tokens")
+    )
+    everything = Window.partitionBy()
+    n = F.col("n_tokens").cast("double")
+    raw = n / F.sum(n).over(everything)
+    temp = F.pow(n, F.lit(alpha)) / F.sum(F.pow(n, F.lit(alpha))).over(everything)
+    return per_src.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        rnd(raw, 6).alias("raw_share"),
+        rnd(temp, 6).alias("temp_share"),
+        rnd(temp / raw, 6).alias("boost"),
+    )

@@ -1,8 +1,8 @@
 """STAGED registry queries for the round-20 rotation (not yet in
 ``queries._MODULES`` — the sketches_r6/staged_r10 staging discipline).
 
-Four rows, closing the last shipped-operator-without-a-driver-row gaps
-and adding two new scale operators:
+Six rows, closing the last shipped-operator-without-a-driver-row gaps
+and adding four new scale operators:
 
 - ``weighted_sample_by_group`` — `operators.sampling.
   weighted_sample_per_group` (Efraimidis–Spirakis A-ES weighted
@@ -32,6 +32,15 @@ and adding two new scale operators:
   quartiles (Spark ``percentile`` and DuckDB ``quantile_cont`` are
   bit-identical linear interpolation — verified, not assumed), with a
   ``percentile_approx`` tier for the 100 TB path.
+- ``pmi_collocations`` — NEW `operators.ml.pmi_collocations`:
+  corpus-level PMI collocation mining (the vocabulary/tokenizer-audit
+  dual of the per-doc bigram score). Computed oracle; membership is an
+  integer count threshold, never a float comparison.
+- ``temperature_mixture`` — NEW `operators.sampling.
+  temperature_mixture_weights`: α-sampling mixture weights
+  ``n_i^α / Σ n_j^α`` (the multilingual pretraining rule), the
+  weight-derivation step in front of ``token_mixture``'s epoch
+  budgeting. Computed oracle over the per-source token sums.
 
 Planted-id floor: 47_000_000 (above every testdata id range and every
 other staged module's floor — each module owns a disjoint 10^6-wide
@@ -296,4 +305,101 @@ def q_outlier_iqr_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return outlier_iqr_per_group(
         li, "l_extendedprice", ["l_returnflag", "l_linestatus"], fence_k=1.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# pmi_collocations — computed oracle over the real corpus: identical
+# bigram/unigram count tables on both engines, identical PMI arithmetic
+# order; membership is an integer count threshold, never a float test.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_PAIRS = 5
+
+
+@register(
+    "pmi_collocations",
+    f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS.format(c='text')} AS t FROM documents),
+    pr AS (SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+           FROM (SELECT unnest(list_transform(range(len(t) - 1),
+                        i -> t[i+1] || ' ' || t[i+2])) AS g
+                 FROM toks WHERE len(t) >= 2)),
+    pair_c AS (SELECT w1, w2, count(*) AS pair_cnt FROM pr GROUP BY w1, w2),
+    np AS (SELECT CAST(sum(pair_cnt) AS DOUBLE) AS np FROM pair_c),
+    uni AS (SELECT tok, CAST(count(*) AS DOUBLE) AS uc
+            FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+    nt AS (SELECT sum(uc) AS nt FROM uni)
+    SELECT k.w1, k.w2, CAST(k.pair_cnt AS BIGINT) AS pair_cnt,
+           round(ln((CAST(k.pair_cnt AS DOUBLE) / np.np)
+                    / ((u1.uc / nt.nt) * (u2.uc / nt.nt))), 6) AS pmi
+    FROM pair_c k JOIN uni u1 ON u1.tok = k.w1
+                  JOIN uni u2 ON u2.tok = k.w2
+                  CROSS JOIN np CROSS JOIN nt
+    WHERE k.pair_cnt >= {_PMI_MIN_PAIRS}
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining (`operators.ml.pmi_collocations`):
+    pointwise mutual information of adjacent token pairs — the
+    vocabulary/tokenizer-audit step that surfaces multiword units
+    before committing a merge table, and the corpus-level dual of
+    ``bigram_lm_score``'s per-document fluency score.
+
+    Driver-stability: output membership is ``pair_cnt >= 5`` — an
+    integer threshold — and the PMI value itself is ``ln`` of a ratio
+    of counts with identical arithmetic order on both engines,
+    6dp-rounded (the ln discipline ``text_unigram_logprob`` pins).
+    Scale shape: pair counts shuffle once (map-side combined) and the
+    threshold shrinks the pair table BEFORE the vocabulary-sized
+    unigram joins; the two 1-row totals broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators.ml import pmi_collocations
+
+    return pmi_collocations(d, "text", "doc_id", min_pair_count=_PMI_MIN_PAIRS)
+
+
+# ---------------------------------------------------------------------------
+# temperature_mixture — computed oracle over the real corpus: one
+# rows-per-source aggregate, then the α-sampling arithmetic.
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.3
+
+
+@register(
+    "temperature_mixture",
+    f"""
+    WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source)
+    SELECT source, n_tokens,
+           round(CAST(n_tokens AS DOUBLE)
+                 / sum(CAST(n_tokens AS DOUBLE)) OVER (), 6) AS raw_share,
+           round(pow(CAST(n_tokens AS DOUBLE), {_TEMP_ALPHA})
+                 / sum(pow(CAST(n_tokens AS DOUBLE), {_TEMP_ALPHA})) OVER (), 6)
+             AS temp_share,
+           round((pow(CAST(n_tokens AS DOUBLE), {_TEMP_ALPHA})
+                  / sum(pow(CAST(n_tokens AS DOUBLE), {_TEMP_ALPHA})) OVER ())
+                 / (CAST(n_tokens AS DOUBLE)
+                    / sum(CAST(n_tokens AS DOUBLE)) OVER ()), 6) AS boost
+    FROM s
+    """,
+)
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (`operators.sampling.
+    temperature_mixture_weights`, α = 0.3): ``w_i = n_i^α / Σ n_j^α`` —
+    the multilingual α-sampling rule that lifts low-resource sources
+    without letting any source dominate; the weight-DERIVATION step in
+    front of ``token_mixture``'s epoch budgeting.
+
+    Scale shape: ONE map-side-combined aggregate reduces the corpus to
+    a rows-per-source frame; the window arithmetic runs over that tiny
+    frame only. Cross-engine: ``pow``/division/ln-free shares rounded
+    6dp (both engines compute the same IEEE arithmetic on the same
+    integer token sums)."""
+    d = load_table(spark, sf_dir, "documents")
+    from ..operators.sampling import temperature_mixture_weights
+
+    return temperature_mixture_weights(
+        d, source_col="source", token_col="n_chars", alpha=_TEMP_ALPHA
     )

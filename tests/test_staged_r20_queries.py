@@ -229,3 +229,76 @@ def test_outlier_iqr_approx_tier_runs_and_nulls_dont_count(spark):
         outlier_iqr_per_group(df, "v", [])
     with pytest.raises(ValueError):
         outlier_iqr_per_group(df, "v", ["grp"], fence_k=0.0)
+
+
+def test_pmi_collocations_matches_pure_python_twin(spark):
+    """PMI on a tiny corpus vs the direct formula: counts from adjacent
+    pairs, pmi = ln((bc/Np) / ((u1/Nt)*(u2/Nt))), threshold on count."""
+    from collections import Counter
+
+    from bp_datawarehouse_ordersfact_spark.operators.ml import pmi_collocations
+
+    docs = [
+        (1, "new york new york city of new york"),
+        (2, "york new and new york again new york"),
+        (3, "city of the city of"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["w1"], r["w2"]): (r["pair_cnt"], r["pmi"])
+        for r in pmi_collocations(df, "text", "doc_id", min_pair_count=2).collect()
+    }
+    toks = {i: t.split() for i, t in docs}
+    uni = Counter(w for ts in toks.values() for w in ts)
+    pairs = Counter(
+        (ts[i], ts[i + 1]) for ts in toks.values() for i in range(len(ts) - 1)
+    )
+    nt, np_ = sum(uni.values()), sum(pairs.values())
+    expect = {}
+    for (w1, w2), c in pairs.items():
+        if c >= 2:
+            pmi = math.log((c / np_) / ((uni[w1] / nt) * (uni[w2] / nt)))
+            expect[(w1, w2)] = (c, math.floor(pmi * 1e6 + 0.5001) / 1e6)
+    assert got == expect
+    assert ("new", "york") in got and got[("new", "york")][0] == 5
+
+
+def test_pmi_collocations_rejects_bad_threshold(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.ml import pmi_collocations
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pmi_collocations(df, "text", "doc_id", min_pair_count=0)
+
+
+def test_temperature_mixture_matches_pure_python_twin(spark):
+    """α-sampling weights vs the direct formula, and the contract: at
+    α<1 the smallest source's share is lifted (boost>1), the largest
+    source's is cut (boost<1), and the derived shares sum to 1."""
+    from bp_datawarehouse_ordersfact_spark.operators.sampling import (
+        temperature_mixture_weights,
+    )
+
+    sizes = {"big": 90_000, "mid": 9_000, "small": 1_000}
+    rows = [(s, n) for s, n in sizes.items()]
+    df = spark.createDataFrame(rows, "source string, n_tokens_in long")
+    got = {
+        r["source"]: r
+        for r in temperature_mixture_weights(
+            df, source_col="source", token_col="n_tokens_in", alpha=0.3
+        ).collect()
+    }
+    nt = sum(sizes.values())
+    pow_sum = sum(n**0.3 for n in sizes.values())
+    for s, n in sizes.items():
+        raw, temp = n / nt, n**0.3 / pow_sum
+        assert got[s]["n_tokens"] == n
+        assert abs(got[s]["raw_share"] - raw) < 1e-5
+        assert abs(got[s]["temp_share"] - temp) < 1e-5
+        assert abs(got[s]["boost"] - temp / raw) < 1e-4
+    assert got["small"]["boost"] > 1.0 > got["big"]["boost"]
+    assert abs(sum(r["temp_share"] for r in got.values()) - 1.0) < 1e-4
+    with pytest.raises(ValueError):
+        temperature_mixture_weights(
+            df, source_col="source", token_col="n_tokens_in", alpha=0.0
+        )
