@@ -274,3 +274,90 @@ def test_coalesce_intervals_matches_duckdb_windows(spark):
         ).fetchall()
     )
     assert got == expect
+
+
+def test_exact_percentile_matches_duckdb_quantile_cont(spark):
+    """The r20 outlier row's load-bearing assumption: Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` compute the SAME
+    linear interpolation, bit-for-bit, on arbitrary doubles — including
+    2dp-money-shaped values, tiny groups, and duplicate-heavy data."""
+    rng = random.Random(420)
+    groups = []
+    for g in range(40):
+        n = rng.randint(1, 400)
+        if g % 3 == 0:  # money-shaped
+            vals = [round(rng.uniform(900, 105000), 2) for _ in range(n)]
+        elif g % 3 == 1:  # duplicate-heavy small ints
+            vals = [float(rng.randint(0, 9)) for _ in range(n)]
+        else:  # raw doubles across magnitudes
+            vals = [rng.uniform(-1e8, 1e8) for _ in range(n)]
+        groups.append((f"g{g}", vals))
+
+    df = spark.createDataFrame(
+        [Row(g=g, v=v) for g, vals in groups for v in vals]
+    )
+    got = {
+        r.g: (r.q1, r.q2, r.q3)
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(v, 0.25)").alias("q1"),
+            F.expr("percentile(v, 0.5)").alias("q2"),
+            F.expr("percentile(v, 0.75)").alias("q3"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    rows = [(g, v) for g, vals in groups for v in vals]
+    con.execute("CREATE TABLE t (g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            "SELECT g, quantile_cont(v, 0.25), quantile_cont(v, 0.5), "
+            "quantile_cont(v, 0.75) FROM t GROUP BY g"
+        ).fetchall()
+    }
+    mismatches = {g: (got[g], duck[g]) for g in got if got[g] != duck[g]}
+    assert not mismatches, f"percentile divergences: {list(mismatches.items())[:3]}"
+
+
+def test_pow_and_ln_match_duckdb_on_random_doubles(spark):
+    """The r20 temperature/PMI/bigram rows lean on cross-engine ``pow``
+    and ``ln`` agreeing to the last bit on positive doubles (shares and
+    log-probs are 6dp-rounded, but bit-identical inputs keep the margin
+    analysis trivial)."""
+    rng = random.Random(421)
+    xs = [rng.uniform(1e-6, 1e9) for _ in range(3000)]
+    xs += [float(rng.randint(1, 10**9)) for _ in range(3000)]  # token counts
+    df = spark.createDataFrame([Row(i=i, x=x) for i, x in enumerate(xs)])
+    got = {
+        r.i: (r.p, r.l)
+        for r in df.select(
+            "i",
+            F.pow(F.col("x"), F.lit(0.3)).alias("p"),
+            F.log(F.col("x")).alias("l"),
+        ).collect()
+    }
+    duck = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.execute(
+            "SELECT i, pow(x, 0.3), ln(x) "
+            "FROM (SELECT unnest(range(len(?))) AS i, unnest(?) AS x)",
+            [xs, xs],
+        ).fetchall()
+    }
+    mism = [i for i in got if got[i] != duck[i]]
+    # ln/pow are allowed a last-ulp disagreement (libm vs libm); what the
+    # oracles actually need is agreement AFTER 6dp rounding of any
+    # downstream ratio — check the raw values are within 1 ulp instead
+    # of exactly equal, then assert the rounded forms coincide.
+    for i in mism:
+        for a, b in zip(got[i], duck[i]):
+            assert a == b or abs(a - b) <= abs(math.ulp(a)), (i, a, b)
+    mism_rounded = [
+        i
+        for i in got
+        if tuple(math.floor(v * 1e6 + 0.5001) / 1e6 for v in got[i])
+        != tuple(math.floor(v * 1e6 + 0.5001) / 1e6 for v in duck[i])
+    ]
+    assert not mism_rounded, f"post-rounding divergences: {mism_rounded[:3]}"
