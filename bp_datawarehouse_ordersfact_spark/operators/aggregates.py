@@ -171,10 +171,13 @@ def outlier_iqr_per_group(
     (moments): moments are themselves corrupted by the outliers they
     would flag, so the fences come from quartiles, which are not.
 
-    Per distinct ``group_cols`` value: ``n`` (non-NULL values), ``q1``/
-    ``q3`` (2dp), and ``n_low``/``n_high`` — values strictly outside
-    ``[q1 - fence_k·iqr, q3 + fence_k·iqr]``. NULL values count in
-    neither (they are ``null_audit``'s job).
+    Per distinct ``group_cols`` value — NULL group labels included
+    (the join-back is null-safe; an audit that silently dropped the
+    unlabeled rows would hide exactly the data it exists to surface):
+    ``n`` (non-NULL values), ``q1``/``q3`` (2dp), and ``n_low``/
+    ``n_high`` — values strictly outside ``[q1 - fence_k·iqr,
+    q3 + fence_k·iqr]``. NULL VALUES count in neither ``n_low`` nor
+    ``n_high`` (missingness is ``null_audit``'s job).
 
     Two-pass by necessity (the fences must exist before rows can be
     judged), but both passes aggregate on the SAME group key: pass 1
@@ -204,8 +207,20 @@ def outlier_iqr_per_group(
     iqr = F.col("__q3") - F.col("__q1")
     lo = F.col("__q1") - F.lit(fence_k) * iqr
     hi = F.col("__q3") + F.lit(fence_k) * iqr
+    # null-SAFE join back: a NULL group label is still a group (an
+    # audit that silently drops the unlabeled rows would hide exactly
+    # the data it exists to surface), and a plain equi-join would
+    # never match pass 1's NULL-keyed stats row
+    st = stats.select(
+        *[F.col(c).alias(f"__g{i}") for i, c in enumerate(group_cols)],
+        "__q1",
+        "__q3",
+    )
+    cond = F.lit(True)
+    for i, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__g{i}"))
     return (
-        df.join(F.broadcast(stats), group_cols)
+        df.join(F.broadcast(st), cond)
         .groupBy(*group_cols)
         .agg(
             F.count(v).cast("long").alias("n"),

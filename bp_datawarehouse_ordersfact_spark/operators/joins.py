@@ -231,18 +231,37 @@ def bloom_prefilter(
     bitwiseAND) evaluated map-side: NO shuffle, NO Python. NULL probe
     keys pass through (the exact join decides their fate, keeping the
     operator usable ahead of outer joins).
+
+    The probe and build key columns must have the SAME data type:
+    xxhash64 hashes the binary representation, so e.g. the int 5 and
+    the long 5 hash differently even though an equi-join would coerce
+    and match them — a silent type mismatch would drop every true
+    match. The operator refuses loudly instead; cast one side first.
     """
+    probe_t = dict(probe.dtypes)[probe_key]
+    build_t = dict(build.dtypes)[build_key]
+    if probe_t != build_t:
+        raise ValueError(
+            f"probe key {probe_key!r} ({probe_t}) and build key "
+            f"{build_key!r} ({build_t}) must have the same type — "
+            f"xxhash64 hashes representations, not join-coerced values; "
+            f"cast one side before prefiltering"
+        )
     bitmap = bloom_bitmap(build, build_key, m_bits=m_bits, k=k)
     arr = F.array(*[F.lit(w) for w in bitmap])
     key = F.col(probe_key)
     out = probe.withColumn("__bloom", arr)
-    cond = F.lit(True)
+    # per-probe-hash positions land in internal temp columns so the bit
+    # mask can use the SQL shiftleft (no Column-typed bits in the Python
+    # API) without ever interpolating the user's column name into SQL
+    pos_cols = []
     for j in range(k):
-        p = F.pmod(F.xxhash64(key, F.lit(j)), F.lit(m_bits))
-        word = F.element_at(F.col("__bloom"), (p / 64).cast("int") + F.lit(1))
-        bit = F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(pmod(xxhash64({probe_key}, {j}), {m_bits}) % 64 AS INT))"
-        )
+        c = f"__bloom_p{j}"
+        pos_cols.append(c)
+        out = out.withColumn(c, F.pmod(F.xxhash64(key, F.lit(j)), F.lit(m_bits)))
+    cond = F.lit(True)
+    for c in pos_cols:
+        word = F.element_at(F.col("__bloom"), (F.col(c) / 64).cast("int") + F.lit(1))
+        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({c} % 64 AS INT))")
         cond = cond & (word.bitwiseAND(bit) != 0)
-    return out.filter(key.isNull() | cond).drop("__bloom")
+    return out.filter(key.isNull() | cond).drop("__bloom", *pos_cols)

@@ -164,7 +164,12 @@ _SQL_TOKS = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), t -> t <>
     big_c AS (SELECT g, CAST(count(*) AS DOUBLE) AS bc FROM pr GROUP BY g),
     ctx_c AS (SELECT prev, CAST(count(*) AS DOUBLE) AS cc FROM pr GROUP BY prev),
     scored AS (SELECT p.doc_id,
-                      ln(0.7 * (b.bc / c.cc) + (1.0 - 0.7) * (u.uc / t.n)) AS lp
+                      -- (CAST .. AS DOUBLE) forces IEEE double subtraction
+                      -- = Python's 1.0 - 0.7 = 0.30000000000000004; bare
+                      -- (1.0 - 0.7) is DuckDB DECIMAL arithmetic = exact
+                      -- 0.3, one ulp BELOW the Spark side's weight
+                      ln(0.7 * (b.bc / c.cc)
+                         + (CAST(1.0 AS DOUBLE) - 0.7) * (u.uc / t.n)) AS lp
                FROM pr p JOIN big_c b USING (g)
                          JOIN ctx_c c USING (prev)
                          JOIN uni_c u USING (tok)
@@ -245,9 +250,11 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NO broadcast hint on the exact join: the operator's premise is a
     # build side too large to broadcast as a hash set — the honest plan
     # is a shuffle semi join over the PRUNED probe (AQE still converts
-    # to broadcast at test scale, where the build measures tiny)
+    # to broadcast at test scale, where the build measures tiny). And
+    # no distinct(): semi-join semantics already ignore build-side
+    # duplicates — the extra exchange would be pure waste at scale.
     exact = pre.join(
-        build.distinct().withColumnRenamed("o_orderkey", "l_orderkey"),
+        build.withColumnRenamed("o_orderkey", "l_orderkey"),
         "l_orderkey",
         "left_semi",
     )

@@ -74,20 +74,37 @@ def test_staged_module_is_not_yet_registered():
 def test_planted_id_floor_is_disjoint_from_other_staged_modules():
     """Each staged module owns a 10^6-wide planted-id range; r20's floor
     (47M) must sit above every other module's plants so range-selected
-    outputs can never capture a sibling's rows."""
+    outputs can never capture a sibling's rows. The path anchors to
+    THIS file (not the cwd) and the glob must actually find the sibling
+    modules — a vacuous pass is itself a failure; ids are matched in
+    both the Python underscore form and the plain-digit oracle form."""
     import re
     from pathlib import Path
 
-    qdir = Path("bp_datawarehouse_ordersfact_spark/queries")
-    for mod in sorted(qdir.glob("staged_r1*.py")):
+    qdir = (
+        Path(__file__).resolve().parent.parent
+        / "bp_datawarehouse_ordersfact_spark"
+        / "queries"
+    )
+    mods = sorted(qdir.glob("staged_r1*.py"))
+    assert len(mods) >= 9, f"expected the staged sibling modules, found {mods}"
+    any_ids = False
+    for mod in mods:
         ids = [
             int(m.replace("_", ""))
-            for m in re.findall(r"\b(\d{2}_\d{3}_\d{3})\b", mod.read_text())
+            for m in re.findall(
+                r"\b(\d{2}_\d{3}_\d{3}|\d{8})\b", mod.read_text()
+            )
         ]
-        assert all(i < 47_000_000 for i in ids), (
+        big = [i for i in ids if i >= 10_000_000]
+        any_ids = any_ids or bool(big)
+        assert all(i < 47_000_000 for i in big), (
             f"{mod.name} plants ids at/above r20's 47M floor: "
-            f"{[i for i in ids if i >= 47_000_000]}"
+            f"{[i for i in big if i >= 47_000_000]}"
         )
+    # non-vacuity: the regex must have matched SOMEWHERE (staged_r13
+    # legitimately plants no ids — its oracles are computed, not VALUES)
+    assert any_ids, "no planted ids matched in any sibling — regex drifted?"
 
 
 def test_weighted_sample_oracle_rederived_from_pure_python():
@@ -302,3 +319,37 @@ def test_temperature_mixture_matches_pure_python_twin(spark):
         temperature_mixture_weights(
             df, source_col="source", token_col="n_tokens_in", alpha=0.0
         )
+
+
+def test_bloom_prefilter_rejects_mismatched_key_types(spark):
+    """xxhash64 hashes representations, not join-coerced values: an INT
+    probe against a BIGINT build would silently drop EVERY true match
+    (the exact violation the operator forbids), so mismatched key types
+    must refuse loudly."""
+    from bp_datawarehouse_ordersfact_spark.operators.joins import bloom_prefilter
+
+    probe = spark.createDataFrame([(5,)], "k int")
+    build = spark.createDataFrame([(5,)], "k long")
+    with pytest.raises(ValueError, match="same type"):
+        bloom_prefilter(probe, "k", build, "k")
+    # cast to a common type and the match passes
+    out = bloom_prefilter(
+        probe.select(F.col("k").cast("long").alias("k")), "k", build, "k"
+    )
+    assert [r["k"] for r in out.collect()] == [5]
+
+
+def test_outlier_iqr_keeps_null_group_labels(spark):
+    """A NULL group label is still a group: the null-safe join-back must
+    report it rather than silently dropping the unlabeled rows."""
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import (
+        outlier_iqr_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), (None, 3.0), (None, 4.0), (None, 500.0)],
+        "grp string, v double",
+    )
+    out = {r["grp"]: r for r in outlier_iqr_per_group(df, "v", ["grp"]).collect()}
+    assert set(out) == {"a", None}
+    assert out[None]["n"] == 3
