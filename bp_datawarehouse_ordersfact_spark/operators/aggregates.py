@@ -230,3 +230,72 @@ def outlier_iqr_per_group(
             F.sum(F.when(v > hi, 1).otherwise(0)).cast("long").alias("n_high"),
         )
     )
+
+
+def mixture_drift(
+    base: DataFrame,
+    current: DataFrame,
+    *,
+    key_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Corpus-mixture drift monitor: per ``key_col`` value, the share of
+    the baseline snapshot vs the current one and that key's contribution
+    to the Jensen–Shannon divergence between the two mixtures (natural
+    log, so the total ranges [0, ln 2]) — the standard data-drift alarm
+    a training pipeline runs before a refreshed corpus is allowed to
+    replace the one the last model saw. JS rather than KL because a key
+    present in only ONE snapshot (new source appearing, old source
+    vanishing) must contribute a FINITE penalty, not ±inf.
+
+    ``weight_col`` weighs rows (e.g. token counts — mixture drift in
+    token space); ``None`` counts rows. Keys absent from a side get
+    share 0 there (the 0·ln(0/m) limit term is 0 by definition — the
+    CASE guard, identical on both engines).
+
+    Scale shape: each snapshot reduces via ONE map-side-combined
+    aggregate to a rows-per-key frame; the full-outer join, window
+    totals, and JS arithmetic all run on those tiny frames — nothing
+    after the two aggregates scales with the corpus.
+
+    Returns per key: ``n_base``/``n_cur`` (weight sums), ``p_share``/
+    ``q_share`` and ``js_contrib`` (6dp). ``sum(js_contrib)`` is the
+    corpus-level divergence; alert thresholds are the caller's policy.
+    """
+    from ..functions.rounding import rnd
+
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+
+    def side(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy(F.col(key_col).alias("key")).agg(
+            F.sum(w).alias(out)
+        )
+
+    b = side(base, "n_base")
+    c = side(current, "n_cur")
+    joined = b.join(c, "key", "full_outer").select(
+        "key",
+        F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    from pyspark.sql import Window
+
+    everything = Window.partitionBy()
+    p = F.col("n_base").cast("double") / F.sum("n_base").over(everything)
+    q = F.col("n_cur").cast("double") / F.sum("n_cur").over(everything)
+    m = (p + q) / F.lit(2.0)
+    contrib = F.lit(0.5) * F.when(p > 0, p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.lit(0.5) * F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    return joined.select(
+        "key",
+        "n_base",
+        "n_cur",
+        rnd(p, 6).alias("p_share"),
+        rnd(q, 6).alias("q_share"),
+        rnd(contrib, 6).alias("js_contrib"),
+    )

@@ -92,15 +92,16 @@ _MODULES = (
 # queries/staged_r18.py (cms_point_freq + pq_adc_topk),
 # queries/staged_r19.py (mg_heavy_hitters), and queries/staged_r20.py
 # (weighted_sample_by_group + bigram_lm_score + bloom_join_prune +
-# outlier_iqr_per_group + pmi_collocations + temperature_mixture — the
-# six extra slots come from the retirement
+# outlier_iqr_per_group + pmi_collocations + temperature_mixture +
+# mixture_drift — the seven extra slots come from the retirement
 # pool named in PLANS.md "Round-11 staging ledger", e.g. fact_royalty
 # [§3 keeps domain_fact_royalty's full-chain row + conditional_measures'
 # C-row], one of funnel_analysis/retention_cohorts [the pair's other
 # half already pools], stream_sliding_agg [windowed-agg family keeps
 # tumbling + session + stateful], text_token_count once bpe_tokenize's
-# r16 row is live [token-counting family], plus two more from the
-# documented pool, e.g. events_gap_fill and set_intersect_except).
+# r16 row is live [token-counting family], plus three more from the
+# documented pool, e.g. events_gap_fill, set_intersect_except, and
+# date_dim_generate).
 _WINDOW_FIRST = (
     "dedup_embedding_lsh_banded", "ann_recall_at_k",
     "ann_ivf_kmeans_refine", "domain_fact_royalty",

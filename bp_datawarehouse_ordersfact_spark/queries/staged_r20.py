@@ -1,8 +1,8 @@
 """STAGED registry queries for the round-20 rotation (not yet in
 ``queries._MODULES`` — the sketches_r6/staged_r10 staging discipline).
 
-Six rows, closing the last shipped-operator-without-a-driver-row gaps
-and adding four new scale operators:
+Seven rows, closing the last shipped-operator-without-a-driver-row gaps
+and adding five new scale operators:
 
 - ``weighted_sample_by_group`` — `operators.sampling.
   weighted_sample_per_group` (Efraimidis–Spirakis A-ES weighted
@@ -41,6 +41,11 @@ and adding four new scale operators:
   ``n_i^α / Σ n_j^α`` (the multilingual pretraining rule), the
   weight-derivation step in front of ``token_mixture``'s epoch
   budgeting. Computed oracle over the per-source token sums.
+- ``mixture_drift`` — NEW `operators.aggregates.mixture_drift`:
+  per-source Jensen–Shannon drift between two corpus snapshots (the
+  data-drift alarm before a refreshed corpus ships). Computed oracle
+  over the doc_id parity halves of the real corpus; CASE-guarded
+  0·ln(0) limit terms mirrored on both engines.
 
 Planted-id floor: 47_000_000 (above every testdata id range and every
 other staged module's floor — each module owns a disjoint 10^6-wide
@@ -409,4 +414,68 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return temperature_mixture_weights(
         d, source_col="source", token_col="n_chars", alpha=_TEMP_ALPHA
+    )
+
+
+# ---------------------------------------------------------------------------
+# mixture_drift — computed oracle over two deterministic snapshots of
+# the real corpus (doc_id parity halves); identical arithmetic order,
+# CASE-guarded 0·ln(0) limit terms on both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mixture_drift",
+    """
+    WITH b AS (SELECT source AS key, CAST(sum(n_chars) AS BIGINT) AS n_base
+               FROM documents WHERE doc_id % 2 = 0 GROUP BY source),
+    c AS (SELECT source AS key, CAST(sum(n_chars) AS BIGINT) AS n_cur
+          FROM documents WHERE doc_id % 2 = 1 GROUP BY source),
+    j AS (SELECT coalesce(b.key, c.key) AS key,
+                 coalesce(b.n_base, 0) AS n_base,
+                 coalesce(c.n_cur, 0) AS n_cur
+          FROM b FULL OUTER JOIN c ON b.key = c.key),
+    s AS (SELECT key, n_base, n_cur,
+                 CAST(n_base AS DOUBLE)
+                   / sum(CAST(n_base AS DOUBLE)) OVER () AS p,
+                 CAST(n_cur AS DOUBLE)
+                   / sum(CAST(n_cur AS DOUBLE)) OVER () AS q
+          FROM j)
+    SELECT key, CAST(n_base AS BIGINT) AS n_base,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           round(p, 6) AS p_share, round(q, 6) AS q_share,
+           round(0.5 * (CASE WHEN p > 0
+                             THEN p * ln(p / ((p + q) / 2.0))
+                             ELSE 0.0 END)
+               + 0.5 * (CASE WHEN q > 0
+                             THEN q * ln(q / ((p + q) / 2.0))
+                             ELSE 0.0 END), 6) AS js_contrib
+    FROM s
+    """,
+)
+def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mixture drift monitor (`operators.aggregates.
+    mixture_drift`): per source, the token-weighted share of a baseline
+    snapshot vs the current one, and that source's contribution to the
+    Jensen–Shannon divergence between the mixtures — the data-drift
+    alarm a pipeline runs before a refreshed corpus replaces the one
+    the last model trained on. JS, not KL: a source present in only one
+    snapshot must contribute a FINITE penalty.
+
+    The two snapshots here are the doc_id parity halves of the real
+    corpus — deterministic, sf-independent, and both sides pay a real
+    map-side-combined aggregate at bench scale; everything after the
+    two rows-per-source aggregates (full-outer align, window totals,
+    JS arithmetic) runs on source-cardinality frames only. The
+    CASE-guarded 0·ln(0)=0 limit terms and the arithmetic order are
+    mirrored exactly in the oracle; shares and contributions are
+    6dp-rounded (the established cross-engine ln discipline)."""
+    from ..operators.aggregates import mixture_drift
+
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        key_col="source",
+        weight_col="n_chars",
     )

@@ -353,3 +353,41 @@ def test_outlier_iqr_keeps_null_group_labels(spark):
     out = {r["grp"]: r for r in outlier_iqr_per_group(df, "v", ["grp"]).collect()}
     assert set(out) == {"a", None}
     assert out[None]["n"] == 3
+
+
+def test_mixture_drift_matches_pure_python_and_handles_one_sided_keys(spark):
+    """JS drift vs the direct formula on planted snapshots, including a
+    source present in only ONE side (the finite-penalty case KL cannot
+    express — p=0 or q=0 terms take the 0·ln(0)=0 limit)."""
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import mixture_drift
+
+    base = spark.createDataFrame(
+        [("a", 60), ("a", 30), ("b", 10), ("gone", 20)], "src string, w int"
+    )
+    cur = spark.createDataFrame(
+        [("a", 50), ("b", 40), ("new", 10)], "src string, w int"
+    )
+    got = {
+        r["key"]: r
+        for r in mixture_drift(base, cur, key_col="src", weight_col="w").collect()
+    }
+    nb = {"a": 90, "b": 10, "gone": 20}
+    nc = {"a": 50, "b": 40, "new": 10}
+    tb, tc = sum(nb.values()), sum(nc.values())
+    total_js = 0.0
+    for k in set(nb) | set(nc):
+        p, q = nb.get(k, 0) / tb, nc.get(k, 0) / tc
+        m = (p + q) / 2.0
+        contrib = 0.5 * (p * math.log(p / m) if p > 0 else 0.0) + 0.5 * (
+            q * math.log(q / m) if q > 0 else 0.0
+        )
+        total_js += contrib
+        r = got[k]
+        assert r["n_base"] == nb.get(k, 0) and r["n_cur"] == nc.get(k, 0)
+        assert abs(r["p_share"] - p) < 1e-5 and abs(r["q_share"] - q) < 1e-5
+        assert abs(r["js_contrib"] - contrib) < 1e-5, k
+        assert r["js_contrib"] >= 0.0  # JS contributions are non-negative
+    assert 0.0 <= total_js <= math.log(2) + 1e-12
+    # identical snapshots drift zero
+    same = mixture_drift(base, base, key_col="src", weight_col="w").collect()
+    assert all(r["js_contrib"] == 0.0 for r in same)
