@@ -292,6 +292,12 @@ def bigram_logprob(
     Returns (id_col, n_bigrams, mean_logprob) — documents with fewer
     than two tokens have ``n_bigrams`` 0 and a NULL score (the caller
     decides their fate; silently scoring them would fabricate fluency).
+
+    Scan multiplicity: the count tables all derive from the same
+    corpus-scan lineage, and AQE's exchange reuse dedups the identical
+    subtrees at plan time; at true corpus scale, persist/checkpoint the
+    (vocab-sized) count tables once so the scoring pass re-reads counts,
+    not the corpus.
     """
     if not 0.0 < lambda_bigram < 1.0:
         raise ValueError(
