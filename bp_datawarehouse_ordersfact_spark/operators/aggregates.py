@@ -199,10 +199,17 @@ def outlier_iqr_per_group(
     from ..functions.rounding import rnd
 
     v = F.col(value_col).cast("double")
-    pct = "percentile" if exact else "percentile_approx"
+    # DSL percentile functions, never an F.expr with the user's column
+    # name interpolated into SQL (quoting hazard — same class as the
+    # bloom_prefilter review fix)
+    if exact:
+        q1_agg = F.percentile(F.col(value_col), F.lit(0.25))
+        q3_agg = F.percentile(F.col(value_col), F.lit(0.75))
+    else:
+        q1_agg = F.percentile_approx(F.col(value_col), 0.25)
+        q3_agg = F.percentile_approx(F.col(value_col), 0.75)
     stats = df.groupBy(*group_cols).agg(
-        F.expr(f"{pct}({value_col}, 0.25)").alias("__q1"),
-        F.expr(f"{pct}({value_col}, 0.75)").alias("__q3"),
+        q1_agg.alias("__q1"), q3_agg.alias("__q3")
     )
     iqr = F.col("__q3") - F.col("__q1")
     lo = F.col("__q1") - F.lit(fence_k) * iqr
@@ -248,26 +255,33 @@ def mixture_drift(
     present in only ONE snapshot (new source appearing, old source
     vanishing) must contribute a FINITE penalty, not ±inf.
 
-    ``weight_col`` weighs rows (e.g. token counts — mixture drift in
-    token space); ``None`` counts rows. Keys absent from a side get
-    share 0 there (the 0·ln(0/m) limit term is 0 by definition — the
-    CASE guard, identical on both engines).
+    ``weight_col`` weighs rows (e.g. token counts or FRACTIONAL quality
+    weights — sums run in double, never truncated); ``None`` counts
+    rows. Keys absent from a side get share 0 there (the 0·ln(0/m)
+    limit term is 0 by definition — the CASE guard, identical on both
+    engines). A NULL key is still a key: the snapshot alignment is
+    null-safe, so an unchanged unlabeled-source mass can never split
+    into two phantom one-sided rows and fire the alarm. An EMPTY
+    snapshot contributes zero shares everywhere (every key goes
+    one-sided; the total stays finite at 0.5·ln 2) rather than
+    NULL-poisoning the report through a 0/0.
 
     Scale shape: each snapshot reduces via ONE map-side-combined
     aggregate to a rows-per-key frame; the full-outer join, window
     totals, and JS arithmetic all run on those tiny frames — nothing
     after the two aggregates scales with the corpus.
 
-    Returns per key: ``n_base``/``n_cur`` (weight sums), ``p_share``/
+    Returns per key: ``n_base``/``n_cur`` (weight sums, 6dp doubles —
+    exact integers for count/integer-weight inputs), ``p_share``/
     ``q_share`` and ``js_contrib`` (6dp). ``sum(js_contrib)`` is the
     corpus-level divergence; alert thresholds are the caller's policy.
     """
     from ..functions.rounding import rnd
 
     w = (
-        F.col(weight_col).cast("long")
+        F.col(weight_col).cast("double")
         if weight_col is not None
-        else F.lit(1).cast("long")
+        else F.lit(1).cast("double")
     )
 
     def side(df: DataFrame, out: str) -> DataFrame:
@@ -276,25 +290,29 @@ def mixture_drift(
         )
 
     b = side(base, "n_base")
-    c = side(current, "n_cur")
-    joined = b.join(c, "key", "full_outer").select(
-        "key",
-        F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
-        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    c = side(current, "n_cur").withColumnRenamed("key", "__ckey")
+    joined = b.join(
+        c, F.col("key").eqNullSafe(F.col("__ckey")), "full_outer"
+    ).select(
+        F.coalesce(F.col("key"), F.col("__ckey")).alias("key"),
+        F.coalesce("n_base", F.lit(0.0)).alias("n_base"),
+        F.coalesce("n_cur", F.lit(0.0)).alias("n_cur"),
     )
     from pyspark.sql import Window
 
     everything = Window.partitionBy()
-    p = F.col("n_base").cast("double") / F.sum("n_base").over(everything)
-    q = F.col("n_cur").cast("double") / F.sum("n_cur").over(everything)
+    tb = F.sum("n_base").over(everything)
+    tc = F.sum("n_cur").over(everything)
+    p = F.when(tb > 0, F.col("n_base") / tb).otherwise(F.lit(0.0))
+    q = F.when(tc > 0, F.col("n_cur") / tc).otherwise(F.lit(0.0))
     m = (p + q) / F.lit(2.0)
     contrib = F.lit(0.5) * F.when(p > 0, p * F.log(p / m)).otherwise(
         F.lit(0.0)
     ) + F.lit(0.5) * F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
     return joined.select(
         "key",
-        "n_base",
-        "n_cur",
+        rnd(F.col("n_base"), 6).alias("n_base"),
+        rnd(F.col("n_cur"), 6).alias("n_cur"),
         rnd(p, 6).alias("p_share"),
         rnd(q, 6).alias("q_share"),
         rnd(contrib, 6).alias("js_contrib"),

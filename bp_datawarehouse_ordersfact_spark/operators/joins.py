@@ -238,8 +238,20 @@ def bloom_prefilter(
     and match them — a silent type mismatch would drop every true
     match. The operator refuses loudly instead; cast one side first.
     """
-    probe_t = dict(probe.dtypes)[probe_key]
-    build_t = dict(build.dtypes)[build_key]
+    def _dtype_of(df: DataFrame, name: str, side: str) -> str:
+        # resolve like Spark's default case-INSENSITIVE analyzer would,
+        # so the guard can't crash (bare KeyError) on a name F.col
+        # happily resolves; unknown names get a real diagnosis
+        types = dict(df.dtypes)
+        if name in types:
+            return types[name]
+        folded = {c.lower(): t for c, t in df.dtypes}
+        if name.lower() in folded:
+            return folded[name.lower()]
+        raise ValueError(f"{side} key column {name!r} not found in {df.columns}")
+
+    probe_t = _dtype_of(probe, probe_key, "probe")
+    build_t = _dtype_of(build, build_key, "build")
     if probe_t != build_t:
         raise ValueError(
             f"probe key {probe_key!r} ({probe_t}) and build key "

@@ -427,22 +427,20 @@ def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mixture_drift",
     """
-    WITH b AS (SELECT source AS key, CAST(sum(n_chars) AS BIGINT) AS n_base
+    WITH b AS (SELECT source AS key, CAST(sum(CAST(n_chars AS DOUBLE)) AS DOUBLE) AS n_base
                FROM documents WHERE doc_id % 2 = 0 GROUP BY source),
-    c AS (SELECT source AS key, CAST(sum(n_chars) AS BIGINT) AS n_cur
+    c AS (SELECT source AS key, CAST(sum(CAST(n_chars AS DOUBLE)) AS DOUBLE) AS n_cur
           FROM documents WHERE doc_id % 2 = 1 GROUP BY source),
     j AS (SELECT coalesce(b.key, c.key) AS key,
-                 coalesce(b.n_base, 0) AS n_base,
-                 coalesce(c.n_cur, 0) AS n_cur
-          FROM b FULL OUTER JOIN c ON b.key = c.key),
+                 coalesce(b.n_base, 0.0) AS n_base,
+                 coalesce(c.n_cur, 0.0) AS n_cur
+          FROM b FULL OUTER JOIN c ON b.key IS NOT DISTINCT FROM c.key),
     s AS (SELECT key, n_base, n_cur,
-                 CAST(n_base AS DOUBLE)
-                   / sum(CAST(n_base AS DOUBLE)) OVER () AS p,
-                 CAST(n_cur AS DOUBLE)
-                   / sum(CAST(n_cur AS DOUBLE)) OVER () AS q
+                 n_base / sum(n_base) OVER () AS p,
+                 n_cur / sum(n_cur) OVER () AS q
           FROM j)
-    SELECT key, CAST(n_base AS BIGINT) AS n_base,
-           CAST(n_cur AS BIGINT) AS n_cur,
+    SELECT key, round(n_base, 6) AS n_base,
+           round(n_cur, 6) AS n_cur,
            round(p, 6) AS p_share, round(q, 6) AS q_share,
            round(0.5 * (CASE WHEN p > 0
                              THEN p * ln(p / ((p + q) / 2.0))

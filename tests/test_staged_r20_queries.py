@@ -92,15 +92,20 @@ def test_planted_id_floor_is_disjoint_from_other_staged_modules():
     for mod in mods:
         ids = [
             int(m.replace("_", ""))
-            for m in re.findall(
-                r"\b(\d{2}_\d{3}_\d{3}|\d{8})\b", mod.read_text()
+            for m in re.findall(  # 8+ digits, underscore form or plain —
+                # ids ABOVE the floor (9+ digits) must not escape the gate
+                r"\b(\d{2,}(?:_\d{3}){2}|\d{8,})\b", mod.read_text()
             )
         ]
         big = [i for i in ids if i >= 10_000_000]
         any_ids = any_ids or bool(big)
-        assert all(i < 47_000_000 for i in big), (
-            f"{mod.name} plants ids at/above r20's 47M floor: "
-            f"{[i for i in big if i >= 47_000_000]}"
+        # the precise invariant: no sibling number may land INSIDE r20's
+        # 10^6-wide range (a 15-digit math constant in a sibling is fine;
+        # an id at 47_000_500 is not — and a 9-digit one can't hide from
+        # the \d{8,} form)
+        inside = [i for i in big if 47_000_000 <= i < 48_000_000]
+        assert not inside, (
+            f"{mod.name} plants ids inside r20's 47M range: {inside}"
         )
     # non-vacuity: the regex must have matched SOMEWHERE (staged_r13
     # legitimately plants no ids — its oracles are computed, not VALUES)
@@ -391,3 +396,67 @@ def test_mixture_drift_matches_pure_python_and_handles_one_sided_keys(spark):
     # identical snapshots drift zero
     same = mixture_drift(base, base, key_col="src", weight_col="w").collect()
     assert all(r["js_contrib"] == 0.0 for r in same)
+
+
+def test_mixture_drift_null_key_fractional_weights_and_empty_side(spark):
+    """Second-review regression pins: (1) a NULL key is ONE key — the
+    null-safe alignment may never split it into two phantom one-sided
+    rows, so identical snapshots drift zero even with NULL keys; (2)
+    fractional weights sum in double, never truncating to zero; (3) an
+    empty snapshot yields finite one-sided penalties, never NULLs."""
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import mixture_drift
+
+    # (1) NULL key, identical snapshots
+    df = spark.createDataFrame(
+        [(None, 10.0), ("a", 10.0)], "src string, w double"
+    )
+    rows = mixture_drift(df, df, key_col="src", weight_col="w").collect()
+    assert len(rows) == 2  # exactly one row for the NULL key
+    assert all(r["js_contrib"] == 0.0 for r in rows)
+
+    # (2) sub-1.0 fractional weights
+    base = spark.createDataFrame(
+        [("a", 0.9), ("b", 0.1)], "src string, w double"
+    )
+    got = {
+        r["key"]: r
+        for r in mixture_drift(base, base, key_col="src", weight_col="w").collect()
+    }
+    assert abs(got["a"]["p_share"] - 0.9) < 1e-5
+    assert abs(got["a"]["n_base"] - 0.9) < 1e-9
+    assert all(r["js_contrib"] == 0.0 for r in got.values())
+
+    # (3) empty baseline: all keys one-sided, finite, total 0.5*ln(2)
+    empty = base.filter("w < 0")
+    rows = mixture_drift(empty, base, key_col="src", weight_col="w").collect()
+    assert all(r["js_contrib"] is not None for r in rows)
+    assert abs(sum(r["js_contrib"] for r in rows) - 0.5 * math.log(2)) < 1e-5
+
+
+def test_bloom_prefilter_key_resolution_matches_sparks(spark):
+    """Second-review pin: the dtype guard resolves names the way the
+    (case-insensitive by default) analyzer does — a case-mismatched
+    name works, an unknown name raises a real diagnosis, not KeyError."""
+    from bp_datawarehouse_ordersfact_spark.operators.joins import bloom_prefilter
+
+    probe = spark.createDataFrame([(5,)], "k long")
+    build = spark.createDataFrame([(5,)], "k long")
+    out = bloom_prefilter(probe, "K", build, "k")
+    assert [r["k"] for r in out.collect()] == [5]
+    with pytest.raises(ValueError, match="not found"):
+        bloom_prefilter(probe, "nope", build, "k")
+
+
+def test_outlier_iqr_handles_awkward_column_names(spark):
+    """Second-review pin: no user column name is ever interpolated into
+    SQL — a space-bearing value column works in both tiers."""
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import (
+        outlier_iqr_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 100.0)], ["grp", "my value"]
+    )
+    for exact in (True, False):
+        row = outlier_iqr_per_group(df, "my value", ["grp"], exact=exact).collect()[0]
+        assert row["n"] == 3
