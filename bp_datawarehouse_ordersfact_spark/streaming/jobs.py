@@ -1104,3 +1104,85 @@ def run_sft_ingest_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_mixture_drift_monitor_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    baseline_dir: str,
+    out_dir: str,
+    key_col: str = "source",
+    weight_col: str = "n_chars",
+    alert_js: float = 0.05,
+    files_per_trigger: int = 1,
+) -> None:
+    """Streaming corpus-mixture drift monitor: every micro-batch of an
+    incoming corpus is compared against the BASELINE snapshot (the
+    mixture the last model trained on) with
+    ``operators.aggregates.mixture_drift``, and the per-key drift rows
+    land in ``out_dir`` stamped with the batch id, the batch's total
+    Jensen–Shannon divergence, and an ``alerted`` flag
+    (``total_js > alert_js``) — the alarm a pipeline fires BEFORE a
+    refreshed corpus is allowed to replace the old one, run
+    continuously at ingest time instead of once at cut-over.
+
+    Scale shape: the baseline reduces ONCE to a rows-per-key frame
+    (persisted — micro-batches re-read per-key rows, never the baseline
+    corpus), and each batch pays one map-side-combined aggregate; the
+    JS arithmetic runs on key-cardinality frames. Aggregation + the
+    full-outer alignment cannot be expressed in an append-mode stream,
+    so this is a foreachBatch job (the ``run_text_quality_sweep_stream``
+    pattern). Idempotent under at-least-once replay by construction:
+    each batch OVERWRITES its own ``ingest_batch_id={N}`` partition and
+    mutates no store — a replayed batch rewrites identical rows.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.aggregates import mixture_drift
+
+    baseline = (
+        spark.read.parquet(baseline_dir)
+        .groupBy(F.col(key_col).alias(key_col))
+        .agg(F.sum(F.col(weight_col).cast("double")).alias(weight_col))
+        .persist()
+    )
+    baseline.count()  # materialize once; batches reuse the tiny frame
+
+    schema = spark.read.parquet(docs_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        drift = mixture_drift(
+            baseline, batch_df, key_col=key_col, weight_col=weight_col
+        )
+        everything = Window.partitionBy()
+        # the ingest_batch_id=N DIRECTORY carries the batch id (partition
+        # discovery supplies it on read) — writing it as a column too
+        # would collide with the path key
+        out = drift.select(
+            "key",
+            "n_base",
+            "n_cur",
+            "p_share",
+            "q_share",
+            "js_contrib",
+            F.sum("js_contrib").over(everything).alias("total_js"),
+        ).withColumn("alerted", F.col("total_js") > F.lit(alert_js))
+        out.write.mode("overwrite").parquet(
+            out_dir.rstrip("/") + f"/ingest_batch_id={int(batch_id)}"
+        )
+
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir.rstrip("/") + "_checkpoint")
+        .start()
+    )
+    q.awaitTermination()
+    baseline.unpersist()

@@ -723,3 +723,73 @@ def test_sft_ingest_stream_three_way_routes_and_replays(spark, tmp_path):
             spark, str(feed), str(tmp_path / "x"),
             T.StructType([T.StructField("conv_id", T.LongType())]),
         )
+
+
+def test_mixture_drift_monitor_stream_alerts_and_replays(spark, tmp_path):
+    """The streaming drift monitor: a micro-batch whose mixture matches
+    the baseline drifts zero; a batch with a shifted mixture (including
+    a NEW source — the finite-penalty JS case) drifts positive and
+    trips the alert; replaying the exhausted stream rewrites identical
+    rows (at-least-once idempotence by partition overwrite)."""
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import (
+        run_mixture_drift_monitor_stream,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    baseline_dir = str(tmp_path / "baseline")
+    out_dir = str(tmp_path / "drift")
+
+    steady = spark.createDataFrame(
+        [(1, "srcA", 300), (2, "srcA", 300), (3, "srcB", 200)],
+        "doc_id long, source string, n_chars long",
+    )
+    drifted = spark.createDataFrame(
+        [(4, "srcA", 100), (5, "srcC", 500)],  # srcB gone, srcC new
+        "doc_id long, source string, n_chars long",
+    )
+    steady.coalesce(1).write.parquet(baseline_dir)
+    # two files -> two availableNow micro-batches (order unspecified)
+    steady.coalesce(1).write.mode("append").parquet(docs_dir)
+    drifted.coalesce(1).write.mode("append").parquet(docs_dir)
+
+    run_mixture_drift_monitor_stream(
+        spark, docs_dir, baseline_dir, out_dir, alert_js=0.05
+    )
+
+    out = spark.read.parquet(out_dir)
+    by_batch = {
+        b: {r["key"]: r for r in rows}
+        for b, rows in (
+            (b, out.filter(F.col("ingest_batch_id") == b).collect())
+            for b in [
+                r["ingest_batch_id"]
+                for r in out.select("ingest_batch_id").distinct().collect()
+            ]
+        )
+    }
+    assert len(by_batch) == 2
+    totals = sorted(
+        (next(iter(rows.values()))["total_js"], b) for b, rows in by_batch.items()
+    )
+    # one batch matches the baseline exactly -> zero drift, no alert
+    zero_js, zero_b = totals[0]
+    assert zero_js == 0.0
+    assert not any(r["alerted"] for r in by_batch[zero_b].values())
+    # the other shifted hard -> positive drift, alert fires, and the
+    # vanished + new sources both carry finite one-sided penalties
+    hot_js, hot_b = totals[1]
+    assert hot_js > 0.05
+    hot = by_batch[hot_b]
+    assert all(r["alerted"] for r in hot.values())
+    assert set(hot) == {"srcA", "srcB", "srcC"}
+    assert hot["srcB"]["q_share"] == 0.0 and hot["srcB"]["js_contrib"] > 0
+    assert hot["srcC"]["p_share"] == 0.0 and hot["srcC"]["js_contrib"] > 0
+
+    # replay the exhausted stream: same checkpoint, no new files -> the
+    # sink must be byte-identical in content (no duplicate rows)
+    before = sorted(map(tuple, out.collect()))
+    run_mixture_drift_monitor_stream(
+        spark, docs_dir, baseline_dir, out_dir, alert_js=0.05
+    )
+    after = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    assert after == before
