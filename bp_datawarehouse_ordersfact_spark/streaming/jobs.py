@@ -1134,7 +1134,12 @@ def run_mixture_drift_monitor_stream(
     so this is a foreachBatch job (the ``run_text_quality_sweep_stream``
     pattern). Idempotent under at-least-once replay by construction:
     each batch OVERWRITES its own ``ingest_batch_id={N}`` partition and
-    mutates no store — a replayed batch rewrites identical rows.
+    mutates no store — a replayed batch rewrites identical rows. As
+    with every batch-id-keyed sink here (see ``run_sft_ingest_stream``),
+    that holds while the checkpoint reproduces the batch-id→file
+    assignment: recovery from checkpoint LOSS with new files since the
+    prior run must clear ``out_dir`` first, or stale partitions from
+    the old numbering remain beside the re-written ones.
     """
     from pyspark.sql import Window
 
