@@ -1147,7 +1147,7 @@ def run_mixture_drift_monitor_stream(
 
     baseline = (
         spark.read.parquet(baseline_dir)
-        .groupBy(F.col(key_col).alias(key_col))
+        .groupBy(key_col)
         .agg(F.sum(F.col(weight_col).cast("double")).alias(weight_col))
         .persist()
     )
@@ -1189,5 +1189,9 @@ def run_mixture_drift_monitor_stream(
         .option("checkpointLocation", out_dir.rstrip("/") + "_checkpoint")
         .start()
     )
-    q.awaitTermination()
-    baseline.unpersist()
+    try:
+        q.awaitTermination()
+    finally:
+        # a failed query must not leak the cached baseline for the
+        # session lifetime (review finding)
+        baseline.unpersist()

@@ -785,11 +785,21 @@ def test_mixture_drift_monitor_stream_alerts_and_replays(spark, tmp_path):
     assert hot["srcB"]["q_share"] == 0.0 and hot["srcB"]["js_contrib"] > 0
     assert hot["srcC"]["p_share"] == 0.0 and hot["srcC"]["js_contrib"] > 0
 
-    # replay the exhausted stream: same checkpoint, no new files -> the
-    # sink must be byte-identical in content (no duplicate rows)
-    before = sorted(map(tuple, out.collect()))
+    # TRUE replay: checkpoint LOST, same files — every batch re-runs
+    # through the overwrite path (an intact checkpoint would run zero
+    # batches and pass vacuously — review finding). Batch-id→file
+    # assignment may renumber, so compare content WITHOUT the batch id
+    # and pin that no stale third partition appears.
+    import shutil
+
+    def content(df):
+        return sorted(map(tuple, df.drop("ingest_batch_id").collect()))
+
+    before = content(out)
+    shutil.rmtree(out_dir.rstrip("/") + "_checkpoint")
     run_mixture_drift_monitor_stream(
         spark, docs_dir, baseline_dir, out_dir, alert_js=0.05
     )
-    after = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
-    assert after == before
+    replayed = spark.read.parquet(out_dir)
+    assert content(replayed) == before
+    assert replayed.select("ingest_batch_id").distinct().count() == 2
