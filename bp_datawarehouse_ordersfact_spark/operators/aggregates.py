@@ -317,3 +317,74 @@ def mixture_drift(
         rnd(q, 6).alias("q_share"),
         rnd(contrib, 6).alias("js_contrib"),
     )
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation over ``cols`` in ONE aggregation
+    pass — the profiling step past ``profile_numeric``'s per-column
+    moments (which features are redundant, which label leaks). The
+    built-in ``df.stat.corr`` computes one pair per JOB — n·(n−1)/2
+    corpus scans for the matrix; here every pairwise ``corr`` aggregate
+    lands in a single map-side-combined pass, so the matrix over
+    100 TB costs one scan like every other profiling report.
+
+    Rows with a NULL in either column of a pair are excluded from that
+    pair only (the pairwise-deletion convention). Constant columns have
+    undefined correlation: reported NULL, never NaN and never an ANSI
+    DIVIDE_BY_ZERO (Spark 4's ``F.corr`` aggregate THROWS on a
+    zero-variance column under ANSI mode — the moments are summed
+    explicitly and combined with ``try_divide`` instead, so the
+    undefined case degrades to NULL by construction).
+
+    Returns the upper triangle as narrow rows (col_a, col_b, n_pairs,
+    corr 6dp) — n·(n−1)/2 rows for n columns, never a wide matrix (a
+    1000-column profile stays 499,500 tidy rows). The one-pass moment
+    form trades a little numerical headroom for the single scan —
+    right for profiling; center the columns first if their means dwarf
+    their variances.
+    """
+    if len(cols) < 2:
+        raise ValueError(f"need at least 2 columns, got {cols!r}")
+    from ..functions.rounding import rnd
+
+    aggs = []
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    # index-keyed INTERNAL aliases — never the user's column names,
+    # whose dots/spaces would break F.col re-resolution (the same
+    # quoting-hazard class as the bloom/IQR review fixes)
+    for i, (a, b) in enumerate(pairs):
+        ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+        both = ca.isNotNull() & cb.isNotNull()
+        x = F.when(both, ca)
+        y = F.when(both, cb)
+        aggs += [
+            F.sum(both.cast("long")).alias(f"__n{i}"),
+            F.sum(x).alias(f"__sx{i}"),
+            F.sum(y).alias(f"__sy{i}"),
+            F.sum(x * x).alias(f"__sxx{i}"),
+            F.sum(y * y).alias(f"__syy{i}"),
+            F.sum(x * y).alias(f"__sxy{i}"),
+        ]
+    wide = df.agg(*aggs)
+
+    def pair_corr(i):
+        n = F.col(f"__n{i}").cast("double")
+        sx, sy = F.col(f"__sx{i}"), F.col(f"__sy{i}")
+        cov = n * F.col(f"__sxy{i}") - sx * sy
+        # clamp tiny negative fp residue before the sqrt
+        varx = F.greatest(F.lit(0.0), n * F.col(f"__sxx{i}") - sx * sx)
+        vary = F.greatest(F.lit(0.0), n * F.col(f"__syy{i}") - sy * sy)
+        return F.try_divide(cov, F.sqrt(varx * vary))
+
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.coalesce(F.col(f"__n{i}"), F.lit(0)).cast("long").alias("n_pairs"),
+            rnd(pair_corr(i), 6).alias("corr"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.n_pairs", "p.corr"
+    )

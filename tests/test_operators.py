@@ -1764,3 +1764,51 @@ def test_corpus_stats_report_single_stratum(spark):
     assert r["source"] is None
     assert r["n_docs"] == 3 and r["n_tokens"] == 5
     assert abs(r["approx_dup_rate"] - 1 / 3) < 0.05
+
+
+def test_corr_matrix_matches_numpy_and_handles_nulls_constants(spark):
+    """One-pass pairwise Pearson: values match numpy pairwise-deletion
+    corr to 6dp, a constant column reports NULL (never NaN), rows with
+    a NULL in either column drop from that pair only, and awkward
+    column names survive (no name is interpolated into SQL)."""
+    import numpy as np
+
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import corr_matrix
+
+    rows = [
+        (1.0, 2.0, 7.0, None),
+        (2.0, 4.1, 7.0, 1.0),
+        (3.0, 5.9, 7.0, 2.0),
+        (4.0, None, 7.0, 5.0),
+        (5.0, 10.2, 7.0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["x", "y col", "const", "z"])
+    got = {
+        (r["col_a"], r["col_b"]): r
+        for r in corr_matrix(df, ["x", "y col", "const", "z"]).collect()
+    }
+    assert len(got) == 6  # upper triangle of 4 columns
+
+    def np_corr(ai, bi):
+        a = np.array([r[ai] for r in rows], dtype=float)
+        b = np.array([r[bi] for r in rows], dtype=float)
+        m = ~(np.isnan(a) | np.isnan(b))
+        return float(np.corrcoef(a[m], b[m])[0, 1]), int(m.sum())
+
+    rows = [tuple(np.nan if v is None else v for v in r) for r in rows]
+    for (ai, an), (bi, bn) in [
+        ((0, "x"), (1, "y col")),
+        ((0, "x"), (3, "z")),
+        ((1, "y col"), (3, "z")),
+    ]:
+        want, n = np_corr(ai, bi)
+        r = got[(an, bn)]
+        assert r["n_pairs"] == n
+        assert abs(r["corr"] - want) < 1e-5, (an, bn)
+    # constant column: NULL corr, full pair counts vs x
+    assert got[("x", "const")]["corr"] is None
+    assert got[("x", "const")]["n_pairs"] == 5
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        corr_matrix(df, ["x"])

@@ -1406,3 +1406,53 @@ def test_outlier_iqr_matches_numpy_twin_property(spark, groups, fence_k):
         assert abs(r["q3"] - _m.floor(q3 * 100 + 0.5001) / 100) <= 0.01
         assert r["n_low"] == sum(v < q1 - fence_k * iqr for v in vs)
         assert r["n_high"] == sum(v > q3 + fence_k * iqr for v in vs)
+
+
+# ---------------------------------------------------------------------------
+# corr_matrix == numpy pairwise-deletion Pearson
+# ---------------------------------------------------------------------------
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            *[
+                st.one_of(
+                    st.none(),
+                    st.floats(-1e4, 1e4, allow_nan=False, width=32),
+                )
+                for _ in range(3)
+            ]
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_corr_matrix_matches_numpy_property(spark, rows):
+    import math as _m
+
+    import numpy as np
+
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import corr_matrix
+
+    df = spark.createDataFrame(
+        [tuple(float(v) if v is not None else None for v in r) for r in rows],
+        "a double, b double, c double",
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r for r in corr_matrix(df, ["a", "b", "c"]).collect()
+    }
+    arr = np.array(
+        [[_m.nan if v is None else v for v in r] for r in rows], dtype=float
+    )
+    for i, j, an, bn in [(0, 1, "a", "b"), (0, 2, "a", "c"), (1, 2, "b", "c")]:
+        m = ~(np.isnan(arr[:, i]) | np.isnan(arr[:, j]))
+        r = got[(an, bn)]
+        assert r["n_pairs"] == int(m.sum())
+        x, y = arr[m, i], arr[m, j]
+        if m.sum() < 2 or np.std(x) == 0 or np.std(y) == 0:
+            assert r["corr"] is None  # undefined -> NULL, never NaN/throw
+        else:
+            want = float(np.corrcoef(x, y)[0, 1])
+            assert abs(r["corr"] - want) < 1e-4, (an, bn, r["corr"], want)
