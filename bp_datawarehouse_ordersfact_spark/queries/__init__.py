@@ -93,15 +93,16 @@ _MODULES = (
 # queries/staged_r19.py (mg_heavy_hitters), and queries/staged_r20.py
 # (weighted_sample_by_group + bigram_lm_score + bloom_join_prune +
 # outlier_iqr_per_group + pmi_collocations + temperature_mixture +
-# mixture_drift — the seven extra slots come from the retirement
+# mixture_drift + corr_profile — the eight extra slots come from the retirement
 # pool named in PLANS.md "Round-11 staging ledger", e.g. fact_royalty
 # [§3 keeps domain_fact_royalty's full-chain row + conditional_measures'
 # C-row], one of funnel_analysis/retention_cohorts [the pair's other
 # half already pools], stream_sliding_agg [windowed-agg family keeps
 # tumbling + session + stateful], text_token_count once bpe_tokenize's
-# r16 row is live [token-counting family], plus three more from the
-# documented pool, e.g. events_gap_fill, set_intersect_except, and
-# date_dim_generate).
+# r16 row is live [token-counting family], plus four more from the
+# documented pool, e.g. events_gap_fill, set_intersect_except,
+# date_dim_generate, and one of sketch_kll_quantile_merge/
+# sketch_theta_set_algebra).
 _WINDOW_FIRST = (
     "dedup_embedding_lsh_banded", "ann_recall_at_k",
     "ann_ivf_kmeans_refine", "domain_fact_royalty",

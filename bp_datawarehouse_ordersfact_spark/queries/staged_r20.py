@@ -1,8 +1,8 @@
 """STAGED registry queries for the round-20 rotation (not yet in
 ``queries._MODULES`` — the sketches_r6/staged_r10 staging discipline).
 
-Seven rows, closing the last shipped-operator-without-a-driver-row gaps
-and adding five new scale operators:
+Eight rows, closing the last shipped-operator-without-a-driver-row gaps
+and adding six new scale operators:
 
 - ``weighted_sample_by_group`` — `operators.sampling.
   weighted_sample_per_group` (Efraimidis–Spirakis A-ES weighted
@@ -46,6 +46,12 @@ and adding five new scale operators:
   data-drift alarm before a refreshed corpus ships). Computed oracle
   over the doc_id parity halves of the real corpus; CASE-guarded
   0·ln(0) limit terms mirrored on both engines.
+- ``corr_profile`` — NEW `operators.aggregates.corr_matrix`: pairwise
+  Pearson over all column pairs in ONE aggregation pass (the built-in
+  ``df.stat.corr`` costs one job per pair); explicit moment sums +
+  ``try_divide`` because Spark 4's ``corr`` aggregate throws
+  DIVIDE_BY_ZERO on zero-variance columns under ANSI. Computed oracle
+  against DuckDB's ``corr()``.
 
 Planted-id floor: 47_000_000 (above every testdata id range and every
 other staged module's floor — each module owns a disjoint 10^6-wide
@@ -477,3 +483,59 @@ def q_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="source",
         weight_col="n_chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# corr_profile — computed oracle over the real corpus: DuckDB's corr()
+# (stable covariance updates) vs the one-pass moment form, agreeing at
+# the repo's 6dp rounding on every pair.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corr_profile",
+    """
+    WITH pairs(col_a, col_b) AS (VALUES
+      ('l_quantity', 'l_extendedprice'),
+      ('l_quantity', 'l_discount'),
+      ('l_extendedprice', 'l_discount')
+    )
+    SELECT p.col_a, p.col_b,
+           CAST(CASE p.col_a || '|' || p.col_b
+             WHEN 'l_quantity|l_extendedprice' THEN
+               (SELECT count(*) FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+             WHEN 'l_quantity|l_discount' THEN
+               (SELECT count(*) FROM lineitem
+                WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL)
+             ELSE
+               (SELECT count(*) FROM lineitem
+                WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL)
+           END AS BIGINT) AS n_pairs,
+           round(CASE p.col_a || '|' || p.col_b
+             WHEN 'l_quantity|l_extendedprice' THEN
+               (SELECT corr(l_quantity, l_extendedprice) FROM lineitem)
+             WHEN 'l_quantity|l_discount' THEN
+               (SELECT corr(l_quantity, l_discount) FROM lineitem)
+             ELSE
+               (SELECT corr(l_extendedprice, l_discount) FROM lineitem)
+           END, 6) AS corr
+    FROM pairs p
+    """,
+)
+def q_corr_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass pairwise Pearson profile (`operators.aggregates.
+    corr_matrix`) over lineitem's numeric measures — which features are
+    redundant, which leak; the built-in ``df.stat.corr`` costs one JOB
+    per pair, this costs one corpus scan for the whole matrix.
+
+    Cross-engine: DuckDB's ``corr()`` (stable covariance updates) and
+    the one-pass moment form agree at 6dp on this data (the moment
+    form's cancellation error is ~1e-14 relative at these magnitudes —
+    far below the rounding grain; the operator docstring records when
+    to center first). Constant columns would report NULL on both
+    engines — Spark via try_divide, DuckDB via corr's own NULL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from ..operators.aggregates import corr_matrix
+
+    return corr_matrix(li, ["l_quantity", "l_extendedprice", "l_discount"])
