@@ -90,11 +90,9 @@ HEADLINE = [
     "scd2_dim_update",
     "leakage_safe_split",
     "cdc_apply",
-    "cube_summary",
     "embedding_classifier_score",
     "sketch_hll_merge",
     "funnel_analysis",
-    "retention_cohorts",
     "rollup_incremental_refresh",
     "corpus_mix_resample",
     "membership_filter",
@@ -120,12 +118,13 @@ HEADLINE = [
     "sketch_approx_stats",
     "rest_ingest_distributed",
     "stream_stateful_user_stats",
-    "variant_props_extract",
-    "listagg_per_group",
     "interval_coalesce",
     "host_disjoint_split",
     "sketch_theta_set_algebra",
-    "sketch_kll_quantile_merge",
+    "line_quality",
+    "boilerplate_lines",
+    "quality_pacing_by_group",
+    "corpus_stats_exact",
 ]
 
 

@@ -165,6 +165,8 @@ def outlier_iqr_per_group(
     *,
     fence_k: float = 1.5,
     exact: bool = True,
+    broadcast_stats: bool | None = None,
+    max_broadcast_groups: int = 4_000_000,
 ) -> DataFrame:
     """Per-group robust (Tukey-fence) outlier audit — the data-quality
     step between ``null_audit`` (missingness) and ``profile_numeric``
@@ -181,9 +183,18 @@ def outlier_iqr_per_group(
 
     Two-pass by necessity (the fences must exist before rows can be
     judged), but both passes aggregate on the SAME group key: pass 1
-    reduces to one stats row per group, which then BROADCASTS back onto
-    pass 2's map side — the detail rows shuffle once (the unavoidable
-    grouped-percentile exchange), never twice.
+    reduces to one stats row per group, which joins back onto pass 2.
+    ``broadcast_stats`` controls the join-back strategy (the
+    ``bigram_logprob`` switchable pattern — an r11 review flagged the
+    original unconditional broadcast as an OOM-by-construction at high
+    group cardinality, e.g. per-user fences over 10^9 users): ``True``
+    forces the broadcast (stats land on pass 2's map side — the detail
+    rows shuffle once, never twice), ``False`` uses a shuffled
+    null-safe equi-join (AQE still converts to broadcast at runtime
+    when the measured size allows), and the default ``None`` probes the
+    group count once (capped at ``max_broadcast_groups + 1`` — the
+    probe re-runs pass 1's aggregate, paid only in auto mode) and
+    broadcasts iff it fits under ``max_broadcast_groups``.
 
     ``exact=True`` uses ``percentile`` (exact sort-based; right at audit
     scale and for the cross-engine driver row — DuckDB's
@@ -226,8 +237,15 @@ def outlier_iqr_per_group(
     cond = F.lit(True)
     for i, c in enumerate(group_cols):
         cond = cond & F.col(c).eqNullSafe(F.col(f"__g{i}"))
+    if broadcast_stats is None:
+        # bounded probe: never counts past the knob, so the decision
+        # job is O(min(|groups|, knob)) stats rows however many groups
+        broadcast_stats = (
+            st.limit(max_broadcast_groups + 1).count() <= max_broadcast_groups
+        )
+    hint = F.broadcast if broadcast_stats else (lambda d: d)
     return (
-        df.join(F.broadcast(st), cond)
+        df.join(hint(st), cond)
         .groupBy(*group_cols)
         .agg(
             F.count(v).cast("long").alias("n"),
@@ -245,6 +263,7 @@ def mixture_drift(
     *,
     key_col: str,
     weight_col: str | None = None,
+    include_raw: bool = False,
 ) -> DataFrame:
     """Corpus-mixture drift monitor: per ``key_col`` value, the share of
     the baseline snapshot vs the current one and that key's contribution
@@ -275,6 +294,11 @@ def mixture_drift(
     exact integers for count/integer-weight inputs), ``p_share``/
     ``q_share`` and ``js_contrib`` (6dp). ``sum(js_contrib)`` is the
     corpus-level divergence; alert thresholds are the caller's policy.
+    ``include_raw=True`` appends ``__js_contrib_raw`` (UNROUNDED) for
+    callers that threshold the TOTAL — summing the 6dp column drifts
+    from the true divergence by up to ~5e-7 per key, which at high key
+    cardinality can flip an alert comparison (ADVICE r11); the
+    streaming monitor sums the raw column and reports the rounded one.
     """
     from ..functions.rounding import rnd
 
@@ -309,17 +333,22 @@ def mixture_drift(
     contrib = F.lit(0.5) * F.when(p > 0, p * F.log(p / m)).otherwise(
         F.lit(0.0)
     ) + F.lit(0.5) * F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
-    return joined.select(
-        "key",
+    out_cols = [
+        F.col("key"),
         rnd(F.col("n_base"), 6).alias("n_base"),
         rnd(F.col("n_cur"), 6).alias("n_cur"),
         rnd(p, 6).alias("p_share"),
         rnd(q, 6).alias("q_share"),
         rnd(contrib, 6).alias("js_contrib"),
-    )
+    ]
+    if include_raw:
+        out_cols.append(contrib.alias("__js_contrib_raw"))
+    return joined.select(*out_cols)
 
 
-def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+def corr_matrix(
+    df: DataFrame, cols: list[str], *, pairs_per_pass: int = 512
+) -> DataFrame:
     """Pairwise Pearson correlation over ``cols`` in ONE aggregation
     pass — the profiling step past ``profile_numeric``'s per-column
     moments (which features are redundant, which label leaks). The
@@ -337,54 +366,74 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     undefined case degrades to NULL by construction).
 
     Returns the upper triangle as narrow rows (col_a, col_b, n_pairs,
-    corr 6dp) — n·(n−1)/2 rows for n columns, never a wide matrix (a
-    1000-column profile stays 499,500 tidy rows). The one-pass moment
-    form trades a little numerical headroom for the single scan —
-    right for profiling; center the columns first if their means dwarf
-    their variances.
+    corr 6dp) — n·(n−1)/2 rows for n columns, never a wide matrix. The
+    one-pass moment form trades a little numerical headroom for the
+    single scan — right for profiling; center the columns first if
+    their means dwarf their variances.
+
+    ``pairs_per_pass`` bounds the aggregate-expression count PER PASS
+    (6 per pair): an r11 review showed a literal single-pass 1000-column
+    profile (499,500 pairs → ~3M aggregate expressions) never survives
+    planning/codegen, so past the knob the pair list chunks into
+    ``ceil(P / pairs_per_pass)`` aggregation passes unioned narrow —
+    each pass re-scans the input, so the 1000-column matrix costs ~977
+    scans of only the referenced columns (column-pruned), not one
+    unplannable pass. The default 512 pairs (3,072 aggregates/pass)
+    plans in seconds; a ≤32-column profile still fits one pass.
     """
     if len(cols) < 2:
         raise ValueError(f"need at least 2 columns, got {cols!r}")
+    if pairs_per_pass < 1:
+        raise ValueError(f"pairs_per_pass must be >= 1, got {pairs_per_pass}")
     from ..functions.rounding import rnd
 
-    aggs = []
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
-    # index-keyed INTERNAL aliases — never the user's column names,
-    # whose dots/spaces would break F.col re-resolution (the same
-    # quoting-hazard class as the bloom/IQR review fixes)
-    for i, (a, b) in enumerate(pairs):
-        ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
-        both = ca.isNotNull() & cb.isNotNull()
-        x = F.when(both, ca)
-        y = F.when(both, cb)
-        aggs += [
-            F.sum(both.cast("long")).alias(f"__n{i}"),
-            F.sum(x).alias(f"__sx{i}"),
-            F.sum(y).alias(f"__sy{i}"),
-            F.sum(x * x).alias(f"__sxx{i}"),
-            F.sum(y * y).alias(f"__syy{i}"),
-            F.sum(x * y).alias(f"__sxy{i}"),
+
+    def one_pass(chunk: list[tuple[str, str]]) -> DataFrame:
+        # index-keyed INTERNAL aliases — never the user's column names,
+        # whose dots/spaces would break F.col re-resolution (the same
+        # quoting-hazard class as the bloom/IQR review fixes)
+        aggs = []
+        for i, (a, b) in enumerate(chunk):
+            ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+            both = ca.isNotNull() & cb.isNotNull()
+            x = F.when(both, ca)
+            y = F.when(both, cb)
+            aggs += [
+                F.sum(both.cast("long")).alias(f"__n{i}"),
+                F.sum(x).alias(f"__sx{i}"),
+                F.sum(y).alias(f"__sy{i}"),
+                F.sum(x * x).alias(f"__sxx{i}"),
+                F.sum(y * y).alias(f"__syy{i}"),
+                F.sum(x * y).alias(f"__sxy{i}"),
+            ]
+        wide = df.agg(*aggs)
+
+        def pair_corr(i):
+            n = F.col(f"__n{i}").cast("double")
+            sx, sy = F.col(f"__sx{i}"), F.col(f"__sy{i}")
+            cov = n * F.col(f"__sxy{i}") - sx * sy
+            # clamp tiny negative fp residue before the sqrt
+            varx = F.greatest(F.lit(0.0), n * F.col(f"__sxx{i}") - sx * sx)
+            vary = F.greatest(F.lit(0.0), n * F.col(f"__syy{i}") - sy * sy)
+            return F.try_divide(cov, F.sqrt(varx * vary))
+
+        rows = [
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.coalesce(F.col(f"__n{i}"), F.lit(0))
+                .cast("long")
+                .alias("n_pairs"),
+                rnd(pair_corr(i), 6).alias("corr"),
+            )
+            for i, (a, b) in enumerate(chunk)
         ]
-    wide = df.agg(*aggs)
-
-    def pair_corr(i):
-        n = F.col(f"__n{i}").cast("double")
-        sx, sy = F.col(f"__sx{i}"), F.col(f"__sy{i}")
-        cov = n * F.col(f"__sxy{i}") - sx * sy
-        # clamp tiny negative fp residue before the sqrt
-        varx = F.greatest(F.lit(0.0), n * F.col(f"__sxx{i}") - sx * sx)
-        vary = F.greatest(F.lit(0.0), n * F.col(f"__syy{i}") - sy * sy)
-        return F.try_divide(cov, F.sqrt(varx * vary))
-
-    rows = [
-        F.struct(
-            F.lit(a).alias("col_a"),
-            F.lit(b).alias("col_b"),
-            F.coalesce(F.col(f"__n{i}"), F.lit(0)).cast("long").alias("n_pairs"),
-            rnd(pair_corr(i), 6).alias("corr"),
+        return wide.select(F.explode(F.array(*rows)).alias("p")).select(
+            "p.col_a", "p.col_b", "p.n_pairs", "p.corr"
         )
-        for i, (a, b) in enumerate(pairs)
-    ]
-    return wide.select(F.explode(F.array(*rows)).alias("p")).select(
-        "p.col_a", "p.col_b", "p.n_pairs", "p.corr"
-    )
+
+    out = one_pass(pairs[:pairs_per_pass])
+    for start in range(pairs_per_pass, len(pairs), pairs_per_pass):
+        out = out.unionByName(one_pass(pairs[start : start + pairs_per_pass]))
+    return out

@@ -179,11 +179,27 @@ def bloom_bitmap(build: DataFrame, key_col: str, *, m_bits: int = 1 << 16, k: in
         raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    words = _bloom_words(build, key_col, m_bits=m_bits, k=k).collect()
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[r["w"]] = r["bits"]
+    return bitmap
+
+
+def _bloom_words(
+    build: DataFrame, key_col: str, *, m_bits: int, k: int
+) -> DataFrame:
+    """Sparse (word-index, 64-bit word) rows of the Bloom bitmap —
+    the shared builder behind both transports. The explode emits ``k``
+    position rows per key, but the groupBy on the word index
+    partial-aggregates MAP-SIDE down to at most ``m_bits / 64`` rows per
+    task before the shuffle, so the exchange is bounded by the bitmap
+    size — never by the key count."""
     key = F.col(key_col)
     positions = F.array(
         *[F.pmod(F.xxhash64(key, F.lit(j)), F.lit(m_bits)) for j in range(k)]
     )
-    words = (
+    return (
         build.filter(key.isNotNull())
         .select(F.explode(positions).alias("p"))
         .select(
@@ -192,12 +208,54 @@ def bloom_bitmap(build: DataFrame, key_col: str, *, m_bits: int = 1 << 16, k: in
         )
         .groupBy("w")
         .agg(F.bit_or("b").alias("bits"))
-        .collect()
     )
-    bitmap = [0] * (m_bits // 64)
-    for r in words:
-        bitmap[r["w"]] = r["bits"]
-    return bitmap
+
+
+def bloom_bitmap_frame(
+    build: DataFrame, key_col: str, *, m_bits: int = 1 << 16, k: int = 5
+) -> DataFrame:
+    """ONE-ROW DataFrame ``{__bloom: array<bigint>}`` holding the dense
+    Bloom bitmap of the build side's non-NULL keys — the bitmap as DATA,
+    assembled entirely JVM-side (no driver ``collect``, no plan
+    literals).
+
+    This is the transport ``bloom_prefilter`` broadcasts: an r11 review
+    found the original ``F.array(*[F.lit(w) ...])`` literal encoding
+    planted ``m_bits/64`` expressions in the plan, which blows up
+    analysis/codegen around m_bits ≈ 2^20 — exactly the sizing a
+    too-big-to-broadcast build side needs. As broadcast data the bitmap
+    costs 8 bytes/word on the wire (8 MiB at m_bits = 2^26) and nothing
+    in the plan, so the practical ceiling moves from the optimizer to
+    executor memory.
+
+    The sparse (w, bits) rows densify by an outer join against
+    ``range(n_words)`` (missing words become zero), then ONE
+    ``array_sort(collect_list(struct(w, bits)))`` + field-extract pass
+    inside a single global aggregate row — O(n_words · log n_words),
+    never O(n_words · entries) (a first cut densified through
+    ``map_from_entries`` + per-index ``element_at``, whose linear map
+    scan made assembly quadratic: 16 s at m_bits = 2^20, hours at
+    2^26). An empty build side yields the all-zero bitmap (only NULL
+    probe keys pass, the exact join decides their fate)."""
+    if m_bits < 64 or m_bits % 64 != 0:
+        raise ValueError(f"m_bits must be a positive multiple of 64, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n_words = m_bits // 64
+    spark = build.sparkSession
+    words = _bloom_words(build, key_col, m_bits=m_bits, k=k)
+    dense = (
+        spark.range(n_words)
+        .select(F.col("id").cast("int").alias("w"))
+        .join(words, "w", "left")
+        .select("w", F.coalesce("bits", F.lit(0).cast("bigint")).alias("bits"))
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "bits"))),
+            lambda s: s.getField("bits"),
+        ).alias("__bloom")
+    )
 
 
 def bloom_prefilter(
@@ -221,16 +279,23 @@ def bloom_prefilter(
     Why this exists at 100 TB: a shuffle join ships the ENTIRE probe side
     even when only 1% of it matches. When the build side's distinct keys
     are too many to broadcast as a hash set but the row filter fits in a
-    few KiB, shipping the bitmap to every probe task turns the shuffle
+    few MiB, shipping the bitmap to every probe task turns the shuffle
     into (passing rows only) — the same trick Spark's own
     ``spark.sql.optimizer.runtime.bloomFilter.enabled`` applies when its
     thresholds allow; this operator makes the reduction explicit,
     deterministic, and available to any plan shape.
 
-    The bit test is a pure codegen expression (xxhash64 + element_at +
-    bitwiseAND) evaluated map-side: NO shuffle, NO Python. NULL probe
-    keys pass through (the exact join decides their fate, keeping the
-    operator usable ahead of outer joins).
+    The bitmap travels as BROADCAST DATA (a one-row array<bigint> frame
+    from ``bloom_bitmap_frame``, attached by a broadcast nested-loop
+    join of exactly one row), NOT as plan literals — so sizing the
+    filter up for large build sides (m_bits = 2^24-2^27 for 10^7-10^9
+    keys at ~1% fp) costs wire bytes, not analysis/codegen time
+    (tests/test_plans.py pins the plan-literal absence; the linearity
+    audit covers m_bits = 2^24). The bit test itself is a pure codegen
+    expression (xxhash64 + element_at + bitwiseAND) evaluated map-side:
+    NO shuffle, NO Python. NULL probe keys pass through (the exact join
+    decides their fate, keeping the operator usable ahead of outer
+    joins).
 
     The probe and build key columns must have the SAME data type:
     xxhash64 hashes the binary representation, so e.g. the int 5 and
@@ -259,10 +324,10 @@ def bloom_prefilter(
             f"xxhash64 hashes representations, not join-coerced values; "
             f"cast one side before prefiltering"
         )
-    bitmap = bloom_bitmap(build, build_key, m_bits=m_bits, k=k)
-    arr = F.array(*[F.lit(w) for w in bitmap])
     key = F.col(probe_key)
-    out = probe.withColumn("__bloom", arr)
+    out = probe.crossJoin(
+        F.broadcast(bloom_bitmap_frame(build, build_key, m_bits=m_bits, k=k))
+    )
     # per-probe-hash positions land in internal temp columns so the bit
     # mask can use the SQL shiftleft (no Column-typed bits in the Python
     # API) without ever interpolating the user's column name into SQL

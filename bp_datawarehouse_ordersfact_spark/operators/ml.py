@@ -262,6 +262,7 @@ def bigram_logprob(
     lambda_bigram: float = 0.7,
     broadcast_vocab: bool | None = None,
     max_broadcast_vocab: int = 2_000_000,
+    persist_counts: bool = False,
 ) -> DataFrame:
     """Interpolated bigram language-model quality score — the step past
     the corpus-unigram stand-in (``q_text_unigram_logprob``) on the way
@@ -295,9 +296,15 @@ def bigram_logprob(
 
     Scan multiplicity: the count tables all derive from the same
     corpus-scan lineage, and AQE's exchange reuse dedups the identical
-    subtrees at plan time; at true corpus scale, persist/checkpoint the
-    (vocab-sized) count tables once so the scoring pass re-reads counts,
-    not the corpus.
+    subtrees at plan time; ``persist_counts=True`` ENFORCES the
+    corpus-scale posture instead of hoping — the three count tables
+    (bigram-, context-, and vocab-sized) persist MEMORY_AND_DISK, so
+    the scoring joins read counts, not the corpus: the scoring plan's
+    only corpus scans are the bigram stream itself plus the short-doc
+    re-attach (pinned by tests/test_plan_lint.py). The caches live in
+    the session until ``spark.catalog.clearCache()``; leave the knob
+    off for one-shot small-corpus calls where cache build/teardown
+    costs more than the rescans it saves.
     """
     if not 0.0 < lambda_bigram < 1.0:
         raise ValueError(
@@ -319,6 +326,13 @@ def bigram_logprob(
     big_c = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("bc"))
     ctx_c = big_c.groupBy("prev").agg(F.sum("bc").alias("cc"))
     uni_c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("uc"))
+    if persist_counts:
+        from pyspark import StorageLevel
+
+        big_c = big_c.persist(StorageLevel.MEMORY_AND_DISK)
+        # ctx_c folds the CACHED bigram table, not the corpus
+        ctx_c = ctx_c.persist(StorageLevel.MEMORY_AND_DISK)
+        uni_c = uni_c.persist(StorageLevel.MEMORY_AND_DISK)
     total = uni_c.agg(F.sum("uc").alias("n"))
     if broadcast_vocab is None:
         # bounded probe: never counts past the knob, so the decision
@@ -367,6 +381,7 @@ def pmi_collocations(
     id_col: str,
     *,
     min_pair_count: int = 5,
+    persist_counts: bool = False,
 ) -> DataFrame:
     """Corpus-level collocation mining: pointwise mutual information of
     adjacent token pairs — ``pmi = ln(P(w1,w2) / (P(w1)·P(w2)))`` with
@@ -388,6 +403,13 @@ def pmi_collocations(
     vocabulary-sized unigram joins and the 1-row total broadcasts —
     nothing after the threshold scales with the corpus.
 
+    ``persist_counts=True`` persists the two count tables
+    (MEMORY_AND_DISK), after which the PMI computation's executed plan
+    touches NO corpus scan at all — every input (kept pairs, both
+    unigram sides, both totals) reads from the caches
+    (tests/test_plan_lint.py pins zero corpus scans with the knob on).
+    Caches live until ``spark.catalog.clearCache()``.
+
     Returns (w1, w2, pair_cnt, pmi) — pmi 6dp-rounded.
     """
     if min_pair_count < 1:
@@ -406,8 +428,13 @@ def pmi_collocations(
         .filter(F.col("w1").isNotNull())
     )
     pair_c = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_cnt"))
-    n_pairs = pair_c.agg(F.sum("pair_cnt").alias("np"))
     uni_c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("uc"))
+    if persist_counts:
+        from pyspark import StorageLevel
+
+        pair_c = pair_c.persist(StorageLevel.MEMORY_AND_DISK)
+        uni_c = uni_c.persist(StorageLevel.MEMORY_AND_DISK)
+    n_pairs = pair_c.agg(F.sum("pair_cnt").alias("np"))
     n_toks = uni_c.agg(F.sum("uc").alias("nt"))
     kept = pair_c.filter(F.col("pair_cnt") >= min_pair_count)
     u1 = uni_c.select(F.col("tok").alias("w1"), F.col("uc").alias("uc1"))

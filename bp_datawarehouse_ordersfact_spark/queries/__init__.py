@@ -33,12 +33,14 @@ from . import (
     sketches_r6,
     staged_r10,
     staged_r11,
+    staged_r12,
+    staged_r13,
     streaming,
 )
 
 _MODULES = (
     relational, pipeline, llmops, streaming, domain_e2e, sketches_r6,
-    curation_r9, staged_r10, staged_r11,
+    curation_r9, staged_r10, staged_r11, staged_r12, staged_r13,
 )
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
@@ -46,82 +48,82 @@ _MODULES = (
 # newest driver row may be older than 2 rounds
 # (tests/test_window_rotation.py enforces it).
 #
-# ROUND-11 WINDOW (this tuple) — the mechanical alternation: the
+# ROUND-12 WINDOW (this tuple) — the mechanical alternation: the
 # registry is at the 100-entry cap, so the window is the other 50-query
-# half — the keys of CORRECTNESS_r09.json, with THREE swaps this round
-# (r10 VERDICT #1): the coverage-duplicated twins `threshold_filter`
-# (P3-P6 filter family keeps `membership_filter`'s row),
-# `window_rank_functions` (beyond-reference rank tour; the window family
-# keeps `top_k_per_group` + `dedup_keep_first`), and
-# `correlated_exists_rewrite` (beyond-reference rewrite demo; EXISTS
-# semantics keep `semi_anti_join`'s row) are RETIRED from the registry
-# (still oracle-pinned every pytest run — relational.RETIRED /
-# tests/test_retired_queries.py) and their capped slots go to the staged
-# curation-layer queries now ACTIVATED from queries/staged_r11.py:
-# `html_extract`, `contamination_report`, `host_disjoint_split`. All 50
-# round-10 rows came back green (50/50 hash-match), so no red query
-# forces its way back in. (Round 10 rotated the CORRECTNESS_r08 half
-# with the `host_cap`/`quality_pacing`/`line_dedupe` swaps — history;
-# see CORRECTNESS_r10.json.)
+# half — the keys of CORRECTNESS_r10.json, with FIVE swaps this round
+# (r11 VERDICT #1 prescribed three; #4 "staged-row endgame" adds two by
+# ALSO activating staged_r13 now, pulling the whole staged schedule one
+# round forward so round 20's eight rows land with buffer rounds to
+# spare — see the accelerated schedule below). Retired (still
+# oracle-pinned every pytest run via relational.RETIRED /
+# tests/test_retired_queries.py): `cube_summary` [beyond-reference CUBE
+# tour; grouping-set coverage keeps `grouping_rollup` (GROUPING SETS) +
+# `multikey_rollup` + `rollup_incremental_refresh`],
+# `listagg_per_group` [beyond-reference string agg; the A-family keeps
+# `count_distinct_per_group`'s row], `variant_props_extract` [VARIANT
+# twin of `json_props_extract`, whose J1 row survives],
+# `retention_cohorts` [event-analytics pair — `funnel_analysis` keeps
+# the family's row], `sketch_kll_quantile_merge` [sketch family holds
+# theta/hll/approx live + cms/mg staged; the KLL merge law stays
+# pytest-pinned]. Their capped slots and window positions go to the
+# ACTIVATED staged queries: `line_quality`, `boilerplate_lines`,
+# `quality_pacing_by_group` (staged_r12), `corpus_stats_exact`,
+# `host_authority` (staged_r13; host_authority is fixture-bound —
+# bench-EXCLUDED with a recorded reason). All 50 round-11 rows came
+# back green (50/50 hash-match), so no red query forces its way back
+# in.
 #
-# ROUND-12 ROTATION (mechanical; do it first): swap this tuple for the
-# other half — the keys of CORRECTNESS_r10.json — and ACTIVATE the
-# staged module `queries/staged_r12.py` (add to _MODULES): its three
-# queries (`line_quality`, `boilerplate_lines`,
-# `quality_pacing_by_group`) are already oracle-paired and driver-style
-# tested (tests/test_staged_r12_queries.py; staged oracles ride the
-# conventions gate every run); retire three coverage-duplicated
-# round-10-window twins to hold the 100 cap (keep retirees oracle-pinned
-# via a RETIRED dict — least-loss candidates: `cube_summary`
-# [beyond-reference CUBE tour; grouping-set coverage keeps
-# `grouping_rollup` (GROUPING SETS) + `multikey_rollup` +
-# `rollup_incremental_refresh`], `listagg_per_group` [beyond-reference
-# string agg; the A-family keeps `count_distinct_per_group`'s row],
-# `variant_props_extract` [VARIANT twin of `json_props_extract`, whose
-# J1 row survives]). If a round-11 query's latest row comes back red,
-# it must ALSO be in the round-12 window (tests/test_window_rotation.py
-# enforces this automatically).
+# ROUND-13 ROTATION (mechanical; do it first): swap this tuple for the
+# other half — the keys of CORRECTNESS_r11.json — and ACTIVATE
+# queries/staged_r14.py (`registrable_domain_psl`) + staged_r15.py
+# (`phash_near_dup`, `sft_ingest_stream` — the stream row is
+# fixture-bound, bench-EXCLUDE it at activation): three activations,
+# three retirements from the documented pool (least-loss candidates:
+# `url_canonicalize` once registrable_domain_psl is live,
+# `events_gap_fill` [gaps-and-islands family keeps interval_coalesce +
+# sessionize_events], `top_k` [top_k_per_group keeps the family]). If a
+# round-12 query's latest row comes back red, it must ALSO be in the
+# round-13 window (tests/test_window_rotation.py enforces this
+# automatically).
 #
-# Rounds 13-19 are ALSO pre-staged: queries/staged_r13.py
-# (corpus_stats_exact / host_authority — the latter is fixture-bound,
-# add it to bench EXCLUDED at activation), queries/staged_r14.py
-# (registrable_domain_psl), queries/staged_r15.py (phash_near_dup +
-# sft_ingest_stream — the stream row is fixture-bound, bench-EXCLUDE it
-# at activation), queries/staged_r16.py (bpe_tokenize),
-# queries/staged_r17.py (containment_near_dup + audio_pcm_features),
-# queries/staged_r18.py (cms_point_freq + pq_adc_topk),
-# queries/staged_r19.py (mg_heavy_hitters), and queries/staged_r20.py
-# (weighted_sample_by_group + bigram_lm_score + bloom_join_prune +
-# outlier_iqr_per_group + pmi_collocations + temperature_mixture +
-# mixture_drift + corr_profile — the eight extra slots come from the retirement
-# pool named in PLANS.md "Round-11 staging ledger", e.g. fact_royalty
-# [§3 keeps domain_fact_royalty's full-chain row + conditional_measures'
-# C-row], one of funnel_analysis/retention_cohorts [the pair's other
-# half already pools], stream_sliding_agg [windowed-agg family keeps
-# tumbling + session + stateful], text_token_count once bpe_tokenize's
-# r16 row is live [token-counting family], plus four more from the
-# documented pool, e.g. events_gap_fill, set_intersect_except,
-# date_dim_generate, and one of sketch_kll_quantile_merge/
-# sketch_theta_set_algebra).
+# ACCELERATED STAGED SCHEDULE (r11 VERDICT #4 decision, round 12): the
+# original one-module-per-round plan would land staged_r20's EIGHT rows
+# in the final round with zero slack. Pull forward two modules per
+# round instead: r12 = staged_r12+r13 (done, this tuple); r13 =
+# staged_r14+r15; r14 = staged_r16+r17 (`bpe_tokenize`;
+# `containment_near_dup`, `audio_pcm_features` — retire e.g.
+# text_token_count once bpe_tokenize is live, set_intersect_except,
+# date_dim_generate); r15 = staged_r18+r19 (`cms_point_freq`,
+# `pq_adc_topk`; `mg_heavy_hitters` — retire e.g. skew_salted_join,
+# sketch_theta_set_algebra once CMS/MG live, one of
+# funnel_analysis/stream_sliding_agg); r16 = staged_r20's eight
+# (`weighted_sample_by_group`, `bigram_lm_score`, `bloom_join_prune`,
+# `outlier_iqr_per_group`, `pmi_collocations`, `temperature_mixture`,
+# `mixture_drift`, `corr_profile` — eight slots from the remaining
+# pool, e.g. fact_royalty [§3 keeps domain_fact_royalty +
+# conditional_measures], stream_sliding_agg, events_gap_fill remnants,
+# null_audit [data_quality_audit generalizes it], quantile_stats once
+# KLL/CMS rows cover the family). Rounds 17-20 become buffer for
+# operators invented in the meantime.
 _WINDOW_FIRST = (
-    "dedup_embedding_lsh_banded", "ann_recall_at_k",
-    "ann_ivf_kmeans_refine", "domain_fact_royalty",
-    "domain_split_royalty_report", "interval_coalesce", "html_extract",
-    "select_rename", "membership_filter", "contamination_report",
-    "split_royalty_union", "percent_rate_normalization",
-    "dedup_keep_first", "broadcast_dim_join", "composite_key_join",
-    "window_order_totals", "incremental_merge", "semi_anti_join",
-    "levenshtein_ratio_join", "parent_allocation",
-    "count_distinct_per_group", "grouping_rollup", "multikey_rollup",
-    "null_audit", "case_categorize", "conditional_measures",
-    "string_cleanup", "date_functions", "date_dim_generate", "top_k",
-    "top_k_per_group", "union_by_name", "set_intersect_except",
-    "null_fill_sentinels", "json_props_extract", "explode_line_items",
-    "url_canonicalize", "quantile_stats", "range_join_attribution",
-    "regional_supplier_volume", "conversation_pack", "sessionize_events",
-    "shipping_priority", "skew_salted_join", "host_disjoint_split",
-    "token_mixture", "asof_join", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_simhash",
+    "sketch_theta_set_algebra", "host_authority", "pricing_summary",
+    "tfidf_title_match", "host_cap", "dedup_passage_spans",
+    "ann_cosine_topk", "ann_cosine_ivf", "text_langid", "text_quality",
+    "text_token_count", "text_fingerprint", "text_pii_scrub",
+    "corpus_filter_pipeline", "grouped_ewma", "multimodal_binary_meta",
+    "multimodal_feature_extract", "dedup_cluster_cc", "quality_pacing",
+    "line_dedupe", "sequence_packing", "corpus_prep_pipeline",
+    "stream_tumbling_agg", "stream_sliding_agg", "stream_dedup",
+    "stream_session_agg", "stream_stateful_user_stats",
+    "text_repetition", "decontaminate_ngram_overlap",
+    "text_unigram_logprob", "stream_stream_join", "events_gap_fill",
+    "data_quality_audit", "scd2_dim_update", "leakage_safe_split",
+    "cdc_apply", "line_quality", "embedding_classifier_score",
+    "sketch_hll_merge", "funnel_analysis", "corpus_stats_exact",
+    "rollup_incremental_refresh", "corpus_mix_resample",
+    "boilerplate_lines", "quality_pacing_by_group", "fact_royalty",
+    "rest_ingest_distributed", "kafka_wire_roundtrip",
+    "sketch_approx_stats", "distinct_rows",
 )
 
 

@@ -1589,15 +1589,10 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cube_summary",
-    """
-    SELECT l_returnflag, l_linestatus,
-           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
-           round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
-    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
+# RETIRED round 12 (r11 VERDICT #1) — beyond-reference CUBE tour; the
+# grouping-set family keeps `grouping_rollup` (GROUPING SETS) +
+# `multikey_rollup` + `rollup_incremental_refresh`. Pytest-pinned via
+# RETIRED below.
 def q_cube_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus) with an explicit grouping id —
     all four grouping sets in one Expand+aggregate pass (no reference
@@ -1724,22 +1719,9 @@ def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "retention_cohorts",
-    """
-    WITH first_day AS (
-      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
-      FROM events GROUP BY user_id
-    ), activity AS (
-      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
-    )
-    SELECT f.cohort_day, datediff('day', f.cohort_day, a.d) AS day_offset,
-           count(*) AS n_users
-    FROM first_day f JOIN activity a ON f.user_id = a.user_id
-    WHERE datediff('day', f.cohort_day, a.d) BETWEEN 0 AND 7
-    GROUP BY 1, 2
-    """,
-)
+# RETIRED round 12 (r11 VERDICT #4 endgame pool) — event-analytics
+# pair; `funnel_analysis` keeps the family's registry row.
+# Pytest-pinned via RETIRED below.
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen day, counted on each
     subsequent active day (offset 0-7) — the D1/D7 retention matrix every
@@ -1817,18 +1799,9 @@ def q_rollup_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "variant_props_extract",
-    """
-    SELECT event_type,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
-             AS sum_k,
-           count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INT)
-                              > 50) AS n_high
-    FROM events
-    GROUP BY event_type
-    """,
-)
+# RETIRED round 12 (r11 VERDICT #1) — VARIANT twin of
+# `json_props_extract`, whose J1 row survives. Pytest-pinned via
+# RETIRED below.
 def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props via Spark 4's VARIANT type: ``parse_json``
     once into a binary-encoded variant, then ``variant_get`` path reads —
@@ -1848,17 +1821,9 @@ def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "listagg_per_group",
-    """
-    SELECT l_returnflag,
-           string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
-             AS statuses,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY l_returnflag
-    """,
-)
+# RETIRED round 12 (r11 VERDICT #1) — beyond-reference ordered string
+# agg; the A-family keeps `count_distinct_per_group`'s row.
+# Pytest-pinned via RETIRED below.
 def q_listagg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered string aggregation (``LISTAGG ... WITHIN GROUP``, new in
     Spark 4) — deterministic because of the explicit WITHIN GROUP order;
@@ -1985,6 +1950,54 @@ def q_correlated_exists_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 RETIRED: dict[str, tuple] = {
+    "cube_summary": (
+        q_cube_summary,
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+               round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+    ),
+    "variant_props_extract": (
+        q_variant_props_extract,
+        """
+        SELECT event_type,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+                 AS sum_k,
+               count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INT)
+                                  > 50) AS n_high
+        FROM events
+        GROUP BY event_type
+        """,
+    ),
+    "listagg_per_group": (
+        q_listagg_per_group,
+        """
+        SELECT l_returnflag,
+               string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+                 AS statuses,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        """,
+    ),
+    "retention_cohorts": (
+        q_retention_cohorts,
+        """
+        WITH first_day AS (
+          SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+          FROM events GROUP BY user_id
+        ), activity AS (
+          SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        )
+        SELECT f.cohort_day, datediff('day', f.cohort_day, a.d) AS day_offset,
+               count(*) AS n_users
+        FROM first_day f JOIN activity a ON f.user_id = a.user_id
+        WHERE datediff('day', f.cohort_day, a.d) BETWEEN 0 AND 7
+        GROUP BY 1, 2
+        """,
+    ),
     "threshold_filter": (
         q_threshold_filter,
         """

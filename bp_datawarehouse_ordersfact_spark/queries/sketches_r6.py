@@ -111,11 +111,19 @@ def q_sketch_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["sketch_kll_quantile_merge"] = """
-    SELECT round(quantile_cont(value, 0.5), 6) AS exact_p50,
-           round(quantile_cont(value, 0.9), 6) AS exact_p90,
-           TRUE AS p50_within_rank_err,
-           TRUE AS p90_within_rank_err
-    FROM events
-"""
-QUERIES["sketch_kll_quantile_merge"] = q_sketch_kll_quantile_merge
+# RETIRED round 12 (r11 VERDICT #4 endgame pool) — the sketch family
+# holds theta/hll/approx live plus CMS/MG staged; the KLL merge law
+# stays pinned every pytest run via RETIRED below
+# (tests/test_retired_queries.py merges this dict).
+RETIRED: dict[str, tuple] = {
+    "sketch_kll_quantile_merge": (
+        q_sketch_kll_quantile_merge,
+        """
+        SELECT round(quantile_cont(value, 0.5), 6) AS exact_p50,
+               round(quantile_cont(value, 0.9), 6) AS exact_p90,
+               TRUE AS p50_within_rank_err,
+               TRUE AS p90_within_rank_err
+        FROM events
+        """,
+    ),
+}

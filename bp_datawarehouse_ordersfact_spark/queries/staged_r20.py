@@ -317,12 +317,21 @@ def q_outlier_iqr_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet doubles (verified bit-identical on this data), so the
     strict fence comparisons agree row-for-row without rounding games;
     only the REPORTED quartiles are 2dp-rounded. Two passes, both
-    keyed on the same group columns: the stats row broadcasts back, so
-    the detail rows shuffle once. The ``exact=False`` tier swaps in
-    ``percentile_approx`` for groups that outgrow a task at 100 TB."""
+    keyed on the same group columns: ``broadcast_stats=True`` is forced
+    here because (returnflag, linestatus) is a known 6-group key — the
+    stats rows land on pass 2's map side and the detail rows shuffle
+    once (forcing also skips the auto mode's group-count probe, which
+    would re-run the percentile pass). High-cardinality callers leave
+    the default auto probe or pass ``False``. The ``exact=False`` tier
+    swaps in ``percentile_approx`` for groups that outgrow a task at
+    100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
     return outlier_iqr_per_group(
-        li, "l_extendedprice", ["l_returnflag", "l_linestatus"], fence_k=1.5
+        li,
+        "l_extendedprice",
+        ["l_returnflag", "l_linestatus"],
+        fence_k=1.5,
+        broadcast_stats=True,
     )
 
 

@@ -100,6 +100,41 @@ def _run_to_memory_sink(stream: DataFrame, mode: str = "complete") -> DataFrame:
     return spark.table(sink)
 
 
+def _content_sink_key(batch_df: DataFrame, batch_id: int) -> str:
+    """Content-derived partition key for loss-safe foreachBatch sinks
+    (r11 VERDICT #6): ``sha256(sorted(batch file list))[:16]`` — a pure
+    function of the micro-batch's input files, so a stream restarted
+    after CHECKPOINT LOSS rewrites the SAME sink partitions even though
+    batch numbering restarted at 0, and new files land in NEW
+    partitions; the sink reads clean with no manual clear. File lineage
+    comes from ``input_file_name()`` collected driver-side over the
+    batch (verified populated for the parquet AND text file stream
+    sources here; ``DataFrame.inputFiles()`` is empty under foreachBatch
+    — probed, not assumed). Sources without file lineage (empty or
+    blank names, e.g. rate/socket/some DSv2 combinations) fall back to
+    the ``batch-{N}`` id key, which keeps the old semantics INCLUDING
+    its documented checkpoint-loss caveat.
+
+    Reproducibility bound: the key protects per-FILE-SET, so the
+    file→batch grouping must re-derive identically — guaranteed at
+    ``files_per_trigger=1`` (each batch = one file); larger trigger
+    sizes can re-group when new files interleave the listing order,
+    degrading back to the stale-partition caveat."""
+    import hashlib
+
+    try:
+        files = sorted(
+            r[0]
+            for r in batch_df.select(F.input_file_name()).distinct().collect()
+            if r[0]
+        )
+    except Exception:  # lineage probe must never fail the batch
+        files = []
+    if not files:
+        return f"batch-{int(batch_id)}"
+    return hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
+
+
 def run_sliding_agg_availablenow(
     spark: SparkSession,
     events_path: str,
@@ -1016,13 +1051,13 @@ def run_sft_ingest_stream(
     (`operators/conversations.validate_conversations`), and three-way
     routed:
 
-    - parse-clean AND structurally valid  → ``{out_dir}/ingest_batch_id={N}``
+    - parse-clean AND structurally valid  → ``{out_dir}/ingest_key={K}``
       (training-ready rows, `schema`'s columns);
     - parse-clean but structurally INVALID (empty dialog, stray system
-      turn, role soup…) → ``{out_dir}_invalid/ingest_batch_id={N}``
+      turn, role soup…) → ``{out_dir}_invalid/ingest_key={K}``
       with ``conv_invalid_reason`` kept for triage;
     - unparseable raw lines → ``{out_dir}_parse_quarantine/
-      ingest_batch_id={N}`` (``_corrupt_record`` string — the
+      ingest_key={K}`` (``_corrupt_record`` string — the
       `read_jsonl_quarantined` quarantine shape).
 
     `schema` is the record StructType and must contain `conv_col` as
@@ -1031,21 +1066,21 @@ def run_sft_ingest_stream(
 
     foreachBatch is AT-LEAST-ONCE, so the batch body is idempotent (the
     ``run_text_quality_sweep_stream`` pattern): all three sinks are
-    partition-overwrites keyed by ``ingest_batch_id`` — a replayed batch
-    rewrites identical rows into its own partitions; no cross-batch
-    state, so no ledger is needed. CHECKPOINT-LOSS CAVEAT (r10 ADVICE):
-    the idempotency holds only while the checkpoint reproduces the
-    batch-id→file assignment. If the checkpoint directory is LOST and
-    the stream restarted after new files landed, batch numbering shifts
-    — stale ``ingest_batch_id=N`` partitions written under the OLD
-    numbering remain beside the re-written ones, and reading a sink
-    root then double-counts rows. Recovery from checkpoint loss must
-    clear all three sink roots (``{out_dir}``, ``{out_dir}_invalid``,
-    ``{out_dir}_parse_quarantine``) before restarting; partitioning by
-    a content-derived key (source file name) was considered and
-    rejected — ``input_file_name()`` is empty under foreachBatch on
-    some source/DSv2 combinations, and the batch id is the documented
-    replay key everywhere else in this module. The batch's PARSED frame
+    partition-overwrites keyed by the SAME content-derived
+    ``ingest_key`` (``_content_sink_key`` — sha256 of the batch's file
+    list; ported from the drift monitor, r11 VERDICT #6) — a replayed
+    batch rewrites identical rows into its own partitions; no
+    cross-batch state, so no ledger is needed. Because the key derives
+    from the batch's FILES rather than its number, CHECKPOINT LOSS with
+    new files since the prior run no longer requires clearing the three
+    sink roots: the restarted stream rewrites the same-file partitions
+    in place and adds new ones (r10's clear-the-sinks caveat now applies
+    only to the no-file-lineage fallback documented on
+    ``_content_sink_key``; the text file source used here carries
+    lineage — probed, not assumed). An earlier round rejected
+    ``input_file_name()`` on hearsay that it is empty under foreachBatch;
+    measurement showed it populated for both file sources in this
+    module, hence the reversal. The batch's PARSED frame
     (`sources/files.parse_jsonl_lines` output) is what gets persisted:
     JSON parsing is the batch's dominant CPU cost, so the three sinks
     share ONE ``from_json`` pass; only the cheap validate/filter column
@@ -1074,7 +1109,8 @@ def run_sft_ingest_stream(
     def apply_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        part = f"/ingest_batch_id={int(batch_id)}"
+        # key from the RAW text frame (before parse, which drops lineage)
+        part = f"/ingest_key={_content_sink_key(batch_df, batch_id)}"
         parsed = parse_jsonl_lines(batch_df, schema).persist()
         try:
             good, bad = split_parsed_jsonl(parsed)
@@ -1133,13 +1169,20 @@ def run_mixture_drift_monitor_stream(
     full-outer alignment cannot be expressed in an append-mode stream,
     so this is a foreachBatch job (the ``run_text_quality_sweep_stream``
     pattern). Idempotent under at-least-once replay by construction:
-    each batch OVERWRITES its own ``ingest_batch_id={N}`` partition and
-    mutates no store — a replayed batch rewrites identical rows. As
-    with every batch-id-keyed sink here (see ``run_sft_ingest_stream``),
-    that holds while the checkpoint reproduces the batch-id→file
-    assignment: recovery from checkpoint LOSS with new files since the
-    prior run must clear ``out_dir`` first, or stale partitions from
-    the old numbering remain beside the re-written ones.
+    each batch OVERWRITES its own sink partition and mutates no store —
+    a replayed batch rewrites identical rows.
+
+    CONTENT-DERIVED SINK KEY (r11 VERDICT #6): the partition key is
+    ``ingest_key={_content_sink_key(batch)}`` — a pure function of the
+    batch's input files, so checkpoint LOSS no longer poisons the sink:
+    a restarted stream re-deriving the same file→batch grouping
+    rewrites the SAME partitions even though batch NUMBERING restarted
+    at 0, and new files land in new partitions — no manual sink clear
+    (pinned by tests/test_streaming_incremental.py's
+    checkpoint-loss-with-new-files test). The batch id still rides
+    along as a normal ``batch_id`` column for triage. See
+    ``_content_sink_key`` for the lineage mechanism, the no-lineage
+    fallback, and the ``files_per_trigger=1`` reproducibility bound.
     """
     from pyspark.sql import Window
 
@@ -1164,12 +1207,17 @@ def run_mixture_drift_monitor_stream(
         if batch_df.isEmpty():
             return
         drift = mixture_drift(
-            baseline, batch_df, key_col=key_col, weight_col=weight_col
+            baseline,
+            batch_df,
+            key_col=key_col,
+            weight_col=weight_col,
+            include_raw=True,
         )
         everything = Window.partitionBy()
-        # the ingest_batch_id=N DIRECTORY carries the batch id (partition
-        # discovery supplies it on read) — writing it as a column too
-        # would collide with the path key
+        # total_js sums the UNROUNDED contributions (ADVICE r11: summing
+        # the reported 6dp column drifts up to ~5e-7 per key from the
+        # true divergence, enough to flip the alert comparison at high
+        # key cardinality); only the reported columns are rounded.
         out = drift.select(
             "key",
             "n_base",
@@ -1177,10 +1225,17 @@ def run_mixture_drift_monitor_stream(
             "p_share",
             "q_share",
             "js_contrib",
-            F.sum("js_contrib").over(everything).alias("total_js"),
-        ).withColumn("alerted", F.col("total_js") > F.lit(alert_js))
+            F.round(
+                F.sum("__js_contrib_raw").over(everything), 6
+            ).alias("total_js"),
+            (
+                F.sum("__js_contrib_raw").over(everything) > F.lit(alert_js)
+            ).alias("alerted"),
+            F.lit(int(batch_id)).alias("batch_id"),
+        )
         out.write.mode("overwrite").parquet(
-            out_dir.rstrip("/") + f"/ingest_batch_id={int(batch_id)}"
+            out_dir.rstrip("/")
+            + f"/ingest_key={_content_sink_key(batch_df, batch_id)}"
         )
 
     q = (

@@ -19,6 +19,7 @@ EXCLUDED = {
     "dedup_cluster_cc": "consumes the quadratic pair verifier",
     "domain_fact_royalty": "fixed-size fixtures — ignores sf_dir",
     "domain_split_royalty_report": "fixed-size fixtures — ignores sf_dir",
+    "host_authority": "fixture-bound planted link graph — ignores sf_dir",
 }
 
 

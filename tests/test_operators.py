@@ -1812,3 +1812,33 @@ def test_corr_matrix_matches_numpy_and_handles_nulls_constants(spark):
 
     with _pt.raises(ValueError):
         corr_matrix(df, ["x"])
+    with _pt.raises(ValueError):
+        corr_matrix(df, ["x", "z"], pairs_per_pass=0)
+
+
+def test_corr_matrix_chunked_passes_match_single_pass(spark):
+    """ADVICE r11: past ``pairs_per_pass`` the pair list must chunk into
+    multiple aggregation passes (a literal one-pass 1000-column profile
+    is ~3M aggregate expressions and never survives planning). Chunked
+    output == single-pass output exactly, every pair present once, and
+    the chunked plan really is multiple aggregates (a union)."""
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import corr_matrix
+
+    cols = [f"c{i}" for i in range(6)]  # 15 pairs
+    rows = [
+        tuple(float((i * 7 + j * 3) % 11) + (i % 3) * 0.5 for j in range(6))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, cols)
+
+    def as_map(out):
+        return {
+            (r["col_a"], r["col_b"]): (r["n_pairs"], r["corr"])
+            for r in out.collect()
+        }
+
+    single = as_map(corr_matrix(df, cols))
+    chunked = corr_matrix(df, cols, pairs_per_pass=4)  # 4 passes
+    assert "Union" in chunked._jdf.queryExecution().executedPlan().toString()
+    assert as_map(chunked) == single
+    assert len(single) == 15

@@ -45,8 +45,6 @@ def oracle_frames(con):
         sql_rewrite_rounds,
     )
     from bp_datawarehouse_ordersfact_spark.queries import (
-        staged_r12,
-        staged_r13,
         staged_r14,
         staged_r15,
         staged_r16,
@@ -64,7 +62,7 @@ def oracle_frames(con):
     # the activation is still a mechanical edit (r10; staged_r10's
     # oracles were only convention-checked once activated)
     for mod in (
-        staged_r12, staged_r13, staged_r14, staged_r15, staged_r16,
+        staged_r14, staged_r15, staged_r16,
         staged_r17, staged_r18, staged_r19, staged_r20,
     ):
         for name, sql in mod.ORACLES.items():
@@ -127,7 +125,8 @@ def test_oracles_sort_under_driver_canonicalization(oracle_frames):
 
 
 def test_staged_modules_and_registry_names_are_pairwise_disjoint():
-    """With nine staged modules queued (r12-r20), two defining the same
+    """With staged modules queued (r14-r20 after the round-12 double
+    activation), two defining the same
     query name — or a staged name colliding with a live registry one —
     would make an activation silently overwrite a dict entry instead of
     adding a row. Every staged module's names must be disjoint from
@@ -135,8 +134,6 @@ def test_staged_modules_and_registry_names_are_pairwise_disjoint():
     must carry an oracle (or be a deliberate rows-only op, of which
     there are none staged)."""
     from bp_datawarehouse_ordersfact_spark.queries import (
-        staged_r12,
-        staged_r13,
         staged_r14,
         staged_r15,
         staged_r16,
@@ -147,7 +144,7 @@ def test_staged_modules_and_registry_names_are_pairwise_disjoint():
     )
 
     mods = [
-        staged_r12, staged_r13, staged_r14, staged_r15, staged_r16,
+        staged_r14, staged_r15, staged_r16,
         staged_r17, staged_r18, staged_r19, staged_r20,
     ]
     live = set(Q.all_queries())

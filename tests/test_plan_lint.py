@@ -51,6 +51,10 @@ BOUNDED_CROSS_OK = {
     "domain_split_royalty_report": "fixture-bound scalar frames",
     "sketch_kll_quantile_merge": "1-row exact/estimate frames crossed for "
     "self-validation (the sketch_approx_stats pattern)",
+    # staged_r20 — entry recorded AHEAD of activation (r12): the Bloom
+    # bitmap travels as a one-row broadcast array frame attached by a
+    # deliberately-bounded BroadcastNestedLoopJoin (r11 VERDICT #2)
+    "bloom_join_prune": "1-row Bloom-bitmap frame broadcast to the probe",
 }
 
 
@@ -101,6 +105,68 @@ def test_no_unbounded_joins_anywhere(plans):
         f"{offenders} — if the cross side is provably bounded, add the "
         "query to BOUNDED_CROSS_OK with the reason"
     )
+
+
+def test_persist_counts_knob_pins_scoring_to_cached_count_tables(spark):
+    """r11 VERDICT #5: ``persist_counts=True`` must make the scoring
+    pass read COUNTS, not the corpus. Pinned on the executed plans:
+    ``pmi_collocations`` reads ZERO corpus scans (every input derives
+    from the two cached count tables); ``bigram_logprob`` reads exactly
+    the two inherent corpus scans (the per-doc bigram stream + the
+    short-doc re-attach) while all three count tables arrive via
+    InMemoryTableScan."""
+    import re
+
+    from bp_datawarehouse_ordersfact_spark.operators.ml import (
+        bigram_logprob,
+        pmi_collocations,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def corpus_scans(df):
+        """FileScans in the EXECUTION tree only — the plan string nests
+        each InMemoryRelation's BUILD plan (whose FileScans run once at
+        cache fill, not per scoring read) under the cache node, so a
+        whole-string count would see them. Lines deeper-indented than
+        an InMemoryRelation line belong to its build subtree."""
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = 0
+        skip_deeper_than = None
+        for line in plan.splitlines():
+            m = re.search(r"[A-Za-z*]", line)
+            indent = m.start() if m else 0
+            if skip_deeper_than is not None and indent > skip_deeper_than:
+                continue
+            skip_deeper_than = None
+            if "InMemoryRelation" in line:
+                skip_deeper_than = indent
+            elif "FileScan parquet" in line:
+                n += 1
+        return n, plan
+
+    try:
+        n, plan = corpus_scans(
+            pmi_collocations(docs, "text", "doc_id", persist_counts=True)
+        )
+        assert n == 0, f"pmi scoring still scans the corpus {n}x:\n{plan[:3000]}"
+        assert "InMemoryTableScan" in plan
+
+        n, plan = corpus_scans(
+            bigram_logprob(docs, "text", "doc_id", persist_counts=True)
+        )
+        assert n == 2, f"bigram scoring scans the corpus {n}x (want 2):\n{plan[:3000]}"
+        assert "InMemoryTableScan" in plan
+
+        # knob off: the count tables re-derive from corpus scans —
+        # clear first, else the cache manager substitutes the still-live
+        # caches into any logically-equal subtree and the contrast is
+        # vacuous
+        spark.catalog.clearCache()
+        n, _ = corpus_scans(pmi_collocations(docs, "text", "doc_id"))
+        assert n > 0
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_python_stages_sit_on_user_pinned_partitioning(plans):

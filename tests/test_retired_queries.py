@@ -20,12 +20,16 @@ import pytest
 from pyspark.sql import SparkSession
 
 from bp_datawarehouse_ordersfact_spark.functions.rounding import sql_rewrite_rounds
-from bp_datawarehouse_ordersfact_spark.queries import llmops, relational
+from bp_datawarehouse_ordersfact_spark.queries import llmops, relational, sketches_r6
 from tests.parity import frames_match
 
 SF_DIR = "/root/testdata/sf0.001"
 
-RETIRED: dict[str, tuple] = {**relational.RETIRED, **llmops.RETIRED}
+RETIRED: dict[str, tuple] = {
+    **relational.RETIRED,
+    **llmops.RETIRED,
+    **sketches_r6.RETIRED,
+}
 
 
 @pytest.fixture(scope="module")
@@ -51,8 +55,10 @@ def con():
 
 
 def test_retiree_dicts_are_disjoint():
-    overlap = set(relational.RETIRED) & set(llmops.RETIRED)
-    assert not overlap, f"query retired in two modules: {overlap}"
+    mods = (relational.RETIRED, llmops.RETIRED, sketches_r6.RETIRED)
+    total = sum(len(m) for m in mods)
+    merged = set().union(*(set(m) for m in mods))
+    assert len(merged) == total, "query retired in two modules"
 
 
 def test_retirees_are_not_registered():

@@ -52,11 +52,18 @@ def test_staged_r12_query_passes_driver_comparison(spark, con, name):
     assert ok, f"{name}: {msg}"
 
 
-def test_staged_module_is_not_yet_registered():
+def test_staged_module_is_activated():
+    """Activation contract (round 12): all three names are live in the
+    registry and oracle-paired, holding the capped slots freed by the
+    round-12 relational.RETIRED twins. Window membership is NOT pinned
+    (activation-round-only fact; later rotations move these out under
+    the generic staleness invariant in tests/test_window_rotation.py)."""
     from bp_datawarehouse_ordersfact_spark import queries as Q
 
     live = set(Q.all_queries())
-    assert not (set(staged_r12.QUERIES) & live)
+    missing = set(staged_r12.QUERIES) - live
+    assert not missing, f"staged queries not in the registry: {missing}"
+    assert set(staged_r12.QUERIES) <= set(Q.all_oracles())
 
 
 # --- pure-Python twin of the C4 line rules ----------------------------------

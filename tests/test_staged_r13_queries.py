@@ -53,11 +53,18 @@ def test_staged_r13_query_passes_driver_comparison(spark, con, name):
     assert ok, f"{name}: {msg}"
 
 
-def test_staged_module_is_not_yet_registered():
+def test_staged_module_is_activated():
+    """Activation contract (round 12 — pulled one round forward under
+    the r11 VERDICT #4 accelerated schedule): both names live in the
+    registry and oracle-paired, holding the slots freed by retiring
+    `retention_cohorts` (relational.RETIRED) and
+    `sketch_kll_quantile_merge` (sketches_r6.RETIRED)."""
     from bp_datawarehouse_ordersfact_spark import queries as Q
 
     live = set(Q.all_queries())
-    assert not (set(staged_r13.QUERIES) & live)
+    missing = set(staged_r13.QUERIES) - live
+    assert not missing, f"staged queries not in the registry: {missing}"
+    assert set(staged_r13.QUERIES) <= set(Q.all_oracles())
 
 
 def test_host_authority_values_rederive_from_pure_power_iteration():

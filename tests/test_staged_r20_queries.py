@@ -192,6 +192,35 @@ def test_bloom_prefilter_passes_false_positives_but_never_drops_matches(spark):
     assert set(range(0, 500, 50)) <= pre
 
 
+def test_bloom_prefilter_bitmap_is_broadcast_data_not_plan_literals(spark):
+    """r11 VERDICT #2 pin: the bitmap must travel as broadcast DATA, not
+    as ``m_bits/64`` literal expressions in the plan — the literal form
+    blew up analysis/codegen around m_bits ≈ 2^20, defeating the
+    operator's too-big-to-broadcast sizing. At m_bits = 2^24 (256 Ki
+    words, ~2 MiB of bitmap) the literal encoding would put hundreds of
+    thousands of expressions in the plan string; the broadcast form's
+    plan stays small and shows the one-row BroadcastNestedLoopJoin."""
+    import time
+
+    from bp_datawarehouse_ordersfact_spark.operators.joins import bloom_prefilter
+
+    probe = spark.range(10_000).select(F.col("id").alias("k"))
+    build = spark.range(0, 10_000, 13).select(F.col("id").alias("k"))
+    t0 = time.perf_counter()
+    pre = bloom_prefilter(probe, "k", build, "k", m_bits=1 << 24, k=5)
+    plan = pre._jdf.queryExecution().optimizedPlan().toString()
+    analysis_s = time.perf_counter() - t0
+    # the literal form at 2^24 bits would be a ~250k-element array in
+    # the plan text (multi-MB) and take minutes to analyze
+    assert len(plan) < 100_000, f"plan text {len(plan)} bytes — literal bitmap?"
+    assert analysis_s < 30, f"analysis took {analysis_s:.1f}s"
+    physical = pre._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in physical, physical[:2000]
+    # correctness unchanged at this size: every true match passes
+    kept = {r["k"] for r in pre.collect()}
+    assert set(range(0, 10_000, 13)) <= kept
+
+
 def test_bloom_prefilter_null_probe_keys_pass_through(spark):
     from bp_datawarehouse_ordersfact_spark.operators.joins import bloom_prefilter
 
@@ -251,6 +280,52 @@ def test_outlier_iqr_approx_tier_runs_and_nulls_dont_count(spark):
         outlier_iqr_per_group(df, "v", [])
     with pytest.raises(ValueError):
         outlier_iqr_per_group(df, "v", ["grp"], fence_k=0.0)
+
+
+def test_outlier_iqr_broadcast_is_conditional_on_group_cardinality(spark):
+    """r11 VERDICT #3 pin: the stats join-back must NOT be an
+    unconditional broadcast — per-user fences over 10^9 users would OOM
+    the executors by construction. Above the knob (here forced tiny,
+    and separately via broadcast_stats=False) the pre-AQE plan carries
+    NO BroadcastExchange; results are identical across all three
+    strategies, and auto mode picks broadcast for a small group set."""
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import (
+        outlier_iqr_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(f"g{i % 7}", float(i % 13)) for i in range(200)],
+        "grp string, v double",
+    )
+
+    def plan_of(out):
+        # executedPlan BEFORE any action = the static (initial) plan
+        # with exchanges inserted; sparkPlan() precedes
+        # EnsureRequirements and never shows exchanges, so a
+        # no-BroadcastExchange assertion there would be vacuous. AQE
+        # converting the shuffled join to broadcast AT RUNTIME when the
+        # measured size fits is allowed and desirable — the pin is on
+        # what the operator REQUESTS.
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    forced_off = outlier_iqr_per_group(df, "v", ["grp"], broadcast_stats=False)
+    assert "BroadcastHashJoin" not in plan_of(forced_off), plan_of(forced_off)
+    auto_above_knob = outlier_iqr_per_group(
+        df, "v", ["grp"], max_broadcast_groups=3
+    )
+    assert "BroadcastHashJoin" not in plan_of(auto_above_knob)
+    forced_on = outlier_iqr_per_group(df, "v", ["grp"], broadcast_stats=True)
+    assert "BroadcastHashJoin" in plan_of(forced_on), plan_of(forced_on)
+    auto_small = outlier_iqr_per_group(df, "v", ["grp"])  # 7 groups < knob
+    assert "BroadcastHashJoin" in plan_of(auto_small)
+
+    def rows(out):
+        return sorted(tuple(r) for r in out.collect())
+
+    expect = rows(forced_on)
+    assert rows(forced_off) == expect
+    assert rows(auto_above_knob) == expect
+    assert rows(auto_small) == expect
 
 
 def test_pmi_collocations_matches_pure_python_twin(spark):

@@ -703,10 +703,15 @@ def test_sft_ingest_stream_three_way_routes_and_replays(spark, tmp_path):
     assert valid == {1, 3}
     assert inv == {(2, "system_not_leading")}
     assert quar == {"{this is not json"}
-    # training-ready rows carry exactly the schema's columns (no flags)
+    # training-ready rows carry exactly the schema's columns (no flags);
+    # the sink partitions on the content-derived ingest_key (r11 #6)
     assert set(spark.read.parquet(sink).columns) == {
-        "conv_id", "conversation", "ingest_batch_id",
+        "conv_id", "conversation", "ingest_key",
     }
+    assert all(
+        not str(r["ingest_key"]).startswith("batch-")
+        for r in spark.read.parquet(sink).select("ingest_key").collect()
+    )
 
     # worst-case replay: checkpoint gone, every batch re-runs
     shutil.rmtree(sink + "_checkpoint")
@@ -714,6 +719,23 @@ def test_sft_ingest_stream_three_way_routes_and_replays(spark, tmp_path):
         spark, str(feed), sink, schema, files_per_trigger=1
     )
     assert snap() == (valid, inv, quar)
+
+    # checkpoint loss + NEW file, NO sink clear (r11 VERDICT #6): the
+    # content-derived key rewrites the old files' partitions in place
+    # and adds one for the new file — nothing stale, nothing doubled
+    shutil.rmtree(sink + "_checkpoint")
+    (feed / "b3.jsonl").write_text(
+        rec(4, [("user", "new"), ("assistant", "file")]) + "\n",
+        encoding="utf-8",
+    )
+    run_sft_ingest_stream(
+        spark, str(feed), sink, schema, files_per_trigger=1
+    )
+    valid2, inv2, quar2 = snap()
+    assert valid2 == {1, 3, 4} and inv2 == inv and quar2 == quar
+    # conv_ids unique — a stale partition would duplicate one
+    rows = spark.read.parquet(sink).select("conv_id").collect()
+    assert len(rows) == len({r["conv_id"] for r in rows})
 
     # schema without the conversation column is a loud error
     import pytest as _pytest
@@ -760,14 +782,18 @@ def test_mixture_drift_monitor_stream_alerts_and_replays(spark, tmp_path):
     by_batch = {
         b: {r["key"]: r for r in rows}
         for b, rows in (
-            (b, out.filter(F.col("ingest_batch_id") == b).collect())
+            (b, out.filter(F.col("ingest_key") == b).collect())
             for b in [
-                r["ingest_batch_id"]
-                for r in out.select("ingest_batch_id").distinct().collect()
+                r["ingest_key"]
+                for r in out.select("ingest_key").distinct().collect()
             ]
         )
     }
     assert len(by_batch) == 2
+    # content-derived keys: sha256 prefixes, never the batch-id fallback
+    assert all(not str(b).startswith("batch-") for b in by_batch)
+    # the numeric batch id still rides along as a column for triage
+    assert out.select("batch_id").distinct().count() == 2
     totals = sorted(
         (next(iter(rows.values()))["total_js"], b) for b, rows in by_batch.items()
     )
@@ -787,19 +813,82 @@ def test_mixture_drift_monitor_stream_alerts_and_replays(spark, tmp_path):
 
     # TRUE replay: checkpoint LOST, same files — every batch re-runs
     # through the overwrite path (an intact checkpoint would run zero
-    # batches and pass vacuously — review finding). Batch-id→file
-    # assignment may renumber, so compare content WITHOUT the batch id
-    # and pin that no stale third partition appears.
+    # batches and pass vacuously — review finding). Batch NUMBERING may
+    # renumber, but the content-derived ingest_key must NOT: the replay
+    # rewrites the same two partitions, so the sink reads clean with no
+    # manual clear.
     import shutil
 
     def content(df):
-        return sorted(map(tuple, df.drop("ingest_batch_id").collect()))
+        return sorted(map(tuple, df.drop("batch_id").collect()))
 
     before = content(out)
+    before_keys = {r["ingest_key"] for r in out.select("ingest_key").collect()}
     shutil.rmtree(out_dir.rstrip("/") + "_checkpoint")
     run_mixture_drift_monitor_stream(
         spark, docs_dir, baseline_dir, out_dir, alert_js=0.05
     )
     replayed = spark.read.parquet(out_dir)
     assert content(replayed) == before
-    assert replayed.select("ingest_batch_id").distinct().count() == 2
+    after_keys = {
+        r["ingest_key"] for r in replayed.select("ingest_key").collect()
+    }
+    assert after_keys == before_keys
+
+
+def test_mixture_drift_monitor_survives_checkpoint_loss_with_new_files(
+    spark, tmp_path
+):
+    """r11 VERDICT #6: the content-derived sink key must make checkpoint
+    loss + NEW FILES safe WITHOUT clearing the sink — the batch-id-keyed
+    form left stale partitions from the old numbering beside the
+    re-written ones (double-counting on read). Sequence: run over one
+    file, lose the checkpoint, add a second file, rerun — the sink must
+    hold exactly the two per-file reports (the first overwritten
+    identically in place, the second new), nothing stale."""
+    import shutil
+
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import (
+        run_mixture_drift_monitor_stream,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    baseline_dir = str(tmp_path / "baseline")
+    out_dir = str(tmp_path / "drift")
+
+    base_rows = spark.createDataFrame(
+        [(1, "srcA", 300), (2, "srcB", 300)],
+        "doc_id long, source string, n_chars long",
+    )
+    base_rows.coalesce(1).write.parquet(baseline_dir)
+    base_rows.coalesce(1).write.parquet(docs_dir)
+
+    run_mixture_drift_monitor_stream(
+        spark, docs_dir, baseline_dir, out_dir, alert_js=0.05
+    )
+    first = spark.read.parquet(out_dir)
+    first_keys = {r["ingest_key"] for r in first.select("ingest_key").collect()}
+    assert len(first_keys) == 1
+    first_content = sorted(map(tuple, first.drop("batch_id").collect()))
+
+    # checkpoint lost; a new file lands; restart WITHOUT clearing out_dir
+    shutil.rmtree(out_dir.rstrip("/") + "_checkpoint")
+    spark.createDataFrame(
+        [(3, "srcC", 600)], "doc_id long, source string, n_chars long"
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    run_mixture_drift_monitor_stream(
+        spark, docs_dir, baseline_dir, out_dir, alert_js=0.05
+    )
+    after = spark.read.parquet(out_dir)
+    after_keys = {r["ingest_key"] for r in after.select("ingest_key").collect()}
+    # exactly one new partition; the old one survives under its old key
+    assert first_keys < after_keys and len(after_keys) == 2
+    # the old file's report was rewritten IDENTICALLY in place (batch
+    # renumbering must not leak into content)
+    old = after.filter(F.col("ingest_key").isin(list(first_keys)))
+    assert sorted(map(tuple, old.drop("batch_id").collect())) == first_content
+    # the new file's report: srcC appears, alarm fires (mixture shifted)
+    new = after.filter(~F.col("ingest_key").isin(list(first_keys)))
+    new_rows = {r["key"]: r for r in new.collect()}
+    assert "srcC" in new_rows and all(r["alerted"] for r in new_rows.values())
