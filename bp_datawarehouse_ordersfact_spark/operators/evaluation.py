@@ -1,0 +1,303 @@
+"""Classifier-audit and continuous-drift EVALUATION operators.
+
+The quality loop trains and applies filter classifiers at corpus scale
+(`operators/ml.py`, `embedding_classifier_score`); this module is the
+measurement layer that decides whether those classifiers — and the
+score distributions they produce — can be TRUSTED:
+
+- ``roc_auc_per_group`` — exact Mann–Whitney ROC AUC per group (e.g.
+  per source/language): does the quality score actually rank good above
+  bad, and does it do so uniformly across strata? A classifier with
+  great global AUC and 0.55 on one language silently biases the corpus
+  mix.
+- ``calibration_ece`` — reliability table + expected calibration error:
+  does "score 0.9" mean 90%? Threshold-based document budgeting
+  (keep top p%) survives miscalibration, but MIXING scores across
+  sources does not.
+- ``ks_drift`` — exact two-sample Kolmogorov–Smirnov statistic between
+  a baseline and a current CONTINUOUS score distribution — the
+  continuous dual of ``aggregates.mixture_drift`` (which needs
+  categorical keys): the alarm that a re-run scoring pass shifted the
+  score distribution even when the mixture of sources did not.
+
+No reference equivalent (the reference is a royalty ETL, SURVEY §2);
+these are beyond-reference operators for the training-data pipeline
+layer, built on public formulas (Mann–Whitney U / Hand & Till 2001;
+Naeini et al. 2015 ECE; the classical two-sample KS statistic).
+
+All three are pure JVM DataFrame plans (windows + aggregates, no
+Python), with exact cross-engine twins in ANSI SQL for the driver gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.rounding import rnd
+
+
+def roc_auc_per_group(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Exact ROC AUC per group via the rank (Mann–Whitney) identity::
+
+        AUC = (sum(rank of positives) - n_pos*(n_pos+1)/2) / (n_pos*n_neg)
+
+    with AVERAGE ranks on score ties (the sklearn
+    ``roc_auc_score`` convention — a tie between a positive and a
+    negative contributes 0.5, exactly the trapezoid over the tied
+    segment).
+
+    Rows with a NULL score or NULL label are EXCLUDED from the ranking
+    but counted in ``n_excluded`` (an audit that silently dropped them
+    would hide scoring bugs — the ``outlier_iqr_per_group`` posture).
+    ``label_col`` must be 0/1-valued (integer or boolean); any other
+    value raises at runtime via an ANSI-safe guard column. One-class
+    groups (no positives or no negatives) report NULL AUC rather than a
+    fabricated 0.5 — the caller decides their fate.
+
+    Scale shape: ONE shuffle on the group key feeds the rank window;
+    ties collapse to per-(group, score) buckets map-side before the
+    per-group rollup, so the second aggregate carries at most one row
+    per distinct score per group. No broadcast, no Python, no
+    driver-side loop — the same plan at 60 k rows and at 100 TB.
+
+    Returns one row per group: ``n`` (ranked rows), ``n_pos``,
+    ``n_excluded``, ``auc`` (6dp).
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    s = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    ok = s.isNotNull() & lab.isNotNull()
+    # loud 0/1 domain guard: raise_error is ANSI-independent and keeps
+    # the operator honest without a driver-side validation pass
+    lab_checked = F.when(lab.isin(0, 1) | lab.isNull(), lab).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{label_col} must be 0/1, got "), lab.cast("string")
+            )
+        )
+    )
+    base = df.select(
+        *group_cols, s.alias("__s"), lab_checked.alias("__y"), ok.alias("__ok")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__s")
+    ranked = base.filter("__ok").withColumn("__rn", F.row_number().over(w))
+    # average rank per tie bucket: (min_rn + max_rn) / 2 == avg(rn)
+    buckets = ranked.groupBy(*group_cols, "__s").agg(
+        F.avg("__rn").alias("__avg_rank"),
+        F.sum("__y").alias("__pos_in_bucket"),
+        F.count(F.lit(1)).alias("__n_in_bucket"),
+    )
+    per_group = buckets.groupBy(*group_cols).agg(
+        F.sum("__n_in_bucket").cast("long").alias("n"),
+        F.sum("__pos_in_bucket").cast("long").alias("n_pos"),
+        F.sum(F.col("__pos_in_bucket") * F.col("__avg_rank")).alias(
+            "__pos_rank_sum"
+        ),
+    )
+    # null-SAFE join back (a NULL group label is still a group — the
+    # outlier_iqr_per_group posture); excl is the full group set, so it
+    # anchors the output and all-excluded groups still report
+    excl = base.groupBy(*group_cols).agg(
+        F.sum((~F.col("__ok")).cast("long")).cast("long").alias("n_excluded")
+    )
+    pg = per_group.select(
+        *[F.col(c).alias(f"__g{i}") for i, c in enumerate(group_cols)],
+        "n",
+        "n_pos",
+        "__pos_rank_sum",
+    )
+    cond = F.lit(True)
+    for i, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__g{i}"))
+    n_pos = F.col("n_pos").cast("double")
+    n_neg = (F.col("n") - F.col("n_pos")).cast("double")
+    auc = F.try_divide(
+        F.col("__pos_rank_sum") - n_pos * (n_pos + F.lit(1.0)) / F.lit(2.0),
+        n_pos * n_neg,
+    )
+    return excl.join(pg, cond, "left").select(
+        *group_cols,
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.col("n_pos"), F.lit(0)).cast("long").alias("n_pos"),
+        F.col("n_excluded").cast("long").alias("n_excluded"),
+        rnd(auc, 6).alias("auc"),
+    )
+
+
+def calibration_ece(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table + expected calibration error over uniform
+    score bins on [0, 1]: per non-empty bin, mean predicted score
+    (confidence), positive fraction (empirical accuracy), and the
+    |gap|; ``ece`` repeats the corpus-level ``Σ (n_b/N)·|gap_b|`` on
+    every row so the table is self-contained (the window total runs
+    over ≤ ``n_bins`` rows — constant-size state).
+
+    Scores must lie in [0, 1] (a filter classifier's probability
+    output); out-of-range or NULL scores and NULL labels are EXCLUDED
+    from the table and surface in the per-row ``n_excluded`` companion
+    column rather than silently vanishing. ``score == 1.0`` lands in
+    the top bin (the standard half-open binning with a closed top).
+
+    Scale shape: one map-side-combined aggregate to ``n_bins`` rows,
+    then window arithmetic over those rows — the corpus is scanned
+    exactly once, nothing after the aggregate scales with it.
+
+    Returns per non-empty bin: ``bin`` (0-based int), ``n`` (bigint),
+    ``avg_score``, ``frac_pos``, ``abs_gap``, ``ece`` (6dp), and
+    ``n_excluded`` (bigint, same on every row).
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    ok = s.isNotNull() & lab.isNotNull() & (s >= 0.0) & (s <= 1.0)
+    tagged = df.select(s.alias("__s"), lab.alias("__y"), ok.alias("__ok"))
+    binned = tagged.filter("__ok").select(
+        F.least(
+            F.floor(F.col("__s") * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        "__s",
+        "__y",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("__s").alias("__avg_score"),
+        F.avg(F.col("__y").cast("double")).alias("__frac_pos"),
+    )
+    excluded = tagged.agg(
+        F.sum((~F.col("__ok")).cast("long")).cast("long").alias("n_excluded")
+    )
+    everything = Window.partitionBy()
+    gap = F.abs(F.col("__avg_score") - F.col("__frac_pos"))
+    total = F.sum("n").over(everything).cast("double")
+    ece = F.sum(gap * F.col("n").cast("double")).over(everything) / total
+    return per_bin.crossJoin(F.broadcast(excluded)).select(
+        "bin",
+        "n",
+        rnd(F.col("__avg_score"), 6).alias("avg_score"),
+        rnd(F.col("__frac_pos"), 6).alias("frac_pos"),
+        rnd(gap, 6).alias("abs_gap"),
+        rnd(ece, 6).alias("ece"),
+        "n_excluded",
+    )
+
+
+def ks_drift(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    *,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between two
+    continuous distributions: ``D = max over observed x of
+    |F_base(x) − F_cur(x)|`` — the continuous-score dual of
+    ``aggregates.mixture_drift`` (JS needs categorical keys; KS needs
+    none). NULL values are excluded per side (counted in the output).
+
+    Scale shape — the empirical CDFs need GLOBAL cumulative counts, and
+    a bare ``Window.orderBy(value)`` computes them in ONE task. Instead
+    the classic two-level prefix sum, all DataFrame ops:
+
+    1. per distinct value, count rows on each side (one shuffle,
+       map-side combined — cumulative state collapses to |distinct
+       values| rows);
+    2. assign each distinct value to one of ``n_buckets`` uniform
+       buckets over the observed [min, max] (broadcast 1-row bounds);
+    3. per-bucket subtotals → bucket OFFSETS via a window over
+       ``n_buckets`` rows (the only serial step — constant size);
+    4. within-bucket cumulative counts via a window PARTITIONED BY
+       bucket (parallel), plus the bucket offset.
+
+    Uniform buckets only shape PARALLELISM (a skewed distribution
+    crowds some buckets); the statistic is exact regardless. Degenerate
+    inputs (an empty side, or every value identical so max == min)
+    collapse to the single-bucket path and stay correct.
+
+    Returns ONE row: ``n_base``, ``n_cur`` (bigint), ``d_stat`` (6dp) —
+    NULL d_stat when either side has no non-NULL values (no CDF exists;
+    a fabricated 0 would read as "no drift").
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    v = F.col(value_col).cast("double")
+    tagged = base.select(v.alias("__v"), F.lit(1).alias("__b")).unionByName(
+        current.select(v.alias("__v"), F.lit(0).alias("__b"))
+    )
+    per_value = (
+        tagged.filter(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(
+            F.sum("__b").cast("long").alias("__cb"),
+            F.sum(F.lit(1) - F.col("__b")).cast("long").alias("__cc"),
+        )
+    )
+    bounds = per_value.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
+    )
+    with_bucket = per_value.crossJoin(F.broadcast(bounds)).select(
+        "__v",
+        "__cb",
+        "__cc",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.least(
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo"))
+                    * n_buckets
+                ).cast("int"),
+                F.lit(n_buckets - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("__bk"),
+    )
+    bucket_totals = with_bucket.groupBy("__bk").agg(
+        F.sum("__cb").alias("__tb"), F.sum("__cc").alias("__tc")
+    )
+    woff = Window.orderBy("__bk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = bucket_totals.select(
+        "__bk",
+        (F.sum("__tb").over(woff) - F.col("__tb")).alias("__ob"),
+        (F.sum("__tc").over(woff) - F.col("__tc")).alias("__oc"),
+    )
+    win = Window.partitionBy("__bk").orderBy("__v")
+    cum = (
+        with_bucket.join(F.broadcast(offsets), "__bk")
+        .select(
+            "__v",
+            (F.sum("__cb").over(win) + F.col("__ob")).alias("__cum_b"),
+            (F.sum("__cc").over(win) + F.col("__oc")).alias("__cum_c"),
+        )
+    )
+    totals = per_value.agg(
+        F.coalesce(F.sum("__cb"), F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce(F.sum("__cc"), F.lit(0)).cast("long").alias("n_cur"),
+    )
+    d = cum.crossJoin(F.broadcast(totals)).agg(
+        F.max(
+            F.abs(
+                F.try_divide(F.col("__cum_b").cast("double"), F.col("n_base"))
+                - F.try_divide(F.col("__cum_c").cast("double"), F.col("n_cur"))
+            )
+        ).alias("__d")
+    )
+    return totals.crossJoin(F.broadcast(d)).select(
+        "n_base", "n_cur", rnd(F.col("__d"), 6).alias("d_stat")
+    )

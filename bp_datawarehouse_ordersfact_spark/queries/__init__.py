@@ -104,7 +104,11 @@ _MODULES = (
 # conditional_measures], stream_sliding_agg, events_gap_fill remnants,
 # null_audit [data_quality_audit generalizes it], quantile_stats once
 # KLL/CMS rows cover the family). Rounds 17-20 become buffer for
-# operators invented in the meantime.
+# operators invented in the meantime — first in line:
+# queries/staged_eval.py (round 12's classifier-audit layer:
+# roc_auc_per_group / calibration_ece / ks_drift, oracle-paired and
+# twin-tested), earliest activation r17 with three retirements from
+# the remaining pool.
 _WINDOW_FIRST = (
     "sketch_theta_set_algebra", "host_authority", "pricing_summary",
     "tfidf_title_match", "host_cap", "dedup_passage_spans",

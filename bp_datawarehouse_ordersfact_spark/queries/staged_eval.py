@@ -1,0 +1,179 @@
+"""STAGED registry queries for the classifier-audit / continuous-drift
+evaluation layer (`operators/evaluation.py`) — written in round 12 for
+activation in a BUFFER round of the accelerated schedule (earliest
+r17; see queries/__init__.py's window comment). Not yet in
+``queries._MODULES``; they ride the oracle-conventions gate and their
+driver-style tests every pytest run meanwhile.
+
+- ``roc_auc_per_group`` — exact Mann–Whitney AUC per ``source`` with
+  average-rank tie handling (the score is deliberately COARSE — 20
+  distinct values over ~500 docs — so tie buckets dominate and the
+  0.5-per-tied-pair convention is what the hash actually pins).
+- ``calibration_ece`` — the reliability table + ECE over a
+  deterministic synthetic score/label pair derived from doc_id
+  arithmetic (identical integer arithmetic on both engines; the only
+  floats are per-bin means, 6dp-rounded under the central rewrite).
+- ``ks_drift`` — exact two-sample KS between the even- and odd-doc_id
+  halves' n_chars distributions. The oracle computes the same
+  cumulative-CDF max with ONE global window (fine at oracle scale);
+  the Spark side uses the two-level bucketed prefix sum that stays
+  parallel at 100 TB — the hash match proves the decomposition exact.
+
+All three oracles are COMPUTED (DuckDB twins over the same real
+corpus), not typed VALUES — the queries scale with sf and pay their
+real aggregate cost at bench scale. Scores/labels derive from integer
+arithmetic (`n_chars % 20`, `doc_id % 3`, `doc_id % 101`) so both
+engines rank/bucket identical inputs; no float enters before the
+final 6dp rounding.
+
+No reference equivalent (beyond-reference training-pipeline layer);
+public formulas: Mann–Whitney U, Naeini et al. 2015 ECE, classical
+two-sample KS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.io import load_table
+from ..operators.evaluation import calibration_ece, ks_drift, roc_auc_per_group
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@register(
+    "roc_auc_per_group",
+    """
+    WITH base AS (
+      SELECT source,
+             CAST(n_chars % 20 AS DOUBLE) / 19.0 AS s,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), ranked AS (
+      SELECT source, s, y,
+             row_number() OVER (PARTITION BY source ORDER BY s) AS rn
+      FROM base
+    ), buckets AS (
+      SELECT source, s, avg(rn) AS avg_rank,
+             sum(y) AS pos_in_bucket, count(*) AS n_in_bucket
+      FROM ranked GROUP BY source, s
+    ), pg AS (
+      SELECT source,
+             CAST(sum(n_in_bucket) AS BIGINT) AS n,
+             CAST(sum(pos_in_bucket) AS BIGINT) AS n_pos,
+             sum(pos_in_bucket * avg_rank) AS pos_rank_sum
+      FROM buckets GROUP BY source
+    )
+    SELECT source, n, n_pos, CAST(0 AS BIGINT) AS n_excluded,
+           round((pos_rank_sum - n_pos * (n_pos + 1.0) / 2.0)
+                 / (CAST(n_pos AS DOUBLE) * (n - n_pos)), 6) AS auc
+    FROM pg
+    """,
+)
+def q_roc_auc_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC AUC of a coarse deterministic quality score
+    (`operators.evaluation.roc_auc_per_group`): does the score rank the
+    doc_id%3 "positives" above the rest within every source? The score
+    takes only 20 values, so most of the mass sits in tie buckets — the
+    hash pins the average-rank (0.5-per-tied-pair) convention, not just
+    the easy strict-order case. One shuffle on source feeds the rank
+    window; the per-(source, score) collapse happens before the rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "source",
+        ((F.col("n_chars") % 20).cast("double") / 19.0).alias("s"),
+        F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0).alias("y"),
+    )
+    return roc_auc_per_group(scored, "s", "y", ["source"])
+
+
+@register(
+    "calibration_ece",
+    """
+    WITH t AS (
+      SELECT CAST(doc_id % 101 AS DOUBLE) / 100.0 AS s,
+             CASE WHEN (doc_id * 7) % 10 < 4 THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), b AS (
+      SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
+             count(*) AS n, avg(s) AS a, avg(CAST(y AS DOUBLE)) AS fp
+      FROM t GROUP BY 1
+    )
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           round(a, 6) AS avg_score,
+           round(fp, 6) AS frac_pos,
+           round(abs(a - fp), 6) AS abs_gap,
+           round(sum(abs(a - fp) * n) OVER ()
+                 / CAST(sum(n) OVER () AS DOUBLE), 6) AS ece,
+           CAST(0 AS BIGINT) AS n_excluded
+    FROM b
+    """,
+)
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + expected calibration error
+    (`operators.evaluation.calibration_ece`, 10 uniform bins) over a
+    deterministic score/label pair derived purely from doc_id integer
+    arithmetic — both engines bucket identical doubles, and the only
+    order-sensitive float work is the per-bin means, absorbed by the
+    central 6dp rounding. One corpus scan, ten output rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        ((F.col("doc_id") % 101).cast("double") / 100.0).alias("s"),
+        F.when((F.col("doc_id") * 7) % 10 < 4, 1).otherwise(0).alias("y"),
+    )
+    return calibration_ece(scored, "s", "y", n_bins=10)
+
+
+@register(
+    "ks_drift",
+    """
+    WITH t AS (
+      SELECT CAST(n_chars AS DOUBLE) AS v,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS b
+      FROM documents
+    ), pv AS (
+      SELECT v, sum(b) AS cb, sum(1 - b) AS cc FROM t GROUP BY v
+    ), cum AS (
+      SELECT v, sum(cb) OVER (ORDER BY v) AS cum_b,
+             sum(cc) OVER (ORDER BY v) AS cum_c
+      FROM pv
+    ), tot AS (
+      SELECT CAST(sum(cb) AS BIGINT) AS n_base,
+             CAST(sum(cc) AS BIGINT) AS n_cur
+      FROM pv
+    )
+    SELECT tot.n_base, tot.n_cur,
+           round(max(abs(cum_b / CAST(tot.n_base AS DOUBLE)
+                         - cum_c / CAST(tot.n_cur AS DOUBLE))), 6) AS d_stat
+    FROM cum, tot
+    GROUP BY tot.n_base, tot.n_cur
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift statistic
+    (`operators.evaluation.ks_drift`) between the even- and odd-doc_id
+    halves' n_chars distributions — the continuous dual of the
+    `mixture_drift` JS row. The oracle's single global cumulative
+    window is the textbook form (fine at oracle scale); the Spark plan
+    is the bucketed two-level prefix sum whose only serial window runs
+    over n_buckets rows — the hash match IS the proof that the
+    parallel decomposition computes the same D."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(F.col("doc_id"), F.col("n_chars").cast("double").alias("v"))
+    return ks_drift(
+        v.filter(F.col("doc_id") % 2 == 0).select("v"),
+        v.filter(F.col("doc_id") % 2 == 1).select("v"),
+        "v",
+    )

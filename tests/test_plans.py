@@ -216,8 +216,14 @@ def test_corpus_mix_filter_is_broadcast_no_corpus_shuffle(spark):
 
 def test_variant_extract_single_exchange_codegen(spark):
     # parse_json/variant_get stay JVM-side: one exchange for the rollup,
-    # no joins, whole-stage codegen on the aggregate
-    p = plan_of(spark, "variant_props_extract")
+    # no joins, whole-stage codegen on the aggregate.
+    # variant_props_extract RETIRED from the registry in round 12 — the
+    # plan pin outlives the driver row (same contract as the oracle pin
+    # in tests/test_retired_queries.py), so call the retiree directly.
+    from bp_datawarehouse_ordersfact_spark.queries import relational
+
+    df = relational.q_variant_props_extract(spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange") == 1 and "Join" not in p
     assert "*(" in p
 

@@ -1,0 +1,232 @@
+"""STAGED driver-row tests for the evaluation layer
+(queries/staged_eval.py + operators/evaluation.py) — written in round
+12, ahead of activation in a buffer round (earliest r17): query +
+oracle + driver-style comparison + pure-Python formula twins, so the
+future activation is a mechanical edit.
+
+The driver-style tests run the exact parity comparison
+(tests/parity.py frames_match over toPandas/fetchdf) at sf0.001; the
+twins re-derive each statistic from first principles in pure Python on
+hand-built frames, so a matched Spark/DuckDB pair that is WRONG the
+same way on both engines still fails here."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from bp_datawarehouse_ordersfact_spark.functions.rounding import sql_rewrite_rounds
+from bp_datawarehouse_ordersfact_spark.operators.evaluation import (
+    calibration_ece,
+    ks_drift,
+    roc_auc_per_group,
+)
+from bp_datawarehouse_ordersfact_spark.queries import staged_eval
+from tests.parity import frames_match
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("staged-eval")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    return c
+
+
+@pytest.mark.parametrize("name", list(staged_eval.QUERIES))
+def test_staged_eval_query_passes_driver_comparison(spark, con, name):
+    sdf = staged_eval.QUERIES[name](spark, SF_DIR).toPandas()
+    sql = sql_rewrite_rounds(staged_eval.ORACLES[name])
+    ddf = con.execute(sql).fetchdf()
+    ok, msg = frames_match(sdf, ddf)
+    assert ok, f"{name}: {msg}"
+
+
+def test_staged_module_is_not_yet_registered():
+    from bp_datawarehouse_ordersfact_spark import queries as Q
+
+    live = set(Q.all_queries())
+    assert not (set(staged_eval.QUERIES) & live)
+
+
+# --- pure-Python twins -------------------------------------------------------
+
+
+def _py_auc(pairs):
+    """Mann–Whitney AUC with average ranks; None for one-class."""
+    n_pos = sum(y for _, y in pairs)
+    n_neg = len(pairs) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return None
+    ordered = sorted(pairs, key=lambda p: p[0])
+    ranks, i = {}, 0
+    while i < len(ordered):
+        j = i
+        while j < len(ordered) and ordered[j][0] == ordered[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0  # ranks i+1..j
+        ranks[ordered[i][0]] = avg
+        i = j
+    pos_rank_sum = sum(ranks[s] for s, y in pairs if y == 1)
+    return (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
+def test_roc_auc_matches_python_twin_with_ties_nulls_one_class(spark):
+    rows = [
+        # grp a: ties across classes (the 0.5-per-tied-pair case)
+        ("a", 0.1, 0), ("a", 0.5, 0), ("a", 0.5, 1), ("a", 0.9, 1),
+        ("a", 0.9, 0), ("a", 1.0, 1),
+        # grp b: perfectly separable -> 1.0
+        ("b", 0.1, 0), ("b", 0.2, 0), ("b", 0.8, 1), ("b", 0.9, 1),
+        # grp c: one-class -> NULL auc
+        ("c", 0.3, 1), ("c", 0.7, 1),
+        # grp d: only excluded rows -> n=0, NULL auc, n_excluded=2
+        ("d", None, 1), ("d", 0.4, None),
+        # NULL group label is still a group
+        (None, 0.2, 0), (None, 0.8, 1),
+    ]
+    df = spark.createDataFrame(rows, "grp string, s double, y int")
+    got = {
+        r["grp"]: r
+        for r in roc_auc_per_group(df, "s", "y", ["grp"]).collect()
+    }
+    assert set(got) == {"a", "b", "c", "d", None}
+    want_a = _py_auc([(s, y) for g, s, y in rows if g == "a"])
+    assert abs(got["a"]["auc"] - round(want_a, 6)) < 1e-9
+    assert got["b"]["auc"] == 1.0
+    assert got["c"]["auc"] is None and got["c"]["n_pos"] == 2
+    assert got["d"]["auc"] is None
+    assert got["d"]["n"] == 0 and got["d"]["n_excluded"] == 2
+    assert got[None]["auc"] == 1.0 and got[None]["n"] == 2
+    with pytest.raises(ValueError):
+        roc_auc_per_group(df, "s", "y", [])
+
+
+def test_roc_auc_rejects_non_binary_labels(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
+
+    df = spark.createDataFrame(
+        [("a", 0.5, 2)], "grp string, s double, y int"
+    )
+    with pytest.raises(
+        (Py4JJavaError, PySparkRuntimeError, SparkRuntimeException)
+    ):
+        roc_auc_per_group(df, "s", "y", ["grp"]).collect()
+
+
+def test_calibration_ece_matches_python_twin_and_excludes(spark):
+    rows = [
+        (0.05, 0), (0.08, 0), (0.15, 0), (0.95, 1), (0.92, 1),
+        (1.0, 1),            # closed top bin
+        (0.55, 1), (0.58, 0),
+        (1.5, 1), (-0.1, 0), (None, 1), (0.5, None),  # excluded
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = calibration_ece(df, "s", "y", n_bins=10).collect()
+    kept = [(s, y) for s, y in rows
+            if s is not None and y is not None and 0.0 <= s <= 1.0]
+    bins = {}
+    for s, y in kept:
+        bins.setdefault(min(int(s * 10), 9), []).append((s, y))
+    total = len(kept)
+    ece = sum(
+        abs(sum(s for s, _ in v) / len(v) - sum(y for _, y in v) / len(v))
+        * len(v)
+        for v in bins.values()
+    ) / total
+    got = {r["bin"]: r for r in out}
+    assert set(got) == set(bins)
+    for b, v in bins.items():
+        assert got[b]["n"] == len(v)
+        assert abs(got[b]["avg_score"] - sum(s for s, _ in v) / len(v)) < 1e-6
+        assert abs(got[b]["frac_pos"] - sum(y for _, y in v) / len(v)) < 1e-6
+        assert abs(got[b]["ece"] - ece) < 1e-6
+        assert got[b]["n_excluded"] == 4
+    # score exactly 1.0 landed in bin 9, not a phantom bin 10
+    assert 9 in got and all(b <= 9 for b in got)
+    with pytest.raises(ValueError):
+        calibration_ece(df, "s", "y", n_bins=0)
+
+
+def _py_ks(a, b):
+    xs = sorted(set(a) | set(b))
+    best = 0.0
+    for x in xs:
+        fa = sum(1 for v in a if v <= x) / len(a)
+        fb = sum(1 for v in b if v <= x) / len(b)
+        best = max(best, abs(fa - fb))
+    return best
+
+
+def test_ks_drift_matches_python_twin_across_bucket_counts(spark):
+    base = [float((i * 37) % 101) for i in range(120)]
+    cur = [float((i * 53) % 97) + 3.0 for i in range(80)]
+    bdf = spark.createDataFrame([(v,) for v in base], "v double")
+    cdf = spark.createDataFrame([(v,) for v in cur], "v double")
+    want = round(_py_ks(base, cur), 6)
+    # multiple bucket counts, incl. 1 (pure serial) and > |values|:
+    # the statistic must be bucket-invariant — buckets shape only
+    # parallelism
+    for nb in (1, 7, 1024):
+        row = ks_drift(bdf, cdf, "v", n_buckets=nb).collect()[0]
+        assert row["n_base"] == 120 and row["n_cur"] == 80
+        assert abs(row["d_stat"] - want) < 1e-9, nb
+
+
+def test_ks_drift_degenerate_inputs(spark):
+    bdf = spark.createDataFrame([(1.0,), (1.0,)], "v double")
+    cdf = spark.createDataFrame([(1.0,)], "v double")
+    # identical single-point distributions -> D = 0 (max==min path)
+    row = ks_drift(bdf, cdf, "v").collect()[0]
+    assert row["d_stat"] == 0.0
+    # an empty side -> NULL d_stat, never a fabricated 0
+    empty = spark.createDataFrame([], "v double")
+    row = ks_drift(bdf, empty, "v").collect()[0]
+    assert row["n_cur"] == 0 and row["d_stat"] is None
+    # NULLs excluded but the other side still counts
+    withnull = spark.createDataFrame([(None,), (2.0,)], "v double")
+    row = ks_drift(bdf, withnull, "v").collect()[0]
+    assert row["n_cur"] == 1 and row["d_stat"] == 1.0
+    with pytest.raises(ValueError):
+        ks_drift(bdf, cdf, "v", n_buckets=0)
+
+
+def test_ks_drift_plan_has_no_global_single_partition_window(spark):
+    """The scale claim: the only unpartitioned window runs over
+    bucket-count rows. The per-value cumulative window must be
+    PARTITIONED (by bucket); a refactor that reintroduces a bare
+    Window.orderBy(value) over the full distinct-value stream would
+    show a windowspecdefinition ordering __v without a partition."""
+    import re
+
+    bdf = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    cdf = spark.createDataFrame([(float(i),) for i in range(40)], "v double")
+    plan = (
+        ks_drift(bdf, cdf, "v", n_buckets=8)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "__v" in spec:
+            assert "__bk" in spec, f"value window lost its partition: {spec}"
