@@ -55,10 +55,15 @@ def roc_auc_per_group(
     Rows with a NULL score or NULL label are EXCLUDED from the ranking
     but counted in ``n_excluded`` (an audit that silently dropped them
     would hide scoring bugs — the ``outlier_iqr_per_group`` posture).
-    ``label_col`` must be 0/1-valued (integer or boolean); any other
-    value raises at runtime via an ANSI-safe guard column. One-class
-    groups (no positives or no negatives) report NULL AUC rather than a
-    fabricated 0.5 — the caller decides their fate.
+    ``label_col`` must be exactly 0/1-valued (integer, boolean, or a
+    float that IS 0.0/1.0); anything else raises at runtime via an
+    ANSI-safe guard column — the guard compares the value BEFORE any
+    narrowing cast (an r12 review showed a post-cast guard silently
+    truncating 0.7 → 0, exactly the swapped-score-and-label mistake it
+    exists to catch) and is evaluated on EVERY row, NULL-score rows
+    included. One-class groups (no positives or no negatives) report
+    NULL AUC rather than a fabricated 0.5 — the caller decides their
+    fate.
 
     Scale shape: ONE shuffle on the group key feeds the rank window;
     ties collapse to per-(group, score) buckets map-side before the
@@ -72,20 +77,27 @@ def roc_auc_per_group(
     if not group_cols:
         raise ValueError("group_cols must be non-empty")
     s = F.col(score_col).cast("double")
-    lab = F.col(label_col).cast("int")
-    ok = s.isNotNull() & lab.isNotNull()
-    # loud 0/1 domain guard: raise_error is ANSI-independent and keeps
-    # the operator honest without a driver-side validation pass
-    lab_checked = F.when(lab.isin(0, 1) | lab.isNull(), lab).otherwise(
+    # loud 0/1 domain guard BEFORE the narrowing cast: cast("double")
+    # widens losslessly for every sensible label type (int, boolean,
+    # float), so 0.7 stays 0.7 and fails the isin instead of truncating
+    # to a plausible 0. raise_error is ANSI-independent.
+    lab_wide = F.col(label_col).cast("double")
+    lab_checked = F.when(
+        lab_wide.isin(0.0, 1.0) | lab_wide.isNull(), lab_wide.cast("int")
+    ).otherwise(
         F.raise_error(
             F.concat(
-                F.lit(f"{label_col} must be 0/1, got "), lab.cast("string")
+                F.lit(f"{label_col} must be 0/1, got "),
+                F.col(label_col).cast("string"),
             )
         )
     )
+    # __ok derives from lab_checked (not the raw column) so the guard
+    # evaluates for EVERY row — a corrupt label on a NULL-score row
+    # still raises instead of folding silently into n_excluded
     base = df.select(
-        *group_cols, s.alias("__s"), lab_checked.alias("__y"), ok.alias("__ok")
-    )
+        *group_cols, s.alias("__s"), lab_checked.alias("__y")
+    ).withColumn("__ok", F.col("__s").isNotNull() & F.col("__y").isNotNull())
     w = Window.partitionBy(*group_cols).orderBy("__s")
     ranked = base.filter("__ok").withColumn("__rn", F.row_number().over(w))
     # average rank per tie bucket: (min_rn + max_rn) / 2 == avg(rn)
@@ -148,8 +160,13 @@ def calibration_ece(
     Scores must lie in [0, 1] (a filter classifier's probability
     output); out-of-range or NULL scores and NULL labels are EXCLUDED
     from the table and surface in the per-row ``n_excluded`` companion
-    column rather than silently vanishing. ``score == 1.0`` lands in
-    the top bin (the standard half-open binning with a closed top).
+    column rather than silently vanishing — INCLUDING when everything
+    is excluded: the output anchors on the exclusion aggregate (the
+    ``roc_auc_per_group`` posture), so a completely broken scorer
+    yields one row (NULL ``bin``, ``n`` 0, NULL stats, full
+    ``n_excluded``) instead of an empty frame indistinguishable from an
+    empty input (r12 review). ``score == 1.0`` lands in the top bin
+    (the standard half-open binning with a closed top).
 
     Scale shape: one map-side-combined aggregate to ``n_bins`` rows,
     then window arithmetic over those rows — the corpus is scanned
@@ -184,13 +201,24 @@ def calibration_ece(
     gap = F.abs(F.col("__avg_score") - F.col("__frac_pos"))
     total = F.sum("n").over(everything).cast("double")
     ece = F.sum(gap * F.col("n").cast("double")).over(everything) / total
-    return per_bin.crossJoin(F.broadcast(excluded)).select(
+    table = per_bin.select(
         "bin",
         "n",
         rnd(F.col("__avg_score"), 6).alias("avg_score"),
         rnd(F.col("__frac_pos"), 6).alias("frac_pos"),
         rnd(gap, 6).alias("abs_gap"),
         rnd(ece, 6).alias("ece"),
+    )
+    # LEFT join from the 1-row exclusion aggregate: with bins present
+    # this is the plain per-bin fan-out; with everything excluded it
+    # degrades to one NULL-bin row that still carries n_excluded
+    return excluded.join(table, F.lit(True), "left").select(
+        "bin",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        "avg_score",
+        "frac_pos",
+        "abs_gap",
+        "ece",
         "n_excluded",
     )
 

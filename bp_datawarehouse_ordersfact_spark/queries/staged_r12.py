@@ -1,7 +1,7 @@
-"""STAGED registry queries for the round-12 rotation (not yet in
-``queries._MODULES`` — the staging discipline: query + oracle +
-driver-style test written ahead of activation, so the swap is a
-mechanical edit).
+"""Registry queries staged for the round-12 rotation and ACTIVATED in
+round 12 (now in ``queries._MODULES``; the staging discipline: query +
+oracle + driver-style test were written two rounds ahead, so the swap
+was a mechanical edit).
 
 Three more still-driver-uncovered operators from the r9 VERDICT's
 coverage list get typed-VALUES driver rows here (staged EARLY, in round
@@ -29,11 +29,10 @@ scan/aggregate cost; the planted answers are pure functions of invented
 literals (+ md5 for pacing membership), re-derived from pure Python in
 tests/test_staged_r12_queries.py.
 
-ROUND-12 ACTIVATION: add this module to ``queries._MODULES``, retire
-three coverage-duplicated round-10-window twins (keep them
-oracle-pinned via a RETIRED dict), and put these three names in the
-round-12 ``_WINDOW_FIRST`` (= the CORRECTNESS_r10 keys with those
-swaps).
+ACTIVATED ROUND 12: in ``queries._MODULES``, the three names hold the
+window slots freed by retiring `cube_summary` / `variant_props_extract`
+/ `listagg_per_group` (relational.RETIRED, still oracle-pinned every
+pytest run).
 """
 
 from __future__ import annotations

@@ -1,6 +1,6 @@
-"""STAGED registry queries for the round-13 rotation (not yet in
-``queries._MODULES``) — staged in round 10 together with staged_r11/12;
-they only age in place and ride the oracle-conventions gate meanwhile.
+"""Registry queries staged for round 13 but ACTIVATED EARLY in round
+12 (now in ``queries._MODULES``) under the r11 VERDICT #4 accelerated
+schedule — staged in round 10 together with staged_r11/12.
 
 These two close out the r9 VERDICT's driver-uncovered list's hard
 cases — both needed groundwork landed this round:
@@ -23,10 +23,10 @@ cases — both needed groundwork landed this round:
   to bench EXCLUDED ("fixture-bound — ignores sf_dir") exactly like
   `domain_fact_royalty`.
 
-ROUND-13 ACTIVATION: add this module to ``queries._MODULES``, retire
-two coverage-duplicated round-11-window twins (keep them oracle-pinned
-via a RETIRED dict), and put these two names in the round-13
-``_WINDOW_FIRST`` (= the CORRECTNESS_r11 keys with those swaps).
+ACTIVATED ROUND 12 (one round early): in ``queries._MODULES``, the two
+names hold the window slots freed by retiring `retention_cohorts`
+(relational.RETIRED) and `sketch_kll_quantile_merge`
+(sketches_r6.RETIRED) — both still oracle-pinned every pytest run.
 """
 
 from __future__ import annotations

@@ -132,7 +132,12 @@ def _content_sink_key(batch_df: DataFrame, batch_id: int) -> str:
         files = []
     if not files:
         return f"batch-{int(batch_id)}"
-    return hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
+    # "k" prefix: a bare hex prefix is all-digits for ~1 in 1850 batches
+    # and Spark's partition-column type inference would then read the
+    # ingest_key column back as BIGINT (dropping leading zeros and
+    # breaking string comparisons against stored keys — r12 review);
+    # one guaranteed letter pins the inferred type to string
+    return "k" + hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
 
 
 def run_sliding_agg_availablenow(
@@ -674,13 +679,17 @@ def run_incremental_dedup_stream(
     the checkpoint commit replays the batch), so the batch body is built
     to be IDEMPOTENT rather than assumed exactly-once (r6 ADVICE):
 
-    - survivors land under ``out_dir/ingest_batch_id={N}`` — a replay
-      OVERWRITES its own partition instead of appending duplicate rows
-      (readers of ``out_dir`` see the batch id as a provenance column
-      via partition discovery);
+    - survivors land under ``out_dir/ingest_key={K}`` (the
+      content-derived ``_content_sink_key``, r11 VERDICT #6) — a replay
+      OVERWRITES its own partition instead of appending duplicate rows,
+      and a restart after CHECKPOINT LOSS re-derives the same keys, so
+      old partitions are rewritten in place rather than stranded under
+      stale numbering;
     - a ``_processed_batches`` ledger inside the store records fully
-      processed batch ids; a replayed batch that already completed is
-      skipped outright;
+      processed ingest keys; a replayed batch that already completed is
+      skipped outright — and because the key is content-derived, the
+      skip also fires for a lost-checkpoint re-run of an already-stored
+      file set (the batch-id form would RE-ADMIT under new numbering);
     - a replay that crashed MID-batch re-admits only the survivor ids
       not yet visible in the store's shingle table (the artifact whose
       append commits LAST in ``admit_to_store``, so gating on it cannot
@@ -709,11 +718,12 @@ def run_incremental_dedup_stream(
         if batch_df.isEmpty():
             return
         s = batch_df.sparkSession
+        ingest_key = _content_sink_key(batch_df, batch_id)
         try:
-            done = {r["batch_id"] for r in s.read.parquet(ledger).collect()}
+            done = {r["ingest_key"] for r in s.read.parquet(ledger).collect()}
         except AnalysisException:
             done = set()
-        if int(batch_id) in done:
+        if ingest_key in done:
             return  # fully processed before the checkpoint crash — skip
         dups = dedup_against_store(
             s, batch_df, store_dir, text_col, id_col, threshold
@@ -730,14 +740,14 @@ def run_incremental_dedup_stream(
             dups.select(id_col).distinct(), id_col, "left_anti"
         )
         survivors.write.mode("overwrite").parquet(
-            out_dir.rstrip("/") + f"/ingest_batch_id={int(batch_id)}"
+            out_dir.rstrip("/") + f"/ingest_key={ingest_key}"
         )
         stored_ids = s.read.parquet(_live(s, store_dir, "shingles")).select(
             id_col
         )
         to_admit = survivors.join(stored_ids, id_col, "left_anti")
         admit_to_store(s, to_admit, store_dir, text_col, id_col)
-        s.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+        s.createDataFrame([(ingest_key,)], "ingest_key string").write.mode(
             "append"
         ).parquet(ledger)
 
@@ -773,8 +783,11 @@ def run_incremental_ann_ingest_stream(
     Idempotent under foreachBatch's at-least-once replay, by the same
     construction as the dedup stream (r6 ADVICE):
 
-    - a ``_processed_batches`` ledger inside the index dir short-circuits
-      batches that fully completed before a checkpoint crash;
+    - a ``_processed_batches`` ledger of content-derived ingest keys
+      (``_content_sink_key``, r11 VERDICT #6) inside the index dir
+      short-circuits batches that fully completed before a checkpoint
+      crash — and, because the key derives from the batch's files,
+      lost-checkpoint re-runs of already-ingested file sets as well;
     - a replay that crashed mid-append re-appends only the batch ids not
       yet visible in the index (anti-join against the index's id column
       — a columnar single-column scan; at 100 TB keep a bloom filter of
@@ -814,11 +827,12 @@ def run_incremental_ann_ingest_stream(
         if batch_df.isEmpty():
             return
         s = batch_df.sparkSession
+        ingest_key = _content_sink_key(batch_df, batch_id)
         try:
-            done = {r["batch_id"] for r in s.read.parquet(ledger).collect()}
+            done = {r["ingest_key"] for r in s.read.parquet(ledger).collect()}
         except AnalysisException:
             done = set()
-        if int(batch_id) in done:
+        if ingest_key in done:
             return
         existing = s.read.parquet(_index_dir(s, index_dir)).select(id_col)
         fresh = batch_df.join(existing, id_col, "left_anti")
@@ -838,7 +852,7 @@ def run_incremental_ann_ingest_stream(
                 vec_col=vec_col,
                 id_col=id_col,
             )
-        s.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+        s.createDataFrame([(ingest_key,)], "ingest_key string").write.mode(
             "append"
         ).parquet(ledger)
 
@@ -874,10 +888,10 @@ def run_text_quality_sweep_stream(
     The text path aggregates (per-doc token histogram) and joins, which
     an append-mode stream cannot express — so it runs as a foreachBatch
     job. Idempotent under at-least-once replay by construction: survivors
-    OVERWRITE their own ``ingest_batch_id={N}`` partition (the
-    ``run_incremental_dedup_stream`` pattern), and the sweep mutates no
-    store, so no ledger is needed — a replayed batch rewrites identical
-    rows."""
+    OVERWRITE their own content-keyed ``ingest_key={K}`` partition
+    (``_content_sink_key`` — also safe across checkpoint loss with new
+    files), and the sweep mutates no store, so no ledger is needed — a
+    replayed batch rewrites identical rows."""
     from ..pipelines.quality_loop import apply_text_quality_filter
 
     schema = spark.read.parquet(docs_dir).schema
@@ -895,7 +909,8 @@ def run_text_quality_sweep_stream(
             s, batch_df, quality_dir, text_col, id_col, threshold
         )
         kept.write.mode("overwrite").parquet(
-            out_dir.rstrip("/") + f"/ingest_batch_id={int(batch_id)}"
+            out_dir.rstrip("/")
+            + f"/ingest_key={_content_sink_key(batch_df, batch_id)}"
         )
 
     q = (
@@ -927,22 +942,34 @@ def run_host_cap_ingest_stream(
     next batch job.
 
     Per-host admitted counts persist as a parquet ledger under
-    ``{out_dir}_host_counts/ingest_batch_id={N}`` — per-batch DELTA rows
+    ``{out_dir}_host_counts/ingest_key={K}`` — per-batch DELTA rows
     (host, admitted), summed at read time, so state updates are
     partition-overwrites, never read-modify-write of a shared file.
 
     foreachBatch is AT-LEAST-ONCE, so the batch body is idempotent (the
-    ``run_incremental_dedup_stream`` contract):
+    ``run_incremental_dedup_stream`` contract), with every per-batch
+    artifact keyed by the content-derived ``_content_sink_key`` (r11
+    VERDICT #6 — checkpoint loss re-derives the same keys instead of
+    stranding stale partitions under new numbering):
 
-    - survivors land under ``out_dir/ingest_batch_id={N}`` — replays
+    - survivors land under ``out_dir/ingest_key={K}`` — replays
       overwrite their own partition;
-    - the count DELTA also lands under its own ``ingest_batch_id={N}``
+    - the count DELTA also lands under its own ``ingest_key={K}``
       partition — a replay overwrites its own delta instead of
       double-counting;
     - quota reads EXCLUDE the current batch's partition (own-batch
-      exclusion), so a replay that crashed after writing its delta
-      still computes the same remaining quota;
-    - a ``_processed_batches`` ledger skips fully-committed batches.
+      exclusion BY KEY), so a replay that crashed after writing its
+      delta still computes the same remaining quota;
+    - a ``_processed_batches`` ledger of ingest keys skips
+      fully-committed batches — including lost-checkpoint re-runs of
+      already-admitted file sets, which the batch-id form would
+      re-admit under new numbering (double-consuming host quota).
+
+    Order caveat: per-host quota consumption is ORDER-dependent across
+    batches; the content key makes replays and loss-recovery rewrite
+    identical state for the SAME file sequence, but replaying files in
+    a different grouping/order legitimately selects different
+    survivors — that is quota semantics, not a defect.
 
     Within a batch, the per-host picks are the canonical deterministic
     rule (smallest ``h32(seed:id)`` first), so replays select identical
@@ -971,16 +998,17 @@ def run_host_cap_ingest_stream(
         if batch_df.isEmpty():
             return
         s = batch_df.sparkSession
+        ingest_key = _content_sink_key(batch_df, batch_id)
         try:
-            done = {r["batch_id"] for r in s.read.parquet(ledger).collect()}
+            done = {r["ingest_key"] for r in s.read.parquet(ledger).collect()}
         except AnalysisException:
             done = set()
-        if int(batch_id) in done:
+        if ingest_key in done:
             return
         try:
             prior = (
                 s.read.parquet(counts_dir)
-                .filter(F.col("ingest_batch_id") != int(batch_id))
+                .filter(F.col("ingest_key") != ingest_key)
                 .groupBy("__host")
                 .agg(F.sum("admitted").alias("__prior"))
             )
@@ -1014,11 +1042,11 @@ def run_host_cap_ingest_stream(
         )
         survivors.drop("__host", "__rk", "__rn", "__prior").write.mode(
             "overwrite"
-        ).parquet(out_dir.rstrip("/") + f"/ingest_batch_id={int(batch_id)}")
+        ).parquet(out_dir.rstrip("/") + f"/ingest_key={ingest_key}")
         delta.write.mode("overwrite").parquet(
-            counts_dir + f"/ingest_batch_id={int(batch_id)}"
+            counts_dir + f"/ingest_key={ingest_key}"
         )
-        s.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+        s.createDataFrame([(ingest_key,)], "ingest_key string").write.mode(
             "append"
         ).parquet(ledger)
 

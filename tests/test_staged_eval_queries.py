@@ -125,13 +125,47 @@ def test_roc_auc_rejects_non_binary_labels(spark):
     from py4j.protocol import Py4JJavaError
     from pyspark.errors import PySparkRuntimeError, SparkRuntimeException
 
+    errs = (Py4JJavaError, PySparkRuntimeError, SparkRuntimeException)
     df = spark.createDataFrame(
         [("a", 0.5, 2)], "grp string, s double, y int"
     )
-    with pytest.raises(
-        (Py4JJavaError, PySparkRuntimeError, SparkRuntimeException)
-    ):
+    with pytest.raises(errs):
         roc_auc_per_group(df, "s", "y", ["grp"]).collect()
+    # r12 review pin #1: fractional labels must raise, not truncate to 0
+    # (the guard compares BEFORE any narrowing cast — catching the
+    # swapped-score-and-label mistake)
+    frac = spark.createDataFrame(
+        [("a", 0.5, 0.7), ("a", 0.2, 0.2)], "grp string, s double, y double"
+    )
+    with pytest.raises(errs):
+        roc_auc_per_group(frac, "s", "y", ["grp"]).collect()
+    # r12 review pin #4: an invalid label on a NULL-SCORE row must still
+    # raise — the guard is evaluated on every row, not only ranked ones
+    hidden = spark.createDataFrame(
+        [("a", None, 2), ("a", 0.5, 1), ("a", 0.2, 0)],
+        "grp string, s double, y int",
+    )
+    with pytest.raises(errs):
+        roc_auc_per_group(hidden, "s", "y", ["grp"]).collect()
+    # float labels that ARE exactly 0.0/1.0 pass
+    okf = spark.createDataFrame(
+        [("a", 0.5, 1.0), ("a", 0.2, 0.0)], "grp string, s double, y double"
+    )
+    assert roc_auc_per_group(okf, "s", "y", ["grp"]).collect()[0]["auc"] == 1.0
+
+
+def test_calibration_ece_all_excluded_still_reports(spark):
+    """r12 review pin #2: a completely broken scorer (every row NULL or
+    out-of-range) must yield a single NULL-bin row carrying the full
+    n_excluded, not an empty frame indistinguishable from empty input."""
+    df = spark.createDataFrame(
+        [(None, 1), (2.0, 0), (-0.5, 1)], "s double, y int"
+    )
+    rows = calibration_ece(df, "s", "y", n_bins=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["bin"] is None and r["n"] == 0 and r["n_excluded"] == 3
+    assert r["ece"] is None and r["avg_score"] is None
 
 
 def test_calibration_ece_matches_python_twin_and_excludes(spark):

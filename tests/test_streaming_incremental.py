@@ -557,23 +557,23 @@ def test_host_cap_ingest_stream_enforces_lifetime_cap(spark, tmp_path):
     # batch-local picks follow the smallest-h32 rule: whichever batch
     # ran second admitted exactly (8 - first_batch_admits) docs, chosen
     # by hash rank within that batch
-    ids = {r["doc_id"] for r in landed.collect()}
-
     def h(i):
         return int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:8], 16)
 
-    first = {r["doc_id"] for r in landed.filter(F.col("ingest_batch_id") == 0).collect()}
-    second = ids - first - {100} if 100 in first else ids - first
-    # one batch is all-admitted (6 <= 8), the other truncated to 2
+    # batches are identified by their content-derived ingest_key now
+    # (order unspecified): the batch that ran FIRST is the one admitted
+    # whole; the other was truncated to the remaining quota
+    groups: dict = {}
+    for r in landed.collect():
+        groups.setdefault(r["ingest_key"], set()).add(r["doc_id"])
+    assert len(groups) == 2
     batch_a = set(range(6))
     batch_b = set(range(10, 16))
-    if first - {100} == batch_a:
-        expect_second = set(sorted(batch_b, key=lambda i: (h(i), i))[:2])
-        assert second == expect_second
-    else:
-        assert first - {100} == batch_b
-        expect_second = set(sorted(batch_a, key=lambda i: (h(i), i))[:2])
-        assert second == expect_second
+    full = next(s for s in groups.values() if s - {100} in (batch_a, batch_b))
+    part = next(s for s in groups.values() if s is not full)
+    truncated_src = batch_b if full - {100} == batch_a else batch_a
+    expect_second = set(sorted(truncated_src, key=lambda i: (h(i), i))[:2])
+    assert part - {100} == expect_second
 
 
 def test_host_cap_ingest_stream_replay_is_idempotent(spark, tmp_path):
@@ -598,11 +598,11 @@ def test_host_cap_ingest_stream_replay_is_idempotent(spark, tmp_path):
     kwargs = dict(host_col="host", max_docs_per_host=7, files_per_trigger=1)
     run_host_cap_ingest_stream(spark, feed, sink, **kwargs)
     before = sorted(
-        (r["doc_id"], r["ingest_batch_id"])
+        (r["doc_id"], r["ingest_key"])
         for r in spark.read.parquet(sink).collect()
     )
     counts_before = sorted(
-        (r["__host"], r["admitted"], r["ingest_batch_id"])
+        (r["__host"], r["admitted"], r["ingest_key"])
         for r in spark.read.parquet(sink + "_host_counts").collect()
     )
     assert sum(c for _, c, _ in counts_before) == 7
@@ -612,11 +612,11 @@ def test_host_cap_ingest_stream_replay_is_idempotent(spark, tmp_path):
     shutil.rmtree(sink + "_processed_batches")
     run_host_cap_ingest_stream(spark, feed, sink, **kwargs)
     after = sorted(
-        (r["doc_id"], r["ingest_batch_id"])
+        (r["doc_id"], r["ingest_key"])
         for r in spark.read.parquet(sink).collect()
     )
     counts_after = sorted(
-        (r["__host"], r["admitted"], r["ingest_batch_id"])
+        (r["__host"], r["admitted"], r["ingest_key"])
         for r in spark.read.parquet(sink + "_host_counts").collect()
     )
     assert after == before
