@@ -143,6 +143,88 @@ def roc_auc_per_group(
     )
 
 
+def precision_recall_at(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    thresholds: list[float],
+) -> DataFrame:
+    """Precision / recall / F1 at each threshold in one corpus scan —
+    the operating-point companion to ``roc_auc_per_group`` (AUC says
+    the ranking is good; this says WHERE to cut it for a target
+    precision, the decision a corpus filter actually ships with).
+
+    A document counts as predicted-positive at threshold ``t`` when
+    ``score >= t``. NULL scores/labels are excluded (counted once in
+    ``n_excluded``, repeated per row). Precision at a threshold nothing
+    clears is NULL (0/0 — reporting 1.0 or 0.0 would both lie); recall
+    with zero true positives in the data is NULL likewise.
+
+    Scale shape: the classic distributed form — ONE aggregate computes
+    (tp, fp) for every threshold via per-threshold conditional sums
+    (map-side combined; 2 expressions per threshold, so even a
+    1000-point sweep is a 2000-aggregate pass, well under the
+    ``corr_matrix`` chunking knee), then the per-threshold arithmetic
+    runs on a 1-row frame exploded to ``len(thresholds)`` rows. The
+    corpus is scanned exactly once regardless of threshold count.
+
+    Returns per threshold: ``threshold``, ``n_pred_pos`` (bigint),
+    ``precision``, ``recall``, ``f1`` (6dp), ``n_excluded`` (bigint).
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    if len(set(thresholds)) != len(thresholds):
+        raise ValueError(f"thresholds must be distinct, got {thresholds!r}")
+    s = F.col(score_col).cast("double")
+    lab = F.col(label_col).cast("int")
+    ok = s.isNotNull() & lab.isNotNull()
+    base = df.select(s.alias("__s"), lab.alias("__y"), ok.alias("__ok"))
+    aggs = [
+        F.sum(F.when(~F.col("__ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("__nex"),
+        F.sum(F.when(F.col("__ok") & (F.col("__y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("__pos"),
+    ]
+    for i, t in enumerate(thresholds):
+        pred = F.col("__ok") & (F.col("__s") >= F.lit(float(t)))
+        aggs += [
+            F.sum(F.when(pred & (F.col("__y") == 1), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__tp{i}"),
+            F.sum(F.when(pred & (F.col("__y") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__fp{i}"),
+        ]
+    wide = base.agg(*aggs)
+
+    def row(i, t):
+        tp = F.col(f"__tp{i}").cast("double")
+        fp = F.col(f"__fp{i}").cast("double")
+        prec = F.try_divide(tp, tp + fp)
+        rec = F.try_divide(tp, F.col("__pos").cast("double"))
+        f1 = F.try_divide(F.lit(2.0) * prec * rec, prec + rec)
+        return F.struct(
+            F.lit(float(t)).alias("threshold"),
+            (F.col(f"__tp{i}") + F.col(f"__fp{i}")).alias("n_pred_pos"),
+            rnd(prec, 6).alias("precision"),
+            rnd(rec, 6).alias("recall"),
+            rnd(f1, 6).alias("f1"),
+            F.col("__nex").alias("n_excluded"),
+        )
+
+    rows = [row(i, t) for i, t in enumerate(thresholds)]
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select(
+        "p.threshold",
+        "p.n_pred_pos",
+        "p.precision",
+        "p.recall",
+        "p.f1",
+        "p.n_excluded",
+    )
+
+
 def calibration_ece(
     df: DataFrame,
     score_col: str,

@@ -37,7 +37,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core.io import load_table
-from ..operators.evaluation import calibration_ece, ks_drift, roc_auc_per_group
+from ..operators.evaluation import (
+    calibration_ece,
+    ks_drift,
+    precision_recall_at,
+    roc_auc_per_group,
+)
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -134,6 +139,57 @@ def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("doc_id") * 7) % 10 < 4, 1).otherwise(0).alias("y"),
     )
     return calibration_ece(scored, "s", "y", n_bins=10)
+
+
+@register(
+    "precision_recall_at",
+    """
+    WITH t AS (
+      SELECT CAST(doc_id % 101 AS DOUBLE) / 100.0 AS s,
+             CASE WHEN n_chars % 5 = 0 THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), th AS (
+      SELECT CAST(v AS DOUBLE) AS threshold
+      FROM (VALUES (0.0), (0.25), (0.5), (0.75), (0.9)) AS x(v)
+    ), agg AS (
+      SELECT th.threshold,
+             CAST(sum(CASE WHEN s >= th.threshold THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pred_pos,
+             sum(CASE WHEN s >= th.threshold AND y = 1 THEN 1 ELSE 0 END)
+               AS tp,
+             sum(CASE WHEN s >= th.threshold AND y = 0 THEN 1 ELSE 0 END)
+               AS fp,
+             sum(y) AS pos
+      FROM t, th GROUP BY th.threshold
+    )
+    SELECT threshold, n_pred_pos,
+           round(tp / CAST(tp + fp AS DOUBLE), 6) AS "precision",
+           round(tp / CAST(pos AS DOUBLE), 6) AS recall,
+           round(2.0 * (tp / CAST(tp + fp AS DOUBLE))
+                     * (tp / CAST(pos AS DOUBLE))
+                 / (tp / CAST(tp + fp AS DOUBLE)
+                    + tp / CAST(pos AS DOUBLE)), 6) AS f1,
+           CAST(0 AS BIGINT) AS n_excluded
+    FROM agg
+    """,
+)
+def q_precision_recall_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep (`operators.evaluation.precision_recall_at`) over
+    the same deterministic doc_id-derived score with an independent
+    n_chars-derived label: precision/recall/F1 at five operating points
+    in ONE corpus scan (2 conditional-sum aggregates per threshold,
+    map-side combined; the oracle's threshold cross join is the
+    textbook form at oracle scale). Every count is exact integer
+    arithmetic on both engines; only the final ratios round. The
+    test-data derivation guarantees tp+fp > 0 and pos > 0 at every
+    threshold, so the oracle needs no 0/0 guard — the operator's NULL
+    semantics for empty cuts are pinned in the unit twins instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        ((F.col("doc_id") % 101).cast("double") / 100.0).alias("s"),
+        F.when(F.col("n_chars") % 5 == 0, 1).otherwise(0).alias("y"),
+    )
+    return precision_recall_at(scored, "s", "y", [0.0, 0.25, 0.5, 0.75, 0.9])
 
 
 @register(

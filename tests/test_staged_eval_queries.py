@@ -21,6 +21,7 @@ from bp_datawarehouse_ordersfact_spark.functions.rounding import sql_rewrite_rou
 from bp_datawarehouse_ordersfact_spark.operators.evaluation import (
     calibration_ece,
     ks_drift,
+    precision_recall_at,
     roc_auc_per_group,
 )
 from bp_datawarehouse_ordersfact_spark.queries import staged_eval
@@ -200,6 +201,45 @@ def test_calibration_ece_matches_python_twin_and_excludes(spark):
     assert 9 in got and all(b <= 9 for b in got)
     with pytest.raises(ValueError):
         calibration_ece(df, "s", "y", n_bins=0)
+
+
+def test_precision_recall_at_matches_python_twin_and_null_semantics(spark):
+    rows = [
+        (0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1), (0.4, 0),
+        (0.2, 0), (0.1, 1), (None, 1), (0.5, None),
+    ]
+    df = spark.createDataFrame(rows, "s double, y int")
+    ths = [0.0, 0.5, 0.75, 0.95]
+    got = {
+        r["threshold"]: r
+        for r in precision_recall_at(df, "s", "y", ths).collect()
+    }
+    kept = [(s, y) for s, y in rows if s is not None and y is not None]
+    pos = sum(y for _, y in kept)
+    for t in ths:
+        tp = sum(1 for s, y in kept if s >= t and y == 1)
+        fp = sum(1 for s, y in kept if s >= t and y == 0)
+        r = got[t]
+        assert r["n_pred_pos"] == tp + fp
+        assert r["n_excluded"] == 2
+        if tp + fp == 0:
+            # nothing clears 0.95: precision/recall/f1 must be NULL/0 —
+            # the 0/0 case reports NULL, never a fabricated 1.0
+            assert r["precision"] is None and r["f1"] is None
+            assert r["recall"] == 0.0
+        else:
+            assert abs(r["precision"] - round(tp / (tp + fp), 6)) < 1e-9
+            assert abs(r["recall"] - round(tp / pos, 6)) < 1e-9
+            p, q = tp / (tp + fp), tp / pos
+            want_f1 = 2 * p * q / (p + q) if (p + q) > 0 else None
+            if want_f1 is None:
+                assert r["f1"] is None
+            else:
+                assert abs(r["f1"] - round(want_f1, 6)) < 1e-6
+    with pytest.raises(ValueError):
+        precision_recall_at(df, "s", "y", [])
+    with pytest.raises(ValueError):
+        precision_recall_at(df, "s", "y", [0.5, 0.5])
 
 
 def _py_ks(a, b):
