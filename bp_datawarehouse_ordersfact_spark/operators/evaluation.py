@@ -310,6 +310,7 @@ def ks_drift(
     current: DataFrame,
     value_col: str,
     *,
+    group_cols: list[str] | None = None,
     n_buckets: int = 1024,
 ) -> DataFrame:
     """EXACT two-sample Kolmogorov–Smirnov statistic between two
@@ -318,47 +319,78 @@ def ks_drift(
     ``aggregates.mixture_drift`` (JS needs categorical keys; KS needs
     none). NULL values are excluded per side (counted in the output).
 
-    Scale shape — the empirical CDFs need GLOBAL cumulative counts, and
-    a bare ``Window.orderBy(value)`` computes them in ONE task. Instead
-    the classic two-level prefix sum, all DataFrame ops:
+    ``group_cols`` computes a D PER GROUP (e.g. per source — the grain
+    a drift monitor actually alarms on: a global D near 0 can hide one
+    source whose distribution moved entirely). A NULL group label is
+    still a group (null-safe alignment throughout, the
+    ``roc_auc_per_group`` posture); a group present on only ONE side
+    reports that side's count, 0 for the other, and NULL ``d_stat`` (no
+    second CDF exists — a fabricated 1.0 would pre-judge what the
+    caller should decide).
 
-    1. per distinct value, count rows on each side (one shuffle,
-       map-side combined — cumulative state collapses to |distinct
-       values| rows);
+    Scale shape — the empirical CDFs need cumulative counts over every
+    distinct value, and a bare ``Window.orderBy(value)`` computes them
+    in ONE task. Instead the classic two-level prefix sum, all
+    DataFrame ops:
+
+    1. per distinct (group, value), count rows on each side (one
+       shuffle, map-side combined — cumulative state collapses to
+       |distinct values| rows);
     2. assign each distinct value to one of ``n_buckets`` uniform
-       buckets over the observed [min, max] (broadcast 1-row bounds);
-    3. per-bucket subtotals → bucket OFFSETS via a window over
-       ``n_buckets`` rows (the only serial step — constant size);
+       buckets over that group's observed [min, max] (group-grain
+       bounds frame joined back null-safely);
+    3. per-(group, bucket) subtotals → bucket OFFSETS via a window
+       partitioned by group over ≤ ``n_buckets`` rows (constant-size
+       state per group; with no groups this is the only serial step);
     4. within-bucket cumulative counts via a window PARTITIONED BY
-       bucket (parallel), plus the bucket offset.
+       (group, bucket) — parallel — plus the bucket offset.
 
     Uniform buckets only shape PARALLELISM (a skewed distribution
     crowds some buckets); the statistic is exact regardless. Degenerate
     inputs (an empty side, or every value identical so max == min)
     collapse to the single-bucket path and stay correct.
 
-    Returns ONE row: ``n_base``, ``n_cur`` (bigint), ``d_stat`` (6dp) —
-    NULL d_stat when either side has no non-NULL values (no CDF exists;
-    a fabricated 0 would read as "no drift").
+    Returns one row per group (ONE row total without ``group_cols``):
+    ``n_base``, ``n_cur`` (bigint), ``d_stat`` (6dp) — NULL when either
+    side has no non-NULL values.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    g = list(group_cols or [])
     v = F.col(value_col).cast("double")
-    tagged = base.select(v.alias("__v"), F.lit(1).alias("__b")).unionByName(
-        current.select(v.alias("__v"), F.lit(0).alias("__b"))
+    tagged = base.select(*g, v.alias("__v"), F.lit(1).alias("__b")).unionByName(
+        current.select(*g, v.alias("__v"), F.lit(0).alias("__b"))
     )
     per_value = (
         tagged.filter(F.col("__v").isNotNull())
-        .groupBy("__v")
+        .groupBy(*g, "__v")
         .agg(
             F.sum("__b").cast("long").alias("__cb"),
             F.sum(F.lit(1) - F.col("__b")).cast("long").alias("__cc"),
         )
     )
-    bounds = per_value.agg(
+
+    def null_safe(left: DataFrame, right: DataFrame, extra: list[str]):
+        """left JOIN right on group cols (null-safe) + ``extra`` equi
+        cols; right's group cols arrive aliased __g{i} and are dropped."""
+        r = right.select(
+            *[F.col(c).alias(f"__g{i}") for i, c in enumerate(g)],
+            *[c for c in right.columns if c not in g],
+        )
+        cond = F.lit(True)
+        for i, c in enumerate(g):
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__g{i}"))
+        for c in extra:
+            cond = cond & (left[c] == r[c])
+        joined = left.join(r if g else F.broadcast(r), cond)
+        drop = [f"__g{i}" for i in range(len(g))] + [r[c] for c in extra]
+        return joined.drop(*drop)
+
+    bounds = per_value.groupBy(*g).agg(
         F.min("__v").alias("__lo"), F.max("__v").alias("__hi")
     )
-    with_bucket = per_value.crossJoin(F.broadcast(bounds)).select(
+    with_bucket = null_safe(per_value, bounds, []).select(
+        *g,
         "__v",
         "__cb",
         "__cc",
@@ -376,31 +408,35 @@ def ks_drift(
         .otherwise(F.lit(0))
         .alias("__bk"),
     )
-    bucket_totals = with_bucket.groupBy("__bk").agg(
+    bucket_totals = with_bucket.groupBy(*g, "__bk").agg(
         F.sum("__cb").alias("__tb"), F.sum("__cc").alias("__tc")
     )
-    woff = Window.orderBy("__bk").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    woff = (
+        Window.partitionBy(*g)
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        if g
+        else Window.orderBy("__bk").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
     )
     offsets = bucket_totals.select(
+        *g,
         "__bk",
         (F.sum("__tb").over(woff) - F.col("__tb")).alias("__ob"),
         (F.sum("__tc").over(woff) - F.col("__tc")).alias("__oc"),
     )
-    win = Window.partitionBy("__bk").orderBy("__v")
-    cum = (
-        with_bucket.join(F.broadcast(offsets), "__bk")
-        .select(
-            "__v",
-            (F.sum("__cb").over(win) + F.col("__ob")).alias("__cum_b"),
-            (F.sum("__cc").over(win) + F.col("__oc")).alias("__cum_c"),
-        )
+    win = Window.partitionBy(*g, "__bk").orderBy("__v")
+    cum = null_safe(with_bucket, offsets, ["__bk"]).select(
+        *g,
+        (F.sum("__cb").over(win) + F.col("__ob")).alias("__cum_b"),
+        (F.sum("__cc").over(win) + F.col("__oc")).alias("__cum_c"),
     )
-    totals = per_value.agg(
+    totals = per_value.groupBy(*g).agg(
         F.coalesce(F.sum("__cb"), F.lit(0)).cast("long").alias("n_base"),
         F.coalesce(F.sum("__cc"), F.lit(0)).cast("long").alias("n_cur"),
     )
-    d = cum.crossJoin(F.broadcast(totals)).agg(
+    d = null_safe(cum, totals, []).groupBy(*g).agg(
         F.max(
             F.abs(
                 F.try_divide(F.col("__cum_b").cast("double"), F.col("n_base"))
@@ -408,6 +444,24 @@ def ks_drift(
             )
         ).alias("__d")
     )
-    return totals.crossJoin(F.broadcast(d)).select(
-        "n_base", "n_cur", rnd(F.col("__d"), 6).alias("d_stat")
-    )
+    if not g:
+        # global: totals is one row even when per_value is empty — it
+        # anchors the output so an all-NULL input still reports counts
+        return totals.crossJoin(F.broadcast(d)).select(
+            "n_base", "n_cur", rnd(F.col("__d"), 6).alias("d_stat")
+        )
+    # grouped: totals is the full group set (anchor); a group whose D
+    # never materialized (one-sided) gets NULL via the left join
+    out = totals.join(
+        d.select(
+            *[F.col(c).alias(f"__g{i}") for i, c in enumerate(g)], "__d"
+        ),
+        F.lit(True)
+        if not g
+        else __import__("functools").reduce(
+            lambda a, b: a & b,
+            [F.col(c).eqNullSafe(F.col(f"__g{i}")) for i, c in enumerate(g)],
+        ),
+        "left",
+    ).drop(*[f"__g{i}" for i in range(len(g))])
+    return out.select(*g, "n_base", "n_cur", rnd(F.col("__d"), 6).alias("d_stat"))

@@ -13,13 +13,16 @@ driver-style tests every pytest run meanwhile.
   deterministic synthetic score/label pair derived from doc_id
   arithmetic (identical integer arithmetic on both engines; the only
   floats are per-bin means, 6dp-rounded under the central rewrite).
-- ``ks_drift`` — exact two-sample KS between the even- and odd-doc_id
-  halves' n_chars distributions. The oracle computes the same
-  cumulative-CDF max with ONE global window (fine at oracle scale);
-  the Spark side uses the two-level bucketed prefix sum that stays
-  parallel at 100 TB — the hash match proves the decomposition exact.
+- ``precision_recall_at`` — the operating-point sweep next to the AUC
+  row: precision/recall/F1 at five thresholds in one corpus scan.
+- ``ks_drift`` / ``ks_drift_by_group`` — exact two-sample KS between
+  the even- and odd-doc_id halves' n_chars distributions, global and
+  per-language. The oracles compute the same cumulative-CDF max with
+  textbook windows (fine at oracle scale); the Spark side uses the
+  two-level bucketed prefix sum that stays parallel at 100 TB — the
+  hash match proves the (grouped) decomposition exact.
 
-All three oracles are COMPUTED (DuckDB twins over the same real
+All five oracles are COMPUTED (DuckDB twins over the same real
 corpus), not typed VALUES — the queries scale with sf and pay their
 real aggregate cost at bench scale. Scores/labels derive from integer
 arithmetic (`n_chars % 20`, `doc_id % 3`, `doc_id % 101`) so both
@@ -190,6 +193,56 @@ def q_precision_recall_at(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_chars") % 5 == 0, 1).otherwise(0).alias("y"),
     )
     return precision_recall_at(scored, "s", "y", [0.0, 0.25, 0.5, 0.75, 0.9])
+
+
+def _ks_inputs(spark: SparkSession, sf_dir: str, *cols: str):
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        *cols, F.col("doc_id"), F.col("n_chars").cast("double").alias("v")
+    )
+    return (
+        v.filter(F.col("doc_id") % 2 == 0).drop("doc_id"),
+        v.filter(F.col("doc_id") % 2 == 1).drop("doc_id"),
+    )
+
+
+@register(
+    "ks_drift_by_group",
+    """
+    WITH t AS (
+      SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS b
+      FROM documents
+    ), pv AS (
+      SELECT lang, v, sum(b) AS cb, sum(1 - b) AS cc FROM t GROUP BY lang, v
+    ), cum AS (
+      SELECT lang, v,
+             sum(cb) OVER (PARTITION BY lang ORDER BY v) AS cum_b,
+             sum(cc) OVER (PARTITION BY lang ORDER BY v) AS cum_c
+      FROM pv
+    ), tot AS (
+      SELECT lang, CAST(sum(cb) AS BIGINT) AS n_base,
+             CAST(sum(cc) AS BIGINT) AS n_cur
+      FROM pv GROUP BY lang
+    )
+    SELECT tot.lang, n_base, n_cur,
+           round(max(abs(cum_b / CAST(n_base AS DOUBLE)
+                         - cum_c / CAST(n_cur AS DOUBLE))), 6) AS d_stat
+    FROM cum JOIN tot ON cum.lang IS NOT DISTINCT FROM tot.lang
+    GROUP BY tot.lang, n_base, n_cur
+    """,
+)
+def q_ks_drift_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE two-sample KS (`ks_drift` with ``group_cols`` — the
+    grain a drift monitor actually alarms on: a global D near 0 can
+    hide one language whose length distribution moved entirely). The
+    oracle's per-group cumulative window is the textbook form; the
+    Spark side's two-level prefix sum partitions every window by
+    (lang, bucket), so no single task ever sees more than one group's
+    one bucket — the hash match proves the grouped decomposition."""
+    b, c = _ks_inputs(spark, sf_dir, "lang")
+    return ks_drift(b, c, "v", group_cols=["lang"])
+
 
 
 @register(

@@ -285,6 +285,47 @@ def test_ks_drift_degenerate_inputs(spark):
         ks_drift(bdf, cdf, "v", n_buckets=0)
 
 
+def test_ks_drift_grouped_matches_python_twin_per_group(spark):
+    """group_cols: one exact D per group (the per-source drift grain).
+    NULL group labels are a group; a one-sided group (present in only
+    one snapshot) reports its counts and NULL d_stat."""
+    base_rows = (
+        [("a", float((i * 37) % 101)) for i in range(60)]
+        + [("b", float(i % 13)) for i in range(40)]
+        + [(None, float(i % 7)) for i in range(20)]
+        + [("only_base", float(i)) for i in range(5)]
+    )
+    cur_rows = (
+        [("a", float((i * 53) % 97) + 5.0) for i in range(50)]
+        + [("b", float(i % 13)) for i in range(40)]  # identical dist -> 0
+        + [(None, float(i % 7) + 1.0) for i in range(10)]
+    )
+    bdf = spark.createDataFrame(base_rows, "grp string, v double")
+    cdf = spark.createDataFrame(cur_rows, "grp string, v double")
+    got = {
+        r["grp"]: r
+        for r in ks_drift(bdf, cdf, "v", group_cols=["grp"]).collect()
+    }
+    assert set(got) == {"a", "b", None, "only_base"}
+    for grp in ("a", "b", None):
+        b = [v for gv, v in base_rows if gv == grp]
+        c = [v for gv, v in cur_rows if gv == grp]
+        r = got[grp]
+        assert (r["n_base"], r["n_cur"]) == (len(b), len(c))
+        assert abs(r["d_stat"] - round(_py_ks(b, c), 6)) < 1e-9, grp
+    assert got["b"]["d_stat"] == 0.0
+    r = got["only_base"]
+    assert r["n_base"] == 5 and r["n_cur"] == 0 and r["d_stat"] is None
+    # grouped result is bucket-invariant too
+    one_bucket = {
+        r["grp"]: r["d_stat"]
+        for r in ks_drift(
+            bdf, cdf, "v", group_cols=["grp"], n_buckets=1
+        ).collect()
+    }
+    assert one_bucket == {g: r["d_stat"] for g, r in got.items()}
+
+
 def test_ks_drift_plan_has_no_global_single_partition_window(spark):
     """The scale claim: the only unpartitioned window runs over
     bucket-count rows. The per-value cumulative window must be
