@@ -1456,3 +1456,97 @@ def test_corr_matrix_matches_numpy_property(spark, rows):
         else:
             want = float(np.corrcoef(x, y)[0, 1])
             assert abs(r["corr"] - want) < 1e-4, (an, bn, r["corr"], want)
+
+
+# ---------------------------------------------------------------------------
+# evaluation layer == pure-Python formula twins (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _py_auc_twin(pairs):
+    n_pos = sum(y for _, y in pairs)
+    n_neg = len(pairs) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return None
+    ordered = sorted(pairs, key=lambda p: p[0])
+    ranks, i = {}, 0
+    while i < len(ordered):
+        j = i
+        while j < len(ordered) and ordered[j][0] == ordered[i][0]:
+            j += 1
+        ranks[ordered[i][0]] = (i + 1 + j) / 2.0
+        i = j
+    prs = sum(ranks[s] for s, y in pairs if y == 1)
+    return (prs - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+
+
+@PROP
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(["a", "b"]),
+        st.lists(
+            st.tuples(
+                # coarse scores force tie buckets — the hard case
+                st.integers(min_value=0, max_value=6),
+                st.integers(min_value=0, max_value=1),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=2,
+    )
+)
+def test_roc_auc_matches_python_twin_property(spark, groups):
+    from bp_datawarehouse_ordersfact_spark.operators.evaluation import (
+        roc_auc_per_group,
+    )
+
+    rows = [
+        (g, float(sv) / 6.0, y) for g, ps in groups.items() for sv, y in ps
+    ]
+    df = spark.createDataFrame(rows, "grp string, s double, y int")
+    got = {
+        r["grp"]: r for r in roc_auc_per_group(df, "s", "y", ["grp"]).collect()
+    }
+    assert set(got) == set(groups)
+    for g, ps in groups.items():
+        want = _py_auc_twin([(float(sv) / 6.0, y) for sv, y in ps])
+        r = got[g]
+        assert r["n"] == len(ps)
+        if want is None:
+            assert r["auc"] is None
+        else:
+            assert abs(r["auc"] - round(want, 6)) < 1e-9, g
+
+
+def _py_ks_twin(a, b):
+    best = 0.0
+    for x in sorted(set(a) | set(b)):
+        fa = sum(1 for v in a if v <= x) / len(a)
+        fb = sum(1 for v in b if v <= x) / len(b)
+        best = max(best, abs(fa - fb))
+    return best
+
+
+@PROP
+@given(
+    a=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+    ),
+    b=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=60
+    ),
+    n_buckets=st.sampled_from([1, 3, 64]),
+)
+def test_ks_drift_matches_python_twin_property(spark, a, b, n_buckets):
+    """Integer-valued inputs (exact doubles) across bucket counts: D is
+    exact and bucket-invariant, incl. heavy ties and single-value
+    degenerate distributions."""
+    from bp_datawarehouse_ordersfact_spark.operators.evaluation import ks_drift
+
+    bdf = spark.createDataFrame([(float(v),) for v in a], "v double")
+    cdf = spark.createDataFrame([(float(v),) for v in b], "v double")
+    row = ks_drift(bdf, cdf, "v", n_buckets=n_buckets).collect()[0]
+    assert (row["n_base"], row["n_cur"]) == (len(a), len(b))
+    assert abs(row["d_stat"] - round(_py_ks_twin(a, b), 6)) < 1e-9
