@@ -305,6 +305,117 @@ def calibration_ece(
     )
 
 
+def psi_drift(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    *,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two continuous distributions
+    over BASE-quantile bins — the third standard drift metric next to
+    ``aggregates.mixture_drift`` (JS, categorical) and ``ks_drift``
+    (KS, distribution-free): PSI weights WHERE the mass moved, which KS
+    (a single max gap) deliberately ignores, and its banking-era rule
+    of thumb (<0.1 stable / 0.1–0.25 shifting / >0.25 shifted) is what
+    pipelines actually alert on.
+
+    ``PSI = Σ_bins (q_i − p_i) · ln(q_i / p_i)`` with ``p`` the base
+    share and ``q`` the current share per bin. Bin edges are the BASE
+    distribution's ``1/n_bins .. (n_bins−1)/n_bins`` quantiles (exact
+    ``percentile`` — bit-identical to DuckDB ``quantile_cont``, the
+    ``outlier_iqr_per_group`` verification), so the base lands ~uniform
+    by construction and every bin measures current-vs-expected mass.
+    Empty-bin convention made EXPLICIT (the classic PSI pitfall —
+    ln(0) is ±inf): both shares are floored at ``eps`` before the
+    ratio, identically on both engines; duplicate quantile edges
+    (discrete data) simply yield structurally-empty bins that the
+    floor neutralizes. NULLs excluded per side.
+
+    Scale shape: the edges come from ONE exact-percentile aggregate
+    over the base (collected — n_bins−1 doubles, the same
+    1-row-collect discipline as the k-means centroids and logreg
+    weights, so the bin assignment compiles to ``n_bins−1`` codegen
+    comparisons per row, no interpreted HOF, no broadcast join); each
+    side then pays one map-side-combined count-per-bin aggregate, and
+    the PSI arithmetic runs on ≤ ``n_bins`` rows. Two scans total
+    (edges + counts) of the base, one of the current.
+
+    Returns per bin (all ``n_bins`` rows, empty ones included):
+    ``bin`` (0-based int), ``n_base``/``n_cur`` (bigint),
+    ``p_share``/``q_share``/``psi_contrib``/``psi`` (6dp; ``psi``
+    repeats the total on every row). Returns an empty frame only when
+    the BASE has no non-NULL values (no quantile edges exist to bin
+    against — the caller must treat that as "cannot measure", and the
+    companion counts would be meaningless).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if not 0.0 < eps < 1.0:
+        raise ValueError(f"eps must be in (0, 1), got {eps}")
+    v = F.col(value_col).cast("double")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    edge_row = (
+        base.select(v.alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .agg(
+            F.percentile(
+                F.col("__v"), F.array(*[F.lit(p) for p in probs])
+            ).alias("__edges")
+        )
+        .collect()[0]
+    )
+    edges = edge_row["__edges"]
+    if edges is None:
+        return base.sparkSession.createDataFrame(
+            [],
+            "bin int, n_base long, n_cur long, p_share double, "
+            "q_share double, psi_contrib double, psi double",
+        )
+
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        b = F.lit(0)
+        for e in edges:
+            b = b + (v > F.lit(float(e))).cast("int")
+        return (
+            df.filter(v.isNotNull())
+            .select(b.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias(side))
+        )
+
+    bins = base.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    counts = (
+        bins.join(binned(base, "n_base"), "bin", "left")
+        .join(binned(current, "n_cur"), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    everything = Window.partitionBy()
+    tb = F.sum("n_base").over(everything).cast("double")
+    tc = F.sum("n_cur").over(everything).cast("double")
+    p = F.greatest(F.try_divide(F.col("n_base"), tb), F.lit(eps))
+    q = F.greatest(
+        F.coalesce(F.try_divide(F.col("n_cur"), tc), F.lit(0.0)), F.lit(eps)
+    )
+    contrib = (q - p) * F.log(q / p)
+    return counts.select(
+        "bin",
+        "n_base",
+        "n_cur",
+        rnd(p, 6).alias("p_share"),
+        rnd(q, 6).alias("q_share"),
+        rnd(contrib, 6).alias("psi_contrib"),
+        rnd(F.sum(contrib).over(everything), 6).alias("psi"),
+    )
+
+
 def ks_drift(
     base: DataFrame,
     current: DataFrame,

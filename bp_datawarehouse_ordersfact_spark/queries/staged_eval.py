@@ -44,6 +44,7 @@ from ..operators.evaluation import (
     calibration_ece,
     ks_drift,
     precision_recall_at,
+    psi_drift,
     roc_auc_per_group,
 )
 
@@ -193,6 +194,72 @@ def q_precision_recall_at(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_chars") % 5 == 0, 1).otherwise(0).alias("y"),
     )
     return precision_recall_at(scored, "s", "y", [0.0, 0.25, 0.5, 0.75, 0.9])
+
+
+@register(
+    "psi_drift",
+    """
+    WITH b AS (
+      SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id % 2 = 0
+    ), c AS (
+      SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id % 2 = 1
+    ), e AS (
+      SELECT quantile_cont(v, 0.1) AS e1,
+             quantile_cont(v, 0.2) AS e2,
+             quantile_cont(v, 0.3) AS e3,
+             quantile_cont(v, 0.4) AS e4,
+             quantile_cont(v, 0.5) AS e5,
+             quantile_cont(v, 0.6) AS e6,
+             quantile_cont(v, 0.7) AS e7,
+             quantile_cont(v, 0.8) AS e8,
+             quantile_cont(v, 0.9) AS e9
+      FROM b
+    ), bb AS (
+      SELECT CAST(v > e1 AS INT) + CAST(v > e2 AS INT) + CAST(v > e3 AS INT) + CAST(v > e4 AS INT) + CAST(v > e5 AS INT) + CAST(v > e6 AS INT) + CAST(v > e7 AS INT) + CAST(v > e8 AS INT) + CAST(v > e9 AS INT) AS bin FROM b, e
+    ), cb AS (
+      SELECT CAST(v > e1 AS INT) + CAST(v > e2 AS INT) + CAST(v > e3 AS INT) + CAST(v > e4 AS INT) + CAST(v > e5 AS INT) + CAST(v > e6 AS INT) + CAST(v > e7 AS INT) + CAST(v > e8 AS INT) + CAST(v > e9 AS INT) AS bin FROM c, e
+    ), bins AS (
+      SELECT CAST(range AS INT) AS bin FROM range(10)
+    ), cnt AS (
+      SELECT bins.bin,
+             CAST(coalesce(nb.n, 0) AS BIGINT) AS n_base,
+             CAST(coalesce(nc.n, 0) AS BIGINT) AS n_cur
+      FROM bins
+      LEFT JOIN (SELECT bin, count(*) AS n FROM bb GROUP BY bin) nb USING (bin)
+      LEFT JOIN (SELECT bin, count(*) AS n FROM cb GROUP BY bin) nc USING (bin)
+    ), sh AS (
+      SELECT bin, n_base, n_cur,
+             greatest(n_base / CAST(sum(n_base) OVER () AS DOUBLE), 1e-6) AS p,
+             greatest(n_cur / CAST(sum(n_cur) OVER () AS DOUBLE), 1e-6) AS q
+      FROM cnt
+    )
+    SELECT bin, n_base, n_cur,
+           round(p, 6) AS p_share,
+           round(q, 6) AS q_share,
+           round((q - p) * ln(q / p), 6) AS psi_contrib,
+           round(sum((q - p) * ln(q / p)) OVER (), 6) AS psi
+    FROM sh
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (`operators.evaluation.psi_drift`)
+    between the even- and odd-doc_id halves' n_chars distributions over
+    base-decile bins — the alert-rule drift metric next to the JS
+    (`mixture_drift`) and KS rows. Edges are exact base quantiles
+    (Spark `percentile` == DuckDB `quantile_cont`, bit-identical — the
+    outlier_iqr verification), bin assignment is 9 codegen comparisons
+    per row, and the eps=1e-6 empty-bin floor is written identically in
+    both engines, so every share and contribution matches to the 6dp
+    rounding grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        F.col("doc_id"), F.col("n_chars").cast("double").alias("v")
+    )
+    return psi_drift(
+        v.filter(F.col("doc_id") % 2 == 0).select("v"),
+        v.filter(F.col("doc_id") % 2 == 1).select("v"),
+        "v",
+    )
 
 
 def _ks_inputs(spark: SparkSession, sf_dir: str, *cols: str):

@@ -345,3 +345,54 @@ def test_ks_drift_plan_has_no_global_single_partition_window(spark):
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         if "__v" in spec:
             assert "__bk" in spec, f"value window lost its partition: {spec}"
+
+
+def test_psi_drift_matches_python_twin_and_edge_cases(spark):
+    import math
+
+    import numpy as np
+
+    from bp_datawarehouse_ordersfact_spark.operators.evaluation import psi_drift
+
+    base = [float((i * 37) % 101) for i in range(150)]
+    cur = [float((i * 53) % 97) + 10.0 for i in range(100)]
+    bdf = spark.createDataFrame([(v,) for v in base], "v double")
+    cdf = spark.createDataFrame([(v,) for v in cur], "v double")
+    rows = {r["bin"]: r for r in psi_drift(bdf, cdf, "v").collect()}
+    assert set(rows) == set(range(10))
+
+    edges = [float(np.percentile(base, 10 * i, method="linear"))
+             for i in range(1, 10)]
+
+    def bin_of(v):
+        return sum(v > e for e in edges)
+
+    nb = [0] * 10
+    nc = [0] * 10
+    for v in base:
+        nb[bin_of(v)] += 1
+    for v in cur:
+        nc[bin_of(v)] += 1
+    psi = 0.0
+    for i in range(10):
+        p = max(nb[i] / len(base), 1e-6)
+        q = max(nc[i] / len(cur), 1e-6)
+        psi += (q - p) * math.log(q / p)
+    for i in range(10):
+        r = rows[i]
+        assert (r["n_base"], r["n_cur"]) == (nb[i], nc[i]), i
+        assert abs(r["psi"] - round(psi, 6)) < 1e-6
+    # identical distributions -> PSI ~ 0
+    same = {r["bin"]: r for r in psi_drift(bdf, bdf, "v").collect()}
+    assert all(abs(r["psi"]) < 1e-9 for r in same.values())
+    # empty CURRENT: every q floors to eps, counts report 0, psi finite
+    empty = spark.createDataFrame([], "v double")
+    out = psi_drift(bdf, empty, "v").collect()
+    assert len(out) == 10 and all(r["n_cur"] == 0 for r in out)
+    assert all(math.isfinite(r["psi"]) for r in out)
+    # empty BASE: no edges exist -> empty frame (documented)
+    assert psi_drift(empty, bdf, "v").count() == 0
+    with pytest.raises(ValueError):
+        psi_drift(bdf, cdf, "v", n_bins=1)
+    with pytest.raises(ValueError):
+        psi_drift(bdf, cdf, "v", eps=0.0)
