@@ -1278,3 +1278,78 @@ def run_mixture_drift_monitor_stream(
         # a failed query must not leak the cached baseline for the
         # session lifetime (review finding)
         baseline.unpersist()
+
+
+def run_score_drift_monitor_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    baseline_dir: str,
+    out_dir: str,
+    value_col: str = "n_chars",
+    alert_psi: float = 0.25,
+    alert_ks: float = 0.1,
+    files_per_trigger: int = 1,
+) -> None:
+    """Streaming CONTINUOUS-distribution drift monitor: every
+    micro-batch's ``value_col`` distribution is compared against the
+    BASELINE snapshot with BOTH remaining drift metrics —
+    ``evaluation.psi_drift`` (where the mass moved, the alert rule) and
+    ``evaluation.ks_drift`` (distribution-free max gap) — the
+    continuous companion to ``run_mixture_drift_monitor_stream``'s
+    categorical JS. One sink row per PSI bin per batch, carrying the
+    batch totals (``psi``, ``d_stat``) and an ``alerted`` flag
+    (``psi > alert_psi OR d_stat > alert_ks``).
+
+    Scale shape: the baseline's decile edges derive ONCE (inside
+    ``psi_drift``'s one exact-percentile aggregate over the PERSISTED
+    baseline values — micro-batches re-read the cached values, never
+    the baseline corpus); each batch pays one count-per-bin aggregate
+    plus the KS prefix-sum over its own (bounded) distinct values.
+    foreachBatch, availableNow, content-keyed idempotent sink
+    (``_content_sink_key`` — replay and checkpoint-loss-safe like every
+    sink in this module since r12).
+    """
+    from ..operators.evaluation import ks_drift, psi_drift
+
+    baseline = (
+        spark.read.parquet(baseline_dir)
+        .select(F.col(value_col).cast("double").alias("v"))
+        .persist()
+    )
+    baseline.count()  # materialize once; batches reuse the cached values
+
+    schema = spark.read.parquet(docs_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = batch_df.select(F.col(value_col).cast("double").alias("v"))
+        psi_tab = psi_drift(baseline, cur, "v")
+        ks_row = ks_drift(baseline, cur, "v")
+        out = psi_tab.crossJoin(
+            F.broadcast(ks_row.select("d_stat"))
+        ).withColumn(
+            "alerted",
+            (F.col("psi") > F.lit(alert_psi))
+            | (F.col("d_stat") > F.lit(alert_ks)),
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        out.write.mode("overwrite").parquet(
+            out_dir.rstrip("/")
+            + f"/ingest_key={_content_sink_key(batch_df, batch_id)}"
+        )
+
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir.rstrip("/") + "_checkpoint")
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        baseline.unpersist()

@@ -892,3 +892,56 @@ def test_mixture_drift_monitor_survives_checkpoint_loss_with_new_files(
     new = after.filter(~F.col("ingest_key").isin(list(first_keys)))
     new_rows = {r["key"]: r for r in new.collect()}
     assert "srcC" in new_rows and all(r["alerted"] for r in new_rows.values())
+
+
+def test_score_drift_monitor_stream_alerts_and_survives_checkpoint_loss(
+    spark, tmp_path
+):
+    """The continuous-drift monitor (PSI + KS per micro-batch vs the
+    baseline): a batch drawn from the baseline's distribution stays
+    quiet; a shifted batch trips the alert on both metrics; checkpoint
+    loss + a new file needs NO sink clear (content-keyed sink)."""
+    import shutil
+
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import (
+        run_score_drift_monitor_stream,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    baseline_dir = str(tmp_path / "baseline")
+    out_dir = str(tmp_path / "drift")
+
+    base_vals = [(i, float((i * 37) % 101)) for i in range(300)]
+    spark.createDataFrame(base_vals, "doc_id long, n_chars double").coalesce(
+        1
+    ).write.parquet(baseline_dir)
+    # batch 1: same generator -> same distribution (quiet)
+    spark.createDataFrame(
+        base_vals[:150], "doc_id long, n_chars double"
+    ).coalesce(1).write.parquet(docs_dir)
+    run_score_drift_monitor_stream(
+        spark, docs_dir, baseline_dir, out_dir, value_col="n_chars"
+    )
+    quiet = spark.read.parquet(out_dir)
+    assert quiet.select("ingest_key").distinct().count() == 1
+    assert not any(r["alerted"] for r in quiet.collect())
+
+    # checkpoint lost; a hard-shifted file lands; NO sink clear
+    shutil.rmtree(out_dir.rstrip("/") + "_checkpoint")
+    spark.createDataFrame(
+        [(1000 + i, 500.0 + float(i % 7)) for i in range(100)],
+        "doc_id long, n_chars double",
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+    run_score_drift_monitor_stream(
+        spark, docs_dir, baseline_dir, out_dir, value_col="n_chars"
+    )
+    after = spark.read.parquet(out_dir)
+    keys = {r["ingest_key"] for r in after.select("ingest_key").collect()}
+    assert len(keys) == 2  # old partition rewritten in place + one new
+    hot = after.filter(F.col("alerted"))
+    hot_keys = {r["ingest_key"] for r in hot.select("ingest_key").collect()}
+    assert len(hot_keys) == 1  # only the shifted batch alarms
+    r = hot.collect()[0]
+    assert r["psi"] > 0.25 and r["d_stat"] > 0.1
+    # per-batch PSI table shape: 10 bins each
+    assert after.groupBy("ingest_key").count().collect()[0]["count"] == 10
