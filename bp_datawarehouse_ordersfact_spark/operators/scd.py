@@ -149,3 +149,91 @@ def scd2_point_in_time_join(
         )
     )
     return f.join(d, cond, how).drop(F.col(f"d.{key}"))
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_cols: list[str],
+    *,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Symmetric snapshot reconciliation: classify every id as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` between two
+    snapshots — the audit that runs BEFORE ``cdc_apply``-style
+    convergence (what would change?) and after it (did it converge?),
+    and the per-row dual of the reference's blind truncate-load (which
+    destroys exactly this information every run; SURVEY §2.1 S6).
+
+    ``compare_cols`` selects the columns whose difference marks a row
+    ``changed`` (default: every shared non-id column). Comparison is
+    exact and NULL-SAFE per column (``eqNullSafe`` — NULL == NULL is
+    "unchanged", NULL vs value is "changed"); no content hashing, so
+    there are no collision caveats and (a=NULL, b=1) never equals
+    (a=1, b=NULL). NULL id values are matched null-safely too — a
+    NULL-keyed row is still a row.
+
+    Scale shape: ONE full-outer equi-join on the id columns (the
+    unavoidable shuffle each side pays once); the per-column null-safe
+    comparisons are map-side codegen over the joined row. Nothing else
+    scales with the data; downstream aggregation (counts by status)
+    reuses the join's partitioning only if keyed on ids — the usual
+    status rollup is a separate tiny exchange of 4 groups.
+
+    Returns ``id_cols`` + ``status`` (string). Ids present in both
+    snapshots report their columns from the NEW side semantics-wise
+    (the ids themselves are coalesced across sides).
+    """
+    if not id_cols:
+        raise ValueError("id_cols must be non-empty")
+    shared = [c for c in old.columns if c in set(new.columns)]
+    cmp_cols = (
+        [c for c in shared if c not in set(id_cols)]
+        if compare_cols is None
+        else list(compare_cols)
+    )
+    missing = [c for c in list(id_cols) + cmp_cols if c not in shared]
+    if missing:
+        raise ValueError(
+            f"columns {missing} not present in both snapshots "
+            f"(old: {old.columns}, new: {new.columns})"
+        )
+    o = old.select(
+        *[F.col(c).alias(f"__o_{c}") for c in id_cols],
+        *[F.col(c).alias(f"__ov_{c}") for c in cmp_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"__n_{c}") for c in id_cols],
+        *[F.col(c).alias(f"__nv_{c}") for c in cmp_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")) for c in id_cols],
+    )
+    joined = o.join(n, cond, "full_outer")
+    same = (
+        reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__ov_{c}").eqNullSafe(F.col(f"__nv_{c}"))
+                for c in cmp_cols
+            ],
+        )
+        if cmp_cols
+        else F.lit(True)
+    )
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}")).alias(c)
+            for c in id_cols
+        ],
+        status.alias("status"),
+    )

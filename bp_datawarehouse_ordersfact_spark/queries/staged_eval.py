@@ -1,5 +1,6 @@
 """STAGED registry queries for the classifier-audit / continuous-drift
-evaluation layer (`operators/evaluation.py`) — written in round 12 for
+evaluation & snapshot-audit layer (`operators/evaluation.py`,
+`operators/scd.snapshot_diff`) — written in round 12 for
 activation in a BUFFER round of the accelerated schedule (earliest
 r17; see queries/__init__.py's window comment). Not yet in
 ``queries._MODULES``; they ride the oracle-conventions gate and their
@@ -259,6 +260,68 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.filter(F.col("doc_id") % 2 == 0).select("v"),
         v.filter(F.col("doc_id") % 2 == 1).select("v"),
         "v",
+    )
+
+
+@register(
+    "snapshot_diff",
+    """
+    WITH old_s AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+    ), new_s AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN round(o_totalprice * 1.1, 2)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 11 <> 0
+      UNION ALL
+      SELECT o_orderkey + 50000000, o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 0
+    ), d AS (
+      SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                    THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT status, count(*) AS n FROM d GROUP BY status
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric snapshot reconciliation (`operators.scd.snapshot_diff`):
+    the current orders snapshot vs a derived next snapshot with rows
+    removed (%11), changed (%7 price bump — identical IEEE multiply +
+    the central portable rounding on both engines) and added (%13
+    clones shifted past the key range). The driver row is the
+    counts-by-status rollup — the audit a warehouse runs instead of
+    trusting a truncate-load (reference SURVEY §2.1 S6) to have done
+    the right thing. One full-outer equi-join on the key; per-column
+    null-safe comparison, no content hashing."""
+    from ..operators.scd import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    from ..functions.rounding import rnd
+
+    kept = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, rnd(F.col("o_totalprice") * 1.1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    added = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        (F.col("o_orderkey") + 50_000_000).alias("o_orderkey"),
+        "o_totalprice",
+    )
+    new = kept.unionByName(added)
+    return (
+        snapshot_diff(o, new, ["o_orderkey"], compare_cols=["o_totalprice"])
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
 
 

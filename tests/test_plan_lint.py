@@ -55,6 +55,10 @@ BOUNDED_CROSS_OK = {
     # bitmap travels as a one-row broadcast array frame attached by a
     # deliberately-bounded BroadcastNestedLoopJoin (r11 VERDICT #2)
     "bloom_join_prune": "1-row Bloom-bitmap frame broadcast to the probe",
+    # staged_eval — recorded ahead of activation (r12): both anchor on
+    # deliberately-bounded one-row frames
+    "calibration_ece": "1-row exclusion aggregate anchors the bin table",
+    "ks_drift": "1-row totals/D frames crossed for the single-row report",
 }
 
 

@@ -47,9 +47,10 @@ def spark():
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    c.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
-    )
+    for t in ("documents", "orders"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
     return c
 
 
@@ -396,3 +397,41 @@ def test_psi_drift_matches_python_twin_and_edge_cases(spark):
         psi_drift(bdf, cdf, "v", n_bins=1)
     with pytest.raises(ValueError):
         psi_drift(bdf, cdf, "v", eps=0.0)
+
+
+def test_snapshot_diff_semantics(spark):
+    from bp_datawarehouse_ordersfact_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None),
+         (4, "d", 40.0), (None, "nullkey", 5.0)],
+        "id long, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),          # unchanged
+         (2, "b", 21.0),          # changed (v)
+         (3, "c", None),          # unchanged (NULL == NULL)
+         (5, "e", 50.0),          # added
+         (None, "nullkey", 6.0)], # changed on a NULL id (still matched)
+        "id long, name string, v double",
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(old, new, ["id"]).collect()
+    }
+    assert got == {
+        1: "unchanged", 2: "changed", 3: "unchanged",
+        4: "removed", 5: "added", None: "changed",
+    }
+    # compare_cols narrows the change test: only v counts, name ignored
+    new2 = spark.createDataFrame(
+        [(1, "RENAMED", 10.0)], "id long, name string, v double"
+    )
+    only_v = snapshot_diff(
+        old.filter("id = 1"), new2, ["id"], compare_cols=["v"]
+    ).collect()[0]
+    assert only_v["status"] == "unchanged"
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, [])
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new.drop("v"), ["id"], compare_cols=["v"])
