@@ -71,6 +71,7 @@ def run_warehouse(
     sources: WarehouseSources,
     out_dir: str,
     snapshot_dims: bool = False,
+    run_log: "RunLog | None" = None,
 ) -> dict:
     """dw2 → dw3 → dw4 → dw5 end to end, Parquet-staged, manifest out.
 
@@ -81,8 +82,17 @@ def run_warehouse(
     dimension state stays queryable (time travel) and diffable (keyed
     insert/update/delete audit between any two runs), which is how a
     royalty restatement gets explained months later. The manifest gains
-    the committed version number."""
+    the committed version number.
+
+    ``run_log`` (a ``core/runlog.RunLog``) records one structured JSONL
+    line per staged artifact — the engine-appropriate form of the
+    reference's tee'd shell transcript (S8, ``bp_etl.sh:16-29``); ship
+    the finished log with ``core/runlog.ship_logs``. Logging rides the
+    existing ``_write`` path, so a crashed run keeps every completed
+    step's line."""
     manifest: dict = {"out_dir": out_dir, "artifacts": {}}
+    if run_log is not None:
+        manifest["run_log"] = run_log.path
 
     # dw2 — ingest + normalize (staged: feeds titles, dims, and facts)
     pd_dim = (
@@ -146,4 +156,8 @@ def run_warehouse(
         manifest,
     )
     _write(facts.printable_report(fr), out_dir, "reporting_tables/printable", manifest)
+    if run_log is not None:
+        for rel, info in manifest["artifacts"].items():
+            run_log.step(rel, rows=info.get("rows"))
+        run_log.step("run_warehouse", status="done")
     return manifest

@@ -344,3 +344,28 @@ def test_warehouse_dim_snapshots_time_travel_across_runs(spark, tmp_path):
     )
     d = diff_snapshots(spark, hist, 0, 1, ["Source_Title", "BookType"]).collect()
     assert d == []  # identical fixture inputs → no dimension drift
+
+
+def test_run_warehouse_emits_structured_run_log(spark, tmp_path):
+    """S8 integration: with a RunLog attached, the orchestrator records
+    one JSONL line per staged artifact (with the manifest's row count)
+    plus the terminal done line, and the manifest points at the log."""
+    import json
+
+    from bp_datawarehouse_ordersfact_spark.core.runlog import RunLog
+    from bp_datawarehouse_ordersfact_spark.domain import orchestrator
+
+    log = RunLog("wh-test", str(tmp_path / "logs"))
+    manifest = orchestrator.run_warehouse(
+        spark,
+        orchestrator.fixture_sources(spark),
+        str(tmp_path / "wh"),
+        run_log=log,
+    )
+    assert manifest["run_log"] == log.path
+    lines = [json.loads(x) for x in open(log.path, encoding="utf-8")]
+    by_step = {x["step"]: x for x in lines}
+    for name, a in manifest["artifacts"].items():
+        assert by_step[name]["rows"] == a["rows"], name
+    assert by_step["run_warehouse"]["status"] == "done"
+    assert len(lines) == len(manifest["artifacts"]) + 1

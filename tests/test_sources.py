@@ -763,3 +763,100 @@ def test_verify_tar_shards_accepts_lazy_manifest(spark, tmp_path):
     )
     # pass the LAZY frame straight in — must report clean, not mismatches
     assert verify_tar_shards(spark, lazy_manifest).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# S7: secret provider chain (sources/secrets.py) — round 12
+# ---------------------------------------------------------------------------
+
+
+def test_secret_provider_chain_env_file_gate(tmp_path, monkeypatch):
+    """Resolution order env > file > gated GCP; memoized per process;
+    the no-provider case raises the full chain diagnosis, never a bare
+    ImportError/KeyError (the BigQuery gate contract)."""
+    from bp_datawarehouse_ordersfact_spark.sources.secrets import (
+        SecretUnavailable,
+        clear_secret_cache,
+        get_secret,
+    )
+
+    clear_secret_cache()
+    monkeypatch.delenv("SPARK_GRAFT_SECRETS_DIR", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_SECRET_WC_API_KEY", "k-from-env")
+    assert get_secret("proj", "wc-api-key") == "k-from-env"
+
+    # file provider: used when no env override exists
+    sdir = tmp_path / "secrets"
+    sdir.mkdir()
+    (sdir / "db-password").write_text("p-from-file\n", encoding="utf-8")
+    monkeypatch.setenv("SPARK_GRAFT_SECRETS_DIR", str(sdir))
+    assert get_secret("proj", "db-password") == "p-from-file"  # newline stripped
+
+    # env wins over file for the same name
+    (sdir / "wc-api-key").write_text("p-shadowed", encoding="utf-8")
+    clear_secret_cache()
+    assert get_secret("proj", "wc-api-key") == "k-from-env"
+
+    # memo: a rotated env var is NOT re-read until the cache clears
+    monkeypatch.setenv("SPARK_GRAFT_SECRET_WC_API_KEY", "k-rotated")
+    assert get_secret("proj", "wc-api-key") == "k-from-env"
+    clear_secret_cache()
+    assert get_secret("proj", "wc-api-key") == "k-rotated"
+
+    # nothing resolves -> SecretUnavailable naming every tried provider
+    clear_secret_cache()
+    with pytest.raises(SecretUnavailable) as ex:
+        get_secret("proj", "missing-secret")
+    msg = str(ex.value)
+    assert "SPARK_GRAFT_SECRET_MISSING_SECRET" in msg
+    assert "missing-secret" in msg and "not installed" in msg
+
+
+# ---------------------------------------------------------------------------
+# S8: run log + shipping (core/runlog.py) — round 12
+# ---------------------------------------------------------------------------
+
+
+def test_runlog_appends_jsonl_and_ships_via_hadoop_fs(spark, tmp_path):
+    """One JSON line per step (crash keeps completed steps — append
+    semantics), non-serializable fields degrade to repr instead of
+    killing the run, the shipped copy is byte-identical, re-shipping
+    overwrites idempotently, and the log is readable back by Spark."""
+    import json
+
+    from bp_datawarehouse_ordersfact_spark.core.runlog import RunLog, ship_logs
+
+    log = RunLog("run-0001", str(tmp_path / "logs"))
+    log.step("ingest", rows=120)
+    log.step("match", rows=40, detail={"threshold": 0.7})
+    log.step("weird", obj=object())  # non-JSON field -> repr fallback
+    log.step("fact_build", status="failed", error="boom")
+
+    lines = [json.loads(x) for x in open(log.path, encoding="utf-8")]
+    assert [x["step"] for x in lines] == ["ingest", "match", "weird", "fact_build"]
+    assert lines[0]["rows"] == 120 and lines[0]["status"] == "ok"
+    assert lines[1]["detail"] == {"threshold": 0.7}
+    assert lines[2]["obj"].startswith("<object object")
+    assert lines[3]["status"] == "failed"
+    assert all(x["run_id"] == "run-0001" and x["elapsed_s"] >= 0 for x in lines)
+
+    dest = str(tmp_path / "bucket" / "etl_logs")
+    shipped = ship_logs(spark, log.path, dest)
+    import os as _os
+
+    local_dest = shipped.replace("file:", "")
+    assert open(local_dest, "rb").read() == open(log.path, "rb").read()
+    # re-ship after another step: overwrite, not duplicate/append
+    log.step("post")
+    ship_logs(spark, log.path, dest)
+    assert open(local_dest, "rb").read() == open(log.path, "rb").read()
+    # one visible log file (Hadoop's local FS adds a .crc sidecar)
+    visible = [
+        f
+        for f in _os.listdir(_os.path.dirname(local_dest))
+        if not f.startswith(".")
+    ]
+    assert visible == [_os.path.basename(local_dest)]
+    # machine-readable by the engine that wrote it
+    back = spark.read.json(local_dest)
+    assert back.count() == 5 and "elapsed_s" in back.columns
