@@ -132,3 +132,60 @@ def with_retries(
                     sleep(min(max_delay_s, base_delay_s * (2 ** (attempt - 1))))
 
     return wrapped
+
+
+def make_wc_fetcher(
+    base_url: str,
+    endpoint: str,
+    *,
+    project: str = "",
+    key_secret: str = "wc-consumer-key",
+    secret_secret: str = "wc-consumer-secret",
+    transport=None,
+    timeout_s: float = 30.0,
+) -> Fetcher:
+    """Production ``Fetcher`` for the WooCommerce-shaped API (reference
+    S1/S2), with credentials resolved through the S7 provider chain
+    (``sources/secrets.get_secret`` — env override in dev/CI, mounted
+    secrets dir or Secret Manager in production; resolved ONCE here,
+    not per page, and never embedded in the returned closure's repr).
+
+    ``transport`` is any object with a ``get(url, params=, auth=,
+    timeout=) -> response`` method (``requests`` by default, imported
+    behind a gate since this container has no network; tests inject a
+    fake). The returned fetcher is pure transport — compose with
+    ``with_retries`` for the backoff policy and hand it to either
+    ``fetch_pages_driver`` or ``fetch_pages_distributed``.
+
+    Page/window parameters mirror the reference exactly: ``page``,
+    ``per_page``, and the ``after``/``before`` ISO date window of the
+    incremental orders pull (``dw2_wc_increment.py:125,132-141``).
+    """
+    from .secrets import get_secret
+
+    auth = (
+        get_secret(project, key_secret),
+        get_secret(project, secret_secret),
+    )
+    if transport is None:
+        try:
+            import requests as transport  # type: ignore
+        except ImportError as ex:
+            raise RuntimeError(
+                "no transport injected and `requests` is not installed — "
+                "pass transport= (any object with .get(url, params=, "
+                "auth=, timeout=))"
+            ) from ex
+    url = base_url.rstrip("/") + "/" + endpoint.lstrip("/")
+
+    def fetcher(page, per_page, window_start, window_end):
+        params = {"page": page, "per_page": per_page}
+        if window_start is not None:
+            params["after"] = window_start
+        if window_end is not None:
+            params["before"] = window_end
+        resp = transport.get(url, params=params, auth=auth, timeout=timeout_s)
+        resp.raise_for_status()
+        return resp.json()
+
+    return fetcher

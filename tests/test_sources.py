@@ -860,3 +860,65 @@ def test_runlog_appends_jsonl_and_ships_via_hadoop_fs(spark, tmp_path):
     # machine-readable by the engine that wrote it
     back = spark.read.json(local_dest)
     assert back.count() == 5 and "elapsed_s" in back.columns
+
+
+def test_make_wc_fetcher_resolves_secrets_and_shapes_requests(
+    spark, monkeypatch
+):
+    """S7-consumed-by-S1/S2: the production fetcher resolves its auth
+    pair through the secret chain ONCE, shapes the reference's exact
+    page/window params, and composes with the distributed pull."""
+    from bp_datawarehouse_ordersfact_spark.sources.rest import (
+        fetch_pages_distributed,
+        make_wc_fetcher,
+    )
+    from bp_datawarehouse_ordersfact_spark.sources.secrets import (
+        clear_secret_cache,
+    )
+    from pyspark.sql import types as T
+
+    clear_secret_cache()
+    monkeypatch.setenv("SPARK_GRAFT_SECRET_WC_CONSUMER_KEY", "ck_test")
+    monkeypatch.setenv("SPARK_GRAFT_SECRET_WC_CONSUMER_SECRET", "cs_test")
+
+    calls = []
+
+    class FakeResp:
+        def __init__(self, page):
+            self._page = page
+
+        def raise_for_status(self):
+            pass
+
+        def json(self):
+            return [{"id": self._page * 10 + i} for i in range(2)]
+
+    class FakeTransport:
+        def get(self, url, params=None, auth=None, timeout=None):
+            calls.append((url, dict(params), auth, timeout))
+            return FakeResp(params["page"])
+
+    fetcher = make_wc_fetcher(
+        "https://shop.example/wp-json/wc/v3",
+        "orders",
+        transport=FakeTransport(),
+    )
+    out = fetcher(3, 100, "2024-01-01T00:00:00", "2024-03-01T00:00:00")
+    assert [r["id"] for r in out] == [30, 31]
+    url, params, auth, timeout = calls[0]
+    assert url == "https://shop.example/wp-json/wc/v3/orders"
+    assert params == {
+        "page": 3, "per_page": 100,
+        "after": "2024-01-01T00:00:00", "before": "2024-03-01T00:00:00",
+    }
+    assert auth == ("ck_test", "cs_test") and timeout == 30.0
+
+    # composes with the scale-shape pull (driver-side transport objects
+    # aren't needed on executors here because the fake is picklable;
+    # production requests-based fetchers are too — module-level import)
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    df = fetch_pages_distributed(spark, fetcher, schema, n_pages=4, per_page=2)
+    assert sorted(r["id"] for r in df.collect()) == sorted(
+        p * 10 + i for p in range(1, 5) for i in range(2)
+    )
+    clear_secret_cache()
