@@ -58,11 +58,19 @@ def fixture_sources(spark: SparkSession) -> WarehouseSources:
     )
 
 
-def _write(df: DataFrame, out_dir: str, name: str, manifest: dict) -> DataFrame:
+def _write(
+    df: DataFrame, out_dir: str, name: str, manifest: dict, run_log=None
+) -> DataFrame:
     # one observe-write-reload idiom for the whole repo: reuse the
     # corpus pipeline's _stage instead of a second copy
     staged, rows = _stage(df, out_dir, name)
     manifest["artifacts"][name] = {"path": os.path.join(out_dir, name), "rows": rows}
+    if run_log is not None:
+        # logged AT the write (the tee property): a crash later in the
+        # run keeps this step's line, and elapsed_s is this step's
+        # actual position on the run clock (r12 review — a post-hoc
+        # loop lost both)
+        run_log.step(name, rows=rows)
     return staged
 
 
@@ -105,6 +113,7 @@ def run_warehouse(
         out_dir,
         "staging/wc_lines",
         manifest,
+        run_log,
     )
 
     # dw3 — title staging for the dimension match
@@ -124,6 +133,7 @@ def run_warehouse(
         out_dir,
         "dimension_tables/book_dim",
         manifest,
+        run_log,
     )
     if snapshot_dims:
         from ..sources.versioned import write_snapshot
@@ -140,24 +150,33 @@ def run_warehouse(
         out_dir,
         "fact_tables/fact_royalty",
         manifest,
+        run_log,
     )
     _write(
         facts.fact_order(wc5, sources.scb_monthly, bdim),
         out_dir,
         "fact_tables/fact_order",
         manifest,
+        run_log,
     )
     summary = facts.royalty_summary_report(fr)
-    _write(summary, out_dir, "reporting_tables/royalty_summary", manifest)
+    _write(
+        summary, out_dir, "reporting_tables/royalty_summary", manifest, run_log
+    )
     _write(
         facts.split_royalties(summary),
         out_dir,
         "reporting_tables/split_royalty",
         manifest,
+        run_log,
     )
-    _write(facts.printable_report(fr), out_dir, "reporting_tables/printable", manifest)
+    _write(
+        facts.printable_report(fr),
+        out_dir,
+        "reporting_tables/printable",
+        manifest,
+        run_log,
+    )
     if run_log is not None:
-        for rel, info in manifest["artifacts"].items():
-            run_log.step(rel, rows=info.get("rows"))
         run_log.step("run_warehouse", status="done")
     return manifest

@@ -312,6 +312,8 @@ def psi_drift(
     *,
     n_bins: int = 10,
     eps: float = 1e-6,
+    edges: list[float] | None = None,
+    include_raw: bool = False,
 ) -> DataFrame:
     """Population Stability Index between two continuous distributions
     over BASE-quantile bins — the third standard drift metric next to
@@ -345,28 +347,42 @@ def psi_drift(
     Returns per bin (all ``n_bins`` rows, empty ones included):
     ``bin`` (0-based int), ``n_base``/``n_cur`` (bigint),
     ``p_share``/``q_share``/``psi_contrib``/``psi`` (6dp; ``psi``
-    repeats the total on every row). Returns an empty frame only when
+    repeats the total on every row; ``include_raw=True`` appends the
+    UNROUNDED ``__psi_raw`` for callers that THRESHOLD the total — the
+    ``mixture_drift`` convention). Returns an empty frame only when
     the BASE has no non-NULL values (no quantile edges exist to bin
     against — the caller must treat that as "cannot measure", and the
     companion counts would be meaningless).
+
+    ``edges`` supplies precomputed bin edges (``n_bins − 1`` ascending
+    values) and skips the percentile pass entirely — the monitoring
+    knob: a streaming caller derives the baseline's edges ONCE and
+    every micro-batch pays only the two count-per-bin aggregates
+    (``run_score_drift_monitor_stream``).
     """
     if n_bins < 2:
         raise ValueError(f"n_bins must be >= 2, got {n_bins}")
     if not 0.0 < eps < 1.0:
         raise ValueError(f"eps must be in (0, 1), got {eps}")
-    v = F.col(value_col).cast("double")
-    probs = [i / n_bins for i in range(1, n_bins)]
-    edge_row = (
-        base.select(v.alias("__v"))
-        .filter(F.col("__v").isNotNull())
-        .agg(
-            F.percentile(
-                F.col("__v"), F.array(*[F.lit(p) for p in probs])
-            ).alias("__edges")
+    if edges is not None and len(edges) != n_bins - 1:
+        raise ValueError(
+            f"edges must have n_bins - 1 = {n_bins - 1} values, "
+            f"got {len(edges)}"
         )
-        .collect()[0]
-    )
-    edges = edge_row["__edges"]
+    v = F.col(value_col).cast("double")
+    if edges is None:
+        probs = [i / n_bins for i in range(1, n_bins)]
+        edge_row = (
+            base.select(v.alias("__v"))
+            .filter(F.col("__v").isNotNull())
+            .agg(
+                F.percentile(
+                    F.col("__v"), F.array(*[F.lit(p) for p in probs])
+                ).alias("__edges")
+            )
+            .collect()[0]
+        )
+        edges = edge_row["__edges"]
     if edges is None:
         return base.sparkSession.createDataFrame(
             [],
@@ -405,6 +421,11 @@ def psi_drift(
         F.coalesce(F.try_divide(F.col("n_cur"), tc), F.lit(0.0)), F.lit(eps)
     )
     contrib = (q - p) * F.log(q / p)
+    raw = (
+        [F.sum(contrib).over(everything).alias("__psi_raw")]
+        if include_raw
+        else []
+    )
     return counts.select(
         "bin",
         "n_base",
@@ -413,6 +434,7 @@ def psi_drift(
         rnd(q, 6).alias("q_share"),
         rnd(contrib, 6).alias("psi_contrib"),
         rnd(F.sum(contrib).over(everything), 6).alias("psi"),
+        *raw,
     )
 
 
@@ -423,6 +445,7 @@ def ks_drift(
     *,
     group_cols: list[str] | None = None,
     n_buckets: int = 1024,
+    include_raw: bool = False,
 ) -> DataFrame:
     """EXACT two-sample Kolmogorov–Smirnov statistic between two
     continuous distributions: ``D = max over observed x of
@@ -463,8 +486,17 @@ def ks_drift(
 
     Returns one row per group (ONE row total without ``group_cols``):
     ``n_base``, ``n_cur`` (bigint), ``d_stat`` (6dp) — NULL when either
-    side has no non-NULL values.
+    side has no non-NULL values. The group anchor is the PRE-filter
+    frame, so a group whose values are ALL NULL still reports (0, 0,
+    NULL) instead of vanishing — a scoring pass that starts emitting
+    NULLs for one source is the most alarming drift case, not an
+    invisible one (r12 review #2). ``include_raw=True`` appends
+    ``__d_raw`` (the UNROUNDED statistic) for callers that THRESHOLD
+    the value — comparing the 6dp column can flip an alert within
+    5e-7 of the cutoff (the ``mixture_drift`` convention).
     """
+    from functools import reduce
+
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     g = list(group_cols or [])
@@ -543,9 +575,16 @@ def ks_drift(
         (F.sum("__cb").over(win) + F.col("__ob")).alias("__cum_b"),
         (F.sum("__cc").over(win) + F.col("__oc")).alias("__cum_c"),
     )
-    totals = per_value.groupBy(*g).agg(
-        F.coalesce(F.sum("__cb"), F.lit(0)).cast("long").alias("n_base"),
-        F.coalesce(F.sum("__cc"), F.lit(0)).cast("long").alias("n_cur"),
+    # totals anchor on the PRE-NULL-filter frame: every group that has
+    # ROWS reports, even when all its values are NULL on both sides
+    notnull = F.col("__v").isNotNull()
+    totals = tagged.groupBy(*g).agg(
+        F.sum(F.when(notnull & (F.col("__b") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_base"),
+        F.sum(F.when(notnull & (F.col("__b") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
     )
     d = null_safe(cum, totals, []).groupBy(*g).agg(
         F.max(
@@ -555,24 +594,26 @@ def ks_drift(
             )
         ).alias("__d")
     )
+    raw = [F.col("__d").alias("__d_raw")] if include_raw else []
     if not g:
-        # global: totals is one row even when per_value is empty — it
-        # anchors the output so an all-NULL input still reports counts
+        # global: totals is one row even on an all-NULL/empty input — it
+        # anchors the output so counts always report
         return totals.crossJoin(F.broadcast(d)).select(
-            "n_base", "n_cur", rnd(F.col("__d"), 6).alias("d_stat")
+            "n_base", "n_cur", rnd(F.col("__d"), 6).alias("d_stat"), *raw
         )
     # grouped: totals is the full group set (anchor); a group whose D
-    # never materialized (one-sided) gets NULL via the left join
+    # never materialized (one-sided or all-NULL) gets NULL via the
+    # left join
     out = totals.join(
         d.select(
             *[F.col(c).alias(f"__g{i}") for i, c in enumerate(g)], "__d"
         ),
-        F.lit(True)
-        if not g
-        else __import__("functools").reduce(
+        reduce(
             lambda a, b: a & b,
             [F.col(c).eqNullSafe(F.col(f"__g{i}")) for i, c in enumerate(g)],
         ),
         "left",
     ).drop(*[f"__g{i}" for i in range(len(g))])
-    return out.select(*g, "n_base", "n_cur", rnd(F.col("__d"), 6).alias("d_stat"))
+    return out.select(
+        *g, "n_base", "n_cur", rnd(F.col("__d"), 6).alias("d_stat"), *raw
+    )

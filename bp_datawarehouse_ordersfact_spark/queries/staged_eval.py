@@ -275,7 +275,8 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE o_totalprice END AS o_totalprice
       FROM orders WHERE o_orderkey % 11 <> 0
       UNION ALL
-      SELECT o_orderkey + 50000000, o_totalprice
+      SELECT o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+             o_totalprice
       FROM orders WHERE o_orderkey % 13 = 0
     ), d AS (
       SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
@@ -293,7 +294,10 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     the current orders snapshot vs a derived next snapshot with rows
     removed (%11), changed (%7 price bump — identical IEEE multiply +
     the central portable rounding on both engines) and added (%13
-    clones shifted past the key range). The driver row is the
+    clones shifted past the OBSERVED key range — max(o_orderkey)+1, so
+    the shift cannot collide with real keys at any scale factor; an r12
+    review caught a fixed +50M literal colliding above ~sf8). The
+    driver row is the
     counts-by-status rollup — the audit a warehouse runs instead of
     trusting a truncate-load (reference SURVEY §2.1 S6) to have done
     the right thing. One full-outer equi-join on the key; per-column
@@ -313,9 +317,14 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("o_totalprice"))
         .alias("o_totalprice"),
     )
-    added = o.filter(F.col("o_orderkey") % 13 == 0).select(
-        (F.col("o_orderkey") + 50_000_000).alias("o_orderkey"),
-        "o_totalprice",
+    shift = o.agg((F.max("o_orderkey") + 1).alias("__shift"))
+    added = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .crossJoin(F.broadcast(shift))
+        .select(
+            (F.col("o_orderkey") + F.col("__shift")).alias("o_orderkey"),
+            "o_totalprice",
+        )
     )
     new = kept.unionByName(added)
     return (

@@ -40,7 +40,23 @@ from __future__ import annotations
 
 import os
 
-_MEMO: dict[tuple[str, str, str], str] = {}
+
+class _Opaque:
+    """Holds one payload; its repr never prints it, so an accidental
+    dump of module state (debugger watch, print(_MEMO), an exception
+    reporter serializing globals) shows ``<secret>`` rather than the
+    credential."""
+
+    __slots__ = ("_value",)
+
+    def __init__(self, value: str):
+        self._value = value
+
+    def __repr__(self) -> str:  # pragma: no cover - trivial
+        return "<secret>"
+
+
+_MEMO: dict[tuple[str, str, str], _Opaque] = {}
 
 
 class SecretUnavailable(RuntimeError):
@@ -61,13 +77,13 @@ def get_secret(project: str, secret: str, version: str = "latest") -> str:
     """
     key = (project, secret, version)
     if key in _MEMO:
-        return _MEMO[key]
+        return _MEMO[key]._value
     tried: list[str] = []
 
     env_name = _env_key(secret)
     val = os.environ.get(env_name)
     if val is not None:
-        _MEMO[key] = val
+        _MEMO[key] = _Opaque(val)
         return val
     tried.append(f"env:{env_name} unset")
 
@@ -77,7 +93,7 @@ def get_secret(project: str, secret: str, version: str = "latest") -> str:
         if os.path.isfile(path):
             with open(path, "r", encoding="utf-8") as fh:
                 val = fh.read().rstrip("\n")
-            _MEMO[key] = val
+            _MEMO[key] = _Opaque(val)
             return val
         tried.append(f"file:{path} not found")
     else:
@@ -97,7 +113,7 @@ def get_secret(project: str, secret: str, version: str = "latest") -> str:
     name = f"projects/{project}/secrets/{secret}/versions/{version}"
     payload = client.access_secret_version(request={"name": name})
     val = payload.payload.data.decode("utf-8")
-    _MEMO[key] = val
+    _MEMO[key] = _Opaque(val)
     return val
 
 

@@ -1300,14 +1300,20 @@ def run_score_drift_monitor_stream(
     batch totals (``psi``, ``d_stat``) and an ``alerted`` flag
     (``psi > alert_psi OR d_stat > alert_ks``).
 
-    Scale shape: the baseline's decile edges derive ONCE (inside
-    ``psi_drift``'s one exact-percentile aggregate over the PERSISTED
-    baseline values — micro-batches re-read the cached values, never
-    the baseline corpus); each batch pays one count-per-bin aggregate
-    plus the KS prefix-sum over its own (bounded) distinct values.
-    foreachBatch, availableNow, content-keyed idempotent sink
-    (``_content_sink_key`` — replay and checkpoint-loss-safe like every
-    sink in this module since r12).
+    Scale shape: the baseline's decile edges derive ONCE, BEFORE the
+    stream starts (one exact-percentile job; every micro-batch passes
+    them to ``psi_drift(edges=...)`` and pays only the count-per-bin
+    aggregates — an r12 review caught the first version re-running the
+    percentile + driver collect per batch), over the PERSISTED baseline
+    values; the KS prefix-sum re-aggregates the cached baseline values
+    per batch (linear over in-memory partitions — the exact statistic
+    needs the full value multiset; callers monitoring at higher rates
+    than that supports should drop to PSI-only on pre-binned counts).
+    Alerting compares the UNROUNDED totals (``include_raw`` — the
+    ``mixture_drift`` convention; the 6dp reported columns can sit
+    5e-7 from the cutoff). foreachBatch, availableNow, content-keyed
+    idempotent sink (``_content_sink_key`` — replay and
+    checkpoint-loss-safe like every sink in this module since r12).
     """
     from ..operators.evaluation import ks_drift, psi_drift
 
@@ -1317,6 +1323,19 @@ def run_score_drift_monitor_stream(
         .persist()
     )
     baseline.count()  # materialize once; batches reuse the cached values
+    n_bins = 10
+    edge_row = baseline.filter(F.col("v").isNotNull()).agg(
+        F.percentile(
+            F.col("v"), F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+        ).alias("e")
+    ).collect()[0]
+    edges = list(edge_row["e"]) if edge_row["e"] is not None else None
+    if edges is None:
+        baseline.unpersist()
+        raise ValueError(
+            f"baseline {baseline_dir!r} has no non-NULL {value_col!r} "
+            "values — no distribution exists to monitor against"
+        )
 
     schema = spark.read.parquet(docs_dir).schema
     src = (
@@ -1329,15 +1348,22 @@ def run_score_drift_monitor_stream(
         if batch_df.isEmpty():
             return
         cur = batch_df.select(F.col(value_col).cast("double").alias("v"))
-        psi_tab = psi_drift(baseline, cur, "v")
-        ks_row = ks_drift(baseline, cur, "v")
-        out = psi_tab.crossJoin(
-            F.broadcast(ks_row.select("d_stat"))
-        ).withColumn(
-            "alerted",
-            (F.col("psi") > F.lit(alert_psi))
-            | (F.col("d_stat") > F.lit(alert_ks)),
-        ).withColumn("batch_id", F.lit(int(batch_id)))
+        psi_tab = psi_drift(
+            baseline, cur, "v", n_bins=n_bins, edges=edges, include_raw=True
+        )
+        ks_row = ks_drift(baseline, cur, "v", include_raw=True)
+        out = (
+            psi_tab.crossJoin(
+                F.broadcast(ks_row.select("d_stat", "__d_raw"))
+            )
+            .withColumn(
+                "alerted",
+                (F.col("__psi_raw") > F.lit(alert_psi))
+                | (F.col("__d_raw") > F.lit(alert_ks)),
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .drop("__psi_raw", "__d_raw")
+        )
         out.write.mode("overwrite").parquet(
             out_dir.rstrip("/")
             + f"/ingest_key={_content_sink_key(batch_df, batch_id)}"

@@ -369,3 +369,34 @@ def test_run_warehouse_emits_structured_run_log(spark, tmp_path):
         assert by_step[name]["rows"] == a["rows"], name
     assert by_step["run_warehouse"]["status"] == "done"
     assert len(lines) == len(manifest["artifacts"]) + 1
+
+
+def test_run_log_keeps_completed_steps_when_a_later_stage_crashes(
+    spark, tmp_path, monkeypatch
+):
+    """r12 review: logging rides INSIDE _write (the tee property) — a
+    crash in dw5 must keep the lines of every artifact that staged
+    before it, with per-step elapsed positions, not an empty log."""
+    import json
+
+    from bp_datawarehouse_ordersfact_spark.core.runlog import RunLog
+    from bp_datawarehouse_ordersfact_spark.domain import facts, orchestrator
+
+    def boom(*a, **k):
+        raise RuntimeError("injected dw5 failure")
+
+    monkeypatch.setattr(facts, "fact_royalty", boom)
+    log = RunLog("wh-crash", str(tmp_path / "logs"))
+    with pytest.raises(RuntimeError, match="injected dw5 failure"):
+        orchestrator.run_warehouse(
+            spark,
+            orchestrator.fixture_sources(spark),
+            str(tmp_path / "wh"),
+            run_log=log,
+        )
+    lines = [json.loads(x) for x in open(log.path, encoding="utf-8")]
+    steps = [x["step"] for x in lines]
+    assert steps == ["staging/wc_lines", "dimension_tables/book_dim"]
+    assert all(x["status"] == "ok" and x["rows"] > 0 for x in lines)
+    # per-step clock positions are monotone, not one repeated total
+    assert lines[0]["elapsed_s"] <= lines[1]["elapsed_s"]

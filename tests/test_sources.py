@@ -922,3 +922,16 @@ def test_make_wc_fetcher_resolves_secrets_and_shapes_requests(
         p * 10 + i for p in range(1, 5) for i in range(2)
     )
     clear_secret_cache()
+
+
+def test_secret_memo_repr_never_prints_payloads(monkeypatch):
+    """r12 review: the memo holds opaque holders — dumping module state
+    must show <secret>, never the credential text."""
+    from bp_datawarehouse_ordersfact_spark.sources import secrets as S
+
+    S.clear_secret_cache()
+    monkeypatch.setenv("SPARK_GRAFT_SECRET_OPAQUE_CHECK", "super-sensitive")
+    assert S.get_secret("p", "opaque-check") == "super-sensitive"
+    dumped = repr(S._MEMO)
+    assert "super-sensitive" not in dumped and "<secret>" in dumped
+    S.clear_secret_cache()

@@ -317,6 +317,20 @@ def test_ks_drift_grouped_matches_python_twin_per_group(spark):
     assert got["b"]["d_stat"] == 0.0
     r = got["only_base"]
     assert r["n_base"] == 5 and r["n_cur"] == 0 and r["d_stat"] is None
+    # r12 review: a group whose values are ALL NULL must still report
+    # (0, 0, NULL) — a scoring pass gone NULL for one source is the
+    # most alarming drift case, not an invisible one
+    bnull = bdf.unionByName(
+        spark.createDataFrame([("ghost", None)], "grp string, v double")
+    )
+    cnull = cdf.unionByName(
+        spark.createDataFrame([("ghost", None)], "grp string, v double")
+    )
+    gh = {
+        r["grp"]: r
+        for r in ks_drift(bnull, cnull, "v", group_cols=["grp"]).collect()
+    }["ghost"]
+    assert (gh["n_base"], gh["n_cur"], gh["d_stat"]) == (0, 0, None)
     # grouped result is bucket-invariant too
     one_bucket = {
         r["grp"]: r["d_stat"]
