@@ -35,6 +35,7 @@ class RunLog:
         self.run_id = run_id
         self.path = os.path.join(log_dir, f"{run_id}.jsonl")
         self._t0 = time.monotonic()
+        self._broken = False
 
     def step(self, name: str, status: str = "ok", **fields) -> None:
         rec = {
@@ -50,8 +51,22 @@ class RunLog:
                 rec[k] = v
             except (TypeError, ValueError):
                 rec[k] = repr(v)
-        with open(self.path, "a", encoding="utf-8") as fh:
-            fh.write(json.dumps(rec, sort_keys=True) + "\n")
+        try:
+            with open(self.path, "a", encoding="utf-8") as fh:
+                fh.write(json.dumps(rec, sort_keys=True) + "\n")
+        except OSError as ex:  # the never-kill contract: a full disk or
+            # revoked permission on the LOG path must not abort the run
+            # being observed (r12 review pass 3). One stderr warning,
+            # then further writes are skipped (they would fail too).
+            if not self._broken:
+                import sys
+
+                print(
+                    f"runlog: disabling after write failure on "
+                    f"{self.path}: {ex}",
+                    file=sys.stderr,
+                )
+            self._broken = True
 
 
 def ship_logs(spark: SparkSession, local_path: str, dest_dir: str) -> str:

@@ -31,6 +31,8 @@ Python), with exact cross-engine twins in ANSI SQL for the driver gate.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -305,6 +307,32 @@ def calibration_ece(
     )
 
 
+def psi_edges(
+    base: DataFrame, value_col: str, n_bins: int = 10
+) -> list[float] | None:
+    """The PSI bin edges: the base distribution's ``1/n_bins ..
+    (n_bins−1)/n_bins`` EXACT percentiles (bit-identical to DuckDB
+    ``quantile_cont``), or None when the base has no non-NULL values.
+    Shared by ``psi_drift`` (its ``edges=None`` path) and the streaming
+    monitor's once-per-stream precompute, so the two can never diverge
+    on quantile convention or NULL handling."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    v = F.col(value_col).cast("double")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    row = (
+        base.select(v.alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .agg(
+            F.percentile(
+                F.col("__v"), F.array(*[F.lit(p) for p in probs])
+            ).alias("__edges")
+        )
+        .collect()[0]
+    )
+    return list(row["__edges"]) if row["__edges"] is not None else None
+
+
 def psi_drift(
     base: DataFrame,
     current: DataFrame,
@@ -371,24 +399,16 @@ def psi_drift(
         )
     v = F.col(value_col).cast("double")
     if edges is None:
-        probs = [i / n_bins for i in range(1, n_bins)]
-        edge_row = (
-            base.select(v.alias("__v"))
-            .filter(F.col("__v").isNotNull())
-            .agg(
-                F.percentile(
-                    F.col("__v"), F.array(*[F.lit(p) for p in probs])
-                ).alias("__edges")
-            )
-            .collect()[0]
-        )
-        edges = edge_row["__edges"]
+        edges = psi_edges(base, value_col, n_bins)
     if edges is None:
-        return base.sparkSession.createDataFrame(
-            [],
+        # schema must match the non-degenerate path exactly, including
+        # the include_raw column (r12 review pass 3)
+        schema = (
             "bin int, n_base long, n_cur long, p_share double, "
-            "q_share double, psi_contrib double, psi double",
+            "q_share double, psi_contrib double, psi double"
+            + (", __psi_raw double" if include_raw else "")
         )
+        return base.sparkSession.createDataFrame([], schema)
 
     def binned(df: DataFrame, side: str) -> DataFrame:
         b = F.lit(0)
@@ -578,11 +598,19 @@ def ks_drift(
     # totals anchor on the PRE-NULL-filter frame: every group that has
     # ROWS reports, even when all its values are NULL on both sides
     notnull = F.col("__v").isNotNull()
+    # coalesce: a global aggregate over ZERO rows (both inputs empty)
+    # yields NULL sums — counts must still report 0 (r12 review pass 3)
     totals = tagged.groupBy(*g).agg(
-        F.sum(F.when(notnull & (F.col("__b") == 1), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(notnull & (F.col("__b") == 1), 1).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_base"),
-        F.sum(F.when(notnull & (F.col("__b") == 0), 1).otherwise(0))
+        F.coalesce(
+            F.sum(F.when(notnull & (F.col("__b") == 0), 1).otherwise(0)),
+            F.lit(0),
+        )
         .cast("long")
         .alias("n_cur"),
     )

@@ -1315,7 +1315,7 @@ def run_score_drift_monitor_stream(
     idempotent sink (``_content_sink_key`` — replay and
     checkpoint-loss-safe like every sink in this module since r12).
     """
-    from ..operators.evaluation import ks_drift, psi_drift
+    from ..operators.evaluation import ks_drift, psi_drift, psi_edges
 
     baseline = (
         spark.read.parquet(baseline_dir)
@@ -1324,12 +1324,9 @@ def run_score_drift_monitor_stream(
     )
     baseline.count()  # materialize once; batches reuse the cached values
     n_bins = 10
-    edge_row = baseline.filter(F.col("v").isNotNull()).agg(
-        F.percentile(
-            F.col("v"), F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
-        ).alias("e")
-    ).collect()[0]
-    edges = list(edge_row["e"]) if edge_row["e"] is not None else None
+    # the SAME derivation psi_drift(edges=None) would run — shared
+    # helper so the precompute can never diverge from the operator
+    edges = psi_edges(baseline, "v", n_bins)
     if edges is None:
         baseline.unpersist()
         raise ValueError(

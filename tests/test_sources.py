@@ -935,3 +935,23 @@ def test_secret_memo_repr_never_prints_payloads(monkeypatch):
     dumped = repr(S._MEMO)
     assert "super-sensitive" not in dumped and "<secret>" in dumped
     S.clear_secret_cache()
+
+
+def test_runlog_never_kills_the_run_on_write_failure(tmp_path):
+    """r12 review pass 3: the never-kill contract is enforced in
+    step() itself — a log path that stops being writable degrades to a
+    one-time stderr warning, not an exception into the observed run."""
+    from bp_datawarehouse_ordersfact_spark.core.runlog import RunLog
+
+    d = tmp_path / "logs"
+    log = RunLog("fragile", str(d))
+    log.step("first")
+    good_path = log.path
+    # break the path structurally (a FILE as parent dir -> OSError on
+    # open; chmod-based revocation is a no-op for root, which this
+    # container runs as)
+    log.path = str(tmp_path / "logs" / "fragile.jsonl" / "nested.jsonl")
+    log.step("second")  # must NOT raise
+    log.step("third")
+    lines = open(good_path, encoding="utf-8").read().splitlines()
+    assert len(lines) == 1  # only the pre-failure step landed

@@ -449,3 +449,51 @@ def test_snapshot_diff_semantics(spark):
         snapshot_diff(old, new, [])
     with pytest.raises(ValueError):
         snapshot_diff(old, new.drop("v"), ["id"], compare_cols=["v"])
+
+
+def test_ks_drift_both_inputs_empty_reports_zero_counts(spark):
+    """r12 review pass 3: a global aggregate over ZERO rows yields NULL
+    sums — the counts must still coalesce to 0 (the documented
+    counts-always-report contract)."""
+    empty = spark.createDataFrame([], "v double")
+    r = ks_drift(empty, empty, "v").collect()[0]
+    assert (r["n_base"], r["n_cur"], r["d_stat"]) == (0, 0, None)
+
+
+def test_psi_drift_all_null_base_keeps_include_raw_schema(spark):
+    """r12 review pass 3: the empty-base early return must carry the
+    same schema as the normal path, include_raw column included."""
+    from bp_datawarehouse_ordersfact_spark.operators.evaluation import (
+        psi_drift,
+    )
+
+    nulls = spark.createDataFrame([(None,)], "v double")
+    cur = spark.createDataFrame([(1.0,)], "v double")
+    out = psi_drift(nulls, cur, "v", include_raw=True)
+    assert "__psi_raw" in out.columns and out.count() == 0
+    out2 = psi_drift(nulls, cur, "v")
+    assert "__psi_raw" not in out2.columns
+
+
+def test_psi_edges_helper_matches_operator_default_path(spark):
+    """The monitor's precompute and psi_drift(edges=None) share ONE
+    derivation: explicit edges from psi_edges reproduce the default
+    path bit-for-bit."""
+    from bp_datawarehouse_ordersfact_spark.operators.evaluation import (
+        psi_drift,
+        psi_edges,
+    )
+
+    base = spark.createDataFrame(
+        [(float((i * 37) % 101),) for i in range(80)], "v double"
+    )
+    cur = spark.createDataFrame(
+        [(float((i * 53) % 97),) for i in range(50)], "v double"
+    )
+    e = psi_edges(base, "v", 10)
+    assert len(e) == 9 and e == sorted(e)
+    a = sorted(map(tuple, psi_drift(base, cur, "v").collect()))
+    b = sorted(map(tuple, psi_drift(base, cur, "v", edges=e).collect()))
+    assert a == b
+    with pytest.raises(ValueError):
+        psi_drift(base, cur, "v", edges=[1.0, 2.0])  # wrong edge count
