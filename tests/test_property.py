@@ -1550,3 +1550,89 @@ def test_ks_drift_matches_python_twin_property(spark, a, b, n_buckets):
     row = ks_drift(bdf, cdf, "v", n_buckets=n_buckets).collect()[0]
     assert (row["n_base"], row["n_cur"]) == (len(a), len(b))
     assert abs(row["d_stat"] - round(_py_ks_twin(a, b), 6)) < 1e-9
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),  # score = k/20
+            st.integers(min_value=0, max_value=1),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    ths=st.sets(
+        st.integers(min_value=0, max_value=20), min_size=1, max_size=5
+    ),
+)
+def test_precision_recall_at_matches_python_twin_property(spark, rows, ths):
+    from bp_datawarehouse_ordersfact_spark.operators.evaluation import (
+        precision_recall_at,
+    )
+
+    data = [(k / 20.0, y) for k, y in rows]
+    df = spark.createDataFrame(data, "s double, y int")
+    thresholds = [t / 20.0 for t in sorted(ths)]
+    got = {
+        r["threshold"]: r
+        for r in precision_recall_at(df, "s", "y", thresholds).collect()
+    }
+    pos = sum(y for _, y in data)
+    for t in thresholds:
+        tp = sum(1 for s, y in data if s >= t and y == 1)
+        fp = sum(1 for s, y in data if s >= t and y == 0)
+        r = got[t]
+        assert r["n_pred_pos"] == tp + fp
+        if tp + fp == 0:
+            assert r["precision"] is None
+        else:
+            assert abs(r["precision"] - round(tp / (tp + fp), 6)) < 1e-9
+        if pos == 0:
+            assert r["recall"] is None
+        else:
+            assert abs(r["recall"] - round(tp / pos, 6)) < 1e-9
+
+
+@PROP
+@given(
+    base=st.lists(
+        st.integers(min_value=-30, max_value=30), min_size=1, max_size=60
+    ),
+    cur=st.lists(
+        st.integers(min_value=-30, max_value=30), min_size=0, max_size=40
+    ),
+)
+def test_psi_drift_matches_python_twin_property(spark, base, cur):
+    """Integer-valued inputs (exact doubles, exact quantile arithmetic
+    shared with DuckDB): PSI matches the direct formula with numpy
+    linear decile edges and the eps floor, at every generated shape
+    incl. heavy ties, single-value bases, and an empty current."""
+    import math
+
+    import numpy as np
+
+    from bp_datawarehouse_ordersfact_spark.operators.evaluation import psi_drift
+
+    bdf = spark.createDataFrame([(float(v),) for v in base], "v double")
+    cdf = spark.createDataFrame([(float(v),) for v in cur], "v double")
+    rows = psi_drift(bdf, cdf, "v").collect()
+    assert len(rows) == 10
+    edges = [
+        float(np.percentile(base, 10 * i, method="linear"))
+        for i in range(1, 10)
+    ]
+    nb, nc = [0] * 10, [0] * 10
+    for v in base:
+        nb[sum(v > e for e in edges)] += 1
+    for v in cur:
+        nc[sum(v > e for e in edges)] += 1
+    want = 0.0
+    for i in range(10):
+        p = max(nb[i] / len(base), 1e-6)
+        q = max(nc[i] / len(cur), 1e-6) if cur else 1e-6
+        want += (q - p) * math.log(q / p)
+    got = {r["bin"]: r for r in rows}
+    for i in range(10):
+        assert (got[i]["n_base"], got[i]["n_cur"]) == (nb[i], nc[i]), i
+    assert abs(got[0]["psi"] - round(want, 6)) < 1e-6
