@@ -85,7 +85,6 @@ HEADLINE = [
     "stream_session_agg",
     "stream_stream_join",
     "ann_ivf_kmeans_refine",
-    "events_gap_fill",
     "data_quality_audit",
     "scd2_dim_update",
     "leakage_safe_split",
@@ -106,8 +105,6 @@ HEADLINE = [
     "token_mixture",
     "quantile_stats",
     "grouping_rollup",
-    "url_canonicalize",
-    "top_k",
     "null_fill_sentinels",
     "levenshtein_ratio_join",
     "skew_salted_join",
@@ -125,6 +122,8 @@ HEADLINE = [
     "boilerplate_lines",
     "quality_pacing_by_group",
     "corpus_stats_exact",
+    "registrable_domain_psl",
+    "phash_near_dup",
 ]
 
 

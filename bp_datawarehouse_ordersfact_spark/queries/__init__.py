@@ -35,12 +35,15 @@ from . import (
     staged_r11,
     staged_r12,
     staged_r13,
+    staged_r14,
+    staged_r15,
     streaming,
 )
 
 _MODULES = (
     relational, pipeline, llmops, streaming, domain_e2e, sketches_r6,
     curation_r9, staged_r10, staged_r11, staged_r12, staged_r13,
+    staged_r14, staged_r15,
 )
 
 # The driver's correctness gate checks the FIRST 50 registry entries in
@@ -48,49 +51,49 @@ _MODULES = (
 # newest driver row may be older than 2 rounds
 # (tests/test_window_rotation.py enforces it).
 #
-# ROUND-12 WINDOW (this tuple) — the mechanical alternation: the
+# ROUND-13 WINDOW (this tuple) — the mechanical alternation: the
 # registry is at the 100-entry cap, so the window is the other 50-query
-# half — the keys of CORRECTNESS_r10.json, with FIVE swaps this round
-# (r11 VERDICT #1 prescribed three; #4 "staged-row endgame" adds two by
-# ALSO activating staged_r13 now, pulling the whole staged schedule one
-# round forward so round 20's eight rows land with buffer rounds to
-# spare — see the accelerated schedule below). Retired (still
-# oracle-pinned every pytest run via relational.RETIRED /
-# tests/test_retired_queries.py): `cube_summary` [beyond-reference CUBE
-# tour; grouping-set coverage keeps `grouping_rollup` (GROUPING SETS) +
-# `multikey_rollup` + `rollup_incremental_refresh`],
-# `listagg_per_group` [beyond-reference string agg; the A-family keeps
-# `count_distinct_per_group`'s row], `variant_props_extract` [VARIANT
-# twin of `json_props_extract`, whose J1 row survives],
-# `retention_cohorts` [event-analytics pair — `funnel_analysis` keeps
-# the family's row], `sketch_kll_quantile_merge` [sketch family holds
-# theta/hll/approx live + cms/mg staged; the KLL merge law stays
-# pytest-pinned]. Their capped slots and window positions go to the
-# ACTIVATED staged queries: `line_quality`, `boilerplate_lines`,
-# `quality_pacing_by_group` (staged_r12), `corpus_stats_exact`,
-# `host_authority` (staged_r13; host_authority is fixture-bound —
-# bench-EXCLUDED with a recorded reason). All 50 round-11 rows came
-# back green (50/50 hash-match), so no red query forces its way back
-# in.
+# half — the keys of CORRECTNESS_r11.json, with the r12 VERDICT #1
+# swaps. Retired (still oracle-pinned every pytest run via
+# relational.RETIRED / curation_r9.RETIRED /
+# tests/test_retired_queries.py): `url_canonicalize` [superseded by the
+# activated exact-PSL row; Column rules stay pinned in tests/test_urls.py],
+# `events_gap_fill` [gaps-and-islands family keeps `interval_coalesce` +
+# `sessionize_events`; its plan budget stays pinned via the RETIRED
+# dict], `top_k` [`top_k_per_group` keeps the O1/O2 family]. Their
+# capped slots go to the ACTIVATED staged queries:
+# `registrable_domain_psl` (staged_r14), `phash_near_dup`,
+# `sft_ingest_stream` (staged_r15; the stream row is fixture-bound —
+# bench-EXCLUDED with a recorded reason, the host_authority class).
+# Window arithmetic: `url_canonicalize` and `top_k` sat in the r11
+# half, `events_gap_fill` in the r12 half — so ONE r11-half query must
+# defer to the round-14 window to keep this tuple at exactly 50:
+# `null_audit` (newest row r11; 14−11 = 3 > 2 forces it into the r14
+# window, which is the r12 half it now joins — the staleness invariant
+# in tests/test_window_rotation.py verifies both states). null_audit is
+# also the named r16 retirement candidate (`data_quality_audit`
+# generalizes it), so the deferral costs nothing long-term. All 50
+# round-12 rows came back green (50/50 hash-match), so no red query
+# forces its way back in.
 #
-# ROUND-13 ROTATION (mechanical; do it first): swap this tuple for the
-# other half — the keys of CORRECTNESS_r11.json — and ACTIVATE
-# queries/staged_r14.py (`registrable_domain_psl`) + staged_r15.py
-# (`phash_near_dup`, `sft_ingest_stream` — the stream row is
-# fixture-bound, bench-EXCLUDE it at activation): three activations,
+# ROUND-14 ROTATION (mechanical; do it first): swap this tuple for the
+# other half — the keys of CORRECTNESS_r12.json MINUS the retired
+# `events_gap_fill` PLUS the deferred `null_audit` — and ACTIVATE
+# queries/staged_r16.py (`bpe_tokenize`) + staged_r17.py
+# (`containment_near_dup`, `audio_pcm_features`): three activations,
 # three retirements from the documented pool (least-loss candidates:
-# `url_canonicalize` once registrable_domain_psl is live,
-# `events_gap_fill` [gaps-and-islands family keeps interval_coalesce +
-# sessionize_events], `top_k` [top_k_per_group keeps the family]). If a
-# round-12 query's latest row comes back red, it must ALSO be in the
-# round-13 window (tests/test_window_rotation.py enforces this
-# automatically).
+# `text_token_count` once bpe_tokenize is live, `set_intersect_except`,
+# `date_dim_generate` — the latter two sit in THIS tuple's half, so
+# like this round one r12-half query may need a deferral to balance;
+# `text_token_count` is in the r12 half). If a round-13 query's latest
+# row comes back red, it must ALSO be in the round-14 window
+# (tests/test_window_rotation.py enforces this automatically).
 #
 # ACCELERATED STAGED SCHEDULE (r11 VERDICT #4 decision, round 12): the
 # original one-module-per-round plan would land staged_r20's EIGHT rows
 # in the final round with zero slack. Pull forward two modules per
-# round instead: r12 = staged_r12+r13 (done, this tuple); r13 =
-# staged_r14+r15; r14 = staged_r16+r17 (`bpe_tokenize`;
+# round instead: r12 = staged_r12+r13 (done); r13 = staged_r14+r15
+# (done, this tuple); r14 = staged_r16+r17 (`bpe_tokenize`;
 # `containment_near_dup`, `audio_pcm_features` — retire e.g.
 # text_token_count once bpe_tokenize is live, set_intersect_except,
 # date_dim_generate); r15 = staged_r18+r19 (`cms_point_freq`,
@@ -110,24 +113,24 @@ _MODULES = (
 # twin-tested), earliest activation r17 with three retirements from
 # the remaining pool.
 _WINDOW_FIRST = (
-    "sketch_theta_set_algebra", "host_authority", "pricing_summary",
-    "tfidf_title_match", "host_cap", "dedup_passage_spans",
-    "ann_cosine_topk", "ann_cosine_ivf", "text_langid", "text_quality",
-    "text_token_count", "text_fingerprint", "text_pii_scrub",
-    "corpus_filter_pipeline", "grouped_ewma", "multimodal_binary_meta",
-    "multimodal_feature_extract", "dedup_cluster_cc", "quality_pacing",
-    "line_dedupe", "sequence_packing", "corpus_prep_pipeline",
-    "stream_tumbling_agg", "stream_sliding_agg", "stream_dedup",
-    "stream_session_agg", "stream_stateful_user_stats",
-    "text_repetition", "decontaminate_ngram_overlap",
-    "text_unigram_logprob", "stream_stream_join", "events_gap_fill",
-    "data_quality_audit", "scd2_dim_update", "leakage_safe_split",
-    "cdc_apply", "line_quality", "embedding_classifier_score",
-    "sketch_hll_merge", "funnel_analysis", "corpus_stats_exact",
-    "rollup_incremental_refresh", "corpus_mix_resample",
-    "boilerplate_lines", "quality_pacing_by_group", "fact_royalty",
-    "rest_ingest_distributed", "kafka_wire_roundtrip",
-    "sketch_approx_stats", "distinct_rows",
+    "dedup_embedding_lsh_banded", "ann_recall_at_k",
+    "ann_ivf_kmeans_refine", "domain_fact_royalty",
+    "domain_split_royalty_report", "interval_coalesce", "html_extract",
+    "select_rename", "membership_filter", "contamination_report",
+    "split_royalty_union", "percent_rate_normalization",
+    "dedup_keep_first", "broadcast_dim_join", "composite_key_join",
+    "window_order_totals", "incremental_merge", "semi_anti_join",
+    "levenshtein_ratio_join", "parent_allocation",
+    "count_distinct_per_group", "grouping_rollup", "multikey_rollup",
+    "registrable_domain_psl", "case_categorize", "conditional_measures",
+    "string_cleanup", "date_functions", "date_dim_generate",
+    "phash_near_dup", "top_k_per_group", "union_by_name",
+    "set_intersect_except", "null_fill_sentinels", "json_props_extract",
+    "explode_line_items", "sft_ingest_stream", "quantile_stats",
+    "range_join_attribution", "regional_supplier_volume",
+    "conversation_pack", "sessionize_events", "shipping_priority",
+    "skew_salted_join", "host_disjoint_split", "token_mixture",
+    "asof_join", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
 )
 
 

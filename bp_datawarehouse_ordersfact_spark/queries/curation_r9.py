@@ -70,9 +70,12 @@ _URL_FIXTURE = [
 ]
 
 
-@register(
-    "url_canonicalize",
-    """
+# RETIRED round 13 (r12 VERDICT #1): superseded in the registry by the
+# activated `registrable_domain_psl` (queries/staged_r14.py) — the EXACT
+# public-suffix lookup over the same host layer; the canonicalization
+# Column rules stay pinned every pytest run via RETIRED below and
+# rule-by-rule in tests/test_urls.py.
+_URL_CANONICALIZE_ORACLE = """
     SELECT * FROM (VALUES
       (CAST(1 AS INT), 'http://example.com/a/b?a=1&b=2', 'www.example.com', 'example.com'),
       (CAST(2 AS INT), 'https://sub.shop.example.co.uk:8443/index.html', 'sub.shop.example.co.uk', 'example.co.uk'),
@@ -85,8 +88,9 @@ _URL_FIXTURE = [
       (CAST(9 AS INT), 'https://a.b.example.com/x?y', 'a.b.example.com', 'example.com'),
       (CAST(10 AS INT), 'https://example.com/', 'example.com', 'example.com')
     ) AS t(url_id, canon, host, domain)
-    """,
-)
+    """
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + host extraction + registrable domain
     (`functions/urls.py` — the web-corpus curation key layer) over a
@@ -266,3 +270,15 @@ def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Retired registry queries (round 13, r12 VERDICT #1): unregistered to
+# free capped slots for the staged_r14/r15 activations, but still pinned
+# against their original oracles every pytest run
+# (tests/test_retired_queries.py).
+# ---------------------------------------------------------------------------
+
+RETIRED: dict[str, tuple] = {
+    "url_canonicalize": (q_url_canonicalize, _URL_CANONICALIZE_ORACLE),
+}

@@ -20,6 +20,7 @@ EXCLUDED = {
     "domain_fact_royalty": "fixed-size fixtures — ignores sf_dir",
     "domain_split_royalty_report": "fixed-size fixtures — ignores sf_dir",
     "host_authority": "fixture-bound planted link graph — ignores sf_dir",
+    "sft_ingest_stream": "fixture-bound rendered JSONL feed — ignores sf_dir",
 }
 
 

@@ -46,8 +46,6 @@ def oracle_frames(con):
     )
     from bp_datawarehouse_ordersfact_spark.queries import (
         staged_eval,
-        staged_r14,
-        staged_r15,
         staged_r16,
         staged_r17,
         staged_r18,
@@ -63,7 +61,7 @@ def oracle_frames(con):
     # the activation is still a mechanical edit (r10; staged_r10's
     # oracles were only convention-checked once activated)
     for mod in (
-        staged_eval, staged_r14, staged_r15, staged_r16,
+        staged_eval, staged_r16,
         staged_r17, staged_r18, staged_r19, staged_r20,
     ):
         for name, sql in mod.ORACLES.items():
@@ -126,8 +124,8 @@ def test_oracles_sort_under_driver_canonicalization(oracle_frames):
 
 
 def test_staged_modules_and_registry_names_are_pairwise_disjoint():
-    """With staged modules queued (r14-r20 after the round-12 double
-    activation), two defining the same
+    """With staged modules queued (r16-r20 + staged_eval after the
+    round-13 double activation), two defining the same
     query name — or a staged name colliding with a live registry one —
     would make an activation silently overwrite a dict entry instead of
     adding a row. Every staged module's names must be disjoint from
@@ -136,8 +134,6 @@ def test_staged_modules_and_registry_names_are_pairwise_disjoint():
     there are none staged)."""
     from bp_datawarehouse_ordersfact_spark.queries import (
         staged_eval,
-        staged_r14,
-        staged_r15,
         staged_r16,
         staged_r17,
         staged_r18,
@@ -146,7 +142,7 @@ def test_staged_modules_and_registry_names_are_pairwise_disjoint():
     )
 
     mods = [
-        staged_eval, staged_r14, staged_r15, staged_r16,
+        staged_eval, staged_r16,
         staged_r17, staged_r18, staged_r19, staged_r20,
     ]
     live = set(Q.all_queries())

@@ -190,8 +190,14 @@ def test_scd2_single_full_outer_join_one_dim_scan_per_branch(spark):
 
 def test_events_gap_fill_two_exchanges_local_fill_sort(spark):
     # span agg + daily rollup are the only exchanges; the fill window
-    # reuses the span aggregate's user_id partitioning (local sort only)
-    p = plan_of(spark, "events_gap_fill")
+    # reuses the span aggregate's user_id partitioning (local sort only).
+    # events_gap_fill RETIRED from the registry in round 13 — the plan
+    # pin rides the RETIRED dict (retirement moved it out of the driver
+    # window, not out of the performance contract).
+    from bp_datawarehouse_ordersfact_spark.queries.relational import RETIRED
+
+    fn, _ = RETIRED["events_gap_fill"]
+    p = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert p.count("Exchange hashpartitioning") == 2
     assert "BroadcastHashJoin" in p
     assert "Window" in p

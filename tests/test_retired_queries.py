@@ -5,7 +5,12 @@ Round 9 (r8 VERDICT #1) retired `rolling_window_avg`,
 (r9 VERDICT #1) retired `sample_stratified`, `text_chunking`, and
 `dedup_ngram_jaccard` (llmops.RETIRED); round 11 (r10 VERDICT #1)
 retired `threshold_filter`, `window_rank_functions`, and
-`correlated_exists_rewrite` (relational.RETIRED). Each freed a capped
+`correlated_exists_rewrite` (relational.RETIRED); round 12 (r11 VERDICT
+#1/#4) retired `cube_summary`, `listagg_per_group`,
+`variant_props_extract`, `retention_cohorts` (relational.RETIRED) and
+`sketch_kll_quantile_merge` (sketches_r6.RETIRED); round 13 (r12
+VERDICT #1) retired `top_k`, `events_gap_fill` (relational.RETIRED)
+and `url_canonicalize` (curation_r9.RETIRED). Each freed a capped
 registry slot for a curation/SFT-layer query. Retirement changes WHO checks
 them, not whether they are checked: this runs the exact driver-style
 comparison (tests/parity.py's fetchdf + dtype-sensitive frames_match,
@@ -20,7 +25,12 @@ import pytest
 from pyspark.sql import SparkSession
 
 from bp_datawarehouse_ordersfact_spark.functions.rounding import sql_rewrite_rounds
-from bp_datawarehouse_ordersfact_spark.queries import llmops, relational, sketches_r6
+from bp_datawarehouse_ordersfact_spark.queries import (
+    curation_r9,
+    llmops,
+    relational,
+    sketches_r6,
+)
 from tests.parity import frames_match
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -29,6 +39,7 @@ RETIRED: dict[str, tuple] = {
     **relational.RETIRED,
     **llmops.RETIRED,
     **sketches_r6.RETIRED,
+    **curation_r9.RETIRED,
 }
 
 
@@ -55,7 +66,12 @@ def con():
 
 
 def test_retiree_dicts_are_disjoint():
-    mods = (relational.RETIRED, llmops.RETIRED, sketches_r6.RETIRED)
+    mods = (
+        relational.RETIRED,
+        llmops.RETIRED,
+        sketches_r6.RETIRED,
+        curation_r9.RETIRED,
+    )
     total = sum(len(m) for m in mods)
     merged = set().union(*(set(m) for m in mods))
     assert len(merged) == total, "query retired in two modules"

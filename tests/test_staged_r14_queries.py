@@ -45,14 +45,19 @@ def test_staged_r14_query_passes_driver_comparison(spark, name):
     assert ok, f"{name}: {msg}"
 
 
-def test_staged_module_is_not_yet_registered():
-    """Staging contract: the name must NOT be in the live registry (the
-    registry is at its 100-entry rotation cap) until the round-14
-    activation swaps it in."""
+def test_staged_module_is_activated():
+    """Activation contract (round 13, one round ahead of the original
+    plan per the accelerated schedule): `registrable_domain_psl` is live
+    in the registry and oracle-paired, holding a capped slot freed by
+    the round-13 retirements (`url_canonicalize` — which this exact-PSL
+    row supersedes — stays oracle-pinned via curation_r9.RETIRED).
+    Window membership is NOT pinned (activation-round-only fact)."""
     from bp_datawarehouse_ordersfact_spark import queries as Q
 
     live = set(Q.all_queries())
-    assert not (set(staged_r14.QUERIES) & live)
+    missing = set(staged_r14.QUERIES) - live
+    assert not missing, f"staged queries not in the registry: {missing}"
+    assert set(staged_r14.QUERIES) <= set(Q.all_oracles())
 
 
 # --- pure-Python PSL twin ----------------------------------------------------

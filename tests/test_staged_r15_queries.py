@@ -47,14 +47,20 @@ def test_staged_r15_query_passes_driver_comparison(spark, name):
     assert ok, f"{name}: {msg}"
 
 
-def test_staged_module_is_not_yet_registered():
-    """Staging contract: the name must NOT be in the live registry (the
-    registry is at its 100-entry rotation cap) until the round-15
-    activation swaps it in."""
+def test_staged_module_is_activated():
+    """Activation contract (round 13, two rounds ahead of the original
+    plan per the accelerated schedule): both names are live in the
+    registry and oracle-paired, holding capped slots freed by the
+    round-13 retirements. `sft_ingest_stream` is fixture-bound and
+    bench-EXCLUDED with a recorded reason
+    (tests/test_bench_coverage.py). Window membership is NOT pinned
+    (activation-round-only fact)."""
     from bp_datawarehouse_ordersfact_spark import queries as Q
 
     live = set(Q.all_queries())
-    assert not (set(staged_r15.QUERIES) & live)
+    missing = set(staged_r15.QUERIES) - live
+    assert not missing, f"staged queries not in the registry: {missing}"
+    assert set(staged_r15.QUERIES) <= set(Q.all_oracles())
 
 
 def test_phash_values_rederive_from_numpy_replica():
