@@ -497,3 +497,134 @@ def test_psi_edges_helper_matches_operator_default_path(spark):
     assert a == b
     with pytest.raises(ValueError):
         psi_drift(base, cur, "v", edges=[1.0, 2.0])  # wrong edge count
+
+def test_roc_auc_bucket_invariance(spark):
+    """r12 VERDICT #2 rewrite: n_buckets shapes PARALLELISM only — the
+    AUC must be bit-identical across bucket counts, incl. 1 (pure
+    serial) and > |distinct scores| (one value per bucket)."""
+    rows = [
+        ("a", float((i * 37) % 101) / 101.0, (i * 7) % 3 == 0)
+        for i in range(120)
+    ] + [
+        ("b", float((i * 53) % 97) / 97.0, (i * 11) % 2 == 0)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "grp string, s double, y boolean")
+    want = {
+        g: round(_py_auc([(s, int(y)) for gg, s, y in rows if gg == g]), 6)
+        for g in ("a", "b")
+    }
+    for nb in (1, 7, 1024):
+        got = {
+            r["grp"]: r
+            for r in roc_auc_per_group(
+                df, "s", "y", ["grp"], n_buckets=nb
+            ).collect()
+        }
+        for g in ("a", "b"):
+            assert abs(got[g]["auc"] - want[g]) < 1e-9, (g, nb)
+    with pytest.raises(ValueError):
+        roc_auc_per_group(df, "s", "y", ["grp"], n_buckets=0)
+
+
+def test_roc_auc_plan_has_no_whole_group_sort_window(spark):
+    """The r12 VERDICT #2 scale fix, pinned at the plan level: the old
+    row_number().over(partitionBy(group).orderBy(score)) serialized each
+    group into ONE task. After the ks_drift-style rewrite, every window
+    that orders by the score must be partitioned by (group, bucket) —
+    a windowspecdefinition ordering __s without __bk in its partition
+    spec is the regression — and no per-row ranking function may appear
+    at all."""
+    import re
+
+    rows = [("a", float(i % 50), i % 2) for i in range(200)]
+    df = spark.createDataFrame(rows, "grp string, s double, y int")
+    plan = (
+        roc_auc_per_group(df, "s", "y", ["grp"], n_buckets=8)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "row_number" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "__s" in spec:
+            assert "__bk" in spec, f"score window lost its partition: {spec}"
+
+
+def test_precision_recall_at_empty_input_reports_zero_counts(spark):
+    """r12 ADVICE #1: sums over ZERO rows are NULL — the counts must
+    coalesce to 0 (empty input ≠ failed count), matching the ks_drift
+    totals fix. Precision/recall/f1 stay NULL (0/0 would lie)."""
+    empty = spark.createDataFrame([], "s double, y int")
+    rows = precision_recall_at(empty, "s", "y", [0.25, 0.75]).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_pred_pos"] == 0 and r["n_excluded"] == 0
+        assert r["precision"] is None and r["recall"] is None
+        assert r["f1"] is None
+
+
+def test_calibration_ece_empty_input_reports_zero_excluded(spark):
+    """r12 ADVICE #2: the anchor row must carry n_excluded = 0 (not
+    NULL) on a fully empty input — the docstring promises the anchor
+    row always reports."""
+    empty = spark.createDataFrame([], "s double, y int")
+    rows = calibration_ece(empty, "s", "y").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["bin"] is None and r["n"] == 0 and r["n_excluded"] == 0
+
+def test_ks_binned_within_bin_mass_bound_of_exact(spark):
+    """r12 VERDICT #4: the binned tier can only UNDERestimate, and by at
+    most the max bin mass across both sides —
+    D_binned <= D_exact <= D_binned + max_i max(p_i, q_i) — pinned on a
+    planted location shift."""
+    from bp_datawarehouse_ordersfact_spark.operators.evaluation import (
+        cdf_at_edges,
+        ks_binned,
+        ks_drift,
+        psi_edges,
+    )
+
+    base = [float((i * 37) % 101) for i in range(400)]
+    cur = [float((i * 53) % 97) + 20.0 for i in range(300)]  # shifted
+    bdf = spark.createDataFrame([(v,) for v in base], "v double")
+    cdf_ = spark.createDataFrame([(v,) for v in cur], "v double")
+    k = 20
+    edges = psi_edges(bdf, "v", k)
+    base_cdf = cdf_at_edges(bdf, "v", edges)
+    got = ks_binned(cdf_, "v", edges, base_cdf, include_raw=True).collect()[0]
+    exact = ks_drift(bdf, cdf_, "v", include_raw=True).collect()[0]
+    assert got["n_cur"] == 300
+
+    # python twin of the bin masses: share of each side in each
+    # edge-delimited bin (k bins: (-inf, e0], (e0, e1], ..., (e_{k-2}, inf))
+    def masses(vals):
+        cum = [sum(1 for v in vals if v <= e) for e in edges] + [len(vals)]
+        prev, out = 0, []
+        for c in cum:
+            out.append((c - prev) / len(vals))
+            prev = c
+        return out
+
+    bound = max(
+        max(p, q) for p, q in zip(masses(base), masses(cur))
+    )
+    assert got["__d_raw"] <= exact["__d_raw"] + 1e-12  # never overestimates
+    assert exact["__d_raw"] <= got["__d_raw"] + bound + 1e-12
+    # on this hard shift the approximation still alarms decisively
+    assert got["d_stat"] > 0.1
+
+    # contract errors
+    with pytest.raises(ValueError):
+        ks_binned(cdf_, "v", edges, base_cdf[:-1])
+    with pytest.raises(ValueError):
+        ks_binned(cdf_, "v", list(reversed(edges)), list(reversed(base_cdf)))
+    with pytest.raises(ValueError):
+        ks_binned(cdf_, "v", [], [])
+    with pytest.raises(ValueError):
+        cdf_at_edges(spark.createDataFrame([(None,)], "v double"), "v", edges)
+    # all-NULL current: counts report 0, d_stat NULL (not a fabricated 0)
+    nulls = spark.createDataFrame([(None,)], "v double")
+    r = ks_binned(nulls, "v", edges, base_cdf).collect()[0]
+    assert r["n_cur"] == 0 and r["d_stat"] is None
