@@ -9,6 +9,7 @@ batch-equivalent runs (that's what the correctness oracle checks).
 
 from __future__ import annotations
 
+import logging
 import os
 import tempfile
 import uuid
@@ -16,8 +17,13 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from py4j.protocol import Py4JError
+from pyspark.errors import PySparkException
+
 from ..core.io import normalize_ntz
 from ..functions.rounding import rnd
+
+_LOG = logging.getLogger(__name__)
 
 
 def _swap_dir(spark: SparkSession, staging: str, live: str) -> None:
@@ -128,7 +134,24 @@ def _content_sink_key(batch_df: DataFrame, batch_id: int) -> str:
             for r in batch_df.select(F.input_file_name()).distinct().collect()
             if r[0]
         )
-    except Exception:  # lineage probe must never fail the batch
+    except (PySparkException, Py4JError) as ex:
+        # NARROW except (r12 ADVICE #4): only the expected
+        # analysis/collect failure classes fall back — a bare
+        # `except Exception` let a TRANSIENT collect failure during a
+        # replay silently write a different (batch-{N}) partition key
+        # than the original run, resurrecting exactly the
+        # stale-partition double-count this key exists to prevent.
+        # Anything else (a bug) propagates and fails the batch loudly.
+        # The warning names the fallback key so a mixed-key sink is
+        # diagnosable from the logs.
+        _LOG.warning(
+            "file-lineage probe failed (%s: %s) — falling back to "
+            "batch-id sink key 'batch-%d'; if this batch is a replay, "
+            "its original content-keyed partition may remain stale",
+            type(ex).__name__,
+            ex,
+            int(batch_id),
+        )
         files = []
     if not files:
         return f"batch-{int(batch_id)}"
@@ -1289,34 +1312,62 @@ def run_score_drift_monitor_stream(
     alert_psi: float = 0.25,
     alert_ks: float = 0.1,
     files_per_trigger: int = 1,
+    ks_mode: str = "exact",
+    ks_bins: int = 100,
 ) -> None:
     """Streaming CONTINUOUS-distribution drift monitor: every
     micro-batch's ``value_col`` distribution is compared against the
     BASELINE snapshot with BOTH remaining drift metrics —
     ``evaluation.psi_drift`` (where the mass moved, the alert rule) and
-    ``evaluation.ks_drift`` (distribution-free max gap) — the
+    a two-sample KS statistic (distribution-free max gap) — the
     continuous companion to ``run_mixture_drift_monitor_stream``'s
     categorical JS. One sink row per PSI bin per batch, carrying the
     batch totals (``psi``, ``d_stat``) and an ``alerted`` flag
     (``psi > alert_psi OR d_stat > alert_ks``).
+
+    ``ks_mode`` picks the KS tier (r12 VERDICT #4):
+
+    - ``"exact"`` (default): ``evaluation.ks_drift`` — the exact
+      statistic, which re-aggregates the PERSISTED baseline's value
+      multiset per batch (linear over in-memory partitions; right for
+      availableNow replays and low-rate monitors).
+    - ``"binned"``: ``evaluation.ks_binned`` — D over the baseline's
+      PRECOMPUTED ``ks_bins``-quantile edge CDF (``cdf_at_edges``, one
+      job before the stream starts): every micro-batch pays ONE
+      aggregate over its own rows and the baseline is never touched —
+      constant per-batch cost for high-rate monitors. Approximate:
+      ``D_binned <= D_exact <= D_binned + max bin mass`` (~1/ks_bins on
+      the baseline side by quantile construction — see the operator's
+      docstring bound, pytest-pinned on a planted drift).
 
     Scale shape: the baseline's decile edges derive ONCE, BEFORE the
     stream starts (one exact-percentile job; every micro-batch passes
     them to ``psi_drift(edges=...)`` and pays only the count-per-bin
     aggregates — an r12 review caught the first version re-running the
     percentile + driver collect per batch), over the PERSISTED baseline
-    values; the KS prefix-sum re-aggregates the cached baseline values
-    per batch (linear over in-memory partitions — the exact statistic
-    needs the full value multiset; callers monitoring at higher rates
-    than that supports should drop to PSI-only on pre-binned counts).
+    values. The baseline stays persisted in BOTH modes: ``psi_drift``'s
+    per-bin base counts still scan the cached values each batch (one
+    map-side-combined count — the light aggregate); what ``"binned"``
+    removes is the HEAVY per-batch baseline pass, exact KS's
+    union + per-distinct-value groupBy + prefix-sum windows.
     Alerting compares the UNROUNDED totals (``include_raw`` — the
     ``mixture_drift`` convention; the 6dp reported columns can sit
     5e-7 from the cutoff). foreachBatch, availableNow, content-keyed
     idempotent sink (``_content_sink_key`` — replay and
     checkpoint-loss-safe like every sink in this module since r12).
     """
-    from ..operators.evaluation import ks_drift, psi_drift, psi_edges
+    from ..operators.evaluation import (
+        cdf_at_edges,
+        ks_binned,
+        ks_drift,
+        psi_drift,
+        psi_edges,
+    )
 
+    if ks_mode not in ("exact", "binned"):
+        raise ValueError(f"ks_mode must be 'exact' or 'binned', got {ks_mode!r}")
+    if ks_mode == "binned" and ks_bins < 2:
+        raise ValueError(f"ks_bins must be >= 2, got {ks_bins}")
     baseline = (
         spark.read.parquet(baseline_dir)
         .select(F.col(value_col).cast("double").alias("v"))
@@ -1333,6 +1384,12 @@ def run_score_drift_monitor_stream(
             f"baseline {baseline_dir!r} has no non-NULL {value_col!r} "
             "values — no distribution exists to monitor against"
         )
+    if ks_mode == "binned":
+        # precompute the KS edge CDF once; per batch, ks_binned never
+        # touches the baseline again (psi_drift's light count-per-bin
+        # aggregate still reads the cache, so it stays persisted)
+        ks_edges = psi_edges(baseline, "v", ks_bins)
+        base_cdf = cdf_at_edges(baseline, "v", ks_edges)
 
     schema = spark.read.parquet(docs_dir).schema
     src = (
@@ -1348,7 +1405,10 @@ def run_score_drift_monitor_stream(
         psi_tab = psi_drift(
             baseline, cur, "v", n_bins=n_bins, edges=edges, include_raw=True
         )
-        ks_row = ks_drift(baseline, cur, "v", include_raw=True)
+        if ks_mode == "binned":
+            ks_row = ks_binned(cur, "v", ks_edges, base_cdf, include_raw=True)
+        else:
+            ks_row = ks_drift(baseline, cur, "v", include_raw=True)
         out = (
             psi_tab.crossJoin(
                 F.broadcast(ks_row.select("d_stat", "__d_raw"))

@@ -945,3 +945,63 @@ def test_score_drift_monitor_stream_alerts_and_survives_checkpoint_loss(
     assert r["psi"] > 0.25 and r["d_stat"] > 0.1
     # per-batch PSI table shape: 10 bins each
     assert after.groupBy("ingest_key").count().collect()[0]["count"] == 10
+
+def test_score_drift_monitor_binned_ks_mode(spark, tmp_path):
+    """r12 VERDICT #4: ks_mode='binned' computes D over the baseline's
+    precomputed edge CDF — same alert decisions as exact on a planted
+    quiet/shifted pair, without re-aggregating the baseline multiset
+    per batch."""
+    import pytest
+
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import (
+        run_score_drift_monitor_stream,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    baseline_dir = str(tmp_path / "baseline")
+    out_dir = str(tmp_path / "drift_binned")
+
+    base_vals = [(i, float((i * 37) % 101)) for i in range(300)]
+    spark.createDataFrame(base_vals, "doc_id long, n_chars double").coalesce(
+        1
+    ).write.parquet(baseline_dir)
+    # quiet file (baseline generator) + hard-shifted file; with
+    # files_per_trigger=1 each part file is its own micro-batch
+    spark.createDataFrame(
+        base_vals[:150], "doc_id long, n_chars double"
+    ).coalesce(1).write.parquet(docs_dir)
+    spark.createDataFrame(
+        [(1000 + i, 500.0 + float(i % 7)) for i in range(100)],
+        "doc_id long, n_chars double",
+    ).coalesce(1).write.mode("append").parquet(docs_dir)
+
+    run_score_drift_monitor_stream(
+        spark,
+        docs_dir,
+        baseline_dir,
+        out_dir,
+        value_col="n_chars",
+        ks_mode="binned",
+    )
+    out = spark.read.parquet(out_dir)
+    keys = {r["ingest_key"] for r in out.select("ingest_key").collect()}
+    assert len(keys) == 2
+    hot = out.filter(F.col("alerted"))
+    hot_keys = {r["ingest_key"] for r in hot.select("ingest_key").collect()}
+    assert len(hot_keys) == 1  # only the shifted batch alarms
+    r = hot.collect()[0]
+    # the shift moves ALL current mass past the baseline max: even the
+    # binned D sees the full gap
+    assert r["d_stat"] > 0.9 and r["psi"] > 0.25
+    quiet = out.filter(~F.col("alerted"))
+    assert all(row["d_stat"] < 0.2 for row in quiet.collect())
+
+    with pytest.raises(ValueError):
+        run_score_drift_monitor_stream(
+            spark, docs_dir, baseline_dir, out_dir, ks_mode="nope"
+        )
+    with pytest.raises(ValueError):
+        run_score_drift_monitor_stream(
+            spark, docs_dir, baseline_dir, out_dir,
+            ks_mode="binned", ks_bins=1,
+        )
