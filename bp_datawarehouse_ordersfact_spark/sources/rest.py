@@ -143,12 +143,24 @@ def make_wc_fetcher(
     secret_secret: str = "wc-consumer-secret",
     transport=None,
     timeout_s: float = 30.0,
+    auth_mode: str = "basic",
 ) -> Fetcher:
     """Production ``Fetcher`` for the WooCommerce-shaped API (reference
     S1/S2), with credentials resolved through the S7 provider chain
     (``sources/secrets.get_secret`` — env override in dev/CI, mounted
     secrets dir or Secret Manager in production; resolved ONCE here,
     not per page, and never embedded in the returned closure's repr).
+
+    Credential transport — a DELIBERATE divergence from the reference
+    by default (r12 ADVICE #5): the reference passes
+    ``consumer_key``/``consumer_secret`` as QUERY PARAMETERS
+    (``dw2_wc_increment.py:145-150``), which leaks credentials into
+    access logs, proxies, and browser history; ``auth_mode="basic"``
+    (default) sends them as HTTP Basic auth instead — equivalent for
+    WooCommerce over HTTPS and safer for logs. Hosts that strip the
+    ``Authorization`` header (some CDN/proxy chains) break under Basic:
+    ``auth_mode="query"`` restores the reference's exact wire shape for
+    them.
 
     ``transport`` is any object with a ``get(url, params=, auth=,
     timeout=) -> response`` method (``requests`` by default, imported
@@ -163,6 +175,10 @@ def make_wc_fetcher(
     """
     from .secrets import get_secret
 
+    if auth_mode not in ("basic", "query"):
+        raise ValueError(
+            f"auth_mode must be 'basic' or 'query', got {auth_mode!r}"
+        )
     auth = (
         get_secret(project, key_secret),
         get_secret(project, secret_secret),
@@ -184,7 +200,14 @@ def make_wc_fetcher(
             params["after"] = window_start
         if window_end is not None:
             params["before"] = window_end
-        resp = transport.get(url, params=params, auth=auth, timeout=timeout_s)
+        if auth_mode == "query":
+            # the reference's exact wire shape (dw2_wc_increment.py:145-150)
+            params["consumer_key"], params["consumer_secret"] = auth
+            resp = transport.get(url, params=params, timeout=timeout_s)
+        else:
+            resp = transport.get(
+                url, params=params, auth=auth, timeout=timeout_s
+            )
         resp.raise_for_status()
         return resp.json()
 

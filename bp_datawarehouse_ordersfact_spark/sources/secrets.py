@@ -39,6 +39,7 @@ holder).
 from __future__ import annotations
 
 import os
+import warnings
 
 
 class _Opaque:
@@ -67,10 +68,39 @@ def _env_key(secret: str) -> str:
     return "SPARK_GRAFT_SECRET_" + secret.upper().replace("-", "_")
 
 
+def _warn_scope_collapse(provider: str, secret: str, project: str,
+                         version: str) -> None:
+    """The env and secrets-dir providers key on the SECRET NAME ONLY —
+    deliberately: an injected env var / mounted file is one payload, and
+    making deployers encode project+version into every variable name
+    would break the standard k8s/CI injection shape. That means lookups
+    for different projects, or for a pinned non-``latest`` version,
+    COLLAPSE to the same payload when served from these providers
+    (r12 ADVICE #3) — only the GCP provider honors the full
+    project/version-scoped ``get_gcp_secret`` contract
+    (``gcp_getsecrets.py:5-44``). Loud, not silent: a pinned version
+    served from an override warns so a rotation test can't mistake the
+    env payload for the pinned one."""
+    if version != "latest":
+        warnings.warn(
+            f"secret {secret!r}: version {version!r} requested but the "
+            f"{provider} provider is name-keyed and serves its single "
+            f"payload regardless of project ({project!r}) or version — "
+            "pin versions only against the GCP provider",
+            stacklevel=3,
+        )
+
+
 def get_secret(project: str, secret: str, version: str = "latest") -> str:
     """Resolve ``secret`` through the provider chain; memoized per
     (project, secret, version) for the process lifetime (the reference
     re-fetched per script — the anti-optimization SURVEY §4.2 names).
+
+    Scope note (r12 ADVICE #3): the env/file override providers are
+    name-keyed (see ``_warn_scope_collapse``) — distinct projects or a
+    pinned ``version`` collapse to the one injected payload there, with
+    a ``UserWarning`` when ``version != 'latest'``; full
+    project/version scoping applies only on the GCP provider.
 
     Raises ``SecretUnavailable`` with the full chain's diagnosis when
     nothing resolves — callers never see a bare KeyError/ImportError.
@@ -83,6 +113,7 @@ def get_secret(project: str, secret: str, version: str = "latest") -> str:
     env_name = _env_key(secret)
     val = os.environ.get(env_name)
     if val is not None:
+        _warn_scope_collapse(f"env:{env_name}", secret, project, version)
         _MEMO[key] = _Opaque(val)
         return val
     tried.append(f"env:{env_name} unset")
@@ -93,6 +124,7 @@ def get_secret(project: str, secret: str, version: str = "latest") -> str:
         if os.path.isfile(path):
             with open(path, "r", encoding="utf-8") as fh:
                 val = fh.read().rstrip("\n")
+            _warn_scope_collapse(f"file:{path}", secret, project, version)
             _MEMO[key] = _Opaque(val)
             return val
         tried.append(f"file:{path} not found")

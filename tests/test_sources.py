@@ -955,3 +955,77 @@ def test_runlog_never_kills_the_run_on_write_failure(tmp_path):
     log.step("third")
     lines = open(good_path, encoding="utf-8").read().splitlines()
     assert len(lines) == 1  # only the pre-failure step landed
+
+def test_secret_override_providers_warn_on_pinned_version(monkeypatch):
+    """r12 ADVICE #3: env/file providers are name-keyed — a pinned
+    non-latest version served from them warns loudly instead of
+    silently collapsing to the injected payload."""
+    import warnings as W
+
+    from bp_datawarehouse_ordersfact_spark.sources import secrets as S
+
+    S.clear_secret_cache()
+    monkeypatch.setenv("SPARK_GRAFT_SECRET_PINNED_CHECK", "payload")
+    with W.catch_warnings(record=True) as got:
+        W.simplefilter("always")
+        assert S.get_secret("projA", "pinned-check", version="7") == "payload"
+    assert any("version '7'" in str(w.message) for w in got)
+    # latest from an override is the designed path: no warning
+    with W.catch_warnings(record=True) as got:
+        W.simplefilter("always")
+        assert S.get_secret("projA", "pinned-check") == "payload"
+    assert not got
+    S.clear_secret_cache()
+
+
+def test_make_wc_fetcher_query_auth_mode_matches_reference_wire_shape(
+    monkeypatch,
+):
+    """r12 ADVICE #5: auth_mode='query' restores the reference's exact
+    credential transport (consumer_key/consumer_secret as query params,
+    dw2_wc_increment.py:145-150) for Authorization-stripping hosts;
+    anything else raises."""
+    import pytest
+
+    from bp_datawarehouse_ordersfact_spark.sources.rest import make_wc_fetcher
+    from bp_datawarehouse_ordersfact_spark.sources.secrets import (
+        clear_secret_cache,
+    )
+
+    clear_secret_cache()
+    monkeypatch.setenv("SPARK_GRAFT_SECRET_WC_CONSUMER_KEY", "ck_q")
+    monkeypatch.setenv("SPARK_GRAFT_SECRET_WC_CONSUMER_SECRET", "cs_q")
+
+    calls = []
+
+    class FakeResp:
+        @staticmethod
+        def raise_for_status():
+            pass
+
+        @staticmethod
+        def json():
+            return []
+
+    class FakeTransport:
+        def get(self, url, params=None, auth=None, timeout=None):
+            calls.append((dict(params), auth))
+            return FakeResp()
+
+    fetcher = make_wc_fetcher(
+        "https://shop.example/wp-json/wc/v3",
+        "orders",
+        transport=FakeTransport(),
+        auth_mode="query",
+    )
+    fetcher(1, 50, None, None)
+    params, auth = calls[0]
+    assert auth is None  # never doubled into the header
+    assert params["consumer_key"] == "ck_q"
+    assert params["consumer_secret"] == "cs_q"
+    with pytest.raises(ValueError):
+        make_wc_fetcher(
+            "https://x", "orders", transport=FakeTransport(),
+            auth_mode="header",
+        )
+    clear_secret_cache()
