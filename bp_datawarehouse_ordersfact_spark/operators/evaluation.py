@@ -827,8 +827,7 @@ def ks_binned(
         F.count(F.lit(1)).cast("long").alias("n_cur"),
         *[
             F.sum((v <= F.lit(float(e))).cast("long")).alias(f"__c{i}")
-            for i in range(len(edges))
-            for e in [edges[i]]
+            for i, e in enumerate(edges)
         ],
     )
     gaps = [
