@@ -113,11 +113,13 @@ def roc_auc_per_group(
     never the value (pinned by the bucket-invariance test, the
     ``ks_drift`` discipline).
 
-    Returns one row per group: ``n`` (ranked rows), ``n_pos``,
-    ``n_excluded``, ``auc`` (6dp).
+    Returns one row per group (``group_cols=[]`` computes the GLOBAL
+    AUC as ONE row — same prefix-sum plan, the ``ks_drift`` symmetry;
+    the only serial step is the offsets window over ≤ ``n_buckets``
+    rows): ``n`` (ranked rows), ``n_pos``, ``n_excluded``, ``auc``
+    (6dp). An empty input still reports (0, 0, 0, NULL) in global mode
+    — counts always report.
     """
-    if not group_cols:
-        raise ValueError("group_cols must be non-empty")
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     g = list(group_cols)
@@ -185,6 +187,10 @@ def roc_auc_per_group(
         Window.partitionBy(*g)
         .orderBy("__bk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        if g
+        else Window.orderBy("__bk").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
     )
     offsets = bucket_totals.select(
         *g,
@@ -215,17 +221,24 @@ def roc_auc_per_group(
     # null-SAFE join back (a NULL group label is still a group — the
     # outlier_iqr_per_group posture); excl is the full group set, so it
     # anchors the output and all-excluded groups still report
-    excl = base.groupBy(*group_cols).agg(
-        F.sum((~F.col("__ok")).cast("long")).cast("long").alias("n_excluded")
+    # coalesce: in GLOBAL mode this aggregate runs even over an empty
+    # input (groupBy() always yields one row) and its sum would be NULL
+    # — counts always report (the r12 ADVICE posture)
+    excl = base.groupBy(*g).agg(
+        F.coalesce(F.sum((~F.col("__ok")).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_excluded")
     )
     pg = per_group.select(
-        *[F.col(c).alias(f"__g{i}") for i, c in enumerate(group_cols)],
+        *[F.col(c).alias(f"__g{i}") for i, c in enumerate(g)],
         "n",
         "n_pos",
         "__pos_rank_sum",
     )
+    if not g:
+        pg = F.broadcast(pg)  # one-row global frame
     cond = F.lit(True)
-    for i, c in enumerate(group_cols):
+    for i, c in enumerate(g):
         cond = cond & F.col(c).eqNullSafe(F.col(f"__g{i}"))
     n_pos = F.col("n_pos").cast("double")
     n_neg = (F.col("n") - F.col("n_pos")).cast("double")

@@ -119,8 +119,19 @@ def test_roc_auc_matches_python_twin_with_ties_nulls_one_class(spark):
     assert got["d"]["auc"] is None
     assert got["d"]["n"] == 0 and got["d"]["n_excluded"] == 2
     assert got[None]["auc"] == 1.0 and got[None]["n"] == 2
-    with pytest.raises(ValueError):
-        roc_auc_per_group(df, "s", "y", [])
+    # group_cols=[] = GLOBAL AUC (round 13; the ks_drift symmetry) —
+    # one row, same prefix-sum plan, twin-checked over ALL rows pooled
+    glob = roc_auc_per_group(df, "s", "y", []).collect()
+    assert len(glob) == 1
+    want_glob = _py_auc(
+        [(s, y) for _, s, y in rows if s is not None and y is not None]
+    )
+    assert abs(glob[0]["auc"] - round(want_glob, 6)) < 1e-9
+    assert glob[0]["n"] == 14 and glob[0]["n_excluded"] == 2
+    # empty input in global mode: counts report 0, never NULL
+    empty = spark.createDataFrame([], "grp string, s double, y int")
+    e = roc_auc_per_group(empty, "s", "y", []).collect()[0]
+    assert (e["n"], e["n_pos"], e["n_excluded"], e["auc"]) == (0, 0, 0, None)
 
 
 def test_roc_auc_rejects_non_binary_labels(spark):
