@@ -260,37 +260,48 @@ def precision_recall_at(
     score_col: str,
     label_col: str,
     thresholds: list[float],
+    *,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Precision / recall / F1 at each threshold in one corpus scan —
     the operating-point companion to ``roc_auc_per_group`` (AUC says
     the ranking is good; this says WHERE to cut it for a target
     precision, the decision a corpus filter actually ships with).
+    ``group_cols`` computes the sweep PER GROUP (round 13 — the grain
+    filters actually ship at: one threshold can sit at 0.95 precision
+    on English and 0.6 on a low-resource language; a NULL group label
+    is still a group, the module-wide posture).
 
     A document counts as predicted-positive at threshold ``t`` when
     ``score >= t``. NULL scores/labels are excluded (counted once in
-    ``n_excluded``, repeated per row). Precision at a threshold nothing
-    clears is NULL (0/0 — reporting 1.0 or 0.0 would both lie); recall
-    with zero true positives in the data is NULL likewise.
+    ``n_excluded``, repeated per row — per group in grouped mode).
+    Precision at a threshold nothing clears is NULL (0/0 — reporting
+    1.0 or 0.0 would both lie); recall with zero true positives in the
+    data is NULL likewise.
 
     Scale shape: the classic distributed form — ONE aggregate computes
     (tp, fp) for every threshold via per-threshold conditional sums
     (map-side combined; 2 expressions per threshold, so even a
     1000-point sweep is a 2000-aggregate pass, well under the
     ``corr_matrix`` chunking knee), then the per-threshold arithmetic
-    runs on a 1-row frame exploded to ``len(thresholds)`` rows. The
-    corpus is scanned exactly once regardless of threshold count.
+    runs on the |groups|-row frame exploded to
+    ``|groups| × len(thresholds)`` rows. The corpus is scanned exactly
+    once regardless of threshold count; grouped mode adds only the
+    group key to the one shuffle.
 
-    Returns per threshold: ``threshold``, ``n_pred_pos`` (bigint),
-    ``precision``, ``recall``, ``f1`` (6dp), ``n_excluded`` (bigint).
+    Returns per (group,) threshold: group cols, ``threshold``,
+    ``n_pred_pos`` (bigint), ``precision``, ``recall``, ``f1`` (6dp),
+    ``n_excluded`` (bigint).
     """
     if not thresholds:
         raise ValueError("thresholds must be non-empty")
     if len(set(thresholds)) != len(thresholds):
         raise ValueError(f"thresholds must be distinct, got {thresholds!r}")
+    g = list(group_cols or [])
     s = F.col(score_col).cast("double")
     lab = F.col(label_col).cast("int")
     ok = s.isNotNull() & lab.isNotNull()
-    base = df.select(s.alias("__s"), lab.alias("__y"), ok.alias("__ok"))
+    base = df.select(*g, s.alias("__s"), lab.alias("__y"), ok.alias("__ok"))
     # every count is coalesced to 0: a global aggregate over ZERO rows
     # yields NULL sums, and the counts-always-report posture promises
     # n_pred_pos/n_excluded 0, not NULL, on an empty input — the same
@@ -312,7 +323,7 @@ def precision_recall_at(
             cnt(pred & (F.col("__y") == 1), f"__tp{i}"),
             cnt(pred & (F.col("__y") == 0), f"__fp{i}"),
         ]
-    wide = base.agg(*aggs)
+    wide = base.groupBy(*g).agg(*aggs) if g else base.agg(*aggs)
 
     def row(i, t):
         tp = F.col(f"__tp{i}").cast("double")
@@ -330,7 +341,8 @@ def precision_recall_at(
         )
 
     rows = [row(i, t) for i, t in enumerate(thresholds)]
-    return wide.select(F.explode(F.array(*rows)).alias("p")).select(
+    return wide.select(*g, F.explode(F.array(*rows)).alias("p")).select(
+        *g,
         "p.threshold",
         "p.n_pred_pos",
         "p.precision",

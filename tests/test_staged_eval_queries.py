@@ -639,3 +639,39 @@ def test_ks_binned_within_bin_mass_bound_of_exact(spark):
     nulls = spark.createDataFrame([(None,)], "v double")
     r = ks_binned(nulls, "v", edges, base_cdf).collect()[0]
     assert r["n_cur"] == 0 and r["d_stat"] is None
+
+def test_precision_recall_at_grouped_matches_python_twin(spark):
+    """Round-13 grouped tier: per-group sweeps equal the global sweep
+    run on each group's rows alone; NULL group labels are groups;
+    per-group n_excluded."""
+    rows = [
+        ("en", 0.9, 1), ("en", 0.8, 1), ("en", 0.7, 0), ("en", 0.2, 0),
+        ("fr", 0.9, 0), ("fr", 0.6, 1), ("fr", 0.1, 1),
+        (None, 0.5, 1), (None, None, 1), (None, 0.4, None),
+    ]
+    df = spark.createDataFrame(rows, "lang string, s double, y int")
+    ts = [0.5, 0.75]
+    got = {
+        (r["lang"], r["threshold"]): r
+        for r in precision_recall_at(
+            df, "s", "y", ts, group_cols=["lang"]
+        ).collect()
+    }
+    assert len(got) == 6  # 3 groups x 2 thresholds
+    for lang in ("en", "fr", None):
+        sub = spark.createDataFrame(
+            [(s, y) for g, s, y in rows if g == lang], "s double, y int"
+        )
+        want = {
+            r["threshold"]: r
+            for r in precision_recall_at(sub, "s", "y", ts).collect()
+        }
+        for t in ts:
+            a, b = got[(lang, t)], want[t]
+            for c in ("n_pred_pos", "precision", "recall", "f1",
+                      "n_excluded"):
+                assert a[c] == b[c], (lang, t, c, a[c], b[c])
+    assert got[(None, 0.5)]["n_excluded"] == 2
+    # hand-check one cell: en@0.75 -> preds {0.9, 0.8} both pos
+    assert got[("en", 0.75)]["precision"] == 1.0
+    assert got[("en", 0.75)]["recall"] == 1.0
