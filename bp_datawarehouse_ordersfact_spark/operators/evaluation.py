@@ -358,64 +358,75 @@ def calibration_ece(
     label_col: str,
     *,
     n_bins: int = 10,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Reliability table + expected calibration error over uniform
     score bins on [0, 1]: per non-empty bin, mean predicted score
     (confidence), positive fraction (empirical accuracy), and the
-    |gap|; ``ece`` repeats the corpus-level ``Σ (n_b/N)·|gap_b|`` on
-    every row so the table is self-contained (the window total runs
-    over ≤ ``n_bins`` rows — constant-size state).
+    |gap|; ``ece`` repeats the (per-group) ``Σ (n_b/N)·|gap_b|`` total
+    on every row so the table is self-contained (the window total runs
+    over ≤ ``n_bins`` rows per group — constant-size state).
+    ``group_cols`` computes a reliability table and ECE PER GROUP
+    (round 13, completing the group grain across the eval layer:
+    "score 0.9 means 90%" can hold on the corpus and fail on one
+    source); a NULL group label is still a group.
 
     Scores must lie in [0, 1] (a filter classifier's probability
     output); out-of-range or NULL scores and NULL labels are EXCLUDED
     from the table and surface in the per-row ``n_excluded`` companion
     column rather than silently vanishing — INCLUDING when everything
     is excluded: the output anchors on the exclusion aggregate (the
-    ``roc_auc_per_group`` posture), so a completely broken scorer
-    yields one row (NULL ``bin``, ``n`` 0, NULL stats, full
-    ``n_excluded``) instead of an empty frame indistinguishable from an
-    empty input (r12 review). ``score == 1.0`` lands in the top bin
-    (the standard half-open binning with a closed top).
+    ``roc_auc_per_group`` posture), so a completely broken scorer — or
+    one broken GROUP — yields one anchor row (NULL ``bin``, ``n`` 0,
+    NULL stats, full ``n_excluded``) instead of vanishing (r12 review).
+    ``score == 1.0`` lands in the top bin (the standard half-open
+    binning with a closed top).
 
-    Scale shape: one map-side-combined aggregate to ``n_bins`` rows,
-    then window arithmetic over those rows — the corpus is scanned
-    exactly once, nothing after the aggregate scales with it.
+    Scale shape: one map-side-combined aggregate to ``n_bins`` rows per
+    group, then window arithmetic over those rows — the corpus is
+    scanned exactly once (grouped mode only adds the group key to that
+    one shuffle), nothing after the aggregate scales with it.
 
-    Returns per non-empty bin: ``bin`` (0-based int), ``n`` (bigint),
-    ``avg_score``, ``frac_pos``, ``abs_gap``, ``ece`` (6dp), and
-    ``n_excluded`` (bigint, same on every row).
+    Returns per (group,) non-empty bin: group cols, ``bin`` (0-based
+    int), ``n`` (bigint), ``avg_score``, ``frac_pos``, ``abs_gap``,
+    ``ece`` (6dp), and ``n_excluded`` (bigint, same on every row of a
+    group).
     """
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    g = list(group_cols or [])
     s = F.col(score_col).cast("double")
     lab = F.col(label_col).cast("int")
     ok = s.isNotNull() & lab.isNotNull() & (s >= 0.0) & (s <= 1.0)
-    tagged = df.select(s.alias("__s"), lab.alias("__y"), ok.alias("__ok"))
+    tagged = df.select(*g, s.alias("__s"), lab.alias("__y"), ok.alias("__ok"))
     binned = tagged.filter("__ok").select(
+        *g,
         F.least(
             F.floor(F.col("__s") * n_bins).cast("int"), F.lit(n_bins - 1)
         ).alias("bin"),
         "__s",
         "__y",
     )
-    per_bin = binned.groupBy("bin").agg(
+    per_bin = binned.groupBy(*g, "bin").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.avg("__s").alias("__avg_score"),
         F.avg(F.col("__y").cast("double")).alias("__frac_pos"),
     )
     # coalesce: on a fully EMPTY input the sum is NULL, but the anchor
     # row's docstring contract is that n_excluded always reports — 0
-    # must be distinguishable from a failed count (r12 ADVICE)
-    excluded = tagged.agg(
+    # must be distinguishable from a failed count (r12 ADVICE). In
+    # grouped mode this anchors on the FULL group set (pre-filter).
+    excluded = tagged.groupBy(*g).agg(
         F.coalesce(F.sum((~F.col("__ok")).cast("long")), F.lit(0))
         .cast("long")
         .alias("n_excluded")
     )
-    everything = Window.partitionBy()
+    per_group = Window.partitionBy(*g)
     gap = F.abs(F.col("__avg_score") - F.col("__frac_pos"))
-    total = F.sum("n").over(everything).cast("double")
-    ece = F.sum(gap * F.col("n").cast("double")).over(everything) / total
+    total = F.sum("n").over(per_group).cast("double")
+    ece = F.sum(gap * F.col("n").cast("double")).over(per_group) / total
     table = per_bin.select(
+        *g,
         "bin",
         "n",
         rnd(F.col("__avg_score"), 6).alias("avg_score"),
@@ -423,10 +434,20 @@ def calibration_ece(
         rnd(gap, 6).alias("abs_gap"),
         rnd(ece, 6).alias("ece"),
     )
-    # LEFT join from the 1-row exclusion aggregate: with bins present
-    # this is the plain per-bin fan-out; with everything excluded it
-    # degrades to one NULL-bin row that still carries n_excluded
-    return excluded.join(table, F.lit(True), "left").select(
+    # LEFT join from the exclusion anchor (null-safe on group cols):
+    # with bins present this is the plain per-bin fan-out; an
+    # all-excluded group degrades to one NULL-bin row that still
+    # carries its n_excluded
+    t = table.select(
+        *[F.col(c).alias(f"__g{i}") for i, c in enumerate(g)],
+        *[c for c in table.columns if c not in g],
+    )
+    cond = F.lit(True)
+    for i, c in enumerate(g):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__g{i}"))
+    joined = excluded.join(t if g else F.broadcast(t), cond, "left")
+    return joined.select(
+        *g,
         "bin",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         "avg_score",

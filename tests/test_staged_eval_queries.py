@@ -675,3 +675,34 @@ def test_precision_recall_at_grouped_matches_python_twin(spark):
     # hand-check one cell: en@0.75 -> preds {0.9, 0.8} both pos
     assert got[("en", 0.75)]["precision"] == 1.0
     assert got[("en", 0.75)]["recall"] == 1.0
+
+def test_calibration_ece_grouped_matches_per_group_global(spark):
+    """Round-13 grouped tier: each group's table equals the global
+    operator run on that group's rows alone; an all-excluded group
+    anchors with its own NULL-bin row; NULL group labels are groups."""
+    rows = [
+        ("en", 0.05, 0), ("en", 0.12, 0), ("en", 0.93, 1), ("en", 1.0, 1),
+        ("fr", 0.45, 1), ("fr", 0.52, 0), ("fr", 0.58, 1),
+        # all-excluded group: out-of-range + NULLs only
+        ("broken", 1.7, 1), ("broken", None, 0), ("broken", 0.4, None),
+        (None, 0.31, 1), (None, 0.39, 0),
+    ]
+    df = spark.createDataFrame(rows, "lang string, s double, y int")
+    got = calibration_ece(df, "s", "y", n_bins=10, group_cols=["lang"])
+    by_group = {}
+    for r in got.collect():
+        by_group.setdefault(r["lang"], []).append(r)
+    assert set(by_group) == {"en", "fr", "broken", None}
+    for lang in ("en", "fr", None):
+        sub = spark.createDataFrame(
+            [(s, y) for gl, s, y in rows if gl == lang], "s double, y int"
+        )
+        want = sorted(
+            (tuple(r) for r in calibration_ece(sub, "s", "y",
+                                               n_bins=10).collect()),
+        )
+        have = sorted(tuple(r)[1:] for r in by_group[lang])
+        assert have == want, lang
+    b = by_group["broken"]
+    assert len(b) == 1 and b[0]["bin"] is None
+    assert b[0]["n"] == 0 and b[0]["n_excluded"] == 3
