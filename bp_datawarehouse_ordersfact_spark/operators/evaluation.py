@@ -40,15 +40,21 @@ from ..functions.rounding import rnd
 
 
 def _null_safe_join(
-    left: DataFrame, right: DataFrame, g: list[str], extra: list[str]
+    left: DataFrame,
+    right: DataFrame,
+    g: list[str],
+    extra: list[str],
+    how: str = "inner",
 ) -> DataFrame:
     """left JOIN right on the group cols (NULL-SAFE — a NULL group label
     is still a group) plus ``extra`` plain equi columns; right's group
     cols arrive aliased ``__g{i}`` and are dropped. With no group cols
     the right side is a small frame and broadcasts. Shared by
-    ``ks_drift`` and ``roc_auc_per_group`` (one definition of the
-    alignment rule, so the two prefix-sum plans can never diverge on
-    NULL-group handling)."""
+    ``ks_drift``, ``roc_auc_per_group``, and ``psi_drift_by_group``
+    (one definition of the alignment rule, so the prefix-sum/bin plans
+    can never diverge on NULL-group handling). ``extra`` columns under
+    ``how="left"`` keep the LEFT side's values (the right copies are
+    dropped), so unmatched rows keep their keys."""
     r = right.select(
         *[F.col(c).alias(f"__g{i}") for i, c in enumerate(g)],
         *[c for c in right.columns if c not in g],
@@ -58,7 +64,7 @@ def _null_safe_join(
         cond = cond & F.col(c).eqNullSafe(F.col(f"__g{i}"))
     for c in extra:
         cond = cond & (left[c] == r[c])
-    joined = left.join(r if g else F.broadcast(r), cond)
+    joined = left.join(r if g else F.broadcast(r), cond, how)
     drop = [f"__g{i}" for i in range(len(g))] + [r[c] for c in extra]
     return joined.drop(*drop)
 
@@ -606,6 +612,179 @@ def psi_drift(
         rnd(contrib, 6).alias("psi_contrib"),
         rnd(F.sum(contrib).over(everything), 6).alias("psi"),
         *raw,
+    )
+
+
+def psi_drift_by_group(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+    include_raw: bool = False,
+) -> DataFrame:
+    """PSI PER GROUP (round 13, completing the drift-per-source grain
+    across all three drift metrics next to grouped ``ks_drift`` and
+    keyed ``mixture_drift``): each group's bin edges are ITS OWN base
+    distribution's ``1/n_bins .. (n_bins−1)/n_bins`` exact quantiles,
+    so every group measures current-vs-expected mass against its own
+    baseline — a global PSI near 0 can hide one source whose scores
+    moved entirely. Same formula, eps floor, and binning convention as
+    ``psi_drift`` (``bin = Σ_edges (v > e)``); a NULL group label is
+    still a group.
+
+    Scale shape — NOTHING collects to the driver (the global form's
+    n_bins−1-double collect would become n_groups × that here):
+
+    1. per-group edges via ONE grouped exact-``percentile`` aggregate
+       over the base (n_groups rows, stays distributed);
+    2. both sides collapse to distinct (group, value) counts map-side
+       (one shuffle), then the bin index comes from a fan-out join
+       against the ≤ ``n_bins−1`` exploded edge rows per group — pure
+       codegen comparisons, no interpreted HOF, join amplification
+       bounded by n_bins−1 on DISTINCT values only;
+    3. per-(group, bin) subtotals; shares and the PSI total via a
+       window over ≤ ``n_bins`` rows per group.
+
+    Returns per group with a measurable base: ``n_bins`` rows (empty
+    bins included) — group cols, ``bin``, ``n_base``/``n_cur``
+    (bigint), ``p_share``/``q_share``/``psi_contrib``/``psi`` (6dp,
+    ``psi`` repeated per group; ``include_raw=True`` appends the
+    unrounded ``__psi_raw``). A group with NO non-NULL base values
+    (including current-only groups) cannot be measured — it still
+    reports ONE anchor row (NULL ``bin``, its true per-side counts,
+    NULL shares/psi) instead of vanishing: a source that appears from
+    nowhere or whose baseline went all-NULL is the loudest drift case
+    (the ``ks_drift`` anchor posture).
+    """
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty — use psi_drift for the "
+            "global form"
+        )
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if not 0.0 < eps < 1.0:
+        raise ValueError(f"eps must be in (0, 1), got {eps}")
+    g = list(group_cols)
+    v = F.col(value_col).cast("double")
+    tagged = base.select(*g, v.alias("__v"), F.lit(1).alias("__b")).unionByName(
+        current.select(*g, v.alias("__v"), F.lit(0).alias("__b"))
+    )
+    notnull = F.col("__v").isNotNull()
+    # anchor: the PRE-filter group set with per-side non-NULL counts —
+    # coalesced so zero-row groups (impossible) / all-NULL sides report 0
+    totals = tagged.groupBy(*g).agg(
+        F.coalesce(
+            F.sum(F.when(notnull & (F.col("__b") == 1), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__tot_base"),
+        F.coalesce(
+            F.sum(F.when(notnull & (F.col("__b") == 0), 1).otherwise(0)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("__tot_cur"),
+    )
+    probs = [i / n_bins for i in range(1, n_bins)]
+    # per-group edges: the SAME exact percentile as psi_edges/psi_drift,
+    # grouped — distributed, never collected
+    edges = (
+        base.select(*g, v.alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy(*g)
+        .agg(
+            F.percentile(
+                F.col("__v"), F.array(*[F.lit(p) for p in probs])
+            ).alias("__edges")
+        )
+    )
+    edge_rows = edges.select(
+        *g, F.posexplode("__edges").alias("__ei", "__e")
+    ).drop("__ei")
+    per_value = (
+        tagged.filter(notnull)
+        .groupBy(*g, "__v")
+        .agg(
+            F.sum("__b").cast("long").alias("__cb"),
+            F.sum(F.lit(1) - F.col("__b")).cast("long").alias("__cc"),
+        )
+    )
+    # bin = number of edges strictly below the value (the psi_drift
+    # convention) — inner join drops groups without edges; the totals
+    # anchor reinstates them as NULL-bin rows at the end
+    binned = (
+        _null_safe_join(per_value, edge_rows, g, [])
+        .groupBy(*g, "__v", "__cb", "__cc")
+        .agg(
+            F.sum((F.col("__v") > F.col("__e")).cast("int"))
+            .cast("int")
+            .alias("bin")
+        )
+    )
+    counts = binned.groupBy(*g, "bin").agg(
+        F.sum("__cb").cast("long").alias("__nb"),
+        F.sum("__cc").cast("long").alias("__nc"),
+    )
+    # full n_bins grid per MEASURABLE group (one with edges)
+    grid = edges.select(*g).crossJoin(
+        base.sparkSession.range(n_bins).select(
+            F.col("id").cast("int").alias("bin")
+        )
+    )
+    counts_full = _null_safe_join(grid, counts, g, ["bin"], how="left").select(
+        *g,
+        "bin",
+        F.coalesce("__nb", F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce("__nc", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    per_group = Window.partitionBy(*g)
+    tb = F.sum("n_base").over(per_group).cast("double")
+    tc = F.sum("n_cur").over(per_group).cast("double")
+    p = F.greatest(F.try_divide(F.col("n_base"), tb), F.lit(eps))
+    q = F.greatest(
+        F.coalesce(F.try_divide(F.col("n_cur"), tc), F.lit(0.0)), F.lit(eps)
+    )
+    contrib = (q - p) * F.log(q / p)
+    raw = (
+        [F.sum(contrib).over(per_group).alias("__psi_raw")]
+        if include_raw
+        else []
+    )
+    table = counts_full.select(
+        *g,
+        "bin",
+        "n_base",
+        "n_cur",
+        rnd(p, 6).alias("p_share"),
+        rnd(q, 6).alias("q_share"),
+        rnd(contrib, 6).alias("psi_contrib"),
+        rnd(F.sum(contrib).over(per_group), 6).alias("psi"),
+        *raw,
+    )
+    # reinstate unmeasurable groups (no base edges) from the anchor:
+    # left join totals -> table keeps measurable groups' n_bins rows and
+    # gives the rest ONE row with NULL bin/shares but true counts
+    out = _null_safe_join(totals, table, g, [], how="left")
+    raw_out = [F.col("__psi_raw")] if include_raw else []
+    return out.select(
+        *g,
+        "bin",
+        F.coalesce(F.col("n_base"), F.col("__tot_base"))
+        .cast("long")
+        .alias("n_base"),
+        F.coalesce(F.col("n_cur"), F.col("__tot_cur"))
+        .cast("long")
+        .alias("n_cur"),
+        "p_share",
+        "q_share",
+        "psi_contrib",
+        "psi",
+        *raw_out,
     )
 
 

@@ -706,3 +706,68 @@ def test_calibration_ece_grouped_matches_per_group_global(spark):
     b = by_group["broken"]
     assert len(b) == 1 and b[0]["bin"] is None
     assert b[0]["n"] == 0 and b[0]["n_excluded"] == 3
+
+def test_psi_drift_by_group_matches_global_per_group(spark):
+    """Round-13 grouped PSI: each measurable group's table equals the
+    global psi_drift run on that group's rows alone (same edges,
+    binning, eps floor); a group with no non-NULL base values — or
+    present only in current — anchors with ONE NULL-bin row carrying
+    its true counts."""
+    from bp_datawarehouse_ordersfact_spark.operators.evaluation import (
+        psi_drift,
+        psi_drift_by_group,
+    )
+
+    base_rows = (
+        [("en", float((i * 37) % 101)) for i in range(90)]
+        + [("fr", float((i * 53) % 97)) for i in range(70)]
+        + [(None, float(i % 11)) for i in range(30)]
+        + [("nullbase", None)] * 3          # base present but all-NULL
+    )
+    cur_rows = (
+        [("en", float((i * 29) % 89) + 5.0) for i in range(60)]
+        + [("fr", float((i * 31) % 83)) for i in range(40)]
+        + [(None, float(i % 7) + 2.0) for i in range(20)]
+        + [("newsrc", 1.0), ("newsrc", 2.0)]  # current-only group
+        + [("nullbase", 4.0)] * 2
+    )
+    b = spark.createDataFrame(base_rows, "src string, v double")
+    c = spark.createDataFrame(cur_rows, "src string, v double")
+    got = {}
+    for r in psi_drift_by_group(
+        b, c, "v", ["src"], include_raw=True
+    ).collect():
+        got.setdefault(r["src"], []).append(r)
+    assert set(got) == {"en", "fr", None, "newsrc", "nullbase"}
+    for grp in ("en", "fr", None):
+        bg = b.filter(F.col("src").eqNullSafe(F.lit(grp))).select("v")
+        cg = c.filter(F.col("src").eqNullSafe(F.lit(grp))).select("v")
+        want = sorted(
+            tuple(r) for r in psi_drift(bg, cg, "v",
+                                        include_raw=True).collect()
+        )
+        have = sorted(tuple(r)[1:] for r in got[grp])
+        # the 6dp-reported columns must match EXACTLY; the unrounded
+        # __psi_raw tail may differ in the last ulps (parallel
+        # summation order differs between the grouped and global
+        # window plans — exactly why reported columns are rounded)
+        assert [t[:-1] for t in have] == [t[:-1] for t in want], grp
+        for h, w in zip(have, want):
+            assert abs(h[-1] - w[-1]) < 1e-9, grp
+        assert len(got[grp]) == 10
+    for grp, nb, nc in (("newsrc", 0, 2), ("nullbase", 0, 2)):
+        rows = got[grp]
+        assert len(rows) == 1 and rows[0]["bin"] is None, grp
+        assert rows[0]["n_base"] == nb and rows[0]["n_cur"] == nc, grp
+        assert rows[0]["psi"] is None and rows[0]["p_share"] is None, grp
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        psi_drift_by_group(b, c, "v", [])
+    with _pt.raises(ValueError):
+        psi_drift_by_group(b, c, "v", ["src"], n_bins=1)
+    with _pt.raises(ValueError):
+        psi_drift_by_group(b, c, "v", ["src"], eps=0.0)
+    # include_raw=False drops the raw column
+    cols = psi_drift_by_group(b, c, "v", ["src"]).columns
+    assert "__psi_raw" not in cols
