@@ -111,7 +111,10 @@ _MODULES = (
 # queries/staged_eval.py (round 12's classifier-audit layer:
 # roc_auc_per_group / calibration_ece / ks_drift, oracle-paired and
 # twin-tested), earliest activation r17 with three retirements from
-# the remaining pool.
+# the remaining pool; then queries/staged_eval2.py (round 13's
+# group-grain tiers: roc_auc_global, precision_recall_by_group,
+# calibration_ece_by_group, psi_drift_by_group — 3-sf-proven),
+# earliest r18.
 _WINDOW_FIRST = (
     "dedup_embedding_lsh_banded", "ann_recall_at_k",
     "ann_ivf_kmeans_refine", "domain_fact_royalty",

@@ -1,0 +1,270 @@
+"""STAGED registry queries for the round-13 GROUP-GRAIN evaluation
+tiers (`operators/evaluation.py`: global `roc_auc_per_group`,
+`precision_recall_at(group_cols=)`, `calibration_ece(group_cols=)`,
+`psi_drift_by_group`) — written in round 13 for activation in a buffer
+round of the accelerated schedule (earliest r18, after staged_eval's
+seven at r17; see queries/__init__.py's window comment). Not yet in
+``queries._MODULES``; they ride the oracle-conventions gate and their
+driver-style tests every pytest run meanwhile.
+
+All four oracles are COMPUTED (DuckDB twins over the real corpus —
+the staged_eval discipline): scores/labels derive from integer
+arithmetic (`doc_id % 101`, `n_chars % 5`, `doc_id % 40`) so both
+engines rank/bucket identical inputs; no float enters before the final
+6dp rounding. The ``doc_id % 40 < 20`` base/current split is chosen
+deliberately: doc_id PARITY is constant per source in the testdata
+(an even/odd split leaves one side empty for every source), while the
+%40 block split lands ~half of every source and lang on each side at
+every sf.
+
+No reference equivalent (beyond-reference training-pipeline layer);
+public formulas: Mann–Whitney U, Naeini et al. 2015 ECE, PSI.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.io import load_table
+from ..operators.evaluation import (
+    calibration_ece,
+    precision_recall_at,
+    psi_drift_by_group,
+    roc_auc_per_group,
+)
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@register(
+    "roc_auc_global",
+    """
+    WITH base AS (
+      SELECT CAST(n_chars % 20 AS DOUBLE) / 19.0 AS s,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), ranked AS (
+      SELECT s, y, row_number() OVER (ORDER BY s) AS rn FROM base
+    ), buckets AS (
+      SELECT s, avg(rn) AS avg_rank,
+             sum(y) AS pos_in_bucket, count(*) AS n_in_bucket
+      FROM ranked GROUP BY s
+    ), pg AS (
+      SELECT CAST(sum(n_in_bucket) AS BIGINT) AS n,
+             CAST(sum(pos_in_bucket) AS BIGINT) AS n_pos,
+             sum(pos_in_bucket * avg_rank) AS pos_rank_sum
+      FROM buckets
+    )
+    SELECT n, n_pos, CAST(0 AS BIGINT) AS n_excluded,
+           round((pos_rank_sum - n_pos * (n_pos + 1.0) / 2.0)
+                 / (CAST(n_pos AS DOUBLE) * (n - n_pos)), 6) AS auc
+    FROM pg
+    """,
+)
+def q_roc_auc_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL Mann–Whitney ROC AUC (`roc_auc_per_group` with
+    ``group_cols=[]`` — the round-13 ks_drift-symmetry tier): one row
+    for the whole corpus, same coarse 20-value score as the per-source
+    row so tie buckets dominate and the average-rank convention is what
+    the hash pins. Same two-level bucketed prefix sum; with no groups
+    the only serial step is the offsets window over ≤ n_buckets rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        ((F.col("n_chars") % 20).cast("double") / 19.0).alias("s"),
+        F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0).alias("y"),
+    )
+    return roc_auc_per_group(scored, "s", "y", [])
+
+
+@register(
+    "precision_recall_by_group",
+    """
+    WITH t AS (
+      SELECT lang, CAST(doc_id % 101 AS DOUBLE) / 100.0 AS s,
+             CASE WHEN n_chars % 5 = 0 THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), th AS (
+      SELECT CAST(v AS DOUBLE) AS threshold
+      FROM (VALUES (0.25), (0.5), (0.75)) AS x(v)
+    ), agg AS (
+      SELECT t.lang, th.threshold,
+             CAST(sum(CASE WHEN s >= th.threshold THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pred_pos,
+             sum(CASE WHEN s >= th.threshold AND y = 1 THEN 1 ELSE 0 END)
+               AS tp,
+             sum(CASE WHEN s >= th.threshold AND y = 0 THEN 1 ELSE 0 END)
+               AS fp,
+             sum(y) AS pos
+      FROM t, th GROUP BY t.lang, th.threshold
+    )
+    SELECT lang, threshold, n_pred_pos,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE round(tp / CAST(tp + fp AS DOUBLE), 6) END
+             AS "precision",
+           CASE WHEN pos = 0 THEN NULL
+                ELSE round(tp / CAST(pos AS DOUBLE), 6) END AS recall,
+           CASE WHEN tp = 0 OR tp + fp = 0 OR pos = 0 THEN NULL
+                ELSE round(2.0 * (tp / CAST(tp + fp AS DOUBLE))
+                               * (tp / CAST(pos AS DOUBLE))
+                           / (tp / CAST(tp + fp AS DOUBLE)
+                              + tp / CAST(pos AS DOUBLE)), 6) END AS f1,
+           CAST(0 AS BIGINT) AS n_excluded
+    FROM agg
+    """,
+)
+def q_precision_recall_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-LANGUAGE threshold sweep
+    (`precision_recall_at(group_cols=["lang"])`, round 13): the grain a
+    corpus filter actually ships at — one cut can sit at very different
+    precision across languages. Same one-scan shape; the group key
+    joins the single shuffle and the arithmetic explodes a
+    |groups|-row frame. The oracle guards the 0/0 cells with explicit
+    CASE→NULL, mirroring the operator's try_divide semantics exactly
+    (tp = 0 forces NULL f1 even when precision and recall are 0)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        ((F.col("doc_id") % 101).cast("double") / 100.0).alias("s"),
+        F.when(F.col("n_chars") % 5 == 0, 1).otherwise(0).alias("y"),
+    )
+    return precision_recall_at(
+        scored, "s", "y", [0.25, 0.5, 0.75], group_cols=["lang"]
+    )
+
+
+@register(
+    "calibration_ece_by_group",
+    """
+    WITH t AS (
+      SELECT lang, CAST(doc_id % 101 AS DOUBLE) / 100.0 AS s,
+             CASE WHEN (doc_id * 7) % 10 < 4 THEN 1 ELSE 0 END AS y
+      FROM documents
+    ), b AS (
+      SELECT lang, least(CAST(floor(s * 10) AS INT), 9) AS bin,
+             count(*) AS n, avg(s) AS a, avg(CAST(y AS DOUBLE)) AS fp
+      FROM t GROUP BY lang, bin
+    )
+    SELECT lang, bin, CAST(n AS BIGINT) AS n,
+           round(a, 6) AS avg_score,
+           round(fp, 6) AS frac_pos,
+           round(abs(a - fp), 6) AS abs_gap,
+           round(sum(abs(a - fp) * n) OVER (PARTITION BY lang)
+                 / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6)
+             AS ece,
+           CAST(0 AS BIGINT) AS n_excluded
+    FROM b
+    """,
+)
+def q_calibration_ece_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-LANGUAGE reliability table + ECE
+    (`calibration_ece(group_cols=["lang"])`, round 13): "score 0.9
+    means 90%" can hold on the corpus and fail on one language. Same
+    one-scan shape as the global row; the ECE window runs over
+    ≤ n_bins rows per group. The score/label pair is the global row's
+    doc_id arithmetic, so the per-group tables are a strict refinement
+    the hash can cross-check."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        ((F.col("doc_id") % 101).cast("double") / 100.0).alias("s"),
+        F.when((F.col("doc_id") * 7) % 10 < 4, 1).otherwise(0).alias("y"),
+    )
+    return calibration_ece(scored, "s", "y", n_bins=10, group_cols=["lang"])
+
+
+@register(
+    "psi_drift_by_group",
+    """
+    WITH b AS (
+      SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents
+      WHERE doc_id % 40 < 20
+    ), c AS (
+      SELECT source, CAST(n_chars AS DOUBLE) AS v FROM documents
+      WHERE doc_id % 40 >= 20
+    ), e AS (
+      SELECT source,
+             quantile_cont(v, 0.1) AS e1, quantile_cont(v, 0.2) AS e2,
+             quantile_cont(v, 0.3) AS e3, quantile_cont(v, 0.4) AS e4,
+             quantile_cont(v, 0.5) AS e5, quantile_cont(v, 0.6) AS e6,
+             quantile_cont(v, 0.7) AS e7, quantile_cont(v, 0.8) AS e8,
+             quantile_cont(v, 0.9) AS e9
+      FROM b GROUP BY source
+    ), bb AS (
+      SELECT b.source,
+             CAST(v > e1 AS INT) + CAST(v > e2 AS INT) + CAST(v > e3 AS INT)
+             + CAST(v > e4 AS INT) + CAST(v > e5 AS INT) + CAST(v > e6 AS INT)
+             + CAST(v > e7 AS INT) + CAST(v > e8 AS INT) + CAST(v > e9 AS INT)
+               AS bin
+      FROM b JOIN e USING (source)
+    ), cb AS (
+      SELECT c.source,
+             CAST(v > e1 AS INT) + CAST(v > e2 AS INT) + CAST(v > e3 AS INT)
+             + CAST(v > e4 AS INT) + CAST(v > e5 AS INT) + CAST(v > e6 AS INT)
+             + CAST(v > e7 AS INT) + CAST(v > e8 AS INT) + CAST(v > e9 AS INT)
+               AS bin
+      FROM c JOIN e USING (source)
+    ), bins AS (
+      SELECT e.source, CAST(range AS INT) AS bin FROM e, range(10)
+    ), cnt AS (
+      SELECT bins.source, bins.bin,
+             CAST(coalesce(nb.n, 0) AS BIGINT) AS n_base,
+             CAST(coalesce(nc.n, 0) AS BIGINT) AS n_cur
+      FROM bins
+      LEFT JOIN (SELECT source, bin, count(*) AS n FROM bb
+                 GROUP BY source, bin) nb USING (source, bin)
+      LEFT JOIN (SELECT source, bin, count(*) AS n FROM cb
+                 GROUP BY source, bin) nc USING (source, bin)
+    ), sh AS (
+      SELECT source, bin, n_base, n_cur,
+             greatest(n_base / CAST(sum(n_base) OVER (PARTITION BY source)
+                                    AS DOUBLE), 1e-6) AS p,
+             greatest(n_cur / CAST(sum(n_cur) OVER (PARTITION BY source)
+                                   AS DOUBLE), 1e-6) AS q
+      FROM cnt
+    )
+    SELECT source, bin, n_base, n_cur,
+           round(p, 6) AS p_share,
+           round(q, 6) AS q_share,
+           round((q - p) * ln(q / p), 6) AS psi_contrib,
+           round(sum((q - p) * ln(q / p)) OVER (PARTITION BY source), 6)
+             AS psi
+    FROM sh
+    """,
+)
+def q_psi_drift_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE PSI (`operators.evaluation.psi_drift_by_group`,
+    round 13) between each source's two %40-block halves of the
+    n_chars distribution — every source bins against its OWN exact
+    base quantiles (Spark grouped `percentile` == DuckDB
+    `quantile_cont`, bit-identical), the drift grain a monitor actually
+    alarms on. Fully distributed: per-group edges from one grouped
+    percentile aggregate (never collected), bin indices from a codegen
+    fan-out join over distinct (source, value) rows, shares from a
+    window over ≤ 10 rows per source. Every source has both halves
+    populated at every sf (the %40 split — doc_id PARITY is constant
+    per source in the testdata), so the unmeasurable-group anchor path
+    stays pinned in the unit twins rather than this row."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        "source",
+        (F.col("doc_id") % 40).alias("__blk"),
+        F.col("n_chars").cast("double").alias("v"),
+    )
+    return psi_drift_by_group(
+        v.filter(F.col("__blk") < 20).select("source", "v"),
+        v.filter(F.col("__blk") >= 20).select("source", "v"),
+        "v",
+        ["source"],
+    )

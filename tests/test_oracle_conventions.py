@@ -46,6 +46,7 @@ def oracle_frames(con):
     )
     from bp_datawarehouse_ordersfact_spark.queries import (
         staged_eval,
+        staged_eval2,
         staged_r16,
         staged_r17,
         staged_r18,
@@ -61,7 +62,7 @@ def oracle_frames(con):
     # the activation is still a mechanical edit (r10; staged_r10's
     # oracles were only convention-checked once activated)
     for mod in (
-        staged_eval, staged_r16,
+        staged_eval, staged_eval2, staged_r16,
         staged_r17, staged_r18, staged_r19, staged_r20,
     ):
         for name, sql in mod.ORACLES.items():
@@ -134,6 +135,7 @@ def test_staged_modules_and_registry_names_are_pairwise_disjoint():
     there are none staged)."""
     from bp_datawarehouse_ordersfact_spark.queries import (
         staged_eval,
+        staged_eval2,
         staged_r16,
         staged_r17,
         staged_r18,
@@ -142,7 +144,7 @@ def test_staged_modules_and_registry_names_are_pairwise_disjoint():
     )
 
     mods = [
-        staged_eval, staged_r16,
+        staged_eval, staged_eval2, staged_r16,
         staged_r17, staged_r18, staged_r19, staged_r20,
     ]
     live = set(Q.all_queries())
