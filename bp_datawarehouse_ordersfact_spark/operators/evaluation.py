@@ -235,25 +235,14 @@ def roc_auc_per_group(
         .cast("long")
         .alias("n_excluded")
     )
-    pg = per_group.select(
-        *[F.col(c).alias(f"__g{i}") for i, c in enumerate(g)],
-        "n",
-        "n_pos",
-        "__pos_rank_sum",
-    )
-    if not g:
-        pg = F.broadcast(pg)  # one-row global frame
-    cond = F.lit(True)
-    for i, c in enumerate(g):
-        cond = cond & F.col(c).eqNullSafe(F.col(f"__g{i}"))
     n_pos = F.col("n_pos").cast("double")
     n_neg = (F.col("n") - F.col("n_pos")).cast("double")
     auc = F.try_divide(
         F.col("__pos_rank_sum") - n_pos * (n_pos + F.lit(1.0)) / F.lit(2.0),
         n_pos * n_neg,
     )
-    return excl.join(pg, cond, "left").select(
-        *group_cols,
+    return _null_safe_join(excl, per_group, g, [], how="left").select(
+        *g,
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         F.coalesce(F.col("n_pos"), F.lit(0)).cast("long").alias("n_pos"),
         F.col("n_excluded").cast("long").alias("n_excluded"),
@@ -440,19 +429,11 @@ def calibration_ece(
         rnd(gap, 6).alias("abs_gap"),
         rnd(ece, 6).alias("ece"),
     )
-    # LEFT join from the exclusion anchor (null-safe on group cols):
-    # with bins present this is the plain per-bin fan-out; an
-    # all-excluded group degrades to one NULL-bin row that still
-    # carries its n_excluded
-    t = table.select(
-        *[F.col(c).alias(f"__g{i}") for i, c in enumerate(g)],
-        *[c for c in table.columns if c not in g],
-    )
-    cond = F.lit(True)
-    for i, c in enumerate(g):
-        cond = cond & F.col(c).eqNullSafe(F.col(f"__g{i}"))
-    joined = excluded.join(t if g else F.broadcast(t), cond, "left")
-    return joined.select(
+    # LEFT join from the exclusion anchor (null-safe on group cols, the
+    # shared helper): with bins present this is the plain per-bin
+    # fan-out; an all-excluded group degrades to one NULL-bin row that
+    # still carries its n_excluded
+    return _null_safe_join(excluded, table, g, [], how="left").select(
         *g,
         "bin",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
@@ -464,6 +445,40 @@ def calibration_ece(
     )
 
 
+def quantile_edges(
+    base: DataFrame, value_col: str, bins_list: list[int]
+) -> list[list[float] | None]:
+    """Several quantile edge sets — ``1/n .. (n−1)/n`` EXACT
+    percentiles (bit-identical to DuckDB ``quantile_cont``) for each
+    ``n`` in ``bins_list`` — derived in ONE aggregate over ONE scan of
+    the base (r13 review: the binned-KS monitor was paying two separate
+    percentile jobs for its PSI and KS edge sets). Each entry is None
+    when the base has no non-NULL values."""
+    if not bins_list:
+        raise ValueError("bins_list must be non-empty")
+    for n in bins_list:
+        if n < 2:
+            raise ValueError(f"every n_bins must be >= 2, got {n}")
+    v = F.col(value_col).cast("double")
+    aggs = [
+        F.percentile(
+            F.col("__v"),
+            F.array(*[F.lit(i / n) for i in range(1, n)]),
+        ).alias(f"__e{j}")
+        for j, n in enumerate(bins_list)
+    ]
+    row = (
+        base.select(v.alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .agg(*aggs)
+        .collect()[0]
+    )
+    return [
+        list(row[f"__e{j}"]) if row[f"__e{j}"] is not None else None
+        for j in range(len(bins_list))
+    ]
+
+
 def psi_edges(
     base: DataFrame, value_col: str, n_bins: int = 10
 ) -> list[float] | None:
@@ -472,22 +487,9 @@ def psi_edges(
     ``quantile_cont``), or None when the base has no non-NULL values.
     Shared by ``psi_drift`` (its ``edges=None`` path) and the streaming
     monitor's once-per-stream precompute, so the two can never diverge
-    on quantile convention or NULL handling."""
-    if n_bins < 2:
-        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
-    v = F.col(value_col).cast("double")
-    probs = [i / n_bins for i in range(1, n_bins)]
-    row = (
-        base.select(v.alias("__v"))
-        .filter(F.col("__v").isNotNull())
-        .agg(
-            F.percentile(
-                F.col("__v"), F.array(*[F.lit(p) for p in probs])
-            ).alias("__edges")
-        )
-        .collect()[0]
-    )
-    return list(row["__edges"]) if row["__edges"] is not None else None
+    on quantile convention or NULL handling. Defined as the one-set
+    case of ``quantile_edges`` — one derivation to rule them all."""
+    return quantile_edges(base, value_col, [n_bins])[0]
 
 
 def psi_drift(

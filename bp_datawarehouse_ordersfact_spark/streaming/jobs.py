@@ -1362,6 +1362,7 @@ def run_score_drift_monitor_stream(
         ks_drift,
         psi_drift,
         psi_edges,
+        quantile_edges,
     )
 
     if ks_mode not in ("exact", "binned"):
@@ -1376,8 +1377,13 @@ def run_score_drift_monitor_stream(
     baseline.count()  # materialize once; batches reuse the cached values
     n_bins = 10
     # the SAME derivation psi_drift(edges=None) would run — shared
-    # helper so the precompute can never diverge from the operator
-    edges = psi_edges(baseline, "v", n_bins)
+    # helper so the precompute can never diverge from the operator; in
+    # binned mode BOTH edge sets (PSI deciles + KS quantiles) come from
+    # ONE aggregate over one baseline scan (r13 review)
+    if ks_mode == "binned":
+        edges, ks_edges = quantile_edges(baseline, "v", [n_bins, ks_bins])
+    else:
+        edges = psi_edges(baseline, "v", n_bins)
     if edges is None:
         baseline.unpersist()
         raise ValueError(
@@ -1388,7 +1394,6 @@ def run_score_drift_monitor_stream(
         # precompute the KS edge CDF once; per batch, ks_binned never
         # touches the baseline again (psi_drift's light count-per-bin
         # aggregate still reads the cache, so it stays persisted)
-        ks_edges = psi_edges(baseline, "v", ks_bins)
         base_cdf = cdf_at_edges(baseline, "v", ks_edges)
 
     schema = spark.read.parquet(docs_dir).schema
