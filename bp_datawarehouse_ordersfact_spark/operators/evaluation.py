@@ -617,6 +617,113 @@ def psi_drift(
     )
 
 
+def psi_group_edges(
+    base: DataFrame, value_col: str, group_cols: list[str], n_bins: int = 10
+) -> DataFrame:
+    """Per-group PSI bin edges: one row per group with ``__edges``
+    (``array<double>`` of the group's own ``1/n_bins ..
+    (n_bins−1)/n_bins`` EXACT percentiles) — ONE grouped aggregate,
+    fully distributed (never collected; the grouped dual of
+    ``psi_edges``). Groups with no non-NULL values simply have no row
+    (no edges exist to bin against). Shared by ``psi_drift_by_group``
+    and the per-source streaming monitor's once-per-stream precompute,
+    so the two can never diverge on quantile convention."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    g = list(group_cols)
+    v = F.col(value_col).cast("double")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    return (
+        base.select(*g, v.alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy(*g)
+        .agg(
+            F.percentile(
+                F.col("__v"), F.array(*[F.lit(p) for p in probs])
+            ).alias("__edges")
+        )
+    )
+
+
+def psi_group_bin_counts(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    edge_rows: DataFrame,
+) -> DataFrame:
+    """One side's per-(group, bin) counts against precomputed exploded
+    edge rows (``group cols..., __e`` — ``psi_group_edges`` output
+    exploded): ``bin = Σ_edges (v > e)``, the exact ``psi_drift``
+    binning convention. The side collapses to DISTINCT (group, value)
+    rows map-side first, so the ≤ ``n_bins−1``-way fan-out join runs
+    over distinct values only — pure codegen comparisons. Groups
+    without edge rows drop (unmeasurable; the caller's anchor
+    reinstates them). Returns (group cols..., ``bin`` int, ``n``
+    bigint) for non-empty bins only."""
+    g = list(group_cols)
+    v = F.col(value_col).cast("double")
+    per_value = (
+        df.select(*g, v.alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .groupBy(*g, "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    binned = (
+        _null_safe_join(per_value, edge_rows, g, [])
+        .groupBy(*g, "__v", "__c")
+        .agg(
+            F.sum((F.col("__v") > F.col("__e")).cast("int"))
+            .cast("int")
+            .alias("bin")
+        )
+    )
+    return binned.groupBy(*g, "bin").agg(
+        F.sum("__c").cast("long").alias("n")
+    )
+
+
+def psi_share_table(
+    counts_full: DataFrame,
+    group_cols: list[str],
+    *,
+    eps: float = 1e-6,
+    include_raw: bool = False,
+) -> DataFrame:
+    """The PSI share/contribution arithmetic over a complete
+    per-(group, bin) counts frame (columns: group cols, ``bin``,
+    ``n_base``, ``n_cur``): eps-floored shares, per-bin contribution,
+    and the per-group total repeated on every row — a window over
+    ≤ n_bins rows per group. One definition shared by
+    ``psi_drift_by_group`` and the per-source streaming monitor (which
+    precomputes the base counts once and feeds per-batch current
+    counts through this same arithmetic)."""
+    g = list(group_cols)
+    per_group = Window.partitionBy(*g)
+    tb = F.sum("n_base").over(per_group).cast("double")
+    tc = F.sum("n_cur").over(per_group).cast("double")
+    p = F.greatest(F.try_divide(F.col("n_base"), tb), F.lit(eps))
+    q = F.greatest(
+        F.coalesce(F.try_divide(F.col("n_cur"), tc), F.lit(0.0)), F.lit(eps)
+    )
+    contrib = (q - p) * F.log(q / p)
+    raw = (
+        [F.sum(contrib).over(per_group).alias("__psi_raw")]
+        if include_raw
+        else []
+    )
+    return counts_full.select(
+        *g,
+        "bin",
+        "n_base",
+        "n_cur",
+        rnd(p, 6).alias("p_share"),
+        rnd(q, 6).alias("q_share"),
+        rnd(contrib, 6).alias("psi_contrib"),
+        rnd(F.sum(contrib).over(per_group), 6).alias("psi"),
+        *raw,
+    )
+
+
 def psi_drift_by_group(
     base: DataFrame,
     current: DataFrame,
@@ -692,82 +799,44 @@ def psi_drift_by_group(
         .cast("long")
         .alias("__tot_cur"),
     )
-    probs = [i / n_bins for i in range(1, n_bins)]
     # per-group edges: the SAME exact percentile as psi_edges/psi_drift,
-    # grouped — distributed, never collected
-    edges = (
-        base.select(*g, v.alias("__v"))
-        .filter(F.col("__v").isNotNull())
-        .groupBy(*g)
-        .agg(
-            F.percentile(
-                F.col("__v"), F.array(*[F.lit(p) for p in probs])
-            ).alias("__edges")
-        )
-    )
-    edge_rows = edges.select(
-        *g, F.posexplode("__edges").alias("__ei", "__e")
-    ).drop("__ei")
-    per_value = (
-        tagged.filter(notnull)
-        .groupBy(*g, "__v")
-        .agg(
-            F.sum("__b").cast("long").alias("__cb"),
-            F.sum(F.lit(1) - F.col("__b")).cast("long").alias("__cc"),
-        )
-    )
+    # grouped — distributed, never collected (shared helper, also the
+    # streaming monitor's once-per-stream precompute)
+    edges = psi_group_edges(base, value_col, g, n_bins)
+    edge_rows = edges.select(*g, F.explode("__edges").alias("__e"))
     # bin = number of edges strictly below the value (the psi_drift
-    # convention) — inner join drops groups without edges; the totals
-    # anchor reinstates them as NULL-bin rows at the end
-    binned = (
-        _null_safe_join(per_value, edge_rows, g, [])
-        .groupBy(*g, "__v", "__cb", "__cc")
-        .agg(
-            F.sum((F.col("__v") > F.col("__e")).cast("int"))
-            .cast("int")
-            .alias("bin")
-        )
-    )
-    counts = binned.groupBy(*g, "bin").agg(
-        F.sum("__cb").cast("long").alias("__nb"),
-        F.sum("__cc").cast("long").alias("__nc"),
-    )
+    # convention) — each side collapses to distinct (group, value)
+    # map-side and pays the bounded fan-out join (shared helper); the
+    # inner edge join drops groups without edges, and the totals anchor
+    # reinstates them as NULL-bin rows at the end
+    base_counts = psi_group_bin_counts(base, value_col, g, edge_rows)
+    cur_counts = psi_group_bin_counts(current, value_col, g, edge_rows)
     # full n_bins grid per MEASURABLE group (one with edges)
     grid = edges.select(*g).crossJoin(
         base.sparkSession.range(n_bins).select(
             F.col("id").cast("int").alias("bin")
         )
     )
-    counts_full = _null_safe_join(grid, counts, g, ["bin"], how="left").select(
+    counts_full = _null_safe_join(
+        grid,
+        base_counts.withColumnRenamed("n", "__nb"),
+        g,
+        ["bin"],
+        how="left",
+    )
+    counts_full = _null_safe_join(
+        counts_full,
+        cur_counts.withColumnRenamed("n", "__nc"),
+        g,
+        ["bin"],
+        how="left",
+    ).select(
         *g,
         "bin",
         F.coalesce("__nb", F.lit(0)).cast("long").alias("n_base"),
         F.coalesce("__nc", F.lit(0)).cast("long").alias("n_cur"),
     )
-    per_group = Window.partitionBy(*g)
-    tb = F.sum("n_base").over(per_group).cast("double")
-    tc = F.sum("n_cur").over(per_group).cast("double")
-    p = F.greatest(F.try_divide(F.col("n_base"), tb), F.lit(eps))
-    q = F.greatest(
-        F.coalesce(F.try_divide(F.col("n_cur"), tc), F.lit(0.0)), F.lit(eps)
-    )
-    contrib = (q - p) * F.log(q / p)
-    raw = (
-        [F.sum(contrib).over(per_group).alias("__psi_raw")]
-        if include_raw
-        else []
-    )
-    table = counts_full.select(
-        *g,
-        "bin",
-        "n_base",
-        "n_cur",
-        rnd(p, 6).alias("p_share"),
-        rnd(q, 6).alias("q_share"),
-        rnd(contrib, 6).alias("psi_contrib"),
-        rnd(F.sum(contrib).over(per_group), 6).alias("psi"),
-        *raw,
-    )
+    table = psi_share_table(counts_full, g, eps=eps, include_raw=include_raw)
     # reinstate unmeasurable groups (no base edges) from the anchor:
     # left join totals -> table keeps measurable groups' n_bins rows and
     # gives the rest ONE row with NULL bin/shares but true counts

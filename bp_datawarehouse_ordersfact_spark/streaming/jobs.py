@@ -1441,3 +1441,163 @@ def run_score_drift_monitor_stream(
         q.awaitTermination()
     finally:
         baseline.unpersist()
+
+
+def run_score_drift_monitor_by_group_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    baseline_dir: str,
+    out_dir: str,
+    value_col: str = "n_chars",
+    group_col: str = "source",
+    alert_psi: float = 0.25,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+    files_per_trigger: int = 1,
+) -> None:
+    """PER-SOURCE streaming drift monitor (round 13): every
+    micro-batch's ``value_col`` distribution is compared against the
+    BASELINE snapshot PER ``group_col`` with
+    ``evaluation.psi_drift_by_group``'s exact semantics — each group
+    bins against its OWN baseline quantile edges, so a global monitor
+    reading "stable" can't hide one source whose scores moved entirely
+    (the grain ``ks_drift``'s docstring names as what a monitor
+    actually alarms on).
+
+    Per-batch semantics: only groups PRESENT in the micro-batch report
+    (a micro-batch is a sample of arrivals, not the corpus — "source
+    disappeared" is a cross-batch question this monitor deliberately
+    does not conflate with per-batch drift). A batch group with NO
+    measurable baseline (new source, or a baseline that was all-NULL)
+    reports ONE anchor row (NULL ``bin``, n_base 0, its true batch
+    count, NULL shares) and ALERTS — a source appearing from nowhere is
+    the loudest drift case. Otherwise ``alerted`` compares the
+    UNROUNDED per-group PSI total against ``alert_psi`` (the
+    ``mixture_drift`` convention).
+
+    Scale shape: the per-group edge frame and the per-(group, bin)
+    BASELINE counts precompute ONCE before the stream starts
+    (``psi_group_edges`` + ``psi_group_bin_counts`` — the exact
+    helpers the batch operator runs, so the two can never diverge),
+    both persisted small frames (n_groups and n_groups × n_bins rows);
+    the raw baseline unpersists before the first batch — each
+    micro-batch pays ONLY its own distinct-(group, value) collapse,
+    the bounded edge fan-out join, and a window over ≤ n_bins rows per
+    group. foreachBatch, availableNow, content-keyed idempotent sink
+    (``_content_sink_key``).
+
+    Sink row: group_col, ``bin``, ``n_base``, ``n_cur``, ``p_share``,
+    ``q_share``, ``psi_contrib``, ``psi``, ``alerted``, ``batch_id``.
+    """
+    from ..operators.evaluation import (
+        _null_safe_join,
+        psi_group_bin_counts,
+        psi_group_edges,
+        psi_share_table,
+    )
+
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    g = [group_col]
+    baseline = (
+        spark.read.parquet(baseline_dir)
+        .select(F.col(group_col), F.col(value_col).cast("double").alias("__val"))
+        .persist()
+    )
+    baseline.count()
+    edges = psi_group_edges(baseline, "__val", g, n_bins).persist()
+    if edges.count() == 0:
+        baseline.unpersist()
+        edges.unpersist()
+        raise ValueError(
+            f"baseline {baseline_dir!r} has no group with non-NULL "
+            f"{value_col!r} values — no distribution exists to monitor"
+        )
+    edge_rows = edges.select(group_col, F.explode("__edges").alias("__e")).persist()
+    grid = edges.select(group_col).crossJoin(
+        spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    )
+    base_counts = _null_safe_join(
+        grid,
+        psi_group_bin_counts(baseline, "__val", g, edge_rows)
+        .withColumnRenamed("n", "__nb"),
+        g,
+        ["bin"],
+        how="left",
+    ).select(
+        group_col,
+        "bin",
+        F.coalesce("__nb", F.lit(0)).cast("long").alias("n_base"),
+    ).persist()
+    edge_rows.count()
+    base_counts.count()
+    # nothing per-batch reads the raw baseline — only the small
+    # precomputed frames stay cached
+    baseline.unpersist()
+
+    schema = spark.read.parquet(docs_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = batch_df.select(
+            F.col(group_col), F.col(value_col).cast("double").alias("__val")
+        )
+        # anchor: every group PRESENT in this batch, with its non-NULL count
+        cur_totals = cur.groupBy(group_col).agg(
+            F.coalesce(
+                F.sum(F.col("__val").isNotNull().cast("long")), F.lit(0)
+            )
+            .cast("long")
+            .alias("__tot_cur")
+        )
+        cur_counts = psi_group_bin_counts(
+            cur, "__val", g, edge_rows
+        ).withColumnRenamed("n", "__nc")
+        counts_full = _null_safe_join(
+            base_counts, cur_counts, g, ["bin"], how="left"
+        ).select(
+            group_col,
+            "bin",
+            "n_base",
+            F.coalesce("__nc", F.lit(0)).cast("long").alias("n_cur"),
+        )
+        table = psi_share_table(counts_full, g, eps=eps, include_raw=True)
+        out = _null_safe_join(cur_totals, table, g, [], how="left").select(
+            group_col,
+            "bin",
+            F.coalesce(F.col("n_base"), F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce(F.col("n_cur"), F.col("__tot_cur"))
+            .cast("long")
+            .alias("n_cur"),
+            "p_share",
+            "q_share",
+            "psi_contrib",
+            "psi",
+            F.when(F.col("bin").isNull(), F.lit(True))
+            .otherwise(F.col("__psi_raw") > F.lit(alert_psi))
+            .alias("alerted"),
+            F.lit(int(batch_id)).alias("batch_id"),
+        )
+        out.write.mode("overwrite").parquet(
+            out_dir.rstrip("/")
+            + f"/ingest_key={_content_sink_key(batch_df, batch_id)}"
+        )
+
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir.rstrip("/") + "_checkpoint")
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        edges.unpersist()
+        edge_rows.unpersist()
+        base_counts.unpersist()

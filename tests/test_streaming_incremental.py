@@ -1005,3 +1005,89 @@ def test_score_drift_monitor_binned_ks_mode(spark, tmp_path):
             spark, docs_dir, baseline_dir, out_dir,
             ks_mode="binned", ks_bins=1,
         )
+
+def test_score_drift_monitor_by_group_matches_batch_operator(spark, tmp_path):
+    """Round-13 per-source monitor: each micro-batch's sink rows equal
+    psi_drift_by_group(baseline, batch) restricted to the batch's
+    groups (same edges/binning/eps — the shared helpers make divergence
+    structurally impossible, this pins it); a brand-new source alerts
+    via its NULL-bin anchor row; a planted per-source shift alerts on
+    PSI while the untouched source stays quiet."""
+    from bp_datawarehouse_ordersfact_spark.operators.evaluation import (
+        psi_drift_by_group,
+    )
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import (
+        run_score_drift_monitor_by_group_stream,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    baseline_dir = str(tmp_path / "baseline")
+    out_dir = str(tmp_path / "drift_grp")
+
+    base_rows = (
+        [("srcA", 1000 + (i * 37) % 101) for i in range(120)]
+        + [("srcB", 2000 + (i * 53) % 97) for i in range(100)]
+    )
+    spark.createDataFrame(
+        base_rows, "source string, n_chars long"
+    ).coalesce(1).write.parquet(baseline_dir)
+
+    # one batch file: srcA quiet (same generator), srcB hard-shifted,
+    # srcNEW appears from nowhere
+    batch_rows = (
+        [("srcA", 1000 + (i * 29) % 101) for i in range(60)]
+        + [("srcB", 9000 + i % 5) for i in range(40)]
+        + [("srcNEW", 42), ("srcNEW", 43)]
+    )
+    spark.createDataFrame(
+        batch_rows, "source string, n_chars long"
+    ).coalesce(1).write.parquet(docs_dir)
+
+    run_score_drift_monitor_by_group_stream(
+        spark, docs_dir, baseline_dir, out_dir,
+        value_col="n_chars", group_col="source",
+    )
+    out = spark.read.parquet(out_dir)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["source"], []).append(r)
+    assert set(got) == {"srcA", "srcB", "srcNEW"}
+
+    # equivalence with the batch operator, restricted to batch groups
+    bdf = spark.createDataFrame(base_rows, "source string, n_chars long")
+    cdf = spark.createDataFrame(batch_rows, "source string, n_chars long")
+    want = {}
+    for r in psi_drift_by_group(bdf, cdf, "n_chars", ["source"]).collect():
+        want.setdefault(r["source"], []).append(r)
+    for grp in ("srcA", "srcB", "srcNEW"):
+        have = sorted(
+            (r["bin"], r["n_base"], r["n_cur"], r["p_share"], r["q_share"],
+             r["psi_contrib"], r["psi"])
+            for r in got[grp]
+        )
+        expect = sorted(
+            (r["bin"], r["n_base"], r["n_cur"], r["p_share"], r["q_share"],
+             r["psi_contrib"], r["psi"])
+            for r in want[grp]
+        )
+        assert have == expect, grp
+
+    # alert semantics: shifted source + new source alert; quiet one not
+    assert all(r["alerted"] for r in got["srcB"])
+    assert len(got["srcNEW"]) == 1 and got["srcNEW"][0]["alerted"]
+    assert got["srcNEW"][0]["bin"] is None and got["srcNEW"][0]["n_cur"] == 2
+    assert not any(r["alerted"] for r in got["srcA"])
+
+    # replay idempotence: checkpoint loss + rerun rewrites the same
+    # content-keyed partition, no sink clear needed
+    import shutil
+
+    before = sorted(map(tuple, out.drop("batch_id").collect()))
+    shutil.rmtree(out_dir.rstrip("/") + "_checkpoint")
+    run_score_drift_monitor_by_group_stream(
+        spark, docs_dir, baseline_dir, out_dir,
+        value_col="n_chars", group_col="source",
+    )
+    after = spark.read.parquet(out_dir)
+    assert sorted(map(tuple, after.drop("batch_id").collect())) == before
+    assert after.select("ingest_key").distinct().count() == 1
