@@ -1142,3 +1142,46 @@ def ks_binned(
         rnd(d, 6).alias("d_stat"),
         *raw,
     )
+
+
+def ks_binned_from_counts(
+    counts_full: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Per-group BINNED two-sample KS from a complete per-(group, bin)
+    counts frame (columns: group cols, ``bin``, ``n_base``, ``n_cur`` —
+    the exact frame ``psi_drift_by_group`` and the per-source monitor
+    already build): ``D_binned = max_j |F_base(edge_j) − F_cur(edge_j)|``
+    computed as the running-share gap over the ordered bins — a window
+    over ≤ n_bins rows per group, nothing else. With the bins on the
+    group's own base quantiles this is ``ks_binned``'s statistic at the
+    group grain, carrying the same bound
+    (``D_binned <= D_exact <= D_binned + max bin mass``, ~1/n_bins
+    base-side by quantile construction).
+
+    Returns one row per group: group cols, ``d_binned`` (6dp),
+    ``__d_binned_raw`` (unrounded, the thresholding column — always
+    included; this is an internal composition helper). A group whose
+    current side is empty reports NULL (no CDF exists — the ``ks_drift``
+    posture). Shares here are RAW (no eps floor — the floor is a PSI
+    log-guard, not a CDF concept)."""
+    g = list(group_cols)
+    w = (
+        Window.partitionBy(*g)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_group = Window.partitionBy(*g)
+    tb = F.sum("n_base").over(per_group).cast("double")
+    tc = F.sum("n_cur").over(per_group).cast("double")
+    gap = F.abs(
+        F.try_divide(F.sum("n_base").over(w).cast("double"), tb)
+        - F.try_divide(F.sum("n_cur").over(w).cast("double"), tc)
+    )
+    d = counts_full.select(*g, gap.alias("__gap")).groupBy(*g).agg(
+        F.max("__gap").alias("__d_binned_raw")
+    )
+    return d.select(
+        *g,
+        rnd(F.col("__d_binned_raw"), 6).alias("d_binned"),
+        "__d_binned_raw",
+    )

@@ -1451,6 +1451,7 @@ def run_score_drift_monitor_by_group_stream(
     value_col: str = "n_chars",
     group_col: str = "source",
     alert_psi: float = 0.25,
+    alert_ks: float | None = None,
     n_bins: int = 10,
     eps: float = 1e-6,
     files_per_trigger: int = 1,
@@ -1462,7 +1463,11 @@ def run_score_drift_monitor_by_group_stream(
     bins against its OWN baseline quantile edges, so a global monitor
     reading "stable" can't hide one source whose scores moved entirely
     (the grain ``ks_drift``'s docstring names as what a monitor
-    actually alarms on).
+    actually alarms on). The sink also carries each group's BINNED KS
+    statistic (``evaluation.ks_binned_from_counts`` — the running-share
+    gap over the same per-(group, bin) counts frame, a window over
+    ≤ n_bins rows, effectively free); ``alert_ks`` (optional) adds
+    ``d_binned > alert_ks`` to the alert rule.
 
     Per-batch semantics: only groups PRESENT in the micro-batch report
     (a micro-batch is a sample of arrivals, not the corpus — "source
@@ -1487,10 +1492,13 @@ def run_score_drift_monitor_by_group_stream(
     (``_content_sink_key``).
 
     Sink row: group_col, ``bin``, ``n_base``, ``n_cur``, ``p_share``,
-    ``q_share``, ``psi_contrib``, ``psi``, ``alerted``, ``batch_id``.
+    ``q_share``, ``psi_contrib``, ``psi``, ``d_binned`` (NULL on
+    anchor rows — no CDF exists for an unmeasurable group), ``alerted``,
+    ``batch_id``.
     """
     from ..operators.evaluation import (
         _null_safe_join,
+        ks_binned_from_counts,
         psi_group_bin_counts,
         psi_group_edges,
         psi_share_table,
@@ -1568,6 +1576,12 @@ def run_score_drift_monitor_by_group_stream(
             F.coalesce("__nc", F.lit(0)).cast("long").alias("n_cur"),
         )
         table = psi_share_table(counts_full, g, eps=eps, include_raw=True)
+        table = _null_safe_join(
+            table, ks_binned_from_counts(counts_full, g), g, [], how="left"
+        )
+        drifted = F.col("__psi_raw") > F.lit(alert_psi)
+        if alert_ks is not None:
+            drifted = drifted | (F.col("__d_binned_raw") > F.lit(alert_ks))
         out = _null_safe_join(cur_totals, table, g, [], how="left").select(
             group_col,
             "bin",
@@ -1579,8 +1593,9 @@ def run_score_drift_monitor_by_group_stream(
             "q_share",
             "psi_contrib",
             "psi",
+            "d_binned",
             F.when(F.col("bin").isNull(), F.lit(True))
-            .otherwise(F.col("__psi_raw") > F.lit(alert_psi))
+            .otherwise(drifted)
             .alias("alerted"),
             F.lit(int(batch_id)).alias("batch_id"),
         )

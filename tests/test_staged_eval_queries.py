@@ -771,3 +771,83 @@ def test_psi_drift_by_group_matches_global_per_group(spark):
     # include_raw=False drops the raw column
     cols = psi_drift_by_group(b, c, "v", ["src"]).columns
     assert "__psi_raw" not in cols
+
+def test_ks_binned_from_counts_within_bound_of_exact_grouped(spark):
+    """Per-group binned KS derived from the psi counts frame: never
+    overestimates the exact grouped ks_drift, and sits within the max
+    bin mass of it; empty-current groups report NULL."""
+    from bp_datawarehouse_ordersfact_spark.operators.evaluation import (
+        _null_safe_join,
+        ks_binned_from_counts,
+        ks_drift,
+        psi_group_bin_counts,
+        psi_group_edges,
+    )
+
+    base_rows = [("a", float((i * 37) % 101)) for i in range(200)] + [
+        ("b", float((i * 53) % 97)) for i in range(150)
+    ]
+    cur_rows = [("a", float((i * 29) % 89) + 30.0) for i in range(120)] + [
+        ("b", float((i * 31) % 83)) for i in range(90)
+    ]
+    b = spark.createDataFrame(base_rows, "g string, v double")
+    c = spark.createDataFrame(cur_rows, "g string, v double")
+    n_bins = 10
+    edges = psi_group_edges(b, "v", ["g"], n_bins)
+    edge_rows = edges.select("g", F.explode("__edges").alias("__e"))
+    grid = edges.select("g").crossJoin(
+        spark.range(n_bins).selectExpr("CAST(id AS INT) AS bin")
+    )
+    counts = _null_safe_join(
+        grid,
+        psi_group_bin_counts(b, "v", ["g"], edge_rows)
+        .withColumnRenamed("n", "__nb"),
+        ["g"], ["bin"], how="left",
+    )
+    counts = _null_safe_join(
+        counts,
+        psi_group_bin_counts(c, "v", ["g"], edge_rows)
+        .withColumnRenamed("n", "__nc"),
+        ["g"], ["bin"], how="left",
+    ).selectExpr(
+        "g", "bin",
+        "CAST(coalesce(__nb, 0) AS LONG) AS n_base",
+        "CAST(coalesce(__nc, 0) AS LONG) AS n_cur",
+    )
+    got = {
+        r["g"]: r for r in ks_binned_from_counts(counts, ["g"]).collect()
+    }
+    exact = {
+        r["g"]: r
+        for r in ks_drift(b, c, "v", group_cols=["g"],
+                          include_raw=True).collect()
+    }
+    masses = {
+        r["g"]: r
+        for r in counts.groupBy("g").agg(
+            F.max(F.col("n_base")).alias("mb"),
+            F.max(F.col("n_cur")).alias("mc"),
+            F.sum("n_base").alias("tb"),
+            F.sum("n_cur").alias("tc"),
+        ).collect()
+    }
+    for grp in ("a", "b"):
+        d_b = got[grp]["__d_binned_raw"]
+        d_e = exact[grp]["__d_raw"]
+        bound = max(
+            masses[grp]["mb"] / masses[grp]["tb"],
+            masses[grp]["mc"] / masses[grp]["tc"],
+        )
+        assert d_b <= d_e + 1e-12, grp          # never overestimates
+        assert d_e <= d_b + bound + 1e-12, grp  # within the bin mass
+    # the shifted group alarms decisively even binned
+    assert got["a"]["d_binned"] > 0.25
+    # empty current side -> NULL (no CDF)
+    empty_counts = counts.withColumn(
+        "n_cur", F.lit(0).cast("long")
+    )
+    r = {
+        x["g"]: x
+        for x in ks_binned_from_counts(empty_counts, ["g"]).collect()
+    }
+    assert r["a"]["d_binned"] is None

@@ -1091,3 +1091,28 @@ def test_score_drift_monitor_by_group_matches_batch_operator(spark, tmp_path):
     after = spark.read.parquet(out_dir)
     assert sorted(map(tuple, after.drop("batch_id").collect())) == before
     assert after.select("ingest_key").distinct().count() == 1
+
+    # binned-KS companion column: the hard shift saturates D at the
+    # structural cap 1 - 1/n_bins = 0.9 (all current mass lands past
+    # the last base decile, so the largest evaluable edge gap is
+    # F_base(edge_9) = 0.9 — exactly the documented bin-mass bound),
+    # the quiet source stays small, the anchor row carries NULL (no
+    # CDF for an unmeasurable group)
+    assert all(abs(r["d_binned"] - 0.9) < 1e-9 for r in got["srcB"])
+    assert all(r["d_binned"] < 0.3 for r in got["srcA"])
+    assert got["srcNEW"][0]["d_binned"] is None
+
+    # alert_ks adds the KS rule: a tiny alert_psi=inf-like threshold
+    # with alert_ks=0.5 must alert srcB via KS alone
+    out2 = str(tmp_path / "drift_grp_ks")
+    run_score_drift_monitor_by_group_stream(
+        spark, docs_dir, baseline_dir, out2,
+        value_col="n_chars", group_col="source",
+        alert_psi=1e9, alert_ks=0.5,
+    )
+    ks_rows = {}
+    for r in spark.read.parquet(out2).collect():
+        ks_rows.setdefault(r["source"], []).append(r)
+    assert all(r["alerted"] for r in ks_rows["srcB"])  # KS rule fired
+    assert not any(r["alerted"] for r in ks_rows["srcA"])
+    assert ks_rows["srcNEW"][0]["alerted"]  # anchor still alerts
