@@ -59,6 +59,11 @@ BOUNDED_CROSS_OK = {
     # deliberately-bounded one-row frames
     "calibration_ece": "1-row exclusion aggregate anchors the bin table",
     "ks_drift": "1-row totals/D frames crossed for the single-row report",
+    # staged_eval2 — recorded ahead of activation (r13, earliest r18):
+    "roc_auc_global": "global mode's 1-row bounds/offsets/anchor frames "
+    "broadcast (the grouped form's per-group joins collapse to one row)",
+    "psi_drift_by_group": "measurable-group x range(n_bins) grid — "
+    "bounded at n_groups x 10 rows",
 }
 
 
