@@ -1636,3 +1636,69 @@ def test_psi_drift_matches_python_twin_property(spark, base, cur):
     for i in range(10):
         assert (got[i]["n_base"], got[i]["n_cur"]) == (nb[i], nc[i]), i
     assert abs(got[0]["psi"] - round(want, 6)) < 1e-6
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    groups=st.dictionaries(
+        st.sampled_from(["a", "b"]),
+        st.tuples(
+            st.lists(
+                st.integers(min_value=-30, max_value=30),
+                min_size=0, max_size=40,
+            ),
+            st.lists(
+                st.integers(min_value=-30, max_value=30),
+                min_size=0, max_size=30,
+            ),
+        ),
+        min_size=1,
+        max_size=2,
+    )
+)
+def test_psi_drift_by_group_matches_global_per_group_property(spark, groups):
+    """Round-13 grouped PSI: at every generated shape — heavy ties,
+    empty sides, one-group, all-NULL-equivalent empty bases — each
+    group's rows equal the GLOBAL psi_drift run on that group's rows
+    alone (6dp-exact; both derive the group's own quantile edges), and
+    groups with no base values anchor as one NULL-bin row."""
+    from bp_datawarehouse_ordersfact_spark.operators.evaluation import (
+        psi_drift,
+        psi_drift_by_group,
+    )
+
+    base_rows = [
+        (g, float(v)) for g, (bs, _) in groups.items() for v in bs
+    ]
+    cur_rows = [
+        (g, float(v)) for g, (_, cs) in groups.items() for v in cs
+    ]
+    schema = "g string, v double"
+    bdf = spark.createDataFrame(base_rows, schema) if base_rows else (
+        spark.createDataFrame([], schema)
+    )
+    cdf = spark.createDataFrame(cur_rows, schema) if cur_rows else (
+        spark.createDataFrame([], schema)
+    )
+    got = {}
+    for r in psi_drift_by_group(bdf, cdf, "v", ["g"]).collect():
+        got.setdefault(r["g"], []).append(r)
+    for g, (bs, cs) in groups.items():
+        if not bs and not cs:
+            assert g not in got  # group exists nowhere
+            continue
+        sub_b = spark.createDataFrame([(float(v),) for v in bs], "v double")
+        sub_c = spark.createDataFrame([(float(v),) for v in cs], "v double")
+        want = sorted(
+            tuple(r) for r in psi_drift(sub_b, sub_c, "v").collect()
+        )
+        have = sorted(tuple(r)[1:] for r in got[g])
+        if not bs:
+            # unmeasurable group: global returns an EMPTY frame (cannot
+            # measure); grouped reports the anchor row instead — rows
+            # exist, shares NULL, counts true
+            assert want == []
+            assert len(got[g]) == 1 and got[g][0]["bin"] is None
+            assert got[g][0]["n_cur"] == len(cs)
+        else:
+            assert have == want, g
