@@ -1185,3 +1185,105 @@ def ks_binned_from_counts(
         rnd(F.col("__d_binned_raw"), 6).alias("d_binned"),
         "__d_binned_raw",
     )
+
+
+def score_quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    out_col: str = "pct_rank",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-group AVERAGE-RANK quantile normalization:
+    ``pct = (avg_rank − 0.5) / N`` in (0, 1) — the standard fix before
+    mixing classifier scores across heterogeneous sources (one source's
+    0.8 is another's 0.5; a shared keep-threshold only means the same
+    thing after each source's scores map onto its own rank scale).
+    Average ranks on ties (the ``roc_auc_per_group`` convention, so a
+    tied block maps to one value and the output is permutation-
+    invariant); ``group_cols=[]`` normalizes globally.
+
+    NULL values pass through with a NULL ``out_col`` (they have no rank
+    — silently assigning 0 or 1 would smuggle them past a threshold).
+    Every other input column rides along unchanged.
+
+    Scale shape: the same two-level bucketed prefix sum as
+    ``roc_auc_per_group`` computes per-(group, distinct-value)
+    cumulative counts — no window ever sorts a whole group — and the
+    per-ROW output comes from ONE (group, value)-keyed join back of the
+    distinct-value mapping (|distinct values| rows), never a per-row
+    window. ``n_buckets`` shapes parallelism only (bucket-invariance:
+    the mapping is a pure function of the per-value counts).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if out_col in df.columns:
+        raise ValueError(f"out_col {out_col!r} already exists in the input")
+    g = list(group_cols)
+    v = F.col(value_col).cast("double")
+    tagged = df.withColumn("__v", v)
+    per_value = (
+        tagged.filter(F.col("__v").isNotNull())
+        .groupBy(*g, "__v")
+        .agg(F.count(F.lit(1)).cast("long").alias("__nb"))
+    )
+    bounds = per_value.groupBy(*g).agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.sum("__nb").alias("__N"),
+    )
+    with_bucket = _null_safe_join(per_value, bounds, g, []).select(
+        *g,
+        "__v",
+        "__nb",
+        "__N",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.least(
+                F.floor(
+                    (F.col("__v") - F.col("__lo"))
+                    / (F.col("__hi") - F.col("__lo"))
+                    * n_buckets
+                ).cast("int"),
+                F.lit(n_buckets - 1),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("__bk"),
+    )
+    bucket_totals = with_bucket.groupBy(*g, "__bk").agg(
+        F.sum("__nb").alias("__tb")
+    )
+    woff = (
+        Window.partitionBy(*g)
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        if g
+        else Window.orderBy("__bk").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    )
+    offsets = bucket_totals.select(
+        *g,
+        "__bk",
+        (F.sum("__tb").over(woff) - F.col("__tb")).alias("__ob"),
+    )
+    win = Window.partitionBy(*g, "__bk").orderBy("__v")
+    avg_rank = (
+        F.sum("__nb").over(win)
+        + F.col("__ob")
+        - F.col("__nb")
+        + (F.col("__nb").cast("double") + F.lit(1.0)) / F.lit(2.0)
+    )
+    mapping = _null_safe_join(with_bucket, offsets, g, ["__bk"]).select(
+        *g,
+        "__v",
+        (
+            (avg_rank - F.lit(0.5)) / F.col("__N").cast("double")
+        ).alias("__pct"),
+    )
+    out = _null_safe_join(tagged, mapping, g, ["__v"], how="left")
+    return out.withColumn(out_col, rnd(F.col("__pct"), 6)).drop(
+        "__v", "__pct"
+    )

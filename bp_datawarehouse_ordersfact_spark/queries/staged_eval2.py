@@ -1,13 +1,14 @@
 """STAGED registry queries for the round-13 GROUP-GRAIN evaluation
 tiers (`operators/evaluation.py`: global `roc_auc_per_group`,
 `precision_recall_at(group_cols=)`, `calibration_ece(group_cols=)`,
-`psi_drift_by_group`) — written in round 13 for activation in a buffer
+`psi_drift_by_group`, `score_quantile_normalize`) — written in round 13
+for activation in a buffer
 round of the accelerated schedule (earliest r18, after staged_eval's
 seven at r17; see queries/__init__.py's window comment). Not yet in
 ``queries._MODULES``; they ride the oracle-conventions gate and their
 driver-style tests every pytest run meanwhile.
 
-All four oracles are COMPUTED (DuckDB twins over the real corpus —
+All five oracles are COMPUTED (DuckDB twins over the real corpus —
 the staged_eval discipline): scores/labels derive from integer
 arithmetic (`doc_id % 101`, `n_chars % 5`, `doc_id % 40`) so both
 engines rank/bucket identical inputs; no float enters before the final
@@ -32,6 +33,7 @@ from ..operators.evaluation import (
     precision_recall_at,
     psi_drift_by_group,
     roc_auc_per_group,
+    score_quantile_normalize,
 )
 
 QUERIES: dict = {}
@@ -268,3 +270,44 @@ def q_psi_drift_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         ["source"],
     )
+
+
+@register(
+    "score_quantile_normalize",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, CAST(n_chars % 50 AS DOUBLE) AS s
+      FROM documents
+    ), ranked AS (
+      SELECT lang, s, row_number() OVER (PARTITION BY lang ORDER BY s) AS rn
+      FROM base
+    ), avg_ranks AS (
+      SELECT lang, s, avg(rn) AS ar FROM ranked GROUP BY lang, s
+    ), totals AS (
+      SELECT lang, count(*) AS n FROM base GROUP BY lang
+    )
+    SELECT b.doc_id, b.lang,
+           round((ar - 0.5) / n, 6) AS pct_rank
+    FROM base b
+    JOIN avg_ranks a ON a.lang = b.lang AND a.s = b.s
+    JOIN totals t ON t.lang = b.lang
+    """,
+)
+def q_score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quantile normalization of a coarse quality score
+    (`operators.evaluation.score_quantile_normalize`): each language's
+    scores map onto its own average-rank scale ((avg_rank − 0.5)/N, the
+    permutation-invariant tie convention), so one keep-threshold means
+    the same thing across languages — the score post-processing step in
+    front of every cross-source corpus cut. The %50 score forces heavy
+    tie blocks, so the hash pins the average-rank convention, not just
+    strict orderings. PER-ROW output (one row per document): the bench
+    pays the real join-back cost; the mapping itself is |distinct
+    values| rows via the same two-level bucketed prefix sum as
+    roc_auc_per_group — no whole-group sort window anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", ((F.col("n_chars") % 50).cast("double")).alias("s")
+    )
+    out = score_quantile_normalize(scored, "s", ["lang"])
+    return out.select("doc_id", "lang", "pct_rank")

@@ -851,3 +851,71 @@ def test_ks_binned_from_counts_within_bound_of_exact_grouped(spark):
         for x in ks_binned_from_counts(empty_counts, ["g"]).collect()
     }
     assert r["a"]["d_binned"] is None
+
+def test_score_quantile_normalize_matches_pandas_twin(spark):
+    """Round-13 per-source rank normalization: (avg_rank - 0.5)/N per
+    group equals pandas rank(method='average'); ties map to one value;
+    NULLs pass through NULL; bucket-invariant; global mode; no
+    whole-group sort window in the plan."""
+    import re
+
+    import pandas as pd
+
+    from bp_datawarehouse_ordersfact_spark.operators.evaluation import (
+        score_quantile_normalize,
+    )
+
+    rows = (
+        [("en", i, float((i * 37) % 11)) for i in range(40)]   # heavy ties
+        + [("fr", 100 + i, float((i * 53) % 97)) for i in range(25)]
+        + [(None, 200, 5.0), (None, 201, None)]                # NULL group + NULL value
+    )
+    df = spark.createDataFrame(rows, "src string, id long, s double")
+    for nb in (1, 7, 1024):
+        got = {
+            r["id"]: r["pct_rank"]
+            for r in score_quantile_normalize(
+                df, "s", ["src"], n_buckets=nb
+            ).collect()
+        }
+        pdf = pd.DataFrame(rows, columns=["src", "id", "s"])
+        for src, sub in pdf.groupby("src", dropna=False):
+            ranked = sub.dropna(subset=["s"])
+            n = len(ranked)
+            r = ranked["s"].rank(method="average")
+            for id_, rv in zip(ranked["id"], r):
+                assert abs(got[id_] - round((rv - 0.5) / n, 6)) < 1e-9, (
+                    src, id_, nb,
+                )
+        assert got[201] is None  # NULL value -> NULL pct, row survives
+        assert len(got) == len(rows)
+
+    # global mode pools everything
+    g = {
+        r["id"]: r["pct_rank"]
+        for r in score_quantile_normalize(df, "s", []).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["src", "id", "s"])
+    ranked = pdf.dropna(subset=["s"])
+    n = len(ranked)
+    rr = ranked["s"].rank(method="average")
+    for id_, rv in zip(ranked["id"], rr):
+        assert abs(g[id_] - round((rv - 0.5) / n, 6)) < 1e-9
+
+    # out_col collision refuses loudly
+    with pytest.raises(ValueError):
+        score_quantile_normalize(df, "s", ["src"], out_col="s")
+    with pytest.raises(ValueError):
+        score_quantile_normalize(df, "s", ["src"], n_buckets=0)
+
+    # plan: no per-row ranking, no value window without a bucket partition
+    plan = (
+        score_quantile_normalize(df, "s", ["src"], n_buckets=8)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "row_number" not in plan
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "__v" in spec:
+            assert "__bk" in spec, f"value window lost its partition: {spec}"
