@@ -45,14 +45,20 @@ def _null_safe_join(
     g: list[str],
     extra: list[str],
     how: str = "inner",
+    broadcast_global: bool = True,
 ) -> DataFrame:
     """left JOIN right on the group cols (NULL-SAFE — a NULL group label
     is still a group) plus ``extra`` plain equi columns; right's group
     cols arrive aliased ``__g{i}`` and are dropped. With no group cols
-    the right side is a small frame and broadcasts. Shared by
-    ``ks_drift``, ``roc_auc_per_group``, and ``psi_drift_by_group``
-    (one definition of the alignment rule, so the prefix-sum/bin plans
-    can never diverge on NULL-group handling). ``extra`` columns under
+    the right side broadcasts WHEN ``broadcast_global`` — correct for
+    the bounded 1-row/n_buckets-row frames these operators anchor on,
+    but a caller whose global-mode right side is UNBOUNDED (e.g.
+    ``score_quantile_normalize``'s distinct-value mapping) must pass
+    ``broadcast_global=False`` and let the equi keys drive a shuffle
+    join (r13 review #1). Shared by ``ks_drift``,
+    ``roc_auc_per_group``, and ``psi_drift_by_group`` (one definition
+    of the alignment rule, so the prefix-sum/bin plans can never
+    diverge on NULL-group handling). ``extra`` columns under
     ``how="left"`` keep the LEFT side's values (the right copies are
     dropped), so unmatched rows keep their keys."""
     r = right.select(
@@ -64,7 +70,9 @@ def _null_safe_join(
         cond = cond & F.col(c).eqNullSafe(F.col(f"__g{i}"))
     for c in extra:
         cond = cond & (left[c] == r[c])
-    joined = left.join(r if g else F.broadcast(r), cond, how)
+    joined = left.join(
+        r if g or not broadcast_global else F.broadcast(r), cond, how
+    )
     drop = [f"__g{i}" for i in range(len(g))] + [r[c] for c in extra]
     return joined.drop(*drop)
 
@@ -645,6 +653,34 @@ def psi_group_edges(
     )
 
 
+def _bin_counts_from_per_value(
+    per_value: DataFrame,
+    g: list[str],
+    edge_rows: DataFrame,
+    count_cols: list[str],
+) -> DataFrame:
+    """THE one definition of the PSI bin assignment (``bin = Σ_edges
+    (v > e)``) over an already-collapsed per-(group, ``__v``) frame
+    carrying one or more count columns: the bounded fan-out join
+    against exploded edge rows, then per-(group, bin) sums of every
+    count column. Shared by ``psi_group_bin_counts`` (one side, one
+    count) and ``psi_drift_by_group`` (both sides' counts in ONE pass —
+    the r13 review restored the single-union plan the refactor had
+    split into two collapses + two joins)."""
+    binned = (
+        _null_safe_join(per_value, edge_rows, g, [])
+        .groupBy(*g, "__v", *count_cols)
+        .agg(
+            F.sum((F.col("__v") > F.col("__e")).cast("int"))
+            .cast("int")
+            .alias("bin")
+        )
+    )
+    return binned.groupBy(*g, "bin").agg(
+        *[F.sum(c).cast("long").alias(c) for c in count_cols]
+    )
+
+
 def psi_group_bin_counts(
     df: DataFrame,
     value_col: str,
@@ -668,18 +704,9 @@ def psi_group_bin_counts(
         .groupBy(*g, "__v")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
     )
-    binned = (
-        _null_safe_join(per_value, edge_rows, g, [])
-        .groupBy(*g, "__v", "__c")
-        .agg(
-            F.sum((F.col("__v") > F.col("__e")).cast("int"))
-            .cast("int")
-            .alias("bin")
-        )
-    )
-    return binned.groupBy(*g, "bin").agg(
-        F.sum("__c").cast("long").alias("n")
-    )
+    return _bin_counts_from_per_value(
+        per_value, g, edge_rows, ["__c"]
+    ).withColumnRenamed("__c", "n")
 
 
 def psi_share_table(
@@ -805,36 +832,33 @@ def psi_drift_by_group(
     edges = psi_group_edges(base, value_col, g, n_bins)
     edge_rows = edges.select(*g, F.explode("__edges").alias("__e"))
     # bin = number of edges strictly below the value (the psi_drift
-    # convention) — each side collapses to distinct (group, value)
-    # map-side and pays the bounded fan-out join (shared helper); the
-    # inner edge join drops groups without edges, and the totals anchor
-    # reinstates them as NULL-bin rows at the end
-    base_counts = psi_group_bin_counts(base, value_col, g, edge_rows)
-    cur_counts = psi_group_bin_counts(current, value_col, g, edge_rows)
+    # convention) — BOTH sides collapse in ONE pass over the tagged
+    # union (one distinct-(group, value) shuffle carrying per-side
+    # counts, one bounded fan-out join — the r13 review restored this
+    # single-union plan; the shared _bin_counts_from_per_value keeps
+    # the bin definition identical to the monitor's one-sided calls).
+    # The inner edge join drops groups without edges, and the totals
+    # anchor reinstates them as NULL-bin rows at the end.
+    per_value = (
+        tagged.filter(notnull)
+        .groupBy(*g, "__v")
+        .agg(
+            F.sum("__b").cast("long").alias("__cb"),
+            F.sum(F.lit(1) - F.col("__b")).cast("long").alias("__cc"),
+        )
+    )
+    counts = _bin_counts_from_per_value(per_value, g, edge_rows, ["__cb", "__cc"])
     # full n_bins grid per MEASURABLE group (one with edges)
     grid = edges.select(*g).crossJoin(
         base.sparkSession.range(n_bins).select(
             F.col("id").cast("int").alias("bin")
         )
     )
-    counts_full = _null_safe_join(
-        grid,
-        base_counts.withColumnRenamed("n", "__nb"),
-        g,
-        ["bin"],
-        how="left",
-    )
-    counts_full = _null_safe_join(
-        counts_full,
-        cur_counts.withColumnRenamed("n", "__nc"),
-        g,
-        ["bin"],
-        how="left",
-    ).select(
+    counts_full = _null_safe_join(grid, counts, g, ["bin"], how="left").select(
         *g,
         "bin",
-        F.coalesce("__nb", F.lit(0)).cast("long").alias("n_base"),
-        F.coalesce("__nc", F.lit(0)).cast("long").alias("n_cur"),
+        F.coalesce("__cb", F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce("__cc", F.lit(0)).cast("long").alias("n_cur"),
     )
     table = psi_share_table(counts_full, g, eps=eps, include_raw=include_raw)
     # reinstate unmeasurable groups (no base edges) from the anchor:
@@ -1220,6 +1244,15 @@ def score_quantile_normalize(
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if out_col in df.columns:
         raise ValueError(f"out_col {out_col!r} already exists in the input")
+    # the pass-everything-through contract means internal temp names can
+    # collide with user columns — refuse loudly instead of silently
+    # clobbering __v / breaking on an ambiguous __pct (r13 review #4)
+    reserved = {"__v", "__pct"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with reserved temp names: "
+            f"{sorted(reserved)} — rename them first"
+        )
     g = list(group_cols)
     v = F.col(value_col).cast("double")
     tagged = df.withColumn("__v", v)
@@ -1283,7 +1316,12 @@ def score_quantile_normalize(
             (avg_rank - F.lit(0.5)) / F.col("__N").cast("double")
         ).alias("__pct"),
     )
-    out = _null_safe_join(tagged, mapping, g, ["__v"], how="left")
+    # the join-back's right side is the |distinct values| mapping —
+    # UNBOUNDED, so global mode must NOT broadcast it (r13 review #1):
+    # with g=[] the __v equality alone drives a plain shuffle equi-join
+    out = _null_safe_join(
+        tagged, mapping, g, ["__v"], how="left", broadcast_global=False
+    )
     return out.withColumn(out_col, rnd(F.col("__pct"), 6)).drop(
         "__v", "__pct"
     )

@@ -1581,7 +1581,15 @@ def run_score_drift_monitor_by_group_stream(
         )
         drifted = F.col("__psi_raw") > F.lit(alert_psi)
         if alert_ks is not None:
-            drifted = drifted | (F.col("__d_binned_raw") > F.lit(alert_ks))
+            # coalesce: a measurable group whose batch values are ALL
+            # NULL has no batch CDF (__d_binned_raw NULL) — `false OR
+            # NULL` would write alerted=NULL, a row that neither
+            # `WHERE alerted` nor `WHERE NOT alerted` returns (r13
+            # review #2); the KS rule simply doesn't fire there (the
+            # PSI rule still sees the all-NULL batch as empty bins)
+            drifted = drifted | F.coalesce(
+                F.col("__d_binned_raw") > F.lit(alert_ks), F.lit(False)
+            )
         out = _null_safe_join(cur_totals, table, g, [], how="left").select(
             group_col,
             "bin",

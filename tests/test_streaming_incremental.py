@@ -1116,3 +1116,33 @@ def test_score_drift_monitor_by_group_matches_batch_operator(spark, tmp_path):
     assert all(r["alerted"] for r in ks_rows["srcB"])  # KS rule fired
     assert not any(r["alerted"] for r in ks_rows["srcA"])
     assert ks_rows["srcNEW"][0]["alerted"]  # anchor still alerts
+
+def test_by_group_monitor_all_null_batch_values_alert_not_null(spark, tmp_path):
+    """r13 review #2: a measurable source whose batch values are ALL
+    NULL has no batch CDF (NULL d_binned) — with alert_ks set the
+    alerted flag must still be a real boolean (false OR NULL was
+    writing NULL, a row neither WHERE alerted nor WHERE NOT alerted
+    returns). alert_psi is parked high to isolate the KS rule."""
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import (
+        run_score_drift_monitor_by_group_stream,
+    )
+
+    baseline_dir = str(tmp_path / "baseline")
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "out")
+    spark.createDataFrame(
+        [("srcA", float(i)) for i in range(50)], "source string, v double"
+    ).coalesce(1).write.parquet(baseline_dir)
+    spark.createDataFrame(
+        [("srcA", None)] * 5, "source string, v double"
+    ).coalesce(1).write.parquet(docs_dir)
+    run_score_drift_monitor_by_group_stream(
+        spark, docs_dir, baseline_dir, out_dir,
+        value_col="v", group_col="source",
+        alert_psi=1e9, alert_ks=0.1,
+    )
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 10  # measurable group: full bin table
+    for r in rows:
+        assert r["alerted"] is False  # boolean false, never NULL
+        assert r["d_binned"] is None and r["n_cur"] == 0
