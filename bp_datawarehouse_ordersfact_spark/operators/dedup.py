@@ -1292,3 +1292,77 @@ def _contamination_rollup(
         )
         .orderBy(F.desc("contaminated_docs"), F.asc("holdout_id"))
     )
+
+
+def semantic_diversity_prune(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    *,
+    keep_frac: float,
+    n_cells: int = 64,
+    n_iter: int = 2,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic DIVERSITY pruning (Abbas et al. 2023,
+    arXiv:2303.09540 — the rank-cut tier): cluster the embedding space,
+    then within each cluster DROP the points most similar to their
+    centroid (the semantically redundant core) and keep the
+    ``keep_frac`` least-redundant fraction — corpus-level redundancy
+    removal, the step after near-dup PAIR detection
+    (`embedding_near_dup_pairs_banded` finds copies; this thins
+    clouds of the same content that never cross a pair threshold).
+
+    Mechanics, all existing primitives: centroids from
+    ``similarity.kmeans_lloyd_centroids`` (or pass a persisted
+    ``centroids`` frame — train once, prune many); assignment is one
+    broadcast-argmax pass (k x dim floats, never a vector shuffle);
+    redundancy = cosine(v, own centroid); the per-cell rank cut is
+    ``evaluation.score_quantile_normalize`` over cell groups — the
+    bucketed prefix sum, so no window ever sorts a whole cell (cells
+    are corpus-scale/n_cells — exactly the single-task trap a naive
+    per-cell ``percent_rank`` would hit). A TIED redundancy block maps
+    to one average-rank value, so it is kept or dropped atomically —
+    deterministic and permutation-invariant.
+
+    Rows with a NULL embedding are KEPT, with NULL ``cell_id`` /
+    ``centroid_sim`` / ``keep_rank``: the pruner cannot judge
+    redundancy it cannot see, and silently dropping them would shrink
+    the corpus on a data bug (the module's audit posture).
+
+    Returns the kept rows: every input column plus ``cell_id``,
+    ``centroid_sim`` (6dp), ``keep_rank`` (the per-cell average-rank
+    percentile of redundancy — low = diverse = kept first).
+    """
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    from .evaluation import score_quantile_normalize
+    from .similarity import kmeans_lloyd_centroids
+
+    if centroids is None:
+        centroids = kmeans_lloyd_centroids(
+            df, vec_col=vec_col, id_col=id_col, n_cells=n_cells, n_iter=n_iter
+        )
+    cents = centroids.select("cell_id", F.col("cent").alias("__cent"))
+    has_vec = df.filter(F.col(vec_col).isNotNull())
+    scored = has_vec.crossJoin(F.broadcast(cents)).withColumn(
+        "__cos", rnd(V.cosine(F.col(vec_col), F.col("__cent")), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("cell_id"))
+    assigned = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r", "__cent")
+        .withColumnRenamed("__cos", "centroid_sim")
+    )
+    ranked = score_quantile_normalize(
+        assigned, "centroid_sim", ["cell_id"], out_col="keep_rank"
+    )
+    kept = ranked.filter(F.col("keep_rank") <= F.lit(float(keep_frac)))
+    skipped = df.filter(F.col(vec_col).isNull()).select(
+        *df.columns,
+        F.lit(None).cast("long").alias("cell_id"),
+        F.lit(None).cast("double").alias("centroid_sim"),
+        F.lit(None).cast("double").alias("keep_rank"),
+    )
+    return kept.unionByName(skipped)

@@ -281,3 +281,108 @@ def test_contamination_report_example_aggregation_is_rank_limited(spark):
     ).first()
     assert r["contaminated_docs"] == 40
     assert r["example_doc_ids"] == "0,1,2,3,4"
+
+
+def test_semantic_diversity_prune_matches_python_twin(spark):
+    """SemDeDup rank tier (round 13): with planted centroids the kept
+    set is a pure function of cosine-to-own-centroid and the per-cell
+    average-rank cut — re-derived in pure python; NULL embeddings are
+    kept with NULL audit columns; tie blocks keep/drop atomically;
+    keep_frac=1.0 keeps everything; monotone in keep_frac."""
+    import math
+
+    import pytest as _pt
+
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import (
+        semantic_diversity_prune,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cell_id long, cent array<double>",
+    )
+    # vectors: angles off the x-axis (cell 0) and y-axis (cell 1);
+    # ids 10.. — two exactly-tied redundancy values in cell 0 (ids 12, 13)
+    def vec(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    rows = [
+        (10, vec(2)),    # cell 0, very redundant
+        (11, vec(10)),
+        (12, vec(25)),   # tied pair
+        (13, vec(25)),
+        (14, vec(40)),   # most diverse in cell 0
+        (20, vec(88)),   # cell 1, very redundant
+        (21, vec(70)),
+        (22, vec(55)),   # most diverse in cell 1
+        (30, None),      # NULL embedding: kept, NULL audit cols
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, emb array<double>")
+
+    def py_twin(frac):
+        import collections
+
+        assign, sim = {}, {}
+        cdict = {0: [1.0, 0.0], 1: [0.0, 1.0]}
+        for i, v in rows:
+            if v is None:
+                continue
+            best = max(
+                sorted(cdict),  # tie -> smaller cell
+                key=lambda c: (
+                    round(sum(a * b for a, b in zip(v, cdict[c]))
+                          / (math.hypot(*v) * math.hypot(*cdict[c])), 6),
+                    -c,
+                ),
+            )
+            assign[i] = best
+            sim[i] = round(
+                sum(a * b for a, b in zip(v, cdict[best]))
+                / (math.hypot(*v) * math.hypot(*cdict[best])), 6)
+        kept = set()
+        by_cell = collections.defaultdict(list)
+        for i in assign:
+            by_cell[assign[i]].append(i)
+        for c, ids in by_cell.items():
+            vals = sorted(sim[i] for i in ids)
+            n = len(ids)
+            for i in ids:
+                lo = sum(1 for v2 in vals if v2 < sim[i])
+                ties = sum(1 for v2 in vals if v2 == sim[i])
+                avg_rank = lo + (ties + 1) / 2.0
+                if round((avg_rank - 0.5) / n, 6) <= frac:
+                    kept.add(i)
+        return kept
+
+    for frac in (0.3, 0.5, 0.8, 1.0):
+        out = semantic_diversity_prune(
+            df, "emb", "doc_id", keep_frac=frac, centroids=cents
+        ).collect()
+        got = {r["doc_id"] for r in out}
+        assert got == py_twin(frac) | {30}, frac
+        null_row = [r for r in out if r["doc_id"] == 30][0]
+        assert null_row["cell_id"] is None
+        assert null_row["keep_rank"] is None
+    # tie block atomic: 12 and 13 always together
+    for frac in (0.2, 0.4, 0.6):
+        got = {
+            r["doc_id"]
+            for r in semantic_diversity_prune(
+                df, "emb", "doc_id", keep_frac=frac, centroids=cents
+            ).collect()
+        }
+        assert (12 in got) == (13 in got), frac
+    # monotone in keep_frac
+    a = py_twin(0.3)
+    b = py_twin(0.8)
+    assert a <= b
+    with _pt.raises(ValueError):
+        semantic_diversity_prune(df, "emb", "doc_id", keep_frac=0.0)
+    # end-to-end with a TRAINED kmeans fit (no planted centroids):
+    # runs, keeps the NULL row, and output size respects the cut
+    out2 = semantic_diversity_prune(
+        df, "emb", "doc_id", keep_frac=0.5, n_cells=2, n_iter=1
+    )
+    ids2 = {r["doc_id"] for r in out2.collect()}
+    assert 30 in ids2 and len(ids2) <= 6
