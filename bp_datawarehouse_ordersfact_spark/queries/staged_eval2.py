@@ -8,7 +8,7 @@ seven at r17; see queries/__init__.py's window comment). Not yet in
 ``queries._MODULES``; they ride the oracle-conventions gate and their
 driver-style tests every pytest run meanwhile.
 
-All five oracles are COMPUTED (DuckDB twins over the real corpus —
+All six oracles are COMPUTED (DuckDB twins over the real corpus —
 the staged_eval discipline): scores/labels derive from integer
 arithmetic (`doc_id % 101`, `n_chars % 5`, `doc_id % 40`) so both
 engines rank/bucket identical inputs; no float enters before the final
@@ -311,3 +311,77 @@ def q_score_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = score_quantile_normalize(scored, "s", ["lang"])
     return out.select("doc_id", "lang", "pct_rank")
+
+
+# DuckDB twin of functions.vectors.dot — identical left-fold in double
+# (one definition with queries/llmops.py's SQL_DOT; re-stated here to
+# keep this module import-light for the driver).
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(len({a})), i -> CAST({a}[i+1] AS DOUBLE) * "
+    "CAST({b}[i+1] AS DOUBLE))), (acc, v) -> acc + v)"
+)
+
+_SEM_PRUNE_ORACLE = f"""
+    WITH cents AS (
+      SELECT k AS cell_id,
+             list_transform(range(64), i ->
+               CASE WHEN i = k THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END) AS cent
+      FROM (VALUES (0), (1), (2), (3)) AS t(k)
+    ), scored AS (
+      SELECT vec_id, cell_id,
+             round({_SQL_DOT.format(a='embedding', b='cent')}
+                   / (sqrt({_SQL_DOT.format(a='embedding', b='embedding')})
+                      * sqrt({_SQL_DOT.format(a='cent', b='cent')})), 6)
+               AS cos
+      FROM embeddings CROSS JOIN cents
+    ), best AS (
+      SELECT vec_id, cell_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cell_id ASC) AS r
+      FROM scored
+    ), a AS (
+      SELECT vec_id, cell_id, cos FROM best WHERE r = 1
+    ), ranked AS (
+      SELECT vec_id, cell_id, cos,
+             row_number() OVER (PARTITION BY cell_id ORDER BY cos) AS rn
+      FROM a
+    ), avg_ranks AS (
+      SELECT cell_id, cos, avg(rn) AS ar FROM ranked GROUP BY cell_id, cos
+    ), n AS (SELECT cell_id, count(*) AS cnt FROM a GROUP BY cell_id)
+    SELECT a.vec_id, a.cell_id, a.cos AS centroid_sim,
+           round((ar - 0.5) / cnt, 6) AS keep_rank
+    FROM a
+    JOIN avg_ranks ON avg_ranks.cell_id = a.cell_id AND avg_ranks.cos = a.cos
+    JOIN n ON n.cell_id = a.cell_id
+    WHERE round((ar - 0.5) / cnt, 6) <= 0.5
+    """
+
+
+@register("semantic_prune", _SEM_PRUNE_ORACLE)
+def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic diversity pruning
+    (`operators.dedup.semantic_diversity_prune`) over the embeddings
+    table with four PLANTED one-hot centroids (deterministic in both
+    engines — the trained-kmeans tier is pinned by the operator's unit
+    twin; this row pins the assignment + per-cell average-rank cut the
+    hash can check cross-engine): keep the 50% least-redundant vectors
+    per cell. The cosine is the repo's sequential double fold on both
+    sides (SQL_DOT), the argmax tie-breaks (cos DESC, cell ASC), and
+    the cut compares the ROUNDED keep_rank exactly as the operator
+    filters it."""
+    cents = spark.createDataFrame(
+        [
+            (k, [1.0 if i == k else 0.0 for i in range(64)])
+            for k in range(4)
+        ],
+        "cell_id long, cent array<double>",
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from ..operators.dedup import semantic_diversity_prune
+
+    out = semantic_diversity_prune(
+        emb, "embedding", "vec_id", keep_frac=0.5, centroids=cents
+    )
+    return out.select("vec_id", "cell_id", "centroid_sim", "keep_rank")

@@ -36,9 +36,10 @@ def spark():
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    c.execute(
-        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
-    )
+    for t in ("documents", "embeddings"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
     return c
 
 
