@@ -1336,6 +1336,18 @@ def semantic_diversity_prune(
     """
     if not 0.0 < keep_frac <= 1.0:
         raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    # pass-everything-through contract: output/temp names must not
+    # collide with user columns (the r13 review-#4 bug class — refuse
+    # loudly instead of silently clobbering or failing ambiguous)
+    reserved = {
+        "cell_id", "centroid_sim", "keep_rank", "__cos", "__cent", "__r",
+        "__v", "__pct",
+    } & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with this operator's output/temp "
+            f"names: {sorted(reserved)} — rename them first"
+        )
     from .evaluation import score_quantile_normalize
     from .similarity import kmeans_lloyd_centroids
 

@@ -379,6 +379,12 @@ def test_semantic_diversity_prune_matches_python_twin(spark):
     assert a <= b
     with _pt.raises(ValueError):
         semantic_diversity_prune(df, "emb", "doc_id", keep_frac=0.0)
+    # reserved-name collision refuses loudly (the r13 review-#4 class)
+    clash = df.withColumnRenamed("doc_id", "cell_id")
+    with _pt.raises(ValueError):
+        semantic_diversity_prune(
+            clash, "emb", "cell_id", keep_frac=0.5, centroids=cents
+        )
     # end-to-end with a TRAINED kmeans fit (no planted centroids):
     # runs, keeps the NULL row, and output size respects the cut
     out2 = semantic_diversity_prune(
