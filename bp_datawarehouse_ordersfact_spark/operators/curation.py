@@ -333,3 +333,88 @@ def host_authority(
         nodes, edges, damping=damping, max_iter=max_iter, tol=tol
     )
     return ranks.select(F.col("id").alias("host"), F.col("rank").alias("authority"))
+
+
+def canary_scan(
+    docs: DataFrame,
+    canaries: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    canary_col: str = "canary",
+    max_example_ids: int = 5,
+) -> DataFrame:
+    """EXACT canary-string scan: for each planted marker string (the
+    BIG-bench–style canary GUID convention — benchmark suites embed a
+    unique literal so trained models can be probed for contamination),
+    count the documents whose text contains it VERBATIM and list
+    example ids. The exact-literal dual of
+    ``dedup.decontaminate_ngram_overlap`` (fuzzy n-gram overlap finds
+    paraphrased leakage; this finds the planted marker itself — a
+    corpus that carries the canary must be filtered BEFORE training,
+    not probed after).
+
+    Every canary reports (zero matches included — the audit posture:
+    a canary silently missing from the report is indistinguishable
+    from an unchecked one); empty/NULL canaries are rejected loudly
+    (``contains(x, '')`` is true for every row — an empty marker would
+    flag the whole corpus and hide real hits).
+
+    Scale shape: the canary set is small by construction (one or a few
+    per benchmark suite) and broadcasts; the scan is ONE pass over the
+    corpus text with |canaries| codegen ``contains`` predicates per row
+    (a broadcast nested-loop join bounded by the canary count — the
+    ``decontaminate_ngram_overlap`` holdout pattern), followed by a
+    count/collect_list rollup on the tiny hit set. The corpus never
+    shuffles; example ids are capped at ``max_example_ids`` via sorted
+    ``slice`` so the report row stays bounded.
+
+    Returns one row per canary: ``canary``, ``n_docs`` (bigint),
+    ``example_doc_ids`` (comma-joined string of up to
+    ``max_example_ids`` smallest ids — scalar, driver-hashable).
+    """
+    if max_example_ids < 1:
+        raise ValueError(
+            f"max_example_ids must be >= 1, got {max_example_ids}"
+        )
+    cans = canaries.select(F.col(canary_col).alias("__canary")).distinct()
+    n_bad = cans.filter(
+        F.col("__canary").isNull() | (F.length("__canary") == 0)
+    ).count()  # bounded: |canaries| rows
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} empty/NULL canary string(s) — an empty marker "
+            "matches every document and would drown real hits"
+        )
+    hits = (
+        docs.select(F.col(id_col).alias("__doc"), F.col(text_col).alias("__t"))
+        .filter(F.col("__t").isNotNull())
+        .join(
+            F.broadcast(cans),
+            F.col("__t").contains(F.col("__canary")),
+        )
+        .groupBy("__canary")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(
+                        F.array_sort(F.collect_list("__doc")),
+                        1,
+                        max_example_ids,
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("example_doc_ids"),
+        )
+    )
+    return (
+        cans.join(hits, "__canary", "left")
+        .select(
+            F.col("__canary").alias(canary_col),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce("example_doc_ids", F.lit("")).alias("example_doc_ids"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc(canary_col))
+    )
