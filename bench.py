@@ -58,7 +58,6 @@ HEADLINE = [
     "ann_cosine_ivf",
     "text_langid",
     "text_quality",
-    "text_token_count",
     "text_fingerprint",
     "text_repetition",
     "text_unigram_logprob",
@@ -110,8 +109,6 @@ HEADLINE = [
     "skew_salted_join",
     "top_k_per_group",
     "contamination_report",
-    "set_intersect_except",
-    "date_dim_generate",
     "sketch_approx_stats",
     "rest_ingest_distributed",
     "stream_stateful_user_stats",
@@ -124,6 +121,9 @@ HEADLINE = [
     "corpus_stats_exact",
     "registrable_domain_psl",
     "phash_near_dup",
+    "bpe_tokenize",
+    "containment_near_dup",
+    "audio_pcm_features",
 ]
 
 

@@ -224,7 +224,20 @@ def encode_distinct_words(
     def enc(col: pd.Series) -> pd.Series:
         return col.map(lambda w: _encode_word(w, ranks))
 
-    return words.select(word_col, enc(F.col(word_col)).alias("bpe"))
+    # user-pinned fan-out (the `_fan_out` contract, PLANS.md "Round
+    # 10"): the encode's cost scales with ROWS (a sequential merge loop
+    # per word), so AQE's bytes-based coalescing would serialize the
+    # dictionary onto a few cores. Partition by xxhash64(word), not the
+    # bare word: callers pass a just-distinct'd frame whose aggregate
+    # exchange already hash-partitions on word, and the planner elides
+    # a same-key same-count user repartition as redundant — leaving
+    # only the coalescible ENSURE_REQUIREMENTS exchange. The derived
+    # key keeps the REPARTITION_BY_NUM pin in the plan; the frame is
+    # dictionary-sized, so the extra exchange is noise.
+    n = words.sparkSession.sparkContext.defaultParallelism
+    return words.repartition(n, F.xxhash64(word_col)).select(
+        word_col, enc(F.col(word_col)).alias("bpe")
+    )
 
 
 def bpe_encode(

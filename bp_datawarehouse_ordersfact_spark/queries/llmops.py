@@ -398,7 +398,8 @@ def q_dedup_embedding_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (16 cells, 2 probes): the inverted-file alternative
     to sign-LSH bucketing — search cost drops to ~n_probe/n_cells of the
-    corpus, and the cell assignment is one broadcast-argmax pass."""
+    corpus, and the cell assignment is one row-local argmax pass
+    against the driver-collected centroid literal (zero shuffle)."""
     e = _emb(spark, sf_dir)
     return cosine_topk_ivf(
         e.filter(F.col("vec_id") < 50), e, k=5, n_cells=16, n_probe=2
@@ -529,17 +530,22 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_token_count",
-    r"""
+# RETIRED round 14 (r13 VERDICT #1 pool): the whitespace/BPE-ish regex
+# counters are superseded in the registry by the activated
+# `bpe_tokenize` (queries/staged_r16.py) — the REAL fitted-merge
+# tokenizer over the same corpus; the regex counters stay pinned every
+# pytest run via RETIRED below (and inside `text_quality`'s registry
+# row, which tokenizes the same way).
+_TEXT_TOKEN_COUNT_ORACLE = r"""
     SELECT doc_id,
            CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT)
              AS ws_tokens,
            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
              AS bpe_ish_tokens
     FROM documents
-    """,
-)
+    """
+
+
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace split + a BPE-ish regex segmentation
     (letter runs / digit runs / single punctuation)."""
@@ -863,7 +869,8 @@ def _sql_kmeans_round(e: str, cents: str, out_a: str, out_c: str) -> str:
 def q_ann_ivf_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF centroid TRAINING (two Lloyd iterations over the embedding
     corpus) — the step ``cosine_topk_ivf``'s deterministic seed stood in
-    for. Assignment is a broadcast argmax (no shuffle of the vectors);
+    for. Assignment is a row-local argmax against the centroid literal
+    (no shuffle, no join of the vectors);
     the recompute is one narrow (cell, dim, value) shuffle with map-side
     partial means — the standard distributed k-means plan. Centroids are
     rounded each round so the fit is bit-reproducible in the oracle
@@ -1625,4 +1632,5 @@ RETIRED: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, _ORACLE_DEDUP_NGRAM_JACCARD),
     "text_chunking": (q_text_chunking, _ORACLE_TEXT_CHUNKING),
     "sample_stratified": (q_sample_stratified, _ORACLE_SAMPLE_STRATIFIED),
+    "text_token_count": (q_text_token_count, _TEXT_TOKEN_COUNT_ORACLE),
 }

@@ -1240,9 +1240,11 @@ def q_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "set_intersect_except",
-    """
+# RETIRED round 14 (r13 VERDICT #1 pool): U1/U2 keep `union_by_name` +
+# `semi_anti_join` registry rows (the reference's only set ops — §2.11);
+# INTERSECT/EXCEPT were engine-added and their capped slot goes to the
+# activated staged_r16/r17 queries. Pytest-pinned via RETIRED below.
+_SET_INTERSECT_EXCEPT_ORACLE = """
     WITH o_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
     f_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
     SELECT o_custkey, 'both' AS membership FROM (
@@ -1250,8 +1252,9 @@ def q_window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT o_custkey, 'open_only' AS membership FROM (
       SELECT o_custkey FROM o_cust EXCEPT SELECT o_custkey FROM f_cust)
-    """,
-)
+    """
+
+
 def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3 (the reference has union and anti only — §2.11): INTERSECT and
     EXCEPT as first-class set ops. Both plan as aggregate+join on the
@@ -1950,6 +1953,7 @@ def q_correlated_exists_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 RETIRED: dict[str, tuple] = {
+    "set_intersect_except": (q_set_intersect_except, _SET_INTERSECT_EXCEPT_ORACLE),
     "cube_summary": (
         q_cube_summary,
         """

@@ -45,10 +45,9 @@ def oracle_frames(con):
         sql_rewrite_rounds,
     )
     from bp_datawarehouse_ordersfact_spark.queries import (
+        staged_canary,
         staged_eval,
         staged_eval2,
-        staged_r16,
-        staged_r17,
         staged_r18,
         staged_r19,
         staged_r20,
@@ -62,8 +61,8 @@ def oracle_frames(con):
     # the activation is still a mechanical edit (r10; staged_r10's
     # oracles were only convention-checked once activated)
     for mod in (
-        staged_eval, staged_eval2, staged_r16,
-        staged_r17, staged_r18, staged_r19, staged_r20,
+        staged_eval, staged_eval2, staged_r18, staged_r19, staged_r20,
+        staged_canary,
     ):
         for name, sql in mod.ORACLES.items():
             frames[f"staged:{name}"] = con.execute(
@@ -125,8 +124,8 @@ def test_oracles_sort_under_driver_canonicalization(oracle_frames):
 
 
 def test_staged_modules_and_registry_names_are_pairwise_disjoint():
-    """With staged modules queued (r16-r20 + staged_eval after the
-    round-13 double activation), two defining the same
+    """With staged modules queued (r18-r20 + staged_eval/eval2 after the
+    round-14 double activation), two defining the same
     query name — or a staged name colliding with a live registry one —
     would make an activation silently overwrite a dict entry instead of
     adding a row. Every staged module's names must be disjoint from
@@ -134,18 +133,17 @@ def test_staged_modules_and_registry_names_are_pairwise_disjoint():
     must carry an oracle (or be a deliberate rows-only op, of which
     there are none staged)."""
     from bp_datawarehouse_ordersfact_spark.queries import (
+        staged_canary,
         staged_eval,
         staged_eval2,
-        staged_r16,
-        staged_r17,
         staged_r18,
         staged_r19,
         staged_r20,
     )
 
     mods = [
-        staged_eval, staged_eval2, staged_r16,
-        staged_r17, staged_r18, staged_r19, staged_r20,
+        staged_eval, staged_eval2, staged_r18, staged_r19, staged_r20,
+        staged_canary,
     ]
     live = set(Q.all_queries())
     seen: dict[str, str] = {}

@@ -10,7 +10,10 @@ retired `threshold_filter`, `window_rank_functions`, and
 `variant_props_extract`, `retention_cohorts` (relational.RETIRED) and
 `sketch_kll_quantile_merge` (sketches_r6.RETIRED); round 13 (r12
 VERDICT #1) retired `top_k`, `events_gap_fill` (relational.RETIRED)
-and `url_canonicalize` (curation_r9.RETIRED). Each freed a capped
+and `url_canonicalize` (curation_r9.RETIRED); round 14 (r13 VERDICT
+#1) retired `text_token_count` (llmops.RETIRED),
+`set_intersect_except` (relational.RETIRED), and `date_dim_generate`
+(pipeline.RETIRED). Each freed a capped
 registry slot for a curation/SFT-layer query. Retirement changes WHO checks
 them, not whether they are checked: this runs the exact driver-style
 comparison (tests/parity.py's fetchdf + dtype-sensitive frames_match,
@@ -28,6 +31,7 @@ from bp_datawarehouse_ordersfact_spark.functions.rounding import sql_rewrite_rou
 from bp_datawarehouse_ordersfact_spark.queries import (
     curation_r9,
     llmops,
+    pipeline,
     relational,
     sketches_r6,
 )
@@ -40,6 +44,7 @@ RETIRED: dict[str, tuple] = {
     **llmops.RETIRED,
     **sketches_r6.RETIRED,
     **curation_r9.RETIRED,
+    **pipeline.RETIRED,
 }
 
 

@@ -45,14 +45,19 @@ def test_staged_r16_query_passes_driver_comparison(spark, name):
     assert ok, f"{name}: {msg}"
 
 
-def test_staged_module_is_not_yet_registered():
-    """Staging contract: the name must NOT be in the live registry (the
-    registry is at its 100-entry rotation cap) until the round-16
-    activation swaps it in."""
+def test_staged_module_is_activated():
+    """Activation contract (round 14, per the accelerated schedule):
+    `bpe_tokenize` is live in the registry and oracle-paired, holding a
+    capped slot freed by the round-14 retirements (`text_token_count` —
+    which this fitted-merge tokenizer supersedes — stays oracle-pinned
+    via llmops.RETIRED).
+    Window membership is NOT pinned (activation-round-only fact)."""
     from bp_datawarehouse_ordersfact_spark import queries as Q
 
     live = set(Q.all_queries())
-    assert not (set(staged_r16.QUERIES) & live)
+    missing = set(staged_r16.QUERIES) - live
+    assert not missing, f"staged queries not in the registry: {missing}"
+    assert set(staged_r16.QUERIES) <= set(Q.all_oracles())
 
 
 # --- pure-Python BPE twin ----------------------------------------------------

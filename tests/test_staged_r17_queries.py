@@ -45,14 +45,19 @@ def test_staged_r17_query_passes_driver_comparison(spark, name):
     assert ok, f"{name}: {msg}"
 
 
-def test_staged_module_is_not_yet_registered():
-    """Staging contract: the names must NOT be in the live registry (the
-    registry is at its 100-entry rotation cap) until the round-17
-    activation swaps them in."""
+def test_staged_module_is_activated():
+    """Activation contract (round 14, per the accelerated schedule):
+    `containment_near_dup` and `audio_pcm_features` are live in the
+    registry and oracle-paired, holding capped slots freed by the
+    round-14 retirements (`set_intersect_except`, `date_dim_generate` —
+    both stay oracle-pinned via relational.RETIRED / pipeline.RETIRED).
+    Window membership is NOT pinned (activation-round-only fact)."""
     from bp_datawarehouse_ordersfact_spark import queries as Q
 
     live = set(Q.all_queries())
-    assert not (set(staged_r17.QUERIES) & live)
+    missing = set(staged_r17.QUERIES) - live
+    assert not missing, f"staged queries not in the registry: {missing}"
+    assert set(staged_r17.QUERIES) <= set(Q.all_oracles())
 
 
 def _rnd6(x: float) -> float:
