@@ -1314,9 +1314,13 @@ def semantic_diversity_prune(
     clouds of the same content that never cross a pair threshold).
 
     Mechanics, all existing primitives: centroids from
-    ``similarity.kmeans_lloyd_centroids`` (or pass a persisted
-    ``centroids`` frame — train once, prune many); assignment is one
-    broadcast-argmax pass (k x dim floats, never a vector shuffle);
+    ``similarity.kmeans_lloyd_centroids`` trained on the non-NULL
+    subset (or pass a persisted ``centroids`` frame — train once,
+    prune many); assignment is a ROW-LOCAL argmax against the
+    driver-collected k x dim centroid literal
+    (``functions.vectors.nearest_cells_local`` — zero shuffle; the
+    r13 crossJoin + per-id window formulation hash-exchanged
+    corpus x n_cells full-width rows, text and vectors included);
     redundancy = cosine(v, own centroid); the per-cell rank cut is
     ``evaluation.score_quantile_normalize`` over cell groups — the
     bucketed prefix sum, so no window ever sorts a whole cell (cells
@@ -1325,10 +1329,13 @@ def semantic_diversity_prune(
     to one average-rank value, so it is kept or dropped atomically —
     deterministic and permutation-invariant.
 
-    Rows with a NULL embedding are KEPT, with NULL ``cell_id`` /
-    ``centroid_sim`` / ``keep_rank``: the pruner cannot judge
-    redundancy it cannot see, and silently dropping them would shrink
-    the corpus on a data bug (the module's audit posture).
+    Rows the pruner cannot judge are KEPT, with NULL ``cell_id`` /
+    ``centroid_sim`` / ``keep_rank``: both NULL embeddings and
+    zero-norm embeddings (whose cosine is undefined — the null-safe
+    form, so ANSI mode cannot turn them into a divide error). The
+    pruner cannot judge redundancy it cannot see, and silently
+    dropping such rows would shrink the corpus on a data bug (the
+    module's audit posture; r13 ADVICE #1).
 
     Returns the kept rows: every input column plus ``cell_id``,
     ``centroid_sim`` (6dp), ``keep_rank`` (the per-cell average-rank
@@ -1340,8 +1347,7 @@ def semantic_diversity_prune(
     # collide with user columns (the r13 review-#4 bug class — refuse
     # loudly instead of silently clobbering or failing ambiguous)
     reserved = {
-        "cell_id", "centroid_sim", "keep_rank", "__cos", "__cent", "__r",
-        "__v", "__pct",
+        "cell_id", "centroid_sim", "keep_rank", "__nc",
     } & set(df.columns)
     if reserved:
         raise ValueError(
@@ -1349,32 +1355,45 @@ def semantic_diversity_prune(
             f"names: {sorted(reserved)} — rename them first"
         )
     from .evaluation import score_quantile_normalize
-    from .similarity import kmeans_lloyd_centroids
+    from .similarity import collect_cells, kmeans_lloyd_centroids
 
-    if centroids is None:
-        centroids = kmeans_lloyd_centroids(
-            df, vec_col=vec_col, id_col=id_col, n_cells=n_cells, n_iter=n_iter
-        )
-    cents = centroids.select("cell_id", F.col("cent").alias("__cent"))
     has_vec = df.filter(F.col(vec_col).isNotNull())
-    scored = has_vec.crossJoin(F.broadcast(cents)).withColumn(
-        "__cos", rnd(V.cosine(F.col(vec_col), F.col("__cent")), 6)
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("cell_id"))
-    assigned = (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .drop("__r", "__cent")
-        .withColumnRenamed("__cos", "centroid_sim")
-    )
-    ranked = score_quantile_normalize(
-        assigned, "centroid_sim", ["cell_id"], out_col="keep_rank"
-    )
-    kept = ranked.filter(F.col("keep_rank") <= F.lit(float(keep_frac)))
-    skipped = df.filter(F.col(vec_col).isNull()).select(
-        *df.columns,
+    if centroids is None:
+        # train on the non-NULL subset (r13 ADVICE #2): with min_id
+        # seeding a NULL-vector row with a small id would become a
+        # NULL-centroid seed, wasting a cell and perturbing assignment
+        centroids = kmeans_lloyd_centroids(
+            has_vec, vec_col=vec_col, id_col=id_col,
+            n_cells=n_cells, n_iter=n_iter,
+        )
+    cells = collect_cells(centroids)
+    null_triple = (
         F.lit(None).cast("long").alias("cell_id"),
         F.lit(None).cast("double").alias("centroid_sim"),
         F.lit(None).cast("double").alias("keep_rank"),
     )
-    return kept.unionByName(skipped)
+    if not cells:
+        # nothing to judge against: keep everything, unjudged
+        return df.select(*df.columns, *null_triple)
+    nearest = F.element_at(
+        V.nearest_cells_local(F.col(vec_col), cells, 1), 1
+    )
+    assigned = has_vec.select(*df.columns, nearest.alias("__nc"))
+    judged = assigned.filter(F.col("__nc")["sim"].isNotNull()).select(
+        *df.columns,
+        F.col("__nc")["cell_id"].alias("cell_id"),
+        F.col("__nc")["sim"].alias("centroid_sim"),
+    )
+    # zero-norm embeddings: cosine undefined -> NULL sim -> kept with
+    # NULLs (they must not fall through the keep_rank filter; ADVICE #1)
+    unjudgeable = assigned.filter(F.col("__nc")["sim"].isNull()).select(
+        *df.columns, *null_triple
+    )
+    ranked = score_quantile_normalize(
+        judged, "centroid_sim", ["cell_id"], out_col="keep_rank"
+    )
+    kept = ranked.filter(F.col("keep_rank") <= F.lit(float(keep_frac)))
+    skipped = df.filter(F.col(vec_col).isNull()).select(
+        *df.columns, *null_triple
+    )
+    return kept.unionByName(skipped).unionByName(unjudgeable)

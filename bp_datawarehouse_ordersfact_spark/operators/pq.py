@@ -236,8 +236,9 @@ def build_ivfpq_index(
     """(id, cell_id, codes) — the IVF+PQ index frame. ``centroids`` is a
     trained coarse quantizer (``kmeans_lloyd_centroids``'s (cell_id,
     cent) output, the repo's cosine-cell IVF convention), ``codebooks``
-    a ``pq_train`` fit. Build is one broadcast-argmax pass over the
-    corpus plus the PQ encode — no corpus self-joins.
+    a ``pq_train`` fit. Build is one row-local coarse-argmax pass over
+    the corpus plus the PQ encode — no corpus self-joins, no
+    corpus x n_cells exchange.
 
     WRITE THIS PARTITIONED BY cell_id (``.write.partitionBy("cell_id")``):
     search filters on cell_id, so a cell-partitioned layout turns the
@@ -246,17 +247,17 @@ def build_ivfpq_index(
     That pairing (directory pruning × 32× column compression) is what
     makes 100 TB of embeddings interactively searchable.
     """
-    cents = centroids.select("cell_id", F.col("cent").alias("cent_vec"))
-    scored = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("cell_cos", rnd(V.cosine_nullsafe(F.col(vec_col), F.col("cent_vec")), 6))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cell_cos"), F.asc("cell_id"))
-    cells = (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select(id_col, "cell_id")
+    # row-local coarse argmax against the driver-collected centroid
+    # literal (r13 VERDICT #1 helper) — genuinely "no corpus self-joins"
+    # AND no corpus x n_cells exchange
+    from .similarity import collect_cells
+
+    cell_lits = collect_cells(centroids)
+    cells = df.select(
+        F.col(id_col),
+        F.element_at(
+            V.nearest_cells_local(F.col(vec_col), cell_lits, 1), 1
+        )["cell_id"].alias("cell_id"),
     )
     return cells.join(pq_encode(df, codebooks, vec_col, id_col), id_col).select(
         id_col, "cell_id", "codes"
@@ -319,16 +320,23 @@ def residual_frame(
     cluster much tighter than raw vectors, so the same ksub codes spend
     their resolution where the data actually varies). Assignment is the
     repo's cosine-cell argmax; the subtraction is one zip_with."""
+    # row-local coarse argmax (r13 VERDICT #1 helper), then ONE
+    # broadcast equi-join back to the centroid frame for the
+    # subtraction — the old crossJoin + per-id window exchanged
+    # (id, vec) x n_cells rows just to keep cent_vec on the winner
+    from .similarity import collect_cells
+
     cents = centroids.select("cell_id", F.col("cent").alias("cent_vec"))
-    scored = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("cell_cos", rnd(V.cosine_nullsafe(F.col(vec_col), F.col("cent_vec")), 6))
+    cell_lits = collect_cells(centroids)
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(
+            V.nearest_cells_local(F.col(vec_col), cell_lits, 1), 1
+        )["cell_id"].alias("cell_id"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cell_cos"), F.asc("cell_id"))
     return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
+        assigned.join(F.broadcast(cents), "cell_id")
         .select(
             id_col,
             "cell_id",
@@ -677,23 +685,17 @@ def pq_search_ivfpq_batch(
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
     m = codebooks.agg(F.countDistinct("sub")).collect()[0][0]
     _check_batch_query_dim(queries, query_vec_col, codebooks, m)
-    cents = centroids.select("cell_id", F.col("cent").alias("cent_vec"))
-    scored = (
-        queries.select(F.col(query_id_col).alias("q_id"), F.col(query_vec_col))
-        .crossJoin(F.broadcast(cents))
-        .withColumn(
-            "cell_cos",
-            rnd(V.cosine_nullsafe(F.col(query_vec_col), F.col("cent_vec")), 6),
-        )
-    )
-    wprobe = Window.partitionBy("q_id").orderBy(
-        F.desc_nulls_last("cell_cos"), F.asc("cell_id")
-    )
-    probes = (
-        scored.withColumn("__r", F.row_number().over(wprobe))
-        .filter(F.col("__r") <= n_probe)
-        .select("q_id", "cell_id")
-    )
+    # row-local top-n_probe cells (r13 VERDICT #1 helper): the old
+    # crossJoin + per-query window exchanged |Q| x n_cells vector rows
+    from .similarity import collect_cells
+
+    cell_lits = collect_cells(centroids)
+    probes = queries.select(
+        F.col(query_id_col).alias("q_id"),
+        F.explode(
+            V.nearest_cells_local(F.col(query_vec_col), cell_lits, n_probe)
+        ).alias("__nc"),
+    ).select("q_id", F.col("__nc")["cell_id"].alias("cell_id"))
     if prune_cells:
         # one cheap action (map-side probe pass, ≤ centroid-count rows
         # out) buys static directory pruning on the index scan
@@ -776,21 +778,26 @@ def pq_search_ivfpq_residual_batch(
     _check_batch_query_dim(queries, query_vec_col, codebooks, m)
     d = codebooks.select(F.size("cent").alias("d")).limit(1).collect()[0]["d"]
 
+    # row-local top-n_probe cells (r13 VERDICT #1 helper), then ONE
+    # broadcast equi-join back to the centroid frame for the residual
+    # subtraction — the old crossJoin + per-query window exchanged
+    # |Q| x n_cells query-vector rows
+    from .similarity import collect_cells
+
     cents = centroids.select("cell_id", F.col("cent").alias("cent_vec"))
-    scored = (
-        queries.select(F.col(query_id_col).alias("q_id"), F.col(query_vec_col))
-        .crossJoin(F.broadcast(cents))
-        .withColumn(
-            "cell_cos",
-            rnd(V.cosine_nullsafe(F.col(query_vec_col), F.col("cent_vec")), 6),
-        )
-    )
-    wprobe = Window.partitionBy("q_id").orderBy(
-        F.desc_nulls_last("cell_cos"), F.asc("cell_id")
-    )
+    cell_lits = collect_cells(centroids)
     probes = (
-        scored.withColumn("__r", F.row_number().over(wprobe))
-        .filter(F.col("__r") <= n_probe)
+        queries.select(
+            F.col(query_id_col).alias("q_id"),
+            F.col(query_vec_col),
+            F.explode(
+                V.nearest_cells_local(
+                    F.col(query_vec_col), cell_lits, n_probe
+                )
+            ).alias("__nc"),
+        )
+        .select("q_id", query_vec_col, F.col("__nc")["cell_id"].alias("cell_id"))
+        .join(F.broadcast(cents), "cell_id")
         .select(
             "q_id",
             "cell_id",

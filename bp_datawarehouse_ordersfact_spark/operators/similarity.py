@@ -152,8 +152,9 @@ def cosine_topk_ivf(
     default centroid set is deterministic (the first ``n_cells``
     candidate vectors) standing in for a k-means fit — the
     index/assign/probe/search mechanics, which are the scale-relevant
-    part, are identical: build is one broadcast-argmax pass, search
-    touches ~n_probe/n_cells of the data instead of all of it.
+    part, are identical: build is one ROW-LOCAL argmax pass against the
+    driver-collected centroid literal (zero shuffle — r13 VERDICT #1),
+    search touches ~n_probe/n_cells of the data instead of all of it.
 
     Pass ``centroids`` — a (cell_id, cent) frame, typically
     ``kmeans_lloyd_centroids(...)``'s output (persisted to Parquet and
@@ -168,19 +169,24 @@ def cosine_topk_ivf(
         cents = candidates.filter(F.col(id_col) < n_cells).select(
             F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cent_vec")
         )
+    # ROW-LOCAL top-n_probe cells against the driver-collected centroid
+    # literal (r13 VERDICT #1): the previous crossJoin(broadcast) +
+    # row_number window hash-exchanged |Q|+|C| x n_cells vector rows
+    # just to rank cells per row. Same (sim DESC NULLS LAST, cell ASC)
+    # ordering, pinned by the unchanged oracle twins.
+    cells = collect_cells(cents, cent_col="cent_vec")
 
     def assign(df: DataFrame, id_out: str, vec_out: str, top: int) -> DataFrame:
-        scored = (
-            df.select(F.col(id_col).alias(id_out), F.col(vec_col).alias(vec_out))
-            .crossJoin(F.broadcast(cents))
-            .withColumn("cell_cos", rnd(V.cosine(F.col(vec_out), F.col("cent_vec")), 6))
-        )
-        w = Window.partitionBy(id_out).orderBy(F.desc("cell_cos"), F.asc("cell_id"))
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= top)
-            .select(id_out, vec_out, "cell_id")
-        )
+        base = df.select(F.col(id_col).alias(id_out), F.col(vec_col).alias(vec_out))
+        if not cells:
+            return base.limit(0).withColumn("cell_id", F.lit(None).cast("long"))
+        return base.select(
+            id_out,
+            vec_out,
+            F.explode(
+                V.nearest_cells_local(F.col(vec_out), cells, top)
+            ).alias("__nc"),
+        ).select(id_out, vec_out, F.col("__nc")["cell_id"].alias("cell_id"))
 
     index = assign(candidates, "c_id", "c_vec", 1)          # each vector in ONE cell
     probes = assign(queries, "q_id", "q_vec", n_probe)      # query probes n_probe cells
@@ -305,6 +311,19 @@ def cosine_topk_lsh_banded(
     )
 
 
+def collect_cells(
+    centroids: DataFrame, cell_col: str = "cell_id", cent_col: str = "cent"
+) -> list[tuple[int, list[float]]]:
+    """Driver-collect a centroid frame into the ``(cell_id, vector)``
+    list ``functions.vectors.nearest_cells_local`` embeds as literals.
+    Bounded by construction — n_cells x dim floats, the same
+    driver-bounded class as evaluation.py's quantile edges — so this
+    never scales with the corpus. Sorted by cell_id for a deterministic
+    expression tree."""
+    rows = centroids.select(cell_col, cent_col).collect()
+    return sorted((int(r[0]), list(r[1])) for r in rows)
+
+
 def _farthest_point_seeds(e: DataFrame, n_cells: int) -> DataFrame:
     """Deterministic k-means++-flavored seeding: farthest-point (k-center
     greedy). Start from the smallest-id vector; each round add the vector
@@ -388,10 +407,13 @@ def kmeans_lloyd_centroids(
     next assignment reads identical inputs in any engine.
 
     Scale shape per iteration: centroids are k×dim floats — always
-    broadcastable — so assignment is a map-side argmax over the corpus
-    (no shuffle of the vectors); the recompute is one shuffle of narrow
-    (cell, dim, value) rows with map-side partial means. This is the
-    standard distributed k-means plan at any corpus size.
+    driver-collectable — so assignment is a ROW-LOCAL argmax over the
+    corpus against the centroid literal (zero shuffle, zero join — the
+    `_farthest_point_seeds` pattern; r13 VERDICT #1); the recompute is
+    one shuffle of narrow (cell, dim, value) rows with map-side partial
+    means, collected to the driver between iterations (k×dim floats,
+    the classic distributed k-means loop). This is the standard plan at
+    any corpus size.
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
@@ -409,14 +431,26 @@ def kmeans_lloyd_centroids(
 
     assigned = None
     for _ in range(n_iter):
-        scored = e.crossJoin(F.broadcast(cents)).withColumn(
-            "cell_cos", rnd(V.cosine(F.col("v"), F.col("cent")), 6)
-        )
-        w = Window.partitionBy("vid").orderBy(F.desc("cell_cos"), F.asc("cell_id"))
-        assigned = (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select("vid", "v", "cell_id")
+        # ROW-LOCAL argmax against the driver-collected k x dim
+        # centroid literal (r13 VERDICT #1): the docstring's "map-side
+        # argmax, no shuffle of the vectors" claim, now literally true —
+        # the previous crossJoin(broadcast) + row_number window
+        # hash-exchanged corpus x n_cells (vid, v, cent) rows per
+        # iteration. Same (sim DESC NULLS LAST, cell ASC) tie-break,
+        # same 6dp rounding, pinned by the unchanged oracle twins.
+        cells = collect_cells(cents)
+        if not cells:
+            return e.limit(0).select(
+                F.col("vid").cast("long").alias("cell_id"),
+                F.lit(0).cast("long").alias("n_members"),
+                F.col("v").cast("array<double>").alias("cent"),
+            )
+        assigned = e.select(
+            "vid",
+            "v",
+            F.element_at(V.nearest_cells_local(F.col("v"), cells, 1), 1)[
+                "cell_id"
+            ].alias("cell_id"),
         )
         dims = assigned.select("cell_id", F.posexplode("v").alias("pos", "val"))
         means = dims.groupBy("cell_id", "pos").agg(rnd(F.avg("val"), 6).alias("m"))

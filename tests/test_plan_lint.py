@@ -32,8 +32,10 @@ BOUNDED_CROSS_OK = {
     "levenshtein_ratio_join": "broadcast master side, threshold filter",
     "ann_cosine_topk": "labeled exact brute-force baseline",
     "ann_recall_at_k": "consumes the exact brute-force baseline",
-    "ann_cosine_ivf": "k-row centroid frame broadcast for assignment",
-    "ann_ivf_kmeans_refine": "k-row centroid frame broadcast per Lloyd round",
+    # ann_cosine_ivf / ann_ivf_kmeans_refine left this list in round 14:
+    # cell assignment became a ROW-LOCAL argmax over a driver-collected
+    # centroid literal (r13 VERDICT #1), so their plans no longer carry
+    # any nested-loop join — the lint now enforces that stays true.
     "dedup_cluster_cc": "consumes LSH pairs; convergence probe aggregates",
     "leakage_safe_split": "consumes LSH pairs + CC",
     "text_unigram_logprob": "1-row total-count frame",
@@ -46,7 +48,6 @@ BOUNDED_CROSS_OK = {
     "fact_royalty": "1-row scalar frames",
     "rollup_incremental_refresh": "1-row scalar frames",
     "data_quality_audit": "1-row per-check aggregate frames",
-    "date_dim_generate": "bounded generated calendar",
     "domain_fact_royalty": "fixture-bound scalar frames",
     "domain_split_royalty_report": "fixture-bound scalar frames",
     "sketch_kll_quantile_merge": "1-row exact/estimate frames crossed for "

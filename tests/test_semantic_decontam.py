@@ -392,3 +392,66 @@ def test_semantic_diversity_prune_matches_python_twin(spark):
     )
     ids2 = {r["doc_id"] for r in out2.collect()}
     assert 30 in ids2 and len(ids2) <= 6
+
+
+def test_semantic_diversity_prune_zero_norm_rows_are_kept(spark):
+    """r13 ADVICE #1: a zero-norm embedding has an undefined cosine to
+    every centroid; the row must be KEPT with NULL audit columns (the
+    same contract as NULL embeddings), never silently dropped by the
+    keep_rank filter — and ANSI mode must not raise a divide error."""
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import (
+        semantic_diversity_prune,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cell_id long, cent array<double>",
+    )
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1]),
+            (2, [0.9, 0.2]),
+            (3, [0.0, 0.0]),  # zero norm: unjudgeable
+            (4, None),        # NULL: unjudgeable
+        ],
+        "doc_id long, emb array<double>",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in semantic_diversity_prune(
+            df, "emb", "doc_id", keep_frac=0.5, centroids=cents
+        ).collect()
+    }
+    assert 3 in out and 4 in out
+    for i in (3, 4):
+        assert out[i]["cell_id"] is None
+        assert out[i]["centroid_sim"] is None
+        assert out[i]["keep_rank"] is None
+
+
+def test_semantic_diversity_prune_assignment_is_shuffle_free(spark):
+    """r13 VERDICT "What's wrong #1" done-criterion: the centroid
+    assignment is row-local — the executed plan carries NO nested-loop
+    join (the old crossJoin(broadcast(cents))) and NO window partitioned
+    by the document id (the old per-id row_number argmax that
+    hash-exchanged corpus x n_cells full-width rows). The only
+    exchanges left belong to the rank cut's bucketed prefix sum."""
+    from bp_datawarehouse_ordersfact_spark.operators.dedup import (
+        semantic_diversity_prune,
+    )
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cell_id long, cent array<double>",
+    )
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.01 * i], f"text {i}") for i in range(1, 9)],
+        "doc_id long, emb array<double>, text string",
+    )
+    out = semantic_diversity_prune(
+        df, "emb", "doc_id", keep_frac=0.5, centroids=cents
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(doc_id" not in plan
