@@ -26,7 +26,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import h32
@@ -386,23 +386,38 @@ def canary_scan(
             f"{n_bad} empty/NULL canary string(s) — an empty marker "
             "matches every document and would drown real hits"
         )
-    hits = (
+    matched = (
         docs.select(F.col(id_col).alias("__doc"), F.col(text_col).alias("__t"))
         .filter(F.col("__t").isNotNull())
         .join(
             F.broadcast(cans),
             F.col("__t").contains(F.col("__canary")),
         )
+        .select("__canary", "__doc")
+    )
+    # bound the example list BEFORE the rollup (r13 ADVICE #4): rank
+    # matches per canary and let collect_list see only the
+    # max_example_ids smallest ids (collect_list drops the NULLs the
+    # rank filter leaves) — a heavily contaminated corpus (one canary
+    # in millions of docs) must never buffer every id in one
+    # aggregation buffer. The groupBy reuses the window's partitioning,
+    # so this stays one shuffle of the narrow hit set.
+    w = Window.partitionBy("__canary").orderBy("__doc")
+    hits = (
+        matched.withColumn("__rn", F.row_number().over(w))
         .groupBy("__canary")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.concat_ws(
                 ",",
                 F.transform(
-                    F.slice(
-                        F.array_sort(F.collect_list("__doc")),
-                        1,
-                        max_example_ids,
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") <= max_example_ids,
+                                F.col("__doc"),
+                            )
+                        )
                     ),
                     lambda x: x.cast("string"),
                 ),

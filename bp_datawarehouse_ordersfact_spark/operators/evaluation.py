@@ -61,19 +61,28 @@ def _null_safe_join(
     diverge on NULL-group handling). ``extra`` columns under
     ``how="left"`` keep the LEFT side's values (the right copies are
     dropped), so unmatched rows keep their keys."""
+    # alias the right side's extra equi columns like the group cols
+    # (r13 VERDICT #2): self-join-derived mapping frames otherwise trip
+    # Spark's "trivially true equals predicate" attribute-resolution
+    # warning on `left[c] == right[c]`
+    ex = {c: f"__e{i}" for i, c in enumerate(extra)}
     r = right.select(
         *[F.col(c).alias(f"__g{i}") for i, c in enumerate(g)],
-        *[c for c in right.columns if c not in g],
+        *[
+            F.col(c).alias(ex.get(c, c))
+            for c in right.columns
+            if c not in g
+        ],
     )
     cond = F.lit(True)
     for i, c in enumerate(g):
         cond = cond & F.col(c).eqNullSafe(F.col(f"__g{i}"))
     for c in extra:
-        cond = cond & (left[c] == r[c])
+        cond = cond & (F.col(c) == F.col(ex[c]))
     joined = left.join(
         r if g or not broadcast_global else F.broadcast(r), cond, how
     )
-    drop = [f"__g{i}" for i in range(len(g))] + [r[c] for c in extra]
+    drop = [f"__g{i}" for i in range(len(g))] + [ex[c] for c in extra]
     return joined.drop(*drop)
 
 

@@ -1419,9 +1419,14 @@ def run_score_drift_monitor_stream(
                 F.broadcast(ks_row.select("d_stat", "__d_raw"))
             )
             .withColumn(
+                # coalesce each clause (r13 ADVICE #3): an all-NULL
+                # batch gives ks a NULL d_stat, and NULL | False is
+                # NULL — a row matching neither WHERE alerted nor
+                # WHERE NOT alerted (the exact bug class the group
+                # monitor's flag already coalesces)
                 "alerted",
-                (F.col("__psi_raw") > F.lit(alert_psi))
-                | (F.col("__d_raw") > F.lit(alert_ks)),
+                F.coalesce(F.col("__psi_raw") > F.lit(alert_psi), F.lit(False))
+                | F.coalesce(F.col("__d_raw") > F.lit(alert_ks), F.lit(False)),
             )
             .withColumn("batch_id", F.lit(int(batch_id)))
             .drop("__psi_raw", "__d_raw")
