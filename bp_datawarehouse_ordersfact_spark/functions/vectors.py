@@ -203,13 +203,21 @@ def nearest_cells_local(
     """
     from .rounding import rnd
 
+    def _elem(x):
+        # a NULL element inside a centroid vector must stay NULL (the
+        # cosine then nulls out and the cell loses the argmax), not
+        # crash float() at plan time
+        return (
+            F.lit(None).cast("double") if x is None else F.lit(float(x))
+        )
+
     scored = F.array(
         *[
             F.struct(
                 F.coalesce(
                     rnd(
                         cosine_nullsafe(
-                            vec, F.array(*[F.lit(float(x)) for x in cent])
+                            vec, F.array(*[_elem(x) for x in cent])
                         ),
                         6,
                     ),

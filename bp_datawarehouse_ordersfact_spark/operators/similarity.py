@@ -319,9 +319,11 @@ def collect_cells(
     Bounded by construction — n_cells x dim floats, the same
     driver-bounded class as evaluation.py's quantile edges — so this
     never scales with the corpus. Sorted by cell_id for a deterministic
-    expression tree."""
+    expression tree. Rows with a NULL centroid vector are dropped — a
+    NULL centroid can win no argmax (its cosine is NULL against every
+    row), so carrying it would only waste a literal slot."""
     rows = centroids.select(cell_col, cent_col).collect()
-    return sorted((int(r[0]), list(r[1])) for r in rows)
+    return sorted((int(r[0]), list(r[1])) for r in rows if r[1] is not None)
 
 
 def _farthest_point_seeds(e: DataFrame, n_cells: int) -> DataFrame:
