@@ -423,30 +423,36 @@ def kmeans_lloyd_centroids(
         raise ValueError(f"seed must be 'min_id' or 'farthest', got {seed!r}")
     e = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     if seed == "farthest":
-        cents = _farthest_point_seeds(e, n_cells)
+        cells = collect_cells(_farthest_point_seeds(e, n_cells))
     else:
-        cents = (
+        cells = collect_cells(
             e.orderBy("vid")
             .limit(n_cells)
             .select(F.col("vid").alias("cell_id"), F.col("v").alias("cent"))
         )
 
+    def _empty():
+        return e.limit(0).select(
+            F.col("vid").cast("long").alias("cell_id"),
+            F.lit(0).cast("long").alias("n_members"),
+            F.col("v").cast("array<double>").alias("cent"),
+        )
+
+    # ROW-LOCAL argmax against the driver-collected k x dim centroid
+    # literal (r13 VERDICT #1): the docstring's "map-side argmax, no
+    # shuffle of the vectors" claim, now literally true — the previous
+    # crossJoin(broadcast) + row_number window hash-exchanged
+    # corpus x n_cells (vid, v, cent) rows per iteration. Each
+    # iteration's mean recompute COLLECTS (k x dim floats) and the next
+    # assignment reads the collected literals, so lineage is truncated
+    # at every round — one corpus pass per iteration, not a nested
+    # re-derivation (the `logreg_train` 1-collect-per-iteration shape).
+    # Same (sim DESC NULLS LAST, cell ASC) tie-break, same 6dp
+    # rounding, pinned by the unchanged oracle twins.
     assigned = None
     for _ in range(n_iter):
-        # ROW-LOCAL argmax against the driver-collected k x dim
-        # centroid literal (r13 VERDICT #1): the docstring's "map-side
-        # argmax, no shuffle of the vectors" claim, now literally true —
-        # the previous crossJoin(broadcast) + row_number window
-        # hash-exchanged corpus x n_cells (vid, v, cent) rows per
-        # iteration. Same (sim DESC NULLS LAST, cell ASC) tie-break,
-        # same 6dp rounding, pinned by the unchanged oracle twins.
-        cells = collect_cells(cents)
         if not cells:
-            return e.limit(0).select(
-                F.col("vid").cast("long").alias("cell_id"),
-                F.lit(0).cast("long").alias("n_members"),
-                F.col("v").cast("array<double>").alias("cent"),
-            )
+            return _empty()
         assigned = e.select(
             "vid",
             "v",
@@ -461,8 +467,15 @@ def kmeans_lloyd_centroids(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
             ).alias("cent")
         )
+        cells = collect_cells(cents)
 
+    if not cells:
+        return _empty()
     counts = assigned.groupBy("cell_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_members")
     )
-    return cents.join(counts, "cell_id").select("cell_id", "n_members", "cent")
+    refined = df.sparkSession.createDataFrame(
+        [(cid, cent) for cid, cent in cells],
+        "cell_id long, cent array<double>",
+    )
+    return refined.join(counts, "cell_id").select("cell_id", "n_members", "cent")
