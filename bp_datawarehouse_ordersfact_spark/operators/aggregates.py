@@ -77,6 +77,109 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def profile_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    exact: bool = False,
+) -> DataFrame:
+    """One-pass EMBEDDING-column audit — the vector counterpart of
+    ``profile_numeric``, and the gate a pipeline runs before handing a
+    corpus to the ANN/PQ/SemDeDup tier (every one of which degrades
+    silently on exactly the pathologies this reports):
+
+    - ``n_null`` / ``null_frac`` — rows the downstream operators will
+      route to their kept-with-NULLs paths;
+    - ``n_dims_distinct`` / ``dim_min`` / ``dim_max`` — RAGGED
+      dimensionality (n_dims_distinct > 1 means subspace splits and
+      zip_with folds are comparing different-length vectors: fail the
+      batch, don't train on it);
+    - ``n_zero_norm`` / ``zero_norm_frac`` — vectors with undefined
+      cosine (the r13 ADVICE #1 class: they can win no argmax and must
+      be kept unjudged, so their rate is a data-quality signal);
+    - ``n_nonfinite`` / ``nonfinite_frac`` — vectors carrying NaN/Inf
+      elements (a NaN poisons every dot product it touches);
+    - ``norm_mean`` / ``norm_p50`` / ``norm_p95`` — the L2-norm
+      profile over CLEAN vectors only (finite, nonzero), the drift
+      signal for an embedding-model swap (norm distributions shift
+      before cosine neighborhoods do).
+
+    One aggregation pass; all derivations are per-row map-side
+    (size / exists / the double-precision dot fold), so the corpus
+    never shuffles — the ``profile_numeric`` discipline. ``exact``
+    picks the percentile tier exactly as ``corpus_stats_report`` does:
+    the scale default is ``percentile_approx``; ``exact=True`` swaps
+    in interpolated ``percentile`` for cross-engine verification
+    twins. Floats 6dp-rounded for engine-stable snapshots."""
+    from ..functions import vectors as V
+    from ..functions.rounding import rnd
+
+    vec = F.col(vec_col)
+    dim = F.when(vec.isNotNull(), F.size(vec))
+    nonfinite = F.when(
+        vec.isNotNull(),
+        F.exists(
+            vec,
+            lambda x: F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+        ),
+    )
+    norm2 = F.when(vec.isNotNull() & ~F.coalesce(nonfinite, F.lit(False)),
+                   V.dot(vec, vec))
+    zero_norm = F.when(norm2.isNotNull(), norm2 == F.lit(0.0))
+    clean_norm = F.when(
+        F.coalesce(zero_norm, F.lit(True)) == F.lit(False), F.sqrt(norm2)
+    )
+    pctl = F.percentile if exact else F.percentile_approx
+    n = F.count(F.lit(1))
+    row = df.select(
+        dim.alias("__dim"),
+        nonfinite.alias("__nf"),
+        zero_norm.alias("__zn"),
+        clean_norm.alias("__norm"),
+    ).agg(
+        n.cast("long").alias("n_rows"),
+        # empty-input sums coalesce to 0 (the r12 ADVICE class: SUM over
+        # zero rows is NULL, and a NULL count reads as "unchecked")
+        F.coalesce(
+            F.sum(F.when(F.col("__dim").isNull(), 1).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_null"),
+        F.count_distinct(F.col("__dim")).cast("long").alias("n_dims_distinct"),
+        F.min("__dim").cast("long").alias("dim_min"),
+        F.max("__dim").cast("long").alias("dim_max"),
+        F.coalesce(F.sum(F.when(F.col("__zn"), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_zero_norm"),
+        F.coalesce(F.sum(F.when(F.col("__nf"), 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_nonfinite"),
+        rnd(F.avg("__norm"), 6).alias("norm_mean"),
+        rnd(pctl(F.col("__norm"), F.lit(0.5)), 6).alias("norm_p50"),
+        rnd(pctl(F.col("__norm"), F.lit(0.95)), 6).alias("norm_p95"),
+    )
+    total = F.col("n_rows").cast("double")
+    frac = lambda c: rnd(
+        F.when(total > 0, F.col(c) / total).otherwise(F.lit(0.0)), 6
+    )  # noqa: E731
+    return row.select(
+        "n_rows",
+        "n_null",
+        frac("n_null").alias("null_frac"),
+        "n_dims_distinct",
+        "dim_min",
+        "dim_max",
+        "n_zero_norm",
+        frac("n_zero_norm").alias("zero_norm_frac"),
+        "n_nonfinite",
+        frac("n_nonfinite").alias("nonfinite_frac"),
+        "norm_mean",
+        "norm_p50",
+        "norm_p95",
+    )
+
+
 def corpus_stats_report(
     df: DataFrame,
     text_col: str = "text",

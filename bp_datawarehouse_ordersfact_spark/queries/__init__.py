@@ -118,7 +118,9 @@ _MODULES = (
 # roc_auc_global, precision_recall_by_group, calibration_ece_by_group,
 # psi_drift_by_group, score_quantile_normalize, semantic_prune —
 # 3-sf-proven), earliest r18; then queries/staged_canary.py (this
-# round's `canary_scan` row), earliest r19.
+# round's `canary_scan` row), earliest r19; then
+# queries/staged_profile.py (`embedding_profile` — round 14's
+# embedding-corpus audit), earliest r20.
 _WINDOW_FIRST = (
     "host_authority", "pricing_summary", "tfidf_title_match", "host_cap",
     "dedup_passage_spans", "ann_cosine_topk", "ann_cosine_ivf",

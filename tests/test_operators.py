@@ -1898,3 +1898,91 @@ def test_canary_scan_exact_markers(spark):
         )
     with _pt.raises(ValueError):
         canary_scan(docs, cans, max_example_ids=0)
+
+
+def test_profile_embeddings_matches_numpy_twin(spark):
+    """Engineered fixture covering every pathology the audit reports:
+    NULLs, a ragged-dim vector, a zero-norm vector, NaN/Inf carriers,
+    and clean vectors whose norm profile a numpy twin re-derives
+    (exact percentile tier — interpolated, quantile_cont semantics)."""
+    import math
+
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import (
+        profile_embeddings,
+    )
+
+    rows = [
+        (1, [3.0, 4.0]),              # clean, norm 5
+        (2, [6.0, 8.0]),              # clean, norm 10
+        (3, [5.0, 12.0]),             # clean, norm 13
+        (4, [0.0, 0.0]),              # zero norm
+        (5, None),                    # NULL
+        (6, [float("nan"), 1.0]),     # NaN carrier
+        (7, [float("inf"), 1.0]),     # Inf carrier
+        (8, [1.0, 2.0, 2.0]),         # ragged dim (3) — also clean, norm 3
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    out = profile_embeddings(df, "embedding", exact=True).collect()[0]
+    assert out["n_rows"] == 8
+    assert out["n_null"] == 1
+    assert out["null_frac"] == 0.125
+    assert out["n_dims_distinct"] == 2
+    assert out["dim_min"] == 2 and out["dim_max"] == 3
+    assert out["n_zero_norm"] == 1
+    assert out["n_nonfinite"] == 2
+    assert out["nonfinite_frac"] == 0.25
+    # clean norms: 5, 10, 13, 3 -> sorted [3, 5, 10, 13]
+    norms = sorted([5.0, 10.0, 13.0, 3.0])
+    assert out["norm_mean"] == round(sum(norms) / 4, 6)
+
+    def q(p):  # interpolated percentile (quantile_cont)
+        k = (len(norms) - 1) * p
+        lo, hi = math.floor(k), math.ceil(k)
+        return norms[lo] + (norms[hi] - norms[lo]) * (k - lo)
+
+    assert abs(out["norm_p50"] - q(0.5)) < 1e-6
+    assert abs(out["norm_p95"] - q(0.95)) < 1e-6
+
+
+def test_profile_embeddings_approx_tier_within_tolerance(spark):
+    """The scale-default approx percentile tier stays within a few
+    percent of exact on the real embeddings table, and the count
+    columns are identical across tiers (only the percentile estimator
+    forks)."""
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import (
+        profile_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    ex = profile_embeddings(emb, "embedding", exact=True).collect()[0]
+    ap = profile_embeddings(emb, "embedding").collect()[0]
+    for c in (
+        "n_rows", "n_null", "n_dims_distinct", "dim_min", "dim_max",
+        "n_zero_norm", "n_nonfinite",
+    ):
+        assert ex[c] == ap[c], c
+    assert ex["n_rows"] > 0 and ex["n_null"] == 0
+    for c in ("norm_p50", "norm_p95"):
+        assert abs(ex[c] - ap[c]) / max(ex[c], 1e-9) < 0.05, c
+
+
+def test_profile_embeddings_empty_and_all_null(spark):
+    """Empty frame and all-NULL column produce a defined single row
+    (zero counts, zero fracs, NULL norm stats) — the audit must never
+    crash on the degenerate corpora it exists to catch."""
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import (
+        profile_embeddings,
+    )
+
+    empty = spark.createDataFrame([], "id long, embedding array<double>")
+    r = profile_embeddings(empty, "embedding").collect()[0]
+    assert r["n_rows"] == 0 and r["n_null"] == 0 and r["null_frac"] == 0.0
+    assert r["norm_p50"] is None
+
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, embedding array<double>"
+    )
+    r2 = profile_embeddings(nulls, "embedding").collect()[0]
+    assert r2["n_rows"] == 2 and r2["n_null"] == 2 and r2["null_frac"] == 1.0
+    assert r2["n_dims_distinct"] == 0
+    assert r2["norm_mean"] is None

@@ -48,6 +48,7 @@ def oracle_frames(con):
         staged_canary,
         staged_eval,
         staged_eval2,
+        staged_profile,
         staged_r18,
         staged_r19,
         staged_r20,
@@ -62,7 +63,7 @@ def oracle_frames(con):
     # oracles were only convention-checked once activated)
     for mod in (
         staged_eval, staged_eval2, staged_r18, staged_r19, staged_r20,
-        staged_canary,
+        staged_canary, staged_profile,
     ):
         for name, sql in mod.ORACLES.items():
             frames[f"staged:{name}"] = con.execute(
@@ -136,6 +137,7 @@ def test_staged_modules_and_registry_names_are_pairwise_disjoint():
         staged_canary,
         staged_eval,
         staged_eval2,
+        staged_profile,
         staged_r18,
         staged_r19,
         staged_r20,
@@ -143,7 +145,7 @@ def test_staged_modules_and_registry_names_are_pairwise_disjoint():
 
     mods = [
         staged_eval, staged_eval2, staged_r18, staged_r19, staged_r20,
-        staged_canary,
+        staged_canary, staged_profile,
     ]
     live = set(Q.all_queries())
     seen: dict[str, str] = {}
