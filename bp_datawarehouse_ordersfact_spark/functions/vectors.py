@@ -212,6 +212,14 @@ def nearest_cells_local(
     """
     from .rounding import rnd
 
+    if not cells:
+        # an empty centroid set means a corrupt/empty index — refuse
+        # loudly (the pq stale-artifact convention) instead of emitting
+        # an untyped empty-array expression that fails analysis later;
+        # callers that can legitimately see an empty fit (kmeans on an
+        # empty corpus, the pruner with no trainable rows) guard first
+        raise ValueError("nearest_cells_local: empty centroid set")
+
     def _num(x) -> str:
         # NULL elements stay NULL (the cosine nulls out and the cell
         # loses the argmax); non-finite doubles need the cast form

@@ -366,8 +366,10 @@ def canary_scan(
     (a broadcast nested-loop join bounded by the canary count — the
     ``decontaminate_ngram_overlap`` holdout pattern), followed by a
     count/collect_list rollup on the tiny hit set. The corpus never
-    shuffles; example ids are capped at ``max_example_ids`` via sorted
-    ``slice`` so the report row stays bounded.
+    shuffles; example ids are RANK-LIMITED per canary before the
+    rollup (r13 ADVICE #4), so even a canary present in millions of
+    documents never buffers more than ``max_example_ids`` ids in an
+    aggregation buffer — the report row stays bounded by construction.
 
     Returns one row per canary: ``canary``, ``n_docs`` (bigint),
     ``example_doc_ids`` (comma-joined string of up to
