@@ -1629,3 +1629,98 @@ def run_score_drift_monitor_by_group_stream(
         edges.unpersist()
         edge_rows.unpersist()
         base_counts.unpersist()
+
+
+def run_canary_scan_monitor_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    canaries: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_example_ids: int = 5,
+    files_per_trigger: int = 1,
+) -> None:
+    """Streaming benchmark-canary monitor: every ingest micro-batch is
+    scanned for the planted canary marker strings
+    (``operators.curation.canary_scan`` — exact verbatim ``contains``)
+    BEFORE the batch joins the corpus, so contamination is caught at
+    the door instead of in a post-hoc corpus audit. The dual of
+    ``run_incremental_dedup_stream``'s dedup-at-the-door, applied to
+    the decontamination layer: by the time a nightly ``canary_scan``
+    over 100 TB reports a hit, the contaminated batch is already
+    blended in; per-batch scanning bounds the blast radius to one
+    batch.
+
+    One sink row PER CANARY PER BATCH (zero-hit canaries included —
+    the batch operator's audit posture: a canary missing from a
+    batch's report is indistinguishable from an unchecked one), with
+    ``n_docs``, the rank-limited ``example_doc_ids``, an ``alerted``
+    flag (``n_docs > 0`` — never NULL: the count coalesces to 0), and
+    ``batch_id``. Per-batch rows are pinned EQUAL to running the batch
+    operator over the same file's documents (the group-monitor
+    convention); the canary list validates ONCE before the stream
+    starts (empty/NULL markers are rejected loudly exactly as the
+    batch operator rejects them — an empty marker would flag every
+    row of every batch).
+
+    Scale shape: the canary set is small by construction and rides
+    each batch as |canaries| codegen ``contains`` predicates
+    (broadcast); each micro-batch pays one pass over its own rows plus
+    the rank-bounded rollup of its (rare by construction) hit set —
+    constant per-batch cost, nothing ever rescans the corpus.
+    foreachBatch, availableNow, content-keyed idempotent sink
+    (``_content_sink_key`` — replay and checkpoint-loss-safe like
+    every sink in this module since r12).
+    """
+    from ..operators.curation import canary_scan
+
+    if not canaries:
+        raise ValueError("canaries must be a non-empty list")
+    if any(c is None or len(c) == 0 for c in canaries):
+        raise ValueError(
+            "empty/NULL canary string(s) — an empty marker matches "
+            "every document and would drown real hits"
+        )
+    can_rows = [(c,) for c in sorted(set(canaries))]
+
+    schema = spark.read.parquet(docs_dir).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(docs_dir)
+    )
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cans = batch_df.sparkSession.createDataFrame(
+            can_rows, "canary string"
+        )
+        report = canary_scan(
+            batch_df,
+            cans,
+            text_col=text_col,
+            id_col=id_col,
+            canary_col="canary",
+            max_example_ids=max_example_ids,
+        )
+        out = report.select(
+            "canary",
+            "n_docs",
+            "example_doc_ids",
+            (F.col("n_docs") > 0).alias("alerted"),
+            F.lit(int(batch_id)).alias("batch_id"),
+        )
+        out.write.mode("overwrite").parquet(
+            out_dir.rstrip("/")
+            + f"/ingest_key={_content_sink_key(batch_df, batch_id)}"
+        )
+
+    q = (
+        src.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", out_dir.rstrip("/") + "_checkpoint")
+        .start()
+    )
+    q.awaitTermination()

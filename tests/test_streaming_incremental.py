@@ -1146,3 +1146,93 @@ def test_by_group_monitor_all_null_batch_values_alert_not_null(spark, tmp_path):
     for r in rows:
         assert r["alerted"] is False  # boolean false, never NULL
         assert r["d_binned"] is None and r["n_cur"] == 0
+
+
+def test_canary_scan_monitor_stream_matches_batch_and_replays(spark, tmp_path):
+    """Per-batch canary scanning at the ingest door: a clean batch
+    reports every canary at zero hits (audit posture), a contaminated
+    batch alerts with the exact batch-operator rows, the alerted flag
+    is never NULL, and checkpoint loss + a new file needs no sink
+    clear (content-keyed sink)."""
+    import shutil
+
+    from bp_datawarehouse_ordersfact_spark.operators.curation import canary_scan
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import (
+        run_canary_scan_monitor_stream,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "canary")
+    marker_a = "qq1zz-stream-canary-a"
+    marker_b = "qq2zz-stream-canary-b"
+
+    clean = [(i, f"ordinary document {i}") for i in range(20)]
+    spark.createDataFrame(clean, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(docs_dir)
+    run_canary_scan_monitor_stream(
+        spark, docs_dir, out_dir, [marker_a, marker_b]
+    )
+    quiet = spark.read.parquet(out_dir)
+    rows = quiet.collect()
+    assert len(rows) == 2  # every canary reports, zero hits included
+    assert all(r["n_docs"] == 0 for r in rows)
+    assert all(r["alerted"] is False for r in rows)  # never NULL
+
+    # checkpoint lost; a contaminated file lands; NO sink clear
+    shutil.rmtree(out_dir.rstrip("/") + "_checkpoint")
+    dirty = [(100, f"leaked text {marker_a} inline"), (101, marker_a),
+             (102, "still clean")]
+    spark.createDataFrame(dirty, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(docs_dir)
+    run_canary_scan_monitor_stream(
+        spark, docs_dir, out_dir, [marker_a, marker_b]
+    )
+    after = spark.read.parquet(out_dir)
+    keys = {r["ingest_key"] for r in after.select("ingest_key").collect()}
+    assert len(keys) == 2  # old partition rewritten in place + one new
+    hot = {r["canary"]: r for r in after.filter(F.col("alerted")).collect()}
+    assert set(hot) == {marker_a}
+    assert hot[marker_a]["n_docs"] == 2
+    assert hot[marker_a]["example_doc_ids"] == "100,101"
+
+    # per-batch rows pinned EQUAL to the batch operator on the same docs
+    cans = spark.createDataFrame([(marker_a,), (marker_b,)], "canary string")
+    batch_rows = {
+        r["canary"]: r
+        for r in canary_scan(
+            spark.createDataFrame(dirty, "doc_id long, text string"),
+            cans,
+        ).collect()
+    }
+    hot_key = [
+        r["ingest_key"]
+        for r in after.filter(F.col("alerted")).select("ingest_key").collect()
+    ][0]
+    stream_rows = {
+        r["canary"]: r
+        for r in after.filter(F.col("ingest_key") == hot_key).collect()
+    }
+    for c in (marker_a, marker_b):
+        assert stream_rows[c]["n_docs"] == batch_rows[c]["n_docs"], c
+        assert (
+            stream_rows[c]["example_doc_ids"] == batch_rows[c]["example_doc_ids"]
+        ), c
+
+
+def test_canary_scan_monitor_rejects_empty_markers(spark, tmp_path):
+    import pytest as _pt
+
+    from bp_datawarehouse_ordersfact_spark.streaming.jobs import (
+        run_canary_scan_monitor_stream,
+    )
+
+    with _pt.raises(ValueError):
+        run_canary_scan_monitor_stream(
+            spark, str(tmp_path / "x"), str(tmp_path / "y"), []
+        )
+    with _pt.raises(ValueError):
+        run_canary_scan_monitor_stream(
+            spark, str(tmp_path / "x"), str(tmp_path / "y"), ["ok", ""]
+        )
