@@ -351,22 +351,18 @@ def _farthest_point_seeds(e: DataFrame, n_cells: int) -> DataFrame:
     first = e.orderBy("vid").limit(1).collect()[0]
     seeds = [(first["vid"], first["v"])]
     for _ in range(n_cells - 1):
-        nearest = F.greatest(
-            *[
-                rnd(
-                    V.cosine(
-                        F.col("v"), F.array(*[F.lit(float(x)) for x in vec])
-                    ),
-                    6,
-                )
-                for _, vec in seeds
-            ]
-        ) if len(seeds) > 1 else rnd(
-            V.cosine(
-                F.col("v"), F.array(*[F.lit(float(x)) for x in seeds[0][1]])
+        # max-cosine-to-any-seed via the shared row-local helper (one
+        # server-parsed literal instead of k x dim Py4J F.lit calls —
+        # the same construction-cost class fixed in round 14; top-1
+        # sim over the seed set IS greatest-non-NULL, as before)
+        nearest = F.element_at(
+            V.nearest_cells_local(
+                F.col("v"),
+                [(i, list(vec)) for i, (_, vec) in enumerate(seeds)],
+                1,
             ),
-            6,
-        )
+            1,
+        )["sim"]
         nxt = (
             e.withColumn("nearest", nearest)
             .orderBy(F.asc("nearest"), F.asc("vid"))
