@@ -1986,3 +1986,68 @@ def test_profile_embeddings_empty_and_all_null(spark):
     assert r2["n_rows"] == 2 and r2["n_null"] == 2 and r2["null_frac"] == 1.0
     assert r2["n_dims_distinct"] == 0
     assert r2["norm_mean"] is None
+
+
+def test_nearest_cells_local_matches_python_argmax_reference(spark):
+    """The row-local argmax helper pinned directly against a pure-
+    Python reference of the window form it replaced: rnd(cosine, 6),
+    sim DESC NULLS LAST, cell_id ASC — including exact ties, zero-norm
+    rows (all-NULL sims still yield the smallest cell_ids with NULL
+    sim), NULL vectors, and n > 1 probe lists, over a seeded random
+    sweep."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from bp_datawarehouse_ordersfact_spark.functions import vectors as V
+
+    rng = random.Random(1414)
+    dim = 8
+    cells = [
+        (cid, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+        for cid in (3, 1, 7, 5)
+    ]
+    # engineered rows: duplicates of centroids (cos 1.0 ties impossible
+    # across distinct cells, but scaled copies tie at 1.0 with their
+    # own cell), a zero vector, a NULL, and random vectors
+    rows = [(0, [x * 2.0 for x in cells[0][1]]),
+            (1, [0.0] * dim),
+            (2, None)] + [
+        (10 + i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+        for i in range(40)
+    ]
+
+    def rnd6(x):
+        return math.floor(x * 1e6 + (0.5 + 1e-4)) / 1e6
+
+    def ref(v, n):
+        if v is None:
+            scored = [(None, cid) for cid, _ in cells]
+        else:
+            scored = []
+            for cid, c in cells:
+                nv = math.sqrt(sum(a * a for a in v))
+                nc = math.sqrt(sum(a * a for a in c))
+                if nv == 0.0 or nc == 0.0:
+                    scored.append((None, cid))
+                else:
+                    scored.append(
+                        (rnd6(sum(a * b for a, b in zip(v, c)) / (nv * nc)),
+                         cid)
+                    )
+        # sim DESC NULLS LAST, cell ASC
+        scored.sort(key=lambda t: (t[0] is None, -(t[0] or 0), t[1]))
+        return [(cid, s) for s, cid in scored[:n]]
+
+    df = spark.createDataFrame(rows, "rid long, v array<double>")
+    for n in (1, 3):
+        got = {
+            r["rid"]: [(p["cell_id"], p["sim"]) for p in r["nc"]]
+            for r in df.select(
+                "rid", V.nearest_cells_local(F.col("v"), cells, n).alias("nc")
+            ).collect()
+        }
+        for rid, v in rows:
+            exp = ref(v, n)
+            assert got[rid] == exp, (rid, n, got[rid], exp)
