@@ -81,6 +81,7 @@ def profile_embeddings(
     df: DataFrame,
     vec_col: str = "embedding",
     *,
+    group_cols: list[str] | None = None,
     exact: bool = False,
 ) -> DataFrame:
     """One-pass EMBEDDING-column audit — the vector counterpart of
@@ -110,7 +111,16 @@ def profile_embeddings(
     picks the percentile tier exactly as ``corpus_stats_report`` does:
     the scale default is ``percentile_approx``; ``exact=True`` swaps
     in interpolated ``percentile`` for cross-engine verification
-    twins. Floats 6dp-rounded for engine-stable snapshots."""
+    twins. Floats 6dp-rounded for engine-stable snapshots.
+
+    ``group_cols`` runs the audit at the GROUP grain (one row per
+    group, every rate over the group's own denominator) — the r13
+    evaluation-layer convention: the grain a real pipeline ships at is
+    per-source/per-language, and a pathology concentrated in one
+    source drowns in the corpus-wide rate (a 2% global zero-norm rate
+    can be one source at 100%). Same single aggregation; the group key
+    just keys the shuffle. NULL group labels are groups (groupBy keeps
+    them), matching `_null_safe_join`'s alignment rule."""
     from ..functions import vectors as V
     from ..functions.rounding import rnd
 
@@ -132,12 +142,16 @@ def profile_embeddings(
     )
     pctl = F.percentile if exact else F.percentile_approx
     n = F.count(F.lit(1))
-    row = df.select(
+    g = list(group_cols or [])
+    derived = df.select(
+        *g,
         dim.alias("__dim"),
         nonfinite.alias("__nf"),
         zero_norm.alias("__zn"),
         clean_norm.alias("__norm"),
-    ).agg(
+    )
+    grouped = derived.groupBy(*g) if g else derived
+    row = grouped.agg(
         n.cast("long").alias("n_rows"),
         # empty-input sums coalesce to 0 (the r12 ADVICE class: SUM over
         # zero rows is NULL, and a NULL count reads as "unchecked")
@@ -164,6 +178,7 @@ def profile_embeddings(
         F.when(total > 0, F.col(c) / total).otherwise(F.lit(0.0)), 6
     )  # noqa: E731
     return row.select(
+        *g,
         "n_rows",
         "n_null",
         frac("n_null").alias("null_frac"),

@@ -2051,3 +2051,43 @@ def test_nearest_cells_local_matches_python_argmax_reference(spark):
         for rid, v in rows:
             exp = ref(v, n)
             assert got[rid] == exp, (rid, n, got[rid], exp)
+
+
+def test_profile_embeddings_group_grain_equals_global_per_group(spark):
+    """group_cols tier pinned EQUAL to running the global audit on each
+    group's slice (the r13 evaluation-layer convention), including a
+    NULL group label as its own group and per-group denominators — a
+    pathology concentrated in one source must show at that source's
+    own rate, not the diluted corpus-wide one."""
+    from bp_datawarehouse_ordersfact_spark.operators.aggregates import (
+        profile_embeddings,
+    )
+
+    rows = [
+        ("a", [3.0, 4.0]),
+        ("a", [6.0, 8.0]),
+        ("a", [0.0, 0.0]),      # zero-norm concentrated in source a
+        ("b", [5.0, 12.0]),
+        ("b", None),            # NULL vec in source b
+        (None, [8.0, 15.0]),    # NULL source label is a group
+    ]
+    df = spark.createDataFrame(rows, "src string, embedding array<double>")
+    got = {
+        r["src"]: r
+        for r in profile_embeddings(
+            df, "embedding", group_cols=["src"], exact=True
+        ).collect()
+    }
+    assert set(got) == {"a", "b", None}
+    for label in ("a", "b", None):
+        if label is None:
+            sl = df.filter(F.col("src").isNull())
+        else:
+            sl = df.filter(F.col("src") == label)
+        exp = profile_embeddings(sl, "embedding", exact=True).collect()[0]
+        for c in exp.asDict():
+            assert got[label][c] == exp[c], (label, c)
+    # the concentration story: a's zero-norm rate is 1/3, global is 1/6
+    assert got["a"]["zero_norm_frac"] == round(1 / 3, 6)
+    glob = profile_embeddings(df, "embedding", exact=True).collect()[0]
+    assert glob["zero_norm_frac"] == round(1 / 6, 6)
