@@ -79,16 +79,26 @@ def parse_kafka_wire(
     schema_with_corrupt = T.StructType(
         list(value_schema.fields) + [T.StructField(corrupt_col, T.StringType())]
     )
+    parsed = F.from_json(
+        F.col("value").cast("string"),
+        schema_with_corrupt,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+    )
+    # The corrupt-record filter must NOT be pushed below the projection
+    # that computes `rec`: predicate pushdown inlines the alias, so the
+    # whole from_json (and any upstream to_json feeding `value`) runs
+    # TWICE per row — once in the pushed Filter, again in the Project
+    # (measured: it doubled the kafka_wire_roundtrip decode cost; the
+    # duplicated subtree is visible in the physical plan). A 1-element
+    # explode is a Generate node, and predicates on generator OUTPUT
+    # cannot be pushed below it — the parse stays single-evaluation
+    # while remaining fully codegen'd JVM work.
     decoded = wire.select(
         F.col("topic"),
         F.col("partition"),
         F.col("offset"),
         F.col("timestamp").alias("kafka_ts"),
-        F.from_json(
-            F.col("value").cast("string"),
-            schema_with_corrupt,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
-        ).alias("rec"),
+        F.explode(F.array(parsed)).alias("rec"),
     )
     if drop_corrupt:
         decoded = decoded.filter(F.col(f"rec.{corrupt_col}").isNull())

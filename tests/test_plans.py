@@ -414,3 +414,17 @@ def test_seeded_global_shuffle_single_range_exchange(spark):
     assert p.count("Exchange") == 1
     assert "rangepartitioning" in p.lower()
     assert "Sort" in p
+
+
+def test_kafka_parse_evaluates_from_json_once(spark):
+    """r15 optimization pin: the corrupt-record filter must not be
+    pushed below the projection computing the parsed struct — alias
+    inlining re-evaluates the whole from_json (and the to_json feeding
+    it) per row, doubling the decode cost. parse_kafka_wire fences the
+    filter behind a 1-element explode, so the plan carries exactly ONE
+    from_json."""
+    p = plan_of(spark, "kafka_wire_roundtrip")
+    assert p.count("from_json") == 1, p
+    # the fence must not have broken codegen or added an exchange: the
+    # round trip is still one scan + the two aggregate exchanges
+    assert p.count("Exchange") == 2
