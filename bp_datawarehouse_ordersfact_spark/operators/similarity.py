@@ -49,8 +49,14 @@ def tfidf_weights(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Sklearn-parity TF-IDF as a dataflow: explode tokens → term counts →
     document frequency → ``idf = ln((1+N)/(1+df)) + 1`` → L2-normalize.
 
-    Returns (id, token, weight). All shuffles are on the token/doc keys;
-    the doc-frequency side is tiny (vocabulary) and broadcast back.
+    Returns (id, token, weight). ONE derivation of the corpus: document
+    frequency is a count window over the token key and the L2 norm a sum
+    window over the doc key — the previous groupBy + join-back form
+    referenced ``tf`` and ``w`` twice each, and (being lazy) re-derived
+    the whole token pipeline per reference; a caller that itself reads
+    the weights twice multiplied that again (tfidf_title_match's plan
+    carried 110 Exchange nodes / 8 corpus scans from exactly this).
+    Exchanges now: (id, token) aggregate → token window → doc window.
     """
     toks = docs.select(
         F.col(id_col), F.explode(Tx.tokens(F.col(text_col))).alias("token")
@@ -60,17 +66,29 @@ def tfidf_weights(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # would run a separate job every time the operator is composed — the
     # plan stays fully lazy this way
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
-    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+    w_tok = Window.partitionBy("token")
+    w_doc = Window.partitionBy(id_col)
+    w = (
+        tf.crossJoin(F.broadcast(n_docs))
+        # tf has exactly one row per (doc, token), so a count over the
+        # token partition IS the document frequency — same integers as
+        # the groupBy("token").count() + join-back it replaces
+        .withColumn("df", F.count(F.lit(1)).over(w_tok))
+        .select(
+            id_col,
+            "token",
+            (
+                F.col("tf")
+                * (F.log((1.0 + F.col("__n")) / (1.0 + F.col("df"))) + 1.0)
+            ).alias("w"),
+        )
+    )
+    return w.select(
+        id_col,
         "token",
-        (F.log((1.0 + F.col("__n")) / (1.0 + F.col("df"))) + 1.0).alias("idf"),
-    )
-    w = tf.join(F.broadcast(idf), "token").select(
-        id_col, "token", (F.col("tf") * F.col("idf")).alias("w")
-    )
-    norms = w.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
-    return w.join(norms, id_col).select(
-        id_col, "token", (F.col("w") / F.col("nrm")).alias("weight")
+        (
+            F.col("w") / F.sqrt(F.sum(F.col("w") * F.col("w")).over(w_doc))
+        ).alias("weight"),
     )
 
 
@@ -96,16 +114,44 @@ def tfidf_cosine_match(
         c.select(F.concat(F.lit("c_"), F.col("c_id").cast("string")).alias("uid"), F.col("c_text").alias("txt"))
     )
     uw = tfidf_weights(union_docs, "uid", "txt")
-    mw = uw.filter(~F.col("uid").startswith("c_")).select(
-        F.col("uid").alias("m_id"), "token", F.col("weight").alias("w_m")
+    # Per-token pair generation in ONE pass over the weights: the
+    # master/cand split used to be two filters over `uw` feeding a
+    # token-key self-join — each side re-derived the whole (lazy) TF-IDF
+    # pipeline, doubling every exchange in it. Grouping by token and
+    # exploding the (master x cand) lists inside the row produces the
+    # exact same sparse-dot pair stream from a single derivation.
+    # Pair volume per token is df_m x df_c — identical to the join's
+    # output for that token key (the quadratic-hot-token hazard is the
+    # sparse dot product's, not this formulation's).
+    is_c = F.col("uid").startswith("c_")
+    per_tok = uw.groupBy("token").agg(
+        F.collect_list(
+            F.when(
+                ~is_c,
+                F.struct(
+                    F.col("uid").alias("m_id"), F.col("weight").alias("w_m")
+                ),
+            )
+        ).alias("ms"),
+        F.collect_list(
+            F.when(
+                is_c,
+                F.struct(
+                    F.expr("substring(uid, 3)").alias("c_id"),
+                    F.col("weight").alias("w_c"),
+                ),
+            )
+        ).alias("cs"),
     )
-    cw = uw.filter(F.col("uid").startswith("c_")).select(
-        F.expr("substring(uid, 3)").alias("c_id"), "token", F.col("weight").alias("w_c")
+    pairs = (
+        per_tok.filter((F.size("ms") > 0) & (F.size("cs") > 0))
+        .select(F.explode("ms").alias("m"), F.col("cs"))
+        .select(F.col("m.m_id").alias("m_id"), F.col("m.w_m").alias("w_m"),
+                F.explode("cs").alias("c"))
     )
     scores = (
-        mw.join(cw, "token")
-        .groupBy("m_id", "c_id")
-        .agg(rnd(F.sum(F.col("w_m") * F.col("w_c")), 6).alias("cosine"))
+        pairs.groupBy("m_id", F.col("c.c_id").alias("c_id"))
+        .agg(rnd(F.sum(F.col("w_m") * F.col("c.w_c")), 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
     return scores
