@@ -464,14 +464,6 @@ def kmeans_lloyd_centroids(
     if seed not in ("min_id", "farthest"):
         raise ValueError(f"seed must be 'min_id' or 'farthest', got {seed!r}")
     e = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    if seed == "farthest":
-        cells = collect_cells(_farthest_point_seeds(e, n_cells))
-    else:
-        cells = collect_cells(
-            e.orderBy("vid")
-            .limit(n_cells)
-            .select(F.col("vid").alias("cell_id"), F.col("v").alias("cent"))
-        )
 
     def _empty():
         return e.limit(0).select(
@@ -491,33 +483,62 @@ def kmeans_lloyd_centroids(
     # re-derivation (the `logreg_train` 1-collect-per-iteration shape).
     # Same (sim DESC NULLS LAST, cell ASC) tie-break, same 6dp
     # rounding, pinned by the unchanged oracle twins.
-    assigned = None
-    for _ in range(n_iter):
+    #
+    # The narrow (vid, v) projection is PERSISTED for the duration of
+    # the fit (r14 VERDICT #2 / ADVICE #3): seeding, every Lloyd
+    # iteration, and the member-count pass each re-ran the full input
+    # lineage (scan + fan-out exchange + upstream transforms) —
+    # n_iter+2 corpus derivations per fit. The seed job fills the cache
+    # once; every later pass reads it; blocks are freed before
+    # returning. Member counts are collected WITH the loop (k rows) and
+    # the result is rebuilt as a literal frame, so the returned plan
+    # carries no corpus lineage at all — callers' downstream actions
+    # cannot re-trigger the scan chain either.
+    e = e.persist()
+    try:
+        if seed == "farthest":
+            cells = collect_cells(_farthest_point_seeds(e, n_cells))
+        else:
+            cells = collect_cells(
+                e.orderBy("vid")
+                .limit(n_cells)
+                .select(F.col("vid").alias("cell_id"), F.col("v").alias("cent"))
+            )
+
+        assigned = None
+        for _ in range(n_iter):
+            if not cells:
+                return _empty()
+            assigned = e.select(
+                "vid",
+                "v",
+                F.element_at(V.nearest_cells_local(F.col("v"), cells, 1), 1)[
+                    "cell_id"
+                ].alias("cell_id"),
+            )
+            dims = assigned.select("cell_id", F.posexplode("v").alias("pos", "val"))
+            means = dims.groupBy("cell_id", "pos").agg(rnd(F.avg("val"), 6).alias("m"))
+            cents = means.groupBy("cell_id").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("cent")
+            )
+            cells = collect_cells(cents)
+
         if not cells:
             return _empty()
-        assigned = e.select(
-            "vid",
-            "v",
-            F.element_at(V.nearest_cells_local(F.col("v"), cells, 1), 1)[
-                "cell_id"
-            ].alias("cell_id"),
-        )
-        dims = assigned.select("cell_id", F.posexplode("v").alias("pos", "val"))
-        means = dims.groupBy("cell_id", "pos").agg(rnd(F.avg("val"), 6).alias("m"))
-        cents = means.groupBy("cell_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("cent")
-        )
-        cells = collect_cells(cents)
-
-    if not cells:
-        return _empty()
-    counts = assigned.groupBy("cell_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_members")
+        n_members = {
+            r["cell_id"]: r["n"]
+            for r in assigned.groupBy("cell_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+    finally:
+        e.unpersist()
+    # every cell in `cells` came from the last assignment's means, so it
+    # has >= 1 member — the literal rebuild is exactly the old
+    # refined JOIN counts output
+    return df.sparkSession.createDataFrame(
+        [(cid, n_members[cid], cent) for cid, cent in cells],
+        "cell_id long, n_members long, cent array<double>",
     )
-    refined = df.sparkSession.createDataFrame(
-        [(cid, cent) for cid, cent in cells],
-        "cell_id long, cent array<double>",
-    )
-    return refined.join(counts, "cell_id").select("cell_id", "n_members", "cent")
