@@ -12,12 +12,15 @@ this is training-data-pipeline surface added per the build brief
 (SURVEY.md §7.1.5), same tier as dedup/decontamination.
 
 Scale shapes:
-- `cap_docs_per_host` is TWO-PHASE so host skew can't melt a task: the
-  per-host counts (one map-side-combined aggregate) split hosts into
-  under-cap (pass through wholesale — no sort, no window) and over-cap
-  (the tiny head of the zipf curve — only THOSE rows pay the
-  rank-within-host window). A naive global `row_number() OVER
-  (PARTITION BY host)` sorts every host including the compliant 99%+.
+- `cap_docs_per_host` is ONE rank-limited window: `row_number() <=
+  max_docs` per host subsumes the old two-phase under-/over-cap split
+  (an under-cap host's every rank is <= its row count <= the cap), and
+  the rank-<=-k filter shape lets Spark push a WindowGroupLimit below
+  the exchange — each map task forwards at most max_docs rows per host,
+  so the shuffle and sort carry less than the two-phase split (3 input
+  derivations + 2 full-row join shuffles) ever avoided. Hostless rows
+  rank in per-row singleton groups, which both exempts them and removes
+  the shared '' pseudo-partition skew.
 - `filter_blocked_hosts` broadcasts small lists as a literal IN (plan
   pushdown-able) and anti-joins DataFrame blocklists.
 - `host_stats` is one aggregate + one small rollup; document text never
@@ -91,22 +94,31 @@ def cap_docs_per_host(
     keyed = _with_host(df, url_col, host_col).withColumn(
         "__rk", h32(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
     )
-    counts = (
-        keyed.filter(F.col(_HOST) != "")
-        .groupBy(_HOST)
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
-    over = counts.filter(F.col("__n") > max_docs).select(_HOST)
-
-    compliant = keyed.join(over, _HOST, "left_anti")
-    w = Window.partitionBy(_HOST).orderBy("__rk", id_col)
-    capped = (
-        keyed.join(over, _HOST, "left_semi")
+    # ONE derivation, one exchange (r15): "every row of an under-cap
+    # host, plus the max_docs best-ranked rows of an over-cap host" IS
+    # simply rank <= max_docs — a host with n <= max_docs rows has every
+    # rank <= n <= max_docs. The previous two-phase form (count
+    # aggregate -> anti join -> semi join -> window -> union) re-derived
+    # the input lineage three times and shuffled full rows twice to
+    # avoid sorting compliant hosts; the rank-<=-k filter instead
+    # enables Spark's WindowGroupLimit pushdown, which keeps only the
+    # top max_docs rows PER HOST PER MAP PARTITION before the exchange —
+    # less data shuffled and sorted than the two-phase split ever saved.
+    # Hostless rows stay exempt by ranking in a SINGLETON group (a \0
+    # prefix no registrable domain can contain + the row's own id):
+    # rank 1 passes any cap, and the former shared '' pseudo-partition
+    # (all unattributable docs sorted in one task) disappears.
+    grp = F.when(
+        F.col(_HOST) == "",
+        F.concat(F.lit("\x00"), F.col(id_col).cast("string")),
+    ).otherwise(F.col(_HOST))
+    w = Window.partitionBy("__grp").orderBy("__rk", id_col)
+    return (
+        keyed.withColumn("__grp", grp)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_docs)
-        .drop("__rn")
+        .drop(_HOST, "__rk", "__grp", "__rn")
     )
-    return compliant.unionByName(capped).drop(_HOST, "__rk")
 
 
 def filter_blocked_hosts(

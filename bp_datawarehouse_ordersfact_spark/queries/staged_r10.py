@@ -9,7 +9,7 @@ Three more round-8-layer operators get typed-VALUES driver rows here,
 completing the set r8 VERDICT #1 started (`url_canonicalize` /
 `conversation_pack` / `token_mixture` landed in the round-9 window):
 
-- ``host_cap`` — `operators.curation.cap_docs_per_host` (two-phase
+- ``host_cap`` — `operators.curation.cap_docs_per_host` (rank-limited
   per-host cap, hashlib-derivable keeper rule)
 - ``quality_pacing`` — `operators.sampling.quality_stratified_resample`
   with explicit boundaries (exact buckets, canonical h32 ppm rule)
@@ -82,7 +82,7 @@ _CAP_PLANTED = (
 )
 def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host document cap (`operators.curation.cap_docs_per_host`,
-    two-phase: under-cap hosts bypass the window wholesale).
+    one rank-limited window with the WindowGroupLimit pushdown).
 
     Why a typed VALUES oracle is a deterministic twin: the keeper rule
     is the `max_docs` smallest ``(h32('0:'||id), id)`` keys per host —

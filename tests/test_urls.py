@@ -226,10 +226,12 @@ def test_cap_per_host_validates(spark):
         )
 
 
-def test_cap_per_host_window_only_over_cap(spark):
-    """The two-phase shape: compliant hosts must NOT appear under a
-    window — assert the plan unions an anti-join branch (no window)
-    with a semi-join + window branch."""
+def test_cap_per_host_single_pass_rank_limit(spark):
+    """r15 shape: ONE derivation of the input, one rank window with the
+    WindowGroupLimit pushdown (top max_docs rows per host kept per map
+    partition before the exchange) — the two-phase anti/semi-join split
+    it replaced derived the input three times and shuffled full rows
+    twice. Pin: exactly one window, pushdown present, no joins left."""
     df = _host_corpus(spark)
     plan = cap_docs_per_host(
         df, id_col="doc_id", max_docs=5, url_col="url"
@@ -238,7 +240,7 @@ def test_cap_per_host_window_only_over_cap(spark):
     # Catalyst pushes the rank limit below the sort (top-N per key kept
     # per partition before the full window sort) — pin that it kicked in.
     assert "WindowGroupLimit" in plan
-    assert "LeftAnti" in plan and "LeftSemi" in plan
+    assert "Join" not in plan and "Union" not in plan
 
 
 # ---------------------------------------------------------------------------
