@@ -373,15 +373,16 @@ def canary_scan(
     flag the whole corpus and hide real hits).
 
     Scale shape: the canary set is small by construction (one or a few
-    per benchmark suite) and broadcasts; the scan is ONE pass over the
-    corpus text with |canaries| codegen ``contains`` predicates per row
-    (a broadcast nested-loop join bounded by the canary count — the
-    ``decontaminate_ngram_overlap`` holdout pattern), followed by a
-    count/collect_list rollup on the tiny hit set. The corpus never
-    shuffles; example ids are RANK-LIMITED per canary before the
-    rollup (r13 ADVICE #4), so even a canary present in millions of
-    documents never buffers more than ``max_example_ids`` ids in an
-    aggregation buffer — the report row stays bounded by construction.
+    per benchmark suite) and broadcasts; the corpus-text pass applies
+    |canaries| codegen ``contains`` predicates per row (a broadcast
+    nested-loop join bounded by the canary count — the
+    ``decontaminate_ngram_overlap`` holdout pattern). The corpus never
+    shuffles. Counts and examples are computed as two bounded rollups
+    over the hit set (r14 VERDICT #4): exact ``n_docs`` by map-side
+    partial count, example ids by a rank limit that pushes down as a
+    WindowGroupLimit — at most ``max_example_ids`` ids per canary leave
+    any map task, so even a canary present in millions of documents
+    never buffers or sorts its full hit set anywhere.
 
     Returns one row per canary: ``canary``, ``n_docs`` (bigint),
     ``example_doc_ids`` (comma-joined string of up to
@@ -409,35 +410,40 @@ def canary_scan(
         )
         .select("__canary", "__doc")
     )
-    # bound the example list BEFORE the rollup (r13 ADVICE #4): rank
-    # matches per canary and let collect_list see only the
-    # max_example_ids smallest ids (collect_list drops the NULLs the
-    # rank filter leaves) — a heavily contaminated corpus (one canary
-    # in millions of docs) must never buffer every id in one
-    # aggregation buffer. The groupBy reuses the window's partitioning,
-    # so this stays one shuffle of the narrow hit set.
+    # counts and examples SPLIT (r14 VERDICT #4): the r14 form ranked
+    # the hit set with a window whose row_number was consumed INSIDE the
+    # aggregate (a when(rn <= max) under collect_list), so Spark could
+    # not rewrite it to a WindowGroupLimit — a mega-hit canary shipped
+    # and sorted its full hit set in one task before the rollup. Now the
+    # exact count is a plain groupBy (map-side partial combine — only
+    # |canaries| x n_tasks counter rows cross the exchange) and the
+    # example list is rank + filter(rn <= K), which DOES qualify for the
+    # WindowGroupLimit pushdown: each map task forwards at most K ids
+    # per canary, so nothing ever buffers or sorts an unbounded hit set.
+    # The price is a second derivation of the (rare-by-construction) hit
+    # set — i.e. a second corpus pass of |canaries| contains predicates;
+    # callers for whom the scan dominates can materialize `docs` first.
+    counts = matched.groupBy("__canary").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
     w = Window.partitionBy("__canary").orderBy("__doc")
-    hits = (
+    examples = (
         matched.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_example_ids)
         .groupBy("__canary")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.concat_ws(
                 ",",
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("__rn") <= max_example_ids,
-                                F.col("__doc"),
-                            )
-                        )
-                    ),
+                    F.array_sort(F.collect_list("__doc")),
                     lambda x: x.cast("string"),
                 ),
             ).alias("example_doc_ids"),
         )
     )
+    # every canary with a count row has >= 1 hit, so it has an examples
+    # row too — the inner join rebuilds exactly the old rollup rows
+    hits = counts.join(examples, "__canary")
     return (
         cans.join(hits, "__canary", "left")
         .select(
