@@ -1034,14 +1034,22 @@ def duplicated_passage_spans(
     from .temporal import coalesce_intervals
 
     wins = _anchor_window_rows(df, text_col, id_col, window, stride)
-    shared = (
-        wins.groupBy("__h")
-        .agg(F.count_distinct("__id").alias("__nd"))
+    # distinct-doc count per window hash WITHOUT a second derivation of
+    # `wins` (r15): the groupBy(count_distinct) + join-back form
+    # referenced the lazy Arrow anchor pass twice, so the whole
+    # per-character Python pass ran TWICE per action (and the two
+    # exchanges carry different payloads, so AQE exchange reuse cannot
+    # collapse them). DISTINCT isn't allowed in a window aggregate, so
+    # the count is the classic dense_rank-then-max pair over the SAME
+    # __h partitioning — one derivation, one exchange, one sort. Skew
+    # posture unchanged: a corpus-wide boilerplate hash concentrates
+    # its rows in one partition exactly as the old __h join did.
+    w_h = Window.partitionBy("__h")
+    dup_wins = (
+        wins.withColumn("__dr", F.dense_rank().over(w_h.orderBy("__id")))
+        .withColumn("__nd", F.max("__dr").over(w_h))
         .filter(F.col("__nd") >= min_docs)
-        .select("__h")
-    )
-    dup_wins = wins.join(shared, "__h").select(
-        "__id", "__p", (F.col("__p") + window).alias("__e")
+        .select("__id", "__p", (F.col("__p") + window).alias("__e"))
     )
     spans = coalesce_intervals(dup_wins, "__id", "__p", "__e", "__p")
     return spans.select(
@@ -1125,18 +1133,18 @@ def cut_duplicated_passages(
     from .temporal import coalesce_intervals
 
     wins = _anchor_window_rows(df, text_col, id_col, window, stride)
-    shared = (
-        wins.groupBy("__h")
-        .agg(
-            F.count_distinct("__id").alias("__nd"),
-            F.min("__id").alias("__keeper"),
-        )
-        .filter(F.col("__nd") >= min_docs)
-        .select("__h", "__keeper")
-    )
+    # same single-derivation rewrite as duplicated_passage_spans (r15):
+    # distinct-doc count via dense_rank→max and the keeper election via
+    # min(__id), all over ONE __h partitioning — the groupBy + join-back
+    # form ran the per-character Arrow anchor pass twice per action
+    w_h = Window.partitionBy("__h")
     cut_wins = (
-        wins.join(shared, "__h")
-        .filter(F.col("__id") != F.col("__keeper"))
+        wins.withColumn("__dr", F.dense_rank().over(w_h.orderBy("__id")))
+        .withColumn("__nd", F.max("__dr").over(w_h))
+        .withColumn("__keeper", F.min("__id").over(w_h))
+        .filter(
+            (F.col("__nd") >= min_docs) & (F.col("__id") != F.col("__keeper"))
+        )
         .select("__id", "__p", (F.col("__p") + window).alias("__e"))
     )
     spans = coalesce_intervals(cut_wins, "__id", "__p", "__e", "__p").select(
