@@ -158,14 +158,17 @@ def drop_boilerplate_lines(
             "__grp", F.lit("")
         )
     eligible = ex.filter(F.col("__nchars") >= min_chars)
-    bad = (
-        eligible.groupBy("__grp", "__key")
-        .agg(F.count_distinct(F.col(id_col)).alias("__docs"))
-        .filter(F.col("__docs") >= min_docs)
-        .select("__grp", "__key")
-    )
+    # distinct-doc count per (group, key) WITHOUT a second derivation of
+    # the line explode (r15): the groupBy(count_distinct) + semi-join
+    # form referenced `eligible` twice, so the whole text split/hash ran
+    # twice per action (different exchange payloads — AQE exchange reuse
+    # cannot collapse them). dense_rank→max over one (group, key)
+    # partitioning computes the same exact count in a single derivation.
+    w_g = Window.partitionBy("__grp", "__key")
     drops = (
-        eligible.join(bad, ["__grp", "__key"], "left_semi")
+        eligible.withColumn("__dr", F.dense_rank().over(w_g.orderBy(id_col)))
+        .withColumn("__docs", F.max("__dr").over(w_g))
+        .filter(F.col("__docs") >= min_docs)
         .groupBy(id_col)
         .agg(F.collect_list("__pos").alias(_DROP))
     )
