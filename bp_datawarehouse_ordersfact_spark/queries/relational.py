@@ -655,13 +655,23 @@ def q_multikey_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_count_distinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 (`nunique` per order, dw2_wc_increment.py:457-465)."""
+    """A1 (`nunique` per order, dw2_wc_increment.py:457-465).
+
+    Distinct counts via size(collect_set) instead of countDistinct
+    (r15): two countDistincts over the same group key plan as a 3x
+    Expand + two exchanges of the tripled rows; the set form is one
+    exchange with map-side partial sets (measured 1.9s -> 1.1s at
+    sf0.1). Safe HERE because the group is the order key and TPC-H
+    bounds lines-per-order at 7, so a set buffer never exceeds 7
+    entries — for unbounded groups keep countDistinct's Expand plan,
+    which never buffers a group's distinct values in one aggregation
+    buffer."""
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.size(F.collect_set("l_partkey")).cast("long").alias("n_parts"),
+            F.size(F.collect_set("l_suppkey")).cast("long").alias("n_suppliers"),
             rnd(F.sum("l_quantity"), 2).alias("total_qty"),
         )
     )
