@@ -209,6 +209,24 @@ def nearest_cells_local(
     building it per cell from ``F.lit`` Columns instead costs
     n_cells x dim Py4J round trips, which measured in SECONDS of
     driver time per operator construction at n_cells=16, dim=64.
+
+    Contract bounds (r14 ADVICE #1/#2):
+
+    - FINITE vector elements only. The -2.0 NULL sentinel sorts below
+      every finite cosine (|cos| <= 1), but a vector carrying ±Inf can
+      produce a -Inf cosine that sorts BELOW the sentinel (inverting
+      the pinned NULLS-LAST order) and a NaN cosine sorts greatest and
+      wins the argmax. Non-finite embeddings are exactly what
+      ``profile_embeddings`` exists to gate out upstream; all
+      finite-input behavior is pinned by the pure-Python reference
+      test.
+    - The literal's parse/eval cost scales with the CENTROID set
+      (O(n_cells x dim) interpreted fold work per row, multi-MB SQL
+      strings at thousands of cells). Intended for n_cells x dim up to
+      a few thousand floats — the IVF/k-means coarse tiers here. For
+      larger cell counts use the broadcast-join formulation the
+      callers replaced (see cosine_topk_ivf's history) instead of this
+      literal form.
     """
     from .rounding import rnd
 

@@ -66,6 +66,16 @@ def _null_safe_join(
     # Spark's "trivially true equals predicate" attribute-resolution
     # warning on `left[c] == right[c]`
     ex = {c: f"__e{i}" for i, c in enumerate(extra)}
+    # refuse a left frame that already carries one of the reserved
+    # aliases (r14 ADVICE #4): the post-join drop is by NAME, so a
+    # caller column literally named __e0/__g0 would be silently dropped
+    reserved = set(ex.values()) | {f"__g{i}" for i in range(len(g))}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"_null_safe_join: left frame carries reserved column(s) "
+            f"{sorted(clash)} — rename them before joining"
+        )
     r = right.select(
         *[F.col(c).alias(f"__g{i}") for i, c in enumerate(g)],
         *[

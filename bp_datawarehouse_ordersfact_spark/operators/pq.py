@@ -114,32 +114,63 @@ def pq_train(
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     if ksub < 1:
         raise ValueError(f"ksub must be >= 1, got {ksub}")
-    sub = _subvectors(df, vec_col, id_col, m)
-    wseed = Window.partitionBy("sub").orderBy(F.asc("vid"))
-    cents = (
-        sub.withColumn("__r", F.row_number().over(wseed))
-        .filter(F.col("__r") <= ksub)
-        .select("sub", (F.col("__r") - 1).alias("code"), F.col("sv").alias("cent"))
-    )
+    # The (vid, sub, sv) explode is PERSISTED for the fit and each
+    # iteration's codebook is collected to the driver (m x ksub rows —
+    # the k-row manifest class) and re-embedded as a literal frame
+    # (r15, the kmeans_lloyd_centroids lifecycle): the previous lazy
+    # loop nested every iteration's plan over a fresh derivation of
+    # `sub`, so the caller's single action re-ran the corpus explode
+    # n_iter+1 times. Values round-trip exactly (collected doubles →
+    # createDataFrame), so the fit is bit-identical; the returned frame
+    # carries NO corpus lineage, which also keeps every downstream
+    # encode/search plan free of the training subtree.
+    spark = df.sparkSession
+    books_schema = "sub int, code int, n_members long, cent array<double>"
 
-    cents = cents.withColumn("n_members", F.lit(None).cast("long"))
-    for _ in range(n_iter):
-        assigned = _assign(sub, cents.select("sub", "code", "cent"))
-        dims = assigned.select("sub", "code", F.posexplode("sv").alias("pos", "val"))
-        # every member contributes every pos, so the per-(sub,code,pos)
-        # row count IS n_members — carrying it through the rebuild keeps
-        # the trainer join-free (a counts join would ride along in every
-        # downstream encode/search plan)
-        means = dims.groupBy("sub", "code", "pos").agg(
-            rnd(F.avg("val"), 6).alias("m"),
-            F.count(F.lit(1)).cast("long").alias("nm"),
+    def _literal(cents_df: DataFrame) -> DataFrame:
+        rows = [
+            (r["sub"], r["code"], r["n_members"], list(r["cent"]))
+            for r in cents_df.collect()
+        ]
+        return spark.createDataFrame(rows, books_schema)
+
+    sub = _subvectors(df, vec_col, id_col, m).persist()
+    try:
+        wseed = Window.partitionBy("sub").orderBy(F.asc("vid"))
+        cents = _literal(
+            sub.withColumn("__r", F.row_number().over(wseed))
+            .filter(F.col("__r") <= ksub)
+            .select(
+                "sub",
+                (F.col("__r") - 1).alias("code"),
+                F.lit(None).cast("long").alias("n_members"),
+                F.col("sv").alias("cent"),
+            )
         )
-        cents = means.groupBy("sub", "code").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("cent"),
-            F.max("nm").alias("n_members"),
-        )
+        for _ in range(n_iter):
+            assigned = _assign(sub, cents.select("sub", "code", "cent"))
+            dims = assigned.select(
+                "sub", "code", F.posexplode("sv").alias("pos", "val")
+            )
+            # every member contributes every pos, so the per-(sub,code,pos)
+            # row count IS n_members — carrying it through the rebuild keeps
+            # the trainer join-free (a counts join would ride along in every
+            # downstream encode/search plan)
+            means = dims.groupBy("sub", "code", "pos").agg(
+                rnd(F.avg("val"), 6).alias("m"),
+                F.count(F.lit(1)).cast("long").alias("nm"),
+            )
+            cents = _literal(
+                means.groupBy("sub", "code").agg(
+                    F.max("nm").alias("n_members"),
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"],
+                    ).alias("cent"),
+                )
+            )
+    finally:
+        sub.unpersist()
 
     return cents.select("sub", "code", "n_members", "cent")
 
