@@ -1028,14 +1028,26 @@ def q_sketch_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle computes the exact side and asserts TRUE, so a sketch
     drifting out of bound flips the value hash red. At 100 TB the
     sketches are the only viable plan — they fold map-side into
-    fixed-size state with no per-group sort or distinct shuffle."""
+    fixed-size state with no per-group sort or distinct shuffle.
+
+    The distinct-count pair and the percentile pair aggregate
+    SEPARATELY and join on the (tiny) group key: one mixed aggregate
+    forces RewriteDistinctAggregates' Expand plan, which routes every
+    buffer-based aggregate (HLL++, both percentiles) through the
+    expanded (group, user_id, gid) first-stage grouping — measured 2.7s
+    vs 0.7s for the split at sf0.1 (~4x). Split, each side is its own
+    minimal plan: a two-phase distinct count next to a map-side-folding
+    HLL, and the percentile pair over a narrower value-only scan."""
     ev = _t(spark, sf_dir, "events")
-    agg = ev.groupBy("event_type").agg(
+    users = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users_exact"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+    )
+    vals = ev.groupBy("event_type").agg(
         F.percentile("value", 0.5).alias("p50_exact_raw"),
         F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
     )
+    agg = users.join(vals, "event_type")
     distinct_rel_err = F.abs(
         F.col("n_users_approx") - F.col("n_users_exact")
     ) / F.col("n_users_exact")
