@@ -295,7 +295,7 @@ def registrable_domain_psl(
     # published file verbatim (see `load_psl_snapshot`).
     line = F.lower(F.trim(F.col("suffix")))
     raw = F.regexp_extract(line, r"^(\S+)", 1)
-    rules = (
+    rules_base = (
         psl_df.select(line.alias("__line"), raw.alias("__raw"))
         .filter((F.col("__raw") != "") & ~F.col("__line").startswith("//"))
         .select(
@@ -307,16 +307,21 @@ def registrable_domain_psl(
             .alias("__key"),
             F.col("__raw").startswith("!").alias("__exc"),
         )
-        .distinct()
     )
+    rules = rules_base.distinct()
     # the documented precondition, VALIDATED: a rule deeper than the
     # candidate explode silently loses to a shorter match for every
     # host under it — wrong domains with no error. The rules table is
-    # broadcast-sized, so this is one cheap driver pull.
-    [probe] = rules.agg(
-        F.max(F.size(F.split(F.col("__key"), r"\."))).alias("m")
+    # broadcast-sized, so this is one cheap driver pull. Probing the
+    # pre-distinct projection (not an aggregate) lets Catalyst fold the
+    # whole probe into a LocalRelation when `psl_df` is a literal rules
+    # frame — `collect()` is then a jobless driver-side read instead of
+    # a scheduled aggregate job per operator construction; the max folds
+    # in Python over the (broadcast-sized) label counts.
+    depths = rules_base.select(
+        F.size(F.split(F.col("__key"), r"\.")).alias("m")
     ).collect()
-    deepest = probe["m"] or 0
+    deepest = max((r["m"] for r in depths), default=0)
     if deepest > max_suffix_labels:
         raise ValueError(
             f"psl_df contains a rule with {deepest} labels but "

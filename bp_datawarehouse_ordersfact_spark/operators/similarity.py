@@ -505,8 +505,8 @@ def kmeans_lloyd_centroids(
                 .select(F.col("vid").alias("cell_id"), F.col("v").alias("cent"))
             )
 
-        assigned = None
-        for _ in range(n_iter):
+        n_members: dict[int, int] = {}
+        for it in range(n_iter):
             if not cells:
                 return _empty()
             assigned = e.select(
@@ -523,16 +523,40 @@ def kmeans_lloyd_centroids(
                     F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
                 ).alias("cent")
             )
-            cells = collect_cells(cents)
+            if it < n_iter - 1:
+                cells = collect_cells(cents)
+            else:
+                # final round: centroids AND member counts in ONE
+                # collected action — the counts aggregate used to be a
+                # separate post-loop job (an extra scheduling round and
+                # an extra cache pass); unioning the two small aggregates
+                # returns both with the same rows and the same values
+                rows = (
+                    cents.withColumn("__members", F.lit(None).cast("long"))
+                    .unionByName(
+                        assigned.groupBy("cell_id")
+                        .agg(F.count(F.lit(1)).cast("long").alias("__members"))
+                        .select(
+                            "cell_id",
+                            F.lit(None).cast("array<double>").alias("cent"),
+                            "__members",
+                        )
+                    )
+                    .collect()
+                )
+                cells = sorted(
+                    (int(r["cell_id"]), list(r["cent"]))
+                    for r in rows
+                    if r["cent"] is not None
+                )
+                n_members = {
+                    r["cell_id"]: r["__members"]
+                    for r in rows
+                    if r["__members"] is not None
+                }
 
         if not cells:
             return _empty()
-        n_members = {
-            r["cell_id"]: r["n"]
-            for r in assigned.groupBy("cell_id")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-            .collect()
-        }
     finally:
         e.unpersist()
     # every cell in `cells` came from the last assignment's means, so it
