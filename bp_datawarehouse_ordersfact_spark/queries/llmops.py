@@ -817,12 +817,17 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     at worst — broadcastable), so the per-token probability lookup is a
     broadcast hash join against the exploded corpus: no shuffle of the
     token stream; the only wide ops are the vocab count and the per-doc
-    rollup, which reuses the fan-out partitioning."""
+    rollup, which reuses the fan-out partitioning. The corpus total
+    rides the SAME broadcast as a global-window sum over the (already
+    vocabulary-sized) freq frame — the previous separate ``total``
+    frame re-derived the whole tokenize+count pipeline for one number,
+    a third full corpus pass per action (now two: the vocab count and
+    the probability lookup)."""
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", F.explode(Tx.tokens(F.col("text"))).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    total = freq.agg(F.sum("c").alias("n"))
-    lp = toks.join(F.broadcast(freq), "tok").join(F.broadcast(total))
+    freq_n = freq.withColumn("n", F.sum("c").over(Window.partitionBy()))
+    lp = toks.join(F.broadcast(freq_n), "tok")
     return lp.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         rnd(F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 6).alias(
