@@ -416,9 +416,13 @@ def quality_stratified_resample_by_group(
 
     ``boundaries`` maps group → explicit edges (the production reuse
     path; every group present in the data must have an entry — missing
-    groups raise rather than silently falling back to a refit). When
-    None, edges come from one grouped ``percentile_approx`` (a
-    rows-per-group driver pull, the k-row manifest class).
+    groups raise rather than silently falling back to a refit; the
+    check rides the edges join as a ``raise_error`` branch on the
+    unmatched side, so it costs nothing — the previous
+    ``distinct().collect()`` validation was a FULL extra corpus pass
+    per call before any real work). When None, edges come from one
+    grouped ``percentile_approx`` (a rows-per-group driver pull, the
+    k-row manifest class).
 
     Membership is the same canonical ``h32(id) % 1e6 < keep_ppm[b]``
     rule; after the one grouped aggregate the filter is MAP-ONLY — the
@@ -445,13 +449,6 @@ def quality_stratified_resample_by_group(
                 f"{n_buckets} buckets need {n_buckets - 1} boundaries per "
                 f"group; wrong lengths: {bad}"
             )
-        present = {r["__grp"] for r in scored.select("__grp").distinct().collect()}
-        missing = sorted(present - set(boundaries))
-        if missing:
-            raise ValueError(
-                "explicit boundaries missing groups (refusing to refit "
-                f"silently): {missing}"
-            )
         edges_rows = [(g, [float(x) for x in v]) for g, v in boundaries.items()]
     else:
         if n_buckets == 1:
@@ -476,15 +473,31 @@ def quality_stratified_resample_by_group(
         edges = spark.createDataFrame(
             edges_rows, "__grp string, __edges array<double>"
         )
+        # the unmatched (missing-group) side of the left join RAISES in
+        # the row path instead of a pre-pass validation: same loud
+        # refusal ("explicit boundaries missing groups"), zero extra
+        # corpus passes. The fitted path (boundaries=None) derives an
+        # edge row per present group, so its left join always matches.
         bucketed = scored.join(F.broadcast(edges), "__grp", "left").withColumn(
             "quality_bucket",
-            F.size(
-                F.filter(
-                    F.coalesce(
-                        F.col("__edges"), F.array().cast("array<double>")
-                    ),
-                    lambda b: F.col(score_col).cast("double") > b,
-                )
+            F.when(
+                F.col("__edges").isNotNull(),
+                F.size(
+                    F.filter(
+                        F.col("__edges"),
+                        lambda b: F.col(score_col).cast("double") > b,
+                    )
+                ),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "explicit boundaries missing groups (refusing "
+                            "to refit silently): "
+                        ),
+                        F.col("__grp"),
+                    )
+                ).cast("int")
             ),
         ).drop("__edges")
     ppm_arr = F.array(*[F.lit(int(p)) for p in keep_ppm])

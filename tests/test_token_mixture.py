@@ -309,12 +309,16 @@ def test_quality_resample_by_group_per_language_edges(spark):
     }
     assert {r["doc_id"] for r in out2.collect()} == expect
 
-    # missing group in explicit boundaries -> loud refusal
-    with pytest.raises(ValueError, match="missing groups"):
+    # missing group in explicit boundaries -> loud refusal. The check
+    # rides the edges join as a raise_error branch (r15: the previous
+    # distinct().collect() pre-validation was a full extra corpus pass
+    # per call), so the refusal surfaces at ACTION time as a Spark
+    # runtime error carrying the same message.
+    with pytest.raises(Exception, match="missing groups"):
         quality_stratified_resample_by_group(
             df, "score", "doc_id", "lang",
             keep_ppm=[0, 1_000_000], boundaries={"en": [144.5]},
-        )
+        ).collect()
     with pytest.raises(ValueError, match="wrong lengths"):
         quality_stratified_resample_by_group(
             df, "score", "doc_id", "lang",
