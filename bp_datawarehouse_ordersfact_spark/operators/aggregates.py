@@ -221,11 +221,17 @@ def corpus_stats_report(
     The approx tier is pinned within tolerance of the exact tier in
     tests/test_operators.py.
 
-    Everything is a map-side-combinable aggregate over one ``rollup``
-    shuffle whose key cardinality is the number of sources — the report
-    over 100 TB costs one corpus scan, same as ``profile_numeric``
-    (exact=True adds the count_distinct expand, fine at audit scale;
-    the default stays one-pass sketch-cheap). Floats 6dp-rounded for
+    The default (sketch) tier is ONE map-side-combinable aggregate over
+    one ``rollup`` shuffle whose key cardinality is the number of
+    sources — the report over 100 TB costs one corpus scan, same as
+    ``profile_numeric``. ``exact=True`` aggregates the duplicate-rate
+    ``count_distinct`` SEPARATELY from the percentile pair and joins
+    the two (sources+1)-row rollups on (grouping_id, key): mixing the
+    distinct with the exact percentiles forced the whole rollup
+    through RewriteDistinctAggregates' Expand as a four-stage
+    ObjectHashAggregate chain, carrying the percentile buffers through
+    every stage and both exchanges (the ``sketch_approx_stats``
+    pathology — measured ~4x there). Floats 6dp-rounded for
     engine-stable snapshots."""
     from ..functions.rounding import rnd
     from ..functions.text import tokens
@@ -237,33 +243,77 @@ def corpus_stats_report(
         if source_col is not None
         else F.lit(None).cast("string")
     )
-    grouped = df.select(
+    sel = df.select(
         src.alias("source"),
         text.alias("_t"),
         F.length(text).alias("_chars"),
         F.size(tokens(text)).alias("_toks"),
-    ).rollup("source" if source_col is not None else F.lit(1).alias("_g"))
+    )
+    gcol = "source" if source_col is not None else "_g"
+
+    def _rollup(d: DataFrame):
+        return d.rollup(
+            "source" if source_col is not None else F.lit(1).alias("_g")
+        )
+
     chars_d = F.col("_chars").cast("double")
     if exact:
         p50 = F.percentile(chars_d, F.lit(0.5))
         p95 = F.percentile(chars_d, F.lit(0.95))
-        n_distinct = F.count_distinct(F.md5("_t"))
     else:
         p50 = F.percentile_approx(chars_d, 0.5)
         p95 = F.percentile_approx(chars_d, 0.95)
-        n_distinct = F.approx_count_distinct(F.md5("_t"))
-    out = grouped.agg(
-        n.cast("long").alias("n_docs"),
-        F.sum("_chars").cast("long").alias("n_chars"),
-        F.sum("_toks").cast("long").alias("n_tokens"),
-        rnd(F.avg("_chars"), 6).alias("chars_mean"),
-        rnd(p50, 6).alias("chars_p50"),
-        rnd(p95, 6).alias("chars_p95"),
-        rnd(
-            F.greatest(F.lit(0.0), F.lit(1.0) - n_distinct / n),
-            6,
-        ).alias("approx_dup_rate"),
-    )
+    if exact:
+        main = _rollup(sel).agg(
+            F.grouping_id().alias("__gid"),
+            n.cast("long").alias("n_docs"),
+            F.sum("_chars").cast("long").alias("n_chars"),
+            F.sum("_toks").cast("long").alias("n_tokens"),
+            rnd(F.avg("_chars"), 6).alias("chars_mean"),
+            rnd(p50, 6).alias("chars_p50"),
+            rnd(p95, 6).alias("chars_p95"),
+        )
+        dup = _rollup(sel).agg(
+            F.grouping_id().alias("__gid"),
+            F.count_distinct(F.md5("_t")).alias("__ndist"),
+        )
+        m, d2 = main.alias("__csm"), dup.alias("__csd")
+        out = m.join(
+            d2,
+            (F.col("__csm.__gid") == F.col("__csd.__gid"))
+            & F.col(f"__csm.{gcol}").eqNullSafe(F.col(f"__csd.{gcol}")),
+        ).select(
+            F.col(f"__csm.{gcol}").alias(gcol),
+            F.col("__csm.n_docs").alias("n_docs"),
+            F.col("__csm.n_chars").alias("n_chars"),
+            F.col("__csm.n_tokens").alias("n_tokens"),
+            F.col("__csm.chars_mean").alias("chars_mean"),
+            F.col("__csm.chars_p50").alias("chars_p50"),
+            F.col("__csm.chars_p95").alias("chars_p95"),
+            rnd(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0) - F.col("__csd.__ndist") / F.col("__csm.n_docs"),
+                ),
+                6,
+            ).alias("approx_dup_rate"),
+        )
+    else:
+        out = _rollup(sel).agg(
+            n.cast("long").alias("n_docs"),
+            F.sum("_chars").cast("long").alias("n_chars"),
+            F.sum("_toks").cast("long").alias("n_tokens"),
+            rnd(F.avg("_chars"), 6).alias("chars_mean"),
+            rnd(p50, 6).alias("chars_p50"),
+            rnd(p95, 6).alias("chars_p95"),
+            rnd(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0) - F.approx_count_distinct(F.md5("_t")) / n,
+                ),
+                6,
+            ).alias("approx_dup_rate"),
+        )
     if source_col is None:
         # single-stratum corpus: the rollup's grand-total row IS the
         # report; drop the synthetic grouping column and the per-group twin
