@@ -139,8 +139,12 @@ def q_registrable_domain_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     planted = spark.createDataFrame(_PSL_PLANTED, "doc_id long, host string")
     pool = real.unionByName(planted)
-    rules = spark.createDataFrame(
-        [(ln,) for ln in _PSL_RAW_LINES], "suffix string"
-    )
+    # VALUES literal, not createDataFrame: the Arrow path yields an
+    # RDD-backed plan, while a VALUES list is a LocalRelation — the
+    # operator's depth-probe collect folds to a jobless driver-side
+    # read (ConvertToLocalRelation) and the broadcast rules build skips
+    # the RDD scan. Same rows, same single string column.
+    values = ", ".join("('%s')" % ln.replace("'", "''") for ln in _PSL_RAW_LINES)
+    rules = spark.sql(f"SELECT suffix FROM (VALUES {values}) AS t(suffix)")
     out = registrable_domain_psl(pool, rules, host_col="host", out_col="domain")
     return out.filter(F.col("doc_id") >= 39_000_000).select("doc_id", "domain")
