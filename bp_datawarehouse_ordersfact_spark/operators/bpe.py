@@ -316,11 +316,61 @@ def bpe_train_local(
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    rows = words.select(word_col, freq_col).collect()
+    return _train_merges_driver(
+        [r[word_col] for r in rows],
+        [int(r[freq_col]) for r in rows],
+        n_merges,
+        min_freq,
+    )
+
+
+def word_freqs_py(text: str) -> dict[str, int]:
+    """Driver-side twin of ``word_freqs`` for LITERAL training texts
+    (planted fixtures): same tokenization rule — lowercase, split on
+    ``TOKEN_SPLIT_RE``, drop empties — same (word, freq) multiset,
+    without scheduling a cluster job to count a few planted words
+    (``word_freqs`` on a literal frame still runs an explode + aggregate
+    + collect job; profiled at ~0.3s of pure scheduling for a 17-word
+    string). ASCII-compatible inputs only: Python ``str.lower`` and JVM
+    ``lower`` agree there, which planted fixture text is by construction
+    — corpus-scale fits must keep using ``word_freqs``. Equality with
+    ``word_freqs`` is test-pinned (tests/test_bpe.py)."""
+    import re
+    from collections import Counter
+
+    return dict(
+        Counter(w for w in re.split(TOKEN_SPLIT_RE, text.lower()) if w)
+    )
+
+
+def bpe_train_local_freqs(
+    freqs: dict[str, int], n_merges: int, min_freq: int = 1
+) -> list[tuple[str, str]]:
+    """``bpe_train_local`` for a driver-resident (word, freq) mapping —
+    the fit path for planted/fixture training texts where the vocab
+    never was on the cluster. Identical merge sequence: the selection
+    rule (count DESC, pair ASC) is a pure function of the multiset, so
+    dict ordering cannot perturb it (test-pinned against
+    ``bpe_train_local``)."""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    items = list(freqs.items())
+    return _train_merges_driver(
+        [w for w, _ in items], [int(f) for _, f in items], n_merges, min_freq
+    )
+
+
+def _train_merges_driver(
+    words: list[str], word_freqs: list[int], n_merges: int, min_freq: int
+) -> list[tuple[str, str]]:
+    """Shared driver-side merge loop (incremental pair maintenance) —
+    the body of ``bpe_train_local``, factored so the literal-text path
+    (``bpe_train_local_freqs``) runs the exact same code."""
     from collections import defaultdict
 
-    rows = words.select(word_col, freq_col).collect()
-    syms_list = [list(r[word_col]) + [END_OF_WORD] for r in rows]
-    freqs = [int(r[freq_col]) for r in rows]
+    syms_list = [list(w) + [END_OF_WORD] for w in words]
+    freqs = word_freqs
 
     pair_counts: dict[tuple[str, str], int] = defaultdict(int)
     pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)

@@ -10,11 +10,13 @@ was pytest-pinned only; this gives the full chain a driver row.
 The fit runs on a PLANTED training text (the classic
 low/lower/newest/widest corpus), because merges fitted on the real
 corpus would be sf-dependent and so would every planted encoding. The
-fit path is ``word_freqs`` (distributed corpus pass) +
-``bpe_train_local`` (driver-side merge loop over the driver-sized
-vocab — the documented division of labor for real tokenizer fits;
-pinned ≡ the distributed ``bpe_train`` by a hypothesis equality test
-in tests/test_bpe.py). The ENCODE then runs over the real corpus
+fit path is ``word_freqs_py`` + ``bpe_train_local_freqs`` (driver-side
+twins of the distributed pass — the training text is a 17-word literal,
+so the cluster job the distributed forms schedule would only count
+planted words; both twins are pinned ≡ their distributed forms by
+equality tests in tests/test_bpe.py, and real corpus fits keep the
+``word_freqs`` + ``bpe_train_local`` division of labor). The ENCODE
+then runs over the real corpus
 unioned with three planted docs (ids >= 4.2x10^7: in-vocab words, an
 out-of-vocab word exercising the character-level fallback, and an
 empty text pinning the keep-empty-array contract), so the bench pays
@@ -29,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core.io import load_table
-from ..operators.bpe import bpe_encode, bpe_train_local, word_freqs
+from ..operators.bpe import bpe_encode, bpe_train_local_freqs, word_freqs_py
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -93,9 +95,16 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles at any corpus size. The out-of-vocab planted word pins the
     character-fallback path; the empty doc pins the left-join
     keep-empty contract."""
-    train = spark.createDataFrame([(_BPE_TRAIN_TEXT,)], "text string")
-    merges = bpe_train_local(
-        word_freqs(train, "text"), n_merges=_BPE_N_MERGES, min_freq=1
+    # The fit input is a 17-word LITERAL — counting it through
+    # ``word_freqs`` (explode + aggregate + collect over a 1-row frame)
+    # scheduled a full Spark job per query construction just to count
+    # planted words (r16: ~0.3s pure scheduling, measured). The
+    # driver-side twins produce the identical (word, freq) multiset and
+    # the identical merge sequence (both test-pinned against the
+    # distributed forms); the ENCODE below still pays the real corpus,
+    # which is the operator cost this row exists to exercise.
+    merges = bpe_train_local_freqs(
+        word_freqs_py(_BPE_TRAIN_TEXT), n_merges=_BPE_N_MERGES, min_freq=1
     )
     real = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = spark.createDataFrame(_BPE_DOCS, "doc_id long, text string")

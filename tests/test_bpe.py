@@ -124,6 +124,31 @@ class TestBpe:
         assert got == want
         assert 0 < len(got) < 50
 
+    def test_driver_side_twins_match_distributed_fit(self, spark):
+        """The literal-text fit path (word_freqs_py +
+        bpe_train_local_freqs, r16: no cluster job for a planted
+        training string) must produce the identical (word, freq)
+        multiset and the identical merge sequence as the distributed
+        word_freqs + bpe_train_local it replaces in q_bpe_tokenize."""
+        from bp_datawarehouse_ordersfact_spark.operators.bpe import (
+            bpe_train_local,
+            bpe_train_local_freqs,
+            word_freqs_py,
+        )
+
+        text = " | ".join(t for _, t in CORPUS if t)
+        df = spark.createDataFrame([(text,)], "body string")
+        dist_freqs = {
+            r["word"]: r["freq"] for r in word_freqs(df, "body").collect()
+        }
+        assert word_freqs_py(text) == dist_freqs
+        for n, mf in [(12, 1), (50, 4), (0, 1)]:
+            assert bpe_train_local_freqs(
+                word_freqs_py(text), n_merges=n, min_freq=mf
+            ) == bpe_train_local(word_freqs(df, "body"), n_merges=n, min_freq=mf)
+        with pytest.raises(ValueError):
+            bpe_train_local_freqs({"a": 1}, n_merges=-1)
+
     def test_rank_greedy_encode_equals_sequential_replay(self):
         merges = _ref_train(_ref_word_freqs(CORPUS), 12)
         ranks = {p: i for i, p in enumerate(merges)}
