@@ -259,6 +259,7 @@ def pack_conversations(
     budget_chars: int,
     sep: str = "",
     partition_cols: tuple[str, ...] = (),
+    carry_text: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Pack rendered conversations into training rows: short dialogs
     waste sequence capacity, so trainers concatenate several per row —
@@ -284,6 +285,19 @@ def pack_conversations(
       spans with each example's bin offset (prior texts + separators)
       added, so ``packed.text[start:end]`` still slices the exact turn
       block (test-pinned).
+
+    ``carry_text=True`` appends the bin's packed ``text`` to every
+    ``packed_spans`` row — the same id-ordered ``sep``-joined
+    concatenation as ``packed.text``, computed as a full-partition
+    window riding the offset window's (partition_cols, bin_id)
+    exchange and sort. A consumer that needs span AND text (slicing
+    blocks out of the packed rows) then skips the join back to
+    ``packed`` — and with it a SECOND derivation of the whole
+    render → window chain, which is corpus-scale work (r16: the
+    conversation_pack plan rendered every conversation twice). The
+    cost is the bin text repeated per span row through the spans
+    join — fine when consumed immediately; keep the default for a
+    packed_spans that gets persisted.
 
     Scale shape: the bin-assignment running sum is a window over
     LENGTH-ONLY rows — pass `partition_cols` (e.g. source/shard) at
@@ -343,6 +357,34 @@ def pack_conversations(
             F.lit(0),
         ),
     )
+    if carry_text:
+        # the bin's full packed text on every member row: identical
+        # expression to packed's aggregate below (id-ordered struct
+        # sort, sep join), evaluated over the whole (pcols, bin_id)
+        # window — same partitioning and sort as __offset, so it rides
+        # the exchange that is already there
+        placed = placed.withColumn(
+            "__bin_text",
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col(id_col).alias("i"),
+                                F.col(text_col).alias("t"),
+                            )
+                        ).over(
+                            wb.rowsBetween(
+                                Window.unboundedPreceding,
+                                Window.unboundedFollowing,
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                sep,
+            ),
+        )
     packed = (
         placed.groupBy(*partition_cols, "bin_id")
         .agg(
@@ -360,7 +402,10 @@ def pack_conversations(
         )
         .withColumn("n_chars", F.length(text_col).cast("long"))
     )
-    offsets = placed.select(id_col, *partition_cols, "bin_id", "__offset")
+    carried = (("__bin_text",) if carry_text else ())
+    offsets = placed.select(
+        id_col, *partition_cols, "bin_id", "__offset", *carried
+    )
     packed_spans = spans.join(offsets, id_col).select(
         *partition_cols,
         "bin_id",
@@ -368,5 +413,10 @@ def pack_conversations(
         "turn_idx",
         (F.col("start") + F.col("__offset")).cast("long").alias("start"),
         (F.col("end") + F.col("__offset")).cast("long").alias("end"),
+        *(
+            (F.col("__bin_text").alias(text_col),)
+            if carry_text
+            else ()
+        ),
     )
     return packed, packed_spans

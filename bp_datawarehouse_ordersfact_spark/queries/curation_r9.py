@@ -182,10 +182,17 @@ def q_conversation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         # fixture is 5 rows by design — opt out so every bench/driver
         # run doesn't train readers to ignore the warning where it matters
         warnings.simplefilter("ignore", UserWarning)
-        packed, pspans = pack_conversations(
-            rendered, spans, id_col="conv_id", budget_chars=120, sep="\n\n"
+        # carry_text: the spans rows carry their bin's packed text (the
+        # identical id-ordered sep-joined concat as packed.text, window
+        # form), so the block slice needs NO join back to `packed` —
+        # which re-derived the whole render → window chain a second
+        # time (r16: one render pass and one SortMergeJoin removed from
+        # the plan; values pinned by the unchanged VALUES oracle)
+        _, pspans = pack_conversations(
+            rendered, spans, id_col="conv_id", budget_chars=120, sep="\n\n",
+            carry_text=True,
         )
-    return pspans.join(packed.select("bin_id", "text"), "bin_id").select(
+    return pspans.select(
         "bin_id",
         "conv_id",
         "turn_idx",

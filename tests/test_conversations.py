@@ -221,6 +221,42 @@ def test_pack_conversations_spans_still_slice(spark):
         assert t == "\n".join(originals[i] for i in uniq)
 
 
+def test_pack_conversations_carry_text_equals_join_back(spark):
+    """carry_text=True (r16) must put on every packed_spans row the
+    EXACT text that joining packed on bin_id would have attached —
+    same rows otherwise (schema gains only the text column)."""
+    from bp_datawarehouse_ordersfact_spark.operators.conversations import (
+        pack_conversations,
+    )
+
+    convs = [
+        (1, _conv(("user", "Hi"), ("assistant", "Hello there"))),
+        (2, _conv(("user", "Q2"), ("assistant", "A2"))),
+        (3, _conv(("user", "Q3 is long"), ("assistant", "A3 likewise here"))),
+        (4, _conv(("user", "Q4"), ("assistant", "A4"))),
+    ]
+    df = spark.createDataFrame(convs, SCHEMA)
+    rendered = render_conversation(df, conv_col="conv").select("conv_id", "text")
+    spans = loss_mask_spans(df, id_col="conv_id", conv_col="conv")
+    kw = dict(id_col="conv_id", budget_chars=80, sep="\n")
+    packed, plain = pack_conversations(rendered, spans, **kw)
+    _, carried = pack_conversations(rendered, spans, carry_text=True, **kw)
+    assert carried.columns == plain.columns + ["text"]
+    texts = {r["bin_id"]: r["text"] for r in packed.collect()}
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["bin_id"], r["start"], r["end"], r["text"])
+        for r in carried.collect()
+    }
+    want = {
+        (r["conv_id"], r["turn_idx"]): (r["bin_id"], r["start"], r["end"])
+        for r in plain.collect()
+    }
+    assert set(got) == set(want)
+    for k, (b, s, e, t) in got.items():
+        assert (b, s, e) == want[k]
+        assert t == texts[b]
+
+
 def test_pack_conversations_oversize_own_bin_and_validation(spark):
     from bp_datawarehouse_ordersfact_spark.operators.conversations import (
         pack_conversations,
