@@ -76,6 +76,22 @@ class _CacheScope:
         self._frames.append(df)
         return df
 
+    def materialize_with(self, df: DataFrame) -> DataFrame:
+        """Cache ``df`` WITHOUT its own fill job: the next
+        ``materialize`` (or any other single-lineage action) that
+        consumes it fills this cache as a side effect of computing its
+        own. The up-front ``count()`` exists to beat the
+        concurrent-branch race on an unfilled cache (two join branches
+        computing the same InMemoryRelation at once); a frame whose
+        FIRST action reaches it through exactly one downstream lineage
+        has no race to beat, so its fill job is a pure extra scheduling
+        round (r16: one job saved per minhash-family construction).
+        Registered for the same exception-path unpersist as
+        ``materialize``."""
+        df = df.cache()
+        self._frames.append(df)
+        return df
+
     def finish(self, result: DataFrame) -> DataFrame:
         try:
             # tracked_local_checkpoint registers the result's RDD ids for
@@ -102,6 +118,9 @@ class _LazyScope:
         return False
 
     def materialize(self, df: DataFrame) -> DataFrame:
+        return df
+
+    def materialize_with(self, df: DataFrame) -> DataFrame:
         return df
 
     def finish(self, result: DataFrame) -> DataFrame:
@@ -258,7 +277,15 @@ def minhash_lsh_pairs(
     # window/distinct work. Locally a cache() is the boundary; at 100 TB
     # this is a staged signature table.
     with (_CacheScope() if eager else _LazyScope()) as scope:
-        rows = scope.materialize(shingle_rows(df, text_col, id_col, shingle_n))
+        # shingles cache fills as a side effect of the band fill below
+        # (one lineage, one job — materialize_with): the race the
+        # up-front count exists to beat needs TWO branches over the
+        # unfilled cache, and the first action to reach `rows` is the
+        # band fill alone. The verify joins later read the then-filled
+        # cache.
+        rows = scope.materialize_with(
+            shingle_rows(df, text_col, id_col, shingle_n)
+        )
         # Signature via hash columns → groupBy-min (minhash_band_rows):
         # every operator stays inside whole-stage codegen (the
         # higher-order-function form in functions.text.minhash_signature
